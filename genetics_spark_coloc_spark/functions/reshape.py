@@ -1,0 +1,82 @@
+"""Reshaping helpers: melt, pivot, top-per-group.
+
+Reference anchors: melt/pivot (src/gentropy/common/spark_helpers.py:
+24-98,485-516), top-1-per-group (spark_helpers.py:160-212).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def melt(
+    df: DataFrame,
+    id_vars: list[str],
+    value_vars: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide -> long via explode of literal/value struct pairs.
+
+    One projection + one generator — no shuffle, fully codegen'd.
+    """
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias(var_name), F.col(c).cast("double").alias(value_name)
+                )
+                for c in value_vars
+            ]
+        )
+    ).alias("_kv")
+    return df.select(*id_vars, pairs).select(
+        *id_vars, F.col(f"_kv.{var_name}").alias(var_name), F.col(f"_kv.{value_name}").alias(value_name)
+    )
+
+
+def pivot_first(
+    df: DataFrame,
+    group_cols: list[str],
+    pivot_col: str,
+    value_col: str,
+    pivot_values: list[str] | None = None,
+) -> DataFrame:
+    """Long -> wide. Passing ``pivot_values`` avoids the extra
+    distinct-collect job Spark otherwise runs to discover them —
+    required practice at 100 TB."""
+    pivoted = df.groupBy(*group_cols).pivot(pivot_col, pivot_values)
+    return pivoted.agg(F.first(value_col))
+
+
+def get_record_with_maximum_value(
+    df: DataFrame, grouping_cols: list[str], sorting_col: str | Column
+) -> DataFrame:
+    """Top-1 row per group by DESC sort column, deterministic
+    tie-break on the grouping key ordering (reference:
+    spark_helpers.py:160-212).
+
+    Ranking window instead of self-join-with-max: one shuffle, and
+    AQE handles group skew.
+    """
+    order = F.col(sorting_col).desc_nulls_last() if isinstance(sorting_col, str) else sorting_col.desc_nulls_last()
+    w = Window.partitionBy(*grouping_cols).orderBy(order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def get_record_with_minimum_value(
+    df: DataFrame, grouping_cols: list[str], sorting_col: str
+) -> DataFrame:
+    """Top-1 row per group by ASC sort column."""
+    w = Window.partitionBy(*grouping_cols).orderBy(F.col(sorting_col).asc_nulls_last())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

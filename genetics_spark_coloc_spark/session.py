@@ -1,0 +1,97 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Mirrors the role of the reference's ``Session`` wrapper
+(reference: src/gentropy/common/session.py:19-76) without the Hail
+dependency: one place to create/configure a session, plus generic
+load/write helpers.
+
+Defaults are tuned for correctness at local[*] test scale while
+keeping the knobs that matter on a 1000-executor cluster:
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+- Arrow on (pandas UDF / toPandas transfer)
+- shuffle partitions from env so the bench can size them to the SF
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+
+def get_session(
+    app_name: str = "genetics_spark_coloc_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with engine defaults."""
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{DEFAULT_CPUS}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        # driver testdata writes events.ts as TIMESTAMP(NANOS); Spark
+        # has no nanos type — read as long and convert explicitly
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_data(
+    spark: SparkSession,
+    path: str | list[str],
+    format: str = "parquet",  # noqa: A002
+    schema: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Generic reader (reference: common/session.py:132-157).
+
+    When no schema is given, infer and merge schemas across files so
+    heterogeneous ingestion directories load; with a schema, enforce
+    it so the scan prunes to exactly the declared columns.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+        options.setdefault("inferSchema", "false")
+    else:
+        options.setdefault("inferSchema", "true")
+        options.setdefault("mergeSchema", "true")
+    return reader.load(list(path) if isinstance(path, list) else path, format=format, **options)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "errorifexists",
+    output_partitions: int | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink (reference: colocalisation.py:73-75).
+
+    ``coalesce`` (not repartition) bounds output file count without a
+    shuffle; ``partition_by`` enables partition pruning for readers
+    (e.g. by chromosome at 100 TB).
+    """
+    if output_partitions is not None:
+        df = df.coalesce(output_partitions)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
