@@ -1,0 +1,187 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Designed for trillion-document corpora:
+
+- **exact**: one hash-groupBy; survivor = smallest id (deterministic).
+- **MinHash+LSH**: shingle → P permuted min-hashes → B bands →
+  bucket self-join. The bucket join replaces the O(n²) all-pairs
+  comparison; band hashes are fine-grained keys so the shuffle
+  spreads. All hashing is md5 (string min = permutation min), so a
+  SQL oracle can reproduce it bit-for-bit.
+- **n-gram Jaccard**: exact similarity on candidate pairs only.
+- **SimHash**: 32-bit signature from per-token md5 bits, hamming
+  distance via bit ops.
+
+No UDFs anywhere — explode/groupBy/higher-order functions only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from genetics_spark_coloc_spark.operators.text import tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group identical texts by md5; keep the smallest id.
+
+    Returns (contentHash, keeperId, nCopies).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("contentHash"), F.col(id_col))
+        .groupBy("contentHash")
+        .agg(
+            F.min(id_col).alias("keeperId"),
+            F.count(F.lit(1)).alias("nCopies"),
+        )
+    )
+
+
+def char_shingles(text: Column, k: int = 8, stride: int = 4, max_shingles: int = 64) -> Column:
+    """Deterministic character k-shingles at fixed stride, capped.
+
+    Substring-based (not regex) so a SQL oracle derives the identical
+    set. Lowercased. Returns array<string> (distinct).
+    """
+    lowered = F.lower(text)
+    n = F.least(
+        F.greatest((F.length(lowered) - k) / stride + 1, F.lit(1)).cast("int"),
+        F.lit(max_shingles),
+    )
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.substring(lowered, i * stride + 1, k),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_perm: int = 8
+) -> DataFrame:
+    """Per-document MinHash signature.
+
+    Permutation *i* of a shingle is ``md5(i || '|' || shingle)``; the
+    signature element is the lexicographic min over shingles. Output:
+    (id, perm, minHash) long format — band grouping composes on top.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("docId"),
+        F.explode(char_shingles(F.col(text_col))).alias("shingle"),
+    )
+    per_perm = shingled.select(
+        "docId",
+        F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm"),
+        "shingle",
+    ).select(
+        "docId",
+        "perm",
+        F.md5(F.concat_ws("|", F.col("perm").cast("string"), F.col("shingle"))).alias("h"),
+    )
+    return per_perm.groupBy("docId", "perm").agg(F.min("h").alias("minHash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_perm: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Band the signature and self-join buckets -> candidate pairs.
+
+    Bands: contiguous groups of ``band_size`` permutations; band hash
+    = md5 of concatenated min-hashes. Pairs are (left < right),
+    distinct. At 100 TB the band join is the only shuffle and its key
+    (bandIdx, bandHash) is high-cardinality.
+    """
+    bands = (
+        signatures.withColumn("bandIdx", (F.col("perm") / band_size).cast("int"))
+        .groupBy("docId", "bandIdx")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minHash")))).alias("bandHash"))
+    )
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.bandIdx") == F.col("r.bandIdx"),
+                F.col("l.bandHash") == F.col("r.bandHash"),
+                F.col("l.docId") < F.col("r.docId"),
+            ],
+        )
+        .select(
+            F.col("l.docId").alias("leftId"),
+            F.col("r.docId").alias("rightId"),
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, text_col: str, id_col: str, num_perm: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Full MinHash-LSH near-duplicate candidate pipeline."""
+    return lsh_candidate_pairs(
+        minhash_signatures(df, text_col, id_col, num_perm), num_perm, band_size
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame, pairs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given (leftId, rightId) pairs.
+
+    Joins the shingle sets in, then |∩| / |∪| via array ops.
+    """
+    sets_df = df.select(
+        F.col(id_col).alias("docId"), char_shingles(F.col(text_col)).alias("shingles")
+    )
+    return (
+        pairs.join(
+            sets_df.select(F.col("docId").alias("leftId"), F.col("shingles").alias("ls")),
+            on="leftId",
+        )
+        .join(
+            sets_df.select(F.col("docId").alias("rightId"), F.col("shingles").alias("rs")),
+            on="rightId",
+        )
+        .select(
+            "leftId",
+            "rightId",
+            F.round(
+                F.size(F.array_intersect("ls", "rs")).cast("double")
+                / F.size(F.array_union("ls", "rs")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """SimHash signature (long) from token md5s.
+
+    Per token, take the first ``bits`` bits of md5; sum +1/-1 per bit
+    over tokens; signature bit = sign. Pure array math.
+    """
+    toks = F.array_distinct(tokens(F.lower(text)))
+    # per token: bits-bit integer from the first 8 hex chars of md5
+    tok_hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.aggregate(
+            tok_hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

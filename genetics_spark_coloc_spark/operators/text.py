@@ -1,0 +1,128 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen) over a string column
+— token counting, quality ratios, n-gram language ID heuristic, and
+document fingerprinting. These extend the engine beyond the
+reference's genetics surface (BASELINE.json north star); they are
+designed to run over trillions of documents: no UDFs, no shuffles
+except where aggregation is the point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deliberately small, deterministic marker sets (parity with the SQL
+# oracle matters more than linguistic accuracy)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "es"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+}
+
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens; empty/blank text -> empty array."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (long)."""
+    return F.size(tokens(text)).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def _ratio(matched_len: Column, total: Column) -> Column:
+    return F.when(total > 0, matched_len.cast("double") / total.cast("double")).otherwise(0.0)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are sentence punctuation."""
+    kept = F.length(F.regexp_replace(text, r"[^.,!?;:]", ""))
+    return _ratio(kept, F.length(text))
+
+
+def digit_ratio(text: Column) -> Column:
+    kept = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    return _ratio(kept, F.length(text))
+
+
+def uppercase_ratio(text: Column) -> Column:
+    kept = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    return _ratio(kept, F.length(text))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of tokens that are (lowercased) stopwords."""
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks).cast("double")).otherwise(
+        0.0
+    )
+
+
+def mean_token_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(
+        F.size(toks) > 0, total.cast("double") / F.size(toks).cast("double")
+    ).otherwise(0.0)
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality score: length sweet spot, low punct/digit
+    noise, presence of stopwords (prose-likeness).
+
+    A simple, fully-declarative composite — the shape of a C4/Gopher
+    style quality filter, kept deterministic for oracle parity.
+    """
+    n_tok = token_count(text)
+    length_component = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 5.0)
+    digit_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - digit_ratio(text) * 5.0)
+    stop_component = F.least(stopword_ratio(text) * 3.0, F.lit(1.0))
+    return F.round(
+        (length_component + punct_penalty + digit_penalty + stop_component) / 4.0, 6
+    )
+
+
+def language_id(text: Column) -> Column:
+    """Argmax language over marker-token hit counts; 'und' when no
+    marker hits. Ties break alphabetically (deterministic)."""
+    toks = tokens(F.lower(text))
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, lambda t: t.isin(markers))).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    # array_max on struct compares fields in order (score, then lang);
+    # to make ties deterministic-alphabetical we negate via reverse
+    # trick: pick max score, tie-break by SMALLEST lang label
+    best = F.aggregate(
+        F.array(*scores),
+        F.struct(F.lit(-1).alias("score"), F.lit("und").alias("lang")),
+        lambda acc, s: F.when(
+            (s["score"] > acc["score"]),
+            s,
+        ).otherwise(acc),
+    )
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 over the sorted set of
+    lowercased tokens (word-order and duplication insensitive)."""
+    toks = F.array_sort(F.array_distinct(tokens(F.lower(text))))
+    return F.md5(F.concat_ws(" ", toks))
