@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from genetics_spark_coloc_spark.queries import ORACLES, QUERIES  # noqa: E402
+from genetics_spark_coloc_spark.contract import ORACLES, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -17,7 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from genetics_spark_coloc_spark.queries import QUERIES
+from genetics_spark_coloc_spark.contract import QUERIES
 from genetics_spark_coloc_spark.session import get_session
 
 
