@@ -165,20 +165,25 @@ def simhash(text: Column, bits: int = 32) -> Column:
     toks = F.array_distinct(tokens(F.lower(text)))
     # per token: bits-bit integer from the first 8 hex chars of md5
     tok_hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+
+    # shiftright/shiftleft need literal ints, so bit extraction uses
+    # exact power-of-two arithmetic (values < 2^53 are exact doubles)
+    def bit_of(h, b):
+        return (F.floor(h / F.pow(F.lit(2.0), b)).cast("long") % 2)
+
     bit_votes = F.transform(
         F.sequence(F.lit(0), F.lit(bits - 1)),
         lambda b: F.aggregate(
             tok_hashes,
             F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            lambda acc, h: acc + F.when(bit_of(h, b) == 1, 1).otherwise(-1),
         ),
     )
     return F.aggregate(
         F.zip_with(
             bit_votes,
             F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            lambda v, b: F.when(v > 0, F.pow(F.lit(2.0), b).cast("long")).otherwise(
                 F.lit(0).cast("long")
             ),
         ),

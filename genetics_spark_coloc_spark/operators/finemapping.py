@@ -1,0 +1,139 @@
+"""Fine-mapping operators.
+
+Two layers:
+
+1. ``finemap_abf`` — single-causal-variant fine-mapping with
+   Wakefield approximate Bayes factors (Wakefield 2009, the standard
+   single-variant PIP used by coloc/FINEMAP-style pipelines). Pure
+   Column math + one window sum: no UDF, fully distributed, and
+   SQL-oracle-expressible.
+
+2. ``finemap_grouped`` — the distributed per-locus kernel harness:
+   ``groupBy(studyLocusId).applyInPandas(kernel)``. This is the
+   architectural replacement for the reference's one-locus-per-job
+   scatter (susie_finemapper.py:48-158 + manifest fan-out,
+   SURVEY §3.3): Spark schedules thousands of loci across executors,
+   Arrow moves each locus as a pandas frame, and any numpy kernel
+   (SuSiE, CARMA, RAISS) plugs in. The built-in kernel is a clean
+   NumPy implementation of SuSiE-style iterative Bayesian single
+   effect regression on z-scores (IBSS; Wang et al. 2020 "sum of
+   single effects" model) assuming independent variants when no LD
+   matrix rows are supplied.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+ABF_W = 0.15 * 0.15  # prior effect variance (sd 0.15, Wakefield's default for GWAS)
+
+
+def log_abf(z: Column, se: Column, w: float = ABF_W) -> Column:
+    """log Wakefield ABF for one variant: 0.5*ln(1-r) + z²r/2,
+    r = W/(W+se²)."""
+    r = F.lit(w) / (F.lit(w) + se * se)
+    return 0.5 * F.log(1 - r) + (z * z) * r / 2
+
+
+def finemap_abf(
+    sumstats: DataFrame,
+    locus_col: str = "studyLocusId",
+    w: float = ABF_W,
+) -> DataFrame:
+    """Per-locus posterior inclusion probabilities from Wakefield ABFs.
+
+    Input rows need (locus_col, variantId, beta, standardError).
+    Adds ``logABF`` and ``posteriorProbability`` (softmax of logABF
+    within the locus, max-shifted for stability).
+    """
+    z = F.col("beta") / F.col("standardError")
+    with_abf = sumstats.withColumn("logABF", log_abf(z, F.col("standardError"), w))
+    wdw = Window.partitionBy(locus_col)
+    mx = F.max("logABF").over(wdw)
+    shifted = F.exp(F.col("logABF") - mx)
+    total = F.sum(shifted).over(wdw)
+    return with_abf.withColumn("posteriorProbability", shifted / total)
+
+
+# ---------------------------------------------------------------------------
+# grouped-kernel harness
+# ---------------------------------------------------------------------------
+
+FINEMAP_RESULT_SCHEMA = (
+    "studyLocusId string, variantId string, posteriorProbability double, "
+    "credibleSetIndex int, logBF double"
+)
+
+
+def susie_kernel(pdf: pd.DataFrame, max_l: int = 5, max_iter: int = 100, tol: float = 1e-6) -> pd.DataFrame:
+    """NumPy IBSS kernel (SuSiE sum-of-single-effects on z-scores,
+    independence approximation).
+
+    Iteratively fits L single-effect regressions; each effect yields a
+    posterior inclusion vector; variants are assigned to the credible
+    set (effect) where their PIP is highest. Returns one row per
+    variant with its total PIP and best credible-set index.
+    """
+    import numpy as np
+
+    z = (pdf["beta"] / pdf["standardError"]).to_numpy(dtype=float)
+    n = len(z)
+    locus = pdf["studyLocusId"].iloc[0]
+    l_eff = min(max_l, n)
+    prior_v = 1.0  # prior effect variance on z scale
+
+    # residual z after removing other effects; with independence
+    # approximation the update is per-effect softmax of Bayes factors
+    alpha = np.full((l_eff, n), 1.0 / n)
+    mu = np.zeros((l_eff, n))
+    for _ in range(max_iter):
+        alpha_old = alpha.copy()
+        for l in range(l_eff):  # noqa: E741
+            r = z - (alpha * mu).sum(axis=0) + alpha[l] * mu[l]
+            post_var = prior_v / (1.0 + prior_v)
+            log_bf = 0.5 * np.log(1.0 / (1.0 + prior_v)) + 0.5 * post_var * r * r
+            log_bf -= log_bf.max()
+            w = np.exp(log_bf)
+            alpha[l] = w / w.sum()
+            mu[l] = post_var * r
+        if np.abs(alpha - alpha_old).max() < tol:
+            break
+
+    pip = 1.0 - np.prod(1.0 - alpha, axis=0)
+    best_effect = alpha.argmax(axis=0)
+    total_log_bf = np.log(np.maximum(pip, 1e-300))
+    return pd.DataFrame(
+        {
+            "studyLocusId": locus,
+            "variantId": pdf["variantId"].to_numpy(),
+            "posteriorProbability": pip,
+            "credibleSetIndex": (best_effect + 1).astype("int32"),
+            "logBF": total_log_bf,
+        }
+    )
+
+
+def finemap_grouped(
+    sumstats: DataFrame,
+    kernel: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    locus_col: str = "studyLocusId",
+) -> DataFrame:
+    """Distributed per-locus fine-mapping via applyInPandas.
+
+    One Arrow batch per locus; executor-side numpy. Repartitioning by
+    locus id happens inside groupBy — loci are independent, so this
+    scales linearly with executors (the reference fans out ONE locus
+    per Spark job instead, susie_finemapper.py:48-64).
+    """
+    chosen = kernel or susie_kernel
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return chosen(pdf)
+
+    return sumstats.groupBy(locus_col).applyInPandas(run, schema=FINEMAP_RESULT_SCHEMA)

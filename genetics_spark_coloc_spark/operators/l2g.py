@@ -1,0 +1,227 @@
+"""Locus-to-gene (L2G) feature pipeline + distributed scoring.
+
+Re-expresses the reference's feature factory / matrix / model
+(src/gentropy/method/l2g/feature_factory.py:100-197,
+dataset/l2g_feature_matrix.py:57-108, method/l2g/model.py:178-209)
+with two architectural upgrades for scale:
+
+1. Features are declarative long-format ``(studyLocusId, geneId,
+   featureName, featureValue)`` pipelines pivoted wide with an
+   EXPLICIT pivot-value list (no discovery job).
+2. The classifier is ``pyspark.ml`` GBT — distributed training and
+   prediction — instead of the reference's driver-side sklearn
+   ``toPandas()`` round-trip (its acknowledged bottleneck).
+
+Feature semantics mirror the reference:
+- distance features: mean/min distance from credible-set variants to
+  the gene's TSS/footprint, weighted by posterior probability
+  (dataset/l2g_features/distance.py).
+- coloc features: max CLPP / max H4 per (locus, gene) by QTL type
+  (dataset/l2g_features/colocalisation.py).
+- neighbourhood variants: feature / max(feature over genes at locus)
+  (the reference's local normalisation, distance.py:120-123).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from genetics_spark_coloc_spark.functions.reshape import pivot_first
+
+
+def distance_tss_features(
+    study_locus: DataFrame, variant_index: DataFrame, max_distance: int = 500_000
+) -> DataFrame:
+    """Posterior-weighted mean TSS distance per (studyLocusId, geneId),
+    scaled to (0,1] as 1 - d/max (larger = closer).
+
+    Long format output: studyLocusId, geneId, featureName,
+    featureValue.
+    """
+    tags = study_locus.select(
+        "studyLocusId",
+        F.explode("locus").alias("tag"),
+    ).select(
+        "studyLocusId",
+        F.col("tag.variantId").alias("variantId"),
+        F.coalesce(F.col("tag.posteriorProbability"), F.lit(1.0)).alias("pp"),
+    )
+    distances = variant_index.select(
+        "variantId",
+        F.explode("transcriptConsequences").alias("csq"),
+    ).select(
+        "variantId",
+        F.col("csq.targetId").alias("geneId"),
+        F.col("csq.distanceFromTss").alias("distanceFromTss"),
+    )
+    weighted = (
+        tags.join(distances, on="variantId", how="inner")
+        .withColumn(
+            "scaled",
+            (1 - F.least(F.col("distanceFromTss"), F.lit(max_distance)) / max_distance)
+            * F.col("pp"),
+        )
+        .groupBy("studyLocusId", "geneId")
+        .agg(
+            F.sum("scaled").alias("sumScaled"),
+            F.sum("pp").alias("sumPP"),
+            F.max(
+                1 - F.least(F.col("distanceFromTss"), F.lit(max_distance)) / max_distance
+            ).alias("maxScaled"),
+        )
+    )
+    mean_f = weighted.select(
+        "studyLocusId",
+        "geneId",
+        F.lit("distanceTssMean").alias("featureName"),
+        (F.col("sumScaled") / F.col("sumPP")).alias("featureValue"),
+    )
+    max_f = weighted.select(
+        "studyLocusId",
+        "geneId",
+        F.lit("distanceSentinelTss").alias("featureName"),
+        F.col("maxScaled").alias("featureValue"),
+    )
+    return mean_f.unionByName(max_f)
+
+
+def coloc_features(
+    study_locus: DataFrame, colocalisation: DataFrame, study_index: DataFrame
+) -> DataFrame:
+    """Max CLPP / max H4 per (left locus, right study's gene), split by
+    right study type (eqtl/pqtl/sqtl)
+    (reference: l2g_features/colocalisation.py)."""
+    right_meta = study_locus.select(
+        F.col("studyLocusId").alias("rightStudyLocusId"),
+        F.col("studyId").alias("rightStudyId"),
+    ).join(
+        study_index.select(
+            F.col("studyId").alias("rightStudyId"),
+            "geneId",
+            F.col("studyType").alias("rightType"),
+        ),
+        on="rightStudyId",
+    )
+    joined = colocalisation.join(right_meta, on="rightStudyLocusId", how="inner").filter(
+        F.col("geneId").isNotNull() & F.col("rightType").isin("eqtl", "pqtl", "sqtl")
+    )
+    agg = joined.groupBy(
+        F.col("leftStudyLocusId").alias("studyLocusId"), "geneId", "rightType"
+    ).agg(F.max("clpp").alias("maxClpp"), F.max("h4").alias("maxH4"))
+    clpp = agg.filter(F.col("maxClpp").isNotNull()).select(
+        "studyLocusId",
+        "geneId",
+        F.concat(F.col("rightType"), F.lit("ColocClppMaximum")).alias("featureName"),
+        F.col("maxClpp").alias("featureValue"),
+    )
+    h4 = agg.filter(F.col("maxH4").isNotNull()).select(
+        "studyLocusId",
+        "geneId",
+        F.concat(F.col("rightType"), F.lit("ColocH4Maximum")).alias("featureName"),
+        F.col("maxH4").alias("featureValue"),
+    )
+    return clpp.unionByName(h4)
+
+
+def neighbourhood_normalise(features_long: DataFrame) -> DataFrame:
+    """Per (studyLocusId, featureName): value / max(value) across genes
+    (reference: l2g_features/distance.py:120-123). Appends
+    '<name>Neighbourhood' rows."""
+    w = Window.partitionBy("studyLocusId", "featureName")
+    return features_long.withColumn(
+        "_max", F.max("featureValue").over(w)
+    ).select(
+        "studyLocusId",
+        "geneId",
+        F.concat(F.col("featureName"), F.lit("Neighbourhood")).alias("featureName"),
+        F.when(F.col("_max") != 0, F.col("featureValue") / F.col("_max"))
+        .otherwise(0.0)
+        .alias("featureValue"),
+    )
+
+
+def gene_count_features(
+    study_locus: DataFrame, target_index: DataFrame, window: int = 500_000
+) -> DataFrame:
+    """Number of (protein-coding) genes within ±window of the lead
+    (reference: l2g_features/other.py gene counts)."""
+    genes = target_index.select(
+        "id",
+        F.col("genomicLocation.chromosome").alias("g_chrom"),
+        F.col("tss").alias("g_tss"),
+        "biotype",
+    )
+    base = study_locus.select("studyLocusId", "chromosome", "position").join(
+        F.broadcast(genes),
+        on=[
+            F.col("chromosome") == F.col("g_chrom"),
+            (F.col("g_tss") >= F.col("position") - window)
+            & (F.col("g_tss") <= F.col("position") + window),
+        ],
+    )
+    counts = base.groupBy("studyLocusId").agg(
+        F.count(F.lit(1)).cast("double").alias("geneCount500kb"),
+        F.sum((F.col("biotype") == "protein_coding").cast("int"))
+        .cast("double")
+        .alias("proteinGeneCount500kb"),
+    )
+    per_gene = base.select("studyLocusId", F.col("id").alias("geneId")).distinct()
+    long_rows = per_gene.join(counts, on="studyLocusId")
+    return long_rows.select(
+        "studyLocusId", "geneId", F.lit("geneCount500kb").alias("featureName"),
+        F.col("geneCount500kb").alias("featureValue"),
+    ).unionByName(
+        long_rows.select(
+            "studyLocusId", "geneId", F.lit("proteinGeneCount500kb").alias("featureName"),
+            F.col("proteinGeneCount500kb").alias("featureValue"),
+        )
+    )
+
+
+def assemble_feature_matrix(
+    features_long: DataFrame, feature_names: list[str]
+) -> DataFrame:
+    """Long -> wide feature matrix with explicit pivot values and 0.0
+    fill (reference: l2g_feature_matrix.py:57-108 + fill_na)."""
+    wide = pivot_first(
+        features_long, ["studyLocusId", "geneId"], "featureName", "featureValue",
+        pivot_values=feature_names,
+    )
+    return wide.fillna(0.0, subset=feature_names)
+
+
+def train_l2g_model(
+    feature_matrix: DataFrame,
+    label_col: str = "goldStandardSet",
+    feature_names: list[str] | None = None,
+    max_iter: int = 20,
+):
+    """Train a distributed GBT classifier on the feature matrix.
+
+    Returns the fitted pyspark.ml PipelineModel. This replaces the
+    reference's sklearn-on-driver training (model.py:178-209) with
+    in-cluster training.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    feature_names = feature_names or [
+        c for c in feature_matrix.columns if c not in ("studyLocusId", "geneId", label_col)
+    ]
+    assembler = VectorAssembler(inputCols=feature_names, outputCol="features")
+    gbt = GBTClassifier(labelCol=label_col, featuresCol="features", maxIter=max_iter, seed=42)
+    return Pipeline(stages=[assembler, gbt]).fit(feature_matrix)
+
+
+def predict_l2g(model, feature_matrix: DataFrame) -> DataFrame:
+    """Distributed scoring: P(gene is causal) per (studyLocusId, geneId)."""
+    from pyspark.ml.functions import vector_to_array
+
+    return model.transform(feature_matrix).select(
+        "studyLocusId",
+        "geneId",
+        vector_to_array(F.col("probability"))[1].alias("l2gScore"),
+    )

@@ -1,0 +1,284 @@
+"""Contract queries: fine-mapping, simhash, L2G features, multimodal
+plan, z-score harmonisation.
+
+Parity rules as in queries.py. ``finemap_susie`` has no oracle
+(iterative kernel, not SQL-expressible) — the driver records the
+weaker rows-only check for it by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from genetics_spark_coloc_spark.functions.pvalue import zscore_from_pvalue
+from genetics_spark_coloc_spark.operators import finemapping, l2g
+from genetics_spark_coloc_spark.operators.dedup import simhash
+from genetics_spark_coloc_spark.operators.multimodal import frame_sample_plan
+from genetics_spark_coloc_spark.queries import SUMSTATS_SQL, TAGS_SQL, _sumstats, _tags
+from genetics_spark_coloc_spark.sources.tables import load_table
+
+
+# ------------------------------------------------------------------ finemap
+def q_finemap_abf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wakefield-ABF single-causal fine-mapping (distributed, no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    ss = ev.select(
+        F.concat(F.lit("F"), (F.col("user_id") % 20).cast("string")).alias("studyLocusId"),
+        F.concat(F.lit("v"), F.col("event_id").cast("string")).alias("variantId"),
+        ((F.col("value") - 50.0) / 10.0).alias("beta"),
+        (0.02 + (F.col("event_id") % 10) / 100.0).alias("standardError"),
+    )
+    out = finemapping.finemap_abf(ss)
+    return out.select(
+        "studyLocusId",
+        "variantId",
+        F.round("logABF", 6).alias("logABF"),
+        F.round("posteriorProbability", 6).alias("posteriorProbability"),
+    )
+
+
+SQL_FINEMAP_ABF = """
+WITH ss AS (
+  SELECT 'F' || CAST(user_id % 20 AS VARCHAR) AS studyLocusId,
+         'v' || CAST(event_id AS VARCHAR)     AS variantId,
+         (value - 50.0) / 10.0                AS beta,
+         0.02 + (event_id % 10) / 100.0       AS standardError
+  FROM events
+),
+abf AS (
+  SELECT *,
+         0.5 * LN(1 - 0.0225 / (0.0225 + standardError * standardError))
+         + (beta / standardError) * (beta / standardError)
+           * (0.0225 / (0.0225 + standardError * standardError)) / 2 AS logABF
+  FROM ss
+),
+shifted AS (
+  SELECT *, MAX(logABF) OVER (PARTITION BY studyLocusId) AS mx FROM abf
+)
+SELECT studyLocusId, variantId,
+       ROUND(logABF, 6) AS logABF,
+       ROUND(EXP(logABF - mx) / SUM(EXP(logABF - mx)) OVER (PARTITION BY studyLocusId), 6)
+         AS posteriorProbability
+FROM shifted
+"""
+
+
+def q_finemap_susie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed per-locus SuSiE-style kernel via applyInPandas.
+
+    Iterative numpy kernel — NOT SQL-expressible; rows-only check.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ss = ev.select(
+        F.concat(F.lit("F"), (F.col("user_id") % 20).cast("string")).alias("studyLocusId"),
+        F.concat(F.lit("v"), F.col("event_id").cast("string")).alias("variantId"),
+        ((F.col("value") - 50.0) / 10.0).alias("beta"),
+        (0.02 + (F.col("event_id") % 10) / 100.0).alias("standardError"),
+    )
+    out = finemapping.finemap_grouped(ss)
+    return out.select(
+        "studyLocusId",
+        "variantId",
+        F.round("posteriorProbability", 6).alias("posteriorProbability"),
+        "credibleSetIndex",
+    )
+
+
+# ------------------------------------------------------------------ simhash
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (near-dup fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("docId"), simhash(F.col("text")).alias("simhash")
+    )
+
+
+SQL_SIMHASH = """
+WITH toks AS (
+  SELECT DISTINCT doc_id AS docId, tok
+  FROM documents,
+       UNNEST(CASE WHEN length(trim(text)) = 0 THEN []
+                   ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS t(tok)
+),
+vals AS (
+  SELECT docId,
+         CAST(list_sum(list_transform(range(8), i ->
+           (strpos('0123456789abcdef', substr(md5(tok), CAST(i AS INT) + 1, 1)) - 1)
+           * CAST(POWER(16, 7 - CAST(i AS INT)) AS BIGINT))) AS BIGINT) AS v
+  FROM toks
+),
+votes AS (
+  SELECT docId, CAST(b AS INT) AS b,
+         SUM(CASE WHEN (v >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM vals CROSS JOIN range(0, 32) t(b)
+  GROUP BY docId, CAST(b AS INT)
+)
+SELECT docId,
+       CAST(SUM(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+FROM votes
+GROUP BY docId
+"""
+
+
+# -------------------------------------------------------------- l2g features
+def q_l2g_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2G distance features in long format (posterior-weighted TSS
+    proximity per locus×gene)."""
+    tag_rows = _tags(spark, sf_dir)
+    study_locus = tag_rows.groupBy("studyLocusId").agg(
+        F.collect_list(
+            F.struct(
+                F.col("tagVariantId").alias("variantId"),
+                F.col("posteriorProbability"),
+            )
+        ).alias("locus")
+    )
+    distinct_tags = tag_rows.select(
+        F.col("tagVariantId").alias("variantId")
+    ).distinct().withColumn("m", F.substring("variantId", 2, 10).cast("int"))
+    variant_index = distinct_tags.select(
+        "variantId",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(2)),
+            lambda g: F.struct(
+                F.concat(F.lit("G"), ((F.col("m") + g) % 15).cast("string")).alias("targetId"),
+                (((F.col("m") * 7 + g * 13) % 50) * 10000).cast("long").alias(
+                    "distanceFromTss"
+                ),
+            ),
+        ).alias("transcriptConsequences"),
+    )
+    out = l2g.distance_tss_features(study_locus, variant_index)
+    return out.select(
+        "studyLocusId",
+        "geneId",
+        "featureName",
+        F.round("featureValue", 6).alias("featureValue"),
+    )
+
+
+SQL_L2G_DISTANCE = f"""
+WITH {TAGS_SQL.strip()},
+csq AS (
+  SELECT t.tagVariantId AS variantId,
+         'G' || CAST((CAST(substr(t.tagVariantId, 2) AS INT) + CAST(g AS INT)) % 15 AS VARCHAR) AS geneId,
+         CAST(((CAST(substr(t.tagVariantId, 2) AS INT) * 7 + CAST(g AS INT) * 13) % 50) * 10000 AS BIGINT) AS d
+  FROM (SELECT DISTINCT tagVariantId FROM tags) t
+  CROSS JOIN range(0, 3) r(g)
+),
+joined AS (
+  SELECT tg.studyLocusId, c.geneId, tg.posteriorProbability AS pp,
+         1 - LEAST(c.d, 500000) / 500000.0 AS scaled
+  FROM tags tg
+  JOIN csq c ON c.variantId = tg.tagVariantId
+),
+agg AS (
+  SELECT studyLocusId, geneId,
+         SUM(scaled * pp) / SUM(pp) AS meanVal,
+         MAX(scaled) AS maxVal
+  FROM joined
+  GROUP BY 1, 2
+)
+SELECT studyLocusId, geneId, 'distanceTssMean' AS featureName, ROUND(meanVal, 6) AS featureValue FROM agg
+UNION ALL
+SELECT studyLocusId, geneId, 'distanceSentinelTss', ROUND(maxVal, 6) FROM agg
+"""
+
+
+# ------------------------------------------------------------- multimodal plan
+def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan from metadata only (payload pages
+    never read)."""
+    ev = load_table(spark, sf_dir, "events")
+    media = ev.select(
+        F.col("event_id").alias("mediaId"),
+        F.when(F.col("event_id") % 3 == 0, "video").otherwise("image").alias("modality"),
+        (F.floor(F.col("value") * 100)).cast("int").alias("durationMs"),
+    )
+    return frame_sample_plan(media, every_ms=1000)
+
+
+SQL_FRAME_PLAN = """
+WITH media AS (
+  SELECT event_id AS mediaId,
+         CASE WHEN event_id % 3 = 0 THEN 'video' ELSE 'image' END AS modality,
+         CAST(FLOOR(value * 100) AS INT) AS durationMs
+  FROM events
+)
+SELECT mediaId, CAST(i AS INT) * 1000 AS frameTimestampMs
+FROM media CROSS JOIN range(0, 1024) t(i)
+WHERE modality = 'video'
+  AND CAST(i AS INT) * 1000 <= GREATEST(durationMs - 1, 0)
+"""
+
+
+# ------------------------------------------------------------------- z-score
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p-value -> signed z-score via Acklam inverse-normal, JVM-side
+    (SURVEY §2.8 effect harmonisation; replaces scipy UDF)."""
+    ss = _sumstats(spark, sf_dir)
+    return ss.select(
+        "studyId",
+        "variantId",
+        F.round(
+            zscore_from_pvalue(
+                F.col("pValueMantissa"), F.col("pValueExponent"), F.col("beta")
+            ),
+            6,
+        ).alias("zScore"),
+    )
+
+
+SQL_ZSCORE = f"""
+WITH {SUMSTATS_SQL.strip()},
+base AS (
+  SELECT studyId, variantId, beta,
+         EXP(LN(CAST(pValueMantissa AS DOUBLE)) + pValueExponent * LN(10)) / 2 AS q
+  FROM sumstats
+),
+branches AS (
+  SELECT studyId, variantId, beta, q,
+         SQRT(-2 * LN(q)) AS t,
+         q - 0.5 AS r,
+         (q - 0.5) * (q - 0.5) AS s
+  FROM base
+),
+z AS (
+  SELECT studyId, variantId, beta,
+         CASE WHEN q < 0.02425 THEN
+           (((((-7.784894002430293e-03 * t + -3.223964580411365e-01) * t + -2.400758277161838e+00) * t
+              + -2.549732539343734e+00) * t + 4.374664141464968e+00) * t + 2.938163982698783e+00)
+           / ((((7.784695709041462e-03 * t + 3.224671290700398e-01) * t + 2.445134137142996e+00) * t
+              + 3.754408661907416e+00) * t + 1)
+         ELSE
+           -((((((-3.969683028665376e+01 * s + 2.209460984245205e+02) * s + -2.759285104469687e+02) * s
+              + 1.383577518672690e+02) * s + -3.066479806614716e+01) * s + 2.506628277459239e+00) * r)
+           / (((((-5.447609879822406e+01 * s + 1.615858368580409e+02) * s + -1.556989798598866e+02) * s
+              + 6.680131188771972e+01) * s + -1.328068155288572e+01) * s + 1)
+         END AS zraw
+  FROM branches
+)
+SELECT studyId, variantId,
+       ROUND(CASE WHEN beta < 0 THEN -ABS(zraw) ELSE ABS(zraw) END, 6) AS zScore
+FROM z
+"""
+
+
+EXTRA_QUERIES = {
+    "finemap_abf": q_finemap_abf,
+    "finemap_susie": q_finemap_susie,
+    "simhash": q_simhash,
+    "l2g_distance_features": q_l2g_distance,
+    "frame_plan": q_frame_plan,
+    "zscore": q_zscore,
+}
+
+EXTRA_ORACLES = {
+    "finemap_abf": SQL_FINEMAP_ABF,
+    # finemap_susie: intentionally no oracle (iterative kernel)
+    "simhash": SQL_SIMHASH,
+    "l2g_distance_features": SQL_L2G_DISTANCE,
+    "frame_plan": SQL_FRAME_PLAN,
+    "zscore": SQL_ZSCORE,
+}

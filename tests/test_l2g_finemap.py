@@ -1,0 +1,210 @@
+"""Tests for L2G features/model, fine-mapping, multimodal, streaming."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from genetics_spark_coloc_spark.operators.finemapping import (
+    finemap_abf,
+    finemap_grouped,
+)
+from genetics_spark_coloc_spark.operators.l2g import (
+    assemble_feature_matrix,
+    coloc_features,
+    distance_tss_features,
+    neighbourhood_normalise,
+    predict_l2g,
+    train_l2g_model,
+)
+from genetics_spark_coloc_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    resize_metadata,
+)
+
+
+def test_distance_tss_features(spark):
+    study_locus = spark.createDataFrame(
+        [
+            {
+                "studyLocusId": "L1",
+                "locus": [
+                    {"variantId": "v1", "posteriorProbability": 0.8},
+                    {"variantId": "v2", "posteriorProbability": 0.2},
+                ],
+            }
+        ],
+        "studyLocusId: string, locus: array<struct<variantId: string, posteriorProbability: double>>",
+    )
+    variant_index = spark.createDataFrame(
+        [
+            {"variantId": "v1", "transcriptConsequences": [
+                {"targetId": "G1", "distanceFromTss": 0},
+                {"targetId": "G2", "distanceFromTss": 250_000},
+            ]},
+            {"variantId": "v2", "transcriptConsequences": [
+                {"targetId": "G1", "distanceFromTss": 100_000},
+            ]},
+        ],
+        "variantId: string, transcriptConsequences: array<struct<targetId: string, distanceFromTss: long>>",
+    )
+    out = distance_tss_features(study_locus, variant_index)
+    rows = {(r["geneId"], r["featureName"]): r["featureValue"] for r in out.collect()}
+    # G1 mean = (0.8*1.0 + 0.2*0.8) / 1.0 = 0.96
+    assert rows[("G1", "distanceTssMean")] == pytest.approx(0.96)
+    assert rows[("G1", "distanceSentinelTss")] == pytest.approx(1.0)
+    # G2 only from v1: scaled = 0.5
+    assert rows[("G2", "distanceTssMean")] == pytest.approx(0.5)
+
+
+def test_coloc_features_and_neighbourhood(spark):
+    coloc_df = spark.createDataFrame(
+        [
+            ("L1", "R1", 0.3, 0.9),
+            ("L1", "R2", 0.1, 0.6),
+        ],
+        "leftStudyLocusId: string, rightStudyLocusId: string, clpp: double, h4: double",
+    )
+    study_locus = spark.createDataFrame(
+        [("R1", "SQ1"), ("R2", "SQ2")], "studyLocusId: string, studyId: string"
+    )
+    study_index = spark.createDataFrame(
+        [("SQ1", "G1", "eqtl"), ("SQ2", "G2", "eqtl")],
+        "studyId: string, geneId: string, studyType: string",
+    )
+    long_df = coloc_features(study_locus, coloc_df, study_index)
+    rows = {(r["geneId"], r["featureName"]): r["featureValue"] for r in long_df.collect()}
+    assert rows[("G1", "eqtlColocClppMaximum")] == pytest.approx(0.3)
+    assert rows[("G2", "eqtlColocH4Maximum")] == pytest.approx(0.6)
+
+    neigh = neighbourhood_normalise(long_df)
+    nrows = {(r["geneId"], r["featureName"]): r["featureValue"] for r in neigh.collect()}
+    assert nrows[("G1", "eqtlColocClppMaximumNeighbourhood")] == pytest.approx(1.0)
+    assert nrows[("G2", "eqtlColocClppMaximumNeighbourhood")] == pytest.approx(1 / 3)
+
+
+def test_feature_matrix_and_model_roundtrip(spark):
+    long_df = spark.createDataFrame(
+        [
+            ("L1", "G1", "fA", 0.9), ("L1", "G1", "fB", 0.8),
+            ("L1", "G2", "fA", 0.1),
+            ("L2", "G3", "fA", 0.85), ("L2", "G3", "fB", 0.9),
+            ("L2", "G4", "fA", 0.05), ("L2", "G4", "fB", 0.1),
+        ],
+        "studyLocusId: string, geneId: string, featureName: string, featureValue: double",
+    )
+    fm = assemble_feature_matrix(long_df, ["fA", "fB"])
+    wide = {(r["studyLocusId"], r["geneId"]): (r["fA"], r["fB"]) for r in fm.collect()}
+    assert wide[("L1", "G2")] == (0.1, 0.0)  # missing fB filled
+
+    labeled = fm.withColumn(
+        "goldStandardSet", (F.col("fA") > 0.5).cast("int")
+    )
+    model = train_l2g_model(labeled, feature_names=["fA", "fB"], max_iter=5)
+    scored = predict_l2g(model, labeled)
+    scores = {(r["studyLocusId"], r["geneId"]): r["l2gScore"] for r in scored.collect()}
+    assert scores[("L1", "G1")] > scores[("L1", "G2")]
+
+
+def test_finemap_abf_single_causal(spark):
+    df = spark.createDataFrame(
+        [
+            ("L1", "strong", 0.5, 0.05),
+            ("L1", "weak", 0.05, 0.05),
+            ("L1", "null", 0.001, 0.05),
+        ],
+        "studyLocusId: string, variantId: string, beta: double, standardError: double",
+    )
+    rows = {r["variantId"]: r for r in finemap_abf(df).collect()}
+    pps = [rows[v]["posteriorProbability"] for v in ("strong", "weak", "null")]
+    assert sum(pps) == pytest.approx(1.0)
+    assert rows["strong"]["posteriorProbability"] > 0.99
+    # spot-check the Wakefield formula for one row
+    z, se, w = 0.5 / 0.05, 0.05, 0.0225
+    r = w / (w + se * se)
+    expected = 0.5 * math.log(1 - r) + z * z * r / 2
+    assert rows["strong"]["logABF"] == pytest.approx(expected)
+
+
+def test_finemap_grouped_applyinpandas(spark):
+    rows = []
+    for locus, strong in [("L1", "v3"), ("L2", "u7")]:
+        for i in range(10):
+            vid = f"v{i}" if locus == "L1" else f"u{i}"
+            beta = 0.6 if vid == strong else 0.01
+            rows.append((locus, vid, beta, 0.05))
+    df = spark.createDataFrame(
+        rows, "studyLocusId: string, variantId: string, beta: double, standardError: double"
+    )
+    out = finemap_grouped(df)
+    got = out.collect()
+    assert {r["studyLocusId"] for r in got} == {"L1", "L2"}
+    by_locus = {}
+    for r in got:
+        by_locus.setdefault(r["studyLocusId"], []).append(r)
+    for locus, strong in [("L1", "v3"), ("L2", "u7")]:
+        best = max(by_locus[locus], key=lambda r: r["posteriorProbability"])
+        assert best["variantId"] == strong
+        assert best["posteriorProbability"] > 0.9
+
+
+def test_multimodal_plumbing(spark):
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"fakepng"), "image/png", 640, 480, None),
+            (2, "video", bytearray(b"fakemp4"), "video/mp4", 1920, 1080, 3500),
+        ],
+        "mediaId: long, modality: string, payload: binary, mimeType: string, "
+        "width: int, height: int, durationMs: int",
+    )
+    feats = extract_features(media, dim=8).collect()
+    assert all(r["decodeStatus"] == "stubbed" for r in feats)
+    assert all(len(r["feature"]) == 8 for r in feats)
+    # determinism: same payload -> same feature
+    again = extract_features(media, dim=8).collect()
+    assert feats[0]["feature"] == again[0]["feature"]
+
+    resized = {r["mediaId"]: (r["targetWidth"], r["targetHeight"]) for r in resize_metadata(media).collect()}
+    assert resized[1] == (256, 192)
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert [r["frameTimestampMs"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_streaming_quality_pipeline(spark, tmp_path):
+    from genetics_spark_coloc_spark.streaming.pipelines import (
+        streaming_dedup_exact,
+        streaming_quality_scores,
+    )
+
+    src = spark.readStream.format("rate").option("rowsPerSecond", "5").load()
+    stream = src.withColumn("text", F.concat(F.lit("the quick doc "), (F.col("value") % 3).cast("string")))
+    scored = streaming_quality_scores(stream)
+    deduped = streaming_dedup_exact(scored, "text", "timestamp")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM dedup_test").collect()
+            if len(rows) >= 3:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    texts = [r["text"] for r in rows]
+    # exactly one row per distinct content hash
+    assert len(texts) == len(set(texts))
+    assert len(rows) >= 1
+    assert all(r["nTokens"] == 4 for r in rows)

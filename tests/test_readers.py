@@ -1,0 +1,118 @@
+"""Reader tests over synthetic raw files (GWAS-Catalog old/new formats,
+FinnGen, intervals)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from genetics_spark_coloc_spark.sources.readers import (
+    flip_allele,
+    neglog_pvalue_to_mantissa_and_exponent,
+    parse_pvalue_string,
+    read_finngen_sumstats,
+    read_gwas_catalog_sumstats,
+    read_intervals_bed,
+    variant_type,
+)
+
+NEW_FORMAT = """hm_chrom\thm_pos\thm_other_allele\thm_effect_allele\tp_value\thm_beta\tstandard_error\teffect_allele_frequency\tn
+1\t1000\tA\tG\t5e-8\t0.1\t0.01\t0.3\t50000
+2\t2000\tC\tT\t1e-12\t-0.2\t0.02\t0.1\t50000
+3\t\tA\tG\t1e-9\t0.3\t0.01\t0.2\t50000
+4\t4000\tA\tG\t1e-9\t0\t0.01\t0.2\t50000
+"""
+
+OLD_FORMAT = """chromosome\tbase_pair_location\tother_allele\teffect_allele\tneg_log_10_p_value\todds_ratio
+1\t1500\tA\tG\t7.5\t1.1
+"""
+
+
+def test_gwas_catalog_new_format(spark, tmp_path):
+    p = tmp_path / "GCST123.tsv"
+    p.write_text(NEW_FORMAT)
+    df = read_gwas_catalog_sumstats(spark, str(p), "GCST123")
+    rows = {r["variantId"]: r for r in df.collect()}
+    # row 3 dropped (no position), row 4 dropped (zero beta)
+    assert set(rows) == {"1_1000_A_G", "2_2000_C_T"}
+    r = rows["1_1000_A_G"]
+    assert (r["pValueMantissa"], r["pValueExponent"]) == (5.0, -8)
+    assert r["beta"] == 0.1 and r["standardError"] == 0.01
+    assert r["studyId"] == "GCST123"
+
+
+def test_gwas_catalog_old_format_or_to_beta(spark, tmp_path):
+    import math
+
+    p = tmp_path / "GCST999.tsv"
+    p.write_text(OLD_FORMAT)
+    r = read_gwas_catalog_sumstats(spark, str(p), "GCST999").collect()[0]
+    # neglog 7.5 -> p = 10^-7.5 = 3.1623e-8
+    assert r["pValueExponent"] == -8
+    assert r["pValueMantissa"] == pytest.approx(3.1623, abs=1e-4)
+    # odds ratio converted: beta = ln(1.1), SE dropped (no native beta)
+    assert r["beta"] == pytest.approx(math.log(1.1))
+    assert r["standardError"] is None
+
+
+FINNGEN = (
+    "#chrom\tpos\tref\talt\trsids\tnearest_genes\tpval\tmlogp\tbeta\tsebeta\taf_alt\taf_alt_cases\taf_alt_controls\n"
+    "1\t5000\tA\tT\trs1\tGENE1\t2.5e-10\t9.6\t0.25\t0.04\t0.35\t0.36\t0.34\n"
+    "X\tbadpos\tA\tT\trs2\tGENE2\t0.5\t0.3\t0.1\t0.04\t0.35\t0.36\t0.34\n"
+)
+
+
+def test_finngen_reader(spark, tmp_path):
+    p = tmp_path / "FINNGEN_R9_AB1.tsv"
+    p.write_text(FINNGEN)
+    rows = read_finngen_sumstats(spark, str(p)).collect()
+    assert len(rows) == 1  # bad position row dropped
+    r = rows[0]
+    assert r["studyId"] == "FINNGEN_R9_AB1"
+    assert r["variantId"] == "1_5000_A_T"
+    assert (r["pValueMantissa"], r["pValueExponent"]) == (pytest.approx(2.5), -10)
+    assert r["standardError"] == 0.04
+
+
+INTERVALS = "chrom\tstart\tend\tgene_id\tscore\nchr1\t100\t500\tENSG0001\t0.8\nchrZ\tnot_an_int\t\t\t\n"
+
+
+def test_intervals_reader_drops_malformed(spark, tmp_path):
+    p = tmp_path / "intervals.tsv"
+    p.write_text(INTERVALS)
+    rows = read_intervals_bed(spark, str(p), "andersson").collect()
+    assert len(rows) == 1
+    assert rows[0]["chromosome"] == "1"
+    assert rows[0]["geneId"] == "ENSG0001"
+    assert rows[0]["datasourceId"] == "andersson"
+
+
+def test_parse_pvalue_string(spark):
+    df = spark.createDataFrame(
+        [("5e-8",), ("0.001",), ("5.3E-320",), ("0.5",)], ["p"]
+    )
+    rows = df.select(*parse_pvalue_string(F.col("p"))).collect()
+    assert (rows[0][0], rows[0][1]) == (5.0, -8)
+    assert (rows[1][0], rows[1][1]) == (1.0, -3)
+    assert (rows[2][0], rows[2][1]) == (pytest.approx(5.3), -320)  # sub-normal survives
+    assert (rows[3][0], rows[3][1]) == (5.0, -1)
+
+
+def test_neglog_decompose(spark):
+    df = spark.createDataFrame([(7.5,), (8.0,), (320.3,)], ["nl"])
+    rows = df.select(*neglog_pvalue_to_mantissa_and_exponent(F.col("nl"))).collect()
+    assert rows[0][1] == -8 and rows[0][0] == pytest.approx(3.1623, abs=1e-4)
+    assert rows[1][1] == -8 and rows[1][0] == pytest.approx(1.0)
+    assert rows[2][1] == -321 and rows[2][0] == pytest.approx(5.0119, abs=1e-4)
+
+
+def test_variant_type_and_flip(spark):
+    df = spark.createDataFrame(
+        [("A", "T"), ("A", "G"), ("AT", "A")], ["ref", "alt"]
+    )
+    out = df.select(
+        variant_type(F.col("ref"), F.col("alt")).alias("vt"),
+        flip_allele(F.col("ref")).alias("flipped"),
+    ).collect()
+    assert [r["vt"] for r in out] == ["snp_c", "snp_n", "indel"]
+    assert out[2]["flipped"] == "AT"[::-1].translate(str.maketrans("ACGT", "TGCA"))
