@@ -32,6 +32,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JVM/codegen warmup so the first timed query isn't charged
+    # session startup cost
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.range(1000).selectExpr("sum(id)").collect()
+
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         start = time.perf_counter()

@@ -4,8 +4,9 @@ from __future__ import annotations
 
 from genetics_spark_coloc_spark.queries import ORACLES as _BASE_ORACLES
 from genetics_spark_coloc_spark.queries import QUERIES as _BASE_QUERIES
+from genetics_spark_coloc_spark.queries_annot import ANNOT_ORACLES, ANNOT_QUERIES
 from genetics_spark_coloc_spark.queries_extra import EXTRA_ORACLES, EXTRA_QUERIES
 from genetics_spark_coloc_spark.queries_ld import LD_ORACLES, LD_QUERIES
 
-QUERIES = {**_BASE_QUERIES, **LD_QUERIES, **EXTRA_QUERIES}
-ORACLES = {**_BASE_ORACLES, **LD_ORACLES, **EXTRA_ORACLES}
+QUERIES = {**_BASE_QUERIES, **LD_QUERIES, **EXTRA_QUERIES, **ANNOT_QUERIES}
+ORACLES = {**_BASE_ORACLES, **LD_ORACLES, **EXTRA_ORACLES, **ANNOT_ORACLES}

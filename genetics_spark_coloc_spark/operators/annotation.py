@@ -1,0 +1,171 @@
+"""Annotation & validation operators: schema coercion, label lookup,
+VEP consequence selection, study/variant validation, interval↔gene
+joins, VCF export.
+
+Reference anchors: create_map lookup (common/spark_helpers.py:
+451-482), @enforce_schema from_json(to_json) coercion
+(spark_helpers.py:545-585), most-severe-consequence selection
+(datasource/ensembl/vep_parser.py:604-911, reduced to its relational
+core), validation joins (dataset/study_locus.py:160-230,278-335),
+interval↔TSS join (datasource/intervals/andersson.py:113-123), VCF
+sink (config.py:536-543).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def map_column_values(col: Column, mapping: dict[str, str], default: str | None = None) -> Column:
+    """Literal label→id lookup via a create_map expression
+    (reference: spark_helpers.py:451-482). Stays in codegen — no join
+    for small static mappings."""
+    pairs = []
+    for k, v in mapping.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    looked_up = F.create_map(*pairs)[col]
+    return F.coalesce(looked_up, F.lit(default)) if default is not None else looked_up
+
+
+def enforce_struct_schema(col: Column, ddl_schema: str) -> Column:
+    """Coerce a struct column to an exact schema via
+    from_json(to_json(x)) round-trip — drops extra fields, adds
+    missing ones as null (reference: spark_helpers.py:545-585)."""
+    return F.from_json(F.to_json(col), ddl_schema)
+
+
+# consequence term -> severity score, most severe first (subset of the
+# Ensembl ranking used by the reference's VEP parser)
+CONSEQUENCE_SCORES: dict[str, float] = {
+    "transcript_ablation": 1.0,
+    "stop_gained": 0.95,
+    "frameshift_variant": 0.95,
+    "stop_lost": 0.9,
+    "start_lost": 0.9,
+    "missense_variant": 0.7,
+    "splice_region_variant": 0.65,
+    "synonymous_variant": 0.6,
+    "5_prime_UTR_variant": 0.5,
+    "3_prime_UTR_variant": 0.5,
+    "intron_variant": 0.3,
+    "upstream_gene_variant": 0.25,
+    "downstream_gene_variant": 0.25,
+    "intergenic_variant": 0.1,
+}
+
+
+def most_severe_consequence(consequence_terms: Column) -> Column:
+    """Pick the most severe term from an array<string> of consequence
+    terms (the VEP parser's core selection, vep_parser.py:604-700).
+
+    Pure array fold over the static severity map — no UDF, no join.
+    """
+    def score(term: Column) -> Column:
+        return F.coalesce(map_column_values(term, {k: str(v) for k, v in CONSEQUENCE_SCORES.items()}).cast("double"), F.lit(0.0))
+
+    best = F.aggregate(
+        consequence_terms,
+        F.struct(F.lit(-1.0).alias("score"), F.lit(None).cast("string").alias("term")),
+        lambda acc, t: F.when(score(t) > acc["score"], F.struct(score(t).alias("score"), t.alias("term"))).otherwise(acc),
+    )
+    return best["term"]
+
+
+def validate_study_locus(
+    study_locus: DataFrame,
+    study_index: DataFrame,
+    flag_missing_study: str = "Study not found in study index",
+) -> DataFrame:
+    """Left-join validation: flag loci whose study is absent from the
+    study index (reference: study_locus.py:160-230)."""
+    known = study_index.select("studyId").distinct().withColumn("_known", F.lit(True))
+    return (
+        study_locus.join(F.broadcast(known), on="studyId", how="left")
+        .withColumn(
+            "qualityControls",
+            F.when(
+                F.col("_known").isNull(),
+                F.array_union(
+                    F.coalesce(F.col("qualityControls"), F.array().cast("array<string>")),
+                    F.array(F.lit(flag_missing_study)),
+                ),
+            ).otherwise(F.col("qualityControls")),
+        )
+        .drop("_known")
+    )
+
+
+VALID_CHROMOSOMES = [str(i) for i in range(1, 23)] + ["X", "Y", "MT"]
+
+
+def flag_invalid_variants(
+    study_locus: DataFrame,
+    flag: str = "Invalid variant identifier",
+) -> DataFrame:
+    """Flag loci whose lead variantId doesn't parse as
+    chrom_pos_ref_alt with a known chromosome
+    (reference: study_locus.py:278-335)."""
+    parts = F.split(F.col("variantId"), "_")
+    valid = (
+        (F.size(parts) == 4)
+        & parts[0].isin(VALID_CHROMOSOMES)
+        & parts[1].try_cast("int").isNotNull()
+        & (F.length(F.regexp_replace(parts[2], "[ACGT]", "")) == 0)
+        & (F.length(F.regexp_replace(parts[3], "[ACGT]", "")) == 0)
+    )
+    return study_locus.withColumn(
+        "qualityControls",
+        F.when(
+            ~F.coalesce(valid, F.lit(False)),
+            F.array_union(
+                F.coalesce(F.col("qualityControls"), F.array().cast("array<string>")),
+                F.array(F.lit(flag)),
+            ),
+        ).otherwise(F.col("qualityControls")),
+    )
+
+
+def intervals_to_gene_tss(
+    intervals: DataFrame, target_index: DataFrame, max_distance: int = 250_000
+) -> DataFrame:
+    """Join enhancer intervals to genes whose TSS is within
+    ``max_distance`` of the interval midpoint
+    (reference: intervals/andersson.py:113-123)."""
+    genes = F.broadcast(
+        target_index.select(
+            F.col("id").alias("tssGeneId"),
+            F.col("genomicLocation.chromosome").alias("g_chrom"),
+            F.col("tss").alias("g_tss"),
+        )
+    )
+    midpoint = ((F.col("start") + F.col("end")) / 2).cast("long")
+    return (
+        intervals.withColumn("midpoint", midpoint)
+        .join(
+            genes,
+            on=[
+                F.col("chromosome") == F.col("g_chrom"),
+                F.abs(F.col("midpoint") - F.col("g_tss")) <= max_distance,
+            ],
+            how="inner",
+        )
+        .drop("g_chrom")
+    )
+
+
+def write_vcf(variant_index: DataFrame, path: str) -> None:
+    """Export a variant index as VCF-shaped text (fixed column order,
+    tab-separated; reference: config.py:536-543 variant_index VCF
+    step)."""
+    vcf = variant_index.select(
+        F.col("chromosome").alias("#CHROM"),
+        F.col("position").alias("POS"),
+        F.coalesce(F.col("variantId"), F.lit(".")).alias("ID"),
+        F.col("referenceAllele").alias("REF"),
+        F.col("alternateAllele").alias("ALT"),
+        F.lit(".").alias("QUAL"),
+        F.lit(".").alias("FILTER"),
+        F.lit(".").alias("INFO"),
+    ).orderBy("#CHROM", "POS")
+    vcf.write.option("sep", "\t").option("header", True).mode("overwrite").csv(path)

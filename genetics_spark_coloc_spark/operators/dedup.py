@@ -70,16 +70,26 @@ def minhash_signatures(
         F.col(id_col).alias("docId"),
         F.explode(char_shingles(F.col(text_col))).alias("shingle"),
     )
-    per_perm = shingled.select(
-        "docId",
-        F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm"),
-        "shingle",
-    ).select(
-        "docId",
-        "perm",
-        F.md5(F.concat_ws("|", F.col("perm").cast("string"), F.col("shingle"))).alias("h"),
+    # one min-aggregation per permutation in a single groupBy instead
+    # of exploding shingles ×num_perm: the shuffle carries |docs|
+    # rows × num_perm columns, not |docs×shingles×num_perm| rows
+    mins = shingled.groupBy("docId").agg(
+        *[
+            F.min(F.md5(F.concat_ws("|", F.lit(str(p)), F.col("shingle")))).alias(f"h{p}")
+            for p in range(num_perm)
+        ]
     )
-    return per_perm.groupBy("docId", "perm").agg(F.min("h").alias("minHash"))
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(p).alias("perm"), F.col(f"h{p}").alias("minHash"))
+                for p in range(num_perm)
+            ]
+        )
+    ).alias("kv")
+    return mins.select("docId", pairs).select(
+        "docId", F.col("kv.perm").alias("perm"), F.col("kv.minHash").alias("minHash")
+    )
 
 
 def lsh_candidate_pairs(

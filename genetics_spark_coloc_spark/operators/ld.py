@@ -8,18 +8,16 @@ rValues[population, r]]) — the engine has no Hail dependency; a
 pairwise-LD parquet table replaces the BlockMatrix (SURVEY §7.1).
 
 Scale notes: the study-index join is a broadcast (small dim); the LD
-index join shuffles on (variantId, chromosome) — fine-grained. The
-clumping window partitions by (studyId, chromosome); the running
-collect_set is bounded by loci-per-chromosome (thousands, not
-millions), so executor memory is safe.
+index join shuffles on (variantId, chromosome) — fine-grained.
+Clumping linkage is a hash semi-join on exploded tag sets (see
+``flag_linked_leads``), not the reference's O(n²) running-window
+collect_set.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from genetics_spark_coloc_spark.functions.arrays import order_array_of_structs_by_field
 
 UNRESOLVED_LD_FLAG = "Variant not found in LD reference"
@@ -145,46 +143,88 @@ def ld_annotate(
     return annotated
 
 
-def is_lead_linked(
+def flag_linked_leads(
     df: DataFrame,
     study_col: str = "studyId",
     chrom_col: str = "chromosome",
-) -> Column:
-    """True when a lead is explained by a more significant lead whose
-    LD set shares a tag (reference: clump.py:20-66).
+) -> DataFrame:
+    """Adds ``isLdLinked``: True when a lead is explained by a more
+    significant lead whose id appears in this lead's LD tag set
+    (reference: clump.py:20-66).
 
-    Running ``collect_set`` of more-significant leads over a
-    p-value-ordered window, intersected with this lead's tag set.
+    The reference computes this with a running ``collect_set`` window
+    — O(n²) state per (study, chromosome) partition, which blows up
+    when a chromosome holds thousands of leads. Here the same
+    predicate is an EXISTS re-expressed as a hash semi-join:
+    explode the (bounded, ~25-element) tag set and join it against
+    the lead table on (study, chromosome, tag = other.variantId) with
+    a strict significance-ordering residual. O(n·|tags|) work, one
+    fine-grained shuffle, same result (the window's intersect>1 is
+    exactly "some OTHER more-significant lead is among my tags").
     """
-    w = (
-        Window.partitionBy(study_col, chrom_col)
-        .orderBy(
-            F.col("pValueExponent").asc(),
-            F.col("pValueMantissa").asc(),
-            F.col("variantId").asc(),  # deterministic tiebreak
-        )
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tags_x = df.select(
+        F.col(study_col).alias("a_study"),
+        F.col(chrom_col).alias("a_chrom"),
+        F.col("variantId").alias("a_vid"),
+        F.col("pValueExponent").alias("a_exp"),
+        F.col("pValueMantissa").alias("a_mant"),
+        F.explode(
+            F.array_distinct(
+                F.array_union(
+                    F.array(F.col("variantId")),
+                    F.coalesce(
+                        F.transform(F.col("ldSet"), lambda x: x["tagVariantId"]),
+                        F.array().cast("array<string>"),
+                    ),
+                )
+            )
+        ).alias("a_tag"),
     )
-    more_significant_leads = F.collect_set("variantId").over(w)
-    tags = F.array_distinct(
-        F.array_union(
-            F.array(F.col("variantId")),
-            F.coalesce(
-                F.transform(F.col("ldSet"), lambda x: x["tagVariantId"]),
-                F.array().cast("array<string>"),
-            ),
-        )
+    leads_b = df.select(
+        F.col(study_col).alias("b_study"),
+        F.col(chrom_col).alias("b_chrom"),
+        F.col("variantId").alias("b_vid"),
+        F.col("pValueExponent").alias("b_exp"),
+        F.col("pValueMantissa").alias("b_mant"),
     )
-    return F.when(
-        F.col("variantId").isNotNull(),
-        F.size(F.array_intersect(more_significant_leads, tags)) > 1,
-    ).otherwise(F.lit(False))
+    linked_keys = (
+        tags_x.join(
+            leads_b,
+            on=[
+                F.col("b_study") == F.col("a_study"),
+                F.col("b_chrom") == F.col("a_chrom"),
+                F.col("b_vid") == F.col("a_tag"),
+                F.struct(F.col("b_exp"), F.col("b_mant"), F.col("b_vid"))
+                < F.struct(F.col("a_exp"), F.col("a_mant"), F.col("a_vid")),
+            ],
+            how="inner",
+        )
+        .select("a_study", "a_chrom", "a_vid")
+        .distinct()
+        .withColumn("_linked", F.lit(True))
+    )
+    return (
+        df.join(
+            linked_keys,
+            on=[
+                F.col(study_col) == F.col("a_study"),
+                F.col(chrom_col) == F.col("a_chrom"),
+                F.col("variantId") == F.col("a_vid"),
+            ],
+            how="left",
+        )
+        .withColumn(
+            "isLdLinked",
+            F.col("variantId").isNotNull() & F.coalesce(F.col("_linked"), F.lit(False)),
+        )
+        .drop("a_study", "a_chrom", "a_vid", "_linked")
+    )
 
 
 def ld_clump(associations: DataFrame, drop_linked: bool = False) -> DataFrame:
     """Flag (or drop) leads explained by a more significant lead in LD
     (reference: clump.py:68-80)."""
-    flagged = associations.withColumn("isLdLinked", is_lead_linked(associations))
+    flagged = flag_linked_leads(associations)
     if drop_linked:
         return flagged.filter(~F.col("isLdLinked")).drop("isLdLinked")
     return flagged.withColumn(

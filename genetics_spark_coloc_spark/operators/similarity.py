@@ -91,15 +91,16 @@ def hyperplane_bucket(vec: Column, num_planes: int = 8) -> Column:
                 lambda acc, x: acc + x,
             )
             > 0,
-            F.shiftleft(F.lit(1), 0),
+            F.lit(1),
         ).otherwise(F.lit(0)),
     )
-    # bucket id = Σ bit_p << p
+    # bucket id = Σ bit_p · 2^p (shiftleft needs a literal int, so use
+    # exact power-of-two arithmetic inside the lambda)
     return F.aggregate(
         F.zip_with(
             bits,
             F.sequence(F.lit(0), F.lit(num_planes - 1)),
-            lambda b, p: F.when(b > 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0)),
+            lambda b, p: F.when(b > 0, F.pow(F.lit(2.0), p).cast("int")).otherwise(F.lit(0)),
         ),
         F.lit(0),
         lambda acc, x: acc + x,

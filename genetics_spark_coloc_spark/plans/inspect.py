@@ -1,0 +1,58 @@
+"""Physical-plan inspection helpers — the engine's scale guardrails.
+
+The optimizer strategy is "declare everything, let Catalyst plan it"
+(SURVEY §4: the reference builds no optimizer either). These helpers
+make plan QUALITY testable so regressions that would hurt at 100 TB
+(lost pushdown, Python round-trips, nested-loop joins) fail CI
+instead of surfacing on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    """The formatted executed plan as a string."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def has_python_eval(df: DataFrame) -> bool:
+    """True if the plan routes rows through Python workers
+    (BatchEvalPython = row-at-a-time UDF; ArrowEvalPython = pandas
+    UDF). The genetics operators must keep this False; only the
+    applyInPandas kernels may show FlatMapGroupsInPandas."""
+    plan = physical_plan(df)
+    return "BatchEvalPython" in plan or "ArrowEvalPython" in plan
+
+
+def has_cartesian(df: DataFrame) -> bool:
+    """True if the plan contains a cartesian or broadcast nested-loop
+    join — the O(n·m) shapes binned range joins are meant to avoid."""
+    plan = physical_plan(df)
+    return "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters entries of every parquet scan in the plan."""
+    import re
+
+    plan = physical_plan(df)
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema entries — verifies column pruning reached the scan."""
+    import re
+
+    plan = physical_plan(df)
+    return re.findall(r"ReadSchema: ([^\n,]*struct<[^\n]*)", plan)
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of exchanges in the plan (each is a full shuffle)."""
+    return physical_plan(df).count("Exchange")

@@ -1,0 +1,80 @@
+"""Plan-quality tests: the scale guardrails.
+
+These assert properties of the PHYSICAL plan that matter at 100 TB:
+filters reach the parquet scan, projections prune columns, the hot
+genetics operators never route rows through Python, and range joins
+stay hash-shaped (no nested loop).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from genetics_spark_coloc_spark.contract import QUERIES
+from genetics_spark_coloc_spark.plans.inspect import (
+    has_cartesian,
+    has_python_eval,
+    pushed_filters,
+    read_schemas,
+    shuffle_count,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# every contract query except the applyInPandas kernel must stay
+# JVM-side end to end
+PYTHON_ALLOWED = {"finemap_susie"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_python_eval_in_contract_plans(spark, name):
+    if name in PYTHON_ALLOWED:
+        pytest.skip("applyInPandas kernel is the designed exception")
+    df = QUERIES[name](spark, SF_DIR)
+    assert not has_python_eval(df), f"{name} routes rows through Python workers"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(
+        F.col("l_orderkey") == 42
+    ).select("l_orderkey", "l_quantity")
+    pushed = pushed_filters(df)
+    assert any("l_orderkey" in p for p in pushed), f"no pushdown: {pushed}"
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+    )
+    schemas = read_schemas(df)
+    assert schemas and all("l_extendedprice" not in s for s in schemas), schemas
+
+
+def test_binned_range_join_is_not_nested_loop(spark):
+    """The locus-statistics range join must plan as a hash join on the
+    bin key, never BroadcastNestedLoopJoin/CartesianProduct."""
+    df = QUERIES["locus_statistics"](spark, SF_DIR)
+    assert not has_cartesian(df), "range join degenerated to nested loop"
+
+
+def test_overlaps_plan_shuffle_budget(spark):
+    """find_overlaps should need a bounded number of exchanges (self
+    join + aligns + distinct); catch accidental shuffle explosions.
+
+    The static plan duplicates the persisted tag-derivation exchanges
+    once per consuming branch (3-4×) even though execution reuses the
+    cached partitions, and the count varies with whether the cache is
+    materialized when the plan prints. 24 is the regression tripwire
+    for a genuine shuffle explosion (a naive rewrite lands ~2× that).
+    """
+    df = QUERIES["find_overlaps"](spark, SF_DIR)
+    assert shuffle_count(df) <= 24, f"too many exchanges: {shuffle_count(df)}"
+
+
+def test_broadcast_used_for_small_dim(spark):
+    from genetics_spark_coloc_spark.plans.inspect import physical_plan
+
+    df = QUERIES["cosine_topk"](spark, SF_DIR)
+    assert "BroadcastExchange" in physical_plan(df) or "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
