@@ -7,7 +7,22 @@ from genetics_spark_coloc_spark.queries import QUERIES as _BASE_QUERIES
 from genetics_spark_coloc_spark.queries_annot import ANNOT_ORACLES, ANNOT_QUERIES
 from genetics_spark_coloc_spark.queries_extra import EXTRA_ORACLES, EXTRA_QUERIES
 from genetics_spark_coloc_spark.queries_ld import LD_ORACLES, LD_QUERIES
+from genetics_spark_coloc_spark.queries_impute import IMPUTE_ORACLES, IMPUTE_QUERIES
 from genetics_spark_coloc_spark.queries_neardup import NEARDUP_ORACLES, NEARDUP_QUERIES
 
-QUERIES = {**_BASE_QUERIES, **LD_QUERIES, **EXTRA_QUERIES, **ANNOT_QUERIES, **NEARDUP_QUERIES}
-ORACLES = {**_BASE_ORACLES, **LD_ORACLES, **EXTRA_ORACLES, **ANNOT_ORACLES, **NEARDUP_ORACLES}
+QUERIES = {
+    **_BASE_QUERIES,
+    **LD_QUERIES,
+    **EXTRA_QUERIES,
+    **ANNOT_QUERIES,
+    **NEARDUP_QUERIES,
+    **IMPUTE_QUERIES,
+}
+ORACLES = {
+    **_BASE_ORACLES,
+    **LD_ORACLES,
+    **EXTRA_ORACLES,
+    **ANNOT_ORACLES,
+    **NEARDUP_ORACLES,
+    **IMPUTE_ORACLES,
+}
