@@ -173,21 +173,39 @@ def simhash(text: Column, bits: int = 32) -> Column:
     over tokens; signature bit = sign. Pure array math.
     """
     toks = F.array_distinct(tokens(F.lower(text)))
-    # per token: bits-bit integer from the first 8 hex chars of md5
-    tok_hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
 
-    # shiftright/shiftleft need literal ints, so bit extraction uses
-    # exact power-of-two arithmetic (values < 2^53 are exact doubles)
-    def bit_of(h, b):
-        return (F.floor(h / F.pow(F.lit(2.0), b)).cast("long") % 2)
+    # Per token, derive the 32-bit vector from the first 8 hex chars
+    # of md5 via a literal hex-digit map — one lookup + 4 cheap mods
+    # per digit instead of 32 pow/floor extractions per token.
+    # Bit b of the packed value corresponds to hex digit (7 - b//4),
+    # bit (b%4): flattening the REVERSED digit list in LSB-first
+    # order reproduces exactly (value >> b) & 1.
+    hex_pairs = []
+    for i, c in enumerate("0123456789abcdef"):
+        hex_pairs.extend([F.lit(c), F.lit(i)])
+    hex_map = F.create_map(*hex_pairs)
 
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda b: F.aggregate(
-            tok_hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(bit_of(h, b) == 1, 1).otherwise(-1),
-        ),
+    # hash once per token (expressions inside lambdas are not CSE'd,
+    # so md5 must not appear under the per-digit transform)
+    tok_hashes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 8))
+
+    def hash_bits(h):
+        digits_rev = F.transform(
+            F.sequence(F.lit(8), F.lit(1), F.lit(-1)),
+            lambda i: hex_map[F.substring(h, i, 1)],
+        )
+        return F.flatten(
+            F.transform(
+                digits_rev,
+                lambda d: F.array(d % 2, (d / 2).cast("int") % 2, (d / 4).cast("int") % 2, (d / 8).cast("int") % 2),
+            )
+        )
+
+    zeros = F.transform(F.sequence(F.lit(0), F.lit(bits - 1)), lambda b: F.lit(0))
+    bit_votes = F.aggregate(
+        tok_hashes,
+        zeros,
+        lambda acc, h: F.zip_with(acc, hash_bits(h), lambda a, b: a + 2 * b - 1),
     )
     return F.aggregate(
         F.zip_with(

@@ -69,42 +69,36 @@ def cosine_topk(
     )
 
 
-def hyperplane_bucket(vec: Column, num_planes: int = 8) -> Column:
+def _plane_sign(p: int, d: int) -> float:
+    """+1.0 if md5("p|d") starts with an even hex digit else -1.0 —
+    identical to the SQL oracle's per-element md5 derivation, but
+    computable driver-side because (p, d) are plan constants."""
+    import hashlib
+
+    first_hex = hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0]
+    return 1.0 if first_hex in "02468ace" else -1.0
+
+
+def hyperplane_bucket(vec: Column, num_planes: int = 8, dim: int = 64) -> Column:
     """Deterministic random-hyperplane LSH bucket id (int).
 
     Plane p's weight for dimension d is +1 if md5("p|d") starts with
-    an even hex digit else -1 — a reproducible pseudo-random
-    hyperplane both Spark and a SQL oracle can derive. Bucket bit p =
-    sign of Σ_d w(p,d)·vec[d].
+    an even hex digit else -1 — reproducible in SQL. The sign matrix
+    is a CONSTANT (num_planes × dim), so it is precomputed on the
+    driver and embedded as literal arrays instead of evaluating
+    num_planes·dim md5 calls per row. Bucket bit p = sign of
+    Σ_d w(p,d)·vec[d]; bucket id = Σ bit_p·2^p.
     """
-    def plane_sign(p: Column, d: Column) -> Column:
-        first_hex = F.substring(F.md5(F.concat_ws("|", p.cast("string"), d.cast("string"))), 1, 1)
-        return F.when(first_hex.isin("0", "2", "4", "6", "8", "a", "c", "e"), 1.0).otherwise(-1.0)
-
-    dims = F.sequence(F.lit(0), F.size(vec) - 1)
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(num_planes - 1)),
-        lambda p: F.when(
-            F.aggregate(
-                F.zip_with(vec, dims, lambda x, d: x.cast("double") * plane_sign(p, d)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    # bucket id = Σ bit_p · 2^p (shiftleft needs a literal int, so use
-    # exact power-of-two arithmetic inside the lambda)
-    return F.aggregate(
-        F.zip_with(
-            bits,
-            F.sequence(F.lit(0), F.lit(num_planes - 1)),
-            lambda b, p: F.when(b > 0, F.pow(F.lit(2.0), p).cast("int")).otherwise(F.lit(0)),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ).cast("int")
+    bucket = F.lit(0)
+    for p in range(num_planes):
+        signs = F.array(*[F.lit(_plane_sign(p, d)) for d in range(dim)])
+        projection = F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(projection > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket.cast("int")
 
 
 def lsh_cosine_candidates(
@@ -115,10 +109,13 @@ def lsh_cosine_candidates(
 ) -> DataFrame:
     """Bucket the corpus by hyperplane LSH; candidate pairs share a
     bucket. The scale path for ANN: per-bucket joins instead of n²."""
+    # persist: the self-join consumes the bucket table twice and the
+    # hyperplane projection is the expensive part (reference persists
+    # its reused peak table the same way, study_locus.py:544)
     bucketed = corpus.select(
         F.col(id_col).alias("docId"),
         hyperplane_bucket(F.col(vec_col), num_planes).alias("bucket"),
-    )
+    ).persist()
     l, r = bucketed.alias("l"), bucketed.alias("r")
     return (
         l.join(
