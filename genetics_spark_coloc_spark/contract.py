@@ -8,6 +8,7 @@ from genetics_spark_coloc_spark.queries_annot import ANNOT_ORACLES, ANNOT_QUERIE
 from genetics_spark_coloc_spark.queries_extra import EXTRA_ORACLES, EXTRA_QUERIES
 from genetics_spark_coloc_spark.queries_ld import LD_ORACLES, LD_QUERIES
 from genetics_spark_coloc_spark.queries_impute import IMPUTE_ORACLES, IMPUTE_QUERIES
+from genetics_spark_coloc_spark.queries_more import MORE_ORACLES, MORE_QUERIES
 from genetics_spark_coloc_spark.queries_neardup import NEARDUP_ORACLES, NEARDUP_QUERIES
 
 QUERIES = {
@@ -17,6 +18,7 @@ QUERIES = {
     **ANNOT_QUERIES,
     **NEARDUP_QUERIES,
     **IMPUTE_QUERIES,
+    **MORE_QUERIES,
 }
 ORACLES = {
     **_BASE_ORACLES,
@@ -25,4 +27,5 @@ ORACLES = {
     **ANNOT_ORACLES,
     **NEARDUP_ORACLES,
     **IMPUTE_ORACLES,
+    **MORE_ORACLES,
 }
