@@ -10,6 +10,7 @@ from genetics_spark_coloc_spark.queries_ld import LD_ORACLES, LD_QUERIES
 from genetics_spark_coloc_spark.queries_impute import IMPUTE_ORACLES, IMPUTE_QUERIES
 from genetics_spark_coloc_spark.queries_more import MORE_ORACLES, MORE_QUERIES
 from genetics_spark_coloc_spark.queries_neardup import NEARDUP_ORACLES, NEARDUP_QUERIES
+from genetics_spark_coloc_spark.queries_scale import SCALE_ORACLES, SCALE_QUERIES
 
 QUERIES = {
     **_BASE_QUERIES,
@@ -19,6 +20,7 @@ QUERIES = {
     **NEARDUP_QUERIES,
     **IMPUTE_QUERIES,
     **MORE_QUERIES,
+    **SCALE_QUERIES,
 }
 ORACLES = {
     **_BASE_ORACLES,
@@ -28,4 +30,5 @@ ORACLES = {
     **NEARDUP_ORACLES,
     **IMPUTE_ORACLES,
     **MORE_ORACLES,
+    **SCALE_ORACLES,
 }

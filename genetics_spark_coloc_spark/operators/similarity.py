@@ -101,6 +101,80 @@ def hyperplane_bucket(vec: Column, num_planes: int = 8, dim: int = 64) -> Column
     return bucket.cast("int")
 
 
+def assign_to_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse quantizer: each vector → nearest centroid by cosine.
+
+    Broadcast the (tiny) centroid table; the corpus never shuffles —
+    only the final top-1 ranking shuffles k rows per vector. Output:
+    (id, vec, centroidId, centroidSim).
+    """
+    v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vv"))
+    c = centroids.select(
+        F.col(id_col).alias("centroidId"), F.col(vec_col).alias("cv")
+    )
+    scored = v.join(F.broadcast(c)).withColumn(
+        "centroidSim", F.round(cosine(F.col("vv"), F.col("cv")), 6)
+    )
+    w = Window.partitionBy("vid").orderBy(
+        F.col("centroidSim").desc(), F.col("centroidId").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vid", "vv", "centroidId", "centroidSim")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: nearest-centroid partition of the
+    corpus (inverted lists), then exact cosine only within the query's
+    probe cluster (nprobe=1).
+
+    The scale path for ANN beyond LSH: at 100 TB the corpus is
+    bucketed ONCE by centroid (a write-time partition key), and each
+    query touches a single inverted list instead of the full corpus —
+    the join below is an equi-join on centroidId, so Spark co-locates
+    query and list partitions with an ordinary shuffle (or none, if
+    the corpus is bucketed by centroidId at rest).
+    """
+    members = assign_to_centroids(corpus, centroids, id_col, vec_col)
+    qassign = assign_to_centroids(queries, centroids, id_col, vec_col).select(
+        F.col("vid").alias("queryId"),
+        F.col("vv").alias("qv"),
+        "centroidId",
+    )
+    scored = (
+        qassign.join(
+            members.select(
+                F.col("vid").alias("neighborId"), F.col("vv").alias("nv"), "centroidId"
+            ),
+            on="centroidId",
+        )
+        .filter(F.col("queryId") != F.col("neighborId"))
+        .withColumn("cosineSim", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+    )
+    w = Window.partitionBy("queryId").orderBy(
+        F.col("cosineSim").desc(), F.col("neighborId").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("queryId", "centroidId", "neighborId", "cosineSim", "rank")
+    )
+
+
 def lsh_cosine_candidates(
     corpus: DataFrame,
     num_planes: int = 8,

@@ -1,0 +1,494 @@
+"""Contract queries: QC regression, L2G matrix, sessionization,
+multimodal plumbing, IVF ANN, and semi/anti relational joins.
+
+Each Spark builder has a DuckDB oracle over the same parquet tables;
+derivations are spelled identically on both sides and all floats are
+rounded to 6dp before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from genetics_spark_coloc_spark.functions.arrays import harmonic_sum
+from genetics_spark_coloc_spark.operators.l2g import assemble_feature_matrix
+from genetics_spark_coloc_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    resize_metadata,
+)
+from genetics_spark_coloc_spark.operators.qc import pz_regression
+from genetics_spark_coloc_spark.operators.sessions import sessionize
+from genetics_spark_coloc_spark.operators.similarity import ivf_topk
+from genetics_spark_coloc_spark.queries import TAGS_SQL, _tags
+from genetics_spark_coloc_spark.sources.tables import load_table
+
+# ----------------------------------------------------------------------------
+# PZ regression (reference: method/sumstat_quality_controls.py PZ check)
+# ----------------------------------------------------------------------------
+
+
+def _sumstats_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sumstats WITH standardError, derived from events."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 5).cast("string")).alias("studyId"),
+        F.concat(F.lit("v"), F.col("event_id").cast("string")).alias("variantId"),
+        (F.col("value") - 50.0).alias("beta"),
+        (0.5 + (F.col("event_id") % 20) / 10.0).alias("standardError"),
+        (1.0 + (F.col("event_id") % 90) / 10.0).cast("float").alias("pValueMantissa"),
+        (-(F.col("event_id") % 14) - 1).cast("int").alias("pValueExponent"),
+    )
+
+
+SUMSTATS_SE_SQL = """
+sumstats AS (
+  SELECT 'S' || CAST(user_id % 5 AS VARCHAR)          AS studyId,
+         'v' || CAST(event_id AS VARCHAR)             AS variantId,
+         value - 50.0                                 AS beta,
+         0.5 + (event_id % 20) / 10.0                 AS standardError,
+         CAST(1.0 + (event_id % 90) / 10.0 AS REAL)   AS pValueMantissa,
+         CAST(-(event_id % 14) - 1 AS INT)            AS pValueExponent
+  FROM events
+)
+"""
+
+# Acklam inverse-normal, identical to functions/pvalue._norm_ppf_upper
+ACKLAM_Z_SQL = """
+base AS (
+  SELECT studyId, beta, standardError,
+         EXP(LN(CAST(pValueMantissa AS DOUBLE)) + pValueExponent * LN(10)) / 2 AS q
+  FROM sumstats
+),
+branches AS (
+  SELECT studyId, beta, standardError, q,
+         SQRT(-2 * LN(q)) AS t,
+         q - 0.5 AS r,
+         (q - 0.5) * (q - 0.5) AS s
+  FROM base
+),
+z AS (
+  SELECT studyId, beta, standardError,
+         CASE WHEN q < 0.02425 THEN
+           (((((-7.784894002430293e-03 * t + -3.223964580411365e-01) * t + -2.400758277161838e+00) * t
+              + -2.549732539343734e+00) * t + 4.374664141464968e+00) * t + 2.938163982698783e+00)
+           / ((((7.784695709041462e-03 * t + 3.224671290700398e-01) * t + 2.445134137142996e+00) * t
+              + 3.754408661907416e+00) * t + 1)
+         ELSE
+           -((((((-3.969683028665376e+01 * s + 2.209460984245205e+02) * s + -2.759285104469687e+02) * s
+              + 1.383577518672690e+02) * s + -3.066479806614716e+01) * s + 2.506628277459239e+00) * r)
+           / (((((-5.447609879822406e+01 * s + 1.615858368580409e+02) * s + -1.556989798598866e+02) * s
+              + 6.680131188771972e+01) * s + -1.328068155288572e+01) * s + 1)
+         END AS zraw
+  FROM branches
+)
+"""
+
+
+def q_pz_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-study P-Z consistency regression (slope≈1, intercept≈0 for
+    a well-harmonised study)."""
+    out = pz_regression(_sumstats_se(spark, sf_dir))
+    return out.select(
+        "studyId",
+        F.round("pzSlope", 6).alias("pzSlope"),
+        F.round("pzIntercept", 6).alias("pzIntercept"),
+        F.round("pzCorr", 6).alias("pzCorr"),
+        "nVariants",
+    )
+
+
+SQL_PZ_REGRESSION = f"""
+WITH {SUMSTATS_SE_SQL.strip()},
+{ACKLAM_Z_SQL.strip()},
+pts AS (
+  SELECT studyId,
+         CASE WHEN beta < 0 THEN -ABS(zraw) ELSE ABS(zraw) END AS zFromP,
+         beta / standardError AS zFromBeta
+  FROM z WHERE standardError > 0
+),
+agg AS (
+  SELECT studyId,
+         COVAR_POP(zFromP, zFromBeta) AS cov,
+         VAR_POP(zFromP) AS varx,
+         AVG(zFromP) AS meanx,
+         AVG(zFromBeta) AS meany,
+         CORR(zFromP, zFromBeta) AS pzCorr,
+         COUNT(*) AS nVariants
+  FROM pts GROUP BY studyId
+)
+SELECT studyId,
+       ROUND(cov / varx, 6) AS pzSlope,
+       ROUND(meany - (cov / varx) * meanx, 6) AS pzIntercept,
+       ROUND(pzCorr, 6) AS pzCorr,
+       CAST(nVariants AS BIGINT) AS nVariants
+FROM agg
+"""
+
+
+# ----------------------------------------------------------------------------
+# harmonic sum (reference: common/spark_helpers.py:853-888, L2G features)
+# ----------------------------------------------------------------------------
+
+
+def q_harmonic_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-locus harmonic sum of DESC-sorted posterior probabilities
+    (the reference's neighbourhood-feature aggregation kernel)."""
+    tags = _tags(spark, sf_dir)
+    per_locus = tags.groupBy("studyLocusId").agg(
+        F.sort_array(F.collect_list("posteriorProbability"), asc=False).alias("pps")
+    )
+    return per_locus.select(
+        "studyLocusId",
+        F.round(harmonic_sum(F.col("pps")), 6).alias("ppHarmonicSum"),
+        F.size("pps").alias("nTags"),
+    )
+
+
+SQL_HARMONIC_SUM = f"""
+WITH {TAGS_SQL.strip()},
+ranked AS (
+  SELECT studyLocusId, posteriorProbability,
+         ROW_NUMBER() OVER (
+           PARTITION BY studyLocusId ORDER BY posteriorProbability DESC
+         ) AS i
+  FROM tags
+)
+SELECT studyLocusId,
+       ROUND(SUM(posteriorProbability / (CAST(i AS DOUBLE) * i)), 6) AS ppHarmonicSum,
+       CAST(COUNT(*) AS INT) AS nTags
+FROM ranked GROUP BY studyLocusId
+"""
+
+
+# ----------------------------------------------------------------------------
+# L2G feature matrix: long -> wide pivot (reference:
+# dataset/l2g_feature_matrix.py:57-108 + feature_factory long format)
+# ----------------------------------------------------------------------------
+
+_L2G_FEATURES = ["maxPosteriorProbability", "meanLogBF", "nTagsGene"]
+
+
+def q_l2g_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature factory long format -> pivoted wide matrix with
+    explicit pivot values (no discovery job) and 0.0 fill."""
+    tags = _tags(spark, sf_dir).withColumn(
+        "geneId",
+        F.concat(
+            F.lit("G"), (F.substring("tagVariantId", 2, 10).cast("int") % 5).cast("string")
+        ),
+    )
+    per_gene = tags.groupBy("studyLocusId", "geneId").agg(
+        F.round(F.max("posteriorProbability"), 6).alias("maxPosteriorProbability"),
+        F.round(F.avg("logBF"), 6).alias("meanLogBF"),
+        F.count(F.lit(1)).cast("double").alias("nTagsGene"),
+    )
+    long = per_gene.selectExpr(
+        "studyLocusId",
+        "geneId",
+        "stack(3, 'maxPosteriorProbability', maxPosteriorProbability, "
+        "'meanLogBF', meanLogBF, 'nTagsGene', nTagsGene) AS (featureName, featureValue)",
+    )
+    return assemble_feature_matrix(long, _L2G_FEATURES)
+
+
+SQL_L2G_FEATURE_MATRIX = f"""
+WITH {TAGS_SQL.strip()},
+genes AS (
+  SELECT studyLocusId,
+         'G' || CAST(CAST(substr(tagVariantId, 2) AS INT) % 5 AS VARCHAR) AS geneId,
+         posteriorProbability, logBF
+  FROM tags
+)
+SELECT studyLocusId, geneId,
+       ROUND(MAX(posteriorProbability), 6) AS maxPosteriorProbability,
+       ROUND(AVG(logBF), 6) AS meanLogBF,
+       CAST(COUNT(*) AS DOUBLE) AS nTagsGene
+FROM genes GROUP BY studyLocusId, geneId
+"""
+
+
+# ----------------------------------------------------------------------------
+# sessionization (training-data extension; streaming twin in
+# streaming/pipelines.sessionize_stream)
+# ----------------------------------------------------------------------------
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events table (30 min gap)."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, gap_seconds=1800)
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id AS userId, EPOCH(ts) AS epochS, value FROM events
+),
+marked AS (
+  SELECT userId, epochS, value,
+         CASE WHEN LAG(epochS) OVER w IS NULL THEN 1
+              WHEN epochS - LAG(epochS) OVER w > 1800.0 THEN 1
+              ELSE 0 END AS isNewSession
+  FROM e WINDOW w AS (PARTITION BY userId ORDER BY epochS)
+),
+sessions AS (
+  SELECT userId, epochS, value,
+         SUM(isNewSession) OVER (
+           PARTITION BY userId ORDER BY epochS
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sessionOrdinal
+  FROM marked
+)
+SELECT userId, CAST(sessionOrdinal AS INT) AS sessionOrdinal,
+       CAST(COUNT(*) AS BIGINT) AS nEvents,
+       ROUND(SUM(value), 6) AS valueSum,
+       ROUND(MAX(epochS) - MIN(epochS), 6) AS durationS
+FROM sessions GROUP BY userId, sessionOrdinal
+"""
+
+
+# ----------------------------------------------------------------------------
+# multimodal plumbing (training-data extension; decode stubbed, the
+# Spark-side schema/batching is real — operators/multimodal.py)
+# ----------------------------------------------------------------------------
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media rows derived from documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("mediaId"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).alias("modality"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
+        (64 + (F.col("doc_id") * 37) % 1024).cast("int").alias("width"),
+        (64 + (F.col("doc_id") * 53) % 768).cast("int").alias("height"),
+        (500 + (F.col("doc_id") % 7) * 900).cast("int").alias("durationMs"),
+    )
+
+
+MEDIA_SQL = """
+media AS (
+  SELECT doc_id AS mediaId,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         LOWER(md5(COALESCE(text, ''))) AS payloadMd5,
+         CAST(64 + (doc_id * 37) % 1024 AS INT) AS width,
+         CAST(64 + (doc_id * 53) % 768 AS INT) AS height,
+         CAST(500 + (doc_id % 7) * 900 AS INT) AS durationMs
+  FROM documents
+)
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary
+    payloads (decode stubbed deterministically: md5-byte features)."""
+    feats = extract_features(_media(spark, sf_dir), dim=4)
+    out = feats.select(
+        "mediaId",
+        "modality",
+        "decodeStatus",
+        *[
+            F.round(F.element_at("feature", i + 1).cast("double"), 6).alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+    return out
+
+
+# md5 hex pair i -> byte value via nibble lookup; feature_i = byte/256
+_NIBBLE = "STRPOS('0123456789abcdef', SUBSTR(payloadMd5, {pos}, 1)) - 1"
+
+
+def _feature_sql(i: int) -> str:
+    hi = _NIBBLE.format(pos=2 * i + 1)
+    lo = _NIBBLE.format(pos=2 * i + 2)
+    return f"ROUND((({hi}) * 16 + ({lo})) / 256.0, 6) AS f{i}"
+
+
+SQL_MULTIMODAL_FEATURES = f"""
+WITH {MEDIA_SQL.strip()}
+SELECT mediaId, modality, 'stubbed' AS decodeStatus,
+       {", ".join(_feature_sql(i) for i in range(4))}
+FROM media
+"""
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only resize plan: target dims computed without ever
+    reading payload bytes (column pruning keeps blob pages cold)."""
+    return resize_metadata(_media(spark, sf_dir), max_side=256)
+
+
+SQL_MULTIMODAL_RESIZE = f"""
+WITH {MEDIA_SQL.strip()},
+scaled AS (
+  SELECT mediaId, modality, width, height,
+         LEAST(1.0, 256 / CAST(GREATEST(width, height) AS DOUBLE)) AS scale
+  FROM media
+)
+SELECT mediaId, modality, width, height,
+       CAST(ROUND(width * scale) AS INT) AS targetWidth,
+       CAST(ROUND(height * scale) AS INT) AS targetHeight
+FROM scaled
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan for video rows: one row per sampled
+    timestamp from duration metadata (every 250 ms)."""
+    return frame_sample_plan(_media(spark, sf_dir), every_ms=250)
+
+
+SQL_FRAME_SAMPLE = f"""
+WITH {MEDIA_SQL.strip()}
+SELECT mediaId, CAST(f.ts AS INT) AS frameTimestampMs
+FROM media, LATERAL (
+  SELECT UNNEST(GENERATE_SERIES(0, GREATEST(durationMs - 1, 0), 250)) AS ts
+) f
+WHERE modality = 'video'
+"""
+
+
+# ----------------------------------------------------------------------------
+# IVF approximate nearest neighbours (scale path beyond LSH)
+# ----------------------------------------------------------------------------
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: corpus partitioned by nearest centroid (vec_id < 4 as
+    deterministic centroids), exact top-3 within the probe cluster for
+    query vectors (vec_id % 50 == 0)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 4)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(emb, queries, centroids, k=3)
+
+
+_COS_SQL = (
+    "ROUND(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+SQL_IVF_TOPK = f"""
+WITH vec AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS centroidId, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 4
+),
+assign AS (
+  SELECT vec_id, v, centroidId,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY {_COS_SQL.format(a="v", b="cv")} DESC, centroidId ASC
+         ) AS rnk
+  FROM vec CROSS JOIN cent
+),
+members AS (SELECT vec_id, v, centroidId FROM assign WHERE rnk = 1),
+q AS (
+  SELECT vec_id AS queryId, v AS qv, centroidId
+  FROM members WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT q.queryId, q.centroidId, m.vec_id AS neighborId,
+         {_COS_SQL.format(a="qv", b="m.v")} AS cosineSim
+  FROM q JOIN members m ON q.centroidId = m.centroidId AND m.vec_id != q.queryId
+),
+ranked AS (
+  SELECT queryId, centroidId, neighborId, cosineSim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY queryId ORDER BY cosineSim DESC, neighborId ASC
+         ) AS INT) AS rank
+  FROM scored
+)
+SELECT queryId, centroidId, neighborId, cosineSim, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+# ----------------------------------------------------------------------------
+# relational semi / anti joins (reference §2.3: "semi" locus-breaker
+# join, left_anti neighbourhood-gene join — generic relational form)
+# ----------------------------------------------------------------------------
+
+
+def q_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shape: per-priority count of orders with at least one
+    line shipped after the order date (LEFT SEMI join)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    late = lineitem.filter(F.col("l_shipdate") > F.lit("1995-01-01")).select(
+        "l_orderkey"
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_LATE_ORDER_PRIORITY = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > DATE '1995-01-01'
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: per-brand count of parts never shipped in bulk
+    (no lineitem with quantity >= 48)."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    bulk = lineitem.filter(F.col("l_quantity") >= 48).select("l_partkey")
+    return (
+        part.join(bulk, part.p_partkey == F.col("l_partkey"), "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+SQL_PARTS_NEVER_ORDERED = """
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 48
+)
+GROUP BY p_brand
+"""
+
+
+SCALE_QUERIES = {
+    "pz_regression": q_pz_regression,
+    "harmonic_sum": q_harmonic_sum,
+    "l2g_feature_matrix": q_l2g_feature_matrix,
+    "sessionize": q_sessionize,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
+    "frame_sample": q_frame_sample,
+    "ivf_topk": q_ivf_topk,
+    "late_order_priority": q_late_order_priority,
+    "parts_never_ordered": q_parts_never_ordered,
+}
+
+SCALE_ORACLES = {
+    "pz_regression": SQL_PZ_REGRESSION,
+    "harmonic_sum": SQL_HARMONIC_SUM,
+    "l2g_feature_matrix": SQL_L2G_FEATURE_MATRIX,
+    "sessionize": SQL_SESSIONIZE,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+    "frame_sample": SQL_FRAME_SAMPLE,
+    "ivf_topk": SQL_IVF_TOPK,
+    "late_order_priority": SQL_LATE_ORDER_PRIORITY,
+    "parts_never_ordered": SQL_PARTS_NEVER_ORDERED,
+}
