@@ -36,6 +36,11 @@ def main() -> None:
     # session startup cost
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     spark.range(1000).selectExpr("sum(id)").collect()
+    # spawn the Python/Arrow worker pool once so the first pandas-UDF
+    # query isn't charged executor-python startup
+    spark.range(32).repartition(32).toDF("a").groupBy("a").applyInPandas(
+        lambda pdf: pdf, "a long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

@@ -89,40 +89,38 @@ def window_based_clumping(
     )
     clustered = cluster_peaks(significant, distance)
 
-    cluster_window = Window.partitionBy("studyId", "chromosome", "cluster_id").orderBy(
-        F.col("pValueExponent").asc(),
-        F.col("pValueMantissa").asc(),
-        F.col("position").asc(),  # deterministic tie-break (reference relies on input order)
-    )
-    full_frame = cluster_window.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-
     step = _greedy_lead_positions(None)
+    # One positions-array per CLUSTER via groupBy (map-side combine,
+    # O(n) total), not a running collect_list window frame (O(n²) per
+    # cluster — unusable when a dense region chains into one giant
+    # cluster, e.g. 100 TB of MHC). sort_array on (exp, mant, pos)
+    # structs reproduces the significance ordering exactly.
+    cluster_leads = (
+        clustered.groupBy("studyId", "chromosome", "cluster_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("pValueExponent").alias("e"),
+                        F.col("pValueMantissa").alias("m"),
+                        F.col("position").alias("p"),
+                    )
+                )
+            ).alias("ordered")
+        )
+        .select(
+            "studyId",
+            "chromosome",
+            "cluster_id",
+            F.aggregate(
+                F.transform(F.col("ordered"), lambda s: s["p"]),
+                F.array().cast("array<int>"),
+                lambda acc, p: step(acc, p, F.lit(distance)),
+            ).alias("leadPositions"),
+        )
+    )
     ranked = (
-        clustered.withColumn("pvRank", F.row_number().over(cluster_window))
-        # collect positions (in significance order) once, on the rank-1 row only
-        .withColumn(
-            "collectedPositions",
-            F.when(F.col("pvRank") == 1, F.collect_list("position").over(full_frame)),
-        )
-        .withColumn(
-            "leadPositions",
-            F.when(
-                F.col("collectedPositions").isNotNull(),
-                F.aggregate(
-                    F.col("collectedPositions"),
-                    F.array().cast("array<int>"),
-                    lambda acc, p: step(acc, p, F.lit(distance)),
-                ),
-            ),
-        )
-        # broadcast accepted lead positions to every row of the cluster
-        .withColumn(
-            "leadPositions",
-            F.coalesce(
-                F.col("leadPositions"),
-                F.first("leadPositions", ignorenulls=True).over(cluster_window),
-            ),
-        )
+        clustered.join(cluster_leads, on=["studyId", "chromosome", "cluster_id"])
         # a row is lead iff its position was accepted AND it is the most
         # significant row at that position (ties at equal position)
         .withColumn(
@@ -137,7 +135,7 @@ def window_based_clumping(
             "isLead",
             F.array_contains(F.col("leadPositions"), F.col("position")) & (F.col("posRank") == 1),
         )
-        .drop("collectedPositions", "leadPositions", "pvRank", "posRank", "cluster_id")
+        .drop("leadPositions", "posRank", "cluster_id")
     )
     if drop_clumped:
         return ranked.filter(F.col("isLead")).drop("isLead")
