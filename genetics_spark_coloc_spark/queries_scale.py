@@ -21,7 +21,7 @@ from genetics_spark_coloc_spark.operators.multimodal import (
 from genetics_spark_coloc_spark.operators.qc import pz_regression
 from genetics_spark_coloc_spark.operators.sessions import sessionize
 from genetics_spark_coloc_spark.operators.similarity import ivf_topk
-from genetics_spark_coloc_spark.queries import TAGS_SQL, _tags
+from genetics_spark_coloc_spark.queries import SUMSTATS_SQL, TAGS_SQL, _tags
 from genetics_spark_coloc_spark.sources.tables import load_table
 
 # ----------------------------------------------------------------------------
@@ -467,6 +467,162 @@ GROUP BY p_brand
 """
 
 
+# ----------------------------------------------------------------------------
+# as-of join (custom operator — operators/asof.py union+forward-fill)
+# ----------------------------------------------------------------------------
+
+
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each 'view' event, the latest 'click' at-or-before it per
+    user (point-in-time attribution via the as-of join operator)."""
+    from genetics_spark_coloc_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    epoch = (F.expr("ts div 1000")).cast("double") / F.lit(1000000.0)
+    base = ev.select(
+        "event_id",
+        F.col("user_id").alias("userId"),
+        epoch.alias("epochS"),
+        "event_type",
+        "value",
+    )
+    views = base.filter(F.col("event_type") == "view").select(
+        "userId", "epochS", F.col("event_id").alias("viewEventId")
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "userId",
+        "epochS",
+        F.col("event_id").alias("clickEventId"),
+        F.col("value").alias("clickValue"),
+    )
+    out = asof_join(
+        views,
+        clicks,
+        on=["userId"],
+        ts_col="epochS",
+        payload_cols=["clickEventId", "clickValue"],
+        tiebreak_col="clickEventId",
+    )
+    return out.select(
+        "userId",
+        "viewEventId",
+        F.round("epochS", 6).alias("epochS"),
+        F.col("asof_clickEventId").alias("clickEventId"),
+        F.round("asof_clickValue", 6).alias("clickValue"),
+    )
+
+
+SQL_ASOF_ATTRIBUTION = """
+WITH e AS (
+  SELECT event_id, user_id AS userId, EPOCH(ts) AS epochS, event_type, value
+  FROM events
+),
+u AS (
+  SELECT userId, epochS, 1 AS side, CAST(0 AS BIGINT) AS tie,
+         event_id AS viewEventId, CAST(NULL AS BIGINT) AS p_eid, CAST(NULL AS DOUBLE) AS p_val
+  FROM e WHERE event_type = 'view'
+  UNION ALL
+  SELECT userId, epochS, 0, event_id, NULL, event_id, value
+  FROM e WHERE event_type = 'click'
+),
+f AS (
+  SELECT *,
+         LAST_VALUE(p_eid IGNORE NULLS) OVER w AS asof_eid,
+         LAST_VALUE(p_val IGNORE NULLS) OVER w AS asof_val
+  FROM u
+  WINDOW w AS (PARTITION BY userId ORDER BY epochS, side, tie
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT userId, viewEventId, ROUND(epochS, 6) AS epochS,
+       asof_eid AS clickEventId, ROUND(asof_val, 6) AS clickValue
+FROM f WHERE side = 1
+"""
+
+
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: hourly buckets × event_type with
+    count/sum/avg/min/max (batch twin of the streaming tumbling-window
+    aggregation)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("event_time")).cast("long")
+    return (
+        ev.select(bucket.alias("bucketEpoch"), "event_type", "value")
+        .groupBy("bucketEpoch", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("nEvents"),
+            F.round(F.sum("value"), 6).alias("valueSum"),
+            F.round(F.avg("value"), 6).alias("valueAvg"),
+            F.round(F.min("value"), 6).alias("valueMin"),
+            F.round(F.max("value"), 6).alias("valueMax"),
+        )
+    )
+
+
+SQL_EVENT_ROLLUP = """
+SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS bucketEpoch,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS nEvents,
+       ROUND(SUM(value), 6) AS valueSum,
+       ROUND(AVG(value), 6) AS valueAvg,
+       ROUND(MIN(value), 6) AS valueMin,
+       ROUND(MAX(value), 6) AS valueMax
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_qc_flag_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QC-flag array build + valid-rows filter (reference:
+    dataset.py:204-250 valid_rows, :323-341 flag update): append enum
+    flags under conditions, then keep rows whose flags don't overlap
+    the invalid set; surviving rows carry their remaining flags."""
+    from genetics_spark_coloc_spark.queries import _sumstats
+
+    ss = _sumstats(spark, sf_dir)
+    flagged = ss.withColumn(
+        "qualityControls",
+        F.filter(
+            F.array(
+                F.when(
+                    (F.col("position") >= 100000) & (F.col("position") <= 200000),
+                    F.lit("IN_MHC"),
+                ),
+                F.when(F.col("pValueExponent") > -3, F.lit("WEAK_SIGNAL")),
+                F.when(F.col("beta") < -45.0, F.lit("EXTREME_BETA")),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    valid = flagged.filter(
+        ~F.arrays_overlap(
+            F.col("qualityControls"), F.array(F.lit("IN_MHC"), F.lit("EXTREME_BETA"))
+        )
+    )
+    return valid.select(
+        "studyId",
+        "variantId",
+        F.array_join("qualityControls", ",").alias("qcFlags"),
+    )
+
+
+SQL_QC_FLAG_ROWS = f"""
+WITH {SUMSTATS_SQL.strip()},
+flagged AS (
+  SELECT studyId, variantId,
+         list_filter([
+           CASE WHEN position >= 100000 AND position <= 200000 THEN 'IN_MHC' END,
+           CASE WHEN pValueExponent > -3 THEN 'WEAK_SIGNAL' END,
+           CASE WHEN beta < -45.0 THEN 'EXTREME_BETA' END
+         ], x -> x IS NOT NULL) AS qc
+  FROM sumstats
+)
+SELECT studyId, variantId,
+       COALESCE(list_aggregate(qc, 'string_agg', ','), '') AS qcFlags
+FROM flagged
+WHERE NOT list_has_any(qc, ['IN_MHC', 'EXTREME_BETA'])
+"""
+
+
 SCALE_QUERIES = {
     "pz_regression": q_pz_regression,
     "harmonic_sum": q_harmonic_sum,
@@ -478,6 +634,9 @@ SCALE_QUERIES = {
     "ivf_topk": q_ivf_topk,
     "late_order_priority": q_late_order_priority,
     "parts_never_ordered": q_parts_never_ordered,
+    "asof_attribution": q_asof_attribution,
+    "event_rollup": q_event_rollup,
+    "qc_flag_rows": q_qc_flag_rows,
 }
 
 SCALE_ORACLES = {
@@ -491,4 +650,7 @@ SCALE_ORACLES = {
     "ivf_topk": SQL_IVF_TOPK,
     "late_order_priority": SQL_LATE_ORDER_PRIORITY,
     "parts_never_ordered": SQL_PARTS_NEVER_ORDERED,
+    "asof_attribution": SQL_ASOF_ATTRIBUTION,
+    "event_rollup": SQL_EVENT_ROLLUP,
+    "qc_flag_rows": SQL_QC_FLAG_ROWS,
 }

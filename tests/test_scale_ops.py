@@ -134,6 +134,37 @@ def test_assign_to_centroids_and_ivf(spark):
     assert all(r.centroidId == 0 for r in out)
 
 
+def test_asof_join_inclusive_and_tiebreak(spark):
+    from genetics_spark_coloc_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            Row(k="a", t=10.0, lbl="first"),
+            Row(k="a", t=25.0, lbl="mid"),
+            Row(k="a", t=5.0, lbl="early"),
+            Row(k="b", t=10.0, lbl="other"),
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", t=10.0, payload=1.0, eid=1),
+            Row(k="a", t=10.0, payload=2.0, eid=2),  # same ts, higher eid wins
+            Row(k="a", t=20.0, payload=3.0, eid=3),
+            Row(k="b", t=50.0, payload=9.0, eid=4),  # after left -> null
+        ]
+    )
+    out = {
+        r.lbl: r.asof_payload
+        for r in asof_join(
+            left, right, on=["k"], ts_col="t", payload_cols=["payload"], tiebreak_col="eid"
+        ).collect()
+    }
+    assert out["early"] is None  # no right row at/before t=5
+    assert out["first"] == 2.0  # inclusive at equal ts, max-eid tiebreak
+    assert out["mid"] == 3.0  # forward fill past t=20
+    assert out["other"] is None  # right row strictly after
+
+
 def test_multimodal_feature_determinism(spark):
     from genetics_spark_coloc_spark.operators.multimodal import extract_features
 
