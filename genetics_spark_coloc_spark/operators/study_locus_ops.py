@@ -101,3 +101,67 @@ def process_locus_breaker_output(
         "locusStart", (F.col("position") - large_loci_size // 2).cast("int")
     ).withColumn("locusEnd", (F.col("position") + large_loci_size // 2).cast("int"))
     return rebuilt.unionByName(small, allowMissingColumns=True)
+
+
+def flag_explained_by_finemapping(
+    leads: DataFrame,
+    regions: DataFrame,
+    bin_size: int = 100_000,
+) -> DataFrame:
+    """QC flag: lead falls inside an already-fine-mapped region
+    (reference qc_explained_by_SuSiE, dataset/study_locus.py:1218-1245
+    — there an interval join of exploded tags vs SuSiE regions).
+
+    ``leads`` needs (studyId, chromosome, position); ``regions`` needs
+    (studyId, chromosome, regionStart, regionEnd). The interval join
+    is binned on position so Catalyst plans a hash join on
+    (studyId, chromosome, bin) with the between() as a cheap residual
+    — never a broadcast-nested-loop over raw inequality predicates.
+    Regions spanning multiple bins are exploded (≤ span/bin_size + 1
+    rows each), which is the 100 TB-safe trade: small dimension-side
+    duplication for an equi-key shuffle.
+    """
+    region_binned = regions.select(
+        F.col("studyId").alias("r_studyId"),
+        F.col("chromosome").alias("r_chromosome"),
+        "regionStart",
+        "regionEnd",
+    ).withColumn(
+        "r_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("regionStart") / bin_size).cast("int"),
+                F.floor(F.col("regionEnd") / bin_size).cast("int"),
+            )
+        ),
+    )
+    lead_binned = leads.withColumn(
+        "__bin", F.floor(F.col("position") / bin_size).cast("int")
+    )
+    explained = (
+        lead_binned.join(
+            F.broadcast(region_binned),
+            on=[
+                F.col("studyId") == F.col("r_studyId"),
+                F.col("chromosome") == F.col("r_chromosome"),
+                F.col("__bin") == F.col("r_bin"),
+                F.col("position").between(F.col("regionStart"), F.col("regionEnd")),
+            ],
+            how="leftsemi",
+        )
+        .select("studyId", "chromosome", "position")
+        .distinct()
+        .withColumn("isExplainedByFinemapping", F.lit(True))
+    )
+    return (
+        lead_binned.drop("__bin")
+        .join(
+            explained,
+            on=["studyId", "chromosome", "position"],
+            how="left",
+        )
+        .withColumn(
+            "isExplainedByFinemapping",
+            F.coalesce(F.col("isExplainedByFinemapping"), F.lit(False)),
+        )
+    )

@@ -623,6 +623,58 @@ WHERE NOT list_has_any(qc, ['IN_MHC', 'EXTREME_BETA'])
 """
 
 
+def q_explained_by_finemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QC interval join: flag significant leads that fall inside a
+    fine-mapped region (qc_explained_by_SuSiE shape, binned)."""
+    from genetics_spark_coloc_spark.operators.study_locus_ops import (
+        flag_explained_by_finemapping,
+    )
+    from genetics_spark_coloc_spark.queries import _sumstats
+    from genetics_spark_coloc_spark.functions.pvalue import pvalue_pair_lte
+
+    ss = _sumstats(spark, sf_dir)
+    leads = ss.filter(
+        pvalue_pair_lte(F.col("pValueMantissa"), F.col("pValueExponent"), 1e-10)
+    ).select("studyId", "chromosome", "position", "variantId")
+    ev = load_table(spark, sf_dir, "events")
+    regions = (
+        ev.filter(F.col("event_id") % 17 == 0)
+        .select(
+            F.concat(F.lit("S"), (F.col("user_id") % 5).cast("string")).alias("studyId"),
+            (1 + F.col("event_id") % 3).cast("string").alias("chromosome"),
+            ((F.col("event_id") * 61) % 1000000).cast("int").alias("regionStart"),
+        )
+        .withColumn("regionEnd", F.col("regionStart") + 30000)
+    )
+    out = flag_explained_by_finemapping(leads, regions, bin_size=30000)
+    return out.select(
+        "studyId", "chromosome", "position", "variantId", "isExplainedByFinemapping"
+    )
+
+
+SQL_EXPLAINED_BY_FINEMAP = f"""
+WITH {SUMSTATS_SQL.strip()},
+leads AS (
+  SELECT studyId, chromosome, position, variantId FROM sumstats
+  WHERE pValueExponent < -10 OR (pValueExponent = -10 AND pValueMantissa <= 1.0)
+),
+regions AS (
+  SELECT 'S' || CAST(user_id % 5 AS VARCHAR) AS studyId,
+         CAST(1 + event_id % 3 AS VARCHAR) AS chromosome,
+         CAST((event_id * 61) % 1000000 AS INT) AS regionStart,
+         CAST((event_id * 61) % 1000000 + 30000 AS INT) AS regionEnd
+  FROM events WHERE event_id % 17 = 0
+)
+SELECT l.studyId, l.chromosome, l.position, l.variantId,
+       EXISTS (
+         SELECT 1 FROM regions r
+         WHERE r.studyId = l.studyId AND r.chromosome = l.chromosome
+           AND l.position BETWEEN r.regionStart AND r.regionEnd
+       ) AS isExplainedByFinemapping
+FROM leads l
+"""
+
+
 SCALE_QUERIES = {
     "pz_regression": q_pz_regression,
     "harmonic_sum": q_harmonic_sum,
@@ -637,6 +689,7 @@ SCALE_QUERIES = {
     "asof_attribution": q_asof_attribution,
     "event_rollup": q_event_rollup,
     "qc_flag_rows": q_qc_flag_rows,
+    "explained_by_finemap": q_explained_by_finemap,
 }
 
 SCALE_ORACLES = {
@@ -653,4 +706,5 @@ SCALE_ORACLES = {
     "asof_attribution": SQL_ASOF_ATTRIBUTION,
     "event_rollup": SQL_EVENT_ROLLUP,
     "qc_flag_rows": SQL_QC_FLAG_ROWS,
+    "explained_by_finemap": SQL_EXPLAINED_BY_FINEMAP,
 }

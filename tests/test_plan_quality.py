@@ -22,9 +22,9 @@ from genetics_spark_coloc_spark.plans.inspect import (
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# every contract query except the applyInPandas kernel must stay
-# JVM-side end to end
-PYTHON_ALLOWED = {"finemap_susie"}
+# every contract query except the applyInPandas kernel and the
+# Arrow-batched multimodal decode must stay JVM-side end to end
+PYTHON_ALLOWED = {"finemap_susie", "multimodal_features"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -71,6 +71,23 @@ def test_overlaps_plan_shuffle_budget(spark):
     """
     df = QUERIES["find_overlaps"](spark, SF_DIR)
     assert shuffle_count(df) <= 24, f"too many exchanges: {shuffle_count(df)}"
+
+
+def test_interval_and_ivf_joins_stay_hash_shaped(spark):
+    """Binned interval join (explained_by_finemap) and the IVF
+    cluster join must never degenerate to CartesianProduct; the
+    only nested-loop allowed is an explicit tiny broadcast."""
+    for name in ["explained_by_finemap", "locus_breaker_split"]:
+        df = QUERIES[name](spark, SF_DIR)
+        assert not has_cartesian(df), f"{name} degenerated to nested loop"
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join is one exchange per side feeding the union —
+    the window must not introduce extra shuffles beyond the key
+    partition."""
+    df = QUERIES["asof_attribution"](spark, SF_DIR)
+    assert shuffle_count(df) <= 3, f"asof shuffles: {shuffle_count(df)}"
 
 
 def test_broadcast_used_for_small_dim(spark):
