@@ -50,14 +50,28 @@ def cosine_topk(
     similarity is rounded to 6dp BEFORE ranking so rank order is
     reproducible across engines.
     """
+    # norms are computed ONCE per row before the pair join — the pair
+    # expression is a single dot-product fold, not three (same float
+    # result: sqrt(dot(v,v)) is the identical expression either way)
     q = queries.select(
-        F.col(id_col).alias("queryId"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("queryId"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnorm"),
     )
-    c = corpus.select(F.col(id_col).alias("neighborId"), F.col(vec_col).alias("cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighborId"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnorm"),
+    )
     scored = (
         c.join(F.broadcast(q), on=F.col("neighborId") != F.col("queryId"))
-        .withColumn("cosineSim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
-        .drop("qvec", "cvec")
+        .withColumn(
+            "cosineSim",
+            F.round(
+                dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")), 6
+            ),
+        )
+        .drop("qvec", "cvec", "qnorm", "cnorm")
     )
     w = Window.partitionBy("queryId").orderBy(
         F.col("cosineSim").desc(), F.col("neighborId").asc()
@@ -113,20 +127,43 @@ def assign_to_centroids(
     only the final top-1 ranking shuffles k rows per vector. Output:
     (id, vec, centroidId, centroidSim).
     """
-    v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vv"))
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vv"),
+        norm(F.col(vec_col)).alias("vnorm"),
+    )
     c = centroids.select(
-        F.col(id_col).alias("centroidId"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("centroidId"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cnorm"),
     )
     scored = v.join(F.broadcast(c)).withColumn(
-        "centroidSim", F.round(cosine(F.col("vv"), F.col("cv")), 6)
+        "centroidSim",
+        F.round(dot(F.col("vv"), F.col("cv")) / (F.col("vnorm") * F.col("cnorm")), 6),
     )
-    w = Window.partitionBy("vid").orderBy(
-        F.col("centroidSim").desc(), F.col("centroidId").asc()
+    # argmax via max(struct(sim, -centroidId)): map-side partial
+    # aggregation shuffles ONE candidate row per vector, instead of a
+    # ranking window that sorts every (vector × centroid) pair — and
+    # the full embedding array never rides the shuffle twice.
+    best = (
+        scored.groupBy("vid")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("centroidSim").alias("sim"),
+                    (-F.col("centroidId")).alias("negCentroidId"),
+                )
+            ).alias("best"),
+            F.first("vv").alias("vv"),
+            F.first("vnorm").alias("vnorm"),
+        )
     )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vid", "vv", "centroidId", "centroidSim")
+    return best.select(
+        "vid",
+        "vv",
+        "vnorm",
+        (-F.col("best.negCentroidId")).alias("centroidId"),
+        F.col("best.sim").alias("centroidSim"),
     )
 
 
@@ -153,17 +190,26 @@ def ivf_topk(
     qassign = assign_to_centroids(queries, centroids, id_col, vec_col).select(
         F.col("vid").alias("queryId"),
         F.col("vv").alias("qv"),
+        F.col("vnorm").alias("qnorm"),
         "centroidId",
     )
     scored = (
         qassign.join(
             members.select(
-                F.col("vid").alias("neighborId"), F.col("vv").alias("nv"), "centroidId"
+                F.col("vid").alias("neighborId"),
+                F.col("vv").alias("nv"),
+                F.col("vnorm").alias("nnorm"),
+                "centroidId",
             ),
             on="centroidId",
         )
         .filter(F.col("queryId") != F.col("neighborId"))
-        .withColumn("cosineSim", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+        .withColumn(
+            "cosineSim",
+            F.round(
+                dot(F.col("qv"), F.col("nv")) / (F.col("qnorm") * F.col("nnorm")), 6
+            ),
+        )
     )
     w = Window.partitionBy("queryId").orderBy(
         F.col("cosineSim").desc(), F.col("neighborId").asc()
