@@ -675,6 +675,154 @@ FROM leads l
 """
 
 
+def q_harmonise_sumstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allele harmonisation: orientation join, beta/EAF flip,
+    palindromic-flip drop, 23→X, INFO filter (harmonise.py:10-170)."""
+    from genetics_spark_coloc_spark.operators.harmonise import (
+        annotation_both_orientations,
+        harmonise_sumstats,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bases = F.array(F.lit("A"), F.lit("C"), F.lit("G"), F.lit("T"))
+    ca0 = F.element_at(bases, (F.col("event_id") % 4).cast("int") + 1)
+    # %13 plants complementary pairs (A/T, C/G) so the palindromic
+    # snp_c drop path is exercised
+    ca1_idx = F.when(
+        F.col("event_id") % 13 == 0, 3 - (F.col("event_id") % 4)
+    ).otherwise((F.col("event_id") * 7 + 1) % 4).cast("int")
+    ca1 = F.when(F.col("event_id") % 11 == 0, F.lit("AC")).otherwise(
+        F.element_at(bases, ca1_idx + 1)
+    )
+    base = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 5).cast("string")).alias("studyId"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("23"))
+        .otherwise((1 + F.col("event_id") % 3).cast("string"))
+        .alias("rawChromosome"),
+        (F.col("event_id") * 97 % 1000000).cast("int").alias("position"),
+        ca0.alias("ca0"),
+        ca1.alias("ca1"),
+        (F.col("value") - 50.0).alias("beta"),
+        (0.5 + (F.col("event_id") % 50) / 100.0).alias("info"),
+        ((1 + F.col("event_id") % 98) / 100.0).alias("a1freq"),
+        F.col("event_id"),
+    ).filter(F.col("ca0") != F.col("ca1"))
+    swap = F.col("event_id") % 5 == 0
+    raw = base.select(
+        "studyId",
+        F.col("rawChromosome").alias("chromosome"),
+        "position",
+        F.when(swap, F.col("ca1")).otherwise(F.col("ca0")).alias("allele0"),
+        F.when(swap, F.col("ca0")).otherwise(F.col("ca1")).alias("allele1"),
+        "beta",
+        "info",
+        "a1freq",
+    )
+    canonical = (
+        base.filter(F.col("event_id") % 2 == 0)
+        .select(
+            F.when(F.col("rawChromosome") == "23", "X")
+            .otherwise(F.col("rawChromosome"))
+            .alias("chromosome"),
+            "position",
+            F.col("ca0").alias("refAllele"),
+            F.col("ca1").alias("altAllele"),
+        )
+        .distinct()
+        .withColumn(
+            "variantId",
+            F.concat_ws("_", "chromosome", "position", "refAllele", "altAllele"),
+        )
+    )
+    out = harmonise_sumstats(raw, annotation_both_orientations(canonical))
+    return out.select(
+        "studyId",
+        "variantId",
+        "chromosome",
+        "position",
+        "variantType",
+        "direction",
+        F.round("beta", 6).alias("beta"),
+        F.round("effectAlleleFrequencyFromSource", 6).alias("eaf"),
+    )
+
+
+SQL_HARMONISE_SUMSTATS = """
+WITH base AS (
+  SELECT 'S' || CAST(user_id % 5 AS VARCHAR) AS studyId,
+         CASE WHEN event_id % 7 = 0 THEN '23'
+              ELSE CAST(1 + event_id % 3 AS VARCHAR) END AS rawChromosome,
+         CAST((event_id * 97) % 1000000 AS INT) AS position,
+         substr('ACGT', CAST(event_id % 4 AS INT) + 1, 1) AS ca0,
+         CASE WHEN event_id % 11 = 0 THEN 'AC'
+              ELSE substr('ACGT',
+                CASE WHEN event_id % 13 = 0 THEN CAST(3 - event_id % 4 AS INT)
+                     ELSE CAST((event_id * 7 + 1) % 4 AS INT) END + 1, 1) END AS ca1,
+         value - 50.0 AS beta,
+         0.5 + (event_id % 50) / 100.0 AS info,
+         (1 + event_id % 98) / 100.0 AS a1freq,
+         event_id
+  FROM events
+  WHERE substr('ACGT', CAST(event_id % 4 AS INT) + 1, 1) !=
+        CASE WHEN event_id % 11 = 0 THEN 'AC'
+             ELSE substr('ACGT',
+               CASE WHEN event_id % 13 = 0 THEN CAST(3 - event_id % 4 AS INT)
+                    ELSE CAST((event_id * 7 + 1) % 4 AS INT) END + 1, 1) END
+),
+raw AS (
+  SELECT studyId,
+         CASE WHEN rawChromosome = '23' THEN 'X' ELSE rawChromosome END AS chromosome,
+         position,
+         CASE WHEN event_id % 5 = 0 THEN ca1 ELSE ca0 END AS allele0,
+         CASE WHEN event_id % 5 = 0 THEN ca0 ELSE ca1 END AS allele1,
+         beta, info, a1freq
+  FROM base
+),
+canonical AS (
+  SELECT DISTINCT
+         CASE WHEN rawChromosome = '23' THEN 'X' ELSE rawChromosome END AS chromosome,
+         position, ca0 AS refAllele, ca1 AS altAllele
+  FROM base WHERE event_id % 2 = 0
+),
+canon_id AS (
+  SELECT *, chromosome || '_' || CAST(position AS VARCHAR) || '_' || refAllele
+            || '_' || altAllele AS variantId
+  FROM canonical
+),
+va AS (
+  SELECT chromosome AS vaChromosome,
+         chromosome || '_' || CAST(position AS VARCHAR) || '_' || refAllele
+           || '_' || altAllele AS summaryStatsId,
+         variantId, 'direct' AS direction
+  FROM canon_id
+  UNION ALL
+  SELECT chromosome,
+         chromosome || '_' || CAST(position AS VARCHAR) || '_' || altAllele
+           || '_' || refAllele,
+         variantId, 'flip'
+  FROM canon_id
+),
+typed AS (
+  SELECT *,
+         CASE WHEN length(allele0) = 1 AND length(allele1) = 1 THEN
+           CASE WHEN (allele0, allele1) IN (('A','T'),('T','A'),('G','C'),('C','G'))
+                THEN 'snp_c' ELSE 'snp_n' END
+         ELSE 'indel' END AS variantType,
+         chromosome || '_' || CAST(position AS VARCHAR) || '_' || allele0
+           || '_' || allele1 AS summaryStatsId
+  FROM raw
+  WHERE info >= 0.8
+    AND LEAST(a1freq, 1 - a1freq) >= 0.0001
+)
+SELECT t.studyId, v.variantId, t.chromosome, t.position, t.variantType, v.direction,
+       ROUND(CASE WHEN v.direction = 'flip' THEN -t.beta ELSE t.beta END, 6) AS beta,
+       ROUND(CASE WHEN v.direction = 'flip' THEN 1 - t.a1freq ELSE t.a1freq END, 6) AS eaf
+FROM typed t
+JOIN va v ON t.chromosome = v.vaChromosome AND t.summaryStatsId = v.summaryStatsId
+WHERE NOT (t.variantType = 'snp_c' AND v.direction = 'flip')
+"""
+
+
 SCALE_QUERIES = {
     "pz_regression": q_pz_regression,
     "harmonic_sum": q_harmonic_sum,
@@ -690,6 +838,7 @@ SCALE_QUERIES = {
     "event_rollup": q_event_rollup,
     "qc_flag_rows": q_qc_flag_rows,
     "explained_by_finemap": q_explained_by_finemap,
+    "harmonise_sumstats": q_harmonise_sumstats,
 }
 
 SCALE_ORACLES = {
@@ -707,4 +856,5 @@ SCALE_ORACLES = {
     "event_rollup": SQL_EVENT_ROLLUP,
     "qc_flag_rows": SQL_QC_FLAG_ROWS,
     "explained_by_finemap": SQL_EXPLAINED_BY_FINEMAP,
+    "harmonise_sumstats": SQL_HARMONISE_SUMSTATS,
 }

@@ -165,6 +165,56 @@ def test_asof_join_inclusive_and_tiebreak(spark):
     assert out["other"] is None  # right row strictly after
 
 
+def test_harmonise_sumstats_flip_and_drop(spark):
+    from genetics_spark_coloc_spark.operators.harmonise import (
+        annotation_both_orientations,
+        harmonise_sumstats,
+    )
+
+    canonical = spark.createDataFrame(
+        [
+            Row(chromosome="1", position=100, refAllele="A", altAllele="G"),
+            Row(chromosome="1", position=200, refAllele="A", altAllele="T"),
+            Row(chromosome="X", position=300, refAllele="C", altAllele="A"),
+        ]
+    ).withColumn(
+        "variantId",
+        F.concat_ws("_", "chromosome", "position", "refAllele", "altAllele"),
+    )
+    raw = spark.createDataFrame(
+        [
+            # direct match
+            Row(studyId="s", chromosome="1", position=100, allele0="A", allele1="G",
+                beta=1.0, info=0.9, a1freq=0.3),
+            # flipped orientation -> beta negated, eaf reflected
+            Row(studyId="s", chromosome="1", position=100, allele0="G", allele1="A",
+                beta=1.0, info=0.9, a1freq=0.3),
+            # palindromic flip -> dropped
+            Row(studyId="s", chromosome="1", position=200, allele0="T", allele1="A",
+                beta=1.0, info=0.9, a1freq=0.3),
+            # palindromic direct -> kept
+            Row(studyId="s", chromosome="1", position=200, allele0="A", allele1="T",
+                beta=2.0, info=0.9, a1freq=0.4),
+            # low INFO -> dropped
+            Row(studyId="s", chromosome="1", position=100, allele0="A", allele1="G",
+                beta=1.0, info=0.5, a1freq=0.3),
+            # chromosome 23 -> X
+            Row(studyId="s", chromosome="23", position=300, allele0="C", allele1="A",
+                beta=3.0, info=0.9, a1freq=0.2),
+        ]
+    )
+    out = harmonise_sumstats(raw, annotation_both_orientations(canonical)).collect()
+    rows = {(r.variantId, r.direction): r for r in out}
+    assert len(out) == 4
+    assert rows[("1_100_A_G", "direct")].beta == 1.0
+    flip = rows[("1_100_A_G", "flip")]
+    assert flip.beta == -1.0
+    assert abs(flip.effectAlleleFrequencyFromSource - 0.7) < 1e-9
+    assert rows[("1_200_A_T", "direct")].variantType == "snp_c"
+    assert ("1_200_A_T", "flip") not in rows
+    assert rows[("X_300_C_A", "direct")].chromosome == "X"
+
+
 def test_multimodal_feature_determinism(spark):
     from genetics_spark_coloc_spark.operators.multimodal import extract_features
 
