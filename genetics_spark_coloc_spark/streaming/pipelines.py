@@ -70,3 +70,65 @@ def streaming_windowed_stats(
             "stdValue",
         )
     )
+
+
+def streaming_running_user_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    state_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running (count, sum, max) that survives across
+    micro-batches — the pattern for accumulators the built-in
+    windowed aggregations can't express (e.g. lifetime per-entity
+    counters).
+
+    State is one (count, sum, max) triple per user — O(users), not
+    O(events). Pass ``state_timeout_ms`` on a continuous deployment to
+    evict idle users via ``ProcessingTimeTimeout``; leave it None for
+    finite replays (``trigger(availableNow=True)`` will NOT terminate
+    while processing-time timeouts are pending — a timer keeps the
+    query alive to fire them).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = (
+        f"{user_col} long, nEvents long, valueSum double, valueMax double"
+    )
+    state_schema = "count long, total double, mx double"
+
+    def update(key, pdfs, state: GroupState):
+        count, total, mx = (
+            state.get if state.exists else (0, 0.0, float("-inf"))
+        )
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf[value_col].sum())
+            if len(pdf):
+                mx = max(mx, float(pdf[value_col].max()))
+        state.update((count, total, mx))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                user_col: [key[0]],
+                "nEvents": [count],
+                "valueSum": [round(total, 6)],
+                "valueMax": [mx],
+            }
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -107,6 +107,37 @@ def test_sessionize_stream_matches_batch_totals(spark, tmp_path):
     assert sum(r.nEvents for r in got) == 5
 
 
+def test_streaming_stateful_user_stats(spark, tmp_path):
+    from genetics_spark_coloc_spark.streaming.pipelines import (
+        streaming_running_user_stats,
+    )
+
+    src = str(tmp_path / "ev_state")
+    rows = [
+        Row(user_id=1, ts=1.0, value=10.0),
+        Row(user_id=1, ts=2.0, value=30.0),
+        Row(user_id=2, ts=3.0, value=5.0),
+    ]
+    batch = spark.createDataFrame(rows).withColumn(
+        "ts", F.timestamp_seconds(F.col("ts"))
+    )
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = streaming_running_user_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("user_stats_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.user_id: (r.nEvents, r.valueSum, r.valueMax)
+           for r in spark.sql("select * from user_stats_out").collect()}
+    assert got[1] == (2, 40.0, 30.0)
+    assert got[2] == (1, 5.0, 5.0)
+
+
 def _vec(*xs):
     return [float(x) for x in xs]
 
