@@ -89,3 +89,106 @@ def flag_ld_outliers(
         .withColumn("ldConsistencyP", chi2_sf_1df(F.col("ldConsistencyT")))
         .withColumn("isLdOutlier", F.col("ldConsistencyT") > chi2_threshold)
     )
+
+
+def raiss_impute_grouped(
+    observed: DataFrame,
+    pairwise_ld: DataFrame,
+    ridge_lambda: float = 0.1,
+    locus_col: str = "studyLocusId",
+) -> DataFrame:
+    """EXACT RAISS imputation, distributed per locus via cogrouped
+    applyInPandas (reference: method/sumstat_imputation.py:15-172 —
+    there a per-locus numpy loop on the driver; here Spark cogroups
+    the observed z-vector with the locus LD slice and ships both to
+    an executor-side kernel).
+
+    ẑ_U = Σ_UO (Σ_OO + λI)⁻¹ z_O
+    info_u = diag(Σ_UO (Σ_OO + λI)⁻¹ Σ_OU), clipped to [0, 1]
+
+    observed: (locus_col, variantId, z)
+    pairwise_ld: (locus_col, variantIdI, variantIdJ, r) — I is a
+    target or observed variant, J observed; O–O rows define Σ_OO
+    (missing pairs default to 0 off-diagonal, 1 diagonal).
+
+    The cogroup shuffles each locus ONCE per side; loci are
+    independent so 1000 executors fine-map 1000 loci concurrently —
+    the scalable replacement for the reference's manifest scatter.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{locus_col} string, variantId string, zImputed double, "
+        "imputationInfo double, nObserved int"
+    )
+
+    def kernel(obs_pdf: pd.DataFrame, ld_pdf: pd.DataFrame) -> pd.DataFrame:
+        if obs_pdf.empty or ld_pdf.empty:
+            return pd.DataFrame(
+                {
+                    locus_col: pd.Series(dtype="object"),
+                    "variantId": pd.Series(dtype="object"),
+                    "zImputed": pd.Series(dtype="float64"),
+                    "imputationInfo": pd.Series(dtype="float64"),
+                    "nObserved": pd.Series(dtype="int32"),
+                }
+            )
+        locus = obs_pdf[locus_col].iloc[0]
+        obs_ids = sorted(obs_pdf["variantId"].unique())
+        o_index = {v: i for i, v in enumerate(obs_ids)}
+        z_o = (
+            obs_pdf.drop_duplicates("variantId")
+            .set_index("variantId")["z"]
+            .reindex(obs_ids)
+            .to_numpy(dtype=float)
+        )
+        n = len(obs_ids)
+        sigma_oo = np.eye(n)
+        targets = {}
+        for row in ld_pdf.itertuples(index=False):
+            i, j, r = row.variantIdI, row.variantIdJ, float(row.r)
+            if j not in o_index:
+                continue
+            if i in o_index:
+                sigma_oo[o_index[i], o_index[j]] = r
+                sigma_oo[o_index[j], o_index[i]] = r
+            else:
+                targets.setdefault(i, {})[j] = r
+        if not targets:
+            return pd.DataFrame(
+                {
+                    locus_col: pd.Series(dtype="object"),
+                    "variantId": pd.Series(dtype="object"),
+                    "zImputed": pd.Series(dtype="float64"),
+                    "imputationInfo": pd.Series(dtype="float64"),
+                    "nObserved": pd.Series(dtype="int32"),
+                }
+            )
+        np.fill_diagonal(sigma_oo, 1.0)
+        reg = sigma_oo + ridge_lambda * np.eye(n)
+        inv_z = np.linalg.solve(reg, z_o)
+        t_ids = sorted(targets)
+        sigma_uo = np.zeros((len(t_ids), n))
+        for ti, t in enumerate(t_ids):
+            for j, r in targets[t].items():
+                sigma_uo[ti, o_index[j]] = r
+        z_u = sigma_uo @ inv_z
+        info = np.clip(
+            np.einsum("ij,ij->i", sigma_uo @ np.linalg.inv(reg), sigma_uo), 0.0, 1.0
+        )
+        return pd.DataFrame(
+            {
+                locus_col: locus,
+                "variantId": t_ids,
+                "zImputed": z_u,
+                "imputationInfo": info,
+                "nObserved": np.int32(n),
+            }
+        )
+
+    return (
+        observed.groupBy(locus_col)
+        .cogroup(pairwise_ld.groupBy(locus_col))
+        .applyInPandas(kernel, schema=out_schema)
+    )

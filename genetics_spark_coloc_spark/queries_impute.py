@@ -122,5 +122,60 @@ SELECT studyLocusId, tagVariantId,
 FROM erfc
 """
 
-IMPUTE_QUERIES = {"impute_zscores": q_impute_zscores, "ld_outliers": q_ld_outliers}
+def q_impute_raiss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT RAISS imputation via cogrouped applyInPandas (matrix
+    inverse per locus — not SQL-expressible; rows-only check).
+    Same derived inputs as ``impute_zscores``, grouped by study."""
+    from genetics_spark_coloc_spark.operators.imputation import raiss_impute_grouped
+
+    ev = load_table(spark, sf_dir, "events")
+    observed = (
+        ev.select(
+            F.concat(F.lit("S"), (F.col("user_id") % 3).cast("string")).alias(
+                "studyLocusId"
+            ),
+            F.concat(F.lit("w"), (F.col("event_id") % 30).cast("string")).alias(
+                "variantId"
+            ),
+            ((F.col("value") - 50.0) / 25.0).alias("z"),
+        )
+        .groupBy("studyLocusId", "variantId")
+        .agg(F.max("z").alias("z"))
+    )
+    studies = spark.range(3).select(
+        F.concat(F.lit("S"), F.col("id").cast("string")).alias("studyLocusId")
+    )
+    targets = spark.range(20).select(
+        F.concat(F.lit("w"), (F.col("id") + 30).cast("string")).alias("variantIdI"),
+        F.col("id").alias("t"),
+    )
+    pairwise = (
+        targets.select(
+            "variantIdI", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"), "t"
+        )
+        .select(
+            "variantIdI",
+            F.concat(F.lit("w"), ((F.col("t") * 3 + F.col("k")) % 30).cast("string")).alias(
+                "variantIdJ"
+            ),
+            (0.5 + ((F.col("t") + F.col("k")) % 5) / 10.0).alias("r"),
+        )
+        .crossJoin(F.broadcast(studies))
+    )
+    out = raiss_impute_grouped(observed, pairwise, ridge_lambda=0.1)
+    return out.select(
+        "studyLocusId",
+        "variantId",
+        F.round("zImputed", 6).alias("zImputed"),
+        F.round("imputationInfo", 6).alias("imputationInfo"),
+        "nObserved",
+    )
+
+
+IMPUTE_QUERIES = {
+    "impute_zscores": q_impute_zscores,
+    "ld_outliers": q_ld_outliers,
+    "impute_raiss": q_impute_raiss,
+}
+# impute_raiss: intentionally no oracle (per-locus matrix inverse)
 IMPUTE_ORACLES = {"impute_zscores": SQL_IMPUTE_ZSCORES, "ld_outliers": SQL_LD_OUTLIERS}
