@@ -38,9 +38,13 @@ def hash_long_variant_ids(variant_id: Column, threshold: int = 300) -> Column:
 def annotate_purity(study_locus: DataFrame, locus_col: str = "locus") -> DataFrame:
     """purityMeanR2 / purityMinR2 from the locus tags' r2Overall —
     the credible-set LD-purity metrics of the study_locus schema."""
-    r2s = F.filter(
-        F.coalesce(F.col(f"{locus_col}.r2Overall"), F.array()),
-        lambda x: x.isNotNull(),
+    # sort before folding: summation order is then deterministic, so
+    # the mean is bit-reproducible across engines and partitionings
+    r2s = F.sort_array(
+        F.filter(
+            F.coalesce(F.col(f"{locus_col}.r2Overall"), F.array()),
+            lambda x: x.isNotNull(),
+        )
     )
     n = F.size(r2s)
     mean_r2 = F.when(

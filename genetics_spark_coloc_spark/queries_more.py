@@ -107,7 +107,7 @@ WITH tag_rows AS (
   GROUP BY 1, 2
 )
 SELECT studyLocusId,
-       ROUND(SUM(r2Overall) / COUNT(*), 6) AS purityMeanR2,
+       ROUND(list_sum(list_sort(list(r2Overall))) / COUNT(*), 6) AS purityMeanR2,
        ROUND(MIN(r2Overall), 6) AS purityMinR2
 FROM tag_rows
 GROUP BY studyLocusId
