@@ -85,13 +85,31 @@ def ecaviar(overlaps: DataFrame) -> DataFrame:
         .withColumn("tagVariantSource", tag_variant_source(F.col("statistics")))
         .groupBy(*PAIR_KEYS)
         .agg(
-            F.size(
-                F.filter(F.collect_list("tagVariantSource"), lambda x: x == "both")
-            )
-            .cast("long")
-            .alias("numberColocalisingVariants"),
-            F.sum("clpp").alias("clpp"),
+            # tag-sorted struct: deterministic summation order so the
+            # CLPP is bit-reproducible across partitionings
+            F.sort_array(
+                F.collect_list(
+                    F.struct("tagVariantId", "tagVariantSource", "clpp")
+                )
+            ).alias("tags")
         )
+        .withColumn(
+            "numberColocalisingVariants",
+            F.size(
+                F.filter(F.col("tags.tagVariantSource"), lambda x: x == "both")
+            ).cast("long"),
+        )
+        .withColumn("_clpps", F.filter(F.col("tags.clpp"), lambda x: x.isNotNull()))
+        .withColumn(
+            # SUM-with-null-skip semantics: fold non-null values in tag
+            # order; all-null group -> NULL (matches F.sum / SQL SUM)
+            "clpp",
+            F.when(
+                F.size("_clpps") > 0,
+                F.aggregate(F.col("_clpps"), F.lit(0.0), lambda acc, x: acc + x),
+            ),
+        )
+        .drop("tags", "_clpps")
         .withColumn("colocalisationMethod", F.lit("eCAVIAR"))
         .join(
             calculate_beta_ratio(overlaps),
@@ -121,10 +139,15 @@ def coloc(
 
     posteriors = softmax([lH0..lH4]).
     """
+    # collect ONE tag-sorted struct array: (a) every derived array is
+    # pairwise-aligned by construction, (b) summation order is
+    # deterministic (sorted by tagVariantId), so posteriors are
+    # bit-reproducible across partitionings and re-runs
     grouped = (
         overlaps.withColumn("tagVariantSource", tag_variant_source(F.col("statistics")))
         .select(
             *PAIR_KEYS,
+            "tagVariantId",
             "tagVariantSource",
             F.coalesce(F.col("statistics.left_logBF"), F.lit(0.0)).alias("left_logBF"),
             F.coalesce(F.col("statistics.right_logBF"), F.lit(0.0)).alias("right_logBF"),
@@ -138,21 +161,33 @@ def coloc(
         .withColumn("sum_log_bf", F.col("left_logBF") + F.col("right_logBF"))
         .groupBy(*PAIR_KEYS)
         .agg(
-            F.size(
-                F.filter(F.collect_list("tagVariantSource"), lambda x: x == "both")
-            )
-            .cast("long")
-            .alias("numberColocalisingVariants"),
-            F.collect_list("left_logBF").alias("left_bfs"),
-            F.collect_list("right_logBF").alias("right_bfs"),
-            F.collect_list("sum_log_bf").alias("sum_bfs"),
-            F.collect_list("left_pp").alias("left_pps"),
-            F.collect_list("right_pp").alias("right_pps"),
-            F.collect_list("tagVariantSource").alias("sources"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "tagVariantId",
+                        "tagVariantSource",
+                        "left_logBF",
+                        "right_logBF",
+                        "sum_log_bf",
+                        "left_pp",
+                        "right_pp",
+                    )
+                )
+            ).alias("tags")
         )
-        .withColumn("logsum1", logsumexp(F.col("left_bfs")))
-        .withColumn("logsum2", logsumexp(F.col("right_bfs")))
-        .withColumn("logsum12", logsumexp(F.col("sum_bfs")))
+        .withColumn(
+            "numberColocalisingVariants",
+            F.size(
+                F.filter(F.col("tags.tagVariantSource"), lambda x: x == "both")
+            ).cast("long"),
+        )
+        .withColumn("left_pps", F.col("tags.left_pp"))
+        .withColumn("right_pps", F.col("tags.right_pp"))
+        .withColumn("sources", F.col("tags.tagVariantSource"))
+        .withColumn("logsum1", logsumexp(F.col("tags.left_logBF")))
+        .withColumn("logsum2", logsumexp(F.col("tags.right_logBF")))
+        .withColumn("logsum12", logsumexp(F.col("tags.sum_log_bf")))
+        .drop("tags")
     )
 
     # "any tag has high posterior on both sides" rescue for small overlaps
