@@ -212,8 +212,12 @@ def q_pics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("r2").alias("r2"))
     )
     assoc = tag_rows.groupBy("d").agg(
-        F.collect_list(
-            F.struct(F.col("tagVariantId"), F.col("r2").alias("r2Overall"))
+        # sorted: the PICS normalisation fold then sums posteriors in
+        # deterministic tag order (bit-reproducible vs the oracle)
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("tagVariantId"), F.col("r2").alias("r2Overall"))
+            )
         ).alias("ldSet")
     ).select(
         F.concat(F.lit("P"), F.col("d").cast("string")).alias("studyLocusId"),
