@@ -85,6 +85,37 @@ def q_finemap_susie(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_finemap_carma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CARMA-style truncated model-space search per locus via
+    applyInPandas (combinatorial enumeration — not SQL-expressible;
+    rows-only check). Loci are sized (~100 variants) so pairwise
+    enumeration is exact."""
+    from genetics_spark_coloc_spark.operators.finemapping import carma_kernel
+
+    ev = load_table(spark, sf_dir, "events")
+    ss = (
+        ev.select(
+            F.concat(F.lit("C"), (F.col("event_id") % 100).cast("string")).alias(
+                "studyLocusId"
+            ),
+            F.concat(F.lit("v"), (F.col("user_id") % 100).cast("string")).alias(
+                "variantId"
+            ),
+            ((F.col("value") - 50.0) / 10.0).alias("beta"),
+            (0.02 + (F.col("event_id") % 10) / 100.0).alias("standardError"),
+        )
+        .groupBy("studyLocusId", "variantId")
+        .agg(F.max("beta").alias("beta"), F.max("standardError").alias("standardError"))
+    )
+    out = finemapping.finemap_grouped(ss, kernel=carma_kernel)
+    return out.select(
+        "studyLocusId",
+        "variantId",
+        F.round("posteriorProbability", 6).alias("posteriorProbability"),
+        "credibleSetIndex",
+    )
+
+
 # ------------------------------------------------------------------ simhash
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (near-dup fingerprint)."""
@@ -268,6 +299,7 @@ FROM z
 EXTRA_QUERIES = {
     "finemap_abf": q_finemap_abf,
     "finemap_susie": q_finemap_susie,
+    "finemap_carma": q_finemap_carma,
     "simhash": q_simhash,
     "l2g_distance_features": q_l2g_distance,
     "frame_plan": q_frame_plan,

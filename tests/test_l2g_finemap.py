@@ -208,3 +208,54 @@ def test_streaming_quality_pipeline(spark, tmp_path):
     assert len(texts) == len(set(texts))
     assert len(rows) >= 1
     assert all(r["nTokens"] == 4 for r in rows)
+
+
+def test_carma_kernel_two_variant_locus(spark):
+    """PIPs from the truncated CARMA enumeration on a 2-variant locus
+    match the closed-form model-space posterior."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from genetics_spark_coloc_spark.operators.finemapping import (
+        ABF_W,
+        carma_kernel,
+        finemap_grouped,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "studyLocusId": ["L", "L"],
+            "variantId": ["a", "b"],
+            "beta": [0.5, 0.1],
+            "standardError": [0.1, 0.1],
+        }
+    )
+    out = carma_kernel(rows, prior_inclusion=0.1)
+    # closed form: models {}, {a}, {b}, {a,b}
+    z = rows["beta"] / rows["standardError"]
+    r = ABF_W / (ABF_W + rows["standardError"] ** 2)
+    labf = (0.5 * np.log(1 - r) + z * z * r / 2).to_numpy()
+    p, q = math.log(0.1), math.log(0.9)
+    scores = np.array(
+        [2 * q, p + q + labf[0], p + q + labf[1], 2 * p + labf[0] + labf[1]]
+    )
+    w = np.exp(scores - scores.max())
+    w /= w.sum()
+    exp_pip_a = w[1] + w[3]
+    exp_pip_b = w[2] + w[3]
+    got = dict(zip(out["variantId"], out["posteriorProbability"]))
+    assert abs(got["a"] - exp_pip_a) < 1e-12
+    assert abs(got["b"] - exp_pip_b) < 1e-12
+
+    # and through the distributed harness (kernel default prior)
+    default_local = dict(
+        zip(carma_kernel(rows)["variantId"], carma_kernel(rows)["posteriorProbability"])
+    )
+    sdf = spark.createDataFrame(rows)
+    dist = {
+        r.variantId: r.posteriorProbability
+        for r in finemap_grouped(sdf, kernel=carma_kernel).collect()
+    }
+    assert abs(dist["a"] - default_local["a"]) < 1e-12
