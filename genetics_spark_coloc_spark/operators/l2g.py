@@ -31,60 +31,153 @@ from pyspark.sql.window import Window
 from genetics_spark_coloc_spark.functions.reshape import pivot_first
 
 
-def distance_tss_features(
-    study_locus: DataFrame, variant_index: DataFrame, max_distance: int = 500_000
-) -> DataFrame:
-    """Posterior-weighted mean TSS distance per (studyLocusId, geneId),
-    scaled to (0,1] as 1 - d/max (larger = closer).
+_DISTANCE_FEATURE_NAMES = {
+    "distanceFromTss": ("distanceTssMean", "distanceSentinelTss"),
+    "distanceFromFootprint": ("distanceFootprintMean", "distanceSentinelFootprint"),
+}
 
-    Long format output: studyLocusId, geneId, featureName,
-    featureValue.
+
+def _gene_distances(
+    variant_index: DataFrame, distance_type: str, genomic_window: int
+) -> DataFrame:
+    """variantId→(geneId, distance) pairs within the genomic window
+    (reference: dataset/variant_index.py:253-283 get_distance_to_gene)."""
+    return (
+        variant_index.select(
+            "variantId", F.explode("transcriptConsequences").alias("csq")
+        )
+        .select(
+            "variantId",
+            F.col("csq.targetId").alias("geneId"),
+            F.col(f"csq.{distance_type}").alias("d"),
+        )
+        .filter(F.col("d") <= genomic_window)
+    )
+
+
+def distance_features(
+    study_locus: DataFrame,
+    variant_index: DataFrame,
+    distance_type: str = "distanceFromTss",
+    genomic_window: int = 500_000,
+) -> DataFrame:
+    """Distance features per (studyLocusId, geneId), reference
+    semantics (dataset/l2g_features/distance.py:21-81):
+
+    - ``<family>Mean``: log10(Σ_tags (window − d + 1)·pp) / log10(window+1)
+      over all credible-set variants;
+    - ``distanceSentinel<family>``: log10(window − d + 1) / log10(window+1)
+      for the sentinel (lead) variant only — ``study_locus.variantId``.
+
+    Long format output: studyLocusId, geneId, featureName, featureValue.
     """
+    mean_name, sentinel_name = _DISTANCE_FEATURE_NAMES[distance_type]
+    distances = _gene_distances(variant_index, distance_type, genomic_window)
+    log_denom = F.log10(F.lit(float(genomic_window + 1)))
+
     tags = study_locus.select(
-        "studyLocusId",
-        F.explode("locus").alias("tag"),
+        "studyLocusId", F.explode("locus").alias("tag")
     ).select(
         "studyLocusId",
         F.col("tag.variantId").alias("variantId"),
         F.coalesce(F.col("tag.posteriorProbability"), F.lit(1.0)).alias("pp"),
     )
-    distances = variant_index.select(
-        "variantId",
-        F.explode("transcriptConsequences").alias("csq"),
+    mean_f = (
+        tags.join(distances, on="variantId", how="inner")
+        .withColumn(
+            "score", (F.lit(genomic_window) - F.col("d") + F.lit(1)) * F.col("pp")
+        )
+        .groupBy("studyLocusId", "geneId")
+        .agg(F.sum("score").alias("scoreSum"))
+        .select(
+            "studyLocusId",
+            "geneId",
+            F.lit(mean_name).alias("featureName"),
+            (F.log10("scoreSum") / log_denom).alias("featureValue"),
+        )
+    )
+    sentinel_f = (
+        study_locus.select("studyLocusId", "variantId")
+        .join(distances, on="variantId", how="inner")
+        .withColumn("score", F.lit(genomic_window) - F.col("d") + F.lit(1))
+        .groupBy("studyLocusId", "geneId")
+        .agg(F.first("score").alias("scoreFirst"))
+        .select(
+            "studyLocusId",
+            "geneId",
+            F.lit(sentinel_name).alias("featureName"),
+            (F.log10("scoreFirst") / log_denom).alias("featureValue"),
+        )
+    )
+    return mean_f.unionByName(sentinel_f)
+
+
+def distance_tss_features(
+    study_locus: DataFrame, variant_index: DataFrame, max_distance: int = 500_000
+) -> DataFrame:
+    """TSS distance features (wrapper over :func:`distance_features`).
+
+    If ``study_locus`` lacks a sentinel ``variantId`` column, the
+    max-posterior tag (ties → lexicographic variantId) stands in.
+    """
+    if "variantId" not in study_locus.columns:
+        w = Window.partitionBy("studyLocusId").orderBy(
+            F.col("tag.posteriorProbability").desc(), F.col("tag.variantId").asc()
+        )
+        lead = (
+            study_locus.select("studyLocusId", F.explode("locus").alias("tag"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("studyLocusId", F.col("tag.variantId").alias("variantId"))
+        )
+        study_locus = study_locus.join(lead, on="studyLocusId", how="left")
+    return distance_features(
+        study_locus, variant_index, "distanceFromTss", max_distance
+    )
+
+
+def vep_features(study_locus: DataFrame, variant_index: DataFrame) -> DataFrame:
+    """VEP severity features per (studyLocusId, geneId), reference
+    semantics (dataset/l2g_features/vep.py:21-75):
+
+    - ``vepMaximum``: max consequence severity over credible-set variants;
+    - ``vepMean``: mean of severity·posteriorProbability.
+
+    Long format output: studyLocusId, geneId, featureName, featureValue.
+    """
+    consequences = variant_index.select(
+        "variantId", F.explode("transcriptConsequences").alias("csq")
     ).select(
         "variantId",
         F.col("csq.targetId").alias("geneId"),
-        F.col("csq.distanceFromTss").alias("distanceFromTss"),
+        F.col("csq.consequenceScore").alias("severityScore"),
     )
-    weighted = (
-        tags.join(distances, on="variantId", how="inner")
-        .withColumn(
-            "scaled",
-            (1 - F.least(F.col("distanceFromTss"), F.lit(max_distance)) / max_distance)
-            * F.col("pp"),
+    joined = (
+        study_locus.select("studyLocusId", F.explode_outer("locus").alias("tag"))
+        .select(
+            "studyLocusId",
+            F.col("tag.variantId").alias("variantId"),
+            F.col("tag.posteriorProbability").alias("pp"),
         )
-        .groupBy("studyLocusId", "geneId")
-        .agg(
-            F.sum("scaled").alias("sumScaled"),
-            F.sum("pp").alias("sumPP"),
-            F.max(
-                1 - F.least(F.col("distanceFromTss"), F.lit(max_distance)) / max_distance
-            ).alias("maxScaled"),
-        )
+        .join(consequences, on="variantId", how="inner")
     )
-    mean_f = weighted.select(
+    agg = joined.groupBy("studyLocusId", "geneId").agg(
+        F.max("severityScore").alias("maxScore"),
+        F.mean(F.col("severityScore") * F.col("pp")).alias("meanScore"),
+    )
+    return agg.select(
         "studyLocusId",
         "geneId",
-        F.lit("distanceTssMean").alias("featureName"),
-        (F.col("sumScaled") / F.col("sumPP")).alias("featureValue"),
+        F.lit("vepMaximum").alias("featureName"),
+        F.col("maxScore").alias("featureValue"),
+    ).unionByName(
+        agg.select(
+            "studyLocusId",
+            "geneId",
+            F.lit("vepMean").alias("featureName"),
+            F.col("meanScore").alias("featureValue"),
+        )
     )
-    max_f = weighted.select(
-        "studyLocusId",
-        "geneId",
-        F.lit("distanceSentinelTss").alias("featureName"),
-        F.col("maxScaled").alias("featureValue"),
-    )
-    return mean_f.unionByName(max_f)
 
 
 def coloc_features(
@@ -125,10 +218,22 @@ def coloc_features(
     return clpp.unionByName(h4)
 
 
-def neighbourhood_normalise(features_long: DataFrame) -> DataFrame:
+def neighbourhood_normalise(
+    features_long: DataFrame, protein_coding_genes: DataFrame | None = None
+) -> DataFrame:
     """Per (studyLocusId, featureName): value / max(value) across genes
-    (reference: l2g_features/distance.py:120-123). Appends
-    '<name>Neighbourhood' rows."""
+    (reference: l2g_features/distance.py:120-123, vep.py:77-124).
+    Appends '<name>Neighbourhood' rows.
+
+    When ``protein_coding_genes`` (single column ``geneId``) is given,
+    rows are restricted to those genes before the regional max — the
+    reference excludes non-protein-coding genes from neighbourhood
+    features (vep.py:104-108, issue #3552 note).
+    """
+    if protein_coding_genes is not None:
+        features_long = features_long.join(
+            F.broadcast(protein_coding_genes.select("geneId")), on="geneId", how="inner"
+        )
     w = Window.partitionBy("studyLocusId", "featureName")
     return features_long.withColumn(
         "_max", F.max("featureValue").over(w)

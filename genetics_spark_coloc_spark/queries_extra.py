@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from genetics_spark_coloc_spark.functions.pvalue import zscore_from_pvalue
 from genetics_spark_coloc_spark.operators import finemapping, l2g
@@ -153,34 +154,64 @@ GROUP BY docId
 
 
 # -------------------------------------------------------------- l2g features
-def q_l2g_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2G distance features in long format (posterior-weighted TSS
-    proximity per locus×gene)."""
+def _synthetic_locus_and_variant_index(spark: SparkSession, sf_dir: str):
+    """Shared study-locus (with max-pp sentinel) + variant-index
+    derivation for the L2G feature queries. Each tag variant maps to
+    3 genes with deterministic TSS/footprint distances and a severity
+    score."""
     tag_rows = _tags(spark, sf_dir)
-    study_locus = tag_rows.groupBy("studyLocusId").agg(
-        F.collect_list(
-            F.struct(
-                F.col("tagVariantId").alias("variantId"),
-                F.col("posteriorProbability"),
-            )
-        ).alias("locus")
+    w = Window.partitionBy("studyLocusId").orderBy(
+        F.col("posteriorProbability").desc(), F.col("tagVariantId").asc()
     )
-    distinct_tags = tag_rows.select(
-        F.col("tagVariantId").alias("variantId")
-    ).distinct().withColumn("m", F.substring("variantId", 2, 10).cast("int"))
-    variant_index = distinct_tags.select(
-        "variantId",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(2)),
-            lambda g: F.struct(
-                F.concat(F.lit("G"), ((F.col("m") + g) % 15).cast("string")).alias("targetId"),
-                (((F.col("m") * 7 + g * 13) % 50) * 10000).cast("long").alias(
-                    "distanceFromTss"
+    study_locus = (
+        tag_rows.withColumn("_rn", F.row_number().over(w))
+        .groupBy("studyLocusId")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("tagVariantId").alias("variantId"),
+                    F.col("posteriorProbability"),
+                )
+            ).alias("locus"),
+            F.min(F.when(F.col("_rn") == 1, F.col("tagVariantId"))).alias("variantId"),
+        )
+    )
+    variant_index = (
+        tag_rows.select(F.col("tagVariantId").alias("variantId"))
+        .distinct()
+        .withColumn("m", F.substring("variantId", 2, 10).cast("int"))
+        .select(
+            "variantId",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2)),
+                lambda g: F.struct(
+                    F.concat(F.lit("G"), ((F.col("m") + g) % 15).cast("string")).alias(
+                        "targetId"
+                    ),
+                    (((F.col("m") * 7 + g * 13) % 50) * 10000)
+                    .cast("long")
+                    .alias("distanceFromTss"),
+                    (((F.col("m") * 11 + g * 17) % 50) * 10000)
+                    .cast("long")
+                    .alias("distanceFromFootprint"),
+                    (((F.col("m") * 3 + g * 7) % 10) / 10.0).alias("consequenceScore"),
                 ),
-            ),
-        ).alias("transcriptConsequences"),
+            ).alias("transcriptConsequences"),
+        )
     )
-    out = l2g.distance_tss_features(study_locus, variant_index)
+    return study_locus, variant_index
+
+
+def q_l2g_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four L2G distance features in long format — posterior-
+    weighted mean + sentinel, TSS and footprint families (reference
+    log10 scoring, dataset/l2g_features/distance.py:21-81)."""
+    study_locus, variant_index = _synthetic_locus_and_variant_index(spark, sf_dir)
+    out = l2g.distance_features(
+        study_locus, variant_index, "distanceFromTss"
+    ).unionByName(
+        l2g.distance_features(study_locus, variant_index, "distanceFromFootprint")
+    )
     return out.select(
         "studyLocusId",
         "geneId",
@@ -189,31 +220,104 @@ def q_l2g_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_L2G_DISTANCE = f"""
-WITH {TAGS_SQL.strip()},
+_CSQ_SQL = """
 csq AS (
   SELECT t.tagVariantId AS variantId,
          'G' || CAST((CAST(substr(t.tagVariantId, 2) AS INT) + CAST(g AS INT)) % 15 AS VARCHAR) AS geneId,
-         CAST(((CAST(substr(t.tagVariantId, 2) AS INT) * 7 + CAST(g AS INT) * 13) % 50) * 10000 AS BIGINT) AS d
+         CAST(((CAST(substr(t.tagVariantId, 2) AS INT) * 7 + CAST(g AS INT) * 13) % 50) * 10000 AS BIGINT) AS dTss,
+         CAST(((CAST(substr(t.tagVariantId, 2) AS INT) * 11 + CAST(g AS INT) * 17) % 50) * 10000 AS BIGINT) AS dFoot,
+         ((CAST(substr(t.tagVariantId, 2) AS INT) * 3 + CAST(g AS INT) * 7) % 10) / 10.0 AS sev
   FROM (SELECT DISTINCT tagVariantId FROM tags) t
   CROSS JOIN range(0, 3) r(g)
 ),
-joined AS (
-  SELECT tg.studyLocusId, c.geneId, tg.posteriorProbability AS pp,
-         1 - LEAST(c.d, 500000) / 500000.0 AS scaled
+lead AS (
+  SELECT studyLocusId, tagVariantId AS variantId
+  FROM (
+    SELECT studyLocusId, tagVariantId,
+           ROW_NUMBER() OVER (PARTITION BY studyLocusId
+                              ORDER BY posteriorProbability DESC, tagVariantId ASC) AS rn
+    FROM tags
+  ) WHERE rn = 1
+)
+"""
+
+
+SQL_L2G_DISTANCE = f"""
+WITH {TAGS_SQL.strip()},
+{_CSQ_SQL.strip()},
+mean_agg AS (
+  SELECT tg.studyLocusId, c.geneId,
+         SUM((500000 - c.dTss + 1) * tg.posteriorProbability)  AS sTss,
+         SUM((500000 - c.dFoot + 1) * tg.posteriorProbability) AS sFoot
   FROM tags tg
   JOIN csq c ON c.variantId = tg.tagVariantId
-),
-agg AS (
-  SELECT studyLocusId, geneId,
-         SUM(scaled * pp) / SUM(pp) AS meanVal,
-         MAX(scaled) AS maxVal
-  FROM joined
   GROUP BY 1, 2
+),
+sent AS (
+  SELECT l.studyLocusId, c.geneId,
+         500000 - c.dTss + 1  AS sTss,
+         500000 - c.dFoot + 1 AS sFoot
+  FROM lead l JOIN csq c ON c.variantId = l.variantId
 )
-SELECT studyLocusId, geneId, 'distanceTssMean' AS featureName, ROUND(meanVal, 6) AS featureValue FROM agg
+SELECT studyLocusId, geneId, 'distanceTssMean' AS featureName,
+       ROUND(LOG10(sTss) / LOG10(500001), 6) AS featureValue FROM mean_agg
 UNION ALL
-SELECT studyLocusId, geneId, 'distanceSentinelTss', ROUND(maxVal, 6) FROM agg
+SELECT studyLocusId, geneId, 'distanceFootprintMean',
+       ROUND(LOG10(sFoot) / LOG10(500001), 6) FROM mean_agg
+UNION ALL
+SELECT studyLocusId, geneId, 'distanceSentinelTss',
+       ROUND(LOG10(sTss) / LOG10(500001), 6) FROM sent
+UNION ALL
+SELECT studyLocusId, geneId, 'distanceSentinelFootprint',
+       ROUND(LOG10(sFoot) / LOG10(500001), 6) FROM sent
+"""
+
+
+def q_vep_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VEP severity features (vepMaximum / vepMean) plus their
+    protein-coding-restricted Neighbourhood variants (reference
+    dataset/l2g_features/vep.py)."""
+    study_locus, variant_index = _synthetic_locus_and_variant_index(spark, sf_dir)
+    base = l2g.vep_features(study_locus, variant_index)
+    protein_coding = spark.range(0, 15).select(
+        F.concat(F.lit("G"), F.col("id").cast("string")).alias("geneId")
+    ).filter(F.col("id") % 2 == 0)
+    neigh = l2g.neighbourhood_normalise(base, protein_coding)
+    return base.unionByName(neigh).select(
+        "studyLocusId",
+        "geneId",
+        "featureName",
+        F.round("featureValue", 6).alias("featureValue"),
+    )
+
+
+SQL_VEP_FEATURES = f"""
+WITH {TAGS_SQL.strip()},
+{_CSQ_SQL.strip()},
+base AS (
+  SELECT tg.studyLocusId, c.geneId,
+         MAX(c.sev) AS maxScore,
+         AVG(c.sev * tg.posteriorProbability) AS meanScore
+  FROM tags tg
+  JOIN csq c ON c.variantId = tg.tagVariantId
+  GROUP BY 1, 2
+),
+long_base AS (
+  SELECT studyLocusId, geneId, 'vepMaximum' AS featureName, maxScore AS v FROM base
+  UNION ALL
+  SELECT studyLocusId, geneId, 'vepMean', meanScore FROM base
+),
+pc AS (
+  SELECT studyLocusId, geneId, featureName, v,
+         MAX(v) OVER (PARTITION BY studyLocusId, featureName) AS regionalMax
+  FROM long_base
+  WHERE CAST(substr(geneId, 2) AS INT) % 2 = 0
+)
+SELECT studyLocusId, geneId, featureName, ROUND(v, 6) AS featureValue FROM long_base
+UNION ALL
+SELECT studyLocusId, geneId, featureName || 'Neighbourhood',
+       ROUND(CASE WHEN regionalMax != 0 THEN v / regionalMax ELSE 0.0 END, 6)
+FROM pc
 """
 
 
@@ -302,6 +406,7 @@ EXTRA_QUERIES = {
     "finemap_carma": q_finemap_carma,
     "simhash": q_simhash,
     "l2g_distance_features": q_l2g_distance,
+    "vep_features": q_vep_features,
     "frame_plan": q_frame_plan,
     "zscore": q_zscore,
 }
@@ -311,6 +416,7 @@ EXTRA_ORACLES = {
     # finemap_susie: intentionally no oracle (iterative kernel)
     "simhash": SQL_SIMHASH,
     "l2g_distance_features": SQL_L2G_DISTANCE,
+    "vep_features": SQL_VEP_FEATURES,
     "frame_plan": SQL_FRAME_PLAN,
     "zscore": SQL_ZSCORE,
 }

@@ -53,11 +53,56 @@ def test_distance_tss_features(spark):
     )
     out = distance_tss_features(study_locus, variant_index)
     rows = {(r["geneId"], r["featureName"]): r["featureValue"] for r in out.collect()}
-    # G1 mean = (0.8*1.0 + 0.2*0.8) / 1.0 = 0.96
-    assert rows[("G1", "distanceTssMean")] == pytest.approx(0.96)
+    # reference semantics (l2g_features/distance.py):
+    #   mean = log10(sum((500000 - d + 1) * pp)) / log10(500001)
+    #   sentinel = log10(500000 - d_lead + 1) / log10(500001), lead = max-pp tag (v1)
+    denom = math.log10(500_001)
+    assert rows[("G1", "distanceTssMean")] == pytest.approx(
+        math.log10(500_001 * 0.8 + 400_001 * 0.2) / denom
+    )
     assert rows[("G1", "distanceSentinelTss")] == pytest.approx(1.0)
-    # G2 only from v1: scaled = 0.5
-    assert rows[("G2", "distanceTssMean")] == pytest.approx(0.5)
+    assert rows[("G2", "distanceTssMean")] == pytest.approx(
+        math.log10(250_001 * 0.8) / denom
+    )
+    assert rows[("G2", "distanceSentinelTss")] == pytest.approx(
+        math.log10(250_001) / denom
+    )
+
+
+def test_vep_features(spark):
+    from genetics_spark_coloc_spark.operators.l2g import vep_features
+
+    study_locus = spark.createDataFrame(
+        [
+            {
+                "studyLocusId": "L1",
+                "locus": [
+                    {"variantId": "v1", "posteriorProbability": 0.8},
+                    {"variantId": "v2", "posteriorProbability": 0.2},
+                ],
+            }
+        ],
+        "studyLocusId: string, locus: array<struct<variantId: string, posteriorProbability: double>>",
+    )
+    variant_index = spark.createDataFrame(
+        [
+            {"variantId": "v1", "transcriptConsequences": [
+                {"targetId": "G1", "consequenceScore": 0.9},
+                {"targetId": "G2", "consequenceScore": 0.3},
+            ]},
+            {"variantId": "v2", "transcriptConsequences": [
+                {"targetId": "G1", "consequenceScore": 0.5},
+            ]},
+        ],
+        "variantId: string, transcriptConsequences: array<struct<targetId: string, consequenceScore: double>>",
+    )
+    out = vep_features(study_locus, variant_index)
+    rows = {(r["geneId"], r["featureName"]): r["featureValue"] for r in out.collect()}
+    # reference vep.py: max severity / mean(severity * pp)
+    assert rows[("G1", "vepMaximum")] == pytest.approx(0.9)
+    assert rows[("G1", "vepMean")] == pytest.approx((0.9 * 0.8 + 0.5 * 0.2) / 2)
+    assert rows[("G2", "vepMaximum")] == pytest.approx(0.3)
+    assert rows[("G2", "vepMean")] == pytest.approx(0.3 * 0.8)
 
 
 def test_coloc_features_and_neighbourhood(spark):
