@@ -35,6 +35,60 @@ def hash_long_variant_ids(variant_id: Column, threshold: int = 300) -> Column:
     return F.when(F.length(variant_id) > threshold, hashed).otherwise(variant_id)
 
 
+# Confidence labels, highest → lowest (reference
+# CredibleSetConfidenceClasses, dataset/study_locus.py:43-60)
+CONFIDENCE_IN_SAMPLE = "SuSiE fine-mapped credible set with in-sample LD"
+CONFIDENCE_OUT_OF_SAMPLE = "SuSiE fine-mapped credible set with out-of-sample LD"
+CONFIDENCE_PICSED_SUMSTATS = (
+    "PICS fine-mapped credible set extracted from summary statistics"
+)
+CONFIDENCE_PICSED_TOP_HIT = "PICS fine-mapped credible set based on reported top hit"
+CONFIDENCE_UNKNOWN = "Unknown confidence"
+
+QC_OUT_OF_SAMPLE_LD = "Study locus finemapped without in-sample LD reference"
+QC_TOP_HIT = "Study locus from curated top hit"
+
+
+def assign_confidence(study_locus: DataFrame) -> DataFrame:
+    """Label each credible set by fine-mapping provenance
+    (reference assign_confidence, dataset/study_locus.py:1372-1443):
+    SuSiE ± in-sample LD, PICS from sumstats vs curated top hit,
+    otherwise unknown. Pure when/otherwise chain over
+    ``finemappingMethod`` × ``qualityControls``."""
+    if (
+        "qualityControls" not in study_locus.columns
+        or "finemappingMethod" not in study_locus.columns
+    ):
+        return study_locus
+    is_susie = F.col("finemappingMethod").isin("SuSie", "SuSiE-inf")
+    out_of_sample = F.array_contains(
+        F.col("qualityControls"), QC_OUT_OF_SAMPLE_LD
+    )
+    is_pics = F.col("finemappingMethod") == "PICS"
+    top_hit = F.array_contains(F.col("qualityControls"), QC_TOP_HIT)
+    return study_locus.withColumn(
+        "confidence",
+        F.when(is_susie & ~out_of_sample, CONFIDENCE_IN_SAMPLE)
+        .when(is_susie & out_of_sample, CONFIDENCE_OUT_OF_SAMPLE)
+        .when(is_pics & ~top_hit, CONFIDENCE_PICSED_SUMSTATS)
+        .when(is_pics & top_hit, CONFIDENCE_PICSED_TOP_HIT)
+        .otherwise(CONFIDENCE_UNKNOWN),
+    )
+
+
+def score_credible_set_confidence(confidence: Column) -> Column:
+    """Confidence label → numeric score in [0,1]
+    (reference CredibleSetConfidenceFeature.score_credible_set_confidence,
+    l2g_features/other.py:326-361)."""
+    return (
+        F.when(confidence == CONFIDENCE_IN_SAMPLE, F.lit(1.0))
+        .when(confidence == CONFIDENCE_OUT_OF_SAMPLE, F.lit(0.75))
+        .when(confidence == CONFIDENCE_PICSED_SUMSTATS, F.lit(0.5))
+        .when(confidence == CONFIDENCE_PICSED_TOP_HIT, F.lit(0.25))
+        .when(confidence == CONFIDENCE_UNKNOWN, F.lit(0.0))
+    )
+
+
 def annotate_purity(study_locus: DataFrame, locus_col: str = "locus") -> DataFrame:
     """purityMeanR2 / purityMinR2 from the locus tags' r2Overall —
     the credible-set LD-purity metrics of the study_locus schema."""

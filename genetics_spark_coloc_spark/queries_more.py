@@ -14,8 +14,12 @@ from genetics_spark_coloc_spark.functions.pvalue import pvalue_pair_lte
 from genetics_spark_coloc_spark.operators import overlaps
 from genetics_spark_coloc_spark.operators.clumping import cluster_peaks, locus_breaker
 from genetics_spark_coloc_spark.operators.study_locus_ops import (
+    QC_OUT_OF_SAMPLE_LD,
+    QC_TOP_HIT,
     annotate_purity,
+    assign_confidence,
     process_locus_breaker_output,
+    score_credible_set_confidence,
 )
 from genetics_spark_coloc_spark.queries import SUMSTATS_SQL, _sumstats
 from genetics_spark_coloc_spark.sources.tables import load_table
@@ -282,8 +286,70 @@ GROUP BY r.r_name
 """
 
 
+def q_credible_set_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credible-set confidence assignment + numeric scoring
+    (reference assign_confidence, dataset/study_locus.py:1372-1443, and
+    CredibleSetConfidenceFeature, l2g_features/other.py:326-361):
+    finemappingMethod × qualityControls flags → label → [0,1] score."""
+    ev = load_table(spark, sf_dir, "events")
+    study_locus = ev.select(
+        (F.col("event_id") % 60).cast("int").alias("k")
+    ).distinct().select(
+        F.concat(F.lit("L"), F.col("k").cast("string")).alias("studyLocusId"),
+        F.element_at(
+            F.array(F.lit("SuSie"), F.lit("SuSiE-inf"), F.lit("PICS"), F.lit("abf")),
+            (F.col("k") % 4 + 1).cast("int"),
+        ).alias("finemappingMethod"),
+        F.filter(
+            F.array(
+                F.when(F.col("k") % 3 == 0, F.lit(QC_OUT_OF_SAMPLE_LD)),
+                F.when(F.col("k") % 5 == 0, F.lit(QC_TOP_HIT)),
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("qualityControls"),
+    )
+    labelled = assign_confidence(study_locus)
+    return labelled.select(
+        "studyLocusId",
+        "confidence",
+        score_credible_set_confidence(F.col("confidence")).alias("confidenceScore"),
+    )
+
+
+SQL_CREDIBLE_SET_CONFIDENCE = """
+WITH sl AS (
+  SELECT DISTINCT CAST(event_id % 60 AS INT) AS k FROM events
+),
+lab AS (
+  SELECT 'L' || CAST(k AS VARCHAR) AS studyLocusId,
+         CASE k % 4 WHEN 0 THEN 'SuSie' WHEN 1 THEN 'SuSiE-inf'
+                    WHEN 2 THEN 'PICS' ELSE 'abf' END AS m,
+         k % 3 = 0 AS oos,
+         k % 5 = 0 AS th
+  FROM sl
+)
+SELECT studyLocusId,
+       CASE WHEN m IN ('SuSie', 'SuSiE-inf') AND NOT oos
+              THEN 'SuSiE fine-mapped credible set with in-sample LD'
+            WHEN m IN ('SuSie', 'SuSiE-inf') AND oos
+              THEN 'SuSiE fine-mapped credible set with out-of-sample LD'
+            WHEN m = 'PICS' AND NOT th
+              THEN 'PICS fine-mapped credible set extracted from summary statistics'
+            WHEN m = 'PICS' AND th
+              THEN 'PICS fine-mapped credible set based on reported top hit'
+            ELSE 'Unknown confidence' END AS confidence,
+       CASE WHEN m IN ('SuSie', 'SuSiE-inf') AND NOT oos THEN 1.0
+            WHEN m IN ('SuSie', 'SuSiE-inf') AND oos THEN 0.75
+            WHEN m = 'PICS' AND NOT th THEN 0.5
+            WHEN m = 'PICS' AND th THEN 0.25
+            ELSE 0.0 END AS confidenceScore
+FROM lab
+"""
+
+
 MORE_QUERIES = {
     "intra_study_overlaps": q_intra_study_overlaps,
+    "credible_set_confidence": q_credible_set_confidence,
     "credible_set_purity": q_purity,
     "locus_breaker_split": q_locus_breaker_split,
     "revenue_by_segment": q_revenue_by_segment,
@@ -292,6 +358,7 @@ MORE_QUERIES = {
 
 MORE_ORACLES = {
     "intra_study_overlaps": SQL_INTRA_STUDY_OVERLAPS,
+    "credible_set_confidence": SQL_CREDIBLE_SET_CONFIDENCE,
     "credible_set_purity": SQL_PURITY,
     "locus_breaker_split": SQL_LOCUS_BREAKER_SPLIT,
     "revenue_by_segment": SQL_REVENUE_BY_SEGMENT,
