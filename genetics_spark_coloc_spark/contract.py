@@ -11,6 +11,7 @@ from genetics_spark_coloc_spark.queries_impute import IMPUTE_ORACLES, IMPUTE_QUE
 from genetics_spark_coloc_spark.queries_more import MORE_ORACLES, MORE_QUERIES
 from genetics_spark_coloc_spark.queries_neardup import NEARDUP_ORACLES, NEARDUP_QUERIES
 from genetics_spark_coloc_spark.queries_scale import SCALE_ORACLES, SCALE_QUERIES
+from genetics_spark_coloc_spark.queries_study import STUDY_ORACLES, STUDY_QUERIES
 
 QUERIES = {
     **_BASE_QUERIES,
@@ -21,6 +22,7 @@ QUERIES = {
     **IMPUTE_QUERIES,
     **MORE_QUERIES,
     **SCALE_QUERIES,
+    **STUDY_QUERIES,
 }
 ORACLES = {
     **_BASE_ORACLES,
@@ -31,4 +33,5 @@ ORACLES = {
     **IMPUTE_ORACLES,
     **MORE_ORACLES,
     **SCALE_ORACLES,
+    **STUDY_ORACLES,
 }

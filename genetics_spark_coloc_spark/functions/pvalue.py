@@ -57,6 +57,17 @@ def pvalue_pair_lte(
     )
 
 
+def pvalue_pair_gt(
+    mantissa: Column, exponent: Column, threshold: float
+) -> Column:
+    """``p > threshold`` on the decomposed pair (negation companion of
+    :func:`pvalue_pair_lte`, used by lead-p-value QC)."""
+    t_mantissa, t_exponent = split_pvalue(threshold)
+    return (exponent > F.lit(t_exponent)) | (
+        (exponent == F.lit(t_exponent)) & (mantissa > F.lit(t_mantissa))
+    )
+
+
 def neglog_pvalue(mantissa: Column, exponent: Column) -> Column:
     """-log10(p) from the pair: -(log10(mantissa) + exponent)
     (reference: common/spark_helpers.py:288-313)."""

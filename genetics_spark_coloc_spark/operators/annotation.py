@@ -154,6 +154,129 @@ def intervals_to_gene_tss(
     )
 
 
+def update_quality_flag(qc: Column, condition: Column, flag: str) -> Column:
+    """Append a QC flag when the condition holds, keeping the array
+    unique (reference: dataset.py:323-341 + array_distinct wrap)."""
+    base = F.coalesce(qc, F.array().cast("array<string>"))
+    return F.array_distinct(
+        F.when(condition, F.array_union(base, F.array(F.lit(flag)))).otherwise(base)
+    )
+
+
+def flag_trans_qtls(
+    study_locus: DataFrame,
+    study_index: DataFrame,
+    target_index: DataFrame,
+    trans_threshold: int = 5_000_000,
+) -> DataFrame:
+    """``isTransQtl`` per credible set: a QTL locus is trans iff EVERY
+    tag variant sits on a different chromosome than the measured gene
+    or beyond ``trans_threshold`` of its TSS
+    (reference: study_locus.py:686-777). GWAS loci stay null.
+
+    Shape: explode tags → inner join QTL studies (gene LUT, broadcast)
+    → left join gene TSS (broadcast) → groupBy locus with an all-tags
+    fold; one shuffle on studyLocusId.
+    """
+    if "geneId" not in study_index.columns:
+        return study_locus
+    out = study_locus.drop("isTransQtl") if "isTransQtl" in study_locus.columns else study_locus
+
+    qtl_studies = study_index.filter(F.col("studyType") != "gwas").select(
+        "studyId", "geneId"
+    )
+    genes = target_index.select(
+        F.col("id").alias("geneId"),
+        "tss",
+        F.col("genomicLocation.chromosome").alias("geneChromosome"),
+    )
+    tag_flags = (
+        out.select("studyLocusId", "studyId", F.explode("locus").alias("tag"))
+        .select(
+            "studyLocusId",
+            "studyId",
+            F.split(F.col("tag.variantId"), "_")[0].alias("chromosome"),
+            F.split(F.col("tag.variantId"), "_")[1].cast("long").alias("position"),
+        )
+        .join(F.broadcast(qtl_studies), on="studyId", how="inner")
+        .join(F.broadcast(genes), on="geneId", how="left")
+        .withColumn(
+            "isTagTrans",
+            F.when(
+                (F.col("chromosome") != F.col("geneChromosome"))
+                | (F.abs(F.col("tss") - F.col("position")) > trans_threshold),
+                F.lit(True),
+            ).otherwise(F.lit(False)),
+        )
+        .groupBy("studyLocusId")
+        .agg(
+            # trans iff no tag is cis (reference's collect_set/contains trick,
+            # expressed as a direct universal quantifier)
+            F.when(
+                F.array_contains(F.collect_set("isTagTrans"), F.lit(False)), False
+            )
+            .otherwise(F.lit(True))
+            .alias("isTransQtl")
+        )
+    )
+    return out.join(tag_flags, on="studyLocusId", how="left")
+
+
+def qc_redundant_top_hits(
+    study_locus: DataFrame,
+    top_hit_flag: str = "Study locus from curated top hit",
+    redundant_flag: str = "PICS association explained by summary statistics of the same study",
+) -> DataFrame:
+    """Flag curated top hits in studies that also carry PICS
+    associations derived from full summary statistics
+    (reference qc_redundant_top_hits_from_PICS,
+    study_locus.py:1155-1191)."""
+    studies_with_sumstats = (
+        study_locus.filter(F.col("finemappingMethod") == "PICS")
+        .withColumn(
+            "hasPicsSumstats",
+            ~F.array_contains(F.col("qualityControls"), top_hit_flag),
+        )
+        .groupBy("studyId")
+        .agg(F.max("hasPicsSumstats").alias("studiesWithPicsSumstats"))
+    )
+    return (
+        study_locus.join(F.broadcast(studies_with_sumstats), on="studyId", how="left")
+        .withColumn(
+            "qualityControls",
+            update_quality_flag(
+                F.col("qualityControls"),
+                F.array_contains(F.col("qualityControls"), top_hit_flag)
+                & F.col("studiesWithPicsSumstats"),
+                redundant_flag,
+            ),
+        )
+        .drop("studiesWithPicsSumstats")
+    )
+
+
+def validate_lead_pvalue(
+    study_locus: DataFrame,
+    pvalue_cutoff: float,
+    flag: str = "Subsignificant p-value",
+) -> DataFrame:
+    """QC-flag associations whose lead p-value is above the cutoff
+    (reference validate_lead_pvalue, study_locus.py:337-372); the
+    (mantissa, exponent) pair comparison avoids underflow."""
+    from genetics_spark_coloc_spark.functions.pvalue import pvalue_pair_gt
+
+    return study_locus.withColumn(
+        "qualityControls",
+        update_quality_flag(
+            F.col("qualityControls"),
+            pvalue_pair_gt(
+                F.col("pValueMantissa"), F.col("pValueExponent"), pvalue_cutoff
+            ),
+            flag,
+        ),
+    )
+
+
 def write_vcf(variant_index: DataFrame, path: str) -> None:
     """Export a variant index as VCF-shaped text (fixed column order,
     tab-separated; reference: config.py:536-543 variant_index VCF

@@ -12,11 +12,12 @@ Everything is higher-order array functions — per-row, no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from genetics_spark_coloc_spark.functions.arrays import (
     array_sum,
+    logsumexp,
     order_array_of_structs_by_field,
 )
 
@@ -45,6 +46,59 @@ def annotate_credible_sets(study_locus: DataFrame, locus_col: str = "locus") -> 
         .withField("is99CredibleSet", (acc < 0.99) & acc.isNotNull()),
     )
     return df.withColumn(locus_col, F.when(nonempty, annotated))
+
+
+def credible_set_log10bf(logbfs: Column) -> Column:
+    """log10 Bayes factor of a whole credible set: logsumexp of the
+    per-tag logBFs × log10(e)
+    (reference: study_locus.py:635-657 — there a Python UDF over
+    ``get_logsum``; here the pure-Spark stable fold)."""
+    return (logsumexp(logbfs) * F.lit(0.43429448190325176)).alias(
+        "credibleSetlog10BF"
+    )
+
+
+def filter_credible_set(
+    study_locus: DataFrame,
+    credible_interval: str = "is95CredibleSet",
+    locus_col: str = "locus",
+) -> DataFrame:
+    """Keep only tags inside the given credible interval
+    (reference: study_locus.py:779-800): annotate, then array-filter
+    the locus on the interval flag."""
+    annotated = annotate_credible_sets(study_locus, locus_col)
+    return annotated.withColumn(
+        locus_col,
+        F.filter(F.col(locus_col), lambda tag: tag[credible_interval]),
+    )
+
+
+def filter_ld_set(ld_set: Column, r2_threshold: float) -> Column:
+    """Array-filter an ldSet on r2Overall ≥ threshold, null-preserving
+    (reference: study_locus.py:802-819)."""
+    return F.when(
+        ld_set.isNotNull(),
+        F.filter(ld_set, lambda tag: tag["r2Overall"] >= r2_threshold),
+    )
+
+
+def unique_variants_in_locus(study_locus: DataFrame) -> DataFrame:
+    """Distinct (variantId, chromosome) across leads ∪ tags
+    (reference: study_locus.py:860-881); chromosome re-derived by
+    splitting the ``chrom_pos_ref_alt`` id."""
+    return (
+        study_locus.withColumn(
+            "variantId",
+            F.explode(
+                F.array_union(
+                    F.array(F.col("variantId")),
+                    F.coalesce(F.col("locus.variantId"), F.array()),
+                )
+            ),
+        )
+        .select("variantId", F.split(F.col("variantId"), "_")[0].alias("chromosome"))
+        .distinct()
+    )
 
 
 def qc_abnormal_pips(

@@ -1,0 +1,323 @@
+"""Contract queries: credible-set Bayes factors, trans-QTL flagging,
+ancestry→LD-population aggregation, and QC-flag maintenance
+(redundant top hits + lead p-value validation).
+
+Parity rules as in queries.py: every aggregate/computed column is
+aliased identically in the Spark query and the DuckDB oracle, floats
+rounded to 6dp on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from genetics_spark_coloc_spark.operators.annotation import (
+    flag_trans_qtls,
+    qc_redundant_top_hits,
+    validate_lead_pvalue,
+)
+from genetics_spark_coloc_spark.operators.credible_sets import (
+    credible_set_log10bf,
+)
+from genetics_spark_coloc_spark.operators.study_index_ops import (
+    aggregate_and_map_ancestries,
+)
+from genetics_spark_coloc_spark.queries import TAGS_SQL, _tags
+from genetics_spark_coloc_spark.sources.tables import load_table
+
+
+# ----------------------------------------------------- credible-set log10 BF
+def q_credible_set_log10bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-credible-set log10 Bayes factor: stable logsumexp fold
+    over the per-tag logBFs (reference study_locus.py:635-657 — there
+    a Python UDF; here pure Spark higher-order functions)."""
+    tags = _tags(spark, sf_dir)
+    loci = tags.groupBy("studyLocusId").agg(
+        F.sort_array(F.collect_list("logBF")).alias("logBFs")
+    )
+    return loci.select(
+        "studyLocusId",
+        F.round(credible_set_log10bf(F.col("logBFs")), 6).alias("credibleSetlog10BF"),
+    )
+
+
+SQL_CREDIBLE_SET_LOG10BF = f"""
+WITH {TAGS_SQL.strip()},
+mx AS (
+  SELECT studyLocusId, MAX(logBF) AS m FROM tags GROUP BY 1
+),
+fold AS (
+  SELECT t.studyLocusId, mx.m,
+         SUM(EXP(t.logBF - mx.m)) AS s
+  FROM tags t JOIN mx ON t.studyLocusId = mx.studyLocusId
+  GROUP BY 1, 2
+)
+SELECT studyLocusId,
+       ROUND((m + LN(s)) * 0.43429448190325176, 6) AS credibleSetlog10BF
+FROM fold
+"""
+
+
+# ------------------------------------------------------------ trans-QTL flag
+def q_trans_qtl_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isTransQtl per credible set: every tag on the wrong chromosome
+    or >5 Mb from the measured gene's TSS (reference
+    study_locus.py:686-777). GWAS loci come out null."""
+    ev = load_table(spark, sf_dir, "events")
+    study_locus = (
+        ev.select(
+            F.concat(F.lit("L"), (F.col("user_id") % 10).cast("string")).alias(
+                "studyLocusId"
+            ),
+            F.concat(F.lit("S"), (F.col("user_id") % 10).cast("string")).alias(
+                "studyId"
+            ),
+            F.concat_ws(
+                "_",
+                (1 + F.col("event_id") % 2).cast("string"),
+                ((1 + F.col("event_id") % 40) * 250_000).cast("string"),
+                F.lit("A"),
+                F.lit("G"),
+            ).alias("tagVariantId"),
+        )
+        .distinct()
+        .groupBy("studyLocusId", "studyId")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("tagVariantId").alias("variantId")))
+            ).alias("locus")
+        )
+    )
+    study_index = spark.range(0, 10).select(
+        F.concat(F.lit("S"), F.col("id").cast("string")).alias("studyId"),
+        F.when(F.col("id") % 2 == 0, "gwas").otherwise("eqtl").alias("studyType"),
+        F.concat(F.lit("G"), F.col("id").cast("string")).alias("geneId"),
+    )
+    target_index = spark.range(0, 10).select(
+        F.concat(F.lit("G"), F.col("id").cast("string")).alias("id"),
+        ((1 + F.col("id") % 40) * 250_000).cast("long").alias("tss"),
+        F.struct(
+            (1 + F.col("id") % 2).cast("string").alias("chromosome")
+        ).alias("genomicLocation"),
+    )
+    out = flag_trans_qtls(study_locus, study_index, target_index)
+    # stringify the 3-state flag so null (gwas) compares stably
+    return out.select(
+        "studyLocusId",
+        F.coalesce(F.col("isTransQtl").cast("string"), F.lit("null")).alias(
+            "isTransQtl"
+        ),
+    )
+
+
+SQL_TRANS_QTL_FLAG = """
+WITH sl AS (
+  SELECT DISTINCT
+         'L' || CAST(user_id % 10 AS VARCHAR) AS studyLocusId,
+         'S' || CAST(user_id % 10 AS VARCHAR) AS studyId,
+         CAST(1 + event_id % 2 AS VARCHAR)    AS chromosome,
+         CAST((1 + event_id % 40) * 250000 AS BIGINT) AS position
+  FROM events
+),
+studies AS (
+  SELECT 'S' || CAST(i AS VARCHAR) AS studyId,
+         CASE WHEN i % 2 = 0 THEN 'gwas' ELSE 'eqtl' END AS studyType,
+         'G' || CAST(i AS VARCHAR) AS geneId
+  FROM range(0, 10) t(i)
+),
+genes AS (
+  SELECT 'G' || CAST(i AS VARCHAR) AS geneId,
+         CAST((1 + i % 40) * 250000 AS BIGINT) AS tss,
+         CAST(1 + i % 2 AS VARCHAR) AS geneChromosome
+  FROM range(0, 10) t(i)
+),
+tag_flags AS (
+  SELECT sl.studyLocusId,
+         (sl.chromosome != g.geneChromosome
+          OR ABS(g.tss - sl.position) > 5000000) AS isTagTrans
+  FROM sl
+  JOIN studies s ON sl.studyId = s.studyId AND s.studyType != 'gwas'
+  LEFT JOIN genes g ON s.geneId = g.geneId
+),
+qtl AS (
+  SELECT studyLocusId, BOOL_AND(isTagTrans) AS isTransQtl
+  FROM tag_flags GROUP BY 1
+)
+SELECT l.studyLocusId,
+       COALESCE(CAST(q.isTransQtl AS VARCHAR), 'null') AS isTransQtl
+FROM (SELECT DISTINCT studyLocusId FROM sl) l
+LEFT JOIN qtl q ON l.studyLocusId = q.studyLocusId
+"""
+
+
+# -------------------------------------------------------- ancestry weights
+_ANCESTRY_LABELS = [
+    "European",
+    "East Asian",
+    "Finnish",
+    "African unspecified",
+    "Hispanic or Latin American",
+    "South Asian",
+]
+
+_ANCESTRY_CASE_SQL = """
+CASE ancestry
+  WHEN 'European' THEN 'nfe'
+  WHEN 'East Asian' THEN 'eas'
+  WHEN 'Finnish' THEN 'fin'
+  WHEN 'African unspecified' THEN 'afr'
+  WHEN 'Hispanic or Latin American' THEN 'amr'
+  WHEN 'South Asian' THEN 'eas'
+END
+"""
+
+
+def q_ancestry_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ancestry→LD-panel mapping with relative sample sizes, computed
+    entirely with row-local higher-order array folds (reference
+    aggregate_and_map_ancestries, study_index.py:164-207)."""
+    ev = load_table(spark, sf_dir, "events")
+    labels = F.array(*[F.lit(x) for x in _ANCESTRY_LABELS])
+    studies = (
+        ev.select(
+            F.concat(F.lit("S"), (F.col("user_id") % 20).cast("string")).alias(
+                "studyId"
+            ),
+            F.element_at(labels, (F.col("event_id") % 6 + 1).cast("int")).alias(
+                "ancestry"
+            ),
+            (100 + F.col("event_id") % 900).cast("double").alias("sampleSize"),
+        )
+        .groupBy("studyId", "ancestry")
+        .agg(F.max("sampleSize").alias("sampleSize"))
+        .groupBy("studyId")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ancestry", "sampleSize"))
+            ).alias("discoverySamples")
+        )
+    )
+    mapped = studies.select(
+        "studyId",
+        F.explode(
+            aggregate_and_map_ancestries(F.col("discoverySamples"))
+        ).alias("pop"),
+    )
+    return mapped.select(
+        "studyId",
+        F.col("pop.ldPopulation").alias("ldPopulation"),
+        F.round(F.col("pop.relativeSampleSize"), 6).alias("relativeSampleSize"),
+    )
+
+
+SQL_ANCESTRY_WEIGHTS = f"""
+WITH samples AS (
+  SELECT 'S' || CAST(user_id % 20 AS VARCHAR) AS studyId,
+         ['European','East Asian','Finnish','African unspecified',
+          'Hispanic or Latin American','South Asian'][CAST(event_id % 6 AS INT) + 1] AS ancestry,
+         CAST(100 + event_id % 900 AS DOUBLE) AS sampleSize
+  FROM events
+),
+dedup AS (
+  SELECT studyId, ancestry, MAX(sampleSize) AS sampleSize
+  FROM samples GROUP BY 1, 2
+),
+mapped AS (
+  SELECT studyId, {_ANCESTRY_CASE_SQL.strip()} AS ldPopulation, sampleSize
+  FROM dedup
+),
+pop AS (
+  SELECT studyId, ldPopulation, SUM(sampleSize) AS popSize
+  FROM mapped GROUP BY 1, 2
+)
+SELECT studyId, ldPopulation,
+       ROUND(popSize / SUM(popSize) OVER (PARTITION BY studyId), 6) AS relativeSampleSize
+FROM pop
+"""
+
+
+# ------------------------------------------------- QC maintenance pipeline
+def q_qc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-p-value validation then redundant-top-hit flagging, QC
+    arrays compared as sorted pipe-joined strings (reference
+    validate_lead_pvalue study_locus.py:337-372 +
+    qc_redundant_top_hits_from_PICS study_locus.py:1155-1191)."""
+    ev = load_table(spark, sf_dir, "events")
+    study_locus = ev.select(
+        (F.col("event_id") % 120).cast("int").alias("k")
+    ).distinct().select(
+        F.concat(F.lit("L"), F.col("k").cast("string")).alias("studyLocusId"),
+        F.concat(F.lit("S"), (F.col("k") % 8).cast("string")).alias("studyId"),
+        F.when(F.col("k") % 3 == 0, "PICS").otherwise("SuSie").alias(
+            "finemappingMethod"
+        ),
+        F.when(
+            F.col("k") % 4 == 0,
+            F.array(F.lit("Study locus from curated top hit")),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("qualityControls"),
+        (1.0 + (F.col("k") % 9)).cast("float").alias("pValueMantissa"),
+        (-3 - (F.col("k") % 10)).cast("int").alias("pValueExponent"),
+    )
+    out = qc_redundant_top_hits(
+        validate_lead_pvalue(study_locus, pvalue_cutoff=1e-8)
+    )
+    return out.select(
+        "studyLocusId",
+        F.array_join(F.array_sort(F.col("qualityControls")), "|").alias("qcFlags"),
+    )
+
+
+SQL_QC_MAINTENANCE = """
+WITH sl AS (
+  SELECT DISTINCT CAST(event_id % 120 AS INT) AS k FROM events
+),
+base AS (
+  SELECT 'L' || CAST(k AS VARCHAR) AS studyLocusId,
+         'S' || CAST(k % 8 AS VARCHAR) AS studyId,
+         CASE WHEN k % 3 = 0 THEN 'PICS' ELSE 'SuSie' END AS m,
+         k % 4 = 0 AS topHit,
+         CAST(1.0 + (k % 9) AS FLOAT) AS mant,
+         CAST(-3 - (k % 10) AS INT) AS expo
+  FROM sl
+),
+-- p > 1e-8  ⇔  expo > -8 OR (expo = -8 AND mant > 1.0)
+flagged AS (
+  SELECT *,
+         (expo > -8 OR (expo = -8 AND mant > 1.0)) AS subsig
+  FROM base
+),
+study_sumstats AS (
+  SELECT studyId, BOOL_OR(NOT topHit) AS hasPicsSumstats
+  FROM flagged WHERE m = 'PICS' GROUP BY 1
+),
+final AS (
+  SELECT f.studyLocusId,
+         LIST_SORT(
+           CASE WHEN f.topHit THEN ['Study locus from curated top hit'] ELSE [] END
+           || CASE WHEN f.subsig THEN ['Subsignificant p-value'] ELSE [] END
+           || CASE WHEN f.topHit AND COALESCE(s.hasPicsSumstats, FALSE)
+                   THEN ['PICS association explained by summary statistics of the same study']
+                   ELSE [] END
+         ) AS qc
+  FROM flagged f LEFT JOIN study_sumstats s ON f.studyId = s.studyId
+)
+SELECT studyLocusId, COALESCE(ARRAY_TO_STRING(qc, '|'), '') AS qcFlags FROM final
+"""
+
+
+STUDY_QUERIES = {
+    "credible_set_log10bf": q_credible_set_log10bf,
+    "trans_qtl_flag": q_trans_qtl_flag,
+    "ancestry_weights": q_ancestry_weights,
+    "qc_maintenance": q_qc_maintenance,
+}
+
+STUDY_ORACLES = {
+    "credible_set_log10bf": SQL_CREDIBLE_SET_LOG10BF,
+    "trans_qtl_flag": SQL_TRANS_QTL_FLAG,
+    "ancestry_weights": SQL_ANCESTRY_WEIGHTS,
+    "qc_maintenance": SQL_QC_MAINTENANCE,
+}

@@ -69,3 +69,117 @@ def test_process_locus_breaker_output(spark):
     assert split["locusStart"] == 4_500_000 - 750_000
     assert split["locusEnd"] == 4_500_000 + 750_000
     assert by_variant["1_500000_A_C"]["locusStart"] == 400_000  # untouched
+
+
+def test_credible_set_log10bf_matches_reference_doctest(spark):
+    from genetics_spark_coloc_spark.operators.credible_sets import (
+        credible_set_log10bf,
+    )
+
+    # the reference's own doctest value (study_locus.py:645-651)
+    out = (
+        spark.createDataFrame([([0.2, 0.1, 0.05, 0.0],)], "logBF: array<double>")
+        .select(F.round(credible_set_log10bf(F.col("logBF")), 7).alias("bf"))
+        .collect()[0]["bf"]
+    )
+    assert out == pytest.approx(0.6412604, abs=1e-7)
+
+
+def test_filter_credible_set_and_ld_set(spark):
+    from genetics_spark_coloc_spark.operators.credible_sets import (
+        filter_credible_set,
+        filter_ld_set,
+        unique_variants_in_locus,
+    )
+
+    df = spark.createDataFrame(
+        [
+            {
+                "studyLocusId": "L1",
+                "variantId": "1_10_A_G",
+                "locus": [
+                    {"variantId": "1_10_A_G", "posteriorProbability": 0.94},
+                    {"variantId": "1_20_A_G", "posteriorProbability": 0.05},
+                    {"variantId": "2_30_A_G", "posteriorProbability": 0.01},
+                ],
+            }
+        ],
+        "studyLocusId: string, variantId: string, "
+        "locus: array<struct<variantId: string, posteriorProbability: double>>",
+    )
+    filtered = filter_credible_set(df, "is95CredibleSet").collect()[0]["locus"]
+    # exclusive prefix sums: 0 < .95 (keep), .94 < .95 (keep), .99 >= .95 (drop)
+    assert [t["variantId"] for t in filtered] == ["1_10_A_G", "1_20_A_G"]
+
+    uniq = {
+        (r["variantId"], r["chromosome"])
+        for r in unique_variants_in_locus(df).collect()
+    }
+    assert ("2_30_A_G", "2") in uniq and len(uniq) == 3
+
+    ld = spark.createDataFrame(
+        [
+            {"ldSet": [{"tagVariantId": "a", "r2Overall": 0.9},
+                       {"tagVariantId": "b", "r2Overall": 0.3}]},
+            {"ldSet": None},
+        ],
+        "ldSet: array<struct<tagVariantId: string, r2Overall: double>>",
+    )
+    out = ld.select(filter_ld_set(F.col("ldSet"), 0.5).alias("f")).collect()
+    assert [t["tagVariantId"] for t in out[0]["f"]] == ["a"]
+    assert out[1]["f"] is None
+
+
+def test_aggregate_and_map_ancestries(spark):
+    from genetics_spark_coloc_spark.operators.study_index_ops import (
+        aggregate_and_map_ancestries,
+    )
+
+    df = spark.createDataFrame(
+        [
+            {
+                "discoverySamples": [
+                    {"ancestry": "European", "sampleSize": 100.0},
+                    {"ancestry": "East Asian", "sampleSize": 50.0},
+                    {"ancestry": "South Asian", "sampleSize": 50.0},
+                ]
+            }
+        ],
+        "discoverySamples: array<struct<ancestry: string, sampleSize: double>>",
+    )
+    pops = df.select(
+        F.explode(aggregate_and_map_ancestries(F.col("discoverySamples"))).alias("p")
+    ).select("p.ldPopulation", "p.relativeSampleSize").collect()
+    weights = {r["ldPopulation"]: r["relativeSampleSize"] for r in pops}
+    # East + South Asian merge into eas: 100/200 nfe, 100/200 eas
+    assert weights == {"nfe": pytest.approx(0.5), "eas": pytest.approx(0.5)}
+
+
+def test_flag_trans_qtls_unit(spark):
+    from genetics_spark_coloc_spark.operators.annotation import flag_trans_qtls
+
+    study_locus = spark.createDataFrame(
+        [
+            {"studyLocusId": "Lcis", "studyId": "Q1",
+             "locus": [{"variantId": "1_1000_A_G"}]},
+            {"studyLocusId": "Ltrans", "studyId": "Q1",
+             "locus": [{"variantId": "2_1000_A_G"}]},
+            {"studyLocusId": "Lgwas", "studyId": "G1",
+             "locus": [{"variantId": "1_1000_A_G"}]},
+        ],
+        "studyLocusId: string, studyId: string, locus: array<struct<variantId: string>>",
+    )
+    study_index = spark.createDataFrame(
+        [("Q1", "eqtl", "GENE1"), ("G1", "gwas", None)],
+        "studyId: string, studyType: string, geneId: string",
+    )
+    target_index = spark.createDataFrame(
+        [{"id": "GENE1", "tss": 2000,
+          "genomicLocation": {"chromosome": "1"}}],
+        "id: string, tss: long, genomicLocation: struct<chromosome: string>",
+    )
+    rows = {
+        r["studyLocusId"]: r["isTransQtl"]
+        for r in flag_trans_qtls(study_locus, study_index, target_index).collect()
+    }
+    assert rows == {"Lcis": False, "Ltrans": True, "Lgwas": None}
