@@ -277,6 +277,42 @@ def validate_lead_pvalue(
     )
 
 
+VALID_CHROMOSOMES = [str(i) for i in range(1, 23)] + ["X", "Y", "XY", "MT"]
+
+
+def validate_chromosome_label(
+    study_locus: DataFrame,
+    flag: str = "Chromosome not in 1:22, X, Y, XY or MT",
+) -> DataFrame:
+    """QC-flag loci whose chromosome label is outside 1..22/X/Y/XY/MT
+    (reference validate_chromosome_label, study_locus.py:250-276)."""
+    qc = (
+        F.col("qualityControls")
+        if "qualityControls" in study_locus.columns
+        else F.lit(None).cast("array<string>")
+    )
+    return study_locus.withColumn(
+        "qualityControls",
+        update_quality_flag(
+            qc, ~F.col("chromosome").isin(VALID_CHROMOSOMES), flag
+        ),
+    )
+
+
+def max_maf(allele_frequencies: Column) -> Column:
+    """Maximum minor-allele frequency across populations, biallelic
+    assumption (reference max_maf, variant_index.py:205-224):
+    fold each frequency to min(f, 1-f), take the array max."""
+    return F.array_max(
+        F.transform(
+            allele_frequencies,
+            lambda af: F.when(
+                af["alleleFrequency"] > 0.5, 1 - af["alleleFrequency"]
+            ).otherwise(af["alleleFrequency"]),
+        )
+    )
+
+
 def write_vcf(variant_index: DataFrame, path: str) -> None:
     """Export a variant index as VCF-shaped text (fixed column order,
     tab-separated; reference: config.py:536-543 variant_index VCF

@@ -91,6 +91,109 @@ def aggregate_and_map_ancestries(discovery_samples: Column) -> Column:
     )
 
 
+# Study QC flag strings (reference StudyQualityCheck,
+# dataset/study_index.py:40-62)
+QC_SUMSTATS_NOT_AVAILABLE = (
+    "Harmonized summary statistics are not available or empty"
+)
+QC_FAILED_MEAN_BETA = "The mean beta QC check value is not within the expected range"
+QC_FAILED_PZ = "The PZ QC check values are not within the expected range"
+QC_FAILED_GC_LAMBDA = "The GC lambda value is not within the expected range"
+QC_SMALL_NUMBER_OF_SNPS = (
+    "The number of SNPs in the study is below the expected threshold"
+)
+
+
+def annotate_sumstats_qc(
+    study_index: DataFrame,
+    sumstats_qc: DataFrame,
+    threshold_mean_beta: float = 0.05,
+    threshold_mean_diff_pz: float = 0.05,
+    threshold_se_diff_pz: float = 0.05,
+    threshold_min_gc_lambda: float = 0.7,
+    threshold_max_gc_lambda: float = 2.5,
+    threshold_min_n_variants: int = 2_000_000,
+) -> DataFrame:
+    """Fold per-study sumstat QC metrics into the study index as a
+    ``sumstatQCValues`` map, set ``hasSumstats`` and append threshold
+    QC flags (reference annotate_sumstats_qc,
+    dataset/study_index.py:495-609).
+
+    ``sumstats_qc`` is wide: studyId + one column per metric
+    (mean_beta, mean_diff_pz, se_diff_pz, gc_lambda, n_variants).
+    The wide→map fold happens with a single per-row map_from_arrays —
+    no melt shuffle; the only exchange is the left join on studyId
+    (broadcast: the QC table is per-study, tiny next to the index).
+    """
+    from genetics_spark_coloc_spark.operators.annotation import update_quality_flag
+
+    metric_cols = [c for c in sumstats_qc.columns if c != "studyId"]
+    qc_map = sumstats_qc.select(
+        "studyId",
+        F.map_from_arrays(
+            F.array(*[F.lit(c) for c in metric_cols]),
+            F.array(*[F.col(c).cast("float") for c in metric_cols]),
+        ).alias("sumstatQCValues"),
+        F.lit(True).alias("hasSumstats"),
+    )
+    if "qualityControls" not in study_index.columns:
+        study_index = study_index.withColumn(
+            "qualityControls", F.array().cast("array<string>")
+        )
+    v = F.col("sumstatQCValues")
+    return (
+        study_index.drop("sumstatQCValues", "hasSumstats")
+        .join(F.broadcast(qc_map), on="studyId", how="left")
+        .withColumn("hasSumstats", F.coalesce(F.col("hasSumstats"), F.lit(False)))
+        .withColumn(
+            "qualityControls",
+            update_quality_flag(
+                F.col("qualityControls"),
+                ~F.col("hasSumstats"),
+                QC_SUMSTATS_NOT_AVAILABLE,
+            ),
+        )
+        .withColumn(
+            "qualityControls",
+            update_quality_flag(
+                F.col("qualityControls"),
+                ~(F.abs(v["mean_beta"]) <= threshold_mean_beta),
+                QC_FAILED_MEAN_BETA,
+            ),
+        )
+        .withColumn(
+            "qualityControls",
+            update_quality_flag(
+                F.col("qualityControls"),
+                ~(
+                    (F.abs(v["mean_diff_pz"]) <= threshold_mean_diff_pz)
+                    & (v["se_diff_pz"] <= threshold_se_diff_pz)
+                ),
+                QC_FAILED_PZ,
+            ),
+        )
+        .withColumn(
+            "qualityControls",
+            update_quality_flag(
+                F.col("qualityControls"),
+                ~(
+                    (v["gc_lambda"] <= threshold_max_gc_lambda)
+                    & (v["gc_lambda"] >= threshold_min_gc_lambda)
+                ),
+                QC_FAILED_GC_LAMBDA,
+            ),
+        )
+        .withColumn(
+            "qualityControls",
+            update_quality_flag(
+                F.col("qualityControls"),
+                v["n_variants"] < threshold_min_n_variants,
+                QC_SMALL_NUMBER_OF_SNPS,
+            ),
+        )
+    )
+
+
 def study_type_lut(study_index: DataFrame) -> DataFrame:
     """(studyId, studyType) lookup table (reference: study_index.py:209-215)."""
     return study_index.select("studyId", "studyType")

@@ -23,7 +23,7 @@ from genetics_spark_coloc_spark.operators.credible_sets import (
 from genetics_spark_coloc_spark.operators.study_index_ops import (
     aggregate_and_map_ancestries,
 )
-from genetics_spark_coloc_spark.queries import TAGS_SQL, _tags
+from genetics_spark_coloc_spark.queries import SUMSTATS_SQL, TAGS_SQL, _tags
 from genetics_spark_coloc_spark.sources.tables import load_table
 
 
@@ -308,11 +308,134 @@ SELECT studyLocusId, COALESCE(ARRAY_TO_STRING(qc, '|'), '') AS qcFlags FROM fina
 """
 
 
+# ------------------------------------------------- study index sumstats QC
+def q_study_qc_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold per-study sumstat QC metrics into the study index and
+    apply the reference's threshold flags (annotate_sumstats_qc,
+    study_index.py:495-609). Studies S5..S7 have no sumstats and get
+    the not-available flag."""
+    from genetics_spark_coloc_spark.operators.study_index_ops import (
+        annotate_sumstats_qc,
+    )
+    from genetics_spark_coloc_spark.queries import _sumstats
+
+    ss = _sumstats(spark, sf_dir)
+    metrics = ss.groupBy("studyId").agg(
+        F.avg("beta").alias("mean_beta"),
+        (F.avg("beta") / 10.0).alias("mean_diff_pz"),
+        (F.stddev_samp("beta") / 1000.0).alias("se_diff_pz"),
+        (1.0 + F.abs(F.avg("beta")) * 20.0).alias("gc_lambda"),
+        F.count(F.lit(1)).cast("double").alias("n_variants"),
+    )
+    study_index = spark.range(0, 8).select(
+        F.concat(F.lit("S"), F.col("id").cast("string")).alias("studyId"),
+        F.lit("gwas").alias("studyType"),
+    )
+    out = annotate_sumstats_qc(
+        study_index, metrics, threshold_min_n_variants=1000
+    )
+    return out.select(
+        "studyId",
+        "hasSumstats",
+        F.array_join(F.array_sort(F.col("qualityControls")), "|").alias("qcFlags"),
+    )
+
+
+SQL_STUDY_QC_ANNOTATION = f"""
+WITH {SUMSTATS_SQL.strip()},
+metrics AS (
+  SELECT studyId,
+         CAST(AVG(beta) AS REAL) AS mean_beta,
+         CAST(AVG(beta) / 10.0 AS REAL) AS mean_diff_pz,
+         CAST(STDDEV_SAMP(beta) / 1000.0 AS REAL) AS se_diff_pz,
+         CAST(1.0 + ABS(AVG(beta)) * 20.0 AS REAL) AS gc_lambda,
+         CAST(COUNT(*) AS REAL) AS n_variants
+  FROM sumstats GROUP BY 1
+),
+studies AS (
+  SELECT 'S' || CAST(i AS VARCHAR) AS studyId FROM range(0, 8) t(i)
+),
+joined AS (
+  SELECT s.studyId, m.studyId IS NOT NULL AS hasSumstats, m.*
+  FROM studies s LEFT JOIN metrics m ON s.studyId = m.studyId
+),
+flags AS (
+  SELECT studyId, hasSumstats,
+         -- CASE WHEN <null> falls through to ELSE, mirroring Spark's
+         -- when(cond) over null metrics exactly
+         LIST_SORT(
+           CASE WHEN NOT hasSumstats
+                THEN ['Harmonized summary statistics are not available or empty'] ELSE [] END
+           || CASE WHEN NOT (ABS(mean_beta) <= 0.05)
+                THEN ['The mean beta QC check value is not within the expected range'] ELSE [] END
+           || CASE WHEN NOT (ABS(mean_diff_pz) <= 0.05 AND se_diff_pz <= 0.05)
+                THEN ['The PZ QC check values are not within the expected range'] ELSE [] END
+           || CASE WHEN NOT (gc_lambda <= 2.5 AND gc_lambda >= 0.7)
+                THEN ['The GC lambda value is not within the expected range'] ELSE [] END
+           || CASE WHEN n_variants < 1000
+                THEN ['The number of SNPs in the study is below the expected threshold'] ELSE [] END
+         ) AS qc
+  FROM joined
+)
+SELECT studyId, hasSumstats, COALESCE(ARRAY_TO_STRING(qc, '|'), '') AS qcFlags
+FROM flags
+"""
+
+
+# ---------------------------------------------------------------- max MAF
+def q_max_maf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum minor-allele frequency per variant across populations
+    (reference max_maf, variant_index.py:205-224) — per-row array
+    fold, no shuffle beyond the build."""
+    from genetics_spark_coloc_spark.operators.annotation import max_maf
+
+    ev = load_table(spark, sf_dir, "events")
+    variants = (
+        ev.select((F.col("event_id") % 500).cast("int").alias("v"))
+        .distinct()
+        .select(
+            F.concat(F.lit("1_"), F.col("v").cast("string"), F.lit("_A_G")).alias(
+                "variantId"
+            ),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda p: F.struct(
+                    F.concat(F.lit("pop"), p.cast("string")).alias("populationName"),
+                    (((F.col("v") * 7 + p * 13) % 100) / 100.0).alias(
+                        "alleleFrequency"
+                    ),
+                ),
+            ).alias("alleleFrequencies"),
+        )
+    )
+    return variants.select(
+        "variantId",
+        F.round(max_maf(F.col("alleleFrequencies")), 6).alias("maxMaf"),
+    )
+
+
+SQL_MAX_MAF = """
+WITH v AS (
+  SELECT DISTINCT CAST(event_id % 500 AS INT) AS v FROM events
+),
+freqs AS (
+  SELECT v, ((v * 7 + CAST(p AS INT) * 13) % 100) / 100.0 AS af
+  FROM v CROSS JOIN range(0, 4) t(p)
+)
+SELECT '1_' || CAST(v AS VARCHAR) || '_A_G' AS variantId,
+       ROUND(MAX(CASE WHEN af > 0.5 THEN 1 - af ELSE af END), 6) AS maxMaf
+FROM freqs
+GROUP BY v
+"""
+
+
 STUDY_QUERIES = {
     "credible_set_log10bf": q_credible_set_log10bf,
     "trans_qtl_flag": q_trans_qtl_flag,
     "ancestry_weights": q_ancestry_weights,
     "qc_maintenance": q_qc_maintenance,
+    "study_qc_annotation": q_study_qc_annotation,
+    "max_maf": q_max_maf,
 }
 
 STUDY_ORACLES = {
@@ -320,4 +443,6 @@ STUDY_ORACLES = {
     "trans_qtl_flag": SQL_TRANS_QTL_FLAG,
     "ancestry_weights": SQL_ANCESTRY_WEIGHTS,
     "qc_maintenance": SQL_QC_MAINTENANCE,
+    "study_qc_annotation": SQL_STUDY_QC_ANNOTATION,
+    "max_maf": SQL_MAX_MAF,
 }

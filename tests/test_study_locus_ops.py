@@ -183,3 +183,69 @@ def test_flag_trans_qtls_unit(spark):
         for r in flag_trans_qtls(study_locus, study_index, target_index).collect()
     }
     assert rows == {"Lcis": False, "Ltrans": True, "Lgwas": None}
+
+
+def test_validate_chromosome_label_and_max_maf(spark):
+    from genetics_spark_coloc_spark.operators.annotation import (
+        max_maf,
+        validate_chromosome_label,
+    )
+
+    df = spark.createDataFrame(
+        [("L1", "1"), ("L2", "chr7"), ("L3", "MT")],
+        "studyLocusId: string, chromosome: string",
+    )
+    rows = {
+        r["studyLocusId"]: r["qualityControls"]
+        for r in validate_chromosome_label(df).collect()
+    }
+    assert rows["L1"] == [] and rows["L3"] == []
+    assert rows["L2"] == ["Chromosome not in 1:22, X, Y, XY or MT"]
+
+    af = spark.createDataFrame(
+        [
+            {"alleleFrequencies": [
+                {"populationName": "nfe", "alleleFrequency": 0.97},
+                {"populationName": "afr", "alleleFrequency": 0.2},
+            ]}
+        ],
+        "alleleFrequencies: array<struct<populationName: string, alleleFrequency: double>>",
+    )
+    out = af.select(max_maf(F.col("alleleFrequencies")).alias("m")).collect()[0]["m"]
+    # 0.97 folds to 0.03; max(0.03, 0.2) = 0.2
+    assert out == pytest.approx(0.2)
+
+
+def test_annotate_sumstats_qc_flags(spark):
+    from genetics_spark_coloc_spark.operators.study_index_ops import (
+        annotate_sumstats_qc,
+    )
+
+    studies = spark.createDataFrame(
+        [("S1",), ("S2",), ("S3",)], "studyId: string"
+    )
+    qc = spark.createDataFrame(
+        [
+            # S1 clean; S2 fails mean-beta + gc-lambda; S3 absent
+            ("S1", 0.01, 0.0, 0.01, 1.0, 5_000_000.0),
+            ("S2", 0.5, 0.0, 0.01, 3.0, 5_000_000.0),
+        ],
+        "studyId: string, mean_beta: double, mean_diff_pz: double, "
+        "se_diff_pz: double, gc_lambda: double, n_variants: double",
+    )
+    rows = {
+        r["studyId"]: (r["hasSumstats"], sorted(r["qualityControls"]))
+        for r in annotate_sumstats_qc(studies, qc).collect()
+    }
+    assert rows["S1"] == (True, [])
+    assert rows["S2"] == (
+        True,
+        [
+            "The GC lambda value is not within the expected range",
+            "The mean beta QC check value is not within the expected range",
+        ],
+    )
+    assert rows["S3"] == (
+        False,
+        ["Harmonized summary statistics are not available or empty"],
+    )
