@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # GWAS-Catalog ancestry label → gnomAD LD panel population
 # (reference asset: assets/data/gwas_population_2_LD_panel_map.json)
@@ -191,6 +192,76 @@ def annotate_sumstats_qc(
                 QC_SMALL_NUMBER_OF_SNPS,
             ),
         )
+    )
+
+
+QC_NO_OT_CURATION = "GWAS Catalog study has not been curated by Open Targets"
+
+
+def deconvolute_studies(study_index: DataFrame) -> DataFrame:
+    """Merge duplicate studyIds ingested from multiple sources into
+    one row per study (reference deconvolute_studies,
+    study_index.py:610-760).
+
+    The reference implements this with windows over
+    ``orderBy(f.rand())`` — nondeterministic row picks. Here the same
+    semantics are a single deterministic groupBy:
+
+    - drop the no-OT-curation flag on rows without sumstats, and the
+      sumstats-not-available flag everywhere when any source has
+      sumstats (``keepTopHit`` logic);
+    - merged ``qualityControls`` = sorted distinct union;
+    - ``hasSumstats`` = any-true (max over booleans);
+    - ``studyType`` = comma-joined sorted distinct types (ambiguity
+      surfaces at study-type validation, as in the reference);
+    - traits = the most granular (fewest mapped ids; ties broken
+      lexicographically) — reference's ``mostGranular`` pick, made
+      reproducible.
+
+    Expects columns: studyId, studyType, hasSumstats,
+    qualityControls, traitFromSource, traitFromSourceMappedIds.
+    One shuffle (the groupBy); no windows, no rand().
+    """
+    qc = F.coalesce(F.col("qualityControls"), F.array().cast("array<string>"))
+    any_sumstats = Window.partitionBy("studyId")
+    cleaned = (
+        study_index.withColumn(
+            "qualityControls",
+            F.when(
+                ~F.col("hasSumstats"),
+                F.array_remove(qc, QC_NO_OT_CURATION),
+            ).otherwise(qc),
+        )
+        .withColumn(
+            "_keepTopHit", ~F.max("hasSumstats").over(any_sumstats)
+        )
+        .withColumn(
+            "qualityControls",
+            F.when(
+                ~F.col("_keepTopHit"),
+                F.array_remove(
+                    F.col("qualityControls"), QC_SUMSTATS_NOT_AVAILABLE
+                ),
+            ).otherwise(F.col("qualityControls")),
+        )
+    )
+    granularity = F.struct(
+        F.size("traitFromSourceMappedIds").alias("n"),
+        F.col("traitFromSourceMappedIds").alias("ids"),
+        F.col("traitFromSource").alias("t"),
+    )
+    return cleaned.groupBy("studyId").agg(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("qualityControls")))
+        ).alias("qualityControls"),
+        F.max("hasSumstats").alias("hasSumstats"),
+        F.concat_ws(",", F.array_sort(F.collect_set("studyType"))).alias(
+            "studyType"
+        ),
+        F.min_by(F.col("traitFromSource"), granularity).alias("traitFromSource"),
+        F.min_by(F.col("traitFromSourceMappedIds"), granularity).alias(
+            "traitFromSourceMappedIds"
+        ),
     )
 
 

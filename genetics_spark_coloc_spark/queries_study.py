@@ -429,6 +429,118 @@ GROUP BY v
 """
 
 
+# ------------------------------------------------------- study deconvolution
+def q_deconvolute_studies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge duplicate studyIds from two ingestion sources: QC-flag
+    union with keep-top-hit cleanup, any-true sumstats flag, sorted
+    study-type join, most-granular trait pick (reference
+    deconvolute_studies, study_index.py:610-760 — deterministic
+    groupBy redesign, no rand() windows)."""
+    from genetics_spark_coloc_spark.operators.study_index_ops import (
+        deconvolute_studies,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ks = ev.select((F.col("event_id") % 30).cast("int").alias("k")).distinct()
+    source_a = ks.select(
+        F.concat(F.lit("S"), F.col("k").cast("string")).alias("studyId"),
+        F.lit("gwas").alias("studyType"),
+        F.lit(False).alias("hasSumstats"),
+        F.when(
+            F.col("k") % 3 == 0,
+            F.array(
+                F.lit("GWAS Catalog study has not been curated by Open Targets"),
+                F.lit("Harmonized summary statistics are not available or empty"),
+            ),
+        )
+        .otherwise(
+            F.array(
+                F.lit("Harmonized summary statistics are not available or empty")
+            )
+        )
+        .alias("qualityControls"),
+        F.concat(F.lit("traitA"), F.col("k").cast("string")).alias(
+            "traitFromSource"
+        ),
+        F.array(F.lit("EFO1"), F.lit("EFO2")).alias("traitFromSourceMappedIds"),
+    )
+    source_b = ks.filter(F.col("k") % 2 == 0).select(
+        F.concat(F.lit("S"), F.col("k").cast("string")).alias("studyId"),
+        F.when(F.col("k") % 4 == 0, "gwas").otherwise("eqtl").alias("studyType"),
+        F.lit(True).alias("hasSumstats"),
+        F.array().cast("array<string>").alias("qualityControls"),
+        F.concat(F.lit("traitB"), F.col("k").cast("string")).alias(
+            "traitFromSource"
+        ),
+        F.array(F.lit("EFO1")).alias("traitFromSourceMappedIds"),
+    )
+    out = deconvolute_studies(source_a.unionByName(source_b))
+    return out.select(
+        "studyId",
+        "hasSumstats",
+        "studyType",
+        "traitFromSource",
+        F.array_join("qualityControls", "|").alias("qcFlags"),
+        F.array_join("traitFromSourceMappedIds", "|").alias("mappedIds"),
+    )
+
+
+SQL_DECONVOLUTE_STUDIES = """
+WITH ks AS (
+  SELECT DISTINCT CAST(event_id % 30 AS INT) AS k FROM events
+),
+source_a AS (
+  SELECT 'S' || CAST(k AS VARCHAR) AS studyId, k,
+         'gwas' AS studyType, FALSE AS hasSumstats,
+         CASE WHEN k % 3 = 0
+              THEN ['GWAS Catalog study has not been curated by Open Targets',
+                    'Harmonized summary statistics are not available or empty']
+              ELSE ['Harmonized summary statistics are not available or empty'] END AS qc,
+         'traitA' || CAST(k AS VARCHAR) AS trait,
+         ['EFO1','EFO2'] AS mapped
+  FROM ks
+),
+source_b AS (
+  SELECT 'S' || CAST(k AS VARCHAR) AS studyId, k,
+         CASE WHEN k % 4 = 0 THEN 'gwas' ELSE 'eqtl' END AS studyType,
+         TRUE AS hasSumstats,
+         CAST([] AS VARCHAR[]) AS qc,
+         'traitB' || CAST(k AS VARCHAR) AS trait,
+         ['EFO1'] AS mapped
+  FROM ks WHERE k % 2 = 0
+),
+unioned AS (
+  SELECT * FROM source_a UNION ALL SELECT * FROM source_b
+),
+cleaned AS (
+  SELECT u.studyId, u.studyType, u.hasSumstats, u.trait, u.mapped,
+         -- no-curation flag dropped on sumstats-free rows; sumstats-not-available
+         -- dropped everywhere when any source of the study has sumstats
+         LIST_FILTER(u.qc, x ->
+           NOT (NOT u.hasSumstats AND x = 'GWAS Catalog study has not been curated by Open Targets')
+           AND NOT (grp.anySumstats AND x = 'Harmonized summary statistics are not available or empty')
+         ) AS qc
+  FROM unioned u
+  JOIN (SELECT studyId, BOOL_OR(hasSumstats) AS anySumstats
+        FROM unioned GROUP BY 1) grp USING (studyId)
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY studyId
+                            ORDER BY LEN(mapped), mapped, trait) AS rn
+  FROM cleaned
+)
+SELECT studyId,
+       BOOL_OR(hasSumstats) AS hasSumstats,
+       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT studyType)), ',') AS studyType,
+       MAX(CASE WHEN rn = 1 THEN trait END) AS traitFromSource,
+       COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(FLATTEN(LIST(qc)))), '|'), '') AS qcFlags,
+       MAX(CASE WHEN rn = 1 THEN ARRAY_TO_STRING(mapped, '|') END) AS mappedIds
+FROM ranked
+GROUP BY studyId
+"""
+
+
 STUDY_QUERIES = {
     "credible_set_log10bf": q_credible_set_log10bf,
     "trans_qtl_flag": q_trans_qtl_flag,
@@ -436,6 +548,7 @@ STUDY_QUERIES = {
     "qc_maintenance": q_qc_maintenance,
     "study_qc_annotation": q_study_qc_annotation,
     "max_maf": q_max_maf,
+    "deconvolute_studies": q_deconvolute_studies,
 }
 
 STUDY_ORACLES = {
@@ -445,4 +558,5 @@ STUDY_ORACLES = {
     "qc_maintenance": SQL_QC_MAINTENANCE,
     "study_qc_annotation": SQL_STUDY_QC_ANNOTATION,
     "max_maf": SQL_MAX_MAF,
+    "deconvolute_studies": SQL_DECONVOLUTE_STUDIES,
 }

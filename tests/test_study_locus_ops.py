@@ -249,3 +249,43 @@ def test_annotate_sumstats_qc_flags(spark):
         False,
         ["Harmonized summary statistics are not available or empty"],
     )
+
+
+def test_deconvolute_studies(spark):
+    from genetics_spark_coloc_spark.operators.study_index_ops import (
+        deconvolute_studies,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # top-hit source: no sumstats, flagged not-curated + no-sumstats
+            ("S1", "gwas", False,
+             ["GWAS Catalog study has not been curated by Open Targets",
+              "Harmonized summary statistics are not available or empty"],
+             "trait long", ["EFO1", "EFO2"]),
+            # sumstats source for the same study
+            ("S1", "eqtl", True, [], "trait short", ["EFO1"]),
+            # lone top-hit study: keeps the sumstats-not-available flag
+            ("S2", "gwas", False,
+             ["Harmonized summary statistics are not available or empty"],
+             "t2", ["EFO9"]),
+        ],
+        "studyId: string, studyType: string, hasSumstats: boolean, "
+        "qualityControls: array<string>, traitFromSource: string, "
+        "traitFromSourceMappedIds: array<string>",
+    )
+    rows = {r["studyId"]: r for r in deconvolute_studies(df).collect()}
+    s1 = rows["S1"]
+    # curation flag dropped (row had no sumstats), not-available flag dropped
+    # (another source has sumstats) -> no flags survive
+    assert s1["qualityControls"] == []
+    assert s1["hasSumstats"] is True
+    assert s1["studyType"] == "eqtl,gwas"
+    # most granular trait = fewest mapped ids
+    assert s1["traitFromSource"] == "trait short"
+    assert s1["traitFromSourceMappedIds"] == ["EFO1"]
+    s2 = rows["S2"]
+    assert s2["qualityControls"] == [
+        "Harmonized summary statistics are not available or empty"
+    ]
+    assert s2["hasSumstats"] is False
