@@ -25,6 +25,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from genetics_spark_coloc_spark.functions.arrays import logsumexp, softmax
+from genetics_spark_coloc_spark.functions.reshape import (
+    get_record_with_maximum_value,
+)
 
 PAIR_KEYS = ["leftStudyLocusId", "rightStudyLocusId", "rightStudyType", "chromosome"]
 
@@ -243,4 +246,79 @@ def coloc(
             on=["leftStudyLocusId", "rightStudyLocusId", "chromosome"],
             how="left",
         )
+    )
+
+
+def append_study_metadata(
+    colocalisation: DataFrame,
+    study_locus: DataFrame,
+    study_index: DataFrame,
+    metadata_cols: list[str],
+    colocalisation_side: str = "right",
+) -> DataFrame:
+    """Bring study metadata columns onto one side of a coloc result
+    (reference append_study_metadata, dataset/colocalisation.py:126-160):
+    locus→study LUT join, then a broadcast join on the study index;
+    metadata columns come out prefixed with the side."""
+    locus_lut = study_locus.select(
+        F.col("studyLocusId").alias(f"{colocalisation_side}StudyLocusId"),
+        F.col("studyId").alias("_sideStudyId"),
+    )
+    meta = study_index.select(
+        F.col("studyId").alias("_sideStudyId"),
+        *[
+            F.col(c).alias(
+                f"{colocalisation_side}{c[0].upper()}{c[1:]}"
+            )
+            for c in metadata_cols
+        ],
+    )
+    return (
+        colocalisation.join(
+            F.broadcast(locus_lut), on=f"{colocalisation_side}StudyLocusId"
+        )
+        .join(F.broadcast(meta), on="_sideStudyId", how="left")
+        .drop("_sideStudyId")
+    )
+
+
+def max_coloc_probability_per_region_and_gene(
+    colocalisation: DataFrame,
+    study_locus: DataFrame,
+    study_index: DataFrame,
+    *,
+    filter_by_colocalisation_method: str,
+    filter_by_qtls: list[str] | None = None,
+) -> DataFrame:
+    """Strongest colocalisation per (GWAS studyLocus, gene)
+    (reference extract_maximum_coloc_probability_per_region_and_gene,
+    dataset/colocalisation.py:39-124): annotate the right side with
+    (geneId, studyType), filter to the requested method / QTL types,
+    restrict to the provided loci, then rank-1 per (locus, gene) on
+    the method's metric (clpp for eCAVIAR, h4 for COLOC)."""
+    method = filter_by_colocalisation_method.lower()
+    metric = {"ecaviar": "clpp", "coloc": "h4"}[method]
+    annotated = append_study_metadata(
+        colocalisation,
+        study_locus,
+        study_index,
+        metadata_cols=["geneId", "studyType"],
+        colocalisation_side="right",
+    )
+    cond = F.col("rightGeneId").isNotNull() & (
+        F.lower(F.col("colocalisationMethod")) == method
+    )
+    if filter_by_qtls:
+        cond &= F.lower(F.col("rightStudyType")).isin(
+            [q.lower() for q in filter_by_qtls]
+        )
+    filtered = annotated.filter(cond).join(
+        study_locus.select(F.col("studyLocusId").alias("leftStudyLocusId")).distinct(),
+        on="leftStudyLocusId",
+    )
+    return get_record_with_maximum_value(
+        filtered.withColumnRenamed("leftStudyLocusId", "studyLocusId")
+        .withColumnRenamed("rightGeneId", "geneId"),
+        ["studyLocusId", "geneId"],
+        metric,
     )

@@ -541,6 +541,319 @@ GROUP BY studyId
 """
 
 
+# ------------------------------------------------ variant effect normalise
+_VE_METHODS = [
+    "CADD", "GERP", "SIFT", "PolyPhen", "AlphaMissense", "Pangolin",
+    "LOFTEE", "LossOfFunctionCuration", "SpliceAI", "VEP", "FoldX",
+]
+_SIFT_ASSESS = [
+    "deleterious", "deleterious_low_confidence",
+    "tolerated_low_confidence", "tolerated",
+]
+_PP_ASSESS = ["benign", "possibly_damaging", "probably_damaging", "unknown"]
+_LOF_ASSESS = ["lof", "likely_lof", "uncertain", "likely_not_lof", "not_lof"]
+
+
+def q_variant_effect_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalise heterogeneous predictor scores onto [-1,1] inside the
+    variantEffect array (reference VariantEffectNormaliser,
+    variant_index.py:367-717) — per-row transform, zero shuffle."""
+    from genetics_spark_coloc_spark.operators.variant_effect import (
+        normalise_variant_effect,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ks = ev.select((F.col("event_id") % 200).cast("int").alias("k")).distinct()
+    methods = F.array(*[F.lit(m) for m in _VE_METHODS])
+    sift = F.array(*[F.lit(a) for a in _SIFT_ASSESS])
+    pp = F.array(*[F.lit(a) for a in _PP_ASSESS])
+    loftee = F.array(F.lit("HC"), F.lit("LC"))
+    lof = F.array(*[F.lit(a) for a in _LOF_ASSESS])
+
+    def entry(i):
+        m = F.element_at(methods, ((F.col("k") * 3 + i) % 11 + 1).cast("int"))
+        raw = ((F.col("k") * 13 + i * 29) % 100) / 100.0
+        score = (
+            F.when(m == "CADD", raw * 81)
+            .when(m == "GERP", raw * 14 - 4)
+            .when(m == "FoldX", raw * 4 - 2)
+            .when(m == "Pangolin", raw * 2 - 1)
+            .otherwise(raw)
+        )
+        assessment = (
+            F.when(m == "SIFT", F.element_at(sift, ((F.col("k") + i) % 4 + 1).cast("int")))
+            .when(m == "PolyPhen", F.element_at(pp, ((F.col("k") + i) % 4 + 1).cast("int")))
+            .when(m == "LOFTEE", F.element_at(loftee, ((F.col("k") + i) % 2 + 1).cast("int")))
+            .when(
+                m == "LossOfFunctionCuration",
+                F.element_at(lof, ((F.col("k") + i) % 5 + 1).cast("int")),
+            )
+        )
+        return F.struct(
+            m.alias("method"),
+            assessment.alias("assessment"),
+            score.alias("score"),
+        )
+
+    variants = ks.select(
+        F.concat(F.lit("1_"), F.col("k").cast("string"), F.lit("_A_G")).alias(
+            "variantId"
+        ),
+        F.transform(F.sequence(F.lit(0), F.lit(3)), entry).alias("variantEffect"),
+    )
+    out = variants.select(
+        "variantId",
+        F.explode(normalise_variant_effect(F.col("variantEffect"))).alias("ve"),
+    )
+    return out.select(
+        "variantId",
+        F.col("ve.method").alias("method"),
+        F.round("ve.score", 6).alias("score"),
+        F.round("ve.normalisedScore", 6).alias("normalisedScore"),
+    )
+
+
+SQL_VARIANT_EFFECT_NORM = """
+WITH ks AS (
+  SELECT DISTINCT CAST(event_id % 200 AS INT) AS k FROM events
+),
+entries AS (
+  SELECT k, CAST(i AS INT) AS i,
+         ['CADD','GERP','SIFT','PolyPhen','AlphaMissense','Pangolin',
+          'LOFTEE','LossOfFunctionCuration','SpliceAI','VEP','FoldX'][(k * 3 + CAST(i AS INT)) % 11 + 1] AS method,
+         ((k * 13 + CAST(i AS INT) * 29) % 100) / 100.0 AS raw
+  FROM ks CROSS JOIN range(0, 4) t(i)
+),
+scored AS (
+  SELECT k, i, method,
+         CASE WHEN method = 'CADD' THEN raw * 81
+              WHEN method = 'GERP' THEN raw * 14 - 4
+              WHEN method = 'FoldX' THEN raw * 4 - 2
+              WHEN method = 'Pangolin' THEN raw * 2 - 1
+              ELSE raw END AS score,
+         CASE WHEN method = 'SIFT' THEN
+                ['deleterious','deleterious_low_confidence',
+                 'tolerated_low_confidence','tolerated'][(k + i) % 4 + 1]
+              WHEN method = 'PolyPhen' THEN
+                ['benign','possibly_damaging','probably_damaging','unknown'][(k + i) % 4 + 1]
+              WHEN method = 'LOFTEE' THEN ['HC','LC'][(k + i) % 2 + 1]
+              WHEN method = 'LossOfFunctionCuration' THEN
+                ['lof','likely_lof','uncertain','likely_not_lof','not_lof'][(k + i) % 5 + 1]
+         END AS assessment
+  FROM entries
+),
+norm AS (
+  SELECT k, method, score,
+    CASE
+      WHEN method = 'LOFTEE' THEN
+        CASE WHEN assessment = 'HC' THEN 1.0 WHEN assessment = 'LC' THEN 0.85 END
+      WHEN method = 'SIFT' THEN
+        CASE WHEN (1 - ROUND(score, 2) >= 0.95) AND assessment = 'deleterious'
+               THEN ((1 - score) - 0.95) / (1 - 0.95) * (1 - 0.5) + 0.5
+             WHEN (1 - ROUND(score, 2) >= 0.95) AND assessment = 'deleterious_low_confidence'
+               THEN ((1 - score) - 0.95) / (1 - 0.95) * (0.5 - 0) + 0
+             WHEN (1 - ROUND(score, 2) <= 0.95) AND assessment = 'tolerated_low_confidence'
+               THEN ((1 - score) - 0) / (0.95 - 0) * (0.0 - (-0.5)) + (-0.5)
+             WHEN (1 - ROUND(score, 2) <= 0.95) AND assessment = 'tolerated'
+               THEN ((1 - score) - 0) / (0.95 - 0) * ((-0.5) - (-1)) + (-1)
+        END
+      WHEN method = 'PolyPhen' THEN
+        CASE WHEN assessment = 'unknown' THEN NULL
+             WHEN score <= 0.446 THEN (score - 0) / (0.446 - 0) * ((-0.25) - (-1.0)) + (-1.0)
+             WHEN score <= 0.908 THEN (score - 0.446) / (0.908 - 0.446) * (0.25 - (-0.25)) + (-0.25)
+             WHEN score > 0.908 THEN (score - 0.908) / (1.0 - 0.908) * (1.0 - 0.25) + 0.25
+        END
+      WHEN method = 'AlphaMissense' THEN
+        CASE WHEN score < 0.06 THEN (score - 0) / (0.06 - 0) * ((-0.25) - (-1.0)) + (-1.0)
+             WHEN score < 0.77 THEN (score - 0.06) / (0.77 - 0.06) * (0.25 - (-0.25)) + (-0.25)
+             WHEN score >= 0.77 THEN (score - 0.77) / (1 - 0.77) * (1 - 0.25) + 0.25
+        END
+      WHEN method = 'CADD' THEN
+        CASE WHEN score <= 10 THEN (score - 0) / (10 - 0) * (0.0 - (-1.0)) + (-1.0)
+             WHEN score <= 20 THEN (score - 10) / (20 - 10) * (0.5 - 0.0) + 0.0
+             WHEN score <= 30 THEN (score - 20) / (30 - 20) * (0.75 - 0.5) + 0.5
+             WHEN score > 30 THEN (score - 30) / (81 - 30) * (1 - 0.75) + 0.75
+        END
+      WHEN method = 'Pangolin' THEN
+        CASE WHEN ABS(score) > 0.14 THEN (ABS(score) - 0.14) / (1 - 0.14) * (1 - 0.5) + 0.5
+             WHEN ABS(score) <= 0.14 THEN (ABS(score) - 0) / (0.14 - 0) * (0.5 - 0.0) + 0.0
+        END
+      WHEN method = 'LossOfFunctionCuration' THEN
+        CASE assessment WHEN 'lof' THEN 1.0 WHEN 'likely_lof' THEN 0.5
+                        WHEN 'uncertain' THEN 0.0 WHEN 'likely_not_lof' THEN -0.5
+                        WHEN 'not_lof' THEN -1.0 END
+      WHEN method = 'SpliceAI' THEN score
+      WHEN method = 'VEP' THEN score
+      WHEN method = 'GERP' THEN
+        CASE WHEN score > 6 THEN 1.0
+             WHEN score >= 2 THEN (score - 2) / (6 - 2) * (1 - 0.5) + 0.5
+             WHEN score >= 0 THEN (score - 0) / (2 - 0) * (0.5 - 0) + 0
+             WHEN score >= -3 THEN (score - (-3)) / (0 - (-3)) * (0 - (-1)) + (-1)
+             WHEN score < -3 THEN -1.0
+        END
+      WHEN method = 'FoldX' THEN
+        CASE WHEN ABS(score) >= 2 THEN 1.0
+             ELSE (ABS(score) - 0.0) / (2.0 - 0.0) * (1.0 - 0.0) + 0.0 END
+    END AS normalisedScore
+  FROM scored
+)
+SELECT '1_' || CAST(k AS VARCHAR) || '_A_G' AS variantId,
+       method, ROUND(score, 6) AS score,
+       ROUND(normalisedScore, 6) AS normalisedScore
+FROM norm
+"""
+
+
+# ------------------------------------------------------------------- loftee
+def q_loftee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOFTEE pLoF calls per variant→gene with the high-confidence
+    flag (reference get_loftee, variant_index.py:341-364)."""
+    from genetics_spark_coloc_spark.operators.variant_effect import get_loftee
+
+    ev = load_table(spark, sf_dir, "events")
+    ks = ev.select((F.col("event_id") % 300).cast("int").alias("k")).distinct()
+    variants = ks.select(
+        F.concat(F.lit("1_"), F.col("k").cast("string"), F.lit("_A_G")).alias(
+            "variantId"
+        ),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(2)),
+            lambda g: F.struct(
+                F.concat(F.lit("G"), ((F.col("k") + g) % 20).cast("string")).alias(
+                    "targetId"
+                ),
+                F.when((F.col("k") + g) % 3 == 0, "HC")
+                .when((F.col("k") + g) % 3 == 1, "LC")
+                .alias("lofteePrediction"),
+            ),
+        ).alias("transcriptConsequences"),
+    )
+    return get_loftee(variants)
+
+
+SQL_LOFTEE = """
+WITH ks AS (
+  SELECT DISTINCT CAST(event_id % 300 AS INT) AS k FROM events
+),
+tc AS (
+  SELECT k,
+         'G' || CAST((k + CAST(g AS INT)) % 20 AS VARCHAR) AS targetId,
+         CASE WHEN (k + CAST(g AS INT)) % 3 = 0 THEN 'HC'
+              WHEN (k + CAST(g AS INT)) % 3 = 1 THEN 'LC' END AS lofteePrediction
+  FROM ks CROSS JOIN range(0, 3) t(g)
+)
+SELECT '1_' || CAST(k AS VARCHAR) || '_A_G' AS variantId,
+       targetId, lofteePrediction,
+       lofteePrediction = 'HC' AS isHighQualityPlof
+FROM tc
+WHERE lofteePrediction IS NOT NULL
+"""
+
+
+# -------------------------------------------------------- coloc max per gene
+def q_coloc_max_per_gene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongest eCAVIAR colocalisation per (GWAS locus, gene)
+    (reference extract_maximum_coloc_probability_per_region_and_gene,
+    dataset/colocalisation.py:39-124)."""
+    from genetics_spark_coloc_spark.operators.coloc import (
+        max_coloc_probability_per_region_and_gene,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ks = ev.select((F.col("event_id") % 120).cast("int").alias("k")).distinct()
+    colocalisation = ks.select(
+        F.concat(F.lit("L"), (F.col("k") % 10).cast("string")).alias(
+            "leftStudyLocusId"
+        ),
+        F.concat(F.lit("R"), F.col("k").cast("string")).alias("rightStudyLocusId"),
+        F.when(F.col("k") % 2 == 0, "eCAVIAR").otherwise("Coloc").alias(
+            "colocalisationMethod"
+        ),
+        (F.col("k") / 120.0).alias("clpp"),
+        (1.0 - F.col("k") / 120.0).alias("h4"),
+    )
+    study_locus = (
+        ks.select(
+            F.concat(F.lit("L"), (F.col("k") % 10).cast("string")).alias(
+                "studyLocusId"
+            ),
+            F.concat(F.lit("GS"), (F.col("k") % 10).cast("string")).alias("studyId"),
+        )
+        .unionByName(
+            ks.select(
+                F.concat(F.lit("R"), F.col("k").cast("string")).alias("studyLocusId"),
+                F.concat(F.lit("QS"), (F.col("k") % 15).cast("string")).alias(
+                    "studyId"
+                ),
+            )
+        )
+        .distinct()
+    )
+    study_index = (
+        spark.range(0, 10)
+        .select(
+            F.concat(F.lit("GS"), F.col("id").cast("string")).alias("studyId"),
+            F.lit(None).cast("string").alias("geneId"),
+            F.lit("gwas").alias("studyType"),
+        )
+        .unionByName(
+            spark.range(0, 15).select(
+                F.concat(F.lit("QS"), F.col("id").cast("string")).alias("studyId"),
+                F.concat(F.lit("G"), (F.col("id") % 8).cast("string")).alias("geneId"),
+                F.when(F.col("id") % 2 == 0, "eqtl").otherwise("pqtl").alias(
+                    "studyType"
+                ),
+            )
+        )
+    )
+    out = max_coloc_probability_per_region_and_gene(
+        colocalisation,
+        study_locus,
+        study_index,
+        filter_by_colocalisation_method="ECaviar",
+        filter_by_qtls=["eqtl"],
+    )
+    return out.select(
+        "studyLocusId",
+        "geneId",
+        "rightStudyLocusId",
+        F.round("clpp", 6).alias("clpp"),
+    )
+
+
+SQL_COLOC_MAX_PER_GENE = """
+WITH ks AS (
+  SELECT DISTINCT CAST(event_id % 120 AS INT) AS k FROM events
+),
+coloc AS (
+  SELECT 'L' || CAST(k % 10 AS VARCHAR) AS leftStudyLocusId,
+         'R' || CAST(k AS VARCHAR) AS rightStudyLocusId,
+         CASE WHEN k % 2 = 0 THEN 'eCAVIAR' ELSE 'Coloc' END AS method,
+         k / 120.0 AS clpp,
+         k % 15 AS rightStudyNum
+  FROM ks
+),
+annotated AS (
+  SELECT c.*,
+         'G' || CAST(c.rightStudyNum % 8 AS VARCHAR) AS geneId,
+         CASE WHEN c.rightStudyNum % 2 = 0 THEN 'eqtl' ELSE 'pqtl' END AS rightType
+  FROM coloc c
+),
+filtered AS (
+  SELECT leftStudyLocusId AS studyLocusId, geneId, rightStudyLocusId, clpp
+  FROM annotated
+  WHERE LOWER(method) = 'ecaviar' AND rightType = 'eqtl'
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY studyLocusId, geneId
+                               ORDER BY clpp DESC) AS rn
+  FROM filtered
+)
+SELECT studyLocusId, geneId, rightStudyLocusId, ROUND(clpp, 6) AS clpp
+FROM ranked WHERE rn = 1
+"""
+
+
 STUDY_QUERIES = {
     "credible_set_log10bf": q_credible_set_log10bf,
     "trans_qtl_flag": q_trans_qtl_flag,
@@ -549,6 +862,9 @@ STUDY_QUERIES = {
     "study_qc_annotation": q_study_qc_annotation,
     "max_maf": q_max_maf,
     "deconvolute_studies": q_deconvolute_studies,
+    "variant_effect_norm": q_variant_effect_norm,
+    "loftee": q_loftee,
+    "coloc_max_per_gene": q_coloc_max_per_gene,
 }
 
 STUDY_ORACLES = {
@@ -559,4 +875,7 @@ STUDY_ORACLES = {
     "study_qc_annotation": SQL_STUDY_QC_ANNOTATION,
     "max_maf": SQL_MAX_MAF,
     "deconvolute_studies": SQL_DECONVOLUTE_STUDIES,
+    "variant_effect_norm": SQL_VARIANT_EFFECT_NORM,
+    "loftee": SQL_LOFTEE,
+    "coloc_max_per_gene": SQL_COLOC_MAX_PER_GENE,
 }

@@ -99,3 +99,44 @@ def test_write_vcf_roundtrip(spark, tmp_path):
     back = spark.read.option("sep", "\t").option("header", True).csv(out_dir)
     row = back.collect()[0]
     assert row["#CHROM"] == "1" and row["POS"] == "100" and row["REF"] == "A"
+
+
+def test_variant_effect_normalisers(spark):
+    from genetics_spark_coloc_spark.operators.variant_effect import (
+        get_loftee,
+        normalise_variant_effect,
+    )
+
+    df = spark.createDataFrame(
+        [
+            {"variantId": "v1", "variantEffect": [
+                {"method": "CADD", "assessment": None, "score": 15.0},
+                {"method": "GERP", "assessment": None, "score": 7.0},
+                {"method": "LOFTEE", "assessment": "LC", "score": None},
+                {"method": "PolyPhen", "assessment": "unknown", "score": 0.5},
+                {"method": "SpliceAI", "assessment": None, "score": 0.42},
+            ]}
+        ],
+        "variantId: string, variantEffect: array<struct<method: string, assessment: string, score: double>>",
+    )
+    out = df.select(
+        F.explode(normalise_variant_effect(F.col("variantEffect"))).alias("ve")
+    ).select("ve.method", "ve.normalisedScore").collect()
+    norm = {r["method"]: r["normalisedScore"] for r in out}
+    assert norm["CADD"] == pytest.approx(0.25)     # 15 in 10-20 band -> 0..0.5
+    assert norm["GERP"] == pytest.approx(1.0)      # >6 saturates
+    assert norm["LOFTEE"] == pytest.approx(0.85)
+    assert norm["PolyPhen"] is None                # unknown -> null
+    assert norm["SpliceAI"] == pytest.approx(0.42) # passthrough
+
+    loftee_df = spark.createDataFrame(
+        [
+            {"variantId": "v1", "transcriptConsequences": [
+                {"targetId": "G1", "lofteePrediction": "HC"},
+                {"targetId": "G2", "lofteePrediction": None},
+            ]}
+        ],
+        "variantId: string, transcriptConsequences: array<struct<targetId: string, lofteePrediction: string>>",
+    )
+    rows = get_loftee(loftee_df).collect()
+    assert len(rows) == 1 and rows[0]["isHighQualityPlof"] is True
