@@ -297,6 +297,29 @@ def assemble_feature_matrix(
     return wide.fillna(0.0, subset=feature_names)
 
 
+def feature_missingness_rates(
+    feature_matrix: DataFrame, feature_names: list[str]
+) -> DataFrame:
+    """Proportion of missing (null or 0) values per feature column
+    (reference calculate_feature_missingness_rate,
+    l2g_feature_matrix.py:109-132).
+
+    The reference launches one count() JOB PER FEATURE (N+1 scans);
+    here a single aggregation pass computes every rate at once, then
+    unpivots to long (featureName, missingRate) — one scan total,
+    which is the difference between minutes and hours on a 100 TB
+    matrix.
+    """
+    aggs = [
+        F.avg((F.col(c).isNull() | (F.col(c) == 0)).cast("double")).alias(c)
+        for c in feature_names
+    ]
+    stacked = ", ".join(f"'{c}', `{c}`" for c in feature_names)
+    return feature_matrix.agg(*aggs).selectExpr(
+        f"stack({len(feature_names)}, {stacked}) AS (featureName, missingRate)"
+    )
+
+
 def train_l2g_model(
     feature_matrix: DataFrame,
     label_col: str = "goldStandardSet",

@@ -823,8 +823,41 @@ WHERE NOT (t.variantType = 'snp_c' AND v.direction = 'flip')
 """
 
 
+def q_feature_missingness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feature missing-value (null-or-zero) rate over the feature
+    matrix in ONE aggregation pass — the reference runs one count job
+    per feature (l2g_feature_matrix.py:109-132)."""
+    from genetics_spark_coloc_spark.operators.l2g import feature_missingness_rates
+
+    matrix = q_l2g_feature_matrix(spark, sf_dir)
+    out = feature_missingness_rates(matrix, _L2G_FEATURES)
+    return out.select(
+        "featureName", F.round("missingRate", 6).alias("missingRate")
+    )
+
+
+SQL_FEATURE_MISSINGNESS = f"""
+WITH matrix AS ({{matrix_sql}})
+SELECT featureName, ROUND(missingRate, 6) AS missingRate
+FROM (
+  SELECT 'maxPosteriorProbability' AS featureName,
+         AVG(CASE WHEN maxPosteriorProbability IS NULL OR maxPosteriorProbability = 0
+                  THEN 1.0 ELSE 0.0 END) AS missingRate FROM matrix
+  UNION ALL
+  SELECT 'meanLogBF',
+         AVG(CASE WHEN meanLogBF IS NULL OR meanLogBF = 0 THEN 1.0 ELSE 0.0 END)
+  FROM matrix
+  UNION ALL
+  SELECT 'nTagsGene',
+         AVG(CASE WHEN nTagsGene IS NULL OR nTagsGene = 0 THEN 1.0 ELSE 0.0 END)
+  FROM matrix
+)
+""".format(matrix_sql=SQL_L2G_FEATURE_MATRIX.strip())
+
+
 SCALE_QUERIES = {
     "pz_regression": q_pz_regression,
+    "feature_missingness": q_feature_missingness,
     "harmonic_sum": q_harmonic_sum,
     "l2g_feature_matrix": q_l2g_feature_matrix,
     "sessionize": q_sessionize,
@@ -843,6 +876,7 @@ SCALE_QUERIES = {
 
 SCALE_ORACLES = {
     "pz_regression": SQL_PZ_REGRESSION,
+    "feature_missingness": SQL_FEATURE_MISSINGNESS,
     "harmonic_sum": SQL_HARMONIC_SUM,
     "l2g_feature_matrix": SQL_L2G_FEATURE_MATRIX,
     "sessionize": SQL_SESSIONIZE,
