@@ -68,6 +68,22 @@ def pvalue_pair_gt(
     )
 
 
+def neglog_pvalue_to_mantissa_and_exponent(
+    neglog_pvalue_col: Column,
+) -> tuple[Column, Column]:
+    """-log10(p) → (pValueMantissa float, pValueExponent int), exact
+    reference arithmetic (spark_helpers.py:256-284):
+    exponent = ceil(nlp), mantissa = 10^(exponent - nlp), sign-flip
+    the exponent. Survives p below 1e-308 because p itself is never
+    materialised."""
+    exponent = F.ceil(neglog_pvalue_col)
+    mantissa = F.pow(F.lit(10), exponent - neglog_pvalue_col)
+    return (
+        mantissa.cast("float").alias("pValueMantissa"),
+        (-1 * exponent).cast("int").alias("pValueExponent"),
+    )
+
+
 def neglog_pvalue(mantissa: Column, exponent: Column) -> Column:
     """-log10(p) from the pair: -(log10(mantissa) + exponent)
     (reference: common/spark_helpers.py:288-313)."""

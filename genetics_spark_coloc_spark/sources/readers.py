@@ -266,3 +266,97 @@ def read_intervals_bed(
         )
         .filter(F.col("geneId").isNotNull() & F.col("start").isNotNull())
     )
+
+
+# ----------------------------------------------- regenie-style harmonisation
+def read_regenie_sumstats(
+    raw: DataFrame,
+    annotation: DataFrame,
+    *,
+    colname_position: str,
+    colname_allele0: str,
+    colname_allele1: str,
+    colname_beta: str,
+    colname_se: str,
+    colname_mlog10p: str,
+    colname_a1freq: str | None = None,
+    colname_info: str | None = None,
+    colname_n: str | None = None,
+) -> DataFrame:
+    """Generic regenie/meta-analysis sumstats harmonisation
+    (reference common/harmonise.py:10-191 via the thin source wrappers
+    datasource/ukb_ppp_eur/summary_stats.py:38-52 and
+    datasource/finngen_ukb_meta/summary_stats.py:41-53): map source
+    column names onto the canonical shape, run the orientation-join
+    harmonisation, decompose -log10(p) into the (mantissa, exponent)
+    pair, and drop position-less / zero-beta rows."""
+    from genetics_spark_coloc_spark.functions.pvalue import (
+        neglog_pvalue_to_mantissa_and_exponent,
+    )
+    from genetics_spark_coloc_spark.operators.harmonise import harmonise_sumstats
+
+    renames = {
+        colname_position: "position",
+        colname_allele0: "allele0",
+        colname_allele1: "allele1",
+        colname_beta: "beta",
+    }
+    if colname_a1freq:
+        renames[colname_a1freq] = "a1freq"
+    if colname_info:
+        renames[colname_info] = "info"
+    mapped = raw
+    for src, dst in renames.items():
+        mapped = mapped.withColumnRenamed(src, dst)
+    mapped = mapped.withColumn("position", F.col("position").cast("integer"))
+
+    harmonised = harmonise_sumstats(mapped, annotation)
+    select_expr = [
+        F.col("studyId"),
+        F.col("chromosome"),
+        F.col("variantId"),
+        F.col("beta"),
+        F.col("position"),
+        *neglog_pvalue_to_mantissa_and_exponent(
+            F.col(colname_mlog10p).cast("double")
+        ),
+        F.col(colname_se).cast("double").alias("standardError"),
+    ]
+    if colname_n:
+        select_expr.append(F.col(colname_n).cast("integer").alias("sampleSize"))
+    return harmonised.select(*select_expr).filter(
+        F.col("position").isNotNull() & (F.col("beta") != 0)
+    )
+
+
+def read_ukb_ppp_sumstats(raw: DataFrame, annotation: DataFrame) -> DataFrame:
+    """UKB-PPP (EUR) pQTL sumstats (reference
+    datasource/ukb_ppp_eur/summary_stats.py:38-52 column map)."""
+    return read_regenie_sumstats(
+        raw,
+        annotation,
+        colname_position="GENPOS",
+        colname_allele0="ALLELE0",
+        colname_allele1="ALLELE1",
+        colname_a1freq="A1FREQ",
+        colname_info="INFO",
+        colname_beta="BETA",
+        colname_se="SE",
+        colname_mlog10p="LOG10P",
+        colname_n="N",
+    )
+
+
+def read_finngen_ukb_meta_sumstats(raw: DataFrame, annotation: DataFrame) -> DataFrame:
+    """FinnGen×UKB meta-analysis sumstats (reference
+    datasource/finngen_ukb_meta/summary_stats.py:41-53 column map)."""
+    return read_regenie_sumstats(
+        raw,
+        annotation,
+        colname_position="POS",
+        colname_allele0="REF",
+        colname_allele1="ALT",
+        colname_beta="all_inv_var_meta_beta",
+        colname_se="all_inv_var_meta_sebeta",
+        colname_mlog10p="all_inv_var_meta_mlogp",
+    )

@@ -116,3 +116,55 @@ def test_variant_type_and_flip(spark):
     ).collect()
     assert [r["vt"] for r in out] == ["snp_c", "snp_n", "indel"]
     assert out[2]["flipped"] == "AT"[::-1].translate(str.maketrans("ACGT", "TGCA"))
+
+
+def test_neglog_pvalue_to_mantissa_and_exponent(spark):
+    from genetics_spark_coloc_spark.functions.pvalue import (
+        neglog_pvalue_to_mantissa_and_exponent,
+    )
+
+    rows = (
+        spark.createDataFrame([(4.56,), (2109.23,)], "nlp: double")
+        .select(*neglog_pvalue_to_mantissa_and_exponent(F.col("nlp")))
+        .collect()
+    )
+    # reference doctest values (spark_helpers.py:266-276)
+    assert rows[0]["pValueMantissa"] == pytest.approx(2.7542286, abs=1e-6)
+    assert rows[0]["pValueExponent"] == -5
+    assert rows[1]["pValueMantissa"] == pytest.approx(5.8884363, abs=1e-6)
+    assert rows[1]["pValueExponent"] == -2110
+
+
+def test_read_ukb_ppp_sumstats(spark):
+    from genetics_spark_coloc_spark.operators.harmonise import (
+        annotation_both_orientations,
+    )
+    from genetics_spark_coloc_spark.sources.readers import read_ukb_ppp_sumstats
+
+    raw = spark.createDataFrame(
+        [
+            # direct orientation
+            ("S1", "1", 100, "A", "G", 0.4, 0.99, 0.5, 0.1, 7.0, 1000),
+            # flipped orientation (canonical is G/A at 200)
+            ("S1", "1", 200, "A", "G", 0.3, 0.99, -0.2, 0.1, 4.56, 1000),
+        ],
+        "studyId: string, chromosome: string, GENPOS: int, ALLELE0: string, "
+        "ALLELE1: string, A1FREQ: double, INFO: double, BETA: double, SE: double, "
+        "LOG10P: double, N: int",
+    )
+    canonical = spark.createDataFrame(
+        [("1_100_A_G", "1", 100, "A", "G"), ("1_200_G_A", "1", 200, "G", "A")],
+        "variantId: string, chromosome: string, position: int, "
+        "refAllele: string, altAllele: string",
+    )
+    out = {
+        r["variantId"]: r
+        for r in read_ukb_ppp_sumstats(
+            raw, annotation_both_orientations(canonical)
+        ).collect()
+    }
+    assert out["1_100_A_G"]["beta"] == pytest.approx(0.5)
+    # orientation flip negates beta
+    assert out["1_200_G_A"]["beta"] == pytest.approx(0.2)
+    assert out["1_200_G_A"]["pValueExponent"] == -5
+    assert out["1_200_G_A"]["sampleSize"] == 1000
