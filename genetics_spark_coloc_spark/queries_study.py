@@ -854,6 +854,100 @@ FROM ranked WHERE rn = 1
 """
 
 
+# -------------------------------------------- GWAS-Catalog assoc harmonise
+def q_gwas_assoc_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GWAS-Catalog association effect→beta harmonisation: risk-allele
+    strand logic, palindromic drop, CI-text effect typing, OR→ln(OR)
+    (reference harmonise_association_effect_to_beta,
+    datasource/gwas_catalog/associations.py:953-1085)."""
+    from genetics_spark_coloc_spark.sources.gwas_catalog_assoc import (
+        harmonise_association_effect_to_beta,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ks = ev.select((F.col("event_id") % 100).cast("int").alias("k")).distinct()
+    alleles = F.array(F.lit("A"), F.lit("T"), F.lit("G"), F.lit("C"))
+    assoc = ks.select(
+        F.col("k").alias("assocId"),
+        F.concat(
+            F.lit("rs"),
+            F.col("k").cast("string"),
+            F.lit("-"),
+            F.element_at(alleles, ((F.col("k") * 7 + 2) % 4 + 1).cast("int")),
+        ).alias("STRONGEST SNP-RISK ALLELE"),
+        F.element_at(alleles, (F.col("k") % 4 + 1).cast("int")).alias(
+            "referenceAllele"
+        ),
+        F.element_at(alleles, ((F.col("k") * 3 + 1) % 4 + 1).cast("int")).alias(
+            "alternateAllele"
+        ),
+        ((1 + F.col("k") % 30) / 10.0).alias("OR or BETA"),
+        F.when(F.col("k") % 3 == 0, "[0.08-0.12] unit increase")
+        .when(F.col("k") % 3 == 1, "[0.5-1.5] unit decrease")
+        .otherwise("[0.08-0.12]")
+        .alias("95% CI (TEXT)"),
+    )
+    out = harmonise_association_effect_to_beta(assoc)
+    return out.select(
+        "assocId",
+        F.round("beta", 6).alias("beta"),
+        F.round("standardError", 6).alias("standardError"),
+    )
+
+
+SQL_GWAS_ASSOC_BETA = """
+WITH ks AS (
+  SELECT DISTINCT CAST(event_id % 100 AS INT) AS k FROM events
+),
+assoc AS (
+  SELECT k AS assocId,
+         ['A','T','G','C'][(k * 7 + 2) % 4 + 1] AS risk,
+         ['A','T','G','C'][k % 4 + 1] AS ref,
+         ['A','T','G','C'][(k * 3 + 1) % 4 + 1] AS alt,
+         (1 + k % 30) / 10.0 AS effect,
+         CASE WHEN k % 3 = 0 THEN '[0.08-0.12] unit increase'
+              WHEN k % 3 = 1 THEN '[0.5-1.5] unit decrease'
+              ELSE '[0.08-0.12]' END AS ci
+  FROM ks
+),
+flags AS (
+  SELECT *,
+         REVERSE(TRANSLATE(alt, 'ACTG', 'TGAC')) AS altRevComp,
+         REVERSE(TRANSLATE(ref, 'ACTG', 'TGAC')) AS refRevComp,
+         CASE WHEN ci LIKE '%increase%' OR ci LIKE '%decrease%'
+              THEN 'beta' ELSE 'odds_ratio' END AS effectType,
+         (CAST(regexp_extract(ci, '\\[(\\d+\\.*\\d*)-\\d+\\.*\\d*\\]', 1) AS REAL)) AS ciLower,
+         (CAST(regexp_extract(ci, '\\[\\d+\\.*\\d*-(\\d+\\.*\\d*)\\]', 1) AS REAL)) AS ciUpper
+  FROM assoc
+),
+typed AS (
+  SELECT *,
+         ref = altRevComp AS palindromic,
+         (risk = ref OR risk = refRevComp) AS flip,
+         (ciUpper - ciLower) / 3.92 AS se
+  FROM flags
+),
+effects AS (
+  SELECT assocId, effectType, se,
+         CASE WHEN effectType = 'beta' AND NOT palindromic THEN
+           CASE WHEN (flip AND ci LIKE '%increase%') OR (NOT flip AND ci LIKE '%decrease%')
+                THEN -effect ELSE effect END
+         END AS effect_beta,
+         CASE WHEN effectType = 'odds_ratio' AND NOT palindromic THEN
+           CASE WHEN effect = 0 AND flip THEN NULL
+                WHEN flip THEN 1 / effect
+                ELSE effect END
+         END AS effect_or
+  FROM typed
+)
+SELECT assocId,
+       ROUND(CASE WHEN effect_beta IS NOT NULL THEN effect_beta
+                  WHEN effect_or IS NOT NULL THEN LN(effect_or) END, 6) AS beta,
+       ROUND(CASE WHEN effect_beta IS NOT NULL THEN se END, 6) AS standardError
+FROM effects
+"""
+
+
 STUDY_QUERIES = {
     "credible_set_log10bf": q_credible_set_log10bf,
     "trans_qtl_flag": q_trans_qtl_flag,
@@ -865,6 +959,7 @@ STUDY_QUERIES = {
     "variant_effect_norm": q_variant_effect_norm,
     "loftee": q_loftee,
     "coloc_max_per_gene": q_coloc_max_per_gene,
+    "gwas_assoc_beta": q_gwas_assoc_beta,
 }
 
 STUDY_ORACLES = {
@@ -878,4 +973,5 @@ STUDY_ORACLES = {
     "variant_effect_norm": SQL_VARIANT_EFFECT_NORM,
     "loftee": SQL_LOFTEE,
     "coloc_max_per_gene": SQL_COLOC_MAX_PER_GENE,
+    "gwas_assoc_beta": SQL_GWAS_ASSOC_BETA,
 }

@@ -1,0 +1,178 @@
+"""GWAS-Catalog curated-association harmonisation: risk-allele
+extraction, strand logic, and effect→beta conversion.
+
+Reference anchors: GWASCatalogCuratedAssociationsParser
+(datasource/gwas_catalog/associations.py:143-1085) — the Column
+helpers behind `harmonise_association_effect_to_beta`, plus
+convert_odds_ratio_to_beta (common/utils.py:81-121). All pure
+Column expressions — per-row, zero shuffle, whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from genetics_spark_coloc_spark.functions.effect import ci_to_standard_error
+from genetics_spark_coloc_spark.sources.readers import convert_odds_ratio_to_beta
+
+__all__ = [
+    "reverse_complement",
+    "extract_risk_allele",
+    "are_alleles_palindromic",
+    "effect_needs_harmonisation",
+    "get_effect_type",
+    "harmonise_beta",
+    "harmonise_odds_ratio",
+    "convert_odds_ratio_to_beta",
+    "harmonise_association_effect_to_beta",
+]
+
+
+def reverse_complement(allele: Column) -> Column:
+    """Reverse complement of a DNA allele string; non-ACTG content
+    passes through unchanged (reference: associations.py:456-491)."""
+    allele = F.upper(allele)
+    return F.when(
+        allele.rlike("[ACTG]+"),
+        F.reverse(F.translate(allele, "ACTG", "TGAC")),
+    ).otherwise(allele)
+
+
+def extract_risk_allele(risk_allele: Column) -> Column:
+    """First allele of a 'rs123-A; rs456-G'-style GWAS-Catalog
+    STRONGEST SNP-RISK ALLELE string (reference: associations.py:143-170)."""
+    return F.split(F.split(risk_allele, "; ").getItem(0), "-").getItem(1)
+
+
+def are_alleles_palindromic(
+    reference_allele: Column, alternate_allele: Column
+) -> Column:
+    """True when ref equals the reverse complement of alt — the
+    strand-ambiguous case (reference: associations.py:529-565)."""
+    revcomp = reverse_complement(alternate_allele)
+    return (
+        F.when(reference_allele == revcomp, True)
+        .when(revcomp.isNull(), False)
+        .otherwise(False)
+    )
+
+
+def effect_needs_harmonisation(
+    risk_allele: Column, reference_allele: Column
+) -> Column:
+    """True when the reported risk allele sits on the reference side
+    (directly or via reverse complement), so the effect sign must flip
+    to express the alt-allele effect (reference: associations.py:494-527)."""
+    return (risk_allele == reference_allele) | (
+        risk_allele == reverse_complement(reference_allele)
+    )
+
+
+def get_effect_type(ci_text: Column) -> Column:
+    """'beta' when the CI text mentions increase/decrease, else
+    'odds_ratio'; null in → null out (reference: associations.py:919-951)."""
+    return F.when(
+        F.lower(ci_text).contains("increase")
+        | F.lower(ci_text).contains("decrease"),
+        F.lit("beta"),
+    ).when(ci_text.isNotNull(), F.lit("odds_ratio"))
+
+
+def harmonise_beta(
+    effect_size: Column, confidence_interval: Column, flipping_needed: Column
+) -> Column:
+    """Signed beta from effect size + CI direction text, with the
+    allele-orientation flip folded in (reference: associations.py:567-626):
+    sign flips when exactly one of (flip needed, 'decrease') holds."""
+    return (
+        F.when(
+            (flipping_needed & confidence_interval.contains("increase"))
+            | (~flipping_needed & confidence_interval.contains("decrease")),
+            -effect_size,
+        )
+        .otherwise(effect_size)
+        .cast("double")
+    )
+
+
+def harmonise_odds_ratio(effect_size: Column, flipping_needed: Column) -> Column:
+    """OR or its reciprocal when flipped; a zero OR cannot be flipped
+    (reference: associations.py:628-668)."""
+    return (
+        F.when((effect_size.cast("double") == 0) & flipping_needed, F.lit(None))
+        .when(flipping_needed, 1 / effect_size)
+        .otherwise(effect_size)
+        .cast("double")
+    )
+
+
+def harmonise_association_effect_to_beta(df: DataFrame) -> DataFrame:
+    """GWAS-Catalog association effect harmonisation
+    (reference: associations.py:953-1085):
+
+    1. extract the reported risk allele;
+    2. flag palindromic pairs (effect dropped — strand unknowable);
+    3. flag orientation flips;
+    4. classify beta vs odds-ratio from the CI text;
+    5. SE from the CI bounds ((upper-lower)/3.92);
+    6. harmonise both effect spellings, convert OR → ln(OR).
+
+    Requires columns: STRONGEST SNP-RISK ALLELE, referenceAllele,
+    alternateAllele, OR or BETA, 95% CI (TEXT). Appends (beta,
+    standardError).
+    """
+    required = [
+        "STRONGEST SNP-RISK ALLELE",
+        "referenceAllele",
+        "alternateAllele",
+        "OR or BETA",
+        "95% CI (TEXT)",
+    ]
+    for column in required:
+        if column not in df.columns:
+            raise ValueError(
+                f"Column {column} is required for harmonising effect to beta value."
+            )
+    ci = F.col("95% CI (TEXT)")
+    prepared = df.withColumn(
+        "reportedRiskAllele",
+        extract_risk_allele(F.col("STRONGEST SNP-RISK ALLELE")),
+    ).withColumns(
+        {
+            "isAllelePalindromic": are_alleles_palindromic(
+                F.col("referenceAllele"), F.col("alternateAllele")
+            ),
+            "needsFlipping": effect_needs_harmonisation(
+                F.col("reportedRiskAllele"), F.col("referenceAllele")
+            ),
+            "effectType": get_effect_type(ci),
+            "standardError": ci_to_standard_error(
+                F.regexp_extract(ci, r"\[(\d+\.*\d*)-\d+\.*\d*\]", 1).cast("float"),
+                F.regexp_extract(ci, r"\[\d+\.*\d*-(\d+\.*\d*)\]", 1).cast("float"),
+            ),
+        }
+    )
+    effects = prepared.withColumns(
+        {
+            "effect_beta": F.when(
+                (F.col("effectType") == "beta") & (~F.col("isAllelePalindromic")),
+                harmonise_beta(
+                    F.col("OR or BETA"), ci, F.col("needsFlipping")
+                ),
+            ),
+            "effect_odds_ratio": F.when(
+                (F.col("effectType") == "odds_ratio")
+                & (~F.col("isAllelePalindromic")),
+                harmonise_odds_ratio(F.col("OR or BETA"), F.col("needsFlipping")),
+            ),
+        }
+    )
+    return effects.select(
+        *df.columns,
+        *convert_odds_ratio_to_beta(
+            F.col("effect_beta"),
+            F.col("effect_odds_ratio"),
+            F.col("standardError"),
+        ),
+    )

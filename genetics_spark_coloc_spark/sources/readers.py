@@ -48,7 +48,12 @@ def parse_pvalue_string(pv: Column) -> list[Column]:
 
 def neglog_pvalue_to_mantissa_and_exponent(neglog: Column) -> list[Column]:
     """-log10(p) -> (mantissa ∈ [1,10), exponent)
-    (reference: common/spark_helpers.py:288-313)."""
+    (reference: common/spark_helpers.py:288-313).
+
+    Rounds the mantissa to 10 decimals so CSV-roundtripped neglog
+    values decompose to exact mantissas (5e-8 → 5.0); the unrounded
+    reference arithmetic lives in
+    ``functions.pvalue.neglog_pvalue_to_mantissa_and_exponent``."""
     exponent = (-F.ceil(neglog)).cast("integer")
     mantissa = F.round(F.pow(F.lit(10.0), F.ceil(neglog) - neglog), 10).cast("float")
     # integral neglog yields mantissa 10^0=1 exactly; domain stays [1,10)

@@ -168,3 +168,33 @@ def test_read_ukb_ppp_sumstats(spark):
     assert out["1_200_G_A"]["beta"] == pytest.approx(0.2)
     assert out["1_200_G_A"]["pValueExponent"] == -5
     assert out["1_200_G_A"]["sampleSize"] == 1000
+
+
+def test_harmonise_association_effect_to_beta(spark):
+    from genetics_spark_coloc_spark.sources.gwas_catalog_assoc import (
+        harmonise_association_effect_to_beta,
+    )
+
+    # the reference's own doctest table (associations.py:1014-1029)
+    data = [
+        ("rs123-T", "A", "T", 0.1, "[0.08-0.12] unit increase"),  # palindromic
+        ("rs123-C", "G", "T", 0.1, "[0.08-0.12] unit increase"),  # beta flipped
+        ("rs123-T", "C", "T", 0.1, "[0.08-0.12] unit increase"),  # beta kept
+        ("rs123-T", "C", "T", 0.1, "[0.08-0.12]"),                # odds ratio
+        ("rs123-C", "G", "T", 0.1, "[0.08-0.12]"),                # OR flipped
+    ]
+    df = spark.createDataFrame(
+        data,
+        "`STRONGEST SNP-RISK ALLELE`: string, referenceAllele: string, "
+        "alternateAllele: string, `OR or BETA`: double, `95% CI (TEXT)`: string",
+    )
+    rows = harmonise_association_effect_to_beta(df).collect()
+    betas = [r["beta"] for r in rows]
+    ses = [r["standardError"] for r in rows]
+    assert betas[0] is None and ses[0] is None
+    assert betas[1] == pytest.approx(-0.1)
+    assert ses[1] == pytest.approx(0.0102040814, abs=1e-6)
+    assert betas[2] == pytest.approx(0.1)
+    assert betas[3] == pytest.approx(-2.3025850929940455)  # ln(0.1)
+    assert ses[3] is None
+    assert betas[4] == pytest.approx(2.302585092994046)    # ln(1/0.1)
