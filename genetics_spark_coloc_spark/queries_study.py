@@ -948,6 +948,102 @@ FROM effects
 """
 
 
+# ----------------------------------------------------------- study splitter
+def q_study_splitter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split multi-trait GWAS-Catalog studies into sub-studies with
+    resolved traits/EFOs (reference GWASCatalogStudySplitter,
+    study_splitter.py:83-138; exact dense-rank count replaces
+    approx_count_distinct)."""
+    from genetics_spark_coloc_spark.sources.gwas_catalog_assoc import (
+        split_multi_trait_studies,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ks = ev.select((F.col("event_id") % 90).cast("int").alias("k")).distinct()
+    associations = ks.select(
+        F.concat(F.lit("GCST"), (F.col("k") % 30).cast("string")).alias("studyId"),
+        F.concat_ws(
+            "|",
+            F.concat(F.lit("trait"), (F.col("k") % 7).cast("string")),
+            F.when(F.col("k") % 3 == 0, "no_pvalue_text").otherwise(
+                F.concat(F.lit("subset"), (F.col("k") % 3).cast("string"))
+            ),
+            F.when(
+                F.col("k") % 2 == 0,
+                F.concat(F.lit("EFO_1/EFO_"), (F.col("k") % 5).cast("string")),
+            ),
+        ).alias("subStudyDescription"),
+    ).distinct()
+    studies = spark.range(0, 30).select(
+        F.concat(F.lit("GCST"), F.col("id").cast("string")).alias("studyId"),
+        F.concat(F.lit("studyTrait"), F.col("id").cast("string")).alias(
+            "traitFromSource"
+        ),
+        F.array(F.concat(F.lit("EFO_S"), F.col("id").cast("string"))).alias(
+            "traitFromSourceMappedIds"
+        ),
+    )
+    out = split_multi_trait_studies(studies, associations)
+    return out.select(
+        "studyId",
+        "subStudyDescription",
+        "updatedStudyId",
+        "traitFromSource",
+        F.array_join("traitFromSourceMappedIds", "|").alias("mappedIds"),
+    )
+
+
+SQL_STUDY_SPLITTER = """
+WITH ks AS (
+  SELECT DISTINCT CAST(event_id % 90 AS INT) AS k FROM events
+),
+assoc AS (
+  SELECT DISTINCT
+         'GCST' || CAST(k % 30 AS VARCHAR) AS studyId,
+         'trait' || CAST(k % 7 AS VARCHAR) || '|' ||
+         CASE WHEN k % 3 = 0 THEN 'no_pvalue_text'
+              ELSE 'subset' || CAST(k % 3 AS VARCHAR) END ||
+         CASE WHEN k % 2 = 0 THEN '|EFO_1/EFO_' || CAST(k % 5 AS VARCHAR)
+              ELSE '' END AS subStudyDescription
+  FROM ks
+),
+studies AS (
+  SELECT 'GCST' || CAST(i AS VARCHAR) AS studyId,
+         'studyTrait' || CAST(i AS VARCHAR) AS studyTrait,
+         'EFO_S' || CAST(i AS VARCHAR) AS studyEfo
+  FROM range(0, 30) t(i)
+),
+parts AS (
+  SELECT a.studyId, a.subStudyDescription,
+         s.studyTrait, s.studyEfo,
+         string_split(a.subStudyDescription, '|')[1] AS assocTrait,
+         string_split(a.subStudyDescription, '|')[2] AS pvText,
+         CASE WHEN LEN(string_split(a.subStudyDescription, '|')) >= 3
+              THEN string_split(a.subStudyDescription, '|')[3] END AS assocEfo,
+         DENSE_RANK() OVER (PARTITION BY a.studyId ORDER BY a.subStudyDescription) AS rnk
+  FROM assoc a JOIN studies s ON a.studyId = s.studyId
+),
+counted AS (
+  SELECT p.*, m.n
+  FROM parts p
+  JOIN (SELECT studyId, MAX(rnk) AS n FROM parts GROUP BY 1) m
+    ON p.studyId = m.studyId
+)
+SELECT studyId, subStudyDescription,
+       CASE WHEN n = 1 THEN studyId
+            ELSE studyId || '_' || CAST(rnk AS VARCHAR) END AS updatedStudyId,
+       CASE WHEN pvText IS NOT NULL AND pvText != 'no_pvalue_text'
+              THEN assocTrait || ' [' || pvText || ']'
+            WHEN assocTrait IS NOT NULL THEN assocTrait
+            ELSE studyTrait END AS traitFromSource,
+       COALESCE(
+         ARRAY_TO_STRING(string_split(assocEfo, '/'), '|'),
+         studyEfo
+       ) AS mappedIds
+FROM counted
+"""
+
+
 STUDY_QUERIES = {
     "credible_set_log10bf": q_credible_set_log10bf,
     "trans_qtl_flag": q_trans_qtl_flag,
@@ -960,6 +1056,7 @@ STUDY_QUERIES = {
     "loftee": q_loftee,
     "coloc_max_per_gene": q_coloc_max_per_gene,
     "gwas_assoc_beta": q_gwas_assoc_beta,
+    "study_splitter": q_study_splitter,
 }
 
 STUDY_ORACLES = {
@@ -974,4 +1071,5 @@ STUDY_ORACLES = {
     "loftee": SQL_LOFTEE,
     "coloc_max_per_gene": SQL_COLOC_MAX_PER_GENE,
     "gwas_assoc_beta": SQL_GWAS_ASSOC_BETA,
+    "study_splitter": SQL_STUDY_SPLITTER,
 }

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from genetics_spark_coloc_spark.functions.effect import ci_to_standard_error
 from genetics_spark_coloc_spark.sources.readers import convert_odds_ratio_to_beta
@@ -175,4 +176,79 @@ def harmonise_association_effect_to_beta(df: DataFrame) -> DataFrame:
             F.col("effect_odds_ratio"),
             F.col("standardError"),
         ),
+    )
+
+
+def resolve_trait(
+    study_trait: Column, association_trait: Column, p_value_text: Column
+) -> Column:
+    """Association-level trait wins; a meaningful p-value-text is
+    appended in brackets (reference study_splitter.py:21-49)."""
+    return (
+        F.when(
+            p_value_text.isNotNull() & (p_value_text != "no_pvalue_text"),
+            F.concat(association_trait, F.lit(" ["), p_value_text, F.lit("]")),
+        )
+        .when(association_trait.isNotNull(), association_trait)
+        .otherwise(study_trait)
+    )
+
+
+def resolve_efo(association_efo: Column, study_efo: Column) -> Column:
+    """Association-level EFO string (slash-split) wins over the
+    study-level array (reference study_splitter.py:52-63)."""
+    return F.coalesce(F.split(association_efo, r"\/"), study_efo)
+
+
+def split_multi_trait_studies(
+    studies: DataFrame, associations: DataFrame
+) -> DataFrame:
+    """Resolve multi-trait GWAS-Catalog studies into sub-studies
+    (reference GWASCatalogStudySplitter.split,
+    datasource/gwas_catalog/study_splitter.py:83-138).
+
+    Output: one row per (studyId, subStudyDescription) with
+    ``updatedStudyId`` (suffixed ``_<rank>`` only when a study hosts
+    more than one sub-description), the resolved trait and EFO list.
+
+    The reference sizes sub-study windows with approx_count_distinct
+    (study_splitter.py:76-80) — approximate AND nondeterministic; here
+    the exact count comes from the same dense_rank's max over the full
+    partition frame, so reruns and the oracle agree.
+    """
+    rank_w = Window.partitionBy("studyId").orderBy("subStudyDescription")
+    full_w = (
+        Window.partitionBy("studyId")
+        .orderBy("subStudyDescription")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    sub_desc = F.col("subStudyDescription")
+    composite = associations.join(
+        F.broadcast(studies), on="studyId", how="inner"
+    ).select(
+        "studyId",
+        "subStudyDescription",
+        F.dense_rank().over(rank_w).alias("_rank"),
+        # F.get (not getItem): missing sub-fields must be null, and
+        # Spark 4 ANSI mode turns out-of-bounds getItem into an error
+        resolve_trait(
+            F.col("traitFromSource"),
+            F.get(F.split(sub_desc, r"\|"), 0),
+            F.get(F.split(sub_desc, r"\|"), 1),
+        ).alias("traitFromSource"),
+        resolve_efo(
+            F.get(F.split(sub_desc, r"\|"), 2),
+            F.col("traitFromSourceMappedIds"),
+        ).alias("traitFromSourceMappedIds"),
+    )
+    return (
+        composite.withColumn("_n", F.max("_rank").over(full_w))
+        .withColumn(
+            "updatedStudyId",
+            F.when(F.col("_n") == 1, F.col("studyId")).otherwise(
+                F.concat_ws("_", F.col("studyId"), F.col("_rank"))
+            ),
+        )
+        .drop("_rank", "_n")
+        .distinct()
     )
