@@ -252,3 +252,125 @@ def split_multi_trait_studies(
         .drop("_rank", "_n")
         .distinct()
     )
+
+
+# QC flag strings (reference StudyLocusQualityCheck, study_locus.py:92-97)
+QC_SUBSIGNIFICANT = "Subsignificant p-value"
+QC_NO_GENOMIC_LOCATION = "Incomplete genomic mapping"
+QC_COMPOSITE = "Composite association"
+QC_INCONSISTENCY = "Variant inconsistency"
+QC_NON_MAPPED_VARIANT = "No mapping in GnomAd"
+QC_PALINDROMIC_ALLELE = "Palindrome alleles - cannot harmonize"
+
+# Representative slice of the GWAS-Catalog pValueText normalisation map
+# (reference asset assets/data/gwas_pValueText_map.json, ~1k entries;
+# callers pass their full mapping for production use)
+PVALUE_TEXT_MAP = {
+    "A risk allele not reported": "?",
+    "African ancestry": "AA",
+    "European Ancestry": "EA",
+    "European ancestry": "EA",
+    "East Asian ancestry": "EAS",
+    "Alzheimer’s Disease": "AD",
+    "Attention deficit hyperactivity disorder": "ADHD",
+    "alanine aminotransferase": "ALT",
+    "body mass index": "BMI",
+}
+
+
+def convert_gnomad_position_to_ensembl(
+    position: Column, reference: Column, alternate: Column
+) -> Column:
+    """GnomAD → Ensembl position: indels shift by +1, SNPs unchanged
+    (reference: associations.py:35-66)."""
+    return F.when(
+        (F.length(reference) > 1) | (F.length(alternate) > 1), position + 1
+    ).otherwise(position)
+
+
+def parse_gwas_pvalue(pvalue: Column) -> list[Column]:
+    """GWAS-Catalog p-value string → (mantissa, exponent); values
+    without an exponent get exponent 1 (reference: associations.py:69-99)."""
+    split = F.split(pvalue, "E")
+    return [
+        split.getItem(0).cast("float").alias("pValueMantissa"),
+        F.coalesce(F.get(split, 1).cast("integer"), F.lit(1)).alias(
+            "pValueExponent"
+        ),
+    ]
+
+
+def normalise_pvalue_text(
+    p_value_text: Column, mapping: dict[str, str] | None = None
+) -> Column:
+    """pValueText → array of standardised abbreviations; null when no
+    component maps (reference: associations.py:101-141): strip
+    parentheses, split on comma, create_map lookup per element."""
+    mapping = mapping or PVALUE_TEXT_MAP
+    pairs: list[Column] = []
+    for k, v in mapping.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    map_expr = F.create_map(*pairs)
+    splitted = F.split(F.regexp_replace(p_value_text, r"[\(\)]", ""), ",")
+    mapped = F.transform(splitted, lambda x: map_expr[x])
+    return F.when(F.forall(mapped, lambda x: x.isNull()), None).otherwise(mapped)
+
+
+def qc_association_all(
+    qc: Column,
+    chromosome: Column,
+    position: Column,
+    reference_allele: Column,
+    alternate_allele: Column,
+    strongest_snp_risk_allele: Column,
+    p_value_mantissa: Column,
+    p_value_exponent: Column,
+    p_value_cutoff: float,
+) -> Column:
+    """All association-level QC flags in one pass
+    (reference _qc_all, associations.py:716-918): composite
+    variant×variant interactions, subsignificance on the (mantissa,
+    exponent) pair, missing genomic location, chromosome/position/
+    risk-allele arity inconsistencies, unmapped variants, palindromic
+    alleles."""
+    from genetics_spark_coloc_spark.operators.annotation import update_quality_flag
+
+    qc = update_quality_flag(
+        qc, strongest_snp_risk_allele.contains(";"), QC_COMPOSITE
+    )
+    subsig = (p_value_exponent > F.lit(_cutoff_exponent(p_value_cutoff))) | (
+        (p_value_exponent == F.lit(_cutoff_exponent(p_value_cutoff)))
+        & (p_value_mantissa > F.lit(_cutoff_mantissa(p_value_cutoff)))
+    )
+    qc = update_quality_flag(qc, subsig, QC_SUBSIGNIFICANT)
+    qc = update_quality_flag(
+        qc, position.isNull() | chromosome.isNull(), QC_NO_GENOMIC_LOCATION
+    )
+    qc = update_quality_flag(
+        qc,
+        (F.size(F.split(chromosome, ";")) != F.size(F.split(position, ";")))
+        | (
+            F.size(F.split(chromosome, ";"))
+            != F.size(F.split(strongest_snp_risk_allele, ";"))
+        ),
+        QC_INCONSISTENCY,
+    )
+    qc = update_quality_flag(qc, alternate_allele.isNull(), QC_NON_MAPPED_VARIANT)
+    qc = update_quality_flag(
+        qc,
+        are_alleles_palindromic(reference_allele, alternate_allele),
+        QC_PALINDROMIC_ALLELE,
+    )
+    return qc
+
+
+def _cutoff_mantissa(threshold: float) -> float:
+    from genetics_spark_coloc_spark.functions.pvalue import split_pvalue
+
+    return split_pvalue(threshold)[0]
+
+
+def _cutoff_exponent(threshold: float) -> int:
+    from genetics_spark_coloc_spark.functions.pvalue import split_pvalue
+
+    return split_pvalue(threshold)[1]

@@ -198,3 +198,75 @@ def test_harmonise_association_effect_to_beta(spark):
     assert betas[3] == pytest.approx(-2.3025850929940455)  # ln(0.1)
     assert ses[3] is None
     assert betas[4] == pytest.approx(2.302585092994046)    # ln(1/0.1)
+
+
+def test_gwas_assoc_qc_and_pvalue_helpers(spark):
+    from genetics_spark_coloc_spark.sources.gwas_catalog_assoc import (
+        convert_gnomad_position_to_ensembl,
+        normalise_pvalue_text,
+        parse_gwas_pvalue,
+        qc_association_all,
+    )
+
+    # position conversion doctest (associations.py:52-62)
+    pos = spark.createDataFrame(
+        [(1, "A", "C"), (2, "AA", "C"), (3, "A", "AA")], ["p", "r", "a"]
+    ).select(
+        convert_gnomad_position_to_ensembl(
+            F.col("p"), F.col("r"), F.col("a")
+        ).alias("np")
+    ).collect()
+    assert [r["np"] for r in pos] == [1, 3, 4]
+
+    # p-value parsing doctest (associations.py:80-92)
+    pv = spark.createDataFrame(
+        [("1.0",), ("0.5",), ("1E-20",), ("3E-3",)], ["v"]
+    ).select(*parse_gwas_pvalue(F.col("v"))).collect()
+    assert [(r[0], r[1]) for r in pv] == [(1.0, 1), (0.5, 1), (1.0, -20), (3.0, -3)]
+
+    # pValueText normalisation doctest subset (associations.py:115-127)
+    txt = spark.createDataFrame(
+        [("European Ancestry",), ("African ancestry",), ("(progression)",), (None,)],
+        "t: string",
+    ).select(normalise_pvalue_text(F.col("t")).alias("n")).collect()
+    assert txt[0]["n"] == ["EA"] and txt[1]["n"] == ["AA"]
+    assert txt[2]["n"] is None and txt[3]["n"] is None
+
+    # QC flag family over a mixed row set
+    df = spark.createDataFrame(
+        [
+            # clean significant association
+            ("1", "1000", "C", "T", "rs1-T", 1.0, -9),
+            # composite + subsignificant
+            ("1", "1000", "C", "T", "rs1-T; rs2-A", 2.0, -3),
+            # missing location + palindromic + unmapped
+            (None, None, "A", None, "rs3-A", 1.0, -9),
+        ],
+        "chromosome: string, position: string, ref: string, alt: string, "
+        "risk: string, mant: double, expo: int",
+    )
+    rows = df.select(
+        qc_association_all(
+            F.lit(None).cast("array<string>"),
+            F.col("chromosome"),
+            F.col("position"),
+            F.col("ref"),
+            F.col("alt"),
+            F.col("risk"),
+            F.col("mant"),
+            F.col("expo"),
+            5e-8,
+        ).alias("qc")
+    ).collect()
+    assert rows[0]["qc"] == []
+    # composite rows also trip the arity-inconsistency check
+    # (1 chromosome vs 2 risk alleles), as in the reference
+    assert sorted(rows[1]["qc"]) == [
+        "Composite association",
+        "Subsignificant p-value",
+        "Variant inconsistency",
+    ]
+    assert sorted(rows[2]["qc"]) == [
+        "Incomplete genomic mapping",
+        "No mapping in GnomAd",
+    ]
