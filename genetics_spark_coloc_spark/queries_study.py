@@ -1044,6 +1044,196 @@ FROM counted
 """
 
 
+# ------------------------------------------------------- L2G gold standard
+def q_l2g_gold_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full L2G gold-standard pipeline: curated positives → TSS-window
+    negatives → overlap de-duplication → interaction-confounded
+    false-negative removal (reference from_otg_curation,
+    dataset/l2g_gold_standard.py:34-64 + datasource/open_targets/
+    l2g_gold_standard.py:14-128)."""
+    from genetics_spark_coloc_spark.operators.gold_standard import (
+        build_gold_standard,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ks = ev.select((F.col("event_id") % 80).cast("int").alias("k")).distinct()
+    curation = ks.select(
+        F.struct(
+            F.concat(F.lit("GCST"), (F.col("k") % 10).cast("string")).alias("otg_id")
+        ).alias("association_info"),
+        F.struct(
+            F.concat(F.lit("G"), (F.col("k") % 4).cast("string")).alias("gene_id"),
+            F.when(F.col("k") % 3 < 2, "High").otherwise("Low").alias(
+                "highest_confidence"
+            ),
+        ).alias("gold_standard_info"),
+        F.struct(
+            F.struct(
+                F.lit("1").alias("chromosome"),
+                (1000 + F.col("k") % 40).cast("string").alias("position"),
+            ).alias("locus_GRCh38"),
+            F.struct(
+                F.lit("A").alias("reference"), F.lit("G").alias("alternative")
+            ).alias("alleles"),
+        ).alias("sentinel_variant"),
+        F.struct(
+            F.concat(F.lit("src"), (F.col("k") % 7).cast("string")).alias(
+                "set_label"
+            )
+        ).alias("metadata"),
+    )
+    variants = (
+        ks.select((F.col("k") % 40).cast("int").alias("p"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("1_"), (1000 + F.col("p")).cast("string"), F.lit("_A_G")
+            ).alias("variantId"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2)),
+                lambda g: F.struct(
+                    F.concat(F.lit("G"), ((F.col("p") + g) % 6).cast("string")).alias(
+                        "targetId"
+                    ),
+                    (((F.col("p") * 7 + g * 13) % 60) * 10000)
+                    .cast("long")
+                    .alias("distanceFromTss"),
+                ),
+            ).alias("transcriptConsequences"),
+        )
+    )
+    overlaps = ks.filter(F.col("k") % 4 == 0).select(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.concat(F.lit("GCST"), (F.col("k") % 10).cast("string")),
+                F.concat(
+                    F.lit("1_"), (1000 + F.col("k") % 40).cast("string"), F.lit("_A_G")
+                ),
+            )
+        ).alias("leftStudyLocusId"),
+        F.concat(F.lit("OTHER"), F.col("k").cast("string")).alias(
+            "rightStudyLocusId"
+        ),
+        F.concat(
+            F.lit("1_"), (1000 + F.col("k") % 40).cast("string"), F.lit("_A_G")
+        ).alias("tagVariantId"),
+    )
+    interactions = spark.range(0, 6).select(
+        F.concat(F.lit("G"), F.col("id").cast("string")).alias("targetA"),
+        F.concat(F.lit("G"), ((F.col("id") + 1) % 6).cast("string")).alias("targetB"),
+        (0.5 + (F.col("id") % 4) / 10.0).alias("scoring"),
+    ).unionByName(
+        spark.range(0, 6).select(
+            F.concat(F.lit("G"), F.col("id").cast("string")).alias("targetA"),
+            F.concat(F.lit("G"), ((F.col("id") + 1) % 6).cast("string")).alias(
+                "targetB"
+            ),
+            (0.3 + (F.col("id") % 4) / 10.0).alias("scoring"),
+        )
+    )
+    out = build_gold_standard(curation, overlaps, variants, interactions)
+    return out.select(
+        "studyId",
+        "variantId",
+        "geneId",
+        "goldStandardSet",
+        F.array_join("sources", "|").alias("sources"),
+    )
+
+
+SQL_L2G_GOLD_STANDARD = """
+WITH ks AS (
+  SELECT DISTINCT CAST(event_id % 80 AS INT) AS k FROM events
+),
+curation AS (
+  SELECT k,
+         'GCST' || CAST(k % 10 AS VARCHAR) AS studyId,
+         'G' || CAST(k % 4 AS VARCHAR) AS geneId,
+         CASE WHEN k % 3 < 2 THEN 'High' ELSE 'Low' END AS conf,
+         '1_' || CAST(1000 + k % 40 AS VARCHAR) || '_A_G' AS variantId,
+         'src' || CAST(k % 7 AS VARCHAR) AS source
+  FROM ks
+),
+positives AS (
+  SELECT md5(studyId || '|' || variantId) AS studyLocusId,
+         studyId, variantId, geneId,
+         LIST_SORT(LIST(DISTINCT source)) AS sources
+  FROM curation WHERE conf IN ('High', 'Medium')
+  GROUP BY 1, 2, 3, 4
+),
+dists AS (
+  SELECT '1_' || CAST(1000 + p AS VARCHAR) || '_A_G' AS variantId,
+         'G' || CAST((p + CAST(g AS INT)) % 6 AS VARCHAR) AS ncGene,
+         ((p * 7 + CAST(g AS INT) * 13) % 60) * 10000 AS d
+  FROM (SELECT DISTINCT CAST(k % 40 AS INT) AS p FROM ks)
+  CROSS JOIN range(0, 3) t(g)
+),
+expanded AS (
+  SELECT p.studyLocusId, p.studyId, p.variantId, p.sources,
+         CASE WHEN p.geneId = d.ncGene OR d.ncGene IS NULL
+              THEN 'positive' ELSE 'negative' END AS goldStandardSet,
+         CASE WHEN p.geneId = d.ncGene OR d.ncGene IS NULL
+              THEN p.geneId ELSE d.ncGene END AS geneId
+  FROM positives p
+  LEFT JOIN (SELECT * FROM dists WHERE d <= 500000) d
+    ON p.variantId = d.variantId
+),
+gene_counts AS (
+  SELECT geneId, COUNT(DISTINCT studyLocusId) AS nSl
+  FROM expanded GROUP BY 1
+),
+ovl AS (
+  SELECT md5('GCST' || CAST(k % 10 AS VARCHAR) || '|' ||
+             '1_' || CAST(1000 + k % 40 AS VARCHAR) || '_A_G') AS leftStudyLocusId,
+         '1_' || CAST(1000 + k % 40 AS VARCHAR) || '_A_G' AS tagVariantId
+  FROM ks WHERE k % 4 = 0
+),
+unique_assoc AS (
+  SELECT e.*
+  FROM expanded e
+  JOIN gene_counts gc ON e.geneId = gc.geneId
+  LEFT JOIN (SELECT DISTINCT leftStudyLocusId, tagVariantId FROM ovl) o
+    ON e.studyLocusId = o.leftStudyLocusId AND e.variantId = o.tagVariantId
+  WHERE NOT (gc.nSl > 1 AND o.tagVariantId IS NOT NULL)
+),
+interactions AS (
+  SELECT 'G' || CAST(i AS VARCHAR) AS geneIdA,
+         'G' || CAST((i + 1) % 6 AS VARCHAR) AS geneIdB,
+         MAX(s) AS score
+  FROM (
+    SELECT i, 0.5 + (i % 4) / 10.0 AS s FROM range(0, 6) t(i)
+    UNION ALL
+    SELECT i, 0.3 + (i % 4) / 10.0 FROM range(0, 6) t(i)
+  )
+  GROUP BY 1, 2
+),
+squared AS (
+  SELECT geneIdA, geneIdB, score FROM interactions
+  UNION ALL
+  SELECT geneIdB, geneIdA, score FROM interactions
+),
+strong AS (
+  SELECT * FROM squared WHERE score > 0.7
+),
+joined AS (
+  SELECT u.*, s.geneIdB AS interactorGeneId,
+         g2.goldStandardSet AS interactorGS
+  FROM unique_assoc u
+  LEFT JOIN strong s ON u.geneId = s.geneIdA
+  LEFT JOIN (SELECT DISTINCT geneId AS igene, goldStandardSet
+             FROM unique_assoc) g2
+    ON s.geneIdB = g2.igene
+)
+SELECT DISTINCT studyId, variantId, geneId, goldStandardSet,
+       ARRAY_TO_STRING(sources, '|') AS sources
+FROM joined
+WHERE (geneId != interactorGeneId OR interactorGeneId IS NULL)
+  AND ((NOT (goldStandardSet = 'negative') AND interactorGS = 'positive')
+       OR interactorGeneId IS NULL)
+"""
+
+
 STUDY_QUERIES = {
     "credible_set_log10bf": q_credible_set_log10bf,
     "trans_qtl_flag": q_trans_qtl_flag,
@@ -1057,6 +1247,7 @@ STUDY_QUERIES = {
     "coloc_max_per_gene": q_coloc_max_per_gene,
     "gwas_assoc_beta": q_gwas_assoc_beta,
     "study_splitter": q_study_splitter,
+    "l2g_gold_standard": q_l2g_gold_standard,
 }
 
 STUDY_ORACLES = {
@@ -1072,4 +1263,5 @@ STUDY_ORACLES = {
     "coloc_max_per_gene": SQL_COLOC_MAX_PER_GENE,
     "gwas_assoc_beta": SQL_GWAS_ASSOC_BETA,
     "study_splitter": SQL_STUDY_SPLITTER,
+    "l2g_gold_standard": SQL_L2G_GOLD_STANDARD,
 }

@@ -304,3 +304,59 @@ def test_carma_kernel_two_variant_locus(spark):
         for r in finemap_grouped(sdf, kernel=carma_kernel).collect()
     }
     assert abs(dist["a"] - default_local["a"]) < 1e-12
+
+
+def test_gold_standard_pipeline_units(spark):
+    from genetics_spark_coloc_spark.operators.gold_standard import (
+        expand_gold_standard_with_negatives,
+        process_gene_interactions,
+        remove_false_negatives,
+    )
+
+    # reference doctest (l2g_gold_standard.py:88-95)
+    interactions = spark.createDataFrame(
+        [("gene1", "gene2", 0.8), ("gene1", "gene2", 0.5), ("gene2", "gene3", 0.7)],
+        ["targetA", "targetB", "scoring"],
+    )
+    top = {(r["geneIdA"], r["geneIdB"]): r["score"]
+           for r in process_gene_interactions(interactions).collect()}
+    assert top == {("gene1", "gene2"): 0.8, ("gene2", "gene3"): 0.7}
+
+    positives = spark.createDataFrame(
+        [("SL1", "S1", "1_10_A_G", "G1", ["src"])],
+        "studyLocusId: string, studyId: string, variantId: string, "
+        "geneId: string, sources: array<string>",
+    )
+    vi = spark.createDataFrame(
+        [{"variantId": "1_10_A_G", "transcriptConsequences": [
+            {"targetId": "G1", "distanceFromTss": 1000},
+            {"targetId": "G2", "distanceFromTss": 400_000},
+            {"targetId": "G3", "distanceFromTss": 600_000},  # outside window
+        ]}],
+        "variantId: string, transcriptConsequences: array<struct<targetId: string, distanceFromTss: long>>",
+    )
+    expanded = expand_gold_standard_with_negatives(positives, vi)
+    labels = {r["geneId"]: r["goldStandardSet"] for r in expanded.collect()}
+    assert labels == {"G1": "positive", "G2": "negative"}
+
+    # false-negative removal, mirroring the reference's literal filter
+    # (l2g_gold_standard.py:203-232): a row survives iff it has no
+    # interactor, or it is non-negative AND its interactor is positive
+    gs = spark.createDataFrame(
+        [
+            ("SL1", "S1", "1_10_A_G", "G1", ["src"], "positive"),
+            ("SL1", "S1", "1_10_A_G", "G2", ["src"], "negative"),
+            ("SL1", "S1", "1_10_A_G", "G3", ["src"], "negative"),
+            ("SL2", "S1", "1_20_A_G", "G4", ["src"], "positive"),
+        ],
+        "studyLocusId: string, studyId: string, variantId: string, "
+        "geneId: string, sources: array<string>, goldStandardSet: string",
+    )
+    strong = spark.createDataFrame(
+        [("G1", "G2", 0.9), ("G4", "G1", 0.9)],
+        "geneIdA: string, geneIdB: string, score: double",
+    )
+    refined = remove_false_negatives(gs, strong)
+    # G2 dropped (negative with a positive interactor), G3 kept (no
+    # interactions), G1/G4 kept (positive with a positive interactor)
+    assert {r["geneId"] for r in refined.collect()} == {"G1", "G3", "G4"}
