@@ -374,3 +374,145 @@ def _cutoff_exponent(threshold: float) -> int:
     from genetics_spark_coloc_spark.functions.pvalue import split_pvalue
 
     return split_pvalue(threshold)[1]
+
+
+def collect_rsids(
+    snp_id: Column, snp_id_current: Column, risk_allele: Column
+) -> Column:
+    """Distinct rsIDs reported for an association across the three
+    GWAS-Catalog spellings (reference: associations.py:172-194)."""
+    snp_id_current = F.when(
+        snp_id_current.rlike("^[0-9]*$"),
+        F.format_string("rs%s", snp_id_current),
+    )
+    risk_allele = F.split(risk_allele, "-").getItem(0)
+    return F.array_distinct(F.array(snp_id, snp_id_current, risk_allele))
+
+
+def compare_rsids(gnomad: Column, gwas: Column) -> Column:
+    """True iff the GnomAD and GWAS-Catalog rsID sets intersect
+    (reference: associations.py:303-336)."""
+    return F.when(F.size(F.array_intersect(gnomad, gwas)) > 0, True).otherwise(
+        False
+    )
+
+
+def flag_mappings_to_retain(association_id: Column, filter_column: Column) -> Column:
+    """Keep every mapping unless a sibling mapping of the same
+    association passes the filter and this one does not
+    (reference: associations.py:338-387)."""
+    w = Window.partitionBy(association_id)
+    any_true = F.when(
+        F.array_contains(F.collect_set(filter_column).over(w), True), True
+    ).otherwise(False)
+    return F.when(any_true & (~filter_column), False).otherwise(True)
+
+
+def check_concordance(
+    risk_allele: Column, reference_allele: Column, alternate_allele: Column
+) -> Column:
+    """Risk allele concordant with ref/alt on either strand; ambiguous
+    ('?') and unmapped rows stay accepted (reference:
+    associations.py:389-454)."""
+    risk_rc = F.when(
+        risk_allele.rlike(r"^[ACTG]+$"),
+        F.reverse(F.translate(risk_allele, "ACTG", "TGAC")),
+    ).otherwise(risk_allele)
+    return (
+        F.when(
+            (risk_allele == reference_allele) | (risk_allele == alternate_allele),
+            True,
+        )
+        .when(
+            (risk_rc == reference_allele) | (risk_rc == alternate_allele),
+            True,
+        )
+        .when(risk_allele == "?", True)
+        .when(reference_allele.isNull(), True)
+        .otherwise(False)
+    )
+
+
+def map_variants_to_gnomad_variants(
+    gwas_associations: DataFrame, variant_index: DataFrame
+) -> DataFrame:
+    """Resolve raw GWAS-Catalog association rows to GnomAD variants
+    (reference _map_variants_to_gnomad_variants,
+    associations.py:197-301):
+
+    1. candidate join on (chromosome, Ensembl-shifted position) —
+       the variant side is pre-pruned with a semi-style join on the
+       distinct association positions so only relevant variants flow
+       into the mapping;
+    2. drop candidates whose rsIDs disagree / alleles are discordant
+       when a better sibling mapping exists (window-based retain
+       flags);
+    3. keep the max-MAF candidate per association;
+    4. left join the resolution back onto the raw associations.
+
+    ``variant_index`` needs: variantId, chromosome, position,
+    referenceAllele, alternateAllele, rsIds, alleleFrequencies.
+    """
+    from genetics_spark_coloc_spark.functions.reshape import (
+        get_record_with_maximum_value,
+    )
+    from genetics_spark_coloc_spark.operators.annotation import max_maf
+
+    assoc_subset = gwas_associations.select(
+        "rowId",
+        F.col("CHR_ID").alias("chromosome"),
+        F.col("CHR_POS").cast("integer").alias("ensemblPosition"),
+        collect_rsids(
+            F.split(F.col("SNPS"), "; ").getItem(0),
+            F.col("SNP_ID_CURRENT"),
+            F.split(F.col("STRONGEST SNP-RISK ALLELE"), "; ").getItem(0),
+        ).alias("rsIdsGwasCatalog"),
+        extract_risk_allele(F.col("STRONGEST SNP-RISK ALLELE")).alias("riskAllele"),
+    )
+    va_subset = variant_index.select(
+        "variantId",
+        "chromosome",
+        convert_gnomad_position_to_ensembl(
+            F.col("position"), F.col("referenceAllele"), F.col("alternateAllele")
+        ).alias("ensemblPosition"),
+        "position",
+        F.col("rsIds").alias("rsIdsGnomad"),
+        "referenceAllele",
+        "alternateAllele",
+        max_maf(F.col("alleleFrequencies")).alias("maxMaf"),
+    ).join(
+        assoc_subset.select("chromosome", "ensemblPosition").distinct(),
+        on=["chromosome", "ensemblPosition"],
+        how="inner",
+    )
+    filtered = (
+        assoc_subset.join(va_subset, on=["chromosome", "ensemblPosition"], how="left")
+        .withColumn(
+            "rsIdFilter",
+            flag_mappings_to_retain(
+                F.col("rowId"),
+                compare_rsids(F.col("rsIdsGnomad"), F.col("rsIdsGwasCatalog")),
+            ),
+        )
+        .withColumn(
+            "concordanceFilter",
+            flag_mappings_to_retain(
+                F.col("rowId"),
+                check_concordance(
+                    F.col("riskAllele"),
+                    F.col("referenceAllele"),
+                    F.col("alternateAllele"),
+                ),
+            ),
+        )
+        .filter(F.col("rsIdFilter") | F.col("concordanceFilter"))
+    )
+    resolved = get_record_with_maximum_value(filtered, ["rowId"], "maxMaf").select(
+        "rowId",
+        "variantId",
+        "referenceAllele",
+        "alternateAllele",
+        "chromosome",
+        "position",
+    )
+    return gwas_associations.join(resolved, on="rowId", how="left")

@@ -270,3 +270,65 @@ def test_gwas_assoc_qc_and_pvalue_helpers(spark):
         "Incomplete genomic mapping",
         "No mapping in GnomAd",
     ]
+
+
+def test_gnomad_variant_mapping(spark):
+    from genetics_spark_coloc_spark.sources.gwas_catalog_assoc import (
+        check_concordance,
+        compare_rsids,
+        flag_mappings_to_retain,
+        map_variants_to_gnomad_variants,
+    )
+
+    # doctest tables (associations.py:313-336, 360-386, 416-436)
+    rs = spark.createDataFrame(
+        [(1, ["rs123", "rs523"], ["rs123"]), (2, [], ["rs123"]),
+         (3, ["rs123", "rs523"], []), (4, [], [])],
+        ["id", "gnomad", "gwas"],
+    ).select(compare_rsids(F.col("gnomad"), F.col("gwas")).alias("m")).collect()
+    assert [r["m"] for r in rs] == [True, False, False, False]
+
+    fl = spark.createDataFrame(
+        [(1, False), (1, False), (2, False), (2, True), (3, True), (3, True)],
+        ["id", "filter"],
+    ).select(
+        "id", "filter",
+        flag_mappings_to_retain(F.col("id"), F.col("filter")).alias("keep"),
+    ).collect()
+    keep = {(r["id"], r["filter"]): r["keep"] for r in fl}
+    assert keep[(1, False)] is True      # no sibling passes -> keep all
+    assert keep[(2, False)] is False     # a sibling passes -> drop failures
+    assert keep[(2, True)] is True
+    assert keep[(3, True)] is True
+
+    cc = spark.createDataFrame(
+        [("A", "A", "G"), ("A", "T", "G"), ("A", "C", "G"),
+         ("A", "A", "?"), (None, None, "A")],
+        ["risk", "ref", "alt"],
+    ).select(
+        check_concordance(F.col("risk"), F.col("ref"), F.col("alt")).alias("c")
+    ).collect()
+    assert [r["c"] for r in cc] == [True, True, False, True, True]
+
+    # end-to-end: two candidates at one position; the sibling with
+    # mismatched rsIDs AND discordant alleles is dropped (either
+    # retain-filter alone would keep it, per the reference's OR)
+    assoc = spark.createDataFrame(
+        [("r1", "1", "100", "rs111", "111", "rs111-A")],
+        "rowId: string, CHR_ID: string, CHR_POS: string, SNPS: string, "
+        "`SNP_ID_CURRENT`: string, `STRONGEST SNP-RISK ALLELE`: string",
+    )
+    vi = spark.createDataFrame(
+        [
+            ("1_100_A_G", "1", 100, "A", "G", ["rs111"],
+             [{"populationName": "nfe", "alleleFrequency": 0.3}]),
+            # risk allele A is discordant with C/G on both strands
+            ("1_100_C_G", "1", 100, "C", "G", ["rs999"],
+             [{"populationName": "nfe", "alleleFrequency": 0.4}]),
+        ],
+        "variantId: string, chromosome: string, position: int, "
+        "referenceAllele: string, alternateAllele: string, rsIds: array<string>, "
+        "alleleFrequencies: array<struct<populationName: string, alleleFrequency: double>>",
+    )
+    out = map_variants_to_gnomad_variants(assoc, vi).collect()
+    assert len(out) == 1 and out[0]["variantId"] == "1_100_A_G"
