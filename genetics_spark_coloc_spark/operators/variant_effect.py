@@ -189,3 +189,58 @@ def get_loftee(variant_index: DataFrame) -> DataFrame:
             "isHighQualityPlof",
         )
     )
+
+
+def annotate_with_amino_acid_consequences(
+    variant_index: DataFrame, annotation: DataFrame
+) -> DataFrame:
+    """Merge amino-acid-level predictor annotations into each
+    variant's ``variantEffect`` array (reference
+    annotate_with_amino_acid_consequences, variant_index.py:287-340):
+    extract the first transcript consequence carrying an amino-acid
+    change, explode its Uniprot accessions, join the amino-acid
+    annotation table on (accession, change), array_union the
+    predictors in, and keep the richest row per variant.
+
+    Two departures from the reference, both deliberate:
+    - ``F.get`` instead of ``[0]`` — an ANSI-mode Spark 4 session
+      errors on out-of-bounds array indexing;
+    - the final keep-richest window orders by (size desc, hash of the
+      effect array) so ties resolve deterministically (the reference
+      orders by size alone).
+    """
+    from pyspark.sql.window import Window
+
+    aa_csq = F.filter(
+        "transcriptConsequences", lambda vep: vep["aminoAcidChange"].isNotNull()
+    )
+    w = Window.partitionBy("variantId").orderBy(
+        F.size("variantEffect").desc(), F.xxhash64(F.to_json("variantEffect"))
+    )
+    return (
+        variant_index.withColumns(
+            {
+                "aminoAcidChange": F.get(aa_csq, 0)["aminoAcidChange"],
+                "uniprotAccession": F.explode_outer(
+                    F.get(aa_csq, 0)["uniprotAccessions"]
+                ),
+            }
+        )
+        .join(
+            annotation.withColumnRenamed("variantEffect", "annotations"),
+            on=["uniprotAccession", "aminoAcidChange"],
+            how="left",
+        )
+        .withColumn(
+            "variantEffect",
+            F.when(
+                F.col("annotations").isNotNull(),
+                F.array_union("variantEffect", "annotations"),
+            ).otherwise(F.col("variantEffect")),
+        )
+        .drop("uniprotAccession", "aminoAcidChange", "annotations")
+        .distinct()
+        .withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") == 1)
+        .drop("_rank")
+    )

@@ -140,3 +140,54 @@ def test_variant_effect_normalisers(spark):
     )
     rows = get_loftee(loftee_df).collect()
     assert len(rows) == 1 and rows[0]["isHighQualityPlof"] is True
+
+
+def test_annotate_with_amino_acid_consequences(spark):
+    from genetics_spark_coloc_spark.operators.variant_effect import (
+        annotate_with_amino_acid_consequences,
+    )
+
+    vi = spark.createDataFrame(
+        [
+            {
+                "variantId": "v1",
+                "transcriptConsequences": [
+                    {"targetId": "G1", "aminoAcidChange": "A100T",
+                     "uniprotAccessions": ["P1", "P2"]},
+                    {"targetId": "G2", "aminoAcidChange": None,
+                     "uniprotAccessions": None},
+                ],
+                "variantEffect": [
+                    {"method": "CADD", "assessment": None, "score": 10.0}
+                ],
+            },
+            {
+                "variantId": "v2",
+                "transcriptConsequences": [
+                    {"targetId": "G3", "aminoAcidChange": None,
+                     "uniprotAccessions": None}
+                ],
+                "variantEffect": [],
+            },
+        ],
+        "variantId: string, transcriptConsequences: array<struct<targetId: string, "
+        "aminoAcidChange: string, uniprotAccessions: array<string>>>, "
+        "variantEffect: array<struct<method: string, assessment: string, score: double>>",
+    )
+    annotation = spark.createDataFrame(
+        [
+            {"uniprotAccession": "P1", "aminoAcidChange": "A100T",
+             "variantEffect": [
+                 {"method": "AlphaMissense", "assessment": None, "score": 0.9}
+             ]}
+        ],
+        "uniprotAccession: string, aminoAcidChange: string, "
+        "variantEffect: array<struct<method: string, assessment: string, score: double>>",
+    )
+    rows = {r["variantId"]: r for r in
+            annotate_with_amino_acid_consequences(vi, annotation).collect()}
+    # v1 enriched via P1 (richest row wins over the unenriched P2 row)
+    methods = sorted(e["method"] for e in rows["v1"]["variantEffect"])
+    assert methods == ["AlphaMissense", "CADD"]
+    # v2 untouched, still present
+    assert rows["v2"]["variantEffect"] == []
