@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from genetics_spark_coloc_spark.core.dataset import generate_identifier
 
@@ -222,4 +223,25 @@ def flag_explained_by_finemapping(
             "isExplainedByFinemapping",
             F.coalesce(F.col("isExplainedByFinemapping"), F.lit(False)),
         )
+    )
+
+
+def validate_unique_study_locus_id(
+    study_locus: DataFrame,
+    flag: str = "Non-unique study locus identifier",
+) -> DataFrame:
+    """QC-flag rows whose studyLocusId appears more than once
+    (reference validate_unique_study_locus_id,
+    dataset/study_locus.py:374-392). One count-window, no join."""
+    from genetics_spark_coloc_spark.operators.annotation import update_quality_flag
+
+    w = Window.partitionBy("studyLocusId")
+    return study_locus.withColumn(
+        "qualityControls",
+        update_quality_flag(
+            F.col("qualityControls") if "qualityControls" in study_locus.columns
+            else F.lit(None).cast("array<string>"),
+            F.count(F.lit(1)).over(w) > 1,
+            flag,
+        ),
     )

@@ -289,3 +289,19 @@ def test_deconvolute_studies(spark):
         "Harmonized summary statistics are not available or empty"
     ]
     assert s2["hasSumstats"] is False
+
+
+def test_validate_unique_study_locus_id(spark):
+    from genetics_spark_coloc_spark.operators.study_locus_ops import (
+        validate_unique_study_locus_id,
+    )
+
+    df = spark.createDataFrame(
+        [("SL1", "a"), ("SL1", "b"), ("SL2", "c")],
+        "studyLocusId: string, payload: string",
+    )
+    rows = validate_unique_study_locus_id(df).collect()
+    flags = {(r["studyLocusId"], r["payload"]): r["qualityControls"] for r in rows}
+    assert flags[("SL1", "a")] == ["Non-unique study locus identifier"]
+    assert flags[("SL1", "b")] == ["Non-unique study locus identifier"]
+    assert flags[("SL2", "c")] == []
