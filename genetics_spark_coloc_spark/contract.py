@@ -8,6 +8,7 @@ from genetics_spark_coloc_spark.queries_annot import ANNOT_ORACLES, ANNOT_QUERIE
 from genetics_spark_coloc_spark.queries_extra import EXTRA_ORACLES, EXTRA_QUERIES
 from genetics_spark_coloc_spark.queries_ld import LD_ORACLES, LD_QUERIES
 from genetics_spark_coloc_spark.queries_impute import IMPUTE_ORACLES, IMPUTE_QUERIES
+from genetics_spark_coloc_spark.queries_ingest import INGEST_ORACLES, INGEST_QUERIES
 from genetics_spark_coloc_spark.queries_more import MORE_ORACLES, MORE_QUERIES
 from genetics_spark_coloc_spark.queries_neardup import NEARDUP_ORACLES, NEARDUP_QUERIES
 from genetics_spark_coloc_spark.queries_scale import SCALE_ORACLES, SCALE_QUERIES
@@ -23,6 +24,7 @@ QUERIES = {
     **MORE_QUERIES,
     **SCALE_QUERIES,
     **STUDY_QUERIES,
+    **INGEST_QUERIES,
 }
 ORACLES = {
     **_BASE_ORACLES,
@@ -34,4 +36,5 @@ ORACLES = {
     **MORE_ORACLES,
     **SCALE_ORACLES,
     **STUDY_ORACLES,
+    **INGEST_ORACLES,
 }

@@ -1,0 +1,191 @@
+"""Round-2 ingestion-layer contract queries: FinnGen SuSiE
+fine-mapping, GWAS-Catalog study-index parsing, variant→VCF export,
+LOF curation, eQTL-Catalogue study typing.
+
+Same parity rules as queries.py: genetics-shaped inputs derived
+deterministically from the driver's synthetic tables with arithmetic
+both engines evaluate identically; every computed column aliased the
+same on both sides; floats rounded to 6dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from genetics_spark_coloc_spark.sources.finngen_finemapping import (
+    CREDSET_LBF_THRESHOLD,
+    finngen_finemapping_to_study_locus,
+)
+from genetics_spark_coloc_spark.sources.tables import load_table
+
+# --------------------------------------------------------------- FinnGen SuSiE
+
+
+def _susie_wide_snps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw FinnGen-shaped wide SuSiE snp rows derived from lineitem:
+    10 alpha/lbf/mean column triples, string-typed numerics as in the
+    source TSVs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey").cast("long")
+    ln = F.col("l_linenumber").cast("long")
+    pk = F.col("l_partkey").cast("long")
+    r = k % 10
+    lo = r * 100000 + 1
+    pos = k * 10 + ln
+    cols = [
+        F.concat(F.lit("T"), (k % 5).cast("string")).alias("trait"),
+        F.concat(
+            F.lit("1:"), lo.cast("string"), F.lit("-"), (lo + 99999).cast("string")
+        ).alias("region"),
+        F.concat(F.lit("1:"), pos.cast("string"), F.lit(":A:G")).alias("v"),
+        F.lit("chr1").alias("chromosome"),
+        pos.cast("string").alias("position"),
+        (ln % 4).cast("string").alias("cs"),
+        F.concat(F.lit("2.5E-"), (5 + k % 10).cast("string")).alias("p"),
+        ((1 + pk % 50) / 100.0).cast("string").alias("se"),
+        (((pk % 40) + 1) / 100.0).cast("string").alias("maf"),
+    ]
+    for i in range(1, 11):
+        cols.append((((pk * i) % 89) / 100.0).alias(f"alpha{i}"))
+        cols.append((((k + i * 3) % 70) / 10.0).alias(f"lbf_variable{i}"))
+        cols.append(((((pk + i * 11) % 19) - 9) / 10.0).alias(f"mean{i}"))
+    return li.select(*cols)
+
+
+def _susie_cs_summaries(spark: SparkSession) -> DataFrame:
+    """Credible-set summary rows: 10 regions × 3 credible sets."""
+    base = spark.range(0, 30)
+    r = (F.col("id") / 3).cast("long")
+    cs = F.col("id") % 3 + 1
+    return base.select(
+        F.concat(F.lit("T"), (r % 5).cast("string")).alias("trait"),
+        F.concat(
+            F.lit("1:"),
+            (r * 100000 + 1).cast("string"),
+            F.lit("-"),
+            (r * 100000 + 100000).cast("string"),
+        ).alias("region"),
+        cs.cast("string").alias("cs"),
+        ((r + cs) / 8.0).alias("cs_log10bf"),
+        (0.5 + r / 20.0).alias("cs_avg_r2"),
+        (0.3 + cs / 10.0).alias("cs_min_r2"),
+    )
+
+
+def q_finngen_finemapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FinnGen SuSiE ingestion end-to-end (reference
+    datasource/finngen/finemapping.py:193-533): wide-column →
+    per-credible-set selection, LBF-threshold summary filter, max-PIP
+    lead, locus aggregation, region span parse, md5 studyLocusId."""
+    out = finngen_finemapping_to_study_locus(
+        _susie_wide_snps(spark, sf_dir),
+        _susie_cs_summaries(spark),
+        release_prefix="FINNGEN_R11",
+        lbf_threshold=CREDSET_LBF_THRESHOLD,
+    )
+    return out.select(
+        "studyLocusId",
+        "studyId",
+        "region",
+        "credibleSetIndex",
+        "variantId",
+        "position",
+        F.round("beta", 6).alias("beta"),
+        "pValueMantissa",
+        "pValueExponent",
+        F.round("standardError", 6).alias("standardError"),
+        F.round("credibleSetlog10BF", 6).alias("credibleSetlog10BF"),
+        F.round("purityMeanR2", 6).alias("purityMeanR2"),
+        F.round("purityMinR2", 6).alias("purityMinR2"),
+        "locusStart",
+        "locusEnd",
+        F.size("locus").alias("locusSize"),
+        F.round(
+            F.aggregate(
+                "locus", F.lit(0.0), lambda acc, x: acc + x["posteriorProbability"]
+            ),
+            6,
+        ).alias("sumPIP"),
+    )
+
+
+SQL_FINNGEN_FINEMAPPING = f"""
+WITH snps AS (
+  SELECT 'FINNGEN_R11_T' || CAST(l_orderkey % 5 AS VARCHAR)              AS studyId,
+         '1:' || CAST((l_orderkey % 10) * 100000 + 1 AS VARCHAR) || '-'
+              || CAST((l_orderkey % 10) * 100000 + 100000 AS VARCHAR)    AS region,
+         '1_' || CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) || '_A_G' AS variantId,
+         CAST(l_linenumber % 4 AS INT)                                   AS credibleSetIndex,
+         CAST(l_orderkey * 10 + l_linenumber AS INT)                     AS position,
+         CAST(2.5 AS REAL)                                               AS pValueMantissa,
+         CAST(-(5 + l_orderkey % 10) AS INT)                             AS pValueExponent,
+         (1 + l_partkey % 50) / 100.0                                    AS standardError,
+         ((l_partkey * (l_linenumber % 4)) % 89) / 100.0                 AS posteriorProbability,
+         ((l_orderkey + (l_linenumber % 4) * 3) % 70) / 10.0             AS logBF,
+         (((l_partkey + (l_linenumber % 4) * 11) % 19) - 9) / 10.0       AS beta
+  FROM lineitem
+  WHERE l_linenumber % 4 > 0
+),
+cs AS (
+  SELECT 'FINNGEN_R11_T' || CAST(((id // 3) % 5) AS VARCHAR)             AS studyId,
+         '1:' || CAST((id // 3) * 100000 + 1 AS VARCHAR) || '-'
+              || CAST((id // 3) * 100000 + 100000 AS VARCHAR)            AS region,
+         CAST(id % 3 + 1 AS INT)                                         AS credibleSetIndex,
+         ((id // 3) + (id % 3 + 1)) / 8.0                                AS credibleSetlog10BF,
+         0.5 + (id // 3) / 20.0                                          AS purityMeanR2,
+         0.3 + (id % 3 + 1) / 10.0                                       AS purityMinR2
+  FROM range(30) t(id)
+  WHERE ((id // 3) + (id % 3 + 1)) / 8.0 > {CREDSET_LBF_THRESHOLD}
+     OR id % 3 + 1 = 1
+),
+j AS (
+  SELECT s.*, c.credibleSetlog10BF, c.purityMeanR2, c.purityMinR2
+  FROM snps s JOIN cs c USING (studyId, region, credibleSetIndex)
+),
+leads AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY studyId, region, credibleSetIndex
+           ORDER BY posteriorProbability DESC, variantId) AS rn
+  FROM j
+),
+loci AS (
+  SELECT studyId, region, credibleSetIndex,
+         COUNT(*)                            AS locusSize,
+         ROUND(SUM(posteriorProbability), 6) AS sumPIP
+  FROM j GROUP BY 1, 2, 3
+)
+SELECT md5(l.studyId || '|' || l.variantId || '|SuSIE') AS studyLocusId,
+       l.studyId,
+       l.region,
+       l.credibleSetIndex,
+       l.variantId,
+       l.position,
+       ROUND(l.beta, 6)                 AS beta,
+       l.pValueMantissa,
+       l.pValueExponent,
+       ROUND(l.standardError, 6)        AS standardError,
+       ROUND(l.credibleSetlog10BF, 6)   AS credibleSetlog10BF,
+       ROUND(l.purityMeanR2, 6)         AS purityMeanR2,
+       ROUND(l.purityMinR2, 6)          AS purityMinR2,
+       CAST((l_split.lo) AS INT)        AS locusStart,
+       CAST((l_split.hi) AS INT)        AS locusEnd,
+       lo2.locusSize,
+       lo2.sumPIP
+FROM leads l
+CROSS JOIN LATERAL (
+  SELECT CAST(split_part(split_part(l.region, ':', 2), '-', 1) AS INT) AS lo,
+         CAST(split_part(split_part(l.region, ':', 2), '-', 2) AS INT) AS hi
+) l_split
+JOIN loci lo2 USING (studyId, region, credibleSetIndex)
+WHERE l.rn = 1
+"""
+
+
+INGEST_QUERIES = {
+    "finngen_finemapping": q_finngen_finemapping,
+}
+
+INGEST_ORACLES = {
+    "finngen_finemapping": SQL_FINNGEN_FINEMAPPING,
+}

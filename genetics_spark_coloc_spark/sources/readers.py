@@ -28,9 +28,11 @@ def parse_pvalue_string(pv: Column) -> list[Column]:
     """P-value string -> (pValueMantissa float, pValueExponent int).
 
     Scientific-notation strings are split on 'e' (keeping sub-normal
-    p like '5e-324' exact); plain decimals are decomposed numerically
-    (reference: common/utils.py parse_pvalue).
+    p like '5e-324' exact); plain decimals are decomposed numerically;
+    a literal "0" maps to the smallest positive double, (2.2250738585,
+    -308) (reference: common/utils.py parse_pvalue:123-169).
     """
+    pv = F.when(pv == "0", F.lit("2.2250738585072014e-308")).otherwise(pv)
     lowered = F.lower(pv)
     has_e = lowered.contains("e")
     mantissa_sci = F.split(lowered, "e")[0].try_cast("float")
