@@ -182,10 +182,122 @@ WHERE l.rn = 1
 """
 
 
+# ------------------------------------------------- GWAS-Catalog study index
+
+
+def q_discovery_sample_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nCases/nControls/nSamples extraction from free-text
+    initialSampleSize (reference study_index.py:589-632): split,
+    regexp the first integer per segment, keyword attribution, sum."""
+    from genetics_spark_coloc_spark.sources.gwas_catalog_study_index import (
+        annotate_discovery_sample_sizes,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    sid = (F.col("o_orderkey") % 50).cast("long")
+    studies = orders.select(
+        F.concat(F.lit("GCST"), sid.cast("string")).alias("studyId"),
+        F.concat(
+            (100 + sid * 7).cast("string"),
+            F.lit(" European cases, "),
+            (200 + sid * 11).cast("string"),
+            F.lit(" European controls, "),
+            (50 + sid * 3).cast("string"),
+            F.lit(" East Asian individuals"),
+        ).alias("initialSampleSize"),
+    ).distinct()
+    return annotate_discovery_sample_sizes(studies).select(
+        "studyId", "initialSampleSize", "nCases", "nControls", "nSamples"
+    )
+
+
+SQL_DISCOVERY_SAMPLE_SIZES = """
+WITH st AS (
+  SELECT DISTINCT
+         'GCST' || CAST(o_orderkey % 50 AS VARCHAR) AS studyId,
+         CAST(100 + (o_orderkey % 50) * 7 AS VARCHAR)  || ' European cases, ' ||
+         CAST(200 + (o_orderkey % 50) * 11 AS VARCHAR) || ' European controls, ' ||
+         CAST(50 + (o_orderkey % 50) * 3 AS VARCHAR)   || ' East Asian individuals' AS initialSampleSize
+  FROM orders
+),
+parts AS (
+  SELECT studyId, initialSampleSize,
+         unnest(regexp_split_to_array(initialSampleSize, ',\\s+')) AS samples
+  FROM st
+),
+sized AS (
+  SELECT studyId, initialSampleSize, samples,
+         TRY_CAST(regexp_extract(replace(samples, ',', ''), '[0-9]+', 0) AS INT) AS sampleSize
+  FROM parts
+)
+SELECT studyId,
+       initialSampleSize,
+       CAST(SUM(CASE WHEN samples LIKE '%cases%'    THEN sampleSize ELSE 0 END) AS INT) AS nCases,
+       CAST(SUM(CASE WHEN samples LIKE '%controls%' THEN sampleSize ELSE 0 END) AS INT) AS nControls,
+       CAST(SUM(sampleSize) AS INT) AS nSamples
+FROM sized
+GROUP BY studyId, initialSampleSize
+"""
+
+
+def q_ancestry_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Even-split compound-ancestry parsing
+    (reference study_index.py:36-135): each study reports
+    ("European, African", X) and ("European", Y); the compound count
+    splits evenly, then counts sum per unique label. Output exploded
+    to rows for hashing."""
+    from genetics_spark_coloc_spark.sources.gwas_catalog_study_index import (
+        parse_discovery_samples,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    sid = (F.col("o_orderkey") % 40).cast("long")
+    raw = orders.select(
+        F.concat(F.lit("GCST"), sid.cast("string")).alias("studyId"),
+        F.array(
+            F.struct(
+                F.lit("European, African").alias("ancestry"),
+                (101 + sid * 13).cast("int").alias("sampleSize"),
+            ),
+            F.struct(
+                F.lit("European").alias("ancestry"),
+                (500 + sid * 5).cast("int").alias("sampleSize"),
+            ),
+        ).alias("discoverySampleSize"),
+    ).distinct()
+    parsed = raw.select(
+        "studyId",
+        F.explode(parse_discovery_samples(F.col("discoverySampleSize"))).alias("s"),
+    )
+    return parsed.select(
+        "studyId",
+        F.col("s.ancestry").alias("ancestry"),
+        F.col("s.sampleSize").alias("sampleSize"),
+    )
+
+
+SQL_ANCESTRY_SPLIT = """
+WITH s AS (SELECT DISTINCT o_orderkey % 40 AS sid FROM orders)
+SELECT 'GCST' || CAST(sid AS VARCHAR) AS studyId,
+       'European' AS ancestry,
+       CAST((101 + sid * 13) // 2 + (500 + sid * 5) AS INT) AS sampleSize
+FROM s
+UNION ALL
+SELECT 'GCST' || CAST(sid AS VARCHAR) AS studyId,
+       'African' AS ancestry,
+       CAST((101 + sid * 13) // 2 AS INT) AS sampleSize
+FROM s
+"""
+
+
 INGEST_QUERIES = {
     "finngen_finemapping": q_finngen_finemapping,
+    "discovery_sample_sizes": q_discovery_sample_sizes,
+    "ancestry_split": q_ancestry_split,
 }
 
 INGEST_ORACLES = {
     "finngen_finemapping": SQL_FINNGEN_FINEMAPPING,
+    "discovery_sample_sizes": SQL_DISCOVERY_SAMPLE_SIZES,
+    "ancestry_split": SQL_ANCESTRY_SPLIT,
 }

@@ -83,3 +83,151 @@ def test_finngen_finemapping_pvalue_zero_survives(spark):
     )
     row = finngen_finemapping_to_study_locus(snps, summaries).collect()[0]
     assert row["pValueExponent"] == -308
+
+
+# ---------------------------------------------- GWAS-Catalog study index
+
+from genetics_spark_coloc_spark.sources.gwas_catalog_study_index import (  # noqa: E402
+    QC_NO_OT_CURATION,
+    annotate_ancestries,
+    annotate_discovery_sample_sizes,
+    annotate_from_study_curation,
+    extract_studies_for_curation,
+    parse_cohorts,
+    parse_discovery_samples,
+    parse_efos,
+    parse_gwas_catalog_study_id,
+)
+
+
+def test_parse_discovery_samples_even_split(spark):
+    """Reference doctest (study_index.py:52-72): compound counts split
+    evenly, truncated, summed per label, first-appearance order."""
+    df = spark.createDataFrame(
+        [
+            ("s1", [("European", 10), ("African", 10)]),
+            ("s2", [("European, African, Asian", 100), ("European", 50)]),
+        ],
+        "studyId string, discoverySampleSize array<struct<ancestry string, sampleSize int>>",
+    )
+    rows = {
+        r["studyId"]: [(s["ancestry"], s["sampleSize"]) for s in r["parsed"]]
+        for r in df.select(
+            "studyId",
+            parse_discovery_samples(F.col("discoverySampleSize")).alias("parsed"),
+        ).collect()
+    }
+    assert rows["s1"] == [("European", 10), ("African", 10)]
+    assert rows["s2"] == [("European", 83), ("African", 33), ("Asian", 33)]
+
+
+def test_parse_discovery_samples_parenthesised_label_not_split(spark):
+    df = spark.createDataFrame(
+        [("s1", [("Other (Lacandon, Mexico)", 30)])],
+        "studyId string, discoverySampleSize array<struct<ancestry string, sampleSize int>>",
+    )
+    parsed = df.select(
+        parse_discovery_samples(F.col("discoverySampleSize")).alias("p")
+    ).collect()[0]["p"]
+    assert [(s["ancestry"], s["sampleSize"]) for s in parsed] == [
+        ("Other (Lacandon, Mexico)", 30)
+    ]
+
+
+def test_parse_cohorts(spark):
+    df = spark.createDataFrame(
+        [("BioME|CaPS|GERA|GERA",), (None,), ("",)], ["cohorts"]
+    )
+    rows = df.select(parse_cohorts(F.col("cohorts")).alias("c")).collect()
+    assert rows[0]["c"] == ["BioME", "CaPS", "GERA"]
+    assert rows[1]["c"] is None
+    assert rows[2]["c"] is None
+
+
+def test_annotate_discovery_sample_sizes_thousands_separators(spark):
+    studies = spark.createDataFrame(
+        [
+            ("GCST1", "1,000 European cases, 2,500 European controls"),
+            ("GCST2", "12 individuals"),
+            ("GCST3", None),
+        ],
+        ["studyId", "initialSampleSize"],
+    )
+    rows = {
+        r["studyId"]: r
+        for r in annotate_discovery_sample_sizes(studies).collect()
+    }
+    assert (rows["GCST1"]["nCases"], rows["GCST1"]["nControls"], rows["GCST1"]["nSamples"]) == (1000, 2500, 3500)
+    assert (rows["GCST2"]["nCases"], rows["GCST2"]["nControls"], rows["GCST2"]["nSamples"]) == (0, 0, 12)
+    assert rows["GCST3"]["nSamples"] is None
+
+
+def test_annotate_ancestries_pivots_stages(spark):
+    studies = spark.createDataFrame([("GCST1",), ("GCST2",)], ["studyId"])
+    lut = spark.createDataFrame(
+        [
+            ("GCST1", "initial", "European", 100),
+            ("GCST1", "initial", "African", 50),
+            ("GCST1", "replication", "European", 30),
+        ],
+        ["studyId", "stage", "broadAncestralCategory", "numberOfIndividuals"],
+    )
+    rows = {r["studyId"]: r for r in annotate_ancestries(studies, lut).collect()}
+    disc = sorted(
+        (s["ancestry"], s["sampleSize"]) for s in rows["GCST1"]["discoverySamples"]
+    )
+    assert disc == [("African", 50), ("European", 100)]
+    assert [
+        (s["ancestry"], s["sampleSize"]) for s in rows["GCST1"]["replicationSamples"]
+    ] == [("European", 30)]
+    assert rows["GCST1"]["ldPopulationStructure"] is not None
+    assert rows["GCST2"]["discoverySamples"] is None
+
+
+def test_study_curation_roundtrip(spark):
+    studies = spark.createDataFrame(
+        [
+            ("GCST1", "gwas", True, "123", "Title1", "trait1"),
+            ("GCST2", "gwas", True, "456", "Title2", "trait2"),
+            ("GCST3", "gwas", False, "789", "Title3", "trait3"),
+        ],
+        ["studyId", "studyType", "hasSumstats", "pubmedId", "publicationTitle", "traitFromSource"],
+    )
+    curation = spark.createDataFrame(
+        [("GCST1", "eqtl", ["flagA"])],
+        "studyId string, studyType string, analysisFlags array<string>",
+    )
+    annotated = {r["studyId"]: r for r in annotate_from_study_curation(studies, curation).collect()}
+    assert annotated["GCST1"]["studyType"] == "eqtl"
+    assert annotated["GCST1"]["analysisFlags"] == ["flagA"]
+    assert QC_NO_OT_CURATION not in annotated["GCST1"]["qualityControls"]
+    assert annotated["GCST2"]["studyType"] == "gwas"
+    assert QC_NO_OT_CURATION in annotated["GCST2"]["qualityControls"]
+
+    extracted = {
+        r["studyId"]: r
+        for r in extract_studies_for_curation(studies, None).collect()
+    }
+    assert set(extracted) == {"GCST1", "GCST2"}  # sumstats studies only
+    assert extracted["GCST1"]["isCurated"] == "false"
+
+
+def test_parse_gwas_catalog_study_id_and_efos(spark):
+    df = spark.createDataFrame(
+        [
+            ("./GCST90086001-GCST90087000/GCST90086758/harmonised/x.h.tsv.gz",),
+            ("gs://bucket/harmonised/GCST000568.parquet/",),
+            (None,),
+        ],
+        ["path"],
+    )
+    rows = df.select(parse_gwas_catalog_study_id(F.col("path")).alias("acc")).collect()
+    assert [r["acc"] for r in rows] == ["GCST90086758", "GCST000568", None]
+
+    efo = spark.createDataFrame(
+        [("http://www.ebi.ac.uk/efo/EFO_0007937, http://purl.obolibrary.org/obo/MONDO_0005148",), (None,)],
+        ["uri"],
+    )
+    out = efo.select(parse_efos(F.col("uri")).alias("ids")).collect()
+    assert out[0]["ids"] == ["EFO_0007937", "MONDO_0005148"]
+    assert out[1]["ids"] is None
