@@ -290,14 +290,148 @@ FROM s
 """
 
 
+# ------------------------------------------------- Open-Targets variant exports
+
+
+def q_variant_to_vcf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant rows → VCF frame (reference open_targets/
+    variants.py:67-136): explode top-level + locus variantIds, split
+    chrom_pos_ref_alt, ACGT-only filter, distinct."""
+    from genetics_spark_coloc_spark.sources.open_targets import variants_to_vcf
+
+    part = load_table(spark, sf_dir, "part")
+    pk = F.col("p_partkey").cast("long")
+    alt = F.element_at(
+        F.array(F.lit("G"), F.lit("T"), F.lit("C"), F.lit("N")),
+        (pk % 4 + 1).cast("int"),
+    )
+    variants = part.select(
+        F.concat(
+            (1 + pk % 3).cast("string"),
+            F.lit("_"),
+            (1000 + pk % 5000).cast("string"),
+            F.lit("_A_"),
+            alt,
+        ).alias("variantId"),
+        F.when(pk % 5 == 0, F.concat(F.lit("rs"), (pk % 1000).cast("string"))).alias(
+            "variantRsId"
+        ),
+        F.array(
+            F.struct(
+                F.concat(
+                    F.lit("2_"), (50 + pk % 100).cast("string"), F.lit("_G_C")
+                ).alias("variantId")
+            )
+        ).alias("locus"),
+    )
+    return variants_to_vcf(variants)
+
+
+SQL_VARIANT_TO_VCF = """
+WITH ids AS (
+  SELECT CAST(1 + p_partkey % 3 AS VARCHAR) || '_' || CAST(1000 + p_partkey % 5000 AS VARCHAR)
+           || '_A_' || (['G','T','C','N'])[CAST(p_partkey % 4 AS INT) + 1] AS vid,
+         CASE WHEN p_partkey % 5 = 0 THEN 'rs' || CAST(p_partkey % 1000 AS VARCHAR) END AS rsid
+  FROM part
+  UNION ALL
+  SELECT '2_' || CAST(50 + p_partkey % 100 AS VARCHAR) || '_G_C' AS vid,
+         CASE WHEN p_partkey % 5 = 0 THEN 'rs' || CAST(p_partkey % 1000 AS VARCHAR) END AS rsid
+  FROM part
+),
+rows_ AS (
+  SELECT DISTINCT
+         COALESCE(split_part(vid, '_', 1), '.')      AS "#CHROM",
+         TRY_CAST(split_part(vid, '_', 2) AS INT)    AS POS,
+         COALESCE(rsid, '.')                         AS ID,
+         COALESCE(split_part(vid, '_', 3), '.')      AS REF,
+         COALESCE(split_part(vid, '_', 4), '.')      AS ALT,
+         '.' AS QUAL, '.' AS FILTER, '.' AS INFO
+  FROM ids
+)
+SELECT * FROM rows_
+WHERE "#CHROM" != '.' AND POS IS NOT NULL
+  AND regexp_full_match(REF, '[GCTA.]*')
+  AND regexp_full_match(ALT, '[GCTA.]*')
+"""
+
+
+def q_lof_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LoF curation ingestion (reference open_targets/
+    lof_curation.py:60-98): GRCh38 chrom/pos + GRCh37 ref/alt compose
+    the id; verdicts map to ordinal normalised scores and text
+    descriptions."""
+    from genetics_spark_coloc_spark.sources.open_targets import (
+        lof_curation_to_variant_index,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    pk = F.col("p_partkey").cast("long")
+    verdict = F.element_at(
+        F.array(
+            F.lit("lof"),
+            F.lit("likely_lof"),
+            F.lit("uncertain"),
+            F.lit("likely_not_lof"),
+            F.lit("not_lof"),
+        ),
+        (pk % 5 + 1).cast("int"),
+    )
+    lof = part.select(
+        F.concat(
+            (1 + pk % 3).cast("string"),
+            F.lit("-"),
+            (100 + pk % 1000).cast("string"),
+            F.lit("-A-G"),
+        ).alias("variantIdGrch37"),
+        F.concat(
+            (1 + pk % 3).cast("string"),
+            F.lit("-"),
+            (110 + pk % 1000).cast("string"),
+            F.lit("-A-G"),
+        ).alias("variantIdGrch38"),
+        verdict.alias("verdict"),
+    )
+    out = lof_curation_to_variant_index(lof)
+    eff = F.col("variantEffect").getItem(0)
+    return out.select(
+        "variantId",
+        "chromosome",
+        "position",
+        "referenceAllele",
+        "alternateAllele",
+        eff["assessment"].alias("assessment"),
+        eff["normalisedScore"].alias("normalisedScore"),
+        "variantDescription",
+    )
+
+
+SQL_LOF_CURATION = """
+SELECT CAST(1 + p_partkey % 3 AS VARCHAR) || '_' || CAST(110 + p_partkey % 1000 AS VARCHAR) || '_A_G' AS variantId,
+       CAST(1 + p_partkey % 3 AS VARCHAR)   AS chromosome,
+       CAST(110 + p_partkey % 1000 AS INT)  AS position,
+       'A' AS referenceAllele,
+       'G' AS alternateAllele,
+       (['lof','likely_lof','uncertain','likely_not_lof','not_lof'])[CAST(p_partkey % 5 AS INT) + 1] AS assessment,
+       ([1.0, 0.5, 0.0, -0.5, -1.0])[CAST(p_partkey % 5 AS INT) + 1] AS normalisedScore,
+       (['Assessed to cause LoF','Suspected to cause LoF','Uncertain LoF assessment',
+         'Suspected not to cause LoF','Assessed not to cause LoF'])[CAST(p_partkey % 5 AS INT) + 1]
+         || ' by OTAR2075 variant curation effort.' AS variantDescription
+FROM part
+"""
+
+
 INGEST_QUERIES = {
     "finngen_finemapping": q_finngen_finemapping,
     "discovery_sample_sizes": q_discovery_sample_sizes,
     "ancestry_split": q_ancestry_split,
+    "variant_to_vcf": q_variant_to_vcf,
+    "lof_curation": q_lof_curation,
 }
 
 INGEST_ORACLES = {
     "finngen_finemapping": SQL_FINNGEN_FINEMAPPING,
     "discovery_sample_sizes": SQL_DISCOVERY_SAMPLE_SIZES,
     "ancestry_split": SQL_ANCESTRY_SPLIT,
+    "variant_to_vcf": SQL_VARIANT_TO_VCF,
+    "lof_curation": SQL_LOF_CURATION,
 }

@@ -231,3 +231,53 @@ def test_parse_gwas_catalog_study_id_and_efos(spark):
     out = efo.select(parse_efos(F.col("uri")).alias("ids")).collect()
     assert out[0]["ids"] == ["EFO_0007937", "MONDO_0005148"]
     assert out[1]["ids"] is None
+
+
+# ------------------------------------------------ Open-Targets exports
+
+from genetics_spark_coloc_spark.sources.open_targets import (  # noqa: E402
+    lof_curation_to_variant_index,
+    map_rsids_to_variant_ids,
+    variants_to_vcf,
+)
+
+
+def test_variants_to_vcf_unions_locus_and_filters(spark):
+    variants = spark.createDataFrame(
+        [
+            ("1_100_A_G", "rs1", [{"variantId": "2_200_G_C"}]),
+            ("1_300_A_N", None, None),  # non-ACGT alt filtered out
+            (None, "rs2", [{"variantId": "9_900_T_A"}]),  # null id dropped entirely
+        ],
+        "variantId string, variantRsId string, locus array<struct<variantId string>>",
+    )
+    rows = {(r["#CHROM"], r["POS"]): r for r in variants_to_vcf(variants).collect()}
+    assert set(rows) == {("1", 100), ("2", 200)}
+    assert rows[("1", 100)]["ID"] == "rs1"
+    assert rows[("2", 200)]["ID"] == "rs1"  # inherits row rsId
+    assert rows[("1", 100)]["REF"] == "A" and rows[("1", 100)]["ALT"] == "G"
+
+
+def test_map_rsids_backfills_null_variant_ids(spark):
+    variants = spark.createDataFrame(
+        [(None, "rs1"), ("1_5_A_G", "rs2")], ["variantId", "variantRsId"]
+    )
+    mapping = spark.createDataFrame(
+        [("rs1", ["3_30_T_C"])], "variantRsId string, mappedVariantIds array<string>"
+    )
+    out = {r["variantRsId"]: r["variantId"] for r in map_rsids_to_variant_ids(variants, mapping).collect()}
+    assert out == {"rs1": "3_30_T_C", "rs2": "1_5_A_G"}
+
+
+def test_lof_curation_verdict_scores(spark):
+    lof = spark.createDataFrame(
+        [("1-100-A-G", "1-110-A-G", "lof"), ("2-200-C-T", "2-210-C-T", "not_lof")],
+        ["variantIdGrch37", "variantIdGrch38", "verdict"],
+    )
+    rows = {r["variantId"]: r for r in lof_curation_to_variant_index(lof).collect()}
+    assert set(rows) == {"1_110_A_G", "2_210_C_T"}
+    eff = rows["1_110_A_G"]["variantEffect"][0]
+    assert eff["method"] == "LossOfFunctionCuration"
+    assert eff["normalisedScore"] == 1.0
+    assert rows["2_210_C_T"]["variantEffect"][0]["normalisedScore"] == -1.0
+    assert rows["1_110_A_G"]["variantDescription"].startswith("Assessed to cause LoF")
