@@ -420,12 +420,59 @@ FROM part
 """
 
 
+# ---------------------------------------------------- ontology closure
+
+
+def q_ontology_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed transitive closure over an is_a forest (reference
+    biosample_ontologies/utils.py:44-75 — driver BFS UDF; here
+    log-depth path-doubling joins). Forest: supplier s → parent s//2."""
+    from genetics_spark_coloc_spark.operators.ontology import transitive_closure
+
+    sup = load_table(spark, sf_dir, "supplier")
+    sk = F.col("s_suppkey").cast("long")
+    edges = sup.filter(sk > 1).select(
+        F.concat(F.lit("UBERON_"), sk.cast("string")).alias("subject"),
+        F.concat(F.lit("UBERON_"), (sk / 2).cast("long").cast("string")).alias(
+            "object"
+        ),
+    )
+    closure = transitive_closure(edges)
+    return closure.groupBy("node").agg(
+        F.count("*").cast("long").alias("numAncestors"),
+        F.min("dest").alias("minAncestor"),
+        F.max("dest").alias("maxAncestor"),
+    )
+
+
+SQL_ONTOLOGY_ANCESTORS = """
+WITH RECURSIVE edges AS (
+  SELECT 'UBERON_' || CAST(s_suppkey AS VARCHAR) AS subject,
+         'UBERON_' || CAST(s_suppkey // 2 AS VARCHAR) AS object
+  FROM supplier WHERE s_suppkey > 1
+),
+closure AS (
+  SELECT subject AS node, object AS dest FROM edges
+  UNION
+  SELECT c.node, e.object AS dest
+  FROM closure c JOIN edges e ON c.dest = e.subject
+)
+SELECT node,
+       COUNT(*) AS numAncestors,
+       MIN(dest) AS minAncestor,
+       MAX(dest) AS maxAncestor
+FROM closure
+GROUP BY node
+"""
+
+
 INGEST_QUERIES = {
     "finngen_finemapping": q_finngen_finemapping,
     "discovery_sample_sizes": q_discovery_sample_sizes,
     "ancestry_split": q_ancestry_split,
     "variant_to_vcf": q_variant_to_vcf,
     "lof_curation": q_lof_curation,
+    "ontology_ancestors": q_ontology_ancestors,
 }
 
 INGEST_ORACLES = {
@@ -434,4 +481,5 @@ INGEST_ORACLES = {
     "ancestry_split": SQL_ANCESTRY_SPLIT,
     "variant_to_vcf": SQL_VARIANT_TO_VCF,
     "lof_curation": SQL_LOF_CURATION,
+    "ontology_ancestors": SQL_ONTOLOGY_ANCESTORS,
 }

@@ -281,3 +281,53 @@ def test_lof_curation_verdict_scores(spark):
     assert eff["normalisedScore"] == 1.0
     assert rows["2_210_C_T"]["variantEffect"][0]["normalisedScore"] == -1.0
     assert rows["1_110_A_G"]["variantDescription"].startswith("Assessed to cause LoF")
+
+
+# ---------------------------------------------------- ontology closure
+
+import pytest  # noqa: E402
+
+from genetics_spark_coloc_spark.operators.ontology import (  # noqa: E402
+    build_biosample_index,
+    transitive_closure,
+)
+
+
+def test_transitive_closure_diamond_dag(spark):
+    edges = spark.createDataFrame(
+        [("d", "b"), ("d", "c"), ("b", "a"), ("c", "a")], ["subject", "object"]
+    )
+    pairs = {
+        (r["node"], r["dest"]) for r in transitive_closure(edges).collect()
+    }
+    assert pairs == {("d", "b"), ("d", "c"), ("b", "a"), ("c", "a"), ("d", "a")}
+
+
+def test_transitive_closure_deep_chain_log_rounds(spark):
+    # depth-40 chain converges within 20 doubling rounds (2^20 >> 40)
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(40)], ["subject", "object"]
+    )
+    closure = transitive_closure(edges)
+    assert closure.count() == 40 * 41 // 2
+
+
+def test_transitive_closure_cycle_raises(spark):
+    edges = spark.createDataFrame([("a", "b"), ("b", "a")], ["subject", "object"])
+    # a 2-cycle converges (closure is finite: a->b, b->a, a->a, b->b)
+    pairs = {(r["node"], r["dest"]) for r in transitive_closure(edges).collect()}
+    assert pairs == {("a", "b"), ("b", "a"), ("a", "a"), ("b", "b")}
+
+
+def test_build_biosample_index(spark):
+    nodes = spark.createDataFrame(
+        [("a", "root", None), ("b", "mid", "desc-b"), ("c", "leaf", None)],
+        ["biosampleId", "biosampleName", "description"],
+    )
+    edges = spark.createDataFrame([("c", "b"), ("b", "a")], ["subject", "object"])
+    rows = {r["biosampleId"]: r for r in build_biosample_index(nodes, edges).collect()}
+    assert rows["c"]["ancestors"] == ["a", "b"]
+    assert rows["c"]["descendants"] is None
+    assert rows["a"]["ancestors"] is None
+    assert rows["a"]["descendants"] == ["b", "c"]
+    assert rows["b"]["ancestors"] == ["a"] and rows["b"]["descendants"] == ["c"]
