@@ -353,3 +353,117 @@ def predict_l2g(model, feature_matrix: DataFrame) -> DataFrame:
         "geneId",
         vector_to_array(F.col("probability"))[1].alias("l2gScore"),
     )
+
+
+def to_disease_target_evidence(
+    predictions: DataFrame,
+    study_locus: DataFrame,
+    study_index: DataFrame,
+    l2g_threshold: float = 0.05,
+) -> DataFrame:
+    """L2G predictions → disease/target evidence rows (reference
+    dataset/l2g_prediction.py:105-144): threshold on score, join the
+    credible set for studyId, join the study index for diseaseIds,
+    explode one evidence row per disease.
+
+    study_index is broadcast (small dim); the predictions→study_locus
+    join shuffles on studyLocusId only once.
+    """
+    return (
+        predictions.filter(F.col("score") >= l2g_threshold)
+        .join(
+            study_locus.select("studyLocusId", "studyId"),
+            on="studyLocusId",
+            how="inner",
+        )
+        .join(
+            F.broadcast(study_index.select("studyId", "diseaseIds")),
+            on="studyId",
+            how="inner",
+        )
+        .select(
+            F.lit("genetic_association").alias("datatypeId"),
+            F.lit("gwas_credible_sets").alias("datasourceId"),
+            F.col("geneId").alias("targetFromSourceId"),
+            F.explode(F.col("diseaseIds")).alias("diseaseFromSourceMappedId"),
+            F.col("score").alias("resourceScore"),
+            "studyLocusId",
+        )
+    )
+
+
+def add_prediction_features(
+    predictions: DataFrame,
+    feature_matrix: DataFrame,
+    feature_names: list[str],
+) -> DataFrame:
+    """Annotate predictions with the feature vector they were scored
+    on, as an array of (name, value) structs (reference
+    dataset/l2g_prediction.py:270-306)."""
+    return predictions.join(
+        feature_matrix.select("studyLocusId", "geneId", *feature_names),
+        on=["studyLocusId", "geneId"],
+        how="left",
+    ).select(
+        "studyLocusId",
+        "geneId",
+        "score",
+        F.array(
+            *[
+                F.struct(F.lit(c).alias("name"), F.col(c).alias("value"))
+                for c in feature_names
+            ]
+        ).alias("features"),
+    )
+
+
+def explain_predictions(
+    model,
+    feature_matrix: DataFrame,
+    feature_names: list[str],
+    baseline_value: float = 0.0,
+) -> DataFrame:
+    """Per-feature occlusion contributions, fully distributed.
+
+    The reference explains predictions with driver-side SHAP
+    (dataset/l2g_prediction.py:146-268: toPandas + TreeExplainer over
+    a sampled background). shap is not available here and its kernel
+    runs on the driver; instead each feature's contribution is the
+    score delta when that feature is occluded to ``baseline_value`` —
+    N+1 distributed model.transform passes (N = len(feature_names)),
+    no data ever collected. Same output shape as the reference:
+    features array<struct<name, value, contribution>> + baseScore.
+    """
+    from pyspark.ml.functions import vector_to_array
+
+    def _score(df: DataFrame) -> DataFrame:
+        return model.transform(df).select(
+            "studyLocusId",
+            "geneId",
+            vector_to_array(F.col("probability"))[1].alias("_s"),
+        )
+
+    base = _score(feature_matrix).withColumnRenamed("_s", "baseScore")
+    out = feature_matrix.select("studyLocusId", "geneId", *feature_names).join(
+        base, on=["studyLocusId", "geneId"], how="inner"
+    )
+    for name in feature_names:
+        occluded = _score(
+            feature_matrix.withColumn(name, F.lit(baseline_value))
+        ).withColumnRenamed("_s", f"_occ_{name}")
+        out = out.join(occluded, on=["studyLocusId", "geneId"], how="inner")
+    return out.select(
+        "studyLocusId",
+        "geneId",
+        "baseScore",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("name"),
+                    F.col(c).alias("value"),
+                    (F.col("baseScore") - F.col(f"_occ_{c}")).alias("contribution"),
+                )
+                for c in feature_names
+            ]
+        ).alias("features"),
+    )

@@ -466,6 +466,76 @@ GROUP BY node
 """
 
 
+# ------------------------------------------- L2G → disease-target evidence
+
+
+def q_disease_target_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2G predictions to evidence rows (reference
+    dataset/l2g_prediction.py:105-144): score threshold, credible-set
+    and study joins, one row per mapped disease."""
+    from genetics_spark_coloc_spark.operators.l2g import to_disease_target_evidence
+
+    cust = load_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    predictions = cust.select(
+        F.concat(F.lit("L"), (ck % 200).cast("string")).alias("studyLocusId"),
+        F.concat(F.lit("G"), (ck % 30).cast("string")).alias("geneId"),
+        ((ck % 100) / 100.0).alias("score"),
+    ).distinct()
+    study_locus = spark.range(0, 200).select(
+        F.concat(F.lit("L"), F.col("id").cast("string")).alias("studyLocusId"),
+        F.concat(F.lit("S"), (F.col("id") % 20).cast("string")).alias("studyId"),
+    )
+    study_index = spark.range(0, 20).select(
+        F.concat(F.lit("S"), F.col("id").cast("string")).alias("studyId"),
+        F.array(
+            F.concat(F.lit("EFO_"), F.col("id").cast("string")),
+            F.concat(F.lit("MONDO_"), (F.col("id") % 7).cast("string")),
+        ).alias("diseaseIds"),
+    )
+    return to_disease_target_evidence(
+        predictions, study_locus, study_index, l2g_threshold=0.05
+    ).select(
+        "datatypeId",
+        "datasourceId",
+        "targetFromSourceId",
+        "diseaseFromSourceMappedId",
+        F.round("resourceScore", 6).alias("resourceScore"),
+        "studyLocusId",
+    )
+
+
+SQL_DISEASE_TARGET_EVIDENCE = """
+WITH predictions AS (
+  SELECT DISTINCT
+         'L' || CAST(c_custkey % 200 AS VARCHAR) AS studyLocusId,
+         'G' || CAST(c_custkey % 30 AS VARCHAR)  AS geneId,
+         (c_custkey % 100) / 100.0               AS score
+  FROM customer
+),
+sl AS (
+  SELECT 'L' || CAST(id AS VARCHAR) AS studyLocusId,
+         'S' || CAST(id % 20 AS VARCHAR) AS studyId
+  FROM range(200) t(id)
+),
+si AS (
+  SELECT 'S' || CAST(id AS VARCHAR) AS studyId,
+         ['EFO_' || CAST(id AS VARCHAR), 'MONDO_' || CAST(id % 7 AS VARCHAR)] AS diseaseIds
+  FROM range(20) t(id)
+)
+SELECT 'genetic_association' AS datatypeId,
+       'gwas_credible_sets'  AS datasourceId,
+       p.geneId              AS targetFromSourceId,
+       unnest(si.diseaseIds) AS diseaseFromSourceMappedId,
+       ROUND(p.score, 6)     AS resourceScore,
+       p.studyLocusId
+FROM predictions p
+JOIN sl USING (studyLocusId)
+JOIN si USING (studyId)
+WHERE p.score >= 0.05
+"""
+
+
 INGEST_QUERIES = {
     "finngen_finemapping": q_finngen_finemapping,
     "discovery_sample_sizes": q_discovery_sample_sizes,
@@ -473,6 +543,7 @@ INGEST_QUERIES = {
     "variant_to_vcf": q_variant_to_vcf,
     "lof_curation": q_lof_curation,
     "ontology_ancestors": q_ontology_ancestors,
+    "disease_target_evidence": q_disease_target_evidence,
 }
 
 INGEST_ORACLES = {
@@ -482,4 +553,5 @@ INGEST_ORACLES = {
     "variant_to_vcf": SQL_VARIANT_TO_VCF,
     "lof_curation": SQL_LOF_CURATION,
     "ontology_ancestors": SQL_ONTOLOGY_ANCESTORS,
+    "disease_target_evidence": SQL_DISEASE_TARGET_EVIDENCE,
 }

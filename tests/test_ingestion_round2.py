@@ -331,3 +331,61 @@ def test_build_biosample_index(spark):
     assert rows["a"]["ancestors"] is None
     assert rows["a"]["descendants"] == ["b", "c"]
     assert rows["b"]["ancestors"] == ["a"] and rows["b"]["descendants"] == ["c"]
+
+
+# ------------------------------------------------ L2G prediction surface
+
+from genetics_spark_coloc_spark.operators.l2g import (  # noqa: E402
+    add_prediction_features,
+    explain_predictions,
+    predict_l2g,
+    to_disease_target_evidence,
+    train_l2g_model,
+)
+
+
+def test_to_disease_target_evidence(spark):
+    predictions = spark.createDataFrame(
+        [("L1", "G1", 0.8), ("L2", "G2", 0.01)],  # L2 below threshold
+        ["studyLocusId", "geneId", "score"],
+    )
+    study_locus = spark.createDataFrame(
+        [("L1", "S1"), ("L2", "S2")], ["studyLocusId", "studyId"]
+    )
+    study_index = spark.createDataFrame(
+        [("S1", ["EFO_1", "EFO_2"]), ("S2", ["EFO_3"])],
+        "studyId string, diseaseIds array<string>",
+    )
+    rows = to_disease_target_evidence(
+        predictions, study_locus, study_index
+    ).collect()
+    assert len(rows) == 2  # one per disease of L1 only
+    assert {r["diseaseFromSourceMappedId"] for r in rows} == {"EFO_1", "EFO_2"}
+    assert all(r["targetFromSourceId"] == "G1" for r in rows)
+    assert all(r["datasourceId"] == "gwas_credible_sets" for r in rows)
+
+
+def test_add_features_and_occlusion_explain(spark):
+    fm = spark.createDataFrame(
+        [
+            ("L1", "G1", 0.9, 0.8, 1),
+            ("L1", "G2", 0.1, 0.0, 0),
+            ("L2", "G3", 0.85, 0.9, 1),
+            ("L2", "G4", 0.05, 0.1, 0),
+        ],
+        ["studyLocusId", "geneId", "fA", "fB", "goldStandardSet"],
+    )
+    model = train_l2g_model(fm, feature_names=["fA", "fB"], max_iter=5)
+    preds = predict_l2g(model, fm).withColumnRenamed("l2gScore", "score")
+
+    annotated = add_prediction_features(preds, fm, ["fA", "fB"]).collect()
+    by_key = {(r["studyLocusId"], r["geneId"]): r for r in annotated}
+    feats = {s["name"]: s["value"] for s in by_key[("L1", "G1")]["features"]}
+    assert feats == {"fA": 0.9, "fB": 0.8}
+
+    explained = explain_predictions(model, fm, ["fA", "fB"]).collect()
+    row = {(r["studyLocusId"], r["geneId"]): r for r in explained}[("L1", "G1")]
+    contribs = {s["name"]: s["contribution"] for s in row["features"]}
+    # occluding the dominant feature fA must reduce the score
+    assert contribs["fA"] > 0
+    assert abs(row["baseScore"]) <= 1.0
