@@ -536,6 +536,230 @@ WHERE p.score >= 0.05
 """
 
 
+# ----------------------------------------------- per-project study indexes
+
+
+def q_eqtl_study_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QTL study-type dispatch (reference eqtl_catalogue/
+    study_index.py:59-86): quantification-method map + sc prefix for
+    single-cell studies."""
+    from genetics_spark_coloc_spark.sources.study_indexes import (
+        identify_qtl_study_type,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    pk = F.col("p_partkey").cast("long")
+    methods = ["ge", "exon", "tx", "microarray", "leafcutter", "aptamer", "txrev"]
+    raw = part.select(
+        F.col("p_partkey").alias("datasetId"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in methods]), (pk % 7 + 1).cast("int")
+        ).alias("quantMethod"),
+        F.when(pk % 3 == 0, "single-cell").otherwise("bulk").alias("rawStudyType"),
+    )
+    return raw.select(
+        "datasetId",
+        "quantMethod",
+        "rawStudyType",
+        identify_qtl_study_type(F.col("quantMethod"), F.col("rawStudyType")).alias(
+            "studyType"
+        ),
+    )
+
+
+SQL_EQTL_STUDY_TYPE = """
+WITH raw AS (
+  SELECT p_partkey AS datasetId,
+         (['ge','exon','tx','microarray','leafcutter','aptamer','txrev'])[CAST(p_partkey % 7 AS INT) + 1] AS quantMethod,
+         CASE WHEN p_partkey % 3 = 0 THEN 'single-cell' ELSE 'bulk' END AS rawStudyType
+  FROM part
+)
+SELECT datasetId, quantMethod, rawStudyType,
+       CASE WHEN rawStudyType = 'single-cell' THEN 'sc' ELSE '' END ||
+       CASE quantMethod
+         WHEN 'ge' THEN 'eqtl' WHEN 'exon' THEN 'eqtl' WHEN 'tx' THEN 'eqtl'
+         WHEN 'microarray' THEN 'eqtl' WHEN 'leafcutter' THEN 'sqtl'
+         WHEN 'aptamer' THEN 'pqtl' WHEN 'txrev' THEN 'tuqtl'
+       END AS studyType
+FROM raw
+"""
+
+
+def q_eqtl_sumstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eQTL-Catalogue sumstats normalisation (reference
+    eqtl_catalogue/summary_stats.py:48-93): id composition, p-value
+    decomposition, zero-beta and bad-position drops."""
+    from genetics_spark_coloc_spark.sources.study_indexes import (
+        process_eqtl_sumstats,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey").cast("long")
+    ln = F.col("l_linenumber").cast("long")
+    raw = li.select(
+        F.lit("GTEx_V8").alias("project_id"),
+        F.concat(F.lit("Adipose_"), (k % 4).cast("string")).alias("qtl_group"),
+        F.concat(F.lit("ENSG"), (k % 100).cast("string")).alias("gene_id"),
+        (1 + k % 3).cast("string").alias("chromosome"),
+        F.when(k % 11 == 0, F.lit(None).cast("string"))
+        .otherwise((1000 + k * 7 + ln).cast("string"))
+        .alias("position"),
+        F.lit("A").alias("ref"),
+        F.lit("G").alias("alt"),
+        F.concat(F.lit("3.1e-"), (2 + k % 12).cast("string")).alias("pvalue"),
+        F.when(k % 13 == 0, F.lit(0.0)).otherwise((ln - 3.5) / 10.0).alias("beta"),
+        ((1 + k % 20) / 100.0).alias("se"),
+        (((k % 45) + 1) / 100.0).alias("maf"),
+    )
+    out = process_eqtl_sumstats(raw)
+    return out.select(
+        "studyId",
+        "variantId",
+        "chromosome",
+        "position",
+        "pValueMantissa",
+        "pValueExponent",
+        F.round("beta", 6).alias("beta"),
+        F.round("standardError", 6).alias("standardError"),
+        F.round("effectAlleleFrequencyFromSource", 6).alias(
+            "effectAlleleFrequencyFromSource"
+        ),
+    )
+
+
+SQL_EQTL_SUMSTATS = """
+SELECT 'GTEx_V8_Adipose_' || CAST(l_orderkey % 4 AS VARCHAR)
+         || '_ENSG' || CAST(l_orderkey % 100 AS VARCHAR)        AS studyId,
+       CAST(1 + l_orderkey % 3 AS VARCHAR) || '_'
+         || CAST(1000 + l_orderkey * 7 + l_linenumber AS VARCHAR)
+         || '_A_G'                                               AS variantId,
+       CAST(1 + l_orderkey % 3 AS VARCHAR)                       AS chromosome,
+       CAST(1000 + l_orderkey * 7 + l_linenumber AS INT)         AS position,
+       CAST(3.1 AS REAL)                                         AS pValueMantissa,
+       CAST(-(2 + l_orderkey % 12) AS INT)                       AS pValueExponent,
+       ROUND((l_linenumber - 3.5) / 10.0, 6)                     AS beta,
+       ROUND((1 + l_orderkey % 20) / 100.0, 6)                   AS standardError,
+       ROUND(CAST(((l_orderkey % 45) + 1) / 100.0 AS REAL), 6)   AS effectAlleleFrequencyFromSource
+FROM lineitem
+WHERE l_orderkey % 11 != 0
+  AND l_orderkey % 13 != 0
+  AND (l_linenumber - 3.5) / 10.0 != 0
+"""
+
+
+def q_finngen_efo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-study EFO mapping aggregation (reference finngen/
+    study_index.py:82-125): release-filtered curation join, mapped
+    ids collected per study (sorted here; reference order is
+    join-order-dependent)."""
+    from genetics_spark_coloc_spark.sources.study_indexes import join_efo_mapping
+
+    nat = load_table(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("long")
+    studies = nat.select(
+        F.concat(F.lit("FINNGEN_R11_PHENO"), nk.cast("string")).alias("studyId"),
+        F.concat(F.lit("trait"), (nk % 12).cast("string")).alias("traitFromSource"),
+    )
+    efo = spark.range(0, 16).select(
+        F.lit("FinnGen_r11_cohort").alias("STUDY"),
+        F.concat(F.lit("trait"), (F.col("id") % 8).cast("string")).alias(
+            "PROPERTY_VALUE"
+        ),
+        F.concat(
+            F.lit("http://purl.obolibrary.org/obo/EFO_"), F.col("id").cast("string")
+        ).alias("SEMANTIC_TAG"),
+    )
+    out = join_efo_mapping(studies, efo, "R11")
+    return out.select(
+        "studyId",
+        "traitFromSource",
+        F.array_join(F.col("traitFromSourceMappedIds"), "|").alias("mappedIds"),
+    )
+
+
+SQL_FINNGEN_EFO_JOIN = """
+WITH studies AS (
+  SELECT 'FINNGEN_R11_PHENO' || CAST(n_nationkey AS VARCHAR) AS studyId,
+         'trait' || CAST(n_nationkey % 12 AS VARCHAR)        AS traitFromSource
+  FROM nation
+),
+efo AS (
+  SELECT 'trait' || CAST(id % 8 AS VARCHAR) AS traitFromSource,
+         'EFO_' || CAST(id AS VARCHAR)      AS traitFromSourceMappedId
+  FROM range(16) t(id)
+)
+SELECT s.studyId,
+       s.traitFromSource,
+       COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST(e.traitFromSourceMappedId)
+                  FILTER (e.traitFromSourceMappedId IS NOT NULL)), '|'), '') AS mappedIds
+FROM studies s LEFT JOIN efo e USING (traitFromSource)
+GROUP BY s.studyId, s.traitFromSource
+"""
+
+
+def q_ukbiobank_study_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UKBiobank manifest parsing (reference ukbiobank/
+    study_index.py:35-110): SAIGE/NEALE constants and
+    "category: name" → "Name | category" trait flips."""
+    from genetics_spark_coloc_spark.sources.study_indexes import (
+        ukbiobank_study_index,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    manifest = cust.select(
+        F.when(ck % 2 == 0, F.concat(F.lit("SAIGE_"), ck.cast("string")))
+        .otherwise(F.concat(F.lit("NEALE2_"), ck.cast("string")))
+        .alias("code"),
+        F.when(
+            ck % 3 == 0,
+            F.concat(F.lit("cancer: carcinoma"), (ck % 5).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("height"), (ck % 5).cast("string")))
+        .alias("trait"),
+        (10000 + ck % 90000).alias("n_total"),
+        (ck % 5000).alias("n_cases"),
+        F.concat(F.lit("gs://ukb/"), ck.cast("string")).alias("in_path"),
+    )
+    out = ukbiobank_study_index(manifest)
+    return out.select(
+        "studyId",
+        "traitFromSource",
+        F.coalesce(F.col("pubmedId"), F.lit("")).alias("pubmedId"),
+        "publicationDate",
+        "nCases",
+        "initialSampleSize",
+        "summarystatsLocation",
+    )
+
+
+SQL_UKBIOBANK_STUDY_INDEX = """
+WITH manifest AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN 'SAIGE_' ELSE 'NEALE2_' END
+           || CAST(c_custkey AS VARCHAR) AS code,
+         CASE WHEN c_custkey % 3 = 0
+              THEN 'cancer: carcinoma' || CAST(c_custkey % 5 AS VARCHAR)
+              ELSE 'height' || CAST(c_custkey % 5 AS VARCHAR) END AS trait,
+         10000 + c_custkey % 90000 AS n_total,
+         c_custkey % 5000          AS n_cases,
+         'gs://ukb/' || CAST(c_custkey AS VARCHAR) AS in_path
+  FROM customer
+)
+SELECT code AS studyId,
+       CASE WHEN trait LIKE '%:%'
+            THEN upper(substr(split_part(trait, ': ', 2), 1, 1))
+                   || substr(split_part(trait, ': ', 2), 2)
+                   || ' | ' || lower(split_part(trait, ': ', 1))
+            ELSE trait END AS traitFromSource,
+       CASE WHEN code LIKE 'SAIGE_%' THEN '30104761' ELSE '' END AS pubmedId,
+       CASE WHEN code LIKE 'NEALE2_%' THEN '2018-08-01' ELSE '2018-10-24' END AS publicationDate,
+       CAST(n_cases AS INT)        AS nCases,
+       CAST(n_total AS VARCHAR)    AS initialSampleSize,
+       in_path                     AS summarystatsLocation
+FROM manifest
+"""
+
+
 INGEST_QUERIES = {
     "finngen_finemapping": q_finngen_finemapping,
     "discovery_sample_sizes": q_discovery_sample_sizes,
@@ -544,6 +768,10 @@ INGEST_QUERIES = {
     "lof_curation": q_lof_curation,
     "ontology_ancestors": q_ontology_ancestors,
     "disease_target_evidence": q_disease_target_evidence,
+    "eqtl_study_type": q_eqtl_study_type,
+    "eqtl_sumstats": q_eqtl_sumstats,
+    "finngen_efo_join": q_finngen_efo_join,
+    "ukbiobank_study_index": q_ukbiobank_study_index,
 }
 
 INGEST_ORACLES = {
@@ -554,4 +782,8 @@ INGEST_ORACLES = {
     "lof_curation": SQL_LOF_CURATION,
     "ontology_ancestors": SQL_ONTOLOGY_ANCESTORS,
     "disease_target_evidence": SQL_DISEASE_TARGET_EVIDENCE,
+    "eqtl_study_type": SQL_EQTL_STUDY_TYPE,
+    "eqtl_sumstats": SQL_EQTL_SUMSTATS,
+    "finngen_efo_join": SQL_FINNGEN_EFO_JOIN,
+    "ukbiobank_study_index": SQL_UKBIOBANK_STUDY_INDEX,
 }

@@ -143,3 +143,47 @@ def lof_curation_to_variant_index(lof_dataset: DataFrame) -> DataFrame:
             "variantEffect", normalise_variant_effect(F.col("variantEffect"))
         )
     )
+
+
+def foldx_to_amino_acid_variants(
+    foldx_input: DataFrame, plddt_threshold: float = 0.7
+) -> DataFrame:
+    """FoldX ΔΔG predictions → amino-acid-variant rows (reference
+    open_targets/foldex_integration.py:37-103): drop low-confidence
+    residues (plddt ≤ threshold), anti-join proteins where one
+    structural position maps to multiple sequence positions
+    (ambiguous), collapse to one variantEffect array per
+    (uniprotAccession, aminoAcidChange), normalise the free-energy
+    scores.
+
+    Input columns: protein_acc, position, wild_type, mutated_type,
+    plddt, foldx_ddg.
+    """
+    ambiguous = (
+        foldx_input.groupBy("protein_acc", "position", "wild_type")
+        .agg(F.count_distinct("plddt").alias("n"))
+        .filter(F.col("n") > 1)
+        .select("protein_acc")
+        .distinct()
+    )
+    return (
+        foldx_input.filter(F.col("plddt") > plddt_threshold)
+        .join(ambiguous, on="protein_acc", how="left_anti")
+        .select(
+            F.col("protein_acc").alias("uniprotAccession"),
+            F.concat(
+                F.col("wild_type"), F.col("position"), F.col("mutated_type")
+            ).alias("aminoAcidChange"),
+            F.struct(
+                F.lit("FoldX").alias("method"),
+                F.lit(None).cast("string").alias("assessment"),
+                F.col("foldx_ddg").cast("double").alias("score"),
+                F.lit(None).cast("string").alias("targetId"),
+            ).alias("prediction"),
+        )
+        .groupBy("uniprotAccession", "aminoAcidChange")
+        .agg(F.sort_array(F.collect_set("prediction")).alias("variantEffect"))
+        .withColumn(
+            "variantEffect", normalise_variant_effect(F.col("variantEffect"))
+        )
+    )

@@ -389,3 +389,120 @@ def test_add_features_and_occlusion_explain(spark):
     # occluding the dominant feature fA must reduce the score
     assert contribs["fA"] > 0
     assert abs(row["baseScore"]) <= 1.0
+
+
+# -------------------------------------------- per-project study indexes
+
+from genetics_spark_coloc_spark.sources.open_targets import (  # noqa: E402
+    foldx_to_amino_acid_variants,
+)
+from genetics_spark_coloc_spark.sources.study_indexes import (  # noqa: E402
+    finngen_study_index,
+    identify_qtl_study_type,
+    join_efo_mapping,
+    process_eqtl_sumstats,
+    ukbiobank_study_index,
+)
+
+
+def test_identify_qtl_study_type(spark):
+    df = spark.createDataFrame(
+        [("ge", "bulk"), ("leafcutter", "bulk"), ("tx", "single-cell"), ("aptamer", "bulk")],
+        ["quant_method", "study_type"],
+    )
+    rows = df.select(
+        identify_qtl_study_type(F.col("quant_method"), F.col("study_type")).alias("t")
+    ).collect()
+    assert [r["t"] for r in rows] == ["eqtl", "sqtl", "sceqtl", "pqtl"]
+
+
+def test_finngen_study_index_counts(spark):
+    pheno = spark.createDataFrame(
+        [("E4_DM2", "Type 2 diabetes", 50000, 250000)],
+        ["phenocode", "phenostring", "num_cases", "num_controls"],
+    )
+    row = finngen_study_index(pheno, "FINNGEN_R11", sample_size=500348).collect()[0]
+    assert row["studyId"] == "FINNGEN_R11_E4_DM2"
+    assert (row["nCases"], row["nControls"], row["nSamples"]) == (50000, 250000, 300000)
+    assert row["discoverySamples"][0]["ancestry"] == "Finnish"
+    assert row["ldPopulationStructure"][0]["ldPopulation"] == "fin"
+    assert row["ldPopulationStructure"][0]["relativeSampleSize"] == 1.0
+
+
+def test_join_efo_mapping_preserves_unmapped_studies(spark):
+    studies = spark.createDataFrame(
+        [("FINNGEN_R11_A", "asthma"), ("FINNGEN_R11_B", "unmapped trait")],
+        ["studyId", "traitFromSource"],
+    )
+    efo = spark.createDataFrame(
+        [
+            ("FinnGen r11", "asthma", "http://purl.obolibrary.org/obo/EFO_0000270"),
+            ("FinnGen r11", "asthma", "http://purl.obolibrary.org/obo/MONDO_0004979"),
+            ("FinnGen r5", "asthma", "http://x/EFO_SHOULD_NOT_APPEAR"),
+            ("GWAS catalog", "asthma", "http://x/EFO_ALSO_NOT"),
+        ],
+        ["STUDY", "PROPERTY_VALUE", "SEMANTIC_TAG"],
+    )
+    rows = {r["studyId"]: r for r in join_efo_mapping(studies, efo, "R11").collect()}
+    assert rows["FINNGEN_R11_A"]["traitFromSourceMappedIds"] == [
+        "EFO_0000270",
+        "MONDO_0004979",
+    ]
+    assert rows["FINNGEN_R11_B"]["traitFromSourceMappedIds"] == []
+
+
+def test_ukbiobank_trait_formatting_multiword(spark):
+    manifest = spark.createDataFrame(
+        [
+            ("SAIGE_123", "cancer: breast carcinoma", 1000, 100, "p1"),
+            ("NEALE2_456", "Standing height", 2000, 0, "p2"),
+        ],
+        ["code", "trait", "n_total", "n_cases", "in_path"],
+    )
+    rows = {r["studyId"]: r for r in ukbiobank_study_index(manifest).collect()}
+    assert rows["SAIGE_123"]["traitFromSource"] == "Breast Carcinoma | cancer"
+    assert rows["SAIGE_123"]["pubmedId"] == "30104761"
+    assert rows["SAIGE_123"]["publicationDate"] == "2018-10-24"
+    assert rows["NEALE2_456"]["traitFromSource"] == "Standing height"
+    assert rows["NEALE2_456"]["pubmedId"] is None
+    assert rows["NEALE2_456"]["publicationDate"] == "2018-08-01"
+
+
+def test_process_eqtl_sumstats_drops(spark):
+    raw = spark.createDataFrame(
+        [
+            ("P", "g", "ENSG1", "1", "100", "A", "G", "1e-5", 0.5, 0.1, 0.2),
+            ("P", "g", "ENSG1", "1", None, "A", "G", "1e-5", 0.5, 0.1, 0.2),  # no pos
+            ("P", "g", "ENSG1", "1", "200", "A", "G", "1e-5", 0.0, 0.1, 0.2),  # beta 0
+        ],
+        ["project_id", "qtl_group", "gene_id", "chromosome", "position",
+         "ref", "alt", "pvalue", "beta", "se", "maf"],
+    )
+    rows = process_eqtl_sumstats(raw).collect()
+    assert len(rows) == 1
+    assert rows[0]["studyId"] == "P_g_ENSG1"
+    assert rows[0]["variantId"] == "1_100_A_G"
+
+
+def test_foldx_ingestion_ambiguous_protein_dropped(spark):
+    foldx = spark.createDataFrame(
+        [
+            # P1: unambiguous, confident
+            ("P1", "42", "A", "G", 0.9, 1.5),
+            ("P1", "42", "A", "T", 0.9, -2.5),
+            # P2: same (position, wild_type) with two distinct plddts → ambiguous
+            ("P2", "7", "L", "P", 0.95, 0.3),
+            ("P2", "7", "L", "V", 0.85, 0.4),
+            # P3: low confidence only
+            ("P3", "9", "K", "R", 0.5, 1.0),
+        ],
+        ["protein_acc", "position", "wild_type", "mutated_type", "plddt", "foldx_ddg"],
+    )
+    rows = foldx_to_amino_acid_variants(foldx, plddt_threshold=0.7).collect()
+    by_key = {(r["uniprotAccession"], r["aminoAcidChange"]): r for r in rows}
+    assert set(by_key) == {("P1", "A42G"), ("P1", "A42T")}
+    eff = by_key[("P1", "A42G")]["variantEffect"][0]
+    assert eff["method"] == "FoldX"
+    # |ddg| 1.5 < 2 → rescaled 1.5/2
+    assert abs(eff["normalisedScore"] - 0.75) < 1e-9
+    assert by_key[("P1", "A42T")]["variantEffect"][0]["normalisedScore"] == 1.0
