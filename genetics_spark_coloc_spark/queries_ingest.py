@@ -760,6 +760,166 @@ FROM manifest
 """
 
 
+# ----------------------------------------------- eQTL-Catalogue SuSiE
+
+
+def q_eqtl_finemapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eQTL-Catalogue SuSiE ingestion (reference eqtl_catalogue/
+    finemapping.py:121-262): lbf × credible-set × metadata join,
+    per-credible-set LBF selection, lead + locus + whole-set log10BF."""
+    from genetics_spark_coloc_spark.sources.eqtl_finemapping import (
+        eqtl_susie_to_study_locus,
+        parse_eqtl_susie_results,
+    )
+
+    # (l_orderkey, l_linenumber) is not unique in the synthetic
+    # lineitem; dedupe so the lbf×credible-set join stays 1:1
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.min("l_partkey").alias("l_partkey"))
+    )
+    k = F.col("l_orderkey").cast("long")
+    ln = F.col("l_linenumber").cast("long")
+    pk = F.col("l_partkey").cast("long")
+    pos = k * 10 + ln
+    shared = {
+        "dataset_id": F.concat(F.lit("QTD00000"), (k % 4).cast("string")),
+        "molecular_trait_id": F.concat(F.lit("ENSG"), (k % 10).cast("string")),
+        "region": F.concat(
+            F.lit("1:"),
+            ((k % 5) * 200000 + 1).cast("string"),
+            F.lit("-"),
+            ((k % 5) * 200000 + 200000).cast("string"),
+        ),
+        "variant": F.concat(F.lit("chr1_"), pos.cast("string"), F.lit("_A_G")),
+    }
+    credible_sets = li.select(
+        *[v.alias(n) for n, v in shared.items()],
+        F.concat(F.lit("ENSG"), (k % 10).cast("string")).alias("gene_id"),
+        (1 + ln % 3).cast("int").alias("credibleSetIndex"),
+        (((pk * (1 + ln % 3)) % 89) / 100.0).alias("pip"),
+        F.concat(F.lit("2.5e-"), (5 + k % 10).cast("string")).alias("pvalue"),
+        ((((pk + ln * 11) % 19) - 9) / 10.0).alias("beta"),
+        ((1 + pk % 50) / 100.0).alias("se"),
+    )
+    lbf_cols = [
+        (((k + i * 3) % 70) / 10.0).alias(f"lbf_variable{i}") for i in range(1, 11)
+    ]
+    lbf = li.select(
+        *[v.alias(n) for n, v in shared.items()],
+        F.lit("1").alias("chromosome"),
+        pos.cast("int").alias("position"),
+        *lbf_cols,
+    )
+    methods = ["ge", "leafcutter", "aptamer", "tx"]
+    meta = spark.range(0, 4).select(
+        F.concat(F.lit("QTD00000"), F.col("id").cast("string")).alias("dataset_id"),
+        F.lit("GTEx").alias("study_label"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in methods]), (F.col("id") + 1).cast("int")
+        ).alias("quant_method"),
+        F.lit("adipose").alias("sample_group"),
+        F.concat(F.lit("UBERON_"), F.col("id").cast("string")).alias("tissue_id"),
+        F.when(F.col("id") == 3, "single-cell").otherwise("bulk").alias("study_type"),
+        (100 + F.col("id")).cast("int").alias("sample_size"),
+    )
+    out = eqtl_susie_to_study_locus(
+        parse_eqtl_susie_results(credible_sets, lbf, meta)
+    )
+    return out.select(
+        "studyLocusId",
+        "studyId",
+        "dataset_id",
+        "region",
+        "credibleSetIndex",
+        "variantId",
+        "position",
+        F.round("posteriorProbability", 6).alias("posteriorProbability"),
+        F.round("beta", 6).alias("beta"),
+        F.round("standardError", 6).alias("standardError"),
+        "nSamples",
+        "studyType",
+        "geneId",
+        "biosampleFromSourceId",
+        F.size("locus").alias("locusSize"),
+        F.round("credibleSetlog10BF", 6).alias("credibleSetlog10BF"),
+    )
+
+
+SQL_EQTL_FINEMAPPING = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, MIN(l_partkey) AS l_partkey
+  FROM lineitem GROUP BY 1, 2
+),
+tags AS (
+  SELECT 'QTD00000' || CAST(l_orderkey % 4 AS VARCHAR)     AS dataset_id,
+         'ENSG' || CAST(l_orderkey % 10 AS VARCHAR)        AS geneId,
+         '1:' || CAST((l_orderkey % 5) * 200000 + 1 AS VARCHAR) || '-'
+              || CAST((l_orderkey % 5) * 200000 + 200000 AS VARCHAR) AS region,
+         '1_' || CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) || '_A_G' AS variantId,
+         CAST(l_orderkey * 10 + l_linenumber AS INT)       AS position,
+         CAST(1 + l_linenumber % 3 AS INT)                 AS credibleSetIndex,
+         ((l_partkey * (1 + l_linenumber % 3)) % 89) / 100.0 AS posteriorProbability,
+         (((l_partkey + l_linenumber * 11) % 19) - 9) / 10.0 AS beta,
+         (1 + l_partkey % 50) / 100.0                      AS standardError,
+         ((l_orderkey + (1 + l_linenumber % 3) * 3) % 70) / 10.0 AS logBF
+  FROM li
+),
+meta AS (
+  SELECT 'QTD00000' || CAST(id AS VARCHAR) AS dataset_id,
+         (['ge','leafcutter','aptamer','tx'])[CAST(id AS INT) + 1] AS quant_method,
+         'UBERON_' || CAST(id AS VARCHAR)  AS tissue_id,
+         CASE WHEN id = 3 THEN 'single-cell' ELSE 'bulk' END AS study_type,
+         CAST(100 + id AS INT)             AS sample_size
+  FROM range(4) t(id)
+),
+j AS (
+  SELECT t.*, m.quant_method, m.tissue_id, m.study_type, m.sample_size,
+         lower('GTEx_' || m.quant_method || '_adipose_' || t.geneId) AS studyId,
+         CASE WHEN m.study_type = 'single-cell' THEN 'sc' ELSE '' END ||
+         CASE m.quant_method
+           WHEN 'ge' THEN 'eqtl' WHEN 'leafcutter' THEN 'sqtl'
+           WHEN 'aptamer' THEN 'pqtl' WHEN 'tx' THEN 'eqtl'
+         END AS studyType
+  FROM tags t JOIN meta m USING (dataset_id)
+),
+leads AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY dataset_id, geneId, region, credibleSetIndex
+           ORDER BY posteriorProbability DESC, variantId) AS rn
+  FROM j
+),
+loci AS (
+  SELECT dataset_id, geneId, region, credibleSetIndex,
+         COUNT(*) AS locusSize,
+         MAX(logBF) + LN(SUM(EXP(logBF - mx))) AS lse
+  FROM (SELECT *, MAX(logBF) OVER (
+          PARTITION BY dataset_id, geneId, region, credibleSetIndex) AS mx FROM j)
+  GROUP BY 1, 2, 3, 4, mx
+)
+SELECT md5(l.studyId || '|' || l.variantId || '|SuSIE') AS studyLocusId,
+       l.studyId,
+       l.dataset_id,
+       l.region,
+       l.credibleSetIndex,
+       l.variantId,
+       l.position,
+       ROUND(l.posteriorProbability, 6) AS posteriorProbability,
+       ROUND(l.beta, 6)                 AS beta,
+       ROUND(l.standardError, 6)        AS standardError,
+       l.sample_size                    AS nSamples,
+       l.studyType,
+       l.geneId,
+       l.tissue_id                      AS biosampleFromSourceId,
+       lo.locusSize,
+       ROUND(lo.lse * 0.43429448190325176, 6) AS credibleSetlog10BF
+FROM leads l
+JOIN loci lo USING (dataset_id, geneId, region, credibleSetIndex)
+WHERE l.rn = 1
+"""
+
+
 INGEST_QUERIES = {
     "finngen_finemapping": q_finngen_finemapping,
     "discovery_sample_sizes": q_discovery_sample_sizes,
@@ -772,6 +932,7 @@ INGEST_QUERIES = {
     "eqtl_sumstats": q_eqtl_sumstats,
     "finngen_efo_join": q_finngen_efo_join,
     "ukbiobank_study_index": q_ukbiobank_study_index,
+    "eqtl_finemapping": q_eqtl_finemapping,
 }
 
 INGEST_ORACLES = {
@@ -786,4 +947,5 @@ INGEST_ORACLES = {
     "eqtl_sumstats": SQL_EQTL_SUMSTATS,
     "finngen_efo_join": SQL_FINNGEN_EFO_JOIN,
     "ukbiobank_study_index": SQL_UKBIOBANK_STUDY_INDEX,
+    "eqtl_finemapping": SQL_EQTL_FINEMAPPING,
 }

@@ -506,3 +506,69 @@ def test_foldx_ingestion_ambiguous_protein_dropped(spark):
     # |ddg| 1.5 < 2 → rescaled 1.5/2
     assert abs(eff["normalisedScore"] - 0.75) < 1e-9
     assert by_key[("P1", "A42T")]["variantEffect"][0]["normalisedScore"] == 1.0
+
+
+# ---------------------------------------------- eQTL-Catalogue SuSiE
+
+from genetics_spark_coloc_spark.sources.eqtl_finemapping import (  # noqa: E402
+    clean_strings_from_symbols,
+    eqtl_susie_to_study_locus,
+    extract_credible_set_index,
+    extract_dataset_id_from_file_path,
+    parse_eqtl_susie_results,
+)
+
+
+def test_eqtl_helpers(spark):
+    df = spark.createDataFrame(
+        [("QTD000046_L2", "QTD000046.credible_sets.tsv", "AbCd-12.2")],
+        ["cs_id", "path", "s"],
+    )
+    row = df.select(
+        extract_credible_set_index(F.col("cs_id")).alias("idx"),
+        extract_dataset_id_from_file_path(F.col("path")).alias("ds"),
+        clean_strings_from_symbols(F.col("s")).alias("clean"),
+    ).collect()[0]
+    assert row["idx"] == 2
+    assert row["ds"] == "QTD000046"
+    assert row["clean"] == "abcd-12_2"
+
+
+def test_eqtl_susie_roundtrip(spark):
+    def lbf_row(variant, pos, lbfs):
+        base = {
+            "molecular_trait_id": "ENSG1", "region": "1:1-1000",
+            "variant": variant, "dataset_id": "QTD000001",
+            "chromosome": "1", "position": pos,
+        }
+        for i in range(1, 11):
+            base[f"lbf_variable{i}"] = lbfs[i - 1] if i <= len(lbfs) else 0.0
+        return base
+
+    lbf = spark.createDataFrame([
+        lbf_row("chr1_100_A_G", 100, [1.0, 5.0]),
+        lbf_row("chr1_200_A_G", 200, [1.0, 3.0]),
+    ])
+    cs = spark.createDataFrame(
+        [
+            ("QTD000001", "ENSG1", "1:1-1000", "chr1_100_A_G", "ENSG1", 2, 0.7, 1e-9, 0.5, 0.1),
+            ("QTD000001", "ENSG1", "1:1-1000", "chr1_200_A_G", "ENSG1", 2, 0.3, 1e-7, 0.4, 0.1),
+        ],
+        ["dataset_id", "molecular_trait_id", "region", "variant", "gene_id",
+         "credibleSetIndex", "pip", "pvalue", "beta", "se"],
+    )
+    meta = spark.createDataFrame(
+        [("QTD000001", "GTEx", "ge", "adipose", "UBERON_1", "bulk", 500)],
+        ["dataset_id", "study_label", "quant_method", "sample_group",
+         "tissue_id", "study_type", "sample_size"],
+    )
+    out = eqtl_susie_to_study_locus(parse_eqtl_susie_results(cs, lbf, meta)).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["studyId"] == "gtex_ge_adipose_ensg1"
+    assert row["studyType"] == "eqtl"
+    assert row["variantId"] == "1_100_A_G"  # max PIP lead
+    assert [t["logBF"] for t in row["locus"]] == [5.0, 3.0]
+    import math
+    expected = (5.0 + math.log(1 + math.exp(-2.0))) * 0.43429448190325176
+    assert abs(row["credibleSetlog10BF"] - expected) < 1e-9
