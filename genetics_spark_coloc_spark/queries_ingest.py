@@ -920,6 +920,134 @@ WHERE l.rn = 1
 """
 
 
+# --------------------------------------------------- Pan-UKBB LD toolset
+
+
+def q_ukbb_allele_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pan-UKBB LD-index allele alignment (reference pan_ukbb_ld/
+    ld.py:46-147): direct/flipped/unannotated matches, flipped rows
+    rewritten with alleleOrder -1, best row per matrix index."""
+    from genetics_spark_coloc_spark.sources.pan_ukbb import align_ld_index_alleles
+
+    part = load_table(spark, sf_dir, "part")
+    pk = F.col("p_partkey").cast("long")
+    ukbb = part.select(
+        (1 + pk % 3).cast("string").alias("chromosome"),
+        (1000 + pk).cast("int").alias("position"),
+        F.lit("A").alias("referenceAllele"),
+        F.lit("G").alias("alternateAllele"),
+        pk.alias("idx"),
+    )
+    # annotation: pk%4==0 direct (A/G), %4==1 flipped (G/A),
+    # %4==2 mismatched (C/T → dropped), %4==3 no annotation row
+    va = part.filter(pk % 4 < 3).select(
+        (1 + pk % 3).cast("string").alias("chromosome"),
+        (1000 + pk).cast("int").alias("position"),
+        F.when(pk % 4 == 0, "A").when(pk % 4 == 1, "G").otherwise("C").alias(
+            "referenceAllele"
+        ),
+        F.when(pk % 4 == 0, "G").when(pk % 4 == 1, "A").otherwise("T").alias(
+            "alternateAllele"
+        ),
+    )
+    return align_ld_index_alleles(ukbb, va).select(
+        "variantId", "chromosome", "position", "alleleOrder", "idx"
+    )
+
+
+SQL_UKBB_ALLELE_ALIGN = """
+WITH ukbb AS (
+  SELECT DISTINCT
+         CAST(1 + p_partkey % 3 AS VARCHAR)  AS chromosome,
+         CAST(1000 + p_partkey AS INT)       AS position,
+         'A' AS referenceAllele, 'G' AS alternateAllele,
+         p_partkey AS idx
+  FROM part
+),
+va AS (
+  SELECT DISTINCT
+         CAST(1 + p_partkey % 3 AS VARCHAR)  AS chromosome,
+         CAST(1000 + p_partkey AS INT)       AS position,
+         CASE WHEN p_partkey % 4 = 0 THEN 'A' WHEN p_partkey % 4 = 1 THEN 'G' ELSE 'C' END AS vaRef,
+         CASE WHEN p_partkey % 4 = 0 THEN 'G' WHEN p_partkey % 4 = 1 THEN 'A' ELSE 'T' END AS vaAlt
+  FROM part WHERE p_partkey % 4 < 3
+),
+aligned AS (
+  SELECT u.chromosome, u.position, u.idx,
+         CASE WHEN u.referenceAllele = v.vaAlt AND u.alternateAllele = v.vaRef THEN -1 ELSE 1 END AS alleleOrder,
+         CASE WHEN u.referenceAllele = v.vaAlt AND u.alternateAllele = v.vaRef THEN v.vaRef ELSE u.referenceAllele END AS newRef,
+         CASE WHEN u.referenceAllele = v.vaAlt AND u.alternateAllele = v.vaRef THEN v.vaAlt ELSE u.alternateAllele END AS newAlt
+  FROM ukbb u LEFT JOIN va v USING (chromosome, position)
+  WHERE (u.referenceAllele = v.vaRef AND u.alternateAllele = v.vaAlt)
+     OR (u.referenceAllele = v.vaAlt AND u.alternateAllele = v.vaRef)
+     OR v.vaRef IS NULL OR v.vaAlt IS NULL
+),
+ranked AS (
+  SELECT chromosome || '_' || CAST(position AS VARCHAR) || '_' || newRef || '_' || newAlt AS variantId,
+         chromosome, position, alleleOrder, idx,
+         ROW_NUMBER() OVER (PARTITION BY idx ORDER BY alleleOrder DESC,
+           chromosome || '_' || CAST(position AS VARCHAR) || '_' || newRef || '_' || newAlt) AS rn
+  FROM aligned
+)
+SELECT variantId, chromosome, position, alleleOrder, idx
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_ld_symmetrise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed symmetric completion of upper-triangular LD entries
+    (reference pan_ukbb_ld/ld.py:149-181 — numpy on the driver; here
+    relational union + sign join + unit diagonal)."""
+    from genetics_spark_coloc_spark.sources.pan_ukbb import symmetrise_ld_entries
+
+    sup = load_table(spark, sf_dir, "supplier")
+    sk = F.col("s_suppkey").cast("long")
+    n = 40
+    half = sup.filter(sk < 200).select(
+        (sk % n).alias("i"),
+        (sk % n + sk % 7).alias("j"),
+        ((sk % 19) / 20.0 - 0.45).alias("r"),
+    ).filter(F.col("j") < n).distinct()
+    orders = spark.range(0, n).select(
+        F.col("id").alias("idx"),
+        F.when(F.col("id") % 3 == 0, -1).otherwise(1).alias("alleleOrder"),
+    )
+    out = symmetrise_ld_entries(half, orders)
+    return out.groupBy("i").agg(
+        F.count("*").alias("nnz"),
+        F.round(F.sum("r"), 6).alias("rowSum"),
+    )
+
+
+SQL_LD_SYMMETRISE = """
+WITH half AS (
+  SELECT DISTINCT
+         s_suppkey % 40                    AS i,
+         s_suppkey % 40 + s_suppkey % 7    AS j,
+         (s_suppkey % 19) / 20.0 - 0.45    AS r
+  FROM supplier
+  WHERE s_suppkey < 200 AND s_suppkey % 40 + s_suppkey % 7 < 40
+),
+orders_ AS (
+  SELECT id AS idx, CASE WHEN id % 3 = 0 THEN -1 ELSE 1 END AS alleleOrder
+  FROM range(40) t(id)
+),
+upper_ AS (SELECT i, j, r FROM half WHERE i != j),
+full_ AS (
+  SELECT u.i, u.j, u.r * oi.alleleOrder * oj.alleleOrder AS r
+  FROM (SELECT i, j, r FROM upper_
+        UNION ALL
+        SELECT j AS i, i AS j, r FROM upper_) u
+  JOIN orders_ oi ON u.i = oi.idx
+  JOIN orders_ oj ON u.j = oj.idx
+  UNION ALL
+  SELECT idx AS i, idx AS j, 1.0 AS r FROM orders_
+)
+SELECT i, COUNT(*) AS nnz, ROUND(SUM(r), 6) AS rowSum
+FROM full_ GROUP BY i
+"""
+
+
 INGEST_QUERIES = {
     "finngen_finemapping": q_finngen_finemapping,
     "discovery_sample_sizes": q_discovery_sample_sizes,
@@ -933,6 +1061,8 @@ INGEST_QUERIES = {
     "finngen_efo_join": q_finngen_efo_join,
     "ukbiobank_study_index": q_ukbiobank_study_index,
     "eqtl_finemapping": q_eqtl_finemapping,
+    "ukbb_allele_align": q_ukbb_allele_align,
+    "ld_symmetrise": q_ld_symmetrise,
 }
 
 INGEST_ORACLES = {
@@ -948,4 +1078,6 @@ INGEST_ORACLES = {
     "finngen_efo_join": SQL_FINNGEN_EFO_JOIN,
     "ukbiobank_study_index": SQL_UKBIOBANK_STUDY_INDEX,
     "eqtl_finemapping": SQL_EQTL_FINEMAPPING,
+    "ukbb_allele_align": SQL_UKBB_ALLELE_ALIGN,
+    "ld_symmetrise": SQL_LD_SYMMETRISE,
 }

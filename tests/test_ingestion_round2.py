@@ -572,3 +572,47 @@ def test_eqtl_susie_roundtrip(spark):
     import math
     expected = (5.0 + math.log(1 + math.exp(-2.0))) * 0.43429448190325176
     assert abs(row["credibleSetlog10BF"] - expected) < 1e-9
+
+
+# ------------------------------------------------------- Pan-UKBB LD
+
+from genetics_spark_coloc_spark.sources.pan_ukbb import (  # noqa: E402
+    align_ld_index_alleles,
+    symmetrise_ld_entries,
+)
+
+
+def test_align_ld_index_alleles_flip_and_drop(spark):
+    ukbb = spark.createDataFrame(
+        [
+            ("1", 100, "A", "G", 0),  # direct match
+            ("1", 200, "A", "G", 1),  # flipped in annotation
+            ("1", 300, "A", "G", 2),  # annotation has C/T -> dropped
+            ("1", 400, "A", "G", 3),  # no annotation -> kept as-is
+        ],
+        ["chromosome", "position", "referenceAllele", "alternateAllele", "idx"],
+    )
+    va = spark.createDataFrame(
+        [("1", 100, "A", "G"), ("1", 200, "G", "A"), ("1", 300, "C", "T")],
+        ["chromosome", "position", "referenceAllele", "alternateAllele"],
+    )
+    rows = {r["idx"]: r for r in align_ld_index_alleles(ukbb, va).collect()}
+    assert set(rows) == {0, 1, 3}
+    assert rows[0]["alleleOrder"] == 1 and rows[0]["variantId"] == "1_100_A_G"
+    assert rows[1]["alleleOrder"] == -1 and rows[1]["variantId"] == "1_200_G_A"
+    assert rows[3]["alleleOrder"] == 1 and rows[3]["variantId"] == "1_400_A_G"
+
+
+def test_symmetrise_ld_entries_signs_and_diagonal(spark):
+    half = spark.createDataFrame(
+        [(0, 1, 0.8), (0, 2, 0.5), (1, 2, -0.2), (0, 0, 0.9)], ["i", "j", "r"]
+    )
+    orders = spark.createDataFrame(
+        [(0, 1), (1, -1), (2, 1)], ["idx", "alleleOrder"]
+    )
+    entries = {(r["i"], r["j"]): r["r"] for r in symmetrise_ld_entries(half, orders).collect()}
+    assert entries[(0, 0)] == 1.0 and entries[(1, 1)] == 1.0 and entries[(2, 2)] == 1.0
+    assert entries[(0, 1)] == entries[(1, 0)] == pytest.approx(-0.8)
+    assert entries[(0, 2)] == entries[(2, 0)] == pytest.approx(0.5)
+    assert entries[(1, 2)] == entries[(2, 1)] == pytest.approx(0.2)
+    assert len(entries) == 9
