@@ -1048,6 +1048,64 @@ FROM full_ GROUP BY i
 """
 
 
+# -------------------------------------------------- evaluation metrics
+
+
+def q_binary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed classification metrics incl. Mann-Whitney ROC AUC
+    with average tie ranks (reference trainer.py:416-424 — sklearn on
+    the driver; here one window + one aggregation)."""
+    from genetics_spark_coloc_spark.operators.l2g_trainer import (
+        evaluate_binary_predictions,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    scored = orders.select(
+        ((k % 1000) / 1000.0).alias("score"),
+        (((k % 7) < 3).cast("int") * ((k % 1000) > 300).cast("int")).alias("label"),
+    )
+    m = evaluate_binary_predictions(scored)
+    return m.select(
+        "n",
+        F.round("accuracy", 6).alias("accuracy"),
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+        F.round("areaUnderROC", 6).alias("areaUnderROC"),
+    )
+
+
+SQL_BINARY_METRICS = """
+WITH scored AS (
+  SELECT (o_orderkey % 1000) / 1000.0 AS score,
+         CASE WHEN o_orderkey % 7 < 3 AND o_orderkey % 1000 > 300 THEN 1 ELSE 0 END AS label
+  FROM orders
+),
+ranked AS (
+  SELECT score, label,
+         RANK() OVER (ORDER BY score ASC)
+           + (COUNT(*) OVER (PARTITION BY score) - 1) / 2.0 AS avgrank,
+         CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS pred
+  FROM scored
+)
+SELECT COUNT(*) AS n,
+       ROUND(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS accuracy,
+       ROUND(SUM(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END) * 1.0
+             / SUM(CASE WHEN pred = 1 THEN 1 ELSE 0 END), 6) AS precision,
+       ROUND(SUM(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END) * 1.0
+             / SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END), 6) AS recall,
+       ROUND(2.0 * SUM(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END)
+             / (2.0 * SUM(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END)
+                + SUM(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END)
+                + SUM(CASE WHEN pred = 0 AND label = 1 THEN 1 ELSE 0 END)), 6) AS f1,
+       ROUND((SUM(CASE WHEN label = 1 THEN avgrank END)
+              - SUM(label) * (SUM(label) + 1) / 2.0)
+             / (SUM(label) * SUM(1 - label)), 6) AS areaUnderROC
+FROM ranked
+"""
+
+
 INGEST_QUERIES = {
     "finngen_finemapping": q_finngen_finemapping,
     "discovery_sample_sizes": q_discovery_sample_sizes,
@@ -1063,6 +1121,7 @@ INGEST_QUERIES = {
     "eqtl_finemapping": q_eqtl_finemapping,
     "ukbb_allele_align": q_ukbb_allele_align,
     "ld_symmetrise": q_ld_symmetrise,
+    "binary_metrics": q_binary_metrics,
 }
 
 INGEST_ORACLES = {
@@ -1080,4 +1139,5 @@ INGEST_ORACLES = {
     "eqtl_finemapping": SQL_EQTL_FINEMAPPING,
     "ukbb_allele_align": SQL_UKBB_ALLELE_ALIGN,
     "ld_symmetrise": SQL_LD_SYMMETRISE,
+    "binary_metrics": SQL_BINARY_METRICS,
 }

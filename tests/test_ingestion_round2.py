@@ -616,3 +616,78 @@ def test_symmetrise_ld_entries_signs_and_diagonal(spark):
     assert entries[(0, 2)] == entries[(2, 0)] == pytest.approx(0.5)
     assert entries[(1, 2)] == entries[(2, 1)] == pytest.approx(0.2)
     assert len(entries) == 9
+
+
+# ---------------------------------------------------- L2G trainer
+
+from genetics_spark_coloc_spark.operators.l2g_trainer import (  # noqa: E402
+    assign_group_fold,
+    assign_group_split,
+    cross_validate_l2g,
+    evaluate_binary_predictions,
+)
+
+
+def test_group_split_keeps_groups_together(spark):
+    df = spark.createDataFrame(
+        [(f"T{i % 10}", f"G{i % 7}", i) for i in range(200)],
+        ["trait", "gene", "rowId"],
+    )
+    split = assign_group_split(df, ["trait", "gene"], test_fraction=0.3)
+    # every group is entirely train or entirely test
+    per_group = split.groupBy("trait", "gene").agg(
+        F.count_distinct("isTest").alias("n")
+    )
+    assert per_group.filter(F.col("n") > 1).count() == 0
+    folded = assign_group_fold(df, ["trait", "gene"], n_splits=3)
+    per_group_f = folded.groupBy("trait", "gene").agg(
+        F.count_distinct("fold").alias("n")
+    )
+    assert per_group_f.filter(F.col("n") > 1).count() == 0
+    assert folded.select("fold").distinct().count() <= 3
+
+
+def test_evaluate_binary_predictions_auc_matches_sklearn_formula(spark):
+    # perfect separation -> AUC 1; with one inversion AUC known
+    scored = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.7, 0), (0.6, 1), (0.2, 0), (0.1, 0)],
+        ["score", "label"],
+    )
+    m = evaluate_binary_predictions(scored).collect()[0]
+    # positives ranks (asc): 6,5,3 -> sum 14; AUC = (14 - 3*4/2)/(3*3) = 8/9
+    assert abs(m["areaUnderROC"] - 8 / 9) < 1e-9
+    assert m["accuracy"] == 5 / 6  # score 0.6 pos predicted 1 ok; 0.7 neg predicted 1 wrong
+    assert abs(m["precision"] - 3 / 4) < 1e-9
+    assert m["recall"] == 1.0
+
+
+def test_evaluate_auc_with_ties_uses_average_ranks(spark):
+    scored = spark.createDataFrame(
+        [(0.5, 1), (0.5, 0), (0.9, 1), (0.1, 0)], ["score", "label"]
+    )
+    m = evaluate_binary_predictions(scored).collect()[0]
+    # asc ranks: 0.1->1, 0.5 tie -> avg 2.5 each, 0.9->4
+    # positives sum = 2.5 + 4 = 6.5; AUC = (6.5 - 3)/(2*2) = 0.875
+    assert abs(m["areaUnderROC"] - 0.875) < 1e-9
+
+
+def test_cross_validate_l2g_runs_per_fold(spark):
+    import random
+
+    random.seed(7)
+    rows = []
+    for i in range(60):
+        fa = random.random()
+        rows.append(
+            (f"L{i}", f"G{i % 12}", f"T{i % 9}", fa, fa * 0.5 + random.random() * 0.1,
+             1 if fa > 0.5 else 0)
+        )
+    fm = spark.createDataFrame(
+        rows, ["studyLocusId", "geneId", "trait", "fA", "fB", "goldStandardSet"]
+    )
+    out = cross_validate_l2g(
+        fm, ["fA", "fB"], ["trait", "geneId"], n_splits=2, max_iter=3
+    ).collect()
+    assert 1 <= len(out) <= 2
+    for r in out:
+        assert 0.0 <= r["areaUnderROC"] <= 1.0
