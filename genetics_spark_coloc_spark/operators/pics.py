@@ -62,23 +62,39 @@ def pics_finemap(
         F.col("ldSet").isNotNull() & neglog_p.isNotNull(),
         F.transform(usable, lambda t: _pics_tag_struct(t, neglog_p, k)),
     )
-    total = F.aggregate(
-        F.coalesce(raw_tags, F.array()),
-        F.lit(0.0),
-        lambda acc, t: acc + t["relativePosteriorProbability"],
+    # Stage the tags and their sum as real columns BEFORE the
+    # normalising transform: a lambda that captured the aggregate
+    # expression directly would re-fold it (and every erfc inside)
+    # once per element — O(n²) per locus. As bound columns they are
+    # evaluated once per row.
+    staged = (
+        associations.withColumn("_rawTags", raw_tags)
+        .withColumn(
+            "_picsTotal",
+            F.aggregate(
+                F.coalesce(F.col("_rawTags"), F.array()),
+                F.lit(0.0),
+                lambda acc, t: acc + t["relativePosteriorProbability"],
+            ),
+        )
     )
     normalized = F.transform(
-        raw_tags,
+        F.col("_rawTags"),
         lambda t: F.struct(
             t["variantId"].alias("variantId"),
             t["r2Overall"].alias("r2Overall"),
-            F.when(total != 0, t["relativePosteriorProbability"] / total).alias(
-                "posteriorProbability"
-            ),
+            F.when(
+                F.col("_picsTotal") != 0,
+                t["relativePosteriorProbability"] / F.col("_picsTotal"),
+            ).alias("posteriorProbability"),
             t["standardError"].alias("standardError"),
         ),
     )
-    with_locus = associations.drop("locus").withColumn("locus", normalized)
+    with_locus = (
+        staged.drop("locus")
+        .withColumn("locus", normalized)
+        .drop("_rawTags", "_picsTotal")
+    )
 
     # inject the lead's single-point stats into its own tag; null elsewhere
     return with_locus.withColumn(

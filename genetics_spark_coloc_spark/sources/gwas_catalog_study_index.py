@@ -294,3 +294,27 @@ def parse_efos(efo_uri: Column) -> Column:
         efo_uri.isNotNull(),
         F.array_sort(F.regexp_extract_all(efo_uri, F.lit(r"([A-Z]+_[0-9]+)"))),
     )
+
+
+def parse_ot_curation_table(raw: DataFrame) -> DataFrame:
+    """Normalise the Open-Targets curation spreadsheet (reference
+    study_index_ot_curation.py:25-52): pipe-joined flag strings →
+    arrays (empty when null), isCurated → boolean."""
+    if "qualityControl" not in raw.columns:
+        raw = raw.withColumn("qualityControl", F.lit(None).cast("string"))
+    return raw.select(
+        "studyId",
+        "studyType",
+        F.when(
+            F.col("analysisFlag").isNotNull(), F.split(F.col("analysisFlag"), r"\|")
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("analysisFlags"),
+        F.when(
+            F.col("qualityControl").isNotNull(),
+            F.split(F.col("qualityControl"), r"\|"),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("qualityControls"),
+        F.col("isCurated").cast("boolean"),
+    )

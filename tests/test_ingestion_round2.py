@@ -691,3 +691,20 @@ def test_cross_validate_l2g_runs_per_fold(spark):
     assert 1 <= len(out) <= 2
     for r in out:
         assert 0.0 <= r["areaUnderROC"] <= 1.0
+
+
+def test_parse_ot_curation_table(spark):
+    from genetics_spark_coloc_spark.sources.gwas_catalog_study_index import (
+        parse_ot_curation_table,
+    )
+
+    raw = spark.createDataFrame(
+        [("GCST1", "gwas", "flagA|flagB", "true"), ("GCST2", None, None, "false")],
+        ["studyId", "studyType", "analysisFlag", "isCurated"],
+    )
+    rows = {r["studyId"]: r for r in parse_ot_curation_table(raw).collect()}
+    assert rows["GCST1"]["analysisFlags"] == ["flagA", "flagB"]
+    assert rows["GCST1"]["qualityControls"] == []
+    assert rows["GCST1"]["isCurated"] is True
+    assert rows["GCST2"]["analysisFlags"] == []
+    assert rows["GCST2"]["isCurated"] is False
