@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from genetics_spark_coloc_spark.functions.arrays import (
     array_sum,
@@ -124,4 +125,41 @@ def qc_abnormal_pips(
                 F.array(F.lit(flag)),
             ),
         ).otherwise(F.col("qualityControls")),
+    )
+
+
+def credible_set_qc(
+    cred_sets: DataFrame,
+    p_value_threshold: float = 1e-5,
+    purity_min_r2: float = 0.01,
+) -> DataFrame:
+    """Post-fine-mapping credible-set QC (reference
+    method/susie_inf.py:471-533 + credible_set_qc.py step): drop sets
+    whose lead p-value misses the threshold or whose min-R2 purity is
+    too low, then keep the highest-log10BF row per studyLocusId.
+
+    Unlike the reference — which recomposes the double
+    ``mantissa × 10^exponent`` (underflows at 1e-308) — the p-value
+    filter compares the (mantissa, exponent) pair. Ties on log10BF
+    break on variantId for determinism. The reference's optional
+    LD-clump branch is the existing ``ld.ld_annotate`` +
+    ``ld.flag_linked_leads`` composition.
+    """
+    from genetics_spark_coloc_spark.functions.pvalue import pvalue_pair_lte
+
+    dedup_w = Window.partitionBy("studyLocusId").orderBy(
+        F.desc("credibleSetlog10BF"), F.asc("variantId")
+    )
+    return (
+        cred_sets.filter(
+            pvalue_pair_lte(
+                F.col("pValueMantissa"),
+                F.col("pValueExponent"),
+                p_value_threshold,
+            )
+        )
+        .filter(F.col("purityMinR2") >= purity_min_r2)
+        .withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )

@@ -1106,6 +1106,64 @@ FROM ranked
 """
 
 
+# ----------------------------------------------- credible-set QC step
+
+
+def q_credible_set_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-fine-mapping QC (reference method/susie_inf.py:471-533):
+    decomposed p-value threshold, purity filter, keep-best-log10BF
+    dedupe per studyLocusId."""
+    from genetics_spark_coloc_spark.operators.credible_sets import credible_set_qc
+
+    cust = load_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("long")
+    cred = cust.select(
+        F.concat(F.lit("CS"), (ck % 300).cast("string")).alias("studyLocusId"),
+        F.concat(F.lit("1_"), ck.cast("string"), F.lit("_A_G")).alias("variantId"),
+        (1.0 + (ck % 90) / 10.0).cast("float").alias("pValueMantissa"),
+        (-(ck % 12) - 1).cast("int").alias("pValueExponent"),
+        ((ck % 100) / 100.0).alias("purityMinR2"),
+        ((ck % 77) / 7.0).alias("credibleSetlog10BF"),
+    )
+    out = credible_set_qc(cred, p_value_threshold=1e-5, purity_min_r2=0.25)
+    return out.select(
+        "studyLocusId",
+        "variantId",
+        "pValueMantissa",
+        "pValueExponent",
+        F.round("purityMinR2", 6).alias("purityMinR2"),
+        F.round("credibleSetlog10BF", 6).alias("credibleSetlog10BF"),
+    )
+
+
+SQL_CREDIBLE_SET_QC = """
+WITH cred AS (
+  SELECT 'CS' || CAST(c_custkey % 300 AS VARCHAR) AS studyLocusId,
+         '1_' || CAST(c_custkey AS VARCHAR) || '_A_G' AS variantId,
+         CAST(1.0 + (c_custkey % 90) / 10.0 AS REAL) AS pValueMantissa,
+         CAST(-(c_custkey % 12) - 1 AS INT)          AS pValueExponent,
+         (c_custkey % 100) / 100.0                   AS purityMinR2,
+         (c_custkey % 77) / 7.0                      AS credibleSetlog10BF
+  FROM customer
+),
+filtered AS (
+  SELECT * FROM cred
+  WHERE (pValueExponent < -5 OR (pValueExponent = -5 AND pValueMantissa <= 1.0))
+    AND purityMinR2 >= 0.25
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY studyLocusId
+           ORDER BY credibleSetlog10BF DESC, variantId) AS rn
+  FROM filtered
+)
+SELECT studyLocusId, variantId, pValueMantissa, pValueExponent,
+       ROUND(purityMinR2, 6) AS purityMinR2,
+       ROUND(credibleSetlog10BF, 6) AS credibleSetlog10BF
+FROM ranked WHERE rn = 1
+"""
+
+
 INGEST_QUERIES = {
     "finngen_finemapping": q_finngen_finemapping,
     "discovery_sample_sizes": q_discovery_sample_sizes,
@@ -1122,6 +1180,7 @@ INGEST_QUERIES = {
     "ukbb_allele_align": q_ukbb_allele_align,
     "ld_symmetrise": q_ld_symmetrise,
     "binary_metrics": q_binary_metrics,
+    "credible_set_qc": q_credible_set_qc,
 }
 
 INGEST_ORACLES = {
@@ -1140,4 +1199,5 @@ INGEST_ORACLES = {
     "ukbb_allele_align": SQL_UKBB_ALLELE_ALIGN,
     "ld_symmetrise": SQL_LD_SYMMETRISE,
     "binary_metrics": SQL_BINARY_METRICS,
+    "credible_set_qc": SQL_CREDIBLE_SET_QC,
 }

@@ -708,3 +708,26 @@ def test_parse_ot_curation_table(spark):
     assert rows["GCST1"]["isCurated"] is True
     assert rows["GCST2"]["analysisFlags"] == []
     assert rows["GCST2"]["isCurated"] is False
+
+
+def test_credible_set_qc_filters_and_dedupes(spark):
+    from genetics_spark_coloc_spark.operators.credible_sets import credible_set_qc
+
+    cred = spark.createDataFrame(
+        [
+            # passes both filters, loses dedupe to row 2
+            ("CS1", "1_100_A_G", 5.0, -8, 0.5, 3.0),
+            ("CS1", "1_200_A_G", 5.0, -8, 0.5, 9.0),
+            # p-value too weak (1e-3)
+            ("CS2", "1_300_A_G", 1.0, -3, 0.5, 3.0),
+            # purity too low
+            ("CS3", "1_400_A_G", 5.0, -8, 0.001, 3.0),
+            # p-value below double underflow still passes (pair compare)
+            ("CS4", "1_500_A_G", 5.0, -320, 0.5, 3.0),
+        ],
+        ["studyLocusId", "variantId", "pValueMantissa", "pValueExponent",
+         "purityMinR2", "credibleSetlog10BF"],
+    )
+    rows = {r["studyLocusId"]: r for r in credible_set_qc(cred, 1e-5, 0.01).collect()}
+    assert set(rows) == {"CS1", "CS4"}
+    assert rows["CS1"]["variantId"] == "1_200_A_G"
