@@ -30,6 +30,10 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet carries TIMESTAMP(NANOS); a vanilla session rejects it
+    # with PARQUET_TYPE_ILLEGAL unless nanos are surfaced as long. The conf
+    # is runtime-settable, so set it here rather than relying on the builder.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
