@@ -56,14 +56,21 @@ def main() -> None:
     ).count()
 
     def run_one(item: tuple) -> tuple:
+        # Fault-isolating: one broken query must not blank the whole
+        # bench — record its error string and keep timing the rest.
         name, fn = item
         start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001
+            return name, {"err": f"{type(exc).__name__}: {exc}"[:300]}
         return name, round(time.perf_counter() - start, 3)
 
     # power pass: clean single-stream per-query latencies
     timings = dict(map(run_one, QUERIES.items()))
-    sequential_sum = round(sum(timings.values()), 3)
+    errors = {k: v for k, v in timings.items() if isinstance(v, dict)}
+    ok = {k: v for k, v in timings.items() if not isinstance(v, dict)}
+    sequential_sum = round(sum(ok.values()), 3)
 
     result = {
         "metric": "contract_query_suite_wall_sec",
@@ -73,6 +80,8 @@ def main() -> None:
         "sf": sf,
         "sequential_sum_sec": sequential_sum,
         "streams": 1,
+        "n_ok": len(ok),
+        "n_err": len(errors),
     }
 
     if streams > 1:

@@ -37,12 +37,19 @@ def sessionize(
     Output: one row per session with ordinal, event count, value sum,
     and duration in seconds.
     """
-    if dict(events.dtypes).get(ts_col) == "bigint":
+    dt = dict(events.dtypes).get(ts_col)
+    if dt == "bigint":
         # parquet TIMESTAMP(NANOS) read as long: truncate to micros
         # with integer arithmetic (exact), then to fractional seconds
         # — bit-identical to DuckDB's EPOCH(ts) on the same file.
         epoch = (F.expr(f"{ts_col} div 1000")).cast("double") / F.lit(1000000.0)
+    elif dt in ("timestamp", "timestamp_ntz"):
+        # NTZ→TZ interprets the wall clock in the session tz (UTC).
+        epoch = F.unix_micros(F.col(ts_col).cast("timestamp")).cast(
+            "double"
+        ) / F.lit(1000000.0)
     else:
+        # already epoch seconds (double) or another numeric
         epoch = F.col(ts_col).cast("double")
     order = Window.partitionBy("userId").orderBy("epochS")
     run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -478,11 +478,10 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from genetics_spark_coloc_spark.operators.asof import asof_join
 
     ev = load_table(spark, sf_dir, "events")
-    epoch = (F.expr("ts div 1000")).cast("double") / F.lit(1000000.0)
     base = ev.select(
         "event_id",
         F.col("user_id").alias("userId"),
-        epoch.alias("epochS"),
+        F.col("epoch_s").alias("epochS"),
         "event_type",
         "value",
     )

@@ -4,10 +4,18 @@ Tables (TESTDATA.md): region nation customer supplier part orders
 lineitem events documents embeddings, one parquet file each under a
 scale-factor directory.
 
-``events.ts`` is written as parquet TIMESTAMP(NANOS); with the
-session's ``nanosAsLong`` conf it arrives as a long. ``load_table``
-normalizes it: keeps ``ts`` as nanos-since-epoch (long) and adds
-``event_time`` as a proper timestamp truncated to micros.
+``events.ts`` has drifted across driver testdata generations:
+TIMESTAMP(NANOS) (reads as bigint under ``nanosAsLong``), plain
+TIMESTAMP, and TIMESTAMP_NTZ (micros) have all been observed.
+``load_table`` canonicalizes every physical type into two derived
+columns consumers rely on exclusively:
+
+- ``event_time``: TIMESTAMP truncated to micros (session tz is UTC)
+- ``epoch_s``: DOUBLE seconds since epoch — bit-identical to
+  DuckDB's ``EPOCH(ts)`` on the same file, so oracle SQL can use
+  ``EPOCH(ts)`` regardless of the physical type.
+
+No query should touch raw ``ts`` directly.
 """
 
 from __future__ import annotations
@@ -35,10 +43,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # is runtime-settable, so set it here rather than relying on the builder.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+    if name == "events":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            # TIMESTAMP(NANOS) surfaced as nanos-since-epoch long:
+            # integer-truncate to micros (exact), then derive both forms.
+            micros = F.expr("ts div 1000")
+            df = df.withColumn(
+                "event_time", F.timestamp_micros(micros.cast("long"))
+            ).withColumn("epoch_s", micros.cast("double") / F.lit(1000000.0))
+        elif dt in ("timestamp", "timestamp_ntz"):
+            # NTZ→TZ cast interprets the wall clock in the session tz
+            # (UTC), matching DuckDB's naive-as-UTC EPOCH semantics.
+            et = F.col("ts").cast("timestamp")
+            df = df.withColumn("event_time", et).withColumn(
+                "epoch_s", F.unix_micros(et).cast("double") / F.lit(1000000.0)
+            )
+        elif dt is not None:
+            raise TypeError(f"events.ts: unsupported physical type {dt}")
     return df
 
 
