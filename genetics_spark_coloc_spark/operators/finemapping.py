@@ -119,19 +119,187 @@ def susie_kernel(pdf: pd.DataFrame, max_l: int = 5, max_iter: int = 100, tol: fl
     )
 
 
+def susie_reduced_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """SuSiE-inf in its deterministic reduced configuration: identity
+    LD, one effect, fixed hyperparameters (ssq=0.2, sigmasq=1,
+    tausq=0, no estimation). In this configuration the model has a
+    closed form — lbf_j = n·z_j²/(2(n+5)) − ½ln(0.2(n+5)), PIP =
+    softmax(lbf) — which the driver's DuckDB oracle replicates, so
+    this exercises the REAL susie_inf code path under an exact SQL
+    check. The 99% credible set is the top-PIP prefix crossing 0.99
+    (ties broken by variantId, mirroring the SQL ORDER BY).
+    """
+    import numpy as np
+
+    from genetics_spark_coloc_spark.operators.susie import susie_inf
+
+    locus = pdf["studyLocusId"].iloc[0]
+    z = (pdf["beta"] / pdf["standardError"]).to_numpy(dtype=float)
+    out = susie_inf(
+        z,
+        ld=None,
+        L=1,
+        est_ssq=False,
+        est_sigmasq=False,
+        est_tausq=False,
+        ssq=np.array([0.2]),
+    )
+    pip = out["PIP"][:, 0]
+    lbf = out["lbf_variable"][:, 0]
+    vids = pdf["variantId"].to_numpy()
+    order = np.lexsort((vids, -pip))
+    cum_before = np.concatenate([[0.0], np.cumsum(pip[order])[:-1]])
+    in_cs = np.zeros(len(z), dtype="int32")
+    in_cs[order] = (cum_before < 0.99).astype("int32")
+    return pd.DataFrame(
+        {
+            "studyLocusId": locus,
+            "variantId": vids,
+            "posteriorProbability": pip,
+            "credibleSetIndex": in_cs,
+            "logBF": lbf,
+        }
+    )
+
+
+def _exp_decay_ld(positions: "pd.Series | None", scale: float) -> "object":
+    """Synthetic positive-definite LD for loci that carry positions
+    but no measured LD: r_ij = exp(−|pos_i − pos_j|/scale). The
+    exponential kernel is PD, so eigh is well-behaved."""
+    import numpy as np
+
+    if positions is None:
+        return None
+    pos = positions.to_numpy(dtype=float)
+    return np.exp(-np.abs(pos[:, None] - pos[None, :]) / scale)
+
+
+def susie_inf_kernel(
+    pdf: pd.DataFrame,
+    max_l: int = 10,
+    n: int = 100_000,
+    ld_scale: float = 200_000.0,
+) -> pd.DataFrame:
+    """Full LD-aware SuSiE-inf per-locus kernel (production
+    configuration: method-of-moments, est_tausq=False — reference
+    susie_finemapper.py:609-610). LD comes from a ``position`` column
+    via an exponential-decay kernel when no measured LD accompanies
+    the locus; replace ``_exp_decay_ld`` with an ld_index join for
+    measured panels.
+
+    Output per variant: total PIP across effects, index of the first
+    99% credible set containing the variant (1-based; 0 = none), and
+    the max per-effect log Bayes factor.
+    """
+    import numpy as np
+
+    from genetics_spark_coloc_spark.operators.susie import credible_sets, susie_inf
+
+    locus = pdf["studyLocusId"].iloc[0]
+    pdf = pdf.sort_values("variantId", kind="stable").reset_index(drop=True)
+    z = (pdf["beta"] / pdf["standardError"]).to_numpy(dtype=float)
+    p = len(z)
+    ld = (
+        _exp_decay_ld(pdf["position"], ld_scale)
+        if "position" in pdf.columns
+        else None
+    )
+    out = susie_inf(z, ld=ld, n=n, L=min(max_l, p))
+    pip_total = 1.0 - np.prod(1.0 - out["PIP"], axis=1)
+    if ld is None:
+        ld = np.eye(p)
+    cs = credible_sets(out["PIP"], n=n, ld=ld)
+    cs_index = np.zeros(p, dtype="int32")
+    for rank, members in enumerate(cs, start=1):
+        for j in members:
+            if cs_index[j] == 0:
+                cs_index[j] = rank
+    return pd.DataFrame(
+        {
+            "studyLocusId": locus,
+            "variantId": pdf["variantId"].to_numpy(),
+            "posteriorProbability": pip_total,
+            "credibleSetIndex": cs_index,
+            "logBF": out["lbf_variable"].max(axis=1),
+        }
+    )
+
+
+def carma_ld_kernel(
+    pdf: pd.DataFrame,
+    tau: float = 0.04,
+    ld_scale: float = 200_000.0,
+) -> pd.DataFrame:
+    """LD-aware deterministic CARMA kernel (operators/carma.py):
+    spike-slab model search + LD-mismatch outlier screen per locus.
+    credibleSetIndex carries the PIP rank; outliers get rank 0 and
+    PIP 0 (excluded from the model space, reference carma.py:885-905).
+    """
+    import numpy as np
+
+    from genetics_spark_coloc_spark.operators.carma import carma_spike_slab
+
+    locus = pdf["studyLocusId"].iloc[0]
+    pdf = pdf.sort_values("variantId", kind="stable").reset_index(drop=True)
+    z = (pdf["beta"] / pdf["standardError"]).to_numpy(dtype=float)
+    p = len(z)
+    ld = (
+        _exp_decay_ld(pdf["position"], ld_scale)
+        if "position" in pdf.columns
+        else np.eye(p)
+    )
+    res = carma_spike_slab(z, ld, tau=tau)
+    pips = np.asarray(res["PIPs"], dtype=float)
+    outlier_mask = np.zeros(p, dtype=bool)
+    outlier_mask[list(res["Outliers"])] = True
+    vids = pdf["variantId"].to_numpy()
+    order = np.lexsort((vids, -pips))
+    rank = np.empty(p, dtype="int32")
+    rank[order] = np.arange(1, p + 1)
+    rank[outlier_mask] = 0
+    # singleton spike-slab log BF (diag(LD)=1): ½lnτ − ½ln(1+τ) + z²/(2(1+τ))
+    single_lbf = 0.5 * np.log(tau) - 0.5 * np.log1p(tau) + z * z / (2.0 * (1.0 + tau))
+    return pd.DataFrame(
+        {
+            "studyLocusId": locus,
+            "variantId": vids,
+            "posteriorProbability": pips,
+            "credibleSetIndex": rank,
+            "logBF": single_lbf,
+        }
+    )
+
+
 def finemap_grouped(
     sumstats: DataFrame,
     kernel: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
     locus_col: str = "studyLocusId",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Distributed per-locus fine-mapping via applyInPandas.
 
-    One Arrow batch per locus; executor-side numpy. Repartitioning by
-    locus id happens inside groupBy — loci are independent, so this
-    scales linearly with executors (the reference fans out ONE locus
-    per Spark job instead, susie_finemapper.py:48-64).
+    One Arrow batch per locus; executor-side numpy — loci are
+    independent, so this scales linearly with executors (the
+    reference fans out ONE locus per Spark job instead,
+    susie_finemapper.py:48-64).
+
+    The explicit ``repartition(n, locus)`` matters: the kernel is
+    CPU-heavy per GROUP while the shuffled bytes are tiny, so AQE's
+    size-based partition coalescing would otherwise fold hundreds of
+    loci into one or two python workers and serialize the whole fit.
+    An explicit numPartitions is exempt from AQE coalescing, and
+    groupBy over the same key reuses the partitioning (no second
+    exchange).
     """
     chosen = kernel or susie_kernel
+    if num_partitions is None:
+        try:
+            num_partitions = int(
+                sumstats.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except Exception:  # noqa: BLE001
+            num_partitions = 64
+    sumstats = sumstats.repartition(num_partitions, locus_col)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         return chosen(pdf)
@@ -163,49 +331,65 @@ def carma_kernel(
     beta = pdf["beta"].to_numpy(dtype=float)
     se = pdf["standardError"].to_numpy(dtype=float)
     n = len(beta)
-    # enumeration is O(n^L): cap pairwise search at 1000 variants per
-    # locus (≈ 500k models); bigger loci downgrade to single-causal,
-    # mirroring CARMA's own practice of restricting the search space
-    if n > 1000:
-        max_model_size = min(max_model_size, 1)
     z = beta / se
     r = w / (w + se * se)
     log_abf = 0.5 * np.log(1 - r) + z * z * r / 2
 
     logp, log1mp = np.log(prior_inclusion), np.log(1 - prior_inclusion)
-    # vectorised enumeration: null + singles + (optionally) pairs
+    # O(n) algebra instead of O(n²) pair enumeration, made underflow-
+    # safe by decomposing pair sums AROUND THE TOP VARIANT t:
+    #   Σ_{j≠t} e^{A_t+A_j − (mA+a2)} = Σ_{j≠t} e^{A_j−a2} = G1
+    #   Σ_{i<j, both≠t} e^{A_i+A_j − (mA+a2)} = e^{a2−mA}(G1²−G2)/2
+    # Every factor lies in [0, n] because A_j ≤ a2 for j≠t and
+    # a2 ≤ mA, so the dominant pair {t, runner-up} always carries
+    # weight ~1 even when mA − a2 is thousands of log-units. The
+    # DuckDB oracle evaluates the identical closed form.
+    vids_arr = pdf["variantId"].to_numpy()
+    order_desc = np.lexsort((vids_arr, -log_abf))  # A desc, variantId asc
+    t = order_desc[0]
     null_score = n * log1mp
-    single_scores = (logp + (n - 1) * log1mp) + log_abf
-    if max_model_size >= 2 and n >= 2:
-        iu, ju = np.triu_indices(n, k=1)
-        pair_scores = (2 * logp + (n - 2) * log1mp) + log_abf[iu] + log_abf[ju]
+    m_a = float(log_abf[t])
+    c = np.exp(log_abf - m_a)
+    c1 = float(c.sum())
+    single_max = logp + (n - 1) * log1mp + m_a
+    pair_base = 2 * logp + (n - 2) * log1mp
+    use_pairs = max_model_size >= 2 and n >= 2
+    if use_pairs:
+        a2 = float(log_abf[order_desc[1]])
+        mx = max(null_score, single_max, pair_base + m_a + a2)
+        g_expo = log_abf - a2
+        g_expo[t] = -np.inf  # t is handled by its own closed form
+        g = np.exp(g_expo)
+        g1, g2 = float(g.sum()), float((g * g).sum())
+        pair_mass_shifted = g1 + np.exp(a2 - m_a) * (g1 * g1 - g2) / 2
+        total = (
+            np.exp(null_score - mx)
+            + np.exp(logp + (n - 1) * log1mp + m_a - mx) * c1
+            + np.exp(pair_base + m_a + a2 - mx) * pair_mass_shifted
+        )
+        p_expo = pair_base + log_abf + m_a - mx
+        p_expo[t] = -np.inf
+        w_pair = np.exp(p_expo) * (1.0 + np.exp(a2 - m_a) * (g1 - g))
+        w_pair[t] = np.exp(pair_base + m_a + a2 - mx) * g1
     else:
-        iu = ju = np.empty(0, dtype=int)
-        pair_scores = np.empty(0)
+        mx = max(null_score, single_max)
+        total = np.exp(null_score - mx) + np.exp(
+            logp + (n - 1) * log1mp + m_a - mx
+        ) * c1
+        w_pair = np.zeros(n)
+    w_single = np.exp(logp + (n - 1) * log1mp + log_abf - mx)
+    pip = (w_single + w_pair) / total
 
-    mx = max(
-        null_score,
-        float(single_scores.max()),
-        float(pair_scores.max()) if len(pair_scores) else -np.inf,
-    )
-    w_null = np.exp(null_score - mx)
-    w_single = np.exp(single_scores - mx)
-    w_pair = np.exp(pair_scores - mx)
-    total = w_null + w_single.sum() + w_pair.sum()
-
-    pip = w_single.copy()
-    if len(w_pair):
-        np.add.at(pip, iu, w_pair)
-        np.add.at(pip, ju, w_pair)
-    pip /= total
-
-    order = np.argsort(-pip, kind="stable")
+    # rank by PIP desc with variantId tiebreak — deterministic across
+    # replays and identical to the oracle's ORDER BY pip DESC, variantId
+    vids = pdf["variantId"].to_numpy()
+    order = np.lexsort((vids, -pip))
     cs_index = np.empty(n, dtype="int32")
     cs_index[order] = np.arange(1, n + 1)
     return pd.DataFrame(
         {
             "studyLocusId": locus,
-            "variantId": pdf["variantId"].to_numpy(),
+            "variantId": vids,
             "posteriorProbability": pip,
             "credibleSetIndex": cs_index,
             "logBF": log_abf,

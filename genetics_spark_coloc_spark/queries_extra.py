@@ -66,10 +66,12 @@ FROM shifted
 
 
 def q_finemap_susie(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed per-locus SuSiE-style kernel via applyInPandas.
-
-    Iterative numpy kernel — NOT SQL-expressible; rows-only check.
-    """
+    """SuSiE-inf (operators/susie.py) in its deterministic reduced
+    configuration — identity LD, L=1, fixed hyperparameters — run
+    through the real applyInPandas harness. In this configuration the
+    model collapses to a closed form the DuckDB oracle replicates
+    exactly, turning the previous rows-only check into a full
+    rows+schema+hash gate on the genuine susie_inf code path."""
     ev = load_table(spark, sf_dir, "events")
     ss = ev.select(
         F.concat(F.lit("F"), (F.col("user_id") % 20).cast("string")).alias("studyLocusId"),
@@ -77,12 +79,114 @@ def q_finemap_susie(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("value") - 50.0) / 10.0).alias("beta"),
         (0.02 + (F.col("event_id") % 10) / 100.0).alias("standardError"),
     )
-    out = finemapping.finemap_grouped(ss)
+    out = finemapping.finemap_grouped(ss, kernel=finemapping.susie_reduced_kernel)
     return out.select(
         "studyLocusId",
         "variantId",
         F.round("posteriorProbability", 6).alias("posteriorProbability"),
         "credibleSetIndex",
+        F.round("logBF", 6).alias("logBF"),
+    )
+
+
+SQL_FINEMAP_SUSIE = """
+WITH ss AS (
+  SELECT 'F' || CAST(user_id % 20 AS VARCHAR) AS studyLocusId,
+         'v' || CAST(event_id AS VARCHAR)     AS variantId,
+         (value - 50.0) / 10.0                AS beta,
+         0.02 + (event_id % 10) / 100.0       AS standardError
+  FROM events
+),
+lbf AS (
+  -- susie-inf reduced closed form: omega = n + 1/ssq with n=100000,
+  -- ssq=0.2; lbf = n z^2 / (2 omega) - 0.5 ln(omega ssq)
+  SELECT studyLocusId, variantId,
+         100000.0 * (beta/standardError) * (beta/standardError) / (2.0 * 100005.0)
+           - 0.5 * LN(100005.0 * 0.2) AS logBF
+  FROM ss
+),
+shifted AS (
+  SELECT *, MAX(logBF) OVER (PARTITION BY studyLocusId) AS mxLbf FROM lbf
+),
+pip AS (
+  SELECT *,
+         EXP(logBF - mxLbf)
+           / SUM(EXP(logBF - mxLbf)) OVER (PARTITION BY studyLocusId)
+           AS posteriorProbability
+  FROM shifted
+),
+cum AS (
+  SELECT *,
+         COALESCE(SUM(posteriorProbability) OVER (
+           PARTITION BY studyLocusId
+           ORDER BY posteriorProbability DESC, variantId
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cumBefore
+  FROM pip
+)
+SELECT studyLocusId, variantId,
+       ROUND(posteriorProbability, 6) AS posteriorProbability,
+       CASE WHEN cumBefore < 0.99 THEN 1 ELSE 0 END AS credibleSetIndex,
+       ROUND(logBF, 6) AS logBF
+FROM cum
+"""
+
+
+def q_finemap_susie_inf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL LD-aware SuSiE-inf per locus (method-of-moments, L<=10,
+    eigendecomposition of an exponential-decay LD built from variant
+    positions). Iterative numerics — not SQL-expressible; rows-only
+    check. This is the production-shaped workload: hundreds of loci
+    × hundreds of variants, one eigh + IBSS fit per Arrow batch,
+    scheduled across executors by groupBy(studyLocusId)."""
+    ev = load_table(spark, sf_dir, "events")
+    ss = (
+        ev.select(
+            F.concat(F.lit("L"), (F.col("event_id") % 400).cast("string")).alias(
+                "studyLocusId"
+            ),
+            F.concat(F.lit("v"), F.col("event_id").cast("string")).alias("variantId"),
+            ((F.col("event_id") * 37) % 1000000).cast("double").alias("position"),
+            ((F.col("value") - 50.0) / 25.0).alias("beta"),
+            (0.5 + (F.col("event_id") % 10) / 10.0).alias("standardError"),
+        )
+    )
+    out = finemapping.finemap_grouped(
+        ss, kernel=finemapping.susie_inf_kernel
+    )
+    return out.select(
+        "studyLocusId",
+        "variantId",
+        F.round("posteriorProbability", 6).alias("posteriorProbability"),
+        "credibleSetIndex",
+        F.round("logBF", 6).alias("logBF"),
+    )
+
+
+def q_finemap_carma_ld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LD-aware deterministic CARMA per locus (operators/carma.py):
+    spike-slab model search + ridge-shrinkage outlier screen over an
+    exponential-decay LD from positions. Combinatorial + iterative —
+    rows-only check."""
+    ev = load_table(spark, sf_dir, "events")
+    ss = (
+        ev.filter(F.col("event_id") % 5 == 0)
+        .select(
+            F.concat(F.lit("M"), ((F.col("event_id") / 5).cast("long") % 400).cast("string")).alias(
+                "studyLocusId"
+            ),
+            F.concat(F.lit("v"), F.col("event_id").cast("string")).alias("variantId"),
+            ((F.col("event_id") * 53) % 1000000).cast("double").alias("position"),
+            ((F.col("value") - 50.0) / 25.0).alias("beta"),
+            (0.5 + (F.col("event_id") % 10) / 10.0).alias("standardError"),
+        )
+    )
+    out = finemapping.finemap_grouped(ss, kernel=finemapping.carma_ld_kernel)
+    return out.select(
+        "studyLocusId",
+        "variantId",
+        F.round("posteriorProbability", 6).alias("posteriorProbability"),
+        "credibleSetIndex",
+        F.round("logBF", 6).alias("logBF"),
     )
 
 
@@ -103,7 +207,9 @@ def q_finemap_carma(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "variantId"
             ),
             ((F.col("value") - 50.0) / 10.0).alias("beta"),
-            (0.02 + (F.col("event_id") % 10) / 100.0).alias("standardError"),
+            # se floor 0.2 keeps |z| <= ~25 so the O(n) pair-mass
+            # algebra stays inside double range on both engines
+            (0.2 + (F.col("event_id") % 10) / 50.0).alias("standardError"),
         )
         .groupBy("studyLocusId", "variantId")
         .agg(F.max("beta").alias("beta"), F.max("standardError").alias("standardError"))
@@ -114,7 +220,92 @@ def q_finemap_carma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "variantId",
         F.round("posteriorProbability", 6).alias("posteriorProbability"),
         "credibleSetIndex",
+        F.round("logBF", 6).alias("logBF"),
     )
+
+
+SQL_FINEMAP_CARMA = """
+WITH raw AS (
+  SELECT 'C' || CAST(event_id % 100 AS VARCHAR) AS studyLocusId,
+         'v' || CAST(user_id % 100 AS VARCHAR)  AS variantId,
+         (value - 50.0) / 10.0                  AS beta,
+         0.2 + (event_id % 10) / 50.0           AS standardError
+  FROM events
+),
+ss AS (
+  SELECT studyLocusId, variantId,
+         MAX(beta) AS beta, MAX(standardError) AS standardError
+  FROM raw GROUP BY 1, 2
+),
+abf AS (
+  SELECT studyLocusId, variantId,
+         0.5 * LN(1 - 0.0225 / (0.0225 + standardError * standardError))
+         + (beta / standardError) * (beta / standardError)
+           * (0.0225 / (0.0225 + standardError * standardError)) / 2 AS A
+  FROM ss
+),
+s1 AS (
+  SELECT *,
+         MAX(A) OVER wl AS mA,
+         CAST(COUNT(*) OVER wl AS DOUBLE) AS n,
+         ROW_NUMBER() OVER (PARTITION BY studyLocusId
+                            ORDER BY A DESC, variantId) AS rn
+  FROM abf WINDOW wl AS (PARTITION BY studyLocusId)
+),
+s2 AS (
+  SELECT *, MAX(CASE WHEN rn = 2 THEN A END) OVER wl AS a2
+  FROM s1 WINDOW wl AS (PARTITION BY studyLocusId)
+),
+-- pair sums decomposed around the top variant (rn=1) so every
+-- factor stays in [0, n] even when mA - a2 is thousands of log-units
+s3 AS (
+  SELECT *,
+         SUM(EXP(A - mA)) OVER wl AS C1,
+         SUM(CASE WHEN rn > 1 THEN EXP(A - a2) ELSE 0 END) OVER wl AS G1,
+         SUM(CASE WHEN rn > 1 THEN EXP(A - a2) * EXP(A - a2) ELSE 0 END)
+           OVER wl AS G2
+  FROM s2 WINDOW wl AS (PARTITION BY studyLocusId)
+),
+s4 AS (
+  SELECT *,
+         n * LN(0.99)                          AS nullScore,
+         LN(0.01) + (n - 1) * LN(0.99) + mA    AS singleMax,
+         CASE WHEN n >= 2
+              THEN 2 * LN(0.01) + (n - 2) * LN(0.99) + mA + a2 END AS pairMax
+  FROM s3
+),
+s5 AS (
+  SELECT *, GREATEST(nullScore, singleMax, COALESCE(pairMax, -1e308)) AS mx
+  FROM s4
+),
+s6 AS (
+  SELECT *,
+         EXP(nullScore - mx)
+         + EXP(LN(0.01) + (n - 1) * LN(0.99) + mA - mx) * C1
+         + CASE WHEN n >= 2
+                THEN EXP(2 * LN(0.01) + (n - 2) * LN(0.99) + mA + a2 - mx)
+                     * (G1 + EXP(a2 - mA) * (G1 * G1 - G2) / 2)
+                ELSE 0 END AS total,
+         EXP(LN(0.01) + (n - 1) * LN(0.99) + A - mx) AS wSingle,
+         CASE WHEN n < 2 THEN 0
+              WHEN rn = 1
+                THEN EXP(2 * LN(0.01) + (n - 2) * LN(0.99) + mA + a2 - mx) * G1
+              ELSE EXP(2 * LN(0.01) + (n - 2) * LN(0.99) + A + mA - mx)
+                   * (1 + EXP(a2 - mA) * (G1 - EXP(A - a2)))
+         END AS wPair
+  FROM s5
+),
+s7 AS (
+  SELECT studyLocusId, variantId, A, (wSingle + wPair) / total AS pip FROM s6
+)
+SELECT studyLocusId, variantId,
+       ROUND(pip, 6) AS posteriorProbability,
+       CAST(ROW_NUMBER() OVER (PARTITION BY studyLocusId
+                               ORDER BY pip DESC, variantId) AS INT)
+         AS credibleSetIndex,
+       ROUND(A, 6) AS logBF
+FROM s7
+"""
 
 
 # ------------------------------------------------------------------ simhash
@@ -404,6 +595,8 @@ EXTRA_QUERIES = {
     "finemap_abf": q_finemap_abf,
     "finemap_susie": q_finemap_susie,
     "finemap_carma": q_finemap_carma,
+    "finemap_susie_inf": q_finemap_susie_inf,
+    "finemap_carma_ld": q_finemap_carma_ld,
     "simhash": q_simhash,
     "l2g_distance_features": q_l2g_distance,
     "vep_features": q_vep_features,
@@ -413,7 +606,12 @@ EXTRA_QUERIES = {
 
 EXTRA_ORACLES = {
     "finemap_abf": SQL_FINEMAP_ABF,
-    # finemap_susie: intentionally no oracle (iterative kernel)
+    "finemap_susie": SQL_FINEMAP_SUSIE,
+    "finemap_carma": SQL_FINEMAP_CARMA,
+    # finemap_susie_inf / finemap_carma_ld: intentionally no oracle —
+    # LD-aware iterative numerics (eigendecomposition + IBSS; model
+    # search) are not SQL-expressible; the reduced-form twins above
+    # carry the exact hash check for the same code paths.
     "simhash": SQL_SIMHASH,
     "l2g_distance_features": SQL_L2G_DISTANCE,
     "vep_features": SQL_VEP_FEATURES,
