@@ -123,9 +123,13 @@ FROM erfc
 """
 
 def q_impute_raiss(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT RAISS imputation via cogrouped applyInPandas (matrix
-    inverse per locus — not SQL-expressible; rows-only check).
-    Same derived inputs as ``impute_zscores``, grouped by study."""
+    """EXACT RAISS imputation via cogrouped applyInPandas. The
+    pairwise input carries only target→observed correlations, so
+    Σ_OO reduces to the identity and the kernel's per-locus solve has
+    the closed form ẑ_u = Σ r·z/(1+λ), info = Σ r²/(1+λ) — which the
+    DuckDB oracle replicates, giving the matrix-solve code path a
+    full rows+schema+hash gate. (A non-diagonal Σ_OO exercises the
+    general solve in tests/test_imputation.py.)"""
     from genetics_spark_coloc_spark.operators.imputation import raiss_impute_grouped
 
     ev = load_table(spark, sf_dir, "events")
@@ -172,10 +176,41 @@ def q_impute_raiss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_IMPUTE_RAISS = """
+WITH observed AS (
+  SELECT 'S' || CAST(user_id % 3 AS VARCHAR) AS studyLocusId,
+         'w' || CAST(event_id % 30 AS VARCHAR) AS variantId,
+         MAX((value - 50.0) / 25.0) AS z
+  FROM events GROUP BY 1, 2
+),
+nobs AS (
+  SELECT studyLocusId, CAST(COUNT(*) AS INT) AS nObserved
+  FROM observed GROUP BY 1
+),
+pairwise AS (
+  SELECT 'w' || CAST(t + 30 AS VARCHAR) AS variantIdI,
+         'w' || CAST((t * 3 + k) % 30 AS VARCHAR) AS variantIdJ,
+         0.5 + ((t + k) % 5) / 10.0 AS r
+  FROM range(0, 20) a(t) CROSS JOIN range(0, 4) b(k)
+)
+SELECT o.studyLocusId, p.variantIdI AS variantId,
+       ROUND(SUM(p.r * (o.z / 1.1)), 6) AS zImputed,
+       ROUND(LEAST(SUM((p.r / 1.1) * p.r), 1.0), 6) AS imputationInfo,
+       MAX(n.nObserved) AS nObserved
+FROM pairwise p
+JOIN observed o ON o.variantId = p.variantIdJ
+JOIN nobs n ON n.studyLocusId = o.studyLocusId
+GROUP BY 1, 2
+"""
+
+
 IMPUTE_QUERIES = {
     "impute_zscores": q_impute_zscores,
     "ld_outliers": q_ld_outliers,
     "impute_raiss": q_impute_raiss,
 }
-# impute_raiss: intentionally no oracle (per-locus matrix inverse)
-IMPUTE_ORACLES = {"impute_zscores": SQL_IMPUTE_ZSCORES, "ld_outliers": SQL_LD_OUTLIERS}
+IMPUTE_ORACLES = {
+    "impute_zscores": SQL_IMPUTE_ZSCORES,
+    "ld_outliers": SQL_LD_OUTLIERS,
+    "impute_raiss": SQL_IMPUTE_RAISS,
+}
