@@ -137,28 +137,25 @@ def assign_to_centroids(
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cnorm"),
     )
-    scored = v.join(F.broadcast(c)).withColumn(
+    scored = v.select("vid", "vnorm", "vv").join(F.broadcast(c)).withColumn(
         "centroidSim",
         F.round(dot(F.col("vv"), F.col("cv")) / (F.col("vnorm") * F.col("cnorm")), 6),
     )
     # argmax via max(struct(sim, -centroidId)): map-side partial
-    # aggregation shuffles ONE candidate row per vector, instead of a
-    # ranking window that sorts every (vector × centroid) pair — and
-    # the full embedding array never rides the shuffle twice.
-    best = (
-        scored.groupBy("vid")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("centroidSim").alias("sim"),
-                    (-F.col("centroidId")).alias("negCentroidId"),
-                )
-            ).alias("best"),
-            F.first("vv").alias("vv"),
-            F.first("vnorm").alias("vnorm"),
-        )
+    # aggregation shuffles ONE candidate row per vector. Only the
+    # (vid, sim, centroidId) triple rides the argmax shuffle — the
+    # embedding array is re-attached by a join on vid afterwards, so
+    # with the corpus bucketed by id at rest (the 100-TB layout) no
+    # embedding bytes shuffle at all.
+    best = scored.groupBy("vid").agg(
+        F.max(
+            F.struct(
+                F.col("centroidSim").alias("sim"),
+                (-F.col("centroidId")).alias("negCentroidId"),
+            )
+        ).alias("best")
     )
-    return best.select(
+    return best.join(v, on="vid").select(
         "vid",
         "vv",
         "vnorm",
@@ -227,15 +224,18 @@ def lsh_cosine_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Bucket the corpus by hyperplane LSH; candidate pairs share a
-    bucket. The scale path for ANN: per-bucket joins instead of n²."""
-    # persist: the self-join consumes the bucket table twice and the
-    # hyperplane projection is the expensive part (reference persists
-    # its reused peak table the same way, study_locus.py:544)
+    """Bucket the corpus by single-band hyperplane LSH; candidate
+    pairs share a bucket. Spark's ReusedExchange serves the self-join
+    from one shuffle, so no persist (and no leaked cache) is needed.
+
+    NOTE: a single band caps key cardinality at 2^num_planes, so
+    per-bucket self-joins degenerate toward all-pairs on large
+    corpora — use ``lsh_cosine_candidates_banded`` at scale.
+    """
     bucketed = corpus.select(
         F.col(id_col).alias("docId"),
         hyperplane_bucket(F.col(vec_col), num_planes).alias("bucket"),
-    ).persist()
+    )
     l, r = bucketed.alias("l"), bucketed.alias("r")
     return (
         l.join(
@@ -247,4 +247,75 @@ def lsh_cosine_candidates(
             F.col("r.docId").alias("rightId"),
             F.col("l.bucket").alias("bucket"),
         )
+    )
+
+
+def hyperplane_band_hash(
+    vec: Column, band: int, planes_per_band: int = 8, dim: int = 64
+) -> Column:
+    """Per-band hyperplane hash: planes_per_band sign bits from the
+    globally-indexed plane family p = band·planes_per_band + r, so
+    every band draws independent hyperplanes from the same
+    md5-derived sign matrix the SQL oracle reproduces."""
+    h = F.lit(0)
+    for r in range(planes_per_band):
+        p = band * planes_per_band + r
+        signs = F.array(*[F.lit(_plane_sign(p, d)) for d in range(dim)])
+        projection = F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        h = h + F.when(projection > 0, F.lit(1 << r)).otherwise(F.lit(0))
+    return h.cast("int")
+
+
+def lsh_cosine_candidates_banded(
+    corpus: DataFrame,
+    num_bands: int = 4,
+    planes_per_band: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-band hyperplane LSH candidates — the OR-construction
+    (any band agreeing on all its planes ⇒ candidate), mirroring
+    ``dedup.lsh_candidate_pairs``'s (bandIdx, bandHash) keying.
+
+    The join key cardinality is num_bands · 2^planes_per_band and
+    grows with planes_per_band, so per-bucket join fan-out stays
+    bounded on arbitrarily large corpora (raise planes_per_band as
+    the corpus grows; each band stays an equi-join). Output one row
+    per candidate pair with the first agreeing band.
+    """
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                hyperplane_band_hash(
+                    F.col(vec_col), b, planes_per_band, dim
+                ).alias("bandHash"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    bucketed = corpus.select(
+        F.col(id_col).alias("docId"), F.explode(bands).alias("bh")
+    ).select(
+        "docId", F.col("bh.band").alias("band"), F.col("bh.bandHash").alias("bandHash")
+    )
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bandHash") == F.col("r.bandHash"),
+                F.col("l.docId") < F.col("r.docId"),
+            ],
+        )
+        .groupBy(
+            F.col("l.docId").alias("leftId"), F.col("r.docId").alias("rightId")
+        )
+        .agg(F.min(F.col("l.band")).alias("matchBand"))
     )

@@ -1,11 +1,12 @@
 """Contract query: embedding-cosine near-duplicate detection — the
-scale path (LSH bucket candidates → exact cosine verify).
+scale path (multi-band LSH candidates → exact cosine verify).
 
 Completes the dedup family: exact (hash), MinHash+LSH (text),
 SimHash (text bits), n-gram Jaccard (text sets), and this —
-embedding-cosine near-dup, candidates restricted to hyperplane-LSH
-buckets so the exact cosine only runs on O(bucket²) pairs instead of
-O(n²).
+embedding-cosine near-dup. Candidates come from MULTI-BAND
+hyperplane LSH (4 bands × 8 planes, OR-construction) so the
+bucket-key cardinality scales with the corpus instead of capping at
+2^planes, and the exact cosine only runs on candidate pairs.
 """
 
 from __future__ import annotations
@@ -13,16 +14,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from genetics_spark_coloc_spark.operators.similarity import cosine, lsh_cosine_candidates
+from genetics_spark_coloc_spark.operators.similarity import (
+    cosine,
+    lsh_cosine_candidates_banded,
+)
 from genetics_spark_coloc_spark.sources.tables import load_table
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate embedding pairs: same LSH bucket AND exact
-    cosine ≥ 0.4 (threshold chosen to produce matches on the
+    """Near-duplicate embedding pairs: any LSH band agreeing AND
+    exact cosine >= 0.4 (threshold chosen to produce matches on the
     synthetic embeddings, whose max pairwise cosine is ~0.51)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    candidates = lsh_cosine_candidates(emb, num_planes=8)
+    candidates = lsh_cosine_candidates_banded(emb, num_bands=4, planes_per_band=8)
     vecs = emb.select(F.col("vec_id"), F.col("embedding"))
     joined = (
         candidates.join(
@@ -36,31 +40,35 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosineSim", F.round(cosine(F.col("lv"), F.col("rv")), 6))
         .filter(F.col("cosineSim") >= 0.4)
     )
-    return joined.select("leftId", "rightId", "bucket", "cosineSim")
+    return joined.select("leftId", "rightId", "matchBand", "cosineSim")
 
 
 SQL_EMBEDDING_NEAR_DUP = """
-WITH b AS (
-  SELECT e.vec_id AS docId, e.embedding, CAST(p AS INT) AS p,
+WITH proj AS (
+  SELECT e.vec_id AS docId, CAST(b AS INT) AS band, CAST(r AS INT) AS r,
          list_sum(list_transform(range(len(e.embedding)), d ->
            CAST(e.embedding[CAST(d AS INT) + 1] AS DOUBLE) *
-           CASE WHEN substr(md5(CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1)
+           CASE WHEN substr(md5(CAST(b * 8 + r AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1)
                      IN ('0','2','4','6','8','a','c','e')
-                THEN 1.0 ELSE -1.0 END)) AS proj
-  FROM embeddings e CROSS JOIN range(0, 8) t(p)
+                THEN 1.0 ELSE -1.0 END)) AS pr
+  FROM embeddings e
+  CROSS JOIN range(0, 4) tb(b)
+  CROSS JOIN range(0, 8) tr(r)
 ),
-buckets AS (
-  SELECT docId,
-         CAST(SUM(CASE WHEN proj > 0 THEN CAST(POWER(2, p) AS INT) ELSE 0 END) AS INT) AS bucket
-  FROM b GROUP BY docId
+hashes AS (
+  SELECT docId, band,
+         CAST(SUM(CASE WHEN pr > 0 THEN CAST(POWER(2, r) AS INT) ELSE 0 END) AS INT) AS bandHash
+  FROM proj GROUP BY docId, band
+),
+pairs AS (
+  SELECT l.docId AS leftId, r.docId AS rightId, CAST(MIN(l.band) AS INT) AS matchBand
+  FROM hashes l
+  JOIN hashes r ON l.band = r.band AND l.bandHash = r.bandHash AND l.docId < r.docId
+  GROUP BY 1, 2
 ),
 vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-pairs AS (
-  SELECT l.docId AS leftId, r.docId AS rightId, l.bucket
-  FROM buckets l JOIN buckets r ON l.bucket = r.bucket AND l.docId < r.docId
-),
 scored AS (
-  SELECT p.leftId, p.rightId, p.bucket,
+  SELECT p.leftId, p.rightId, p.matchBand,
          ROUND(list_dot_product(lv.v, rv.v) /
                (sqrt(list_dot_product(lv.v, lv.v)) * sqrt(list_dot_product(rv.v, rv.v))), 6)
            AS cosineSim
@@ -68,7 +76,7 @@ scored AS (
   JOIN vecs lv ON lv.vec_id = p.leftId
   JOIN vecs rv ON rv.vec_id = p.rightId
 )
-SELECT leftId, rightId, bucket, cosineSim
+SELECT leftId, rightId, matchBand, cosineSim
 FROM scored WHERE cosineSim >= 0.4
 """
 
