@@ -203,16 +203,22 @@ def coloc_features(
     agg = joined.groupBy(
         F.col("leftStudyLocusId").alias("studyLocusId"), "geneId", "rightType"
     ).agg(F.max("clpp").alias("maxClpp"), F.max("h4").alias("maxH4"))
+    # feature names use the reference registry casing: eQtl/pQtl/sQtl
+    prefix = (
+        F.when(F.col("rightType") == "eqtl", F.lit("eQtl"))
+        .when(F.col("rightType") == "pqtl", F.lit("pQtl"))
+        .otherwise(F.lit("sQtl"))
+    )
     clpp = agg.filter(F.col("maxClpp").isNotNull()).select(
         "studyLocusId",
         "geneId",
-        F.concat(F.col("rightType"), F.lit("ColocClppMaximum")).alias("featureName"),
+        F.concat(prefix, F.lit("ColocClppMaximum")).alias("featureName"),
         F.col("maxClpp").alias("featureValue"),
     )
     h4 = agg.filter(F.col("maxH4").isNotNull()).select(
         "studyLocusId",
         "geneId",
-        F.concat(F.col("rightType"), F.lit("ColocH4Maximum")).alias("featureName"),
+        F.concat(prefix, F.lit("ColocH4Maximum")).alias("featureName"),
         F.col("maxH4").alias("featureValue"),
     )
     return clpp.unionByName(h4)
@@ -283,6 +289,207 @@ def gene_count_features(
             F.col("proteinGeneCount500kb").alias("featureValue"),
         )
     )
+
+
+# the reference's full feature registry
+# (method/l2g/feature_factory.py:102-134)
+REGISTRY_FEATURES = [
+    "distanceSentinelTss",
+    "distanceSentinelTssNeighbourhood",
+    "distanceSentinelFootprint",
+    "distanceSentinelFootprintNeighbourhood",
+    "distanceTssMean",
+    "distanceTssMeanNeighbourhood",
+    "distanceFootprintMean",
+    "distanceFootprintMeanNeighbourhood",
+    "eQtlColocClppMaximum",
+    "eQtlColocClppMaximumNeighbourhood",
+    "pQtlColocClppMaximum",
+    "pQtlColocClppMaximumNeighbourhood",
+    "sQtlColocClppMaximum",
+    "sQtlColocClppMaximumNeighbourhood",
+    "eQtlColocH4Maximum",
+    "eQtlColocH4MaximumNeighbourhood",
+    "pQtlColocH4Maximum",
+    "pQtlColocH4MaximumNeighbourhood",
+    "sQtlColocH4Maximum",
+    "sQtlColocH4MaximumNeighbourhood",
+    "vepMean",
+    "vepMeanNeighbourhood",
+    "vepMaximum",
+    "vepMaximumNeighbourhood",
+    "geneCount500kb",
+    "proteinGeneCount500kb",
+    "isProteinCoding",
+    "credibleSetConfidence",
+]
+
+
+def is_protein_coding_features(
+    study_locus: DataFrame, target_index: DataFrame, window: int = 500_000
+) -> DataFrame:
+    """``isProteinCoding``: 1.0 for protein-coding genes within
+    ±window of the lead position, 0.0 for other nearby genes
+    (reference: l2g_features/other.py:228-266)."""
+    genes = target_index.select(
+        F.col("id").alias("geneId"),
+        F.col("genomicLocation.chromosome").alias("g_chrom"),
+        F.col("tss").alias("g_tss"),
+        "biotype",
+    )
+    return (
+        study_locus.select("studyLocusId", "chromosome", "position")
+        .join(
+            F.broadcast(genes),
+            on=[
+                F.col("chromosome") == F.col("g_chrom"),
+                (F.col("g_tss") >= F.col("position") - window)
+                & (F.col("g_tss") <= F.col("position") + window),
+            ],
+        )
+        .select(
+            "studyLocusId",
+            "geneId",
+            F.lit("isProteinCoding").alias("featureName"),
+            (F.col("biotype") == "protein_coding").cast("double").alias("featureValue"),
+        )
+        .distinct()
+    )
+
+
+def credible_set_confidence_features(
+    study_locus: DataFrame, variant_index: DataFrame
+) -> DataFrame:
+    """``credibleSetConfidence``: the locus's confidence-class score
+    attached to every gene its credible-set variants are consequences
+    of (reference: l2g_features/other.py:268-357 + the 1.0/0.75/0.5/
+    0.25 class mapping in study_locus_ops.score_credible_set_confidence)."""
+    from genetics_spark_coloc_spark.operators.study_locus_ops import (
+        score_credible_set_confidence,
+    )
+
+    variant_genes = variant_index.select(
+        "variantId", F.explode("transcriptConsequences").alias("csq")
+    ).select("variantId", F.col("csq.targetId").alias("geneId")).distinct()
+    tags = study_locus.select(
+        "studyLocusId",
+        score_credible_set_confidence(F.col("confidence")).alias("score"),
+        F.explode("locus").alias("tag"),
+    ).select("studyLocusId", "score", F.col("tag.variantId").alias("variantId"))
+    return (
+        tags.join(variant_genes, on="variantId", how="inner")
+        .groupBy("studyLocusId", "geneId")
+        .agg(F.max("score").alias("featureValue"))
+        .select(
+            "studyLocusId",
+            "geneId",
+            F.lit("credibleSetConfidence").alias("featureName"),
+            "featureValue",
+        )
+    )
+
+
+def extend_coloc_to_neighbourhood_genes(
+    coloc_long: DataFrame,
+    study_locus: DataFrame,
+    variant_index: DataFrame,
+    target_index: DataFrame,
+) -> DataFrame:
+    """Zero-valued rows for protein-coding genes linked (via variant
+    consequences) to a locus's sentinel variant but absent from the
+    colocalisation results — so the coloc neighbourhood max runs over
+    ALL nearby coding genes, not only colocalising ones (reference:
+    l2g_features/colocalisation.py:73-128).
+
+    ``coloc_long`` is long-format (studyLocusId, geneId, featureName,
+    featureValue); zero rows are emitted per featureName present.
+    """
+    coding_variant_gene = (
+        variant_index.select(
+            "variantId", F.explode("transcriptConsequences").alias("csq")
+        )
+        .select("variantId", F.col("csq.targetId").alias("geneId"))
+        .join(
+            F.broadcast(
+                target_index.filter(F.col("biotype") == "protein_coding").select(
+                    F.col("id").alias("geneId")
+                )
+            ),
+            on="geneId",
+        )
+        .distinct()
+    )
+    locus_variant = study_locus.select("studyLocusId", "variantId")
+    locus_genes = locus_variant.join(coding_variant_gene, on="variantId").select(
+        "studyLocusId", "geneId"
+    )
+    names = coloc_long.select("featureName").distinct()
+    candidate_rows = locus_genes.crossJoin(F.broadcast(names))
+    return candidate_rows.join(
+        coloc_long.select("studyLocusId", "geneId", "featureName"),
+        on=["studyLocusId", "geneId", "featureName"],
+        how="left_anti",
+    ).select(
+        "studyLocusId", "geneId", "featureName", F.lit(0.0).alias("featureValue")
+    )
+
+
+def build_registry_feature_matrix(
+    study_locus: DataFrame,
+    variant_index: DataFrame,
+    colocalisation: DataFrame,
+    study_index: DataFrame,
+    target_index: DataFrame,
+    genomic_window: int = 500_000,
+    qtl_locus_to_study: DataFrame | None = None,
+) -> DataFrame:
+    """The full reference feature registry as one wide matrix —
+    every feature in ``REGISTRY_FEATURES`` (feature_factory.py:102-134)
+    computed from its family pipeline, neighbourhood-normalised where
+    the registry has a Neighbourhood variant, pivoted with an explicit
+    value list and 0.0-filled."""
+    protein_coding = target_index.filter(
+        F.col("biotype") == "protein_coding"
+    ).select(F.col("id").alias("geneId"))
+
+    dist_tss = distance_features(
+        study_locus, variant_index, "distanceFromTss", genomic_window
+    )
+    dist_fp = distance_features(
+        study_locus, variant_index, "distanceFromFootprint", genomic_window
+    )
+    vep = vep_features(study_locus, variant_index)
+    # the right-side (QTL) locus→study mapping defaults to the same
+    # study-locus table; pass a dedicated one when QTL credible sets
+    # live in their own table
+    coloc = coloc_features(
+        qtl_locus_to_study if qtl_locus_to_study is not None else study_locus,
+        colocalisation,
+        study_index,
+    )
+    coloc_extended = coloc.unionByName(
+        extend_coloc_to_neighbourhood_genes(
+            coloc, study_locus, variant_index, target_index
+        )
+    )
+    counts = gene_count_features(study_locus, target_index, genomic_window)
+    coding = is_protein_coding_features(study_locus, target_index, genomic_window)
+    confidence = credible_set_confidence_features(study_locus, variant_index)
+
+    local = dist_tss.unionByName(dist_fp).unionByName(vep)
+    neighbourhoods = neighbourhood_normalise(
+        local, protein_coding_genes=protein_coding
+    ).unionByName(
+        neighbourhood_normalise(coloc_extended, protein_coding_genes=protein_coding)
+    )
+    long = (
+        local.unionByName(coloc)
+        .unionByName(neighbourhoods)
+        .unionByName(counts)
+        .unionByName(coding)
+        .unionByName(confidence)
+    )
+    return assemble_feature_matrix(long, REGISTRY_FEATURES)
 
 
 def assemble_feature_matrix(

@@ -393,6 +393,85 @@ def _synthetic_locus_and_variant_index(spark: SparkSession, sf_dir: str):
     return study_locus, variant_index
 
 
+def q_l2g_registry_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL reference feature registry (feature_factory.py:102-134,
+    29 features) as one wide matrix: distance ×4, coloc CLPP/H4 ×
+    e/p/sQTL ×6, VEP ×2, their Neighbourhood variants, gene counts,
+    isProteinCoding, credibleSetConfidence. Multi-family pipeline —
+    neighbourhood normalisation + coloc zero-extension make it
+    impractical as one SQL statement; rows-only check here, while the
+    per-family hash checks live in l2g_distance_features /
+    vep_features and the unit tests pin exact values."""
+    study_locus, variant_index = _synthetic_locus_and_variant_index(spark, sf_dir)
+    locus_num = F.substring("studyLocusId", 2, 10).cast("int")
+    study_locus = (
+        study_locus.withColumn("chromosome", (1 + locus_num % 3).cast("string"))
+        .withColumn("position", (100_000 + (locus_num * 37) % 400_000).cast("int"))
+        .withColumn(
+            "confidence",
+            F.when(locus_num % 4 == 0, F.lit("SuSiE fine-mapped credible set with in-sample LD"))
+            .when(locus_num % 4 == 1, F.lit("SuSiE fine-mapped credible set with out-of-sample LD"))
+            .when(locus_num % 4 == 2, F.lit("PICS fine-mapped credible set extracted from summary statistics"))
+            .otherwise(F.lit("PICS fine-mapped credible set based on reported top hit")),
+        )
+    )
+    # right-side QTL loci: each left locus colocalises with 2 QTL loci
+    rsl = spark.range(30).select(
+        F.concat(F.lit("R"), F.col("id").cast("string")).alias("studyLocusId"),
+        F.concat(F.lit("Q"), (F.col("id") % 6).cast("string")).alias("studyId"),
+    )
+    coloc_meta = study_locus.select("studyLocusId").select(
+        F.col("studyLocusId").alias("leftStudyLocusId"),
+        F.substring("studyLocusId", 2, 10).cast("int").alias("ln"),
+    )
+    colocalisation = (
+        coloc_meta.select(
+            "leftStudyLocusId",
+            F.explode(F.sequence(F.lit(0), F.lit(1))).alias("k"),
+            "ln",
+        )
+        .select(
+            "leftStudyLocusId",
+            F.concat(F.lit("R"), ((F.col("ln") * 2 + F.col("k")) % 30).cast("string")).alias(
+                "rightStudyLocusId"
+            ),
+            (((F.col("ln") * 7 + F.col("k") * 3) % 10) / 20.0).alias("clpp"),
+            (((F.col("ln") * 11 + F.col("k") * 5) % 10) / 10.0).alias("h4"),
+        )
+    )
+    study_index = spark.range(6).select(
+        F.concat(F.lit("Q"), F.col("id").cast("string")).alias("studyId"),
+        F.concat(F.lit("G"), (F.col("id") * 4 % 15).cast("string")).alias("geneId"),
+        F.element_at(
+            F.array(F.lit("eqtl"), F.lit("pqtl"), F.lit("sqtl")),
+            (F.col("id") % 3).cast("int") + 1,
+        ).alias("studyType"),
+    )
+    target_index = spark.range(15).select(
+        F.concat(F.lit("G"), F.col("id").cast("string")).alias("id"),
+        F.struct((1 + F.col("id") % 3).cast("string").alias("chromosome")).alias(
+            "genomicLocation"
+        ),
+        (150_000 + (F.col("id") * 61_000) % 500_000).cast("long").alias("tss"),
+        F.when(F.col("id") % 3 == 2, F.lit("lncRNA"))
+        .otherwise(F.lit("protein_coding"))
+        .alias("biotype"),
+    )
+    matrix = l2g.build_registry_feature_matrix(
+        study_locus,
+        variant_index,
+        colocalisation,
+        study_index,
+        target_index,
+        qtl_locus_to_study=rsl,
+    )
+    rounded = [
+        F.round(F.col(c), 6).alias(c) if c not in ("studyLocusId", "geneId") else F.col(c)
+        for c in matrix.columns
+    ]
+    return matrix.select(*rounded)
+
+
 def q_l2g_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All four L2G distance features in long format — posterior-
     weighted mean + sentinel, TSS and footprint families (reference
@@ -598,6 +677,7 @@ EXTRA_QUERIES = {
     "finemap_susie_inf": q_finemap_susie_inf,
     "finemap_carma_ld": q_finemap_carma_ld,
     "simhash": q_simhash,
+    "l2g_registry_matrix": q_l2g_registry_matrix,
     "l2g_distance_features": q_l2g_distance,
     "vep_features": q_vep_features,
     "frame_plan": q_frame_plan,

@@ -122,13 +122,13 @@ def test_coloc_features_and_neighbourhood(spark):
     )
     long_df = coloc_features(study_locus, coloc_df, study_index)
     rows = {(r["geneId"], r["featureName"]): r["featureValue"] for r in long_df.collect()}
-    assert rows[("G1", "eqtlColocClppMaximum")] == pytest.approx(0.3)
-    assert rows[("G2", "eqtlColocH4Maximum")] == pytest.approx(0.6)
+    assert rows[("G1", "eQtlColocClppMaximum")] == pytest.approx(0.3)
+    assert rows[("G2", "eQtlColocH4Maximum")] == pytest.approx(0.6)
 
     neigh = neighbourhood_normalise(long_df)
     nrows = {(r["geneId"], r["featureName"]): r["featureValue"] for r in neigh.collect()}
-    assert nrows[("G1", "eqtlColocClppMaximumNeighbourhood")] == pytest.approx(1.0)
-    assert nrows[("G2", "eqtlColocClppMaximumNeighbourhood")] == pytest.approx(1 / 3)
+    assert nrows[("G1", "eQtlColocClppMaximumNeighbourhood")] == pytest.approx(1.0)
+    assert nrows[("G2", "eQtlColocClppMaximumNeighbourhood")] == pytest.approx(1 / 3)
 
 
 def test_feature_matrix_and_model_roundtrip(spark):
@@ -360,3 +360,145 @@ def test_gold_standard_pipeline_units(spark):
     # G2 dropped (negative with a positive interactor), G3 kept (no
     # interactions), G1/G4 kept (positive with a positive interactor)
     assert {r["geneId"] for r in refined.collect()} == {"G1", "G3", "G4"}
+
+
+class TestRegistryFeatures:
+    """New registry families: isProteinCoding, credibleSetConfidence,
+    coloc neighbourhood zero-extension, and the full-matrix builder
+    (reference feature_factory.py:102-134)."""
+
+    def _target_index(self, spark):
+        return spark.createDataFrame(
+            [
+                {"id": "G1", "genomicLocation": {"chromosome": "1"}, "tss": 150_000, "biotype": "protein_coding"},
+                {"id": "G2", "genomicLocation": {"chromosome": "1"}, "tss": 400_000, "biotype": "lncRNA"},
+                {"id": "G3", "genomicLocation": {"chromosome": "2"}, "tss": 150_000, "biotype": "protein_coding"},
+            ],
+            "id: string, genomicLocation: struct<chromosome: string>, tss: long, biotype: string",
+        )
+
+    def test_is_protein_coding(self, spark):
+        from genetics_spark_coloc_spark.operators.l2g import is_protein_coding_features
+
+        study_locus = spark.createDataFrame(
+            [{"studyLocusId": "L1", "chromosome": "1", "position": 100_000}],
+            "studyLocusId: string, chromosome: string, position: int",
+        )
+        out = is_protein_coding_features(study_locus, self._target_index(spark))
+        rows = {r["geneId"]: r["featureValue"] for r in out.collect()}
+        # G1 coding on chr1 in window -> 1.0; G2 non-coding in window -> 0.0;
+        # G3 other chromosome -> absent
+        assert rows == {"G1": 1.0, "G2": 0.0}
+
+    def test_credible_set_confidence_feature(self, spark):
+        from genetics_spark_coloc_spark.operators.l2g import (
+            credible_set_confidence_features,
+        )
+
+        study_locus = spark.createDataFrame(
+            [
+                {
+                    "studyLocusId": "L1",
+                    "confidence": "SuSiE fine-mapped credible set with out-of-sample LD",
+                    "locus": [{"variantId": "v1"}],
+                }
+            ],
+            "studyLocusId: string, confidence: string, locus: array<struct<variantId: string>>",
+        )
+        variant_index = spark.createDataFrame(
+            [
+                {"variantId": "v1", "transcriptConsequences": [{"targetId": "G1"}]},
+            ],
+            "variantId: string, transcriptConsequences: array<struct<targetId: string>>",
+        )
+        out = credible_set_confidence_features(study_locus, variant_index)
+        rows = out.collect()
+        assert len(rows) == 1
+        assert rows[0]["geneId"] == "G1"
+        assert rows[0]["featureValue"] == 0.75
+
+    def test_coloc_zero_extension(self, spark):
+        from genetics_spark_coloc_spark.operators.l2g import (
+            extend_coloc_to_neighbourhood_genes,
+        )
+
+        coloc_long = spark.createDataFrame(
+            [
+                {"studyLocusId": "L1", "geneId": "G1",
+                 "featureName": "eQtlColocClppMaximum", "featureValue": 0.4},
+            ]
+        )
+        study_locus = spark.createDataFrame(
+            [{"studyLocusId": "L1", "variantId": "v1"}]
+        )
+        variant_index = spark.createDataFrame(
+            [
+                {"variantId": "v1", "transcriptConsequences": [
+                    {"targetId": "G1"}, {"targetId": "G2"}, {"targetId": "G3"}]},
+            ],
+            "variantId: string, transcriptConsequences: array<struct<targetId: string>>",
+        )
+        out = extend_coloc_to_neighbourhood_genes(
+            coloc_long, study_locus, variant_index, self._target_index(spark)
+        )
+        rows = {r["geneId"]: r["featureValue"] for r in out.collect()}
+        # G3 is coding and missing from coloc -> 0.0 row; G1 already
+        # present; G2 non-coding -> excluded
+        assert rows == {"G3": 0.0}
+
+    def test_full_matrix_has_registry_columns(self, spark):
+        from genetics_spark_coloc_spark.operators.l2g import (
+            REGISTRY_FEATURES,
+            build_registry_feature_matrix,
+        )
+
+        study_locus = spark.createDataFrame(
+            [
+                {
+                    "studyLocusId": "L1",
+                    "variantId": "v1",
+                    "chromosome": "1",
+                    "position": 100_000,
+                    "confidence": "SuSiE fine-mapped credible set with in-sample LD",
+                    "studyId": "S1",
+                    "locus": [{"variantId": "v1", "posteriorProbability": 1.0}],
+                }
+            ],
+            "studyLocusId: string, variantId: string, chromosome: string, "
+            "position: int, confidence: string, studyId: string, "
+            "locus: array<struct<variantId: string, posteriorProbability: double>>",
+        )
+        variant_index = spark.createDataFrame(
+            [
+                {"variantId": "v1", "transcriptConsequences": [
+                    {"targetId": "G1", "distanceFromTss": 1000,
+                     "distanceFromFootprint": 500, "consequenceScore": 0.6}]},
+            ],
+            "variantId: string, transcriptConsequences: array<struct<"
+            "targetId: string, distanceFromTss: long, distanceFromFootprint: long, "
+            "consequenceScore: double>>",
+        )
+        coloc = spark.createDataFrame(
+            [{"leftStudyLocusId": "L1", "rightStudyLocusId": "R1",
+              "clpp": 0.3, "h4": 0.9}]
+        )
+        qtl_map = spark.createDataFrame(
+            [{"studyLocusId": "R1", "studyId": "Q1"}]
+        )
+        study_index = spark.createDataFrame(
+            [{"studyId": "Q1", "geneId": "G1", "studyType": "eqtl"}]
+        )
+        matrix = build_registry_feature_matrix(
+            study_locus, variant_index, coloc, study_index,
+            self._target_index(spark), qtl_locus_to_study=qtl_map,
+        )
+        assert set(REGISTRY_FEATURES) <= set(matrix.columns)
+        row = matrix.filter(
+            (F.col("studyLocusId") == "L1") & (F.col("geneId") == "G1")
+        ).collect()[0]
+        assert row["eQtlColocClppMaximum"] == pytest.approx(0.3)
+        assert row["eQtlColocH4Maximum"] == pytest.approx(0.9)
+        assert row["credibleSetConfidence"] == 1.0
+        assert row["isProteinCoding"] == 1.0
+        # single gene at locus -> its neighbourhood ratio is 1
+        assert row["distanceTssMeanNeighbourhood"] == pytest.approx(1.0)
