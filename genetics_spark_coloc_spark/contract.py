@@ -9,6 +9,10 @@ from genetics_spark_coloc_spark.queries_extra import EXTRA_ORACLES, EXTRA_QUERIE
 from genetics_spark_coloc_spark.queries_ld import LD_ORACLES, LD_QUERIES
 from genetics_spark_coloc_spark.queries_impute import IMPUTE_ORACLES, IMPUTE_QUERIES
 from genetics_spark_coloc_spark.queries_ingest import INGEST_ORACLES, INGEST_QUERIES
+from genetics_spark_coloc_spark.queries_intervals import (
+    INTERVAL_ORACLES,
+    INTERVAL_QUERIES,
+)
 from genetics_spark_coloc_spark.queries_more import MORE_ORACLES, MORE_QUERIES
 from genetics_spark_coloc_spark.queries_neardup import NEARDUP_ORACLES, NEARDUP_QUERIES
 from genetics_spark_coloc_spark.queries_scale import SCALE_ORACLES, SCALE_QUERIES
@@ -25,6 +29,7 @@ QUERIES = {
     **SCALE_QUERIES,
     **STUDY_QUERIES,
     **INGEST_QUERIES,
+    **INTERVAL_QUERIES,
 }
 ORACLES = {
     **_BASE_ORACLES,
@@ -37,4 +42,5 @@ ORACLES = {
     **SCALE_ORACLES,
     **STUDY_ORACLES,
     **INGEST_ORACLES,
+    **INTERVAL_ORACLES,
 }
