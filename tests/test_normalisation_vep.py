@@ -102,7 +102,9 @@ def test_read_vep_jsonl(spark, tmp_path):
     assert csq["ENSG0001"]["consequenceScore"] == pytest.approx(0.7)  # missense
     assert csq["ENSG0002"]["consequenceScore"] == pytest.approx(0.25)  # upstream
     r2 = rows["2_2000_C_T"]
-    assert r2["mostSevereConsequence"] is None  # no transcript terms
+    # no transcript terms -> falls back to VEP's own
+    # most_severe_consequence (reference vep_parser.py:712)
+    assert r2["mostSevereConsequence"] == "intergenic_variant"
     assert r2["transcriptConsequences"] is None
 
 
@@ -131,3 +133,99 @@ def test_pvalue_pair_ordering_consistent(mantissa, exponent):
     t_m, t_e = split_pvalue(threshold)
     pair_lte = (exponent < t_e) or (exponent == t_e and mantissa <= t_m)
     assert pair_lte == (p <= threshold) or abs(p - threshold) / threshold < 1e-9
+
+
+VEP_BREADTH_LINES = [
+    {
+        "id": "rs10",
+        "seq_region_name": "3",
+        "start": 500,
+        "allele_string": "G/C",
+        "most_severe_consequence": "missense_variant",
+        "transcript_consequences": [
+            {
+                "gene_id": "ENSG0009",
+                "transcript_id": "ENST09",
+                "biotype": "protein_coding",
+                "canonical": 1,
+                "consequence_terms": ["missense_variant"],
+                "distance": 0,
+                "cadd_phred": 23.5,
+                "polyphen_score": 0.95,
+                "polyphen_prediction": "probably_damaging",
+                "sift_score": 0.01,
+                "sift_prediction": "deleterious",
+                "lof": "HC",
+                "lof_filter": None,
+                "conservation": 4.9,
+                "hgvsg": "3:g.500G>C",
+            },
+            {
+                "gene_id": "ENSG0010",
+                "transcript_id": "ENST10",
+                "biotype": "protein_coding",
+                "canonical": 0,
+                "consequence_terms": ["synonymous_variant"],
+                "distance": 0,
+                "cadd_phred": 25.0,
+            },
+        ],
+        "regulatory_feature_consequences": [
+            {
+                "regulatory_feature_id": "ENSR0001",
+                "biotype": "promoter",
+                "consequence_terms": ["regulatory_region_variant"],
+            }
+        ],
+    },
+    {
+        "id": "rs11",
+        "seq_region_name": "4",
+        "start": 900,
+        "allele_string": "T/A",
+        "most_severe_consequence": "intergenic_variant",
+        "intergenic_consequences": [
+            {
+                "consequence_terms": ["intergenic_variant"],
+                "cadd_phred": 1.2,
+                "conservation": -0.3,
+                "hgvsg": "4:g.900T>A",
+            }
+        ],
+    },
+]
+
+
+def test_vep_effects_regulatory_intergenic(spark, tmp_path):
+    """Breadth extension (reference vep_parser.py:348-500, 604-911):
+    per-method effect entries from the top-scoring transcript, the
+    intergenic fallback, the regulatory block, and HGVS ids."""
+    p = tmp_path / "vep2.jsonl"
+    p.write_text("\n".join(json.dumps(line) for line in VEP_BREADTH_LINES))
+    rows = {r["variantId"]: r for r in read_vep_jsonl(spark, str(p)).collect()}
+
+    r = rows["3_500_G_C"]
+    effects = {e["method"]: e for e in r["variantEffect"]}
+    # CADD comes from the HIGHEST-scoring transcript (non-canonical, 25.0)
+    assert effects["CADD"]["score"] == pytest.approx(25.0)
+    assert effects["CADD"]["targetId"] == "ENSG0010"
+    assert effects["PolyPhen"]["assessment"] == "probably_damaging"
+    assert effects["SIFT"]["score"] == pytest.approx(0.01)
+    assert effects["LOFTEE"]["assessment"] == "HC"
+    assert effects["GERP"]["score"] == pytest.approx(4.9)
+    assert effects["VEP"]["assessment"] == "missense_variant"
+    assert r["hgvsId"] == "3:g.500G>C"
+    reg = r["regulatoryFeatureConsequences"]
+    assert len(reg) == 1 and reg[0]["regulatoryFeatureId"] == "ENSR0001"
+    assert reg[0]["biotype"] == "promoter"
+
+    r2 = rows["4_900_T_A"]
+    effects2 = {e["method"]: e for e in r2["variantEffect"]}
+    # intergenic fallback: CADD + GERP from the intergenic block, VEP
+    # prediction from the input's own most_severe_consequence
+    assert effects2["CADD"]["score"] == pytest.approx(1.2)
+    assert effects2["GERP"]["score"] == pytest.approx(-0.3)
+    assert "PolyPhen" not in effects2
+    assert effects2["VEP"]["assessment"] == "intergenic_variant"
+    assert r2["mostSevereConsequence"] == "intergenic_variant"
+    assert r2["hgvsId"] == "4:g.900T>A"
