@@ -1,0 +1,124 @@
+"""Distributed connected components — duplicate-cluster resolution.
+
+The step every dedup pipeline needs after candidate-pair generation
+(MinHash-LSH, SimHash, embedding near-dup): group pairwise matches
+into clusters and pick one keeper per cluster. The reference engine
+has no graph operator (its duplicate flagging is row-local); this is
+part of the training-data-pipeline extension, built the same way as
+the ontology closure (operators/ontology.py): iterative min-label
+propagation with pointer-doubling shortcuts, localCheckpoint lineage
+truncation per round.
+
+At 100 TB: each round is two hash joins + one min-aggregation on the
+(id, label) table — all key-partitioned, no broadcast of anything
+large. Propagation alone needs O(diameter) rounds; the shortcut step
+(label := label of label) compounds it roughly geometrically, so
+near-dup clusters (tiny diameters) converge in a handful of rounds
+and even pathological chains need O(log n).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "leftId",
+    dst_col: str = "rightId",
+    num_rounds: int = 8,
+    until_converged: bool = False,
+) -> DataFrame:
+    """Label every vertex with the MINIMUM vertex id reachable from it.
+
+    vertices: one row per vertex (``id_col``); edges: undirected
+    pairs (``src_col``, ``dst_col``). Returns (id, component).
+
+    ``num_rounds`` bounds the propagate+shortcut iterations; set
+    ``until_converged`` to stop early when a round changes nothing
+    (costs one count() action per round — leave it off inside larger
+    pipelines and size num_rounds instead).
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+        .distinct()
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    )
+    for _ in range(num_rounds):
+        prev = labels
+        # propagate: min label over self + neighbours
+        nbr = (
+            sym.join(labels.withColumnRenamed("id", "src"), on="src")
+            .select(F.col("dst").alias("id"), "label")
+        )
+        labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        # shortcut: jump to the label's own label (pointer doubling)
+        lab2 = labels.select(
+            F.col("id").alias("lid"), F.col("label").alias("llabel")
+        )
+        labels = (
+            labels.join(lab2, labels.label == lab2.lid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("llabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        labels = labels.localCheckpoint(eager=until_converged)
+        if until_converged:
+            changed = (
+                labels.alias("n")
+                .join(prev.alias("p"), on="id")
+                .filter(F.col("n.label") != F.col("p.label"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                break
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "leftId",
+    dst_col: str = "rightId",
+    num_rounds: int = 8,
+) -> DataFrame:
+    """Resolve candidate duplicate pairs into clusters with a keeper.
+
+    Output per document: (docId, clusterId = min doc id in its
+    cluster, clusterSize, isKeeper). Isolated documents form their
+    own singleton cluster.
+    """
+    comp = connected_components(
+        docs.select(F.col(id_col)), pairs, id_col, src_col, dst_col, num_rounds
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("clusterSize")
+    )
+    return (
+        comp.join(sizes, on="component")
+        .select(
+            F.col("id").alias("docId"),
+            F.col("component").alias("clusterId"),
+            F.col("clusterSize").cast("long").alias("clusterSize"),
+            (F.col("id") == F.col("component")).alias("isKeeper"),
+        )
+    )

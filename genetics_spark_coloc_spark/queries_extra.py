@@ -403,6 +403,12 @@ def q_l2g_registry_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-family hash checks live in l2g_distance_features /
     vep_features and the unit tests pin exact values."""
     study_locus, variant_index = _synthetic_locus_and_variant_index(spark, sf_dir)
+    # ~10 feature families each consume these inputs; without an
+    # explicit materialization every family re-runs the window-heavy
+    # tag derivation (8× the work). localCheckpoint truncates the
+    # lineage once — same pattern as the ontology closure.
+    study_locus = study_locus.localCheckpoint(eager=False)
+    variant_index = variant_index.localCheckpoint(eager=False)
     locus_num = F.substring("studyLocusId", 2, 10).cast("int")
     study_locus = (
         study_locus.withColumn("chromosome", (1 + locus_num % 3).cast("string"))

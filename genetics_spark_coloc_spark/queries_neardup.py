@@ -82,3 +82,70 @@ FROM scored WHERE cosineSim >= 0.4
 
 NEARDUP_QUERIES = {"embedding_near_dup": q_embedding_near_dup}
 NEARDUP_ORACLES = {"embedding_near_dup": SQL_EMBEDDING_NEAR_DUP}
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: MinHash-LSH candidate pairs →
+    connected components (iterative min-label propagation with
+    pointer-doubling, operators/graph.py) → keeper per cluster."""
+    from genetics_spark_coloc_spark.operators import dedup
+    from genetics_spark_coloc_spark.operators.graph import duplicate_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, "text", "doc_id", num_perm=8, band_size=2)
+    return duplicate_clusters(docs, pairs, num_rounds=6)
+
+
+# oracle: min reachable id via a recursive CTE over the symmetrized
+# LSH pair graph — the exact fixpoint the iterative operator converges to
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id AS docId,
+         substr(lower(text), CAST(i AS INT) * 4 + 1, 8) AS shingle
+  FROM documents CROSS JOIN range(0, 64) AS t(i)
+  WHERE CAST(i AS INT) < CAST(FLOOR(LEAST(GREATEST((length(lower(text)) - 8) / 4 + 1, 1), 64)) AS INT)
+),
+hashed AS (
+  SELECT docId, CAST(p AS INT) AS perm,
+         substr(md5(shingle), CAST(p AS INT) * 3 + 1, 8) AS h
+  FROM sh, range(0, 8) AS pt(p)
+),
+sig AS (
+  SELECT docId, perm, MIN(h) AS minHash
+  FROM hashed GROUP BY docId, perm
+),
+bands AS (
+  SELECT docId, CAST(FLOOR(perm / 2) AS INT) AS bandIdx,
+         md5(string_agg(minHash, '|' ORDER BY minHash)) AS bandHash
+  FROM sig
+  GROUP BY docId, CAST(FLOOR(perm / 2) AS INT)
+),
+pairs AS (
+  SELECT DISTINCT l.docId AS leftId, r.docId AS rightId
+  FROM bands l
+  JOIN bands r ON l.bandIdx = r.bandIdx AND l.bandHash = r.bandHash AND l.docId < r.docId
+),
+edges AS (
+  SELECT leftId AS src, rightId AS dst FROM pairs
+  UNION
+  SELECT rightId, leftId FROM pairs
+),
+comp(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, c.lab FROM comp c JOIN edges e ON e.src = c.id
+),
+final AS (
+  SELECT id, MIN(lab) AS clusterId FROM comp GROUP BY id
+),
+sizes AS (
+  SELECT clusterId, CAST(COUNT(*) AS BIGINT) AS clusterSize
+  FROM final GROUP BY clusterId
+)
+SELECT f.id AS docId, f.clusterId, s.clusterSize,
+       f.id = f.clusterId AS isKeeper
+FROM final f JOIN sizes s USING (clusterId)
+"""
+
+NEARDUP_QUERIES["dedup_clusters"] = q_dedup_clusters
+NEARDUP_ORACLES["dedup_clusters"] = SQL_DEDUP_CLUSTERS

@@ -259,3 +259,48 @@ def test_multimodal_feature_determinism(spark):
     assert [round(float(x), 9) for x in row.feature] == [
         round(e, 9) for e in expected
     ]
+
+
+def test_connected_components_chain_and_islands(spark):
+    from genetics_spark_coloc_spark.operators.graph import (
+        connected_components,
+        duplicate_clusters,
+    )
+    from pyspark.sql import functions as F
+
+    verts = spark.range(10).select(F.col("id").cast("long").alias("doc_id"))
+    # a 5-chain (0-1-2-3-4), a triangle (5,6,7), islands 8, 9
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7)],
+        "leftId: long, rightId: long",
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            verts, edges, "doc_id", num_rounds=4
+        ).collect()
+    }
+    assert all(comp[i] == 0 for i in range(5))
+    assert all(comp[i] == 5 for i in (5, 6, 7))
+    assert comp[8] == 8 and comp[9] == 9
+
+    clusters = duplicate_clusters(verts, edges, num_rounds=4).collect()
+    by_id = {r["docId"]: r for r in clusters}
+    assert by_id[3]["clusterId"] == 0 and by_id[3]["clusterSize"] == 5
+    assert by_id[0]["isKeeper"] and not by_id[4]["isKeeper"]
+    assert by_id[8]["clusterSize"] == 1 and by_id[8]["isKeeper"]
+
+
+def test_connected_components_until_converged_long_chain(spark):
+    from genetics_spark_coloc_spark.operators.graph import connected_components
+    from pyspark.sql import functions as F
+
+    n = 40
+    verts = spark.range(n).select(F.col("id").cast("long").alias("doc_id"))
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "leftId: long, rightId: long"
+    )
+    comp = connected_components(
+        verts, edges, "doc_id", num_rounds=30, until_converged=True
+    ).collect()
+    assert all(r["component"] == 0 for r in comp)
