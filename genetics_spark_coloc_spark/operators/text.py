@@ -126,3 +126,50 @@ def fingerprint(text: Column) -> Column:
     lowercased tokens (word-order and duplication insensitive)."""
     toks = F.array_sort(F.array_distinct(tokens(F.lower(text))))
     return F.md5(F.concat_ws(" ", toks))
+
+
+def ngram_repetition_ratio(text: Column, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram
+    (1 − distinct/total) — the Gopher-style repetition quality filter
+    (Rae et al. 2021, "duplicate n-gram fraction"). 0.0 for documents
+    with fewer than n tokens. Pure array expressions, JVM-side."""
+    toks = tokens(F.lower(text))
+    n_tokens = F.size(toks)
+    n_grams = n_tokens - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_grams - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    grams = F.when(n_grams >= 1, grams).otherwise(F.array().cast("array<string>"))
+    return F.when(
+        n_grams >= 1,
+        1.0 - F.size(F.array_distinct(grams)) / n_grams.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def hash_split(
+    id_col: Column,
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+) -> Column:
+    """Deterministic train/validation/test assignment: the md5 of
+    (salt|id) maps to [0, 1) and falls into cumulative weight
+    buckets. Stable across runs, partitions, and engines — the
+    reproducible replacement for randomSplit in training-data
+    pipelines (and the same device l2g_trainer uses for group
+    splits)."""
+    weights = weights or {"train": 0.8, "validation": 0.1, "test": 0.1}
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt + "|"), id_col.cast("string"))), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(16**8))
+    )
+    expr = None
+    cum = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        cum += w
+        cond = bucket < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    return expr.otherwise(F.lit(last)) if expr is not None else F.lit(last)

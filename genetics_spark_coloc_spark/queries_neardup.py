@@ -149,3 +149,88 @@ FROM final f JOIN sizes s USING (clusterId)
 
 NEARDUP_QUERIES["dedup_clusters"] = q_dedup_clusters
 NEARDUP_ORACLES["dedup_clusters"] = SQL_DEDUP_CLUSTERS
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: duplicate word-bigram /
+    trigram fraction per document (operators/text.ngram_repetition_ratio)."""
+    from genetics_spark_coloc_spark.operators.text import ngram_repetition_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("docId"),
+        F.round(ngram_repetition_ratio(F.col("text"), 2), 6).alias("dupBigramFrac"),
+        F.round(ngram_repetition_ratio(F.col("text"), 3), 6).alias("dupTrigramFrac"),
+        (
+            (ngram_repetition_ratio(F.col("text"), 2) > 0.2)
+            | (ngram_repetition_ratio(F.col("text"), 3) > 0.18)
+        ).alias("isRepetitive"),
+    )
+
+
+SQL_REPETITION_STATS = """
+WITH toks AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+),
+grams AS (
+  SELECT docId, len(t) AS nt,
+         CASE WHEN len(t) - 1 >= 1
+              THEN list_transform(range(0, len(t) - 1),
+                                  i -> array_to_string(list_slice(t, i + 1, i + 2), ' '))
+              ELSE [] END AS g2,
+         CASE WHEN len(t) - 2 >= 1
+              THEN list_transform(range(0, len(t) - 2),
+                                  i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
+              ELSE [] END AS g3
+  FROM toks
+),
+fr AS (
+  SELECT docId,
+         CASE WHEN nt - 1 >= 1
+              THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / (nt - 1)
+              ELSE 0.0 END AS f2,
+         CASE WHEN nt - 2 >= 1
+              THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / (nt - 2)
+              ELSE 0.0 END AS f3
+  FROM grams
+)
+SELECT docId, ROUND(f2, 6) AS dupBigramFrac, ROUND(f3, 6) AS dupTrigramFrac,
+       (f2 > 0.2 OR f3 > 0.18) AS isRepetitive
+FROM fr
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/validation/test assignment
+    (operators/text.hash_split) — reproducible across runs, engines,
+    and partitionings, unlike randomSplit."""
+    from genetics_spark_coloc_spark.operators.text import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("docId"),
+        hash_split(F.col("doc_id")).alias("split"),
+    )
+
+
+SQL_HASH_SPLIT = """
+WITH b AS (
+  SELECT doc_id AS docId,
+         CAST(('0x' || substr(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+           / 4294967296.0 AS bucket
+  FROM documents
+)
+SELECT docId,
+       CASE WHEN bucket < 0.8 THEN 'train'
+            WHEN bucket < 0.9 THEN 'validation'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+NEARDUP_QUERIES["repetition_stats"] = q_repetition_stats
+NEARDUP_ORACLES["repetition_stats"] = SQL_REPETITION_STATS
+NEARDUP_QUERIES["hash_split"] = q_hash_split
+NEARDUP_ORACLES["hash_split"] = SQL_HASH_SPLIT

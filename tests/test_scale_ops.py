@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -304,3 +306,43 @@ def test_connected_components_until_converged_long_chain(spark):
         verts, edges, "doc_id", num_rounds=30, until_converged=True
     ).collect()
     assert all(r["component"] == 0 for r in comp)
+
+
+def test_ngram_repetition_ratio_edges(spark):
+    from genetics_spark_coloc_spark.operators.text import ngram_repetition_ratio
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x y x y x y"),          # bigrams: xy yx xy yx xy -> 2 distinct / 5
+            ("b", "all words differ here"),  # no repeats
+            ("c", "one"),                   # fewer tokens than n
+            ("d", ""),                      # empty
+        ],
+        "id: string, text: string",
+    )
+    out = {
+        r["id"]: r["rep"]
+        for r in df.select(
+            "id", ngram_repetition_ratio(F.col("text"), 2).alias("rep")
+        ).collect()
+    }
+    assert out["a"] == pytest.approx(1 - 2 / 5)
+    assert out["b"] == 0.0
+    assert out["c"] == 0.0
+    assert out["d"] == 0.0
+
+
+def test_hash_split_deterministic_and_proportioned(spark):
+    from genetics_spark_coloc_spark.operators.text import hash_split
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(F.col("id"))
+    out = df.select("id", hash_split(F.col("id")).alias("split"))
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] / 10_000 - 0.8) < 0.02
+    assert abs(counts["validation"] / 10_000 - 0.1) < 0.01
+    assert abs(counts["test"] / 10_000 - 0.1) < 0.01
+    # determinism: same ids -> same assignment on recompute
+    again = {r["id"]: r["split"] for r in out.collect()}
+    assert {r["id"]: r["split"] for r in out.collect()} == again
