@@ -225,6 +225,98 @@ def susie_inf_kernel(
     )
 
 
+SUSIE_STUDY_LOCUS_SCHEMA = (
+    "studyLocusId string, credibleSetIndex int, credibleSetLog10BF double, "
+    "purityMeanR2 double, purityMinR2 double, leadVariantId string, "
+    "locus array<struct<variantId: string, posteriorProbability: double, "
+    "logBF: double>>"
+)
+
+
+def susie_study_locus_kernel(
+    pdf: pd.DataFrame,
+    max_l: int = 10,
+    n: int = 100_000,
+    ld_scale: float = 200_000.0,
+    cs_lbf_thr: float = 2.0,
+    sum_pips: float = 0.99,
+) -> pd.DataFrame:
+    """SuSiE-inf output → study-locus credible-set rows, entirely
+    executor-side (reference susie_inf_to_studylocus,
+    susie_finemapper.py:188-320, runs this per locus ON THE DRIVER
+    with collect + createDataFrame; here it's one applyInPandas
+    kernel so thousands of loci convert concurrently).
+
+    Per effect, ordered by credible-set logBF descending: the first
+    effect is always kept, later ones only when their logBF clears
+    ``cs_lbf_thr``; the credible set is the top-PIP prefix reaching
+    ``sum_pips``; purity is the mean/min r² over the member LD block.
+    """
+    import numpy as np
+
+    from genetics_spark_coloc_spark.operators.susie import susie_inf
+
+    locus = pdf["studyLocusId"].iloc[0]
+    pdf = pdf.sort_values("variantId", kind="stable").reset_index(drop=True)
+    z = (pdf["beta"] / pdf["standardError"]).to_numpy(dtype=float)
+    p = len(z)
+    ld = (
+        _exp_decay_ld(pdf["position"], ld_scale)
+        if "position" in pdf.columns
+        else np.eye(p)
+    )
+    out = susie_inf(z, ld=ld, n=n, L=min(max_l, p))
+    vids = pdf["variantId"].to_numpy()
+
+    order_creds = sorted(
+        enumerate(out["lbf"]), key=lambda t: t[1], reverse=True
+    )
+    rows = []
+    for rank, (el, cs_lbf) in enumerate(order_creds):
+        if rank > 0 and cs_lbf < cs_lbf_thr:
+            continue
+        pip = out["PIP"][:, el]
+        order = np.lexsort((vids, -pip))
+        cum = np.cumsum(pip[order])
+        k = int(np.argmax(cum >= sum_pips))
+        if cum[-1] < sum_pips:
+            k = len(cum) - 1
+        members = order[: k + 1]
+        sub = ld[np.ix_(members, members)]
+        r2 = sub * sub
+        rows.append(
+            {
+                "studyLocusId": locus,
+                "credibleSetIndex": rank + 1,
+                "credibleSetLog10BF": float(cs_lbf / np.log(10.0)),
+                "purityMeanR2": float(r2.mean()),
+                "purityMinR2": float(r2.min()),
+                "leadVariantId": str(vids[members[0]]),
+                "locus": [
+                    {
+                        "variantId": str(vids[j]),
+                        "posteriorProbability": float(pip[j]),
+                        "logBF": float(out["lbf_variable"][j, el]),
+                    }
+                    for j in members
+                ],
+            }
+        )
+    if not rows:
+        return pd.DataFrame(
+            columns=[
+                "studyLocusId",
+                "credibleSetIndex",
+                "credibleSetLog10BF",
+                "purityMeanR2",
+                "purityMinR2",
+                "leadVariantId",
+                "locus",
+            ]
+        )
+    return pd.DataFrame(rows)
+
+
 def carma_ld_kernel(
     pdf: pd.DataFrame,
     tau: float = 0.04,
@@ -275,6 +367,7 @@ def finemap_grouped(
     kernel: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
     locus_col: str = "studyLocusId",
     num_partitions: int | None = None,
+    schema: str | None = None,
 ) -> DataFrame:
     """Distributed per-locus fine-mapping via applyInPandas.
 
@@ -304,7 +397,9 @@ def finemap_grouped(
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         return chosen(pdf)
 
-    return sumstats.groupBy(locus_col).applyInPandas(run, schema=FINEMAP_RESULT_SCHEMA)
+    return sumstats.groupBy(locus_col).applyInPandas(
+        run, schema=schema or FINEMAP_RESULT_SCHEMA
+    )
 
 
 def carma_kernel(

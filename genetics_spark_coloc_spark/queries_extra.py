@@ -704,3 +704,41 @@ EXTRA_ORACLES = {
     "frame_plan": SQL_FRAME_PLAN,
     "zscore": SQL_ZSCORE,
 }
+
+
+def q_susie_credible_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SuSiE-inf → study-locus credible-set rows, one
+    applyInPandas kernel per locus (the distributed replacement for
+    the reference's driver-side susie_inf_to_studylocus loop,
+    susie_finemapper.py:188-320). Iterative + eigendecomposition —
+    rows-only check; structure and thresholds are pinned in unit
+    tests."""
+    ev = load_table(spark, sf_dir, "events")
+    ss = ev.select(
+        F.concat(F.lit("L"), (F.col("event_id") % 400).cast("string")).alias(
+            "studyLocusId"
+        ),
+        F.concat(F.lit("v"), F.col("event_id").cast("string")).alias("variantId"),
+        ((F.col("event_id") * 37) % 1000000).cast("double").alias("position"),
+        ((F.col("value") - 50.0) / 25.0).alias("beta"),
+        (0.5 + (F.col("event_id") % 10) / 10.0).alias("standardError"),
+    )
+    out = finemapping.finemap_grouped(
+        ss,
+        kernel=finemapping.susie_study_locus_kernel,
+        schema=finemapping.SUSIE_STUDY_LOCUS_SCHEMA,
+    )
+    return out.select(
+        "studyLocusId",
+        "credibleSetIndex",
+        F.round("credibleSetLog10BF", 6).alias("credibleSetLog10BF"),
+        F.round("purityMeanR2", 6).alias("purityMeanR2"),
+        F.round("purityMinR2", 6).alias("purityMinR2"),
+        "leadVariantId",
+        F.size("locus").alias("credibleSetSize"),
+    )
+
+
+EXTRA_QUERIES["susie_credible_sets"] = q_susie_credible_sets
+# susie_credible_sets: intentionally no oracle (LD-aware iterative
+# numerics); the reduced-form finemap_susie carries the exact check

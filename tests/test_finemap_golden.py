@@ -139,3 +139,45 @@ class TestCarmaGolden:
         out = carma_spike_slab(z=golden["z"], ld=golden["ld"], outlier_switch=False)
         assert out["Outliers"] == []
         assert out["PIPs"][5] > 0.0
+
+
+class TestSusieStudyLocusKernel:
+    def test_credible_set_rows_on_golden_locus(self, golden, monkeypatch):
+        """The kernel's top credible set on the golden locus is the
+        same single variant the reference extracts ([5]), with unit
+        purity and its lbf in log10. Called in-process with the golden
+        LD patched in (executor plumbing is covered by the
+        susie_credible_sets contract query)."""
+        import genetics_spark_coloc_spark.operators.finemapping as fm
+
+        p = len(golden["z"])
+        pdf = pd.DataFrame(
+            {
+                "studyLocusId": "GOLD",
+                # keep variant order == golden order (v00..v20)
+                "variantId": [f"v{i:02d}" for i in range(p)],
+                "position": np.zeros(p),
+                "beta": golden["z"],
+                "standardError": 1.0,
+            }
+        )
+        monkeypatch.setattr(fm, "_exp_decay_ld", lambda pos, scale: golden["ld"])
+        out = fm.susie_study_locus_kernel(pdf)
+        assert len(out) >= 1
+        # the reference's golden credible set [5] must appear among
+        # the extracted sets (effect ordering is by credible-set lbf,
+        # so it need not be first)
+        by_members = {
+            tuple(m["variantId"] for m in row["locus"]): row
+            for _, row in out.iterrows()
+        }
+        assert ("v05",) in by_members
+        row = by_members[("v05",)]
+        assert row["purityMinR2"] == 1.0
+        assert row["leadVariantId"] == "v05"
+        assert row["credibleSetLog10BF"] > 2
+        # indices are 1..k without gaps, lbf-descending
+        ordered = out.sort_values("credibleSetIndex")
+        assert list(ordered["credibleSetIndex"]) == list(range(1, len(out) + 1))
+        lbfs = list(ordered["credibleSetLog10BF"])
+        assert lbfs == sorted(lbfs, reverse=True)
