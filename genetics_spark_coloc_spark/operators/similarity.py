@@ -171,25 +171,56 @@ def ivf_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style approximate top-k: nearest-centroid partition of the
-    corpus (inverted lists), then exact cosine only within the query's
-    probe cluster (nprobe=1).
+    corpus (inverted lists), then exact cosine only within the
+    query's ``nprobe`` closest clusters.
 
     The scale path for ANN beyond LSH: at 100 TB the corpus is
     bucketed ONCE by centroid (a write-time partition key), and each
-    query touches a single inverted list instead of the full corpus —
+    query touches nprobe inverted lists instead of the full corpus —
     the join below is an equi-join on centroidId, so Spark co-locates
     query and list partitions with an ordinary shuffle (or none, if
-    the corpus is bucketed by centroidId at rest).
+    the corpus is bucketed by centroidId at rest). Raising nprobe
+    trades a linear increase in scanned lists for recall, exactly as
+    in FAISS-style IVF indexes.
     """
     members = assign_to_centroids(corpus, centroids, id_col, vec_col)
-    qassign = assign_to_centroids(queries, centroids, id_col, vec_col).select(
-        F.col("vid").alias("queryId"),
-        F.col("vv").alias("qv"),
-        F.col("vnorm").alias("qnorm"),
-        "centroidId",
-    )
+    if nprobe <= 1:
+        qassign = assign_to_centroids(queries, centroids, id_col, vec_col).select(
+            F.col("vid").alias("queryId"),
+            F.col("vv").alias("qv"),
+            F.col("vnorm").alias("qnorm"),
+            "centroidId",
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("queryId"),
+            F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col)).alias("qnorm"),
+        )
+        c = centroids.select(
+            F.col(id_col).alias("centroidId"),
+            F.col(vec_col).alias("cv"),
+            norm(F.col(vec_col)).alias("cnorm"),
+        )
+        wq = Window.partitionBy("queryId").orderBy(
+            F.col("centroidSim").desc(), F.col("centroidId").asc()
+        )
+        qassign = (
+            q.join(F.broadcast(c))
+            .withColumn(
+                "centroidSim",
+                F.round(
+                    dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")),
+                    6,
+                ),
+            )
+            .withColumn("probeRank", F.row_number().over(wq))
+            .filter(F.col("probeRank") <= nprobe)
+            .select("queryId", "qv", "qnorm", "centroidId")
+        )
     scored = (
         qassign.join(
             members.select(

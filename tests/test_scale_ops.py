@@ -346,3 +346,38 @@ def test_hash_split_deterministic_and_proportioned(spark):
     # determinism: same ids -> same assignment on recompute
     again = {r["id"]: r["split"] for r in out.collect()}
     assert {r["id"]: r["split"] for r in out.collect()} == again
+
+
+def test_ivf_topk_nprobe_improves_recall(spark):
+    """nprobe=2 scans two inverted lists per query: its results must
+    be a superset-or-equal quality of nprobe=1 (recall can only go
+    up), and every nprobe=1 neighbour pair stays discoverable."""
+    import math
+
+    from genetics_spark_coloc_spark.operators.similarity import ivf_topk
+
+    def vec(angle):
+        return [float(math.cos(angle)), float(math.sin(angle))]
+
+    # two centroids on the axes; a query halfway between them should
+    # find near neighbours from BOTH clusters only when nprobe=2
+    corpus = spark.createDataFrame(
+        [
+            (10, vec(0.1)), (11, vec(0.2)),      # cluster of centroid A (angle 0)
+            (20, vec(1.45)), (21, vec(1.35)),    # cluster of centroid B (angle ~pi/2)
+        ],
+        "vec_id: long, embedding: array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(99, vec(0.78))], "vec_id: long, embedding: array<float>"
+    )
+    centroids = spark.createDataFrame(
+        [(0, vec(0.0)), (1, vec(1.5708))], "vec_id: long, embedding: array<float>"
+    )
+    r1 = ivf_topk(corpus, queries, centroids, k=4, nprobe=1).collect()
+    r2 = ivf_topk(corpus, queries, centroids, k=4, nprobe=2).collect()
+    n1 = {r["neighborId"] for r in r1}
+    n2 = {r["neighborId"] for r in r2}
+    assert n1 <= n2
+    assert len(n2) == 4  # both clusters probed
+    assert len(n1) == 2  # single cluster only
