@@ -50,6 +50,10 @@ def connected_components(
             )
         )
         .distinct()
+        # every round joins against the edge table; without this the
+        # upstream pair-generation pipeline (e.g. MinHash-LSH) would
+        # re-execute once per round
+        .localCheckpoint(eager=False)
     )
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")

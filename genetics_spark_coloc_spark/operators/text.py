@@ -136,11 +136,15 @@ def ngram_repetition_ratio(text: Column, n: int = 2) -> Column:
     toks = tokens(F.lower(text))
     n_tokens = F.size(toks)
     n_grams = n_tokens - F.lit(n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_grams - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    grams = F.when(n_grams >= 1, grams).otherwise(F.array().cast("array<string>"))
+    # build n-grams by zipping shifted slices — one O(m) slice per
+    # offset instead of a per-element slice lambda (which costs an
+    # array scan per n-gram in codegen)
+    grams = F.slice(toks, 1, F.greatest(n_grams, F.lit(0)))
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(n_grams, F.lit(0)))
+        grams = F.zip_with(
+            grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
     return F.when(
         n_grams >= 1,
         1.0 - F.size(F.array_distinct(grams)) / n_grams.cast("double"),

@@ -157,14 +157,18 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from genetics_spark_coloc_spark.operators.text import ngram_repetition_ratio
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    # name the ratios in a child projection so each n-gram build runs
+    # once, not once per referencing expression
+    staged = docs.select(
         F.col("doc_id").alias("docId"),
-        F.round(ngram_repetition_ratio(F.col("text"), 2), 6).alias("dupBigramFrac"),
-        F.round(ngram_repetition_ratio(F.col("text"), 3), 6).alias("dupTrigramFrac"),
-        (
-            (ngram_repetition_ratio(F.col("text"), 2) > 0.2)
-            | (ngram_repetition_ratio(F.col("text"), 3) > 0.18)
-        ).alias("isRepetitive"),
+        ngram_repetition_ratio(F.col("text"), 2).alias("f2"),
+        ngram_repetition_ratio(F.col("text"), 3).alias("f3"),
+    )
+    return staged.select(
+        "docId",
+        F.round("f2", 6).alias("dupBigramFrac"),
+        F.round("f3", 6).alias("dupTrigramFrac"),
+        ((F.col("f2") > 0.2) | (F.col("f3") > 0.18)).alias("isRepetitive"),
     )
 
 
