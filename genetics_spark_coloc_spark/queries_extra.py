@@ -742,3 +742,34 @@ def q_susie_credible_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXTRA_QUERIES["susie_credible_sets"] = q_susie_credible_sets
 # susie_credible_sets: intentionally no oracle (LD-aware iterative
 # numerics); the reduced-form finemap_susie carries the exact check
+
+
+def q_finemap_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fine-mapping benchmark (reference
+    finemapping_simulations.py:16-267, distributed): simulate 40
+    replicate loci with 2 planted causal variants over one LD
+    structure, fine-map each with the LD-aware SuSiE-inf kernel, and
+    score accuracy/sensitivity against the truth. Seeded simulation +
+    iterative numerics — rows-only check."""
+    import numpy as np
+
+    from genetics_spark_coloc_spark.operators import finemap_sim
+
+    m = 60
+    positions = np.arange(m) * 12_000.0
+    ld = np.exp(-np.abs(positions[:, None] - positions[None, :]) / 200_000.0)
+    sim = finemap_sim.simulate_sumstats(
+        spark, ld, positions, n_loci=40, n_causal=2, he2_reggen=0.003, seed=11
+    ).localCheckpoint(eager=False)
+    cred = finemapping.finemap_grouped(
+        sim.drop("isCausal"),
+        kernel=finemapping.susie_study_locus_kernel,
+        schema=finemapping.SUSIE_STUDY_LOCUS_SCHEMA,
+    )
+    truth = sim.select("studyLocusId", "variantId", "isCausal")
+    return finemap_sim.score_credible_sets(cred, truth, n_causal=2)
+
+
+EXTRA_QUERIES["finemap_simulation"] = q_finemap_simulation
+# finemap_simulation: intentionally no oracle (seeded simulation +
+# iterative numerics)
