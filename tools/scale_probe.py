@@ -1,0 +1,134 @@
+"""Scale probe: run core operators on synthetic data 100× the sf0.1
+testdata to confirm plans stay data-bound (no driver loops, no
+quadratic blowups) before the real cluster scale-up.
+
+Generates rows with spark.range (never touches /root/testdata), so
+row counts are limited only by local compute. Prints one JSON line
+per probe: {probe, rows, sec, rows_per_sec}.
+
+Usage: python tools/scale_probe.py [rows_millions]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from genetics_spark_coloc_spark.session import get_session
+
+
+def probe(name: str, rows: int, fn) -> None:
+    start = time.perf_counter()
+    fn().write.format("noop").mode("overwrite").save()
+    sec = round(time.perf_counter() - start, 2)
+    print(
+        json.dumps(
+            {
+                "probe": name,
+                "rows": rows,
+                "sec": sec,
+                "rows_per_sec": int(rows / sec) if sec else None,
+            }
+        ),
+        flush=True,
+    )
+
+
+def main() -> None:
+    mrows = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
+    n = int(mrows * 1_000_000)
+    spark = get_session(
+        app_name="scale_probe",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def events():
+        # ~100k users, poisson-ish inter-event gaps, one hot user with
+        # ~1% of all rows to exercise the skew path
+        return spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.when(F.col("id") % 100 == 0, F.lit(42))
+            .otherwise(F.pmod(F.hash("id"), F.lit(100_000)))
+            .cast("long")
+            .alias("user_id"),
+            (F.col("id") * 7 % 864_000).cast("double").alias("epoch_s"),
+            (F.pmod(F.hash("id", "id"), F.lit(1000)) / 10.0).alias("value"),
+            F.when(F.col("id") % 3 == 0, F.lit("view"))
+            .otherwise(F.lit("click"))
+            .alias("event_type"),
+        )
+
+    from genetics_spark_coloc_spark.operators.asof import asof_join
+    from genetics_spark_coloc_spark.operators.clumping import window_based_clumping
+    from genetics_spark_coloc_spark.operators.dedup import exact_dedup
+    from genetics_spark_coloc_spark.operators.sessions import sessionize
+
+    probe("sessionize_10x_skewed", n, lambda: sessionize(events(), ts_col="epoch_s"))
+
+    def asof():
+        base = events()
+        views = base.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("userId"),
+            F.col("epoch_s").alias("epochS"),
+            F.col("event_id").alias("viewEventId"),
+        )
+        clicks = base.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("userId"),
+            F.col("epoch_s").alias("epochS"),
+            F.col("event_id").alias("clickEventId"),
+            F.col("value").alias("clickValue"),
+        )
+        return asof_join(
+            views, clicks, on=["userId"], ts_col="epochS",
+            payload_cols=["clickEventId", "clickValue"],
+            tiebreak_col="clickEventId",
+        )
+
+    probe("asof_join", n, asof)
+
+    def sumstats():
+        return spark.range(n).select(
+            F.concat(F.lit("S"), (F.col("id") % 50).cast("string")).alias("studyId"),
+            (1 + F.col("id") % 22).cast("string").alias("chromosome"),
+            (F.pmod(F.hash("id"), F.lit(50_000_000)) + 1).cast("int").alias("position"),
+            F.concat(F.lit("v"), F.col("id").cast("string")).alias("variantId"),
+            (1.0 + F.pmod(F.hash("id", "id"), F.lit(90)) / 10.0)
+            .cast("float")
+            .alias("pValueMantissa"),
+            (-(F.pmod(F.hash("id", "id", "id"), F.lit(20))) - 1)
+            .cast("int")
+            .alias("pValueExponent"),
+        )
+
+    probe(
+        "window_clumping",
+        n,
+        lambda: window_based_clumping(sumstats(), distance=500_000),
+    )
+
+    def docs():
+        return spark.range(n // 10).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("document body "),
+                (F.col("id") % (n // 40)).cast("string"),
+                F.lit(" common tail of text"),
+            ).alias("text"),
+        )
+
+    probe("exact_dedup", n // 10, lambda: exact_dedup(docs(), "text", "doc_id"))
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
