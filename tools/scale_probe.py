@@ -132,3 +132,84 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def extra_probes() -> None:
+    """Similarity/dedup probes: minhash-LSH pairs over synthetic docs,
+    banded hyperplane LSH + IVF assignment over synthetic embeddings.
+    Run via: python -c "import tools.scale_probe as sp; sp.extra_probes()"
+    """
+    spark = get_session(
+        app_name="scale_probe_sim",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.operators.dedup import minhash_dedup_pairs
+    from genetics_spark_coloc_spark.operators.similarity import (
+        assign_to_centroids,
+        lsh_cosine_candidates_banded,
+    )
+
+    n_docs = 500_000
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        # md5 FIRST: a long shared prefix would funnel every doc's
+        # min-hash onto the same boilerplate shingle and collapse all
+        # docs into one quadratic LSH bucket
+        F.concat(
+            F.md5(F.col("id").cast("string")),
+            F.lit(" document body "),
+            (F.col("id") % (n_docs // 5)).cast("string"),
+            F.lit(" "),
+            F.md5((F.col("id") * 31).cast("string")),
+        ).alias("text"),
+    )
+    probe(
+        "minhash_lsh_pairs_500k_docs",
+        n_docs,
+        lambda: minhash_dedup_pairs(docs, "text", "doc_id", num_perm=8, band_size=2),
+    )
+
+    n_vec, dim = 200_000, 64
+    emb = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (F.pmod(F.hash(F.col("id"), F.lit(d)), F.lit(2000)) / 1000.0 - 1.0)
+                .cast("float")
+                for d in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    # uniform random vectors are the LSH worst case: with only
+    # 2^8 hashes per band every bucket holds ~n/256 noise rows and
+    # the pair join degenerates toward all-pairs. The documented
+    # scaling response is raising planes_per_band; probe both.
+    probe(
+        "banded_lsh_200k_vecs_8planes_noise_worstcase",
+        n_vec,
+        lambda: lsh_cosine_candidates_banded(emb, num_bands=4, planes_per_band=8),
+    )
+    probe(
+        "banded_lsh_200k_vecs_16planes",
+        n_vec,
+        lambda: lsh_cosine_candidates_banded(emb, num_bands=4, planes_per_band=16),
+    )
+    centroids = spark.range(256).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (F.pmod(F.hash(F.col("id"), F.lit(d + 7)), F.lit(2000)) / 1000.0 - 1.0)
+                .cast("float")
+                for d in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    probe(
+        "ivf_assign_200k_vecs_256_centroids",
+        n_vec,
+        lambda: assign_to_centroids(emb, centroids),
+    )
+    spark.stop()
