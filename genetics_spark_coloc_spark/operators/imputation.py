@@ -91,28 +91,77 @@ def flag_ld_outliers(
     )
 
 
+def raiss_model(
+    z_known,
+    ld_known,
+    ld_unknown_known,
+    lamb: float = 0.01,
+    rtol: float = 0.01,
+) -> dict:
+    """The published RAISS imputation model, per locus (reference:
+    method/sumstat_imputation.py:14-171; Julienne et al. 2019 RAISS).
+
+    - Σ_T gets 1+λ on its diagonal and is pseudo-inverted with an
+      eigenvalue cutoff of ``rtol``·σ_max (numerical robustness over
+      exactness, as published);
+    - mu = Σ_iT Σ_T⁻¹ z_T, then normalized by √R2 where
+      R2 = (1+λ) − var_bounded;
+    - var = (1+λ) − quadform, bounded into [0, 1] before normalizing;
+    - imputation_r2 = 1 − var (unbounded), the QC filter statistic.
+
+    Returns {"mu", "var", "imputation_r2", "ld_score"} numpy arrays.
+    """
+    import numpy as np
+
+    sig_t = np.array(ld_known, dtype=float, copy=True)
+    np.fill_diagonal(sig_t, 1.0 + lamb)
+    # np.linalg.pinv's rcond is relative to the largest singular
+    # value — the same cutoff semantics as the reference's
+    # scipy pinv(rtol=..., atol=0)
+    sig_t_inv = np.linalg.pinv(sig_t, rcond=rtol)
+    sig_it = np.atleast_2d(np.asarray(ld_unknown_known, dtype=float))
+    z_t = np.asarray(z_known, dtype=float)
+
+    mu = sig_it @ (sig_t_inv @ z_t)
+    var = (1.0 + lamb) - np.einsum("ij,jk,ik->i", sig_it, sig_t_inv, sig_it)
+    ld_score = (sig_it**2).sum(axis=1)
+
+    var_bounded = var.copy()
+    var_bounded[var_bounded < 0] = 0.0
+    var_bounded[var_bounded > 0.99999 + lamb] = 1.0
+    r2_norm = (1.0 + lamb) - var_bounded
+    mu = mu / np.sqrt(r2_norm)
+    return {
+        "mu": mu,
+        "var": var,
+        "imputation_r2": 1.0 - var,
+        "ld_score": ld_score,
+    }
+
+
 def raiss_impute_grouped(
     observed: DataFrame,
     pairwise_ld: DataFrame,
-    ridge_lambda: float = 0.1,
+    ridge_lambda: float = 0.01,
+    rtol: float = 0.01,
     locus_col: str = "studyLocusId",
 ) -> DataFrame:
     """EXACT RAISS imputation, distributed per locus via cogrouped
-    applyInPandas (reference: method/sumstat_imputation.py:15-172 —
-    there a per-locus numpy loop on the driver; here Spark cogroups
-    the observed z-vector with the locus LD slice and ships both to
-    an executor-side kernel).
+    applyInPandas: the published :func:`raiss_model` (golden-value
+    validated against the reference's 21-variant fixture) runs once
+    per locus on an executor, instead of the reference's per-locus
+    numpy loop on the driver (method/sumstat_imputation.py:15-172).
 
-    ẑ_U = Σ_UO (Σ_OO + λI)⁻¹ z_O
-    info_u = diag(Σ_UO (Σ_OO + λI)⁻¹ Σ_OU), clipped to [0, 1]
+    Output per target variant: ``zImputed`` = R2-normalized mu,
+    ``imputationInfo`` = imputation R² (1 − var), ``nObserved``.
 
     observed: (locus_col, variantId, z)
     pairwise_ld: (locus_col, variantIdI, variantIdJ, r) — I is a
     target or observed variant, J observed; O–O rows define Σ_OO
-    (missing pairs default to 0 off-diagonal, 1 diagonal).
+    (missing pairs default to 0 off-diagonal, 1+λ diagonal).
 
     The cogroup shuffles each locus ONCE per side; loci are
-    independent so 1000 executors fine-map 1000 loci concurrently —
+    independent so 1000 executors impute 1000 loci concurrently —
     the scalable replacement for the reference's manifest scatter.
     """
     import numpy as np
@@ -165,24 +214,20 @@ def raiss_impute_grouped(
                     "nObserved": pd.Series(dtype="int32"),
                 }
             )
-        np.fill_diagonal(sigma_oo, 1.0)
-        reg = sigma_oo + ridge_lambda * np.eye(n)
-        inv_z = np.linalg.solve(reg, z_o)
         t_ids = sorted(targets)
         sigma_uo = np.zeros((len(t_ids), n))
         for ti, t in enumerate(t_ids):
             for j, r in targets[t].items():
                 sigma_uo[ti, o_index[j]] = r
-        z_u = sigma_uo @ inv_z
-        info = np.clip(
-            np.einsum("ij,ij->i", sigma_uo @ np.linalg.inv(reg), sigma_uo), 0.0, 1.0
+        model = raiss_model(
+            z_o, sigma_oo, sigma_uo, lamb=ridge_lambda, rtol=rtol
         )
         return pd.DataFrame(
             {
                 locus_col: locus,
                 "variantId": t_ids,
-                "zImputed": z_u,
-                "imputationInfo": info,
+                "zImputed": model["mu"],
+                "imputationInfo": model["imputation_r2"],
                 "nObserved": np.int32(n),
             }
         )

