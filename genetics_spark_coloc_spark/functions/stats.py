@@ -45,3 +45,41 @@ def normal_sf(x: Column, mu: Column, sigma: Column) -> Column:
 def chi2_sf_1df(x: Column) -> Column:
     """Upper-tail of chi-square with 1 dof: erfc(sqrt(x/2))."""
     return erfc_approx(F.sqrt(x / 2.0))
+
+
+# Chebyshev-fit erfc (the classic Hastings/Press et al. rational
+# approximation): FRACTIONAL error < 1.2e-7 everywhere, so it stays
+# accurate deep into the tail where the A&S absolute-error bound is
+# useless (erfc(7) ~ 4e-23).
+_NR_C = (
+    -1.26551223,
+    1.00002368,
+    0.37409196,
+    0.09678418,
+    -0.18628806,
+    0.27886807,
+    -1.13520398,
+    1.48851587,
+    -0.82215223,
+    0.17087277,
+)
+
+
+def erfc_tail(x: Column) -> Column:
+    """erfc with bounded RELATIVE error (~1.2e-7), valid in the far
+    tail; use for -log10(p)-style derivations."""
+    ax = F.abs(x)
+    t = 1.0 / (1.0 + 0.5 * ax)
+    poly = F.lit(float(_NR_C[9]))
+    for c in reversed(_NR_C[1:9]):
+        poly = poly * t + F.lit(float(c))
+    poly = poly * t + F.lit(float(_NR_C[0]))
+    ans = t * F.exp(-ax * ax + poly)
+    return F.when(x >= 0, ans).otherwise(2.0 - ans)
+
+
+def neg_log10_chi2_sf_1df(z2: Column) -> Column:
+    """-log10 of the chi²(1df) upper tail, tail-accurate
+    (reference _calculate_logpval, sumstat_quality_controls.py:53-66,
+    which calls scipy in a row UDF)."""
+    return -F.log10(erfc_tail(F.sqrt(z2 / 2.0)))

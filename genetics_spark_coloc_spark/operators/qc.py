@@ -52,3 +52,56 @@ def pz_regression(sumstats: DataFrame) -> DataFrame:
         "pzCorr",
         "nVariants",
     )
+
+
+def sumstat_qc_metrics(
+    sumstats: DataFrame, pval_threshold: float = 5e-8
+) -> DataFrame:
+    """The reference's composed per-study QC panel
+    (method/sumstat_quality_controls.py get_quality_control_metrics):
+    one row per study with
+
+    - ``n_variants`` / ``n_variants_sig`` (count below threshold on
+      log10-decomposed p-values),
+    - ``gc_lambda`` = median(Z²)/χ²₁⁻¹(0.5),
+    - ``mean_beta``,
+    - ``mean_diff_pz`` / ``se_diff_pz``: mean and sd of
+      −log10(p_reported) − (−log10(χ²-tail(Z²))) over Z² ≤ 100 —
+      the reference computes the tail in a scipy row UDF
+      (:53-66); here it is the tail-accurate closed-form erfc, so
+      the whole panel is three shuffle-free partial aggregations on
+      one key.
+    """
+    import math
+
+    from genetics_spark_coloc_spark.functions.stats import neg_log10_chi2_sf_1df
+
+    chi2_median_1df = 0.45493642311957174  # χ²₁ quantile at 0.5
+    z2 = (F.col("beta") / F.col("standardError")) ** 2
+    base = sumstats.withColumn("_z2", z2)
+    counts = base.groupBy("studyId").agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.sum(
+            (
+                F.log10(F.col("pValueMantissa")) + F.col("pValueExponent")
+                <= math.log10(pval_threshold)
+            ).cast("int")
+        ).alias("n_variants_sig"),
+        (F.percentile_approx("_z2", 0.5) / F.lit(chi2_median_1df)).alias("gc_lambda"),
+        F.mean("beta").alias("mean_beta"),
+    )
+    pz = (
+        base.filter(F.col("_z2") <= 100)
+        .withColumn(
+            "_diff",
+            -F.log10("pValueMantissa")
+            - F.col("pValueExponent")
+            - neg_log10_chi2_sf_1df(F.col("_z2")),
+        )
+        .groupBy("studyId")
+        .agg(
+            F.mean("_diff").alias("mean_diff_pz"),
+            F.stddev("_diff").alias("se_diff_pz"),
+        )
+    )
+    return counts.join(pz, on="studyId", how="left")

@@ -219,3 +219,26 @@ class TestFinemapSimulation:
             spark, ld, positions, n_loci=10, n_causal=2, he2_reggen=0.005, seed=3
         ).orderBy("studyLocusId", "variantId").collect()
         assert [r["beta"] for r in a] == [r["beta"] for r in b]
+
+
+class TestSumstatQcGolden:
+    def test_qc_metrics_on_reference_sample(self, spark):
+        """The composed QC panel reproduces the reference's golden
+        values on its own 1669-row sumstats sample (reference
+        tests/gentropy/method/test_qc_of_sumstats.py:16-28)."""
+        sample = f"{os.path.dirname(DATA)}/data_samples/sumstats_sample"
+        if not os.path.isdir(sample):
+            pytest.skip("reference sumstats sample not mounted")
+        from genetics_spark_coloc_spark.operators.filters import sanity_filter
+        from genetics_spark_coloc_spark.operators.qc import sumstat_qc_metrics
+
+        gwas = sanity_filter(spark.read.parquet(sample))
+        qc = sumstat_qc_metrics(gwas, pval_threshold=5e-8).collect()
+        assert len(qc) == 1
+        row = qc[0]
+        assert row["n_variants"] == 1663
+        assert row["n_variants_sig"] == 29
+        assert round(row["gc_lambda"], 4) == 1.916
+        assert round(row["mean_beta"], 4) == 0.0013
+        assert round(row["mean_diff_pz"], 6) == 0
+        assert round(row["se_diff_pz"], 6) == 0
