@@ -105,3 +105,52 @@ def sumstat_qc_metrics(
         )
     )
     return counts.join(pz, on="studyId", how="left")
+
+
+def sumstat_n_eff_check(
+    sumstats: DataFrame,
+    n_total: int = 100_000,
+    limit: int = 10_000_000,
+    min_count: int = 100,
+) -> DataFrame:
+    """Effective-sample-size consistency check (reference
+    sumstat_quality_controls.py:107-184): per variant,
+    N̂/N = (median(phenoVar) − β²·varAF) / (SE²·varAF·N) with
+    varAF = 2·EAF·(1−EAF) and phenoVar = SE²·N·varAF + β²·varAF;
+    the per-study sd of that ratio (``se_N``) flags studies whose
+    reported N is inconsistent with their SE/EAF. Needs
+    ``effectAlleleFrequencyFromSource``; studies with fewer than
+    ``min_count`` such variants are dropped, and at most ``limit``
+    variants per study are used.
+    """
+    from pyspark.sql.window import Window
+
+    df = sumstats.dropna(subset=["effectAlleleFrequencyFromSource"])
+    counts = df.groupBy("studyId").agg(F.count(F.lit(1)).alias("_n"))
+    df = df.join(counts, on="studyId").filter(F.col("_n") >= min_count).drop("_n")
+    w = Window.partitionBy("studyId").orderBy("studyId")
+    df = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= limit)
+        .drop("_rn")
+    )
+    var_af = 2 * (
+        F.col("effectAlleleFrequencyFromSource")
+        * (1 - F.col("effectAlleleFrequencyFromSource"))
+    )
+    df = df.withColumn("_varAf", var_af).withColumn(
+        "_phenoVar",
+        (F.col("standardError") ** 2) * n_total * F.col("_varAf")
+        + (F.col("beta") ** 2) * F.col("_varAf"),
+    )
+    df = df.withColumn(
+        "_phenoMedian",
+        F.expr("percentile_approx(_phenoVar, 0.5)").over(
+            Window.partitionBy("studyId")
+        ),
+    ).withColumn(
+        "_nHatRatio",
+        (F.col("_phenoMedian") - (F.col("beta") ** 2) * F.col("_varAf"))
+        / ((F.col("standardError") ** 2) * F.col("_varAf") * n_total),
+    )
+    return df.groupBy("studyId").agg(F.stddev("_nHatRatio").alias("se_N"))

@@ -242,3 +242,24 @@ class TestSumstatQcGolden:
         assert round(row["mean_beta"], 4) == 0.0013
         assert round(row["mean_diff_pz"], 6) == 0
         assert round(row["se_diff_pz"], 6) == 0
+
+
+class TestNEffGolden:
+    def test_n_eff_check_on_reference_sample(self, spark):
+        """se_N golden value with mocked EAF=0.5 (reference
+        test_qc_of_sumstats.py:31-44)."""
+        import pyspark.sql.functions as F
+
+        sample = f"{os.path.dirname(DATA)}/data_samples/sumstats_sample"
+        if not os.path.isdir(sample):
+            pytest.skip("reference sumstats sample not mounted")
+        from genetics_spark_coloc_spark.operators.filters import sanity_filter
+        from genetics_spark_coloc_spark.operators.qc import sumstat_n_eff_check
+
+        gwas = sanity_filter(spark.read.parquet(sample)).withColumn(
+            "effectAlleleFrequencyFromSource", F.lit(0.5)
+        )
+        row = sumstat_n_eff_check(
+            gwas, n_total=100_000, limit=100_000, min_count=100
+        ).collect()[0]
+        assert round(row["se_N"], 4) == 0.5586
