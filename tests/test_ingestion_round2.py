@@ -731,3 +731,56 @@ def test_credible_set_qc_filters_and_dedupes(spark):
     rows = {r["studyLocusId"]: r for r in credible_set_qc(cred, 1e-5, 0.01).collect()}
     assert set(rows) == {"CS1", "CS4"}
     assert rows["CS1"]["variantId"] == "1_200_A_G"
+
+
+def test_eqtl_susie_parsing_on_reference_sample(spark):
+    """Realism check: parse the reference's actual QTD000584 SuSiE
+    sample files (credible sets TSV + wide LBF TSV + study metadata)
+    through the ingestion pipeline and assert the reference's own
+    structural invariants (datasource/eqtl_catalogue tests: credset
+    rows parse, loci are unique, identifiers are sanitised)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    d = "/root/reference/tests/gentropy/data_samples"
+    if not os.path.isdir(d):
+        pytest.skip("reference samples not mounted")
+    from genetics_spark_coloc_spark.sources.eqtl_finemapping import (
+        eqtl_susie_to_study_locus,
+        extract_credible_set_index,
+        parse_eqtl_susie_results,
+    )
+
+    cs = (
+        spark.read.option("delimiter", "\t")
+        .csv(f"{d}/QTD000584.credible_sets.tsv", header=True, inferSchema=True)
+        .withColumn("credibleSetIndex", extract_credible_set_index(F.col("cs_id")))
+        .withColumn("dataset_id", F.lit("QTD000584"))
+    )
+    lbf = (
+        spark.read.option("delimiter", "\t")
+        .csv(f"{d}/QTD000584.lbf_variable.txt", header=True, inferSchema=True)
+        .withColumn("dataset_id", F.lit("QTD000584"))
+    )
+    meta = (
+        spark.read.option("delimiter", "\t")
+        .csv(f"{d}/sample_eqtl_catalogue_studies.tsv", header=True)
+        .withColumn("study_type", F.lit(None).cast("string"))
+    )
+    processed = parse_eqtl_susie_results(cs, lbf, meta)
+    rows = processed.collect()
+    assert len(rows) > 0
+    # variant ids are chr-stripped; credible-set indexes in 1..10
+    assert all(not r["variantId"].startswith("chr") for r in rows)
+    assert all(1 <= r["credibleSetIndex"] <= 10 for r in rows)
+    # studyId is sanitised (no characters outside [A-Za-z0-9_])
+    import re
+
+    assert all(re.fullmatch(r"[A-Za-z0-9_]+", r["studyId"]) for r in rows)
+    # study locus conversion: one row per locus, unique ids
+    sl = eqtl_susie_to_study_locus(processed)
+    n = sl.count()
+    assert n > 0
+    assert sl.select("studyLocusId").distinct().count() == n
