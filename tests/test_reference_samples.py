@@ -183,3 +183,67 @@ class TestIntervalSamples:
         out = parse_javierre(raw, genes)
         assert out.count() > 0
         assert out.filter(F.col("geneId").isNotNull()).count() > 0
+
+
+class TestFinngenMetaSamples:
+    def test_finngen_studies_manifest(self, spark):
+        """Real pheweb phenotype manifest → study index rows
+        (reference finngen/study_index.py)."""
+        import json
+
+        from genetics_spark_coloc_spark.sources.study_indexes import (
+            finngen_study_index,
+        )
+
+        with open(f"{DATA}/finngen_studies_sample.json") as fh:
+            rdd = spark.sparkContext.parallelize([fh.read()])
+        phenotypes = spark.read.json(rdd)
+        rows = finngen_study_index(phenotypes, release_prefix="FINNGEN_R9").collect()
+        assert len(rows) == 10
+        assert all(r["studyId"].startswith("FINNGEN_R9_") for r in rows)
+        assert all(r["nSamples"] == r["nCases"] + r["nControls"] for r in rows)
+        assert all(r["discoverySamples"][0]["ancestry"] == "Finnish" for r in rows)
+
+    def test_finngen_credset_summaries(self, spark):
+        """Real credible-set summary TSV → LBF-filtered CS rows."""
+        from genetics_spark_coloc_spark.sources.finngen_finemapping import (
+            process_finngen_cs_summaries,
+        )
+
+        raw = spark.read.option("delimiter", "\t").csv(
+            f"{DATA}/finngen_credset_summary_sample.tsv", header=True
+        )
+        out = process_finngen_cs_summaries(raw, release_prefix="FINNGEN_R9")
+        rows = out.collect()
+        assert len(rows) > 0
+        # the publication's filter: every surviving set clears the LBF
+        # threshold or is the first of its region
+        assert all(
+            r["credibleSetlog10BF"] > 0.8685889638065035 or r["credibleSetIndex"] == 1
+            for r in rows
+        )
+        assert all(0 <= r["purityMinR2"] <= 1 for r in rows)
+
+
+class TestColocSample:
+    def test_coloc_on_reference_credible_sets(self, spark):
+        """End-to-end overlap → COLOC on the reference's own
+        coloc_test.parquet credible sets: posteriors are proper
+        probabilities summing to 1."""
+        from genetics_spark_coloc_spark.operators.coloc import coloc
+        from genetics_spark_coloc_spark.operators.overlaps import find_overlaps
+
+        # the sample ships two complete credible sets with real locus
+        # arrays (logBF, PIP, beta per tag) — the reference's own
+        # coloc input
+        sl = spark.read.parquet(f"{DATA}/coloc_test.parquet").select(
+            "studyLocusId", "studyId", "studyType", "chromosome", "region", "locus"
+        ).filter(F.col("locus").isNotNull())
+        overlaps = find_overlaps(sl)
+        n_overlaps = overlaps.count()
+        assert n_overlaps > 0
+        out = coloc(overlaps).collect()
+        assert len(out) > 0
+        for r in out:
+            total = r["h0"] + r["h1"] + r["h2"] + r["h3"] + r["h4"]
+            assert abs(total - 1.0) < 1e-6
