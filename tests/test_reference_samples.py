@@ -247,3 +247,72 @@ class TestColocSample:
         for r in out:
             total = r["h0"] + r["h1"] + r["h2"] + r["h3"] + r["h4"]
             assert abs(total - 1.0) < 1e-6
+
+
+class TestOntologySamples:
+    @pytest.mark.parametrize(
+        "fname", ["cell_ontology_sample.json", "uberon_sample.json"]
+    )
+    def test_obographs_to_biosample_index(self, spark, fname):
+        """Real obographs ontology samples → nodes/edges → path-
+        doubling closure (the scalable replacement for the
+        reference's driver-side graph walk)."""
+        from genetics_spark_coloc_spark.operators.ontology import (
+            build_biosample_index,
+        )
+        from genetics_spark_coloc_spark.sources.obographs import read_obographs
+
+        nodes, edges = read_obographs(spark, f"{DATA}/{fname}")
+        n_nodes = nodes.count()
+        assert n_nodes > 0
+        assert nodes.filter(F.col("biosampleId").contains("http")).count() == 0
+        idx = build_biosample_index(nodes, edges)
+        rows = idx.collect()
+        assert len(rows) == n_nodes
+        # ancestors never include IRIs and are consistent with edges
+        if edges.count() > 0:
+            with_anc = [r for r in rows if r["ancestors"]]
+            assert with_anc, "expected some node to have ancestors"
+
+
+class TestGwasCatalogStudySamples:
+    def test_sample_size_extraction_from_real_studies(self, spark):
+        """Free-text initial-sample-size parsing on the real
+        GWAS-Catalog studies TSV (reference study_index.py:589-632)."""
+        from genetics_spark_coloc_spark.sources.gwas_catalog_study_index import (
+            annotate_discovery_sample_sizes,
+        )
+
+        raw = spark.read.option("delimiter", "\t").csv(
+            f"{DATA}/gwas_catalog_studies.tsv", header=True
+        )
+        studies = raw.select(
+            F.col("STUDY ACCESSION").alias("studyId"),
+            F.col("INITIAL SAMPLE SIZE").alias("initialSampleSize"),
+        )
+        out = annotate_discovery_sample_sizes(studies)
+        rows = out.collect()
+        assert len(rows) > 0
+        parsed = {r["studyId"]: r for r in rows if r["nSamples"]}
+        assert parsed
+        # hand-checked rows from the sample:
+        # "32,384 European ancestry cases,  27,128 European ancestry controls"
+        r = parsed["GCST004702"]
+        assert (r["nCases"], r["nControls"], r["nSamples"]) == (32384, 27128, 59512)
+        # "112,411 European ancestry male individuals" — no case/control split
+        r2 = parsed["GCST004694"]
+        assert (r2["nCases"], r2["nControls"], r2["nSamples"]) == (0, 0, 112411)
+
+
+class TestUkbManifestSample:
+    def test_neale_saige_manifest(self, spark):
+        from genetics_spark_coloc_spark.sources.study_indexes import (
+            ukbiobank_study_index,
+        )
+
+        raw = spark.read.option("delimiter", "\t").csv(
+            f"{DATA}/neale2_saige_study_manifest.samples.tsv", header=True
+        )
+        rows = ukbiobank_study_index(raw).collect()
+        assert len(rows) > 0
+        assert all(r["studyId"] for r in rows)
