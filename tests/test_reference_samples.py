@@ -316,3 +316,52 @@ class TestUkbManifestSample:
         rows = ukbiobank_study_index(raw).collect()
         assert len(rows) > 0
         assert all(r["studyId"] for r in rows)
+
+
+class TestGoldStandardSamples:
+    def test_positive_curation_and_interactions(self, spark):
+        """Real L2G gold-standard curation JSON + real OTP interaction
+        rows through the gold-standard pipeline (reference
+        open_targets/l2g_gold_standard.py)."""
+        from genetics_spark_coloc_spark.operators.gold_standard import (
+            parse_positive_curation,
+            process_gene_interactions,
+        )
+
+        curation = spark.read.json(f"{DATA}/l2g_gold_standard_curation_sample.json.gz")
+        pos = parse_positive_curation(curation).collect()
+        assert len(pos) > 0
+        # variant ids assembled as chrom_pos_ref_alt; sources non-empty
+        assert all(len(r["variantId"].split("_")) == 4 for r in pos)
+        assert all(r["sources"] for r in pos)
+        assert all(r["geneId"].startswith("ENSG") for r in pos)
+
+        interactions = spark.read.parquet(f"{DATA}/otp_interactions_sample.parquet")
+        pairs = process_gene_interactions(interactions).collect()
+        assert len(pairs) > 0
+
+
+class TestGwasCatalogAssociationSample:
+    def test_risk_allele_and_pvalue_parsing(self, spark):
+        """Risk-allele extraction + p-value string parsing on the real
+        curated-association TSV (reference associations.py)."""
+        from genetics_spark_coloc_spark.sources.gwas_catalog_assoc import (
+            extract_risk_allele,
+            parse_gwas_pvalue,
+        )
+
+        raw = spark.read.option("delimiter", "\t").csv(
+            f"{DATA}/gwas_catalog_associations.tsv", header=True
+        )
+        parsed = raw.select(
+            extract_risk_allele(F.col("STRONGEST SNP-RISK ALLELE")).alias("risk"),
+            *parse_gwas_pvalue(F.col("P-VALUE")),
+        ).collect()
+        assert len(parsed) > 0
+        alleles = {r["risk"] for r in parsed if r["risk"] is not None}
+        # real catalog risk alleles are bases or '?' placeholders
+        assert alleles <= set("ACGT?") | {a for a in alleles if len(a) > 1}
+        ok = [r for r in parsed if r["pValueMantissa"] is not None]
+        assert ok
+        assert all(1.0 <= r["pValueMantissa"] < 10 for r in ok)
+        assert all(r["pValueExponent"] <= 0 for r in ok)
