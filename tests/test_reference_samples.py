@@ -365,3 +365,30 @@ class TestGwasCatalogAssociationSample:
         assert ok
         assert all(1.0 <= r["pValueMantissa"] < 10 for r in ok)
         assert all(r["pValueExponent"] <= 0 for r in ok)
+
+
+class TestVariantSources:
+    @pytest.mark.parametrize(
+        "fname", ["eva-test.jsonl", "pharmacogenomics-test.jsonl", "uniprot-test.jsonl"]
+    )
+    def test_variant_source_to_vcf(self, spark, fname):
+        """Real Open-Targets variant-source JSONL (EVA / PGx / UniProt)
+        through the VCF export (reference open_targets/variants.py
+        as_vcf_df): well-formed VCF columns, valid alleles, sorted."""
+        from genetics_spark_coloc_spark.sources.open_targets import variants_to_vcf
+
+        raw = spark.read.json(f"{DATA}/variant_sources/{fname}")
+        out = variants_to_vcf(raw)
+        rows = out.collect()
+        assert len(rows) > 0
+        assert out.columns[:5] == ["#CHROM", "POS", "ID", "REF", "ALT"]
+        import re
+
+        assert all(re.fullmatch(r"[GCTA.]*", r["REF"]) for r in rows)
+        assert all(re.fullmatch(r"[GCTA.]*", r["ALT"]) for r in rows)
+        # sorted by chromosome then position
+        by_chrom: dict = {}
+        for r in rows:
+            by_chrom.setdefault(r["#CHROM"], []).append(r["POS"])
+        for poss in by_chrom.values():
+            assert poss == sorted(poss)
