@@ -36,7 +36,6 @@ from math import lgamma
 
 import numpy as np
 
-from genetics_spark_coloc_spark.operators.susie import _minimize_bounded
 
 
 def _model_score(
@@ -95,30 +94,10 @@ def _outlier_loglik(
     return 0.5 * (np.log(det_raw) + np.log(det_reg)) - 0.5 * (quad_raw - quad_reg)
 
 
-def _is_ld_outlier_model(
-    z: np.ndarray,
-    ld: np.ndarray,
-    rows: np.ndarray,
-    tau: float,
-    bf_index: float,
-) -> bool:
-    """Ridge-shrinkage LD-mismatch test (reference carma.py:459-504 +
-    the in-search test at :795-846): shrink the model's LD block
-    toward identity with the weight that maximises the outlier
-    likelihood; a large BF between raw and shrunk LD means the
-    observed z are inconsistent with the LD block."""
-    sub = ld[np.ix_(rows, rows)]
-
-    def neg_lik(x: float) -> float:
-        shrunk = ld.copy()
-        shrunk[np.ix_(rows, rows)] = x * sub + (1.0 - x) * np.eye(len(rows))
-        return -_outlier_loglik(z, shrunk, rows, tau)
-
-    best_x = _minimize_bounded(neg_lik, 0.0, 1.0)
-    shrunk = ld.copy()
-    shrunk[np.ix_(rows, rows)] = best_x * sub + (1.0 - best_x) * np.eye(len(rows))
-    log_bf = _outlier_loglik(z, ld, rows, tau) - _outlier_loglik(z, shrunk, rows, tau)
-    return bool(np.exp(-abs(log_bf)) < bf_index)
+# NOTE: the production outlier screen is the vectorised closed-form
+# pair test below (_pair_outlier_loglik_vec + detect_outliers);
+# _outlier_loglik is the published general-k formula it specialises,
+# kept public for k>2 use and pinned to the pair form by a unit test.
 
 
 def _pair_outlier_loglik_vec(

@@ -141,16 +141,31 @@ def score_credible_sets(
     per_cs = per_cs.join(
         lead_causal, on=["studyLocusId", "leadVariantId"], how="left"
     ).withColumn("isInLead", F.coalesce("leadIsCausal", F.lit(False)))
-    return per_cs.agg(
-        F.countDistinct("studyLocusId").alias("successfulRuns"),
-        F.count(F.lit(1)).alias("numberOfCs"),
-        (F.countDistinct("studyLocusId") * n_causal).alias("expectedResults"),
-        F.round(F.avg((~F.col("isInX")).cast("double")), 6).alias("falsePositives"),
-        F.round(F.avg(F.col("isInX").cast("double")), 6).alias("accuracy"),
-        F.round(F.avg(F.col("isInLead").cast("double")), 6).alias("accuracyLead"),
-        F.round(
-            F.sum(F.col("isInX").cast("double"))
-            / (F.countDistinct("studyLocusId") * n_causal),
-            6,
-        ).alias("sensitivity"),
+    # sensitivity counts DISTINCT recovered causal variants — a set
+    # containing both planted causals recovers 2, and three sets all
+    # holding the same causal recover 1 (a set-level count would both
+    # double- and under-count)
+    recovered = (
+        members.join(causal, on=["studyLocusId", "variantId"], how="inner")
+        .select("studyLocusId", "variantId")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("_recovered"))
+    )
+    return (
+        per_cs.agg(
+            F.countDistinct("studyLocusId").alias("successfulRuns"),
+            F.count(F.lit(1)).alias("numberOfCs"),
+            (F.countDistinct("studyLocusId") * n_causal).alias("expectedResults"),
+            F.round(F.avg((~F.col("isInX")).cast("double")), 6).alias(
+                "falsePositives"
+            ),
+            F.round(F.avg(F.col("isInX").cast("double")), 6).alias("accuracy"),
+            F.round(F.avg(F.col("isInLead").cast("double")), 6).alias("accuracyLead"),
+        )
+        .crossJoin(recovered)
+        .withColumn(
+            "sensitivity",
+            F.round(F.col("_recovered") / (F.col("expectedResults")), 6),
+        )
+        .drop("_recovered")
     )

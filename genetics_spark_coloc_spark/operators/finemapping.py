@@ -174,6 +174,22 @@ def _exp_decay_ld(positions: "pd.Series | None", scale: float) -> "object":
     return np.exp(-np.abs(pos[:, None] - pos[None, :]) / scale)
 
 
+def _locus_inputs(pdf: pd.DataFrame, ld_scale: float, identity_fallback: bool):
+    """Shared per-locus kernel preamble: stable variantId sort,
+    z = beta/se, and the LD source (position→exp-decay when present;
+    identity or None otherwise). One definition so the SuSiE, CARMA
+    and study-locus kernels can never diverge on LD sourcing."""
+    import numpy as np
+
+    pdf = pdf.sort_values("variantId", kind="stable").reset_index(drop=True)
+    z = (pdf["beta"] / pdf["standardError"]).to_numpy(dtype=float)
+    if "position" in pdf.columns:
+        ld = _exp_decay_ld(pdf["position"], ld_scale)
+    else:
+        ld = np.eye(len(z)) if identity_fallback else None
+    return pdf, z, ld
+
+
 def susie_inf_kernel(
     pdf: pd.DataFrame,
     max_l: int = 10,
@@ -196,14 +212,8 @@ def susie_inf_kernel(
     from genetics_spark_coloc_spark.operators.susie import credible_sets, susie_inf
 
     locus = pdf["studyLocusId"].iloc[0]
-    pdf = pdf.sort_values("variantId", kind="stable").reset_index(drop=True)
-    z = (pdf["beta"] / pdf["standardError"]).to_numpy(dtype=float)
+    pdf, z, ld = _locus_inputs(pdf, ld_scale, identity_fallback=False)
     p = len(z)
-    ld = (
-        _exp_decay_ld(pdf["position"], ld_scale)
-        if "position" in pdf.columns
-        else None
-    )
     out = susie_inf(z, ld=ld, n=n, L=min(max_l, p))
     pip_total = 1.0 - np.prod(1.0 - out["PIP"], axis=1)
     if ld is None:
@@ -257,14 +267,10 @@ def susie_study_locus_kernel(
     from genetics_spark_coloc_spark.operators.susie import susie_inf
 
     locus = pdf["studyLocusId"].iloc[0]
-    pdf = pdf.sort_values("variantId", kind="stable").reset_index(drop=True)
-    z = (pdf["beta"] / pdf["standardError"]).to_numpy(dtype=float)
+    pdf, z, ld = _locus_inputs(pdf, ld_scale, identity_fallback=True)
     p = len(z)
-    ld = (
-        _exp_decay_ld(pdf["position"], ld_scale)
-        if "position" in pdf.columns
-        else np.eye(p)
-    )
+    if ld is None:
+        ld = np.eye(p)
     out = susie_inf(z, ld=ld, n=n, L=min(max_l, p))
     vids = pdf["variantId"].to_numpy()
 
@@ -332,14 +338,8 @@ def carma_ld_kernel(
     from genetics_spark_coloc_spark.operators.carma import carma_spike_slab
 
     locus = pdf["studyLocusId"].iloc[0]
-    pdf = pdf.sort_values("variantId", kind="stable").reset_index(drop=True)
-    z = (pdf["beta"] / pdf["standardError"]).to_numpy(dtype=float)
+    pdf, z, ld = _locus_inputs(pdf, ld_scale, identity_fallback=True)
     p = len(z)
-    ld = (
-        _exp_decay_ld(pdf["position"], ld_scale)
-        if "position" in pdf.columns
-        else np.eye(p)
-    )
     res = carma_spike_slab(z, ld, tau=tau)
     pips = np.asarray(res["PIPs"], dtype=float)
     outlier_mask = np.zeros(p, dtype=bool)

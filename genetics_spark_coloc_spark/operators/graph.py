@@ -103,16 +103,28 @@ def duplicate_clusters(
     id_col: str = "doc_id",
     src_col: str = "leftId",
     dst_col: str = "rightId",
-    num_rounds: int = 8,
+    num_rounds: int = 16,
+    until_converged: bool = True,
 ) -> DataFrame:
     """Resolve candidate duplicate pairs into clusters with a keeper.
 
     Output per document: (docId, clusterId = min doc id in its
     cluster, clusterSize, isKeeper). Isolated documents form their
     own singleton cluster.
+
+    Convergence is CHECKED by default: an unconverged labeling would
+    silently split true clusters (extra keepers ⇒ surviving
+    duplicates). Near-dup graphs converge in a few rounds; the check
+    costs one small count() per round.
     """
     comp = connected_components(
-        docs.select(F.col(id_col)), pairs, id_col, src_col, dst_col, num_rounds
+        docs.select(F.col(id_col)),
+        pairs,
+        id_col,
+        src_col,
+        dst_col,
+        num_rounds,
+        until_converged=until_converged,
     )
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("clusterSize")

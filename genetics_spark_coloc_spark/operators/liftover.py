@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 CHAIN_SCHEMA = (
-    "tChrom string, tStart long, tEnd long, "
+    "chainIdx long, tChrom string, tStart long, tEnd long, "
     "qChrom string, qStart long, qStrand string, qSize long"
 )
 
@@ -29,10 +29,13 @@ def parse_chain_text(text: str) -> list[tuple]:
     Each alignment block of ``size`` bases maps target positions
     [tCur, tCur+size) onto query positions [qCur, qCur+size) (query
     counted from the chromosome end when qStrand is '-').
+    ``chainIdx`` is the chain's file order — UCSC chain files are
+    sorted by score descending, so lower index = better chain.
     """
     blocks: list[tuple] = []
     t_chrom = q_chrom = q_strand = None
     t_cur = q_cur = q_size = 0
+    chain_idx = -1
     for line in text.splitlines():
         line = line.strip()
         if not line or line.startswith("#"):
@@ -41,6 +44,7 @@ def parse_chain_text(text: str) -> list[tuple]:
         if parts[0] == "chain":
             # chain score tName tSize tStrand tStart tEnd
             #       qName qSize qStrand qStart qEnd id
+            chain_idx += 1
             t_chrom = parts[2].removeprefix("chr")
             t_cur = int(parts[5])
             q_chrom = parts[7].removeprefix("chr")
@@ -50,7 +54,7 @@ def parse_chain_text(text: str) -> list[tuple]:
             continue
         size = int(parts[0])
         blocks.append(
-            (t_chrom, t_cur, t_cur + size, q_chrom, q_cur, q_strand, q_size)
+            (chain_idx, t_chrom, t_cur, t_cur + size, q_chrom, q_cur, q_strand, q_size)
         )
         if len(parts) == 3:
             t_cur += size + int(parts[1])
@@ -96,7 +100,16 @@ def liftover_intervals(
 
     Adds ``mapped_start`` / ``mapped_end``; ``chrom_col`` is replaced
     with the query-build chromosome.
+
+    Real chain files contain OVERLAPPING chains per target region
+    (alternative alignments, alt contigs): both edges must match
+    blocks of the SAME chain — otherwise the two coordinates come
+    from different coordinate systems — and when several chains cover
+    an interval, only the best one (lowest chainIdx = highest score,
+    matching pyliftover's preference) is kept per input interval.
     """
+    from pyspark.sql.window import Window
+
     s = _prefixed(chain, "s")
     e = _prefixed(chain, "e")
     out = (
@@ -110,11 +123,12 @@ def liftover_intervals(
         )
         .withColumn("_mappedA", _map_position(start_col, "s"))
         .withColumn("_qChrom", F.col("s_qChrom"))
+        .withColumn("_chainIdx", F.col("s_chainIdx"))
         .drop(*[f"s_{c}" for c in chain.columns])
         .join(
             F.broadcast(e),
             on=[
-                F.col(chrom_col) == F.col("e_tChrom"),
+                F.col("_chainIdx") == F.col("e_chainIdx"),
                 F.col(end_col) >= F.col("e_tStart"),
                 F.col(end_col) < F.col("e_tEnd"),
             ],
@@ -131,7 +145,16 @@ def liftover_intervals(
             )
             <= max_difference
         )
+        # best chain per input ROW (keyed on every input column, so
+        # duplicate intervals carried by distinct rows each survive)
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(*df.columns).orderBy("_chainIdx", "mapped_start")
+            ),
+        )
+        .filter(F.col("_rk") == 1)
         .withColumn(chrom_col, F.col("_qChrom"))
-        .drop("_mappedA", "_mappedB", "_qChrom")
+        .drop("_mappedA", "_mappedB", "_qChrom", "_chainIdx", "_rk")
     )
     return out

@@ -55,7 +55,7 @@ def pz_regression(sumstats: DataFrame) -> DataFrame:
 
 
 def sumstat_qc_metrics(
-    sumstats: DataFrame, pval_threshold: float = 5e-8
+    sumstats: DataFrame, pval_threshold: float = 5e-8, exact_median: bool = False
 ) -> DataFrame:
     """The reference's composed per-study QC panel
     (method/sumstat_quality_controls.py get_quality_control_metrics):
@@ -79,6 +79,15 @@ def sumstat_qc_metrics(
     chi2_median_1df = 0.45493642311957174  # χ²₁ quantile at 0.5
     z2 = (F.col("beta") / F.col("standardError")) ** 2
     base = sumstats.withColumn("_z2", z2)
+    # percentile_approx mirrors the reference; its ~1/10000 rank error
+    # can move gc_lambda in the 2nd-3rd decimal on multi-million-row
+    # studies — pass exact_median=True when gc_lambda feeds a hard
+    # QC threshold
+    median_z2 = (
+        F.percentile("_z2", F.lit(0.5))
+        if exact_median
+        else F.percentile_approx("_z2", 0.5)
+    )
     counts = base.groupBy("studyId").agg(
         F.count(F.lit(1)).alias("n_variants"),
         F.sum(
@@ -87,7 +96,7 @@ def sumstat_qc_metrics(
                 <= math.log10(pval_threshold)
             ).cast("int")
         ).alias("n_variants_sig"),
-        (F.percentile_approx("_z2", 0.5) / F.lit(chi2_median_1df)).alias("gc_lambda"),
+        (median_z2 / F.lit(chi2_median_1df)).alias("gc_lambda"),
         F.mean("beta").alias("mean_beta"),
     )
     pz = (
@@ -128,7 +137,16 @@ def sumstat_n_eff_check(
     df = sumstats.dropna(subset=["effectAlleleFrequencyFromSource"])
     counts = df.groupBy("studyId").agg(F.count(F.lit(1)).alias("_n"))
     df = df.join(counts, on="studyId").filter(F.col("_n") >= min_count).drop("_n")
-    w = Window.partitionBy("studyId").orderBy("studyId")
+    # the reference orders this sampling window by the partition key
+    # itself (sumstat_quality_controls.py:140), which makes the kept
+    # subset shuffle-order dependent; order by variantId (or position)
+    # so the limit is replayable
+    order_col = (
+        "variantId"
+        if "variantId" in df.columns
+        else ("position" if "position" in df.columns else "studyId")
+    )
+    w = Window.partitionBy("studyId").orderBy(order_col)
     df = (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= limit)

@@ -93,6 +93,26 @@ def _plane_sign(p: int, d: int) -> float:
     return 1.0 if first_hex in "02468ace" else -1.0
 
 
+def _sign_bit_fold(
+    vec: Column, num_planes: int, dim: int, plane_offset: int = 0
+) -> Column:
+    """Shared sign-bit accumulator: bit r = sign of the projection
+    onto md5-derived plane (plane_offset + r); value = Σ bit_r·2^r.
+    Both the single-band bucket and every band hash build on this, so
+    the projection rule lives in exactly one place."""
+    bucket = F.lit(0)
+    for r in range(num_planes):
+        p = plane_offset + r
+        signs = F.array(*[F.lit(_plane_sign(p, d)) for d in range(dim)])
+        projection = F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(projection > 0, F.lit(1 << r)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
 def hyperplane_bucket(vec: Column, num_planes: int = 8, dim: int = 64) -> Column:
     """Deterministic random-hyperplane LSH bucket id (int).
 
@@ -103,16 +123,7 @@ def hyperplane_bucket(vec: Column, num_planes: int = 8, dim: int = 64) -> Column
     num_planes·dim md5 calls per row. Bucket bit p = sign of
     Σ_d w(p,d)·vec[d]; bucket id = Σ bit_p·2^p.
     """
-    bucket = F.lit(0)
-    for p in range(num_planes):
-        signs = F.array(*[F.lit(_plane_sign(p, d)) for d in range(dim)])
-        projection = F.aggregate(
-            F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(projection > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket.cast("int")
+    return _sign_bit_fold(vec, num_planes, dim)
 
 
 def assign_to_centroids(
@@ -287,18 +298,11 @@ def hyperplane_band_hash(
     """Per-band hyperplane hash: planes_per_band sign bits from the
     globally-indexed plane family p = band·planes_per_band + r, so
     every band draws independent hyperplanes from the same
-    md5-derived sign matrix the SQL oracle reproduces."""
-    h = F.lit(0)
-    for r in range(planes_per_band):
-        p = band * planes_per_band + r
-        signs = F.array(*[F.lit(_plane_sign(p, d)) for d in range(dim)])
-        projection = F.aggregate(
-            F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        h = h + F.when(projection > 0, F.lit(1 << r)).otherwise(F.lit(0))
-    return h.cast("int")
+    md5-derived sign matrix the SQL oracle reproduces (band 0 ==
+    ``hyperplane_bucket``)."""
+    return _sign_bit_fold(
+        vec, planes_per_band, dim, plane_offset=band * planes_per_band
+    )
 
 
 def lsh_cosine_candidates_banded(

@@ -334,6 +334,7 @@ def q_liftover_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("id") + 1).cast("string").alias("tChrom"), F.col("id").alias("c"))
         .crossJoin(spark.range(50).select(F.col("id").alias("b")))
         .select(
+            F.col("c").alias("chainIdx"),
             "tChrom",
             (F.col("b") * 10_000).alias("tStart"),
             (F.col("b") * 10_000 + 8_000).alias("tEnd"),

@@ -93,7 +93,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(docs, "text", "doc_id", num_perm=8, band_size=2)
-    return duplicate_clusters(docs, pairs, num_rounds=6)
+    return duplicate_clusters(docs, pairs)
 
 
 # oracle: min reachable id via a recursive CTE over the symmetrized

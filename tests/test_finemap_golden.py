@@ -263,3 +263,27 @@ class TestNEffGolden:
             gwas, n_total=100_000, limit=100_000, min_count=100
         ).collect()[0]
         assert round(row["se_N"], 4) == 0.5586
+
+
+class TestOutlierFormulaConsistency:
+    def test_pair_vec_matches_general_formula(self):
+        """The vectorised closed-form 2×2 outlier likelihood must equal
+        the published general-k formula it specialises."""
+        from genetics_spark_coloc_spark.operators.carma import (
+            _outlier_loglik,
+            _pair_outlier_loglik_vec,
+        )
+
+        rng = np.random.default_rng(5)
+        for rho in [0.0, 0.35, -0.6, 0.95]:
+            z = rng.normal(0, 3, 2)
+            sigma = np.array([[1.0, rho], [rho, 1.0]])
+            general = _outlier_loglik(z, sigma, np.array([0, 1]), tau=0.04)
+            u1sq = (z[0] + z[1]) ** 2 / 2.0
+            u2sq = (z[0] - z[1]) ** 2 / 2.0
+            vec = float(
+                _pair_outlier_loglik_vec(
+                    np.array([rho]), np.array([u1sq]), np.array([u2sq]), 0.04
+                )[0]
+            )
+            assert abs(general - vec) < 1e-9, (rho, general, vec)

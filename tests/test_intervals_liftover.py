@@ -173,11 +173,11 @@ CHAIN_TEXT = textwrap.dedent(
 class TestLiftover:
     def test_parse_chain_text(self):
         blocks = parse_chain_text(CHAIN_TEXT)
-        # chr1: two blocks [1000,1400) -> 5000+, [1500,2000) -> 5500+
-        assert blocks[0] == ("1", 1000, 1400, "1", 5000, "+", 20000)
-        assert blocks[1] == ("1", 1500, 2000, "1", 5500, "+", 20000)
-        # chr2: one negative-strand block
-        assert blocks[2] == ("2", 0, 1000, "2", 19000, "-", 20000)
+        # chr1 (chain 0): two blocks [1000,1400) -> 5000+, [1500,2000) -> 5500+
+        assert blocks[0] == (0, "1", 1000, 1400, "1", 5000, "+", 20000)
+        assert blocks[1] == (0, "1", 1500, 2000, "1", 5500, "+", 20000)
+        # chr2 (chain 1): one negative-strand block
+        assert blocks[2] == (1, "2", 0, 1000, "2", 19000, "-", 20000)
 
     def test_interval_conversion(self, spark, tmp_path):
         p = tmp_path / "test.chain"
