@@ -132,3 +132,44 @@ def streaming_running_user_stats(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def streaming_attribution_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    user_col: str = "userId",
+    time_col: str = "eventTime",
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream point-in-time attribution: each view joins the
+    clicks of the SAME user within ``lookback`` BEFORE it — the
+    streaming twin of ``operators.asof.asof_join`` (which returns
+    only the latest click; a stream can't rank an unbounded past, so
+    the windowed-candidate form is the streaming-native contract).
+
+    Both sides carry watermarks so Spark can evict join state: a
+    click older than view-watermark − lookback can never match a
+    future view and is dropped from the state store — the state
+    bound that makes a 100 TB/day stream joinable at all.
+    """
+    v = views.select(
+        F.col(user_col).alias("userId"),
+        F.col(time_col).alias("viewTime"),
+        F.col("viewEventId"),
+    ).withWatermark("viewTime", watermark)
+    c = clicks.select(
+        F.col(user_col).alias("clickUserId"),
+        F.col(time_col).alias("clickTime"),
+        F.col("clickEventId"),
+        F.col("clickValue"),
+    ).withWatermark("clickTime", watermark)
+    return v.join(
+        c,
+        on=[
+            F.col("userId") == F.col("clickUserId"),
+            F.col("clickTime") <= F.col("viewTime"),
+            F.col("clickTime") >= F.expr(f"viewTime - interval {lookback}"),
+        ],
+        how="inner",
+    ).select("userId", "viewEventId", "viewTime", "clickEventId", "clickTime", "clickValue")

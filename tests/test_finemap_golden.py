@@ -287,3 +287,53 @@ class TestOutlierFormulaConsistency:
                 )[0]
             )
             assert abs(general - vec) < 1e-9, (rho, general, vec)
+
+
+class TestCarmaPairAlgebra:
+    def test_on_algebra_matches_bruteforce_enumeration(self, spark):
+        """The independence-kernel's O(n) top-variant-decomposed pair
+        algebra must match explicit O(n²) enumeration of all |M|<=2
+        models, including the extreme-spread regime where the naive
+        c-space algebra underflows."""
+        import pandas as pd
+
+        from genetics_spark_coloc_spark.operators.finemapping import carma_kernel
+
+        rng = np.random.default_rng(11)
+        for scale, n in [(1.0, 12), (8.0, 9), (60.0, 7)]:
+            beta = rng.normal(0, scale, n)
+            se = 0.2 + rng.random(n)
+            pdf = pd.DataFrame(
+                {
+                    "studyLocusId": "L",
+                    "variantId": [f"v{i:02d}" for i in range(n)],
+                    "beta": beta,
+                    "standardError": se,
+                }
+            )
+            out = carma_kernel(pdf).sort_values("variantId")
+            got = out["posteriorProbability"].to_numpy()
+
+            # brute force in extended precision via log-sum-exp over
+            # explicit model enumeration
+            w = 0.0225
+            z = beta / se
+            r = w / (w + se * se)
+            A = 0.5 * np.log(1 - r) + z * z * r / 2
+            logp, log1mp = np.log(0.01), np.log(0.99)
+            scores = [(frozenset(), n * log1mp)]
+            for i in range(n):
+                scores.append((frozenset([i]), logp + (n - 1) * log1mp + A[i]))
+            for i in range(n):
+                for j in range(i + 1, n):
+                    scores.append(
+                        (frozenset([i, j]),
+                         2 * logp + (n - 2) * log1mp + A[i] + A[j])
+                    )
+            mx = max(s for _, s in scores)
+            weights = [(m, np.exp(s - mx)) for m, s in scores]
+            total = sum(wt for _, wt in weights)
+            expected = np.array(
+                [sum(wt for m, wt in weights if i in m) / total for i in range(n)]
+            )
+            assert np.allclose(got, expected, rtol=1e-9, atol=1e-12), (scale, n)

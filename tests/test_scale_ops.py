@@ -381,3 +381,53 @@ def test_ivf_topk_nprobe_improves_recall(spark):
     assert n1 <= n2
     assert len(n2) == 4  # both clusters probed
     assert len(n1) == 2  # single cluster only
+
+
+def test_streaming_attribution_join(spark, tmp_path):
+    """Live stream-stream attribution: views join same-user clicks in
+    the lookback window; out-of-window and cross-user clicks don't
+    match."""
+    import datetime as dt
+
+    from genetics_spark_coloc_spark.streaming.pipelines import (
+        streaming_attribution_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    views_dir, clicks_dir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(minutes=40), 100),
+            (2, t0 + dt.timedelta(minutes=40), 200),
+        ],
+        "userId: long, eventTime: timestamp, viewEventId: long",
+    ).write.parquet(views_dir)
+    spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(minutes=20), 7, 1.5),   # in window
+            (1, t0, 8, 2.5),                              # too old (>30m before)
+            (3, t0 + dt.timedelta(minutes=30), 9, 3.5),   # other user
+        ],
+        "userId: long, eventTime: timestamp, clickEventId: long, clickValue: double",
+    ).write.parquet(clicks_dir)
+
+    views = spark.readStream.schema(
+        "userId long, eventTime timestamp, viewEventId long"
+    ).parquet(views_dir)
+    clicks = spark.readStream.schema(
+        "userId long, eventTime timestamp, clickEventId long, clickValue double"
+    ).parquet(clicks_dir)
+    out = streaming_attribution_join(views, clicks)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM attrib").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["userId"], r["viewEventId"], r["clickEventId"]) == (1, 100, 7)
+    assert r["clickValue"] == 1.5
