@@ -238,3 +238,53 @@ NEARDUP_QUERIES["repetition_stats"] = q_repetition_stats
 NEARDUP_ORACLES["repetition_stats"] = SQL_REPETITION_STATS
 NEARDUP_QUERIES["hash_split"] = q_hash_split
 NEARDUP_ORACLES["hash_split"] = SQL_HASH_SPLIT
+
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: global top-25 tokens by document
+    frequency with deterministic tie-breaks — the exact heavy-hitters
+    primitive under stopword-list construction and corpus drift
+    monitoring. One explode + one groupBy; at 100 TB the count is a
+    map-side-combined aggregation on the token key."""
+    from genetics_spark_coloc_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.col("doc_id"), F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    counts = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("docFreq"),
+        F.count(F.lit(1)).alias("termFreq"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("docFreq").desc(), F.col("termFreq").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 25)
+        .select("rank", "token", "docFreq", "termFreq")
+    )
+
+
+SQL_TOP_TOKENS = """
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+  WHERE length(trim(lower(text))) > 0
+),
+counts AS (
+  SELECT token,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docFreq,
+         CAST(COUNT(*) AS BIGINT) AS termFreq
+  FROM tok GROUP BY token
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY docFreq DESC, termFreq DESC, token) AS INT) AS rank,
+       token, docFreq, termFreq
+FROM counts
+ORDER BY rank
+LIMIT 25
+"""
+
+NEARDUP_QUERIES["top_tokens"] = q_top_tokens
+NEARDUP_ORACLES["top_tokens"] = SQL_TOP_TOKENS

@@ -431,3 +431,48 @@ def test_streaming_attribution_join(spark, tmp_path):
     r = rows[0]
     assert (r["userId"], r["viewEventId"], r["clickEventId"]) == (1, 100, 7)
     assert r["clickValue"] == 1.5
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Seeded random graphs: the distributed label propagation must
+    match a python union-find on every one of them."""
+    import random
+
+    from genetics_spark_coloc_spark.operators.graph import connected_components
+    from pyspark.sql import functions as F
+
+    for seed in range(4):
+        rnd = random.Random(seed)
+        n = 60
+        edges = sorted(
+            {
+                tuple(sorted(rnd.sample(range(n), 2)))
+                for _ in range(rnd.randint(10, 80))
+            }
+        )
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {i: find(i) for i in range(n)}
+
+        verts = spark.range(n).select(F.col("id").cast("long").alias("doc_id"))
+        edf = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges] or [(0, 0)],
+            "leftId: long, rightId: long",
+        )
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                verts, edf, "doc_id", num_rounds=20, until_converged=True
+            ).collect()
+        }
+        assert got == expected, f"seed {seed}"
