@@ -258,11 +258,16 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
+    # orderBy + limit compiles to TakeOrderedAndProject (per-partition
+    # top-k merged on the driver) — a global rank window would sort
+    # the ENTIRE vocabulary on one partition; the rank is assigned on
+    # the surviving 25 rows only
+    top = counts.orderBy(
+        F.col("docFreq").desc(), F.col("termFreq").desc(), F.col("token")
+    ).limit(25)
     w = Window.orderBy(F.col("docFreq").desc(), F.col("termFreq").desc(), F.col("token"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 25)
-        .select("rank", "token", "docFreq", "termFreq")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "token", "docFreq", "termFreq"
     )
 
 
