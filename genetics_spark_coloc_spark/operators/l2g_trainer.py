@@ -67,11 +67,26 @@ def evaluate_binary_predictions(
     pred = (F.col(score_col) >= threshold).cast("int")
     y = F.col(label_col).cast("int")
 
-    w = Window.orderBy(F.col(score_col).asc())
-    per_score_cnt = Window.partitionBy(F.col(score_col))
-    ranked = scored.withColumn("_minrank", F.rank().over(w)).withColumn(
-        "_avgrank",
-        F.col("_minrank") + (F.count("*").over(per_score_cnt) - 1) / 2.0,
+    # the Mann-Whitney rank needs a global order, but only over
+    # DISTINCT scores: aggregate (count, posCount) per score first,
+    # then run the single-partition running sum over score groups —
+    # bounded by score cardinality, not row count
+    per_score = scored.groupBy(F.col(score_col).alias("_score")).agg(
+        F.count("*").alias("_cnt"),
+        F.sum(F.col(label_col).cast("int")).alias("_posCnt"),
+    )
+    ws = Window.orderBy(F.col("_score").asc())
+    score_ranks = per_score.withColumn(
+        "_minrank",
+        F.coalesce(
+            F.sum("_cnt").over(ws.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        + 1,
+    ).withColumn("_avgrank", F.col("_minrank") + (F.col("_cnt") - 1) / 2.0)
+    ranked = scored.join(
+        score_ranks.select("_score", "_avgrank"),
+        on=scored[score_col] == F.col("_score"),
     )
 
     return ranked.agg(
