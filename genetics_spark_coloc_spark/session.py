@@ -95,3 +95,26 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by join key —
+    the at-rest layout the operator docstrings assume at 100 TB:
+    equi-joins and aggregations on ``bucket_cols`` between tables
+    bucketed the same way need NO shuffle exchange (Spark matches
+    HashPartitioning(bucket_cols, num_buckets) on both sides).
+
+    Bucketing requires the table catalog (``saveAsTable``); read the
+    result back with ``spark.table(table_name)``.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

@@ -476,3 +476,29 @@ def test_connected_components_random_graphs_match_union_find(spark):
             ).collect()
         }
         assert got == expected, f"seed {seed}"
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key join WITHOUT a shuffle
+    exchange — the at-rest layout every '100 TB' docstring in this
+    repo appeals to, verified on the physical plan."""
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.session import write_bucketed
+
+    left = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    write_bucketed(left, "bt_left", ["k"], num_buckets=8)
+    write_bucketed(right, "bt_right", ["k"], num_buckets=8)
+    try:
+        joined = spark.table("bt_left").join(spark.table("bt_right"), on="k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert joined.count() == 10_000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_left")
+        spark.sql("DROP TABLE IF EXISTS bt_right")
