@@ -1,0 +1,67 @@
+"""Skew-mitigation helpers: salted two-phase aggregation.
+
+AQE's skew handling splits oversized SHUFFLE JOIN partitions, but a
+skewed groupBy key still lands every row of the hot key on one
+reducer. Salting fixes that for algebraic aggregates: phase 1
+aggregates on (key, salt) — spreading the hot key over
+``num_salts`` reducers — and phase 2 combines the partials on the
+key alone, now touching at most ``num_salts`` rows per key.
+
+Results are EXACTLY equal to the unsalted aggregation for
+associative-commutative aggregates (sum/count/min/max); float sums
+differ only in addition order (same class of difference as any
+repartitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (phase-1 aggregate, phase-2 combiner) per supported aggregate
+_COMBINERS = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    num_salts: int = 32,
+    salt_col: Column | None = None,
+) -> DataFrame:
+    """Two-phase salted groupBy.
+
+    ``aggs`` maps output column name -> (aggregate, input column),
+    aggregate in {sum, count, min, max}; e.g.
+    ``{"revenue": ("sum", "price"), "n": ("count", "*")}``.
+
+    ``salt_col`` defaults to a deterministic hash-derived salt (so
+    replays are stable); pass ``F.rand``-free expressions only.
+    """
+    unknown = {a for a, _ in aggs.values()} - set(_COMBINERS)
+    if unknown:
+        raise ValueError(f"unsupported aggregates: {sorted(unknown)}")
+    salt = (
+        salt_col
+        if salt_col is not None
+        else F.pmod(F.hash(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(num_salts))
+    )
+    phase1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt")
+    partials = phase1.agg(
+        *[
+            _COMBINERS[a][0](F.lit(1) if c == "*" else F.col(c)).alias(f"_p_{out}")
+            for out, (a, c) in aggs.items()
+        ]
+    )
+    phase2 = partials.groupBy(*keys).agg(
+        *[
+            _COMBINERS[a][1](F.col(f"_p_{out}")).alias(out)
+            for out, (a, _c) in aggs.items()
+        ]
+    )
+    return phase2

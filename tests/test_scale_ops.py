@@ -502,3 +502,34 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_left")
         spark.sql("DROP TABLE IF EXISTS bt_right")
+
+
+def test_salted_aggregate_matches_plain_groupby(spark):
+    """Salted two-phase aggregation equals the plain groupBy exactly
+    for integral aggregates on a heavily skewed key, and the plan
+    shows the two-exchange shape."""
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.functions.skew import salted_aggregate
+
+    # 90% of rows share one hot key
+    df = spark.range(100_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 50).cast("string")))
+        .alias("key"),
+        (F.col("id") % 1000).alias("v"),
+    )
+    salted = salted_aggregate(
+        df, ["key"],
+        {"total": ("sum", "v"), "n": ("count", "*"),
+         "lo": ("min", "v"), "hi": ("max", "v")},
+    )
+    plain = df.groupBy("key").agg(
+        F.sum("v").alias("total"), F.count("*").alias("n"),
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+    )
+    a = {r["key"]: (r["total"], r["n"], r["lo"], r["hi"]) for r in salted.collect()}
+    b = {r["key"]: (r["total"], r["n"], r["lo"], r["hi"]) for r in plain.collect()}
+    assert a == b
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") >= 2  # salt phase + combine phase
