@@ -40,8 +40,15 @@ def salted_aggregate(
     aggregate in {sum, count, min, max}; e.g.
     ``{"revenue": ("sum", "price"), "n": ("count", "*")}``.
 
-    ``salt_col`` defaults to a deterministic hash-derived salt (so
-    replays are stable); pass ``F.rand``-free expressions only.
+    ``salt_col`` defaults to a salt derived purely from row CONTENT
+    (``pmod(hash(all columns), num_salts)``): the same row hashes to
+    the same salt on any partition layout, so a partial stage retry
+    after a fetch failure re-routes every row to the same reducer it
+    originally went to — no duplication or loss, unlike ``rand()`` or
+    ``monotonically_increasing_id()`` salting. Exact-duplicate rows
+    co-locate in one salt bucket (correct, just less spread if the
+    hot key is dominated by fully identical rows). Pass ``salt_col``
+    with a deterministic content-derived expression only.
     """
     unknown = {a for a, _ in aggs.values()} - set(_COMBINERS)
     if unknown:
@@ -49,7 +56,7 @@ def salted_aggregate(
     salt = (
         salt_col
         if salt_col is not None
-        else F.pmod(F.hash(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(num_salts))
+        else F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(num_salts))
     )
     phase1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt")
     partials = phase1.agg(

@@ -129,7 +129,12 @@ def raiss_model(
     var_bounded = var.copy()
     var_bounded[var_bounded < 0] = 0.0
     var_bounded[var_bounded > 0.99999 + lamb] = 1.0
-    r2_norm = (1.0 + lamb) - var_bounded
+    # with lamb=0 a var at the upper cutoff gives r2_norm == 0 and an
+    # inf/NaN zImputed (the reference's _var_in_boundaries flaw);
+    # clamp to a small epsilon so the normalization stays finite —
+    # such SNPs carry imputation_r2 ≈ 0 and are dropped by the QC
+    # filter anyway
+    r2_norm = np.maximum((1.0 + lamb) - var_bounded, 1e-12)
     mu = mu / np.sqrt(r2_norm)
     return {
         "mu": mu,

@@ -63,15 +63,24 @@ def evaluate_binary_predictions(
     ranks for tied scores — the Mann-Whitney form of
     ``roc_auc_score``, computed with one sort-window and one
     aggregation.
+
+    Rows with a NULL score are excluded from ALL metrics (sklearn
+    would raise on NaN scores; we drop and document). Scores are
+    quantized to 1e-6 before ranking, which (a) bounds the
+    single-partition rank window by quantized-score cardinality
+    (≤2M buckets for [0,1] probabilities) instead of raw distinct
+    floats, and (b) makes the rank re-join key float-safe.
     """
+    scored = scored.filter(F.col(score_col).isNotNull())
+    qscore = F.round(F.col(score_col).cast("double"), 6)
     pred = (F.col(score_col) >= threshold).cast("int")
     y = F.col(label_col).cast("int")
 
     # the Mann-Whitney rank needs a global order, but only over
-    # DISTINCT scores: aggregate (count, posCount) per score first,
-    # then run the single-partition running sum over score groups —
-    # bounded by score cardinality, not row count
-    per_score = scored.groupBy(F.col(score_col).alias("_score")).agg(
+    # DISTINCT quantized scores: aggregate (count, posCount) per
+    # score first, then run the single-partition running sum over
+    # score groups — bounded by quantized cardinality, not row count
+    per_score = scored.groupBy(qscore.alias("_score")).agg(
         F.count("*").alias("_cnt"),
         F.sum(F.col(label_col).cast("int")).alias("_posCnt"),
     )
@@ -86,7 +95,7 @@ def evaluate_binary_predictions(
     ).withColumn("_avgrank", F.col("_minrank") + (F.col("_cnt") - 1) / 2.0)
     ranked = scored.join(
         score_ranks.select("_score", "_avgrank"),
-        on=scored[score_col] == F.col("_score"),
+        on=qscore == F.col("_score"),
     )
 
     return ranked.agg(

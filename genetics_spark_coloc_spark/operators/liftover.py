@@ -90,6 +90,7 @@ def liftover_intervals(
     start_col: str = "start",
     end_col: str = "end",
     max_difference: int = 100,
+    row_id_col: str | None = None,
 ) -> DataFrame:
     """Convert ``[start, end]`` intervals to the chain's query build
     (reference convert_intervals, Liftover.py:93-131): both edges are
@@ -107,11 +108,25 @@ def liftover_intervals(
     from different coordinate systems — and when several chains cover
     an interval, only the best one (lowest chainIdx = highest score,
     matching pyliftover's preference) is kept per input interval.
+
+    Best-chain dedup is keyed on a per-row id, NOT on the input
+    columns — two fully identical input rows each survive (one lifted
+    output per input row). Pass ``row_id_col`` naming a column that is
+    unique per row for fully deterministic behaviour under stage
+    retries; when omitted, a ``monotonically_increasing_id`` is
+    attached before the joins (correct in normal execution, but a
+    mid-shuffle fetch-failure retry could re-id rows).
     """
     from pyspark.sql.window import Window
 
     s = _prefixed(chain, "s")
     e = _prefixed(chain, "e")
+    if row_id_col is None:
+        row_id_col = "_liftRowId"
+        df = df.withColumn(row_id_col, F.monotonically_increasing_id())
+        drop_row_id = True
+    else:
+        drop_row_id = False
     out = (
         df.join(
             F.broadcast(s),
@@ -145,16 +160,18 @@ def liftover_intervals(
             )
             <= max_difference
         )
-        # best chain per input ROW (keyed on every input column, so
-        # duplicate intervals carried by distinct rows each survive)
+        # best chain per input ROW (keyed on the unique row id, so
+        # even fully identical duplicate rows each survive)
         .withColumn(
             "_rk",
             F.row_number().over(
-                Window.partitionBy(*df.columns).orderBy("_chainIdx", "mapped_start")
+                Window.partitionBy(row_id_col).orderBy("_chainIdx", "mapped_start")
             ),
         )
         .filter(F.col("_rk") == 1)
         .withColumn(chrom_col, F.col("_qChrom"))
         .drop("_mappedA", "_mappedB", "_qChrom", "_chainIdx", "_rk")
     )
+    if drop_row_id:
+        out = out.drop(row_id_col)
     return out

@@ -99,8 +99,17 @@ def _sign_bit_fold(
     """Shared sign-bit accumulator: bit r = sign of the projection
     onto md5-derived plane (plane_offset + r); value = Σ bit_r·2^r.
     Both the single-band bucket and every band hash build on this, so
-    the projection rule lives in exactly one place."""
-    bucket = F.lit(0)
+    the projection rule lives in exactly one place.
+
+    Accumulates as bigint and supports up to 63 planes; beyond that
+    2^r overflows long, so fail loudly rather than silently aliasing
+    buckets (or erroring later under ANSI mode)."""
+    if num_planes > 63:
+        raise ValueError(
+            f"num_planes={num_planes} exceeds 63: bit weights 2^r overflow "
+            "a 64-bit bucket id; use more bands instead of wider bands"
+        )
+    bucket = F.lit(0).cast("bigint")
     for r in range(num_planes):
         p = plane_offset + r
         signs = F.array(*[F.lit(_plane_sign(p, d)) for d in range(dim)])
@@ -109,8 +118,12 @@ def _sign_bit_fold(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bucket = bucket + F.when(projection > 0, F.lit(1 << r)).otherwise(F.lit(0))
-    return bucket.cast("int")
+        bucket = bucket + F.when(
+            projection > 0, F.lit(1 << r).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    # keep the historical int schema where it cannot overflow; only
+    # widen for >=32 planes (bit weights past 2^30 no longer fit int)
+    return bucket.cast("int") if num_planes <= 31 else bucket.cast("bigint")
 
 
 def hyperplane_bucket(vec: Column, num_planes: int = 8, dim: int = 64) -> Column:
@@ -305,6 +318,39 @@ def hyperplane_band_hash(
     )
 
 
+def hyperplane_signature_bits(
+    vec: Column, num_planes: int, dim: int = 64
+) -> Column:
+    """All ``num_planes`` sign bits in ONE pass over the vector.
+
+    Instead of one aggregate fold per plane (num_planes separate
+    scans whose giant expression trees get duplicated across every
+    downstream join side — the round-3 `embedding_near_dup` 3.5×
+    regression), the dim×num_planes ±1 sign matrix is embedded
+    dim-major and a single ``aggregate`` accumulates the projection
+    vector: acc_p += vec[d]·sign(p,d) for d ascending — the SAME
+    per-plane addition order as the per-plane fold, so projections
+    are bit-identical to ``_sign_bit_fold``'s. Returns
+    ``array<int>`` of 0/1 sign bits (bit p = 1 iff projection_p > 0).
+    """
+    signs_by_dim = F.array(
+        *[
+            F.array(*[F.lit(_plane_sign(p, d)) for p in range(num_planes)])
+            for d in range(dim)
+        ]
+    )
+    projections = F.aggregate(
+        F.zip_with(
+            vec, signs_by_dim, lambda x, row: F.transform(row, lambda s: x.cast("double") * s)
+        ),
+        F.array(*[F.lit(0.0)] * num_planes),
+        lambda acc, row: F.zip_with(acc, row, lambda a, b: a + b),
+    )
+    return F.transform(
+        projections, lambda pr: F.when(pr > 0, F.lit(1)).otherwise(F.lit(0))
+    )
+
+
 def lsh_cosine_candidates_banded(
     corpus: DataFrame,
     num_bands: int = 4,
@@ -322,21 +368,36 @@ def lsh_cosine_candidates_banded(
     bounded on arbitrarily large corpora (raise planes_per_band as
     the corpus grows; each band stays an equi-join). Output one row
     per candidate pair with the first agreeing band.
+
+    The signature (num_bands·planes_per_band sign bits) is computed
+    ONCE per row via ``hyperplane_signature_bits``; each band hash is
+    then a cheap slice+fold of that small int array, keeping the
+    expression trees tiny on both sides of the self-join.
     """
+    if planes_per_band > 31:
+        raise ValueError("planes_per_band must be <= 31 (int band hash)")
+    total_planes = num_bands * planes_per_band
+    sig = corpus.select(
+        F.col(id_col).alias("docId"),
+        hyperplane_signature_bits(F.col(vec_col), total_planes, dim).alias("_bits"),
+    )
+    weights = F.array(*[F.lit(1 << r) for r in range(planes_per_band)])
+
+    def _band_hash(b: int) -> Column:
+        sl = F.slice(F.col("_bits"), b * planes_per_band + 1, planes_per_band)
+        return F.aggregate(
+            F.zip_with(sl, weights, lambda bit, w: bit * w),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                hyperplane_band_hash(
-                    F.col(vec_col), b, planes_per_band, dim
-                ).alias("bandHash"),
-            )
+            F.struct(F.lit(b).alias("band"), _band_hash(b).alias("bandHash"))
             for b in range(num_bands)
         ]
     )
-    bucketed = corpus.select(
-        F.col(id_col).alias("docId"), F.explode(bands).alias("bh")
-    ).select(
+    bucketed = sig.select("docId", F.explode(bands).alias("bh")).select(
         "docId", F.col("bh.band").alias("band"), F.col("bh.bandHash").alias("bandHash")
     )
     l, r = bucketed.alias("l"), bucketed.alias("r")
