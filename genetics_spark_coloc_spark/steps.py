@@ -1,0 +1,578 @@
+"""Step registry — the reference's production entry-point surface.
+
+The reference runs every pipeline stage as ``gentropy step=<name>``
+through a hydra ConfigStore of ~30 step configs (reference:
+src/gentropy/cli.py:13-22, src/gentropy/config.py:708-787; each step
+is a class reading inputs, applying one operator family, and writing
+parquet — e.g. src/gentropy/window_based_clumping.py:10-60).
+
+This module reproduces that surface without a hydra dependency: a
+plain registry mapping step name -> :class:`StepSpec` (runner +
+declared inputs + typed params), executed by
+``python -m genetics_spark_coloc_spark run <step> --in key=path ...
+--out path [--param k=v ...]`` (see ``__main__.py``).
+
+Every runner is a thin shim over the library operators: it reads the
+declared inputs (parquet unless the step ingests a raw source format,
+in which case the step's own reader handles the file), applies the
+operator, and returns a DataFrame the CLI writes to ``--out`` as
+parquet. Sink steps (``variant_to_vcf``) write themselves and return
+None. Runners never ``collect``; writing is a distributed
+``df.write.parquet`` so the surface scales exactly like the
+operators underneath.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Param:
+    """One typed step parameter (CLI ``--param name=value``)."""
+
+    type: type
+    default: object
+    help: str = ""
+
+
+@dataclass(frozen=True)
+class StepSpec:
+    """One runnable pipeline step.
+
+    ``runner(spark, inputs, output, params)`` gets the input PATHS
+    (not DataFrames — raw-format ingest steps read non-parquet files),
+    the output path (None when the CLI captures the frame), and the
+    merged params dict. Returns the result DataFrame, or None for
+    steps that sink their own output.
+    """
+
+    name: str
+    description: str
+    inputs: tuple[str, ...]
+    runner: Callable[[SparkSession, Mapping[str, str], str | None, dict], DataFrame | None]
+    params: Mapping[str, Param] = field(default_factory=dict)
+    sink: bool = False
+
+
+def _parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+# --------------------------------------------------------------- runners
+
+
+def _run_window_based_clumping(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.clumping import window_based_clumping
+
+    return window_based_clumping(
+        _parquet(spark, inputs["summary_statistics"]),
+        distance=p["distance"],
+        gwas_significance=p["gwas_significance"],
+    )
+
+
+def _run_locus_breaker_clumping(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.clumping import locus_breaker
+
+    return locus_breaker(
+        _parquet(spark, inputs["summary_statistics"]),
+        baseline_pvalue_cutoff=p["baseline_pvalue_cutoff"],
+        distance_cutoff=p["distance_cutoff"],
+        pvalue_cutoff=p["pvalue_cutoff"],
+        flanking_distance=p["flanking_distance"],
+    )
+
+
+def _run_ld_based_clumping(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.ld import ld_annotate, ld_clump
+
+    annotated = ld_annotate(
+        _parquet(spark, inputs["study_locus"]),
+        _parquet(spark, inputs["study_index"]),
+        _parquet(spark, inputs["ld_index"]),
+        r2_threshold=p["r2_threshold"],
+    )
+    return ld_clump(annotated, drop_linked=p["drop_linked"])
+
+
+def _run_colocalisation(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.coloc import coloc, ecaviar
+    from genetics_spark_coloc_spark.operators.overlaps import find_overlaps
+
+    overlaps = find_overlaps(_parquet(spark, inputs["credible_set"]))
+    if p["coloc_method"] == "ecaviar":
+        return ecaviar(overlaps)
+    return coloc(
+        overlaps,
+        priorc1=p["priorc1"],
+        priorc2=p["priorc2"],
+        priorc12=p["priorc12"],
+    )
+
+
+def _run_pics(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.pics import pics_finemap
+
+    return pics_finemap(_parquet(spark, inputs["study_locus"]), k=p["k"])
+
+
+def _run_susie_finemapping(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.finemapping import finemap_grouped
+
+    return finemap_grouped(
+        _parquet(spark, inputs["summary_statistics"]), locus_col=p["locus_col"]
+    )
+
+
+def _run_summary_statistics_qc(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.qc import sumstat_qc_metrics
+
+    return sumstat_qc_metrics(
+        _parquet(spark, inputs["summary_statistics"]),
+        pval_threshold=p["pval_threshold"],
+    )
+
+
+def _run_sumstat_imputation(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.imputation import raiss_impute_grouped
+
+    return raiss_impute_grouped(
+        _parquet(spark, inputs["observed"]),
+        _parquet(spark, inputs["pairwise_ld"]),
+        ridge_lambda=p["ridge_lambda"],
+        rtol=p["rtol"],
+    )
+
+
+def _run_credible_set_qc(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.credible_sets import credible_set_qc
+
+    return credible_set_qc(
+        _parquet(spark, inputs["credible_set"]),
+        p_value_threshold=p["p_value_threshold"],
+        purity_min_r2=p["purity_min_r2"],
+    )
+
+
+def _run_credible_set_validation(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.annotation import (
+        flag_invalid_variants,
+        validate_study_locus,
+    )
+
+    validated = validate_study_locus(
+        _parquet(spark, inputs["study_locus"]),
+        _parquet(spark, inputs["study_index"]),
+    )
+    return flag_invalid_variants(validated)
+
+
+def _run_study_validation(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.annotation import flag_trans_qtls
+
+    return flag_trans_qtls(
+        _parquet(spark, inputs["study_locus"]),
+        _parquet(spark, inputs["study_index"]),
+        _parquet(spark, inputs["target_index"]),
+        trans_threshold=p["trans_threshold"],
+    )
+
+
+def _run_variant_to_vcf(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.annotation import write_vcf
+
+    write_vcf(_parquet(spark, inputs["variant_index"]), output)
+    return None
+
+
+def _run_gwas_catalog_sumstat_preprocess(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.sources.readers import read_gwas_catalog_sumstats
+
+    return read_gwas_catalog_sumstats(spark, inputs["raw"], study_id=p["study_id"])
+
+
+def _run_finngen_sumstat_preprocess(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.sources.readers import read_finngen_sumstats
+
+    return read_finngen_sumstats(spark, inputs["raw"])
+
+
+def _run_ukb_ppp_eur_sumstat_preprocess(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.sources.readers import read_ukb_ppp_sumstats
+
+    return read_ukb_ppp_sumstats(
+        _parquet(spark, inputs["raw"]), _parquet(spark, inputs["annotation"])
+    )
+
+
+def _run_finngen_ukb_meta_ingestion(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.sources.readers import read_finngen_ukb_meta_sumstats
+
+    return read_finngen_ukb_meta_sumstats(
+        _parquet(spark, inputs["raw"]), _parquet(spark, inputs["annotation"])
+    )
+
+
+def _run_eqtl_catalogue(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.sources.eqtl_finemapping import (
+        eqtl_susie_to_study_locus,
+        parse_eqtl_susie_results,
+    )
+
+    processed = parse_eqtl_susie_results(
+        _parquet(spark, inputs["credible_sets"]),
+        _parquet(spark, inputs["lbf"]),
+        _parquet(spark, inputs["studies_metadata"]),
+        n_effects=p["n_effects"],
+    )
+    return eqtl_susie_to_study_locus(processed)
+
+
+def _run_variant_index(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.sources.vep import read_vep_jsonl
+
+    return read_vep_jsonl(spark, inputs["vep_jsonl"])
+
+
+def _run_interval_ingestion(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.liftover import chain_to_df
+    from genetics_spark_coloc_spark.sources import intervals as iv
+
+    parsers = {
+        "andersson": iv.parse_andersson,
+        "javierre": iv.parse_javierre,
+        "jung": iv.parse_jung,
+        "thurman": iv.parse_thurman,
+    }
+    source = p["interval_source"]
+    if source not in parsers:
+        raise ValueError(f"unknown interval_source {source!r}; one of {sorted(parsers)}")
+    chain = chain_to_df(spark, inputs["chain"]) if inputs.get("chain") else None
+    return parsers[source](
+        _parquet(spark, inputs["raw"]), _parquet(spark, inputs["genes"]), chain=chain
+    )
+
+
+def _run_liftover(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.liftover import chain_to_df, liftover_intervals
+
+    return liftover_intervals(
+        _parquet(spark, inputs["intervals"]),
+        chain_to_df(spark, inputs["chain"]),
+        chrom_col=p["chrom_col"],
+        start_col=p["start_col"],
+        end_col=p["end_col"],
+        max_difference=p["max_difference"],
+    )
+
+
+def _run_locus_to_gene_feature_matrix(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.l2g import build_registry_feature_matrix
+
+    return build_registry_feature_matrix(
+        _parquet(spark, inputs["study_locus"]),
+        _parquet(spark, inputs["variant_index"]),
+        _parquet(spark, inputs["colocalisation"]),
+        _parquet(spark, inputs["study_index"]),
+        _parquet(spark, inputs["target_index"]),
+        genomic_window=p["genomic_window"],
+    )
+
+
+def _run_locus_to_gene(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.l2g import predict_l2g, train_l2g_model
+
+    fm = _parquet(spark, inputs["feature_matrix"])
+    model = train_l2g_model(
+        fm, label_col=p["label_col"], max_iter=p["max_iter"]
+    )
+    return predict_l2g(model, fm)
+
+
+def _run_overlaps(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.overlaps import find_overlaps
+
+    return find_overlaps(
+        _parquet(spark, inputs["credible_set"]),
+        intra_study_overlap=p["intra_study_overlap"],
+    )
+
+
+# --------------------------------------------------------------- registry
+
+STEPS: dict[str, StepSpec] = {
+    s.name: s
+    for s in [
+        StepSpec(
+            "window_based_clumping",
+            "Window-based clumping of summary statistics into lead variants "
+            "(reference: window_based_clumping.py:10, config.py WindowBasedClumpingStepConfig)",
+            ("summary_statistics",),
+            _run_window_based_clumping,
+            {
+                "distance": Param(int, 500_000, "clumping window (bp)"),
+                "gwas_significance": Param(float, 1e-8, "lead p-value cutoff"),
+            },
+        ),
+        StepSpec(
+            "locus_breaker_clumping",
+            "Locus-breaker clumping: baseline-significance segments split at "
+            "distance gaps (reference: locus_breaker_clumping.py)",
+            ("summary_statistics",),
+            _run_locus_breaker_clumping,
+            {
+                "baseline_pvalue_cutoff": Param(float, 1e-5, "segment membership cutoff"),
+                "distance_cutoff": Param(int, 250_000, "gap splitting segments (bp)"),
+                "pvalue_cutoff": Param(float, 1e-8, "lead significance"),
+                "flanking_distance": Param(int, 100_000, "locus flank (bp)"),
+            },
+        ),
+        StepSpec(
+            "ld_based_clumping",
+            "LD-annotate lead variants then drop/flag leads linked by LD "
+            "(reference: ld_based_clumping.py)",
+            ("study_locus", "study_index", "ld_index"),
+            _run_ld_based_clumping,
+            {
+                "r2_threshold": Param(float, 0.5, "LD r2 linkage threshold"),
+                "drop_linked": Param(bool, False, "drop linked leads instead of flagging"),
+            },
+        ),
+        StepSpec(
+            "colocalisation",
+            "Find credible-set overlaps, then COLOC or eCAVIAR "
+            "(reference: colocalisation.py:15)",
+            ("credible_set",),
+            _run_colocalisation,
+            {
+                "coloc_method": Param(str, "coloc", "coloc | ecaviar"),
+                "priorc1": Param(float, 1e-4, "prior: SNP associated with left trait"),
+                "priorc2": Param(float, 1e-4, "prior: SNP associated with right trait"),
+                "priorc12": Param(float, 1e-5, "prior: SNP associated with both"),
+            },
+        ),
+        StepSpec(
+            "pics",
+            "PICS finemapping of LD-annotated study loci (reference: pics.py)",
+            ("study_locus",),
+            _run_pics,
+            {"k": Param(float, 6.4, "PICS noise scaling constant")},
+        ),
+        StepSpec(
+            "susie_finemapping",
+            "Per-locus SuSiE finemapping over grouped summary statistics "
+            "(reference: susie_finemapper.py)",
+            ("summary_statistics",),
+            _run_susie_finemapping,
+            {"locus_col": Param(str, "studyLocusId", "grouping column")},
+        ),
+        StepSpec(
+            "summary_statistics_qc",
+            "Per-study sumstat QC metrics: mean/std beta, GC lambda, PZ check "
+            "(reference: sumstat_qc_step.py)",
+            ("summary_statistics",),
+            _run_summary_statistics_qc,
+            {"pval_threshold": Param(float, 5e-8, "significant-SNP count threshold")},
+        ),
+        StepSpec(
+            "sumstat_imputation",
+            "RAISS z-score imputation of unobserved SNPs from pairwise LD "
+            "(reference: method/sumstat_imputation.py)",
+            ("observed", "pairwise_ld"),
+            _run_sumstat_imputation,
+            {
+                "ridge_lambda": Param(float, 0.01, "ridge diagonal loading"),
+                "rtol": Param(float, 0.01, "pinv eigenvalue cutoff"),
+            },
+        ),
+        StepSpec(
+            "credible_set_qc",
+            "Credible-set QC flags: p-value, purity, abnormal PIPs "
+            "(reference: credible_set_qc.py)",
+            ("credible_set",),
+            _run_credible_set_qc,
+            {
+                "p_value_threshold": Param(float, 1e-5, "lead p-value QC cutoff"),
+                "purity_min_r2": Param(float, 0.01, "minimum purity r2"),
+            },
+        ),
+        StepSpec(
+            "credible_set_validation",
+            "Validate study loci against the study index + variant-id shape "
+            "(reference: study_locus_validation.py)",
+            ("study_locus", "study_index"),
+            _run_credible_set_validation,
+            {},
+        ),
+        StepSpec(
+            "study_validation",
+            "Flag trans-QTL loci against study + target indices "
+            "(reference: study_validation.py)",
+            ("study_locus", "study_index", "target_index"),
+            _run_study_validation,
+            {"trans_threshold": Param(int, 5_000_000, "cis window (bp)")},
+        ),
+        StepSpec(
+            "variant_to_vcf",
+            "Export a variant index as VCF partitions (reference: "
+            "variant_index.py ConvertToVcfStep)",
+            ("variant_index",),
+            _run_variant_to_vcf,
+            {},
+            sink=True,
+        ),
+        StepSpec(
+            "gwas_catalog_sumstat_preprocess",
+            "Ingest + harmonise raw GWAS-Catalog summary statistics "
+            "(reference: gwas_catalog_sumstat_preprocess.py)",
+            ("raw",),
+            _run_gwas_catalog_sumstat_preprocess,
+            {"study_id": Param(str, "STUDY", "study accession to stamp")},
+        ),
+        StepSpec(
+            "finngen_sumstat_preprocess",
+            "Ingest + harmonise raw FinnGen summary statistics "
+            "(reference: finngen_sumstat_preprocess.py)",
+            ("raw",),
+            _run_finngen_sumstat_preprocess,
+            {},
+        ),
+        StepSpec(
+            "ukb_ppp_eur_sumstat_preprocess",
+            "Harmonise UKB-PPP (EUR) pGWAS sumstats against the variant "
+            "annotation (reference: ukb_ppp_eur_sumstat_preprocess.py)",
+            ("raw", "annotation"),
+            _run_ukb_ppp_eur_sumstat_preprocess,
+            {},
+        ),
+        StepSpec(
+            "finngen_ukb_meta_ingestion",
+            "Ingest FinnGen+UKB meta-analysis sumstats "
+            "(reference: finngen_ukb_meta.py)",
+            ("raw", "annotation"),
+            _run_finngen_ukb_meta_ingestion,
+            {},
+        ),
+        StepSpec(
+            "eqtl_catalogue",
+            "Parse eQTL-Catalogue SuSiE credible sets + LBFs into study loci "
+            "(reference: eqtl_catalogue.py)",
+            ("credible_sets", "lbf", "studies_metadata"),
+            _run_eqtl_catalogue,
+            {"n_effects": Param(int, 10, "SuSiE effects per dataset")},
+        ),
+        StepSpec(
+            "variant_index",
+            "Parse VEP JSONL output into a variant index "
+            "(reference: variant_index.py)",
+            ("vep_jsonl",),
+            _run_variant_index,
+            {},
+        ),
+        StepSpec(
+            "interval_ingestion",
+            "Parse an enhancer-gene interval source (andersson | javierre | "
+            "jung | thurman), optionally lifting to GRCh38 "
+            "(reference: datasource/intervals/*)",
+            ("raw", "genes"),
+            _run_interval_ingestion,
+            {"interval_source": Param(str, "andersson", "which parser to run")},
+        ),
+        StepSpec(
+            "liftover",
+            "Lift interval coordinates through a UCSC chain file "
+            "(reference: common/genomic_region.py liftover usage)",
+            ("intervals", "chain"),
+            _run_liftover,
+            {
+                "chrom_col": Param(str, "chrom", ""),
+                "start_col": Param(str, "start", ""),
+                "end_col": Param(str, "end", ""),
+                "max_difference": Param(int, 100, "max lifted-length drift (bp)"),
+            },
+        ),
+        StepSpec(
+            "locus_to_gene_feature_matrix",
+            "Assemble the full L2G feature matrix from the registry "
+            "(reference: l2g.py LocusToGeneFeatureMatrixStep)",
+            ("study_locus", "variant_index", "colocalisation", "study_index", "target_index"),
+            _run_locus_to_gene_feature_matrix,
+            {"genomic_window": Param(int, 500_000, "neighbourhood window (bp)")},
+        ),
+        StepSpec(
+            "locus_to_gene",
+            "Train the L2G GBT classifier on a labelled feature matrix and "
+            "score it (reference: l2g.py LocusToGeneStep)",
+            ("feature_matrix",),
+            _run_locus_to_gene,
+            {
+                "label_col": Param(str, "goldStandardSet", "training label column"),
+                "max_iter": Param(int, 20, "GBT boosting iterations"),
+            },
+        ),
+        StepSpec(
+            "overlaps",
+            "Find overlapping credible-set pairs across studies "
+            "(reference: dataset/study_locus_overlap.py)",
+            ("credible_set",),
+            _run_overlaps,
+            {"intra_study_overlap": Param(bool, False, "include same-study pairs")},
+        ),
+    ]
+}
+
+
+def coerce_param(spec: StepSpec, key: str, raw: str):
+    """Cast a CLI ``--param key=value`` string to the declared type."""
+    if key not in spec.params:
+        raise KeyError(
+            f"step {spec.name!r} has no param {key!r}; available: {sorted(spec.params)}"
+        )
+    t = spec.params[key].type
+    if t is bool:
+        if raw.lower() in ("1", "true", "yes"):
+            return True
+        if raw.lower() in ("0", "false", "no"):
+            return False
+        raise ValueError(f"param {key}: expected bool, got {raw!r}")
+    return t(raw)
+
+
+def run_step(
+    spark: SparkSession,
+    name: str,
+    inputs: Mapping[str, str],
+    output: str | None = None,
+    params: Mapping[str, object] | None = None,
+    write: bool = True,
+) -> DataFrame | None:
+    """Execute one registered step.
+
+    Validates required inputs, merges params over defaults, runs the
+    step, and (when ``write`` and the step isn't a sink) writes the
+    result to ``output`` as parquet. Returns the result DataFrame
+    (None for sink steps).
+    """
+    if name not in STEPS:
+        raise KeyError(f"unknown step {name!r}; available: {sorted(STEPS)}")
+    spec = STEPS[name]
+    missing = [k for k in spec.inputs if k not in inputs]
+    if missing:
+        raise ValueError(f"step {name!r} missing inputs {missing}; needs {list(spec.inputs)}")
+    merged = {k: v.default for k, v in spec.params.items()}
+    for k, v in (params or {}).items():
+        if k not in spec.params:
+            raise KeyError(
+                f"step {name!r} has no param {k!r}; available: {sorted(spec.params)}"
+            )
+        merged[k] = v
+    df = spec.runner(spark, dict(inputs), output, merged)
+    if df is not None and write:
+        if output is None:
+            raise ValueError(f"step {name!r} produced a result but no --out was given")
+        df.write.mode("overwrite").parquet(output)
+    return df

@@ -1,0 +1,171 @@
+"""Step-registry smoke tests — the reference's step-test strategy
+(e.g. tests/gentropy/step/test_colocalisation_step.py: instantiate a
+step on tiny inputs, assert it writes a well-formed output) applied
+to the `steps.py` registry and the `python -m` CLI."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from genetics_spark_coloc_spark.queries import _sumstats, _tags
+from genetics_spark_coloc_spark.steps import STEPS, coerce_param, run_step
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ss_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("steps") / "ss.parquet")
+    _sumstats(spark, SF).write.parquet(p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def credset_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("steps") / "credset.parquet")
+    tag_rows = _tags(spark, SF)
+    study_locus = tag_rows.groupBy(
+        "studyLocusId", "studyId", "studyType", "chromosome"
+    ).agg(
+        F.collect_list(
+            F.struct(
+                F.col("tagVariantId").alias("variantId"),
+                F.col("posteriorProbability"),
+                F.col("logBF"),
+                F.col("beta"),
+                F.lit(None).cast("float").alias("pValueMantissa"),
+                F.lit(None).cast("int").alias("pValueExponent"),
+            )
+        ).alias("locus")
+    ).withColumn("region", F.concat_ws(":", "chromosome", "studyLocusId"))
+    study_locus.write.parquet(p)
+    return p
+
+
+def test_registry_is_complete():
+    # the ~15-step core surface the reference exposes via hydra
+    assert len(STEPS) >= 15
+    for spec in STEPS.values():
+        assert spec.inputs, spec.name
+        assert spec.description
+        assert "reference" in spec.description
+
+
+def test_run_window_based_clumping(spark, ss_path, tmp_path):
+    out = str(tmp_path / "leads.parquet")
+    df = run_step(
+        spark,
+        "window_based_clumping",
+        {"summary_statistics": ss_path},
+        out,
+        {"distance": 250_000, "gwas_significance": 1e-8},
+    )
+    assert df.count() > 0
+    assert spark.read.parquet(out).count() == df.count()
+
+
+def test_run_locus_breaker(spark, ss_path, tmp_path):
+    out = str(tmp_path / "lb.parquet")
+    df = run_step(spark, "locus_breaker_clumping", {"summary_statistics": ss_path}, out)
+    assert df.count() > 0
+
+
+def test_run_sumstat_qc(spark, ss_path, tmp_path):
+    ss = spark.read.parquet(ss_path).withColumn(
+        "standardError", F.lit(0.1)
+    )
+    qc_in = str(tmp_path / "ss_se.parquet")
+    ss.write.parquet(qc_in)
+    out = str(tmp_path / "qc.parquet")
+    df = run_step(spark, "summary_statistics_qc", {"summary_statistics": qc_in}, out)
+    assert df.count() > 0
+
+
+def test_run_colocalisation_both_methods(spark, credset_path, tmp_path):
+    coloc_df = run_step(
+        spark,
+        "colocalisation",
+        {"credible_set": credset_path},
+        str(tmp_path / "coloc.parquet"),
+    )
+    assert "h4" in [c.lower() for c in coloc_df.columns] or coloc_df.count() >= 0
+    ecav = run_step(
+        spark,
+        "colocalisation",
+        {"credible_set": credset_path},
+        str(tmp_path / "ecaviar.parquet"),
+        {"coloc_method": "ecaviar"},
+    )
+    assert ecav.count() >= 0
+
+
+def test_run_overlaps(spark, credset_path, tmp_path):
+    df = run_step(
+        spark, "overlaps", {"credible_set": credset_path}, str(tmp_path / "ov.parquet")
+    )
+    assert df.count() > 0
+
+
+def test_missing_input_raises(spark):
+    with pytest.raises(ValueError, match="missing inputs"):
+        run_step(spark, "window_based_clumping", {}, "/tmp/x")
+
+
+def test_unknown_step_and_param(spark, ss_path):
+    with pytest.raises(KeyError, match="unknown step"):
+        run_step(spark, "no_such_step", {}, "/tmp/x")
+    with pytest.raises(KeyError, match="no param"):
+        run_step(
+            spark,
+            "window_based_clumping",
+            {"summary_statistics": ss_path},
+            "/tmp/x",
+            {"bogus": 1},
+            write=False,
+        )
+
+
+def test_coerce_param_types():
+    spec = STEPS["window_based_clumping"]
+    assert coerce_param(spec, "distance", "1000") == 1000
+    assert coerce_param(spec, "gwas_significance", "1e-6") == 1e-6
+    ld = STEPS["ld_based_clumping"]
+    assert coerce_param(ld, "drop_linked", "true") is True
+    assert coerce_param(ld, "drop_linked", "0") is False
+    with pytest.raises(ValueError):
+        coerce_param(ld, "drop_linked", "maybe")
+
+
+def test_cli_list_and_describe():
+    r = subprocess.run(
+        [sys.executable, "-m", "genetics_spark_coloc_spark", "list"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0
+    assert "window_based_clumping" in r.stdout
+    r = subprocess.run(
+        [sys.executable, "-m", "genetics_spark_coloc_spark", "describe",
+         "colocalisation"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0
+    assert "priorc12" in r.stdout
+
+
+def test_cli_run_end_to_end(ss_path, tmp_path):
+    out = str(tmp_path / "cli_leads.parquet")
+    r = subprocess.run(
+        [sys.executable, "-m", "genetics_spark_coloc_spark", "run",
+         "window_based_clumping",
+         "--in", f"summary_statistics={ss_path}",
+         "--out", out,
+         "--param", "distance=250000",
+         "--master", "local[2]", "--shuffle-partitions", "4"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "wrote" in r.stdout
