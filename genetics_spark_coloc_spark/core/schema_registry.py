@@ -263,6 +263,231 @@ SCHEMAS: dict[str, StructType] = {
             _f("r", DoubleType(), False),
         ]
     ),
+    # cell-type / tissue ontology entries (reference:
+    # assets/schemas/biosample_index.json)
+    "biosample_index": StructType(
+        [
+            _f("biosampleId", StringType(), False),
+            _f("biosampleName", StringType(), False),
+            _f("description", StringType()),
+            _f("xrefs", ArrayType(StringType())),
+            _f("synonyms", ArrayType(StringType())),
+            _f("parents", ArrayType(StringType())),
+            _f("ancestors", ArrayType(StringType())),
+            _f("descendants", ArrayType(StringType())),
+            _f("children", ArrayType(StringType())),
+        ]
+    ),
+    # protein-level variant effect annotations (reference:
+    # assets/schemas/amino_acid_variants.json)
+    "amino_acid_variants": StructType(
+        [
+            _f("uniprotAccession", StringType()),
+            _f("aminoAcidChange", StringType()),
+            _f(
+                "variantEffect",
+                ArrayType(
+                    StructType(
+                        [
+                            _f("method", StringType()),
+                            _f("assessment", StringType()),
+                            _f("score", FloatType()),
+                            _f("assessmentFlag", StringType()),
+                            _f("targetId", StringType()),
+                            _f("normalisedScore", DoubleType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    ),
+    # long-form L2G feature rows (reference: assets/schemas/l2g_feature.json)
+    "l2g_feature": StructType(
+        [
+            _f("studyLocusId", StringType(), False),
+            _f("geneId", StringType(), False),
+            _f("featureName", StringType(), False),
+            _f("featureValue", FloatType(), False),
+        ]
+    ),
+    # curated locus→gene training labels (reference:
+    # assets/schemas/l2g_gold_standard.json)
+    "l2g_gold_standard": StructType(
+        [
+            _f("studyLocusId", StringType(), False),
+            _f("variantId", StringType(), False),
+            _f("studyId", StringType(), False),
+            _f("geneId", StringType(), False),
+            _f("traitFromSourceMappedId", StringType()),
+            _f("goldStandardSet", StringType(), False),
+            _f("sources", ArrayType(StringType())),
+        ]
+    ),
+    # scored L2G predictions with per-feature attributions (reference:
+    # assets/schemas/l2g_predictions.json)
+    "l2g_predictions": StructType(
+        [
+            _f("studyLocusId", StringType(), False),
+            _f("geneId", StringType(), False),
+            _f("score", DoubleType(), False),
+            _f(
+                "features",
+                ArrayType(
+                    StructType(
+                        [
+                            _f("name", StringType(), False),
+                            _f("value", FloatType(), False),
+                            _f("shapValue", FloatType()),
+                        ]
+                    ),
+                    containsNull=False,
+                ),
+            ),
+            _f("shapBaseValue", FloatType()),
+        ]
+    ),
+    # raw 12-column BED of Andersson 2014 enhancer-TSS associations
+    # (reference: assets/schemas/andersson2014.json)
+    "andersson2014": StructType(
+        [
+            _f("chrom", StringType()),
+            _f("chromStart", LongType()),
+            _f("chromEnd", LongType()),
+            _f("name", StringType()),
+            _f("score", LongType()),
+            _f("strand", StringType()),
+            _f("thickStart", LongType()),
+            _f("thickEnd", LongType()),
+            _f("itemRgb", StringType()),
+            _f("blockCount", LongType()),
+            _f("blockSizes", StringType()),
+            _f("chromStarts", StringType()),
+        ]
+    ),
+    # the raw Ensembl VEP JSON document shape (reference:
+    # assets/schemas/vep_json_output.json)
+    "vep_json_output": StructType(
+        [
+            _f("allele_string", StringType()),
+            _f("assembly_name", StringType()),
+            _f(
+                "intergenic_consequences",
+                ArrayType(
+                    StructType(
+                        [
+                            _f("conservation", DoubleType()),
+                            _f("hgvsg", StringType()),
+                            _f("cadd_phred", DoubleType()),
+                            _f("cadd_raw", DoubleType()),
+                            _f("consequence_terms", ArrayType(StringType())),
+                            _f("impact", StringType()),
+                            _f("variant_allele", StringType()),
+                            _f("gene_id", StringType()),
+                        ]
+                    )
+                ),
+            ),
+            _f(
+                "colocated_variants",
+                ArrayType(
+                    StructType(
+                        [
+                            _f("allele_string", StringType()),
+                            _f("clin_sig", ArrayType(StringType())),
+                            _f("clin_sig_allele", StringType()),
+                            _f("end", LongType()),
+                            _f("id", StringType()),
+                            _f("phenotype_or_disease", LongType()),
+                            _f("pubmed", ArrayType(LongType())),
+                            _f("seq_region_name", StringType()),
+                            _f("start", LongType()),
+                            _f("strand", LongType()),
+                            _f(
+                                "var_synonyms",
+                                StructType(
+                                    [
+                                        _f("ClinVar", ArrayType(StringType())),
+                                        _f("LMDD", ArrayType(StringType())),
+                                        _f("OIVD", ArrayType(StringType())),
+                                        _f("OMIM", ArrayType(DoubleType())),
+                                        _f("PharmGKB", ArrayType(StringType())),
+                                        _f("PhenCode", ArrayType(StringType())),
+                                        _f("UniProt", ArrayType(StringType())),
+                                        _f("dbPEX", ArrayType(StringType())),
+                                    ]
+                                ),
+                            ),
+                        ]
+                    )
+                ),
+            ),
+            _f("end", LongType()),
+            _f("id", StringType()),
+            _f("input", StringType()),
+            _f("most_severe_consequence", StringType()),
+            _f("seq_region_name", StringType()),
+            _f("start", LongType()),
+            _f("strand", LongType()),
+            _f(
+                "transcript_consequences",
+                ArrayType(
+                    StructType(
+                        [
+                            _f("conservation", DoubleType()),
+                            _f(
+                                "alphamissense",
+                                StructType(
+                                    [
+                                        _f("am_class", StringType()),
+                                        _f("am_pathogenicity", DoubleType()),
+                                    ]
+                                ),
+                            ),
+                            _f("amino_acids", StringType()),
+                            _f("hgvsg", StringType()),
+                            _f("hgvsc", StringType()),
+                            _f("hgvsp", StringType()),
+                            _f("gene_symbol", StringType()),
+                            _f("biotype", StringType()),
+                            _f("appris", StringType()),
+                            _f("mane_select", StringType()),
+                            _f("tssdistance", LongType()),
+                            _f("cadd_phred", DoubleType()),
+                            _f("cadd_raw", DoubleType()),
+                            _f("canonical", LongType()),
+                            _f("cdna_end", LongType()),
+                            _f("cdna_start", LongType()),
+                            _f("cds_end", LongType()),
+                            _f("cds_start", LongType()),
+                            _f("codons", StringType()),
+                            _f("consequence_terms", ArrayType(StringType())),
+                            _f("distance", LongType()),
+                            _f("flags", ArrayType(StringType())),
+                            _f("gene_id", StringType()),
+                            _f("impact", StringType()),
+                            _f("lof", StringType()),
+                            _f("lof_filter", StringType()),
+                            _f("lof_flags", StringType()),
+                            _f("lof_info", StringType()),
+                            _f("polyphen_prediction", StringType()),
+                            _f("polyphen_score", DoubleType()),
+                            _f("protein_end", LongType()),
+                            _f("protein_start", LongType()),
+                            _f("sift_prediction", StringType()),
+                            _f("sift_score", DoubleType()),
+                            _f("strand", LongType()),
+                            _f("swissprot", ArrayType(StringType())),
+                            _f("transcript_id", StringType()),
+                            _f("trembl", ArrayType(StringType())),
+                            _f("uniparc", ArrayType(StringType())),
+                            _f("uniprot_isoform", ArrayType(StringType())),
+                            _f("variant_allele", StringType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    ),
 }
 
 

@@ -624,6 +624,77 @@ def add_prediction_features(
     )
 
 
+def to_l2g_feature_long(
+    feature_matrix: DataFrame, feature_names: list[str]
+) -> DataFrame:
+    """Wide feature matrix -> long `l2g_feature` entity rows
+    (reference: assets/schemas/l2g_feature.json; dataset/l2g_feature.py).
+
+    One row per (studyLocusId, geneId, featureName) with a non-null
+    float value — null features are absent rows, matching the
+    reference's long-form storage. Validates against
+    ``get_schema("l2g_feature")``.
+    """
+    stacked = feature_matrix.select(
+        "studyLocusId",
+        "geneId",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("featureName"),
+                        F.col(c).cast("float").alias("featureValue"),
+                    )
+                    for c in feature_names
+                ]
+            )
+        ).alias("_fv"),
+    )
+    return stacked.filter(F.col("_fv.featureValue").isNotNull()).select(
+        F.col("studyLocusId").cast("string"),
+        F.col("geneId").cast("string"),
+        F.col("_fv.featureName").alias("featureName"),
+        F.col("_fv.featureValue").alias("featureValue"),
+    )
+
+
+def to_l2g_predictions_entity(
+    predictions: DataFrame,
+    feature_matrix: DataFrame,
+    feature_names: list[str],
+    score_col: str = "l2gScore",
+) -> DataFrame:
+    """Conform scored predictions to the `l2g_predictions` entity
+    (reference: assets/schemas/l2g_predictions.json): score as
+    non-null double, features array<struct<name, value, shapValue>>
+    with float values, nullable shapBaseValue. shapValue columns stay
+    null until an explainer fills them (see ``explain_predictions``).
+    """
+    annotated = predictions.join(
+        feature_matrix.select("studyLocusId", "geneId", *feature_names),
+        on=["studyLocusId", "geneId"],
+        how="left",
+    )
+    return annotated.filter(F.col(score_col).isNotNull()).select(
+        F.col("studyLocusId").cast("string"),
+        F.col("geneId").cast("string"),
+        F.col(score_col).cast("double").alias("score"),
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("name"),
+                    F.coalesce(F.col(c).cast("float"), F.lit(0.0).cast("float")).alias(
+                        "value"
+                    ),
+                    F.lit(None).cast("float").alias("shapValue"),
+                )
+                for c in feature_names
+            ]
+        ).alias("features"),
+        F.lit(None).cast("float").alias("shapBaseValue"),
+    )
+
+
 def explain_predictions(
     model,
     feature_matrix: DataFrame,
