@@ -31,6 +31,7 @@ def connected_components(
     dst_col: str = "rightId",
     num_rounds: int = 8,
     until_converged: bool = False,
+    raise_on_unconverged: bool = True,
 ) -> DataFrame:
     """Label every vertex with the MINIMUM vertex id reachable from it.
 
@@ -41,6 +42,13 @@ def connected_components(
     ``until_converged`` to stop early when a round changes nothing
     (costs one count() action per round — leave it off inside larger
     pipelines and size num_rounds instead).
+
+    When ``until_converged`` is off, a single cheap final check
+    verifies no edge still connects two different labels and raises
+    RuntimeError if the fixed round budget was too small — an
+    unconverged labeling would silently split true clusters. Pass
+    ``raise_on_unconverged=False`` only when a caller checks (or
+    tolerates) convergence itself.
     """
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -93,7 +101,32 @@ def connected_components(
                 .count()
             )
             if changed == 0:
+                converged = True
                 break
+    else:
+        converged = False
+    if not converged and raise_on_unconverged:
+        # round budget exhausted: converged iff no edge still bridges
+        # two labels (one join + limit(1) — cheap relative to a round)
+        src_lab = labels.select(
+            F.col("id").alias("src"), F.col("label").alias("_srcLabel")
+        )
+        dst_lab = labels.select(
+            F.col("id").alias("dst"), F.col("label").alias("_dstLabel")
+        )
+        bridging = (
+            sym.join(src_lab, on="src")
+            .join(dst_lab, on="dst")
+            .filter(F.col("_srcLabel") != F.col("_dstLabel"))
+            .limit(1)
+            .count()
+        )
+        if bridging > 0:
+            raise RuntimeError(
+                f"connected_components did not converge in {num_rounds} "
+                "rounds (an edge still bridges two labels); raise "
+                "num_rounds or set until_converged=True"
+            )
     return labels.select("id", F.col("label").alias("component"))
 
 

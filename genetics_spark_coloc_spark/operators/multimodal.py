@@ -4,8 +4,11 @@ columns with typed metadata, processed via Arrow-batched mapInPandas.
 The reference has no multimodal surface; this is the training-data
 extension (BASELINE north star). The Spark-side architecture is real
 and tested — schema, partition sizing, batch iteration, UDF
-signatures; the codec calls are stubbed behind ``_decode_image``
-because no image/audio libraries exist in this environment.
+signatures. The codec is import-gated: Pillow when installed (any
+format), a built-in pure-Python uncompressed-BMP parser otherwise —
+so ``decodeStatus='decoded'`` is exercised even in codec-less
+environments; payloads neither can read fall back to a deterministic
+stub feature tagged ``decodeStatus='stubbed'``.
 
 Design points for 100 TB of media:
 - binary payloads never pass through Python row-at-a-time: Arrow
@@ -38,14 +41,77 @@ FEATURE_SCHEMA = (
 )
 
 
-def _decode_image(payload: bytes) -> list[float]:
-    """Stub decode: REAL implementations plug a codec here (PIL/ffmpeg
-    are not available in this environment).
+try:  # codec gate: any Pillow-supported format decodes when PIL exists
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # pragma: no cover - environment-dependent
+    _PILImage = None
 
-    Raises NotImplementedError for true decoding; the deterministic
-    fallback below (`_fake_feature`) is what tests exercise.
+_GRID = 8  # fixed sample grid: features are an 8x8 grayscale thumbnail
+
+
+def _grid_features(pixels, width: int, height: int) -> list[float]:
+    """8×8 nearest-neighbour grayscale thumbnail from an RGB pixel
+    accessor — the SAME sampling math for every decode path (PIL or
+    the built-in BMP parser), so features don't depend on which codec
+    happened to be installed. Grayscale = (299r + 587g + 114b)/1000
+    integer arithmetic; values scaled to [0, 1]."""
+    feats = []
+    for gy in range(_GRID):
+        y = gy * height // _GRID
+        for gx in range(_GRID):
+            x = gx * width // _GRID
+            r, g, b = pixels(x, y)
+            feats.append(((299 * r + 587 * g + 114 * b) // 1000) / 255.0)
+    return feats
+
+
+def _decode_bmp(payload: bytes) -> list[float]:
+    """Pure-Python decoder for uncompressed 24-bit BMP — the one
+    raster format simple enough to parse without a codec library, so
+    the 'decoded' path is real and testable even in codec-less
+    environments. Raises NotImplementedError for any other BMP
+    flavour."""
+    import struct
+
+    if len(payload) < 54:
+        raise NotImplementedError("truncated BMP")
+    pixel_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    flipped = height > 0  # positive height = bottom-up row order
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+
+    def pixels(x: int, y: int) -> tuple[int, int, int]:
+        row = (height - 1 - y) if flipped else y
+        off = pixel_offset + row * row_stride + x * 3
+        b, g, r = payload[off], payload[off + 1], payload[off + 2]
+        return r, g, b
+
+    return _grid_features(pixels, width, height)
+
+
+def _decode_image(payload: bytes) -> list[float]:
+    """Decode an image payload into 64 grid features.
+
+    Codec preference: Pillow when installed (any format it supports),
+    else the built-in uncompressed-BMP parser. Raises
+    NotImplementedError when neither can decode the payload — callers
+    fall back to the deterministic stub with decodeStatus='stubbed'.
     """
-    raise NotImplementedError("image codec not available in this environment")
+    if _PILImage is not None:
+        import io
+
+        try:
+            img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+        except Exception as exc:
+            raise NotImplementedError(f"undecodable payload: {exc}") from exc
+        px = img.load()
+        return _grid_features(lambda x, y: px[x, y], img.width, img.height)
+    return _decode_bmp(payload)
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -69,7 +135,10 @@ def extract_features(media: DataFrame, dim: int = 8, batch_size: int = 64) -> Da
             for payload in pdf["payload"]:
                 raw = bytes(payload) if payload is not None else b""
                 try:
-                    feats.append(_decode_image(raw)[:dim])
+                    decoded = _decode_image(raw)
+                    if len(decoded) < dim:
+                        decoded = decoded + [0.0] * (dim - len(decoded))
+                    feats.append(decoded[:dim])
                     statuses.append("decoded")
                 except NotImplementedError:
                     feats.append(_fake_feature(raw, dim))

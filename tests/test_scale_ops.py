@@ -308,6 +308,63 @@ def test_connected_components_until_converged_long_chain(spark):
     assert all(r["component"] == 0 for r in comp)
 
 
+def test_connected_components_unconverged_raises(spark):
+    """A chain longer than the fixed round budget can reach must fail
+    LOUDLY (round-4 guard) — silent exit would split true clusters."""
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.operators.graph import connected_components
+
+    n = 64
+    verts = spark.range(n).select(F.col("id").cast("long").alias("doc_id"))
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "leftId: long, rightId: long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(verts, edges, "doc_id", num_rounds=1).collect()
+    # explicit opt-out returns the (unconverged) labels silently
+    out = connected_components(
+        verts, edges, "doc_id", num_rounds=1, raise_on_unconverged=False
+    ).collect()
+    assert len(out) == n
+
+
+def _tiny_bmp(width: int = 4, height: int = 4) -> bytes:
+    """Uncompressed 24-bit bottom-up BMP with gray(x + 4y) pixels."""
+    import struct
+
+    row_stride = (width * 3 + 3) & ~3
+    pixel_bytes = bytearray()
+    for row in range(height):  # bottom-up: first stored row = y max
+        y = height - 1 - row
+        for x in range(width):
+            v = (x + 4 * y) * 16
+            pixel_bytes += bytes([v, v, v])  # b, g, r equal -> gray v
+        pixel_bytes += b"\x00" * (row_stride - width * 3)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixel_bytes), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_bytes), 0, 0, 0, 0)
+    return bytes(header + pixel_bytes)
+
+
+def test_multimodal_bmp_really_decodes(spark):
+    """decodeStatus='decoded' is real: the built-in BMP parser (or
+    Pillow when installed) produces the 8x8 grid features."""
+    from genetics_spark_coloc_spark.operators.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [Row(mediaId=7, modality="image", payload=_tiny_bmp())]
+    )
+    row = extract_features(media, dim=64).collect()[0]
+    assert row.decodeStatus == "decoded"
+    assert row.featureDim == 64
+    # grid sample (gx,gy) hits pixel (gx*4//8, gy*4//8) = gray 16*(x+4y)
+    expected_first = (0 * 16) / 255.0   # (0,0)
+    expected_last = ((3 + 4 * 3) * 16) / 255.0  # (3,3)
+    assert abs(row.feature[0] - expected_first) < 1e-6
+    assert abs(row.feature[63] - expected_last) < 1e-6
+
+
 def test_ngram_repetition_ratio_edges(spark):
     from genetics_spark_coloc_spark.operators.text import ngram_repetition_ratio
     from pyspark.sql import functions as F
