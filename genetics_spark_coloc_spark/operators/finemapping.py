@@ -250,6 +250,7 @@ def susie_study_locus_kernel(
     ld_scale: float = 200_000.0,
     cs_lbf_thr: float = 2.0,
     sum_pips: float = 0.99,
+    susie_kwargs: "dict | None" = None,
 ) -> pd.DataFrame:
     """SuSiE-inf output → study-locus credible-set rows, entirely
     executor-side (reference susie_inf_to_studylocus,
@@ -271,7 +272,7 @@ def susie_study_locus_kernel(
     p = len(z)
     if ld is None:
         ld = np.eye(p)
-    out = susie_inf(z, ld=ld, n=n, L=min(max_l, p))
+    out = susie_inf(z, ld=ld, n=n, L=min(max_l, p), **(susie_kwargs or {}))
     vids = pdf["variantId"].to_numpy()
 
     order_creds = sorted(
@@ -323,6 +324,32 @@ def susie_study_locus_kernel(
     return pd.DataFrame(rows)
 
 
+def susie_study_locus_reduced_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """``susie_study_locus_kernel`` in its deterministic reduced
+    configuration: identity LD (no ``position`` column supplied),
+    one effect, fixed hyperparameters (ssq=0.2, sigmasq=1, tausq=0,
+    no estimation). The credible-set extraction — effect ordering,
+    99% top-PIP prefix, purity over the LD block, lead variant —
+    is the GENUINE production code path; only the model collapses
+    to the closed form lbf_j = n·z_j²/(2(n+5)) − ½ln(0.2(n+5)),
+    PIP = softmax(lbf), credibleSetLog10BF = logsumexp(lbf − ln p)
+    / ln 10, which the driver's DuckDB oracle replicates exactly.
+    With identity LD the purity block is analytic too: meanR2 = 1/k,
+    minR2 = 1 if k == 1 else 0."""
+    import numpy as np
+
+    return susie_study_locus_kernel(
+        pdf,
+        max_l=1,
+        susie_kwargs={
+            "est_ssq": False,
+            "est_sigmasq": False,
+            "est_tausq": False,
+            "ssq": np.array([0.2]),
+        },
+    )
+
+
 def carma_ld_kernel(
     pdf: pd.DataFrame,
     tau: float = 0.04,
@@ -345,7 +372,11 @@ def carma_ld_kernel(
     outlier_mask = np.zeros(p, dtype=bool)
     outlier_mask[list(res["Outliers"])] = True
     vids = pdf["variantId"].to_numpy()
-    order = np.lexsort((vids, -pips))
+    # rank on 6-dp-rounded PIPs: raw PIPs that agree to 1e-6 are
+    # fp-noise-ordered (e.g. several saturated at 1.0), so ranking
+    # the rounded value with a variantId tiebreak keeps the rank
+    # stable under reordering/replay and engine-comparable
+    order = np.lexsort((vids, -np.round(pips, 6)))
     rank = np.empty(p, dtype="int32")
     rank[order] = np.arange(1, p + 1)
     rank[outlier_mask] = 0

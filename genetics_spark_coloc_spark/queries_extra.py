@@ -163,22 +163,34 @@ def q_finemap_susie_inf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_finemap_carma_ld(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LD-aware deterministic CARMA per locus (operators/carma.py):
-    spike-slab model search + ridge-shrinkage outlier screen over an
-    exponential-decay LD from positions. Combinatorial + iterative —
-    rows-only check."""
+    """Deterministic CARMA spike-slab search (operators/carma.py:
+    ``carma_spike_slab`` — seed enumeration, batched slogdet/solve
+    model scoring, greedy stepwise walk, pair outlier screen) in its
+    oracle-able diagonal-LD configuration: no ``position`` column →
+    identity LD, and ≤3 variants per locus so the seeded powerset IS
+    the visited model space. Identity LD factorises every model
+    score into per-variant singleton lbfs, so the PIP sum over the
+    powerset has a closed form the DuckDB oracle replicates exactly
+    — turning the previous rows-only check into a full hash gate on
+    the genuine CARMA search path. (The full exponential-decay-LD
+    configuration stays pinned by golden pytest parity on the
+    reference's own locus — tests/test_finemap_golden.py.)"""
     ev = load_table(spark, sf_dir, "events")
     ss = (
-        ev.filter(F.col("event_id") % 5 == 0)
-        .select(
-            F.concat(F.lit("M"), ((F.col("event_id") / 5).cast("long") % 400).cast("string")).alias(
+        ev.select(
+            F.concat(F.lit("M"), (F.col("event_id") % 400).cast("string")).alias(
                 "studyLocusId"
             ),
-            F.concat(F.lit("v"), F.col("event_id").cast("string")).alias("variantId"),
-            ((F.col("event_id") * 53) % 1000000).cast("double").alias("position"),
+            F.concat(
+                F.lit("v"), ((F.col("event_id") / 400).cast("long") % 3).cast("string")
+            ).alias("variantId"),
             ((F.col("value") - 50.0) / 25.0).alias("beta"),
-            (0.5 + (F.col("event_id") % 10) / 10.0).alias("standardError"),
+            # se floor 0.2 keeps |z| <= ~10 so the scaled powerset
+            # algebra stays well inside double range on both engines
+            (0.2 + (F.col("event_id") % 10) / 50.0).alias("standardError"),
         )
+        .groupBy("studyLocusId", "variantId")
+        .agg(F.max("beta").alias("beta"), F.max("standardError").alias("standardError"))
     )
     out = finemapping.finemap_grouped(ss, kernel=finemapping.carma_ld_kernel)
     return out.select(
@@ -188,6 +200,78 @@ def q_finemap_carma_ld(spark: SparkSession, sf_dir: str) -> DataFrame:
         "credibleSetIndex",
         F.round("logBF", 6).alias("logBF"),
     )
+
+
+SQL_FINEMAP_CARMA_LD = """
+WITH raw AS (
+  SELECT 'M' || CAST(event_id % 400 AS VARCHAR)        AS studyLocusId,
+         'v' || CAST((event_id // 400) % 3 AS VARCHAR) AS variantId,
+         (value - 50.0) / 25.0                         AS beta,
+         0.2 + (event_id % 10) / 50.0                  AS standardError
+  FROM events
+),
+ss AS (
+  SELECT studyLocusId, variantId,
+         MAX(beta) AS beta, MAX(standardError) AS standardError
+  FROM raw GROUP BY 1, 2
+),
+-- identity-LD singleton score: ½lnτ − ½ln(1+τ) + z²/(2(1+τ)), τ=0.04
+ab AS (
+  SELECT studyLocusId, variantId,
+         0.5 * LN(0.04) - 0.5 * LN(1.04)
+         + (beta / standardError) * (beta / standardError) / (2.0 * 1.04) AS A
+  FROM ss
+),
+st AS (
+  SELECT *, CAST(COUNT(*) OVER (PARTITION BY studyLocusId) AS DOUBLE) AS p
+  FROM ab
+),
+-- p <= 3 by construction, so the visited model space is the full
+-- powerset: enumerate it explicitly (identity LD makes every model
+-- score the sum of its singleton scores plus the spike-slab prior
+-- lgamma(p−k+1) − lgamma(p+1)); explicit enumeration avoids the
+-- catastrophic cancellation a sum-of-exponentials factorisation
+-- hits when the A spread exceeds double precision
+models AS (
+  SELECT studyLocusId, CAST(NULL AS VARCHAR) AS v1, CAST(NULL AS VARCHAR) AS v2,
+         CAST(NULL AS VARCHAR) AS v3, 0.0 AS score
+  FROM (SELECT DISTINCT studyLocusId FROM st)
+  UNION ALL
+  SELECT studyLocusId, variantId, NULL, NULL,
+         A + LGAMMA(p) - LGAMMA(p + 1)
+  FROM st
+  UNION ALL
+  SELECT a.studyLocusId, a.variantId, b.variantId, NULL,
+         a.A + b.A + LGAMMA(a.p - 1) - LGAMMA(a.p + 1)
+  FROM st a JOIN st b
+    ON a.studyLocusId = b.studyLocusId AND a.variantId < b.variantId
+  UNION ALL
+  SELECT a.studyLocusId, a.variantId, b.variantId, c.variantId,
+         a.A + b.A + c.A + LGAMMA(a.p - 2) - LGAMMA(a.p + 1)
+  FROM st a
+  JOIN st b ON a.studyLocusId = b.studyLocusId AND a.variantId < b.variantId
+  JOIN st c ON b.studyLocusId = c.studyLocusId AND b.variantId < c.variantId
+),
+we AS (
+  SELECT *, EXP(score - MAX(score) OVER (PARTITION BY studyLocusId)) AS w
+  FROM models
+),
+pipn AS (
+  SELECT s.studyLocusId, s.variantId, MIN(s.A) AS A,
+         COALESCE(SUM(CASE WHEN s.variantId IN (e.v1, e.v2, e.v3)
+                           THEN e.w END), 0.0) AS num,
+         SUM(e.w) AS total
+  FROM st s JOIN we e ON s.studyLocusId = e.studyLocusId
+  GROUP BY 1, 2
+)
+SELECT studyLocusId, variantId,
+       ROUND(num / total, 6) AS posteriorProbability,
+       CAST(ROW_NUMBER() OVER (PARTITION BY studyLocusId
+                               ORDER BY ROUND(num / total, 6) DESC, variantId) AS INT)
+         AS credibleSetIndex,
+       ROUND(A, 6) AS logBF
+FROM pipn
+"""
 
 
 def q_finemap_carma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -694,10 +778,11 @@ EXTRA_ORACLES = {
     "finemap_abf": SQL_FINEMAP_ABF,
     "finemap_susie": SQL_FINEMAP_SUSIE,
     "finemap_carma": SQL_FINEMAP_CARMA,
-    # finemap_susie_inf / finemap_carma_ld: intentionally no oracle —
-    # LD-aware iterative numerics (eigendecomposition + IBSS; model
-    # search) are not SQL-expressible; the reduced-form twins above
-    # carry the exact hash check for the same code paths.
+    # finemap_susie_inf: intentionally no oracle — LD-aware iterative
+    # numerics (eigendecomposition + IBSS) are not SQL-expressible;
+    # finemap_susie / susie_credible_sets carry the exact hash checks
+    # for the same code paths in their reduced configurations.
+    "finemap_carma_ld": SQL_FINEMAP_CARMA_LD,
     "simhash": SQL_SIMHASH,
     "l2g_distance_features": SQL_L2G_DISTANCE,
     "vep_features": SQL_VEP_FEATURES,
@@ -707,25 +792,28 @@ EXTRA_ORACLES = {
 
 
 def q_susie_credible_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full SuSiE-inf → study-locus credible-set rows, one
-    applyInPandas kernel per locus (the distributed replacement for
-    the reference's driver-side susie_inf_to_studylocus loop,
-    susie_finemapper.py:188-320). Iterative + eigendecomposition —
-    rows-only check; structure and thresholds are pinned in unit
-    tests."""
+    """SuSiE-inf → study-locus credible-set rows, one applyInPandas
+    kernel per locus (the distributed replacement for the reference's
+    driver-side susie_inf_to_studylocus loop,
+    susie_finemapper.py:188-320), in the oracle-able reduced model
+    configuration (identity LD, L=1, fixed hyperparameters — see
+    ``susie_study_locus_reduced_kernel``). The extraction logic this
+    query hash-checks — effect ordering, 99% top-PIP prefix
+    membership, LD-block purity, lead variant, locus assembly — is
+    the genuine production code path; the full LD-aware model stays
+    exercised (rows-only) by ``finemap_susie_inf``."""
     ev = load_table(spark, sf_dir, "events")
     ss = ev.select(
         F.concat(F.lit("L"), (F.col("event_id") % 400).cast("string")).alias(
             "studyLocusId"
         ),
         F.concat(F.lit("v"), F.col("event_id").cast("string")).alias("variantId"),
-        ((F.col("event_id") * 37) % 1000000).cast("double").alias("position"),
         ((F.col("value") - 50.0) / 25.0).alias("beta"),
         (0.5 + (F.col("event_id") % 10) / 10.0).alias("standardError"),
     )
     out = finemapping.finemap_grouped(
         ss,
-        kernel=finemapping.susie_study_locus_kernel,
+        kernel=finemapping.susie_study_locus_reduced_kernel,
         schema=finemapping.SUSIE_STUDY_LOCUS_SCHEMA,
     )
     return out.select(
@@ -739,9 +827,55 @@ def q_susie_credible_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_SUSIE_CREDIBLE_SETS = """
+WITH ss AS (
+  SELECT 'L' || CAST(event_id % 400 AS VARCHAR) AS studyLocusId,
+         'v' || CAST(event_id AS VARCHAR)       AS variantId,
+         ((value - 50.0) / 25.0) / (0.5 + (event_id % 10) / 10.0) AS z
+  FROM events
+),
+-- reduced susie-inf: omega = n + 1/ssq (n=100000, ssq=0.2);
+-- lbf = n z² / (2 omega) − ½ ln(omega · ssq)
+lbf AS (
+  SELECT studyLocusId, variantId,
+         100000.0 * z * z / (2.0 * 100005.0) - 0.5 * LN(100005.0 * 0.2) AS lbf
+  FROM ss
+),
+s1 AS (
+  SELECT *, MAX(lbf) OVER w AS mx, CAST(COUNT(*) OVER w AS DOUBLE) AS p
+  FROM lbf WINDOW w AS (PARTITION BY studyLocusId)
+),
+pip AS (
+  SELECT *,
+         EXP(lbf - mx) / SUM(EXP(lbf - mx)) OVER w AS pip,
+         mx - LN(p) + LN(SUM(EXP(lbf - mx)) OVER w) AS csLbf
+  FROM s1 WINDOW w AS (PARTITION BY studyLocusId)
+),
+cum AS (
+  SELECT *,
+         COALESCE(SUM(pip) OVER (PARTITION BY studyLocusId
+                                 ORDER BY pip DESC, variantId
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0.0) AS cumBefore,
+         ROW_NUMBER() OVER (PARTITION BY studyLocusId
+                            ORDER BY pip DESC, variantId) AS rn
+  FROM pip
+)
+SELECT studyLocusId,
+       1 AS credibleSetIndex,
+       ROUND(MAX(csLbf) / LN(10), 6)                       AS credibleSetLog10BF,
+       ROUND(1.0 / COUNT(*), 6)                            AS purityMeanR2,
+       CASE WHEN COUNT(*) = 1 THEN 1.0 ELSE 0.0 END        AS purityMinR2,
+       MIN(CASE WHEN rn = 1 THEN variantId END)            AS leadVariantId,
+       CAST(COUNT(*) AS INT)                               AS credibleSetSize
+FROM cum
+WHERE cumBefore < 0.99
+GROUP BY studyLocusId
+"""
+
+
 EXTRA_QUERIES["susie_credible_sets"] = q_susie_credible_sets
-# susie_credible_sets: intentionally no oracle (LD-aware iterative
-# numerics); the reduced-form finemap_susie carries the exact check
+EXTRA_ORACLES["susie_credible_sets"] = SQL_SUSIE_CREDIBLE_SETS
 
 
 def q_finemap_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:

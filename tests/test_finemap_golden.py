@@ -337,3 +337,92 @@ class TestCarmaPairAlgebra:
                 [sum(wt for m, wt in weights if i in m) / total for i in range(n)]
             )
             assert np.allclose(got, expected, rtol=1e-9, atol=1e-12), (scale, n)
+
+
+class TestReducedOracleKernels:
+    """The two round-4 oracle conversions: reduced configurations of
+    the study-locus SuSiE kernel and the LD-aware CARMA kernel must
+    match their closed forms exactly (these are the forms the DuckDB
+    oracles for susie_credible_sets / finemap_carma_ld encode)."""
+
+    def test_susie_study_locus_reduced_closed_form(self):
+        import genetics_spark_coloc_spark.operators.finemapping as fm
+
+        pdf = pd.DataFrame(
+            {
+                "studyLocusId": "L1",
+                "variantId": [f"v{i}" for i in range(6)],
+                "beta": [0.1, 0.5, -0.3, 0.2, 0.05, -0.6],
+                "standardError": [0.1, 0.2, 0.15, 0.1, 0.3, 0.2],
+            }
+        )
+        out = fm.susie_study_locus_reduced_kernel(pdf)
+        assert len(out) == 1
+        row = out.iloc[0]
+        n, ssq = 100_000.0, 0.2
+        omega = n + 1.0 / ssq
+        z = (pdf["beta"] / pdf["standardError"]).to_numpy()
+        lbf = n * z * z / (2.0 * omega) - 0.5 * np.log(omega * ssq)
+        mx = lbf.max()
+        pip = np.exp(lbf - mx) / np.exp(lbf - mx).sum()
+        cs_lbf = mx - np.log(len(z)) + np.log(np.exp(lbf - mx).sum())
+        order = np.lexsort((pdf["variantId"].to_numpy(), -pip))
+        cum = np.cumsum(pip[order])
+        k = int(np.argmax(cum >= 0.99))
+        members = order[: k + 1]
+        assert row["credibleSetIndex"] == 1
+        assert abs(row["credibleSetLog10BF"] - cs_lbf / np.log(10)) < 1e-12
+        assert abs(row["purityMeanR2"] - 1.0 / len(members)) < 1e-12
+        assert row["purityMinR2"] == (1.0 if len(members) == 1 else 0.0)
+        assert row["leadVariantId"] == pdf["variantId"].to_numpy()[members[0]]
+        kernel_pips = {
+            m["variantId"]: m["posteriorProbability"] for m in row["locus"]
+        }
+        for j in members:
+            vid = pdf["variantId"].to_numpy()[j]
+            assert abs(kernel_pips[vid] - pip[j]) < 1e-12
+
+    def test_carma_identity_ld_powerset_closed_form(self):
+        from math import lgamma
+
+        import genetics_spark_coloc_spark.operators.finemapping as fm
+
+        pdf = pd.DataFrame(
+            {
+                "studyLocusId": "M1",
+                "variantId": ["a", "b", "c"],
+                "beta": [0.4, -0.9, 0.15],
+                "standardError": [0.2, 0.3, 0.25],
+            }
+        )
+        res = fm.carma_ld_kernel(pdf)
+        tau = 0.04
+        z = (pdf["beta"] / pdf["standardError"]).to_numpy()
+        A = (
+            0.5 * np.log(tau)
+            - 0.5 * np.log(1 + tau)
+            + z * z / (2.0 * (1.0 + tau))
+        )
+        p = 3
+        subsets = [
+            (), (0,), (1,), (2,), (0, 1), (0, 2), (1, 2), (0, 1, 2),
+        ]
+        scores = {
+            s: sum(A[list(s)]) + lgamma(p - len(s) + 1) - lgamma(p + 1)
+            for s in subsets
+        }
+        mxs = max(scores.values())
+        w = {s: np.exp(v - mxs) for s, v in scores.items()}
+        tot = sum(w.values())
+        pips = np.array(
+            [sum(w[s] for s in subsets if j in s) / tot for j in range(p)]
+        )
+        assert np.allclose(
+            res["posteriorProbability"].to_numpy(), pips, rtol=0, atol=1e-12
+        )
+        assert np.allclose(res["logBF"].to_numpy(), A, rtol=0, atol=1e-12)
+        # ranks: rounded-PIP descending, variantId tiebreak
+        expect_rank = np.empty(p, dtype=int)
+        order = np.lexsort((pdf["variantId"].to_numpy(), -np.round(pips, 6)))
+        expect_rank[order] = np.arange(1, p + 1)
+        assert list(res["credibleSetIndex"]) == list(expect_rank)
