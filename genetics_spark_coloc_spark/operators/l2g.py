@@ -703,13 +703,14 @@ def explain_predictions(
 ) -> DataFrame:
     """Per-feature occlusion contributions, fully distributed.
 
-    The reference explains predictions with driver-side SHAP
-    (dataset/l2g_prediction.py:146-268: toPandas + TreeExplainer over
-    a sampled background). shap is not available here and its kernel
-    runs on the driver; instead each feature's contribution is the
-    score delta when that feature is occluded to ``baseline_value`` —
-    N+1 distributed model.transform passes (N = len(feature_names)),
-    no data ever collected. Same output shape as the reference:
+    NOTE: for GBT models prefer ``operators.treeshap.
+    explain_predictions_treeshap`` — exact TreeSHAP (the reference's
+    l2g_prediction.py:146-268 semantics) in ONE mapInPandas pass.
+    This occlusion explainer remains as the model-agnostic fallback
+    (it only needs ``model.transform``): each feature's contribution
+    is the score delta when that feature is occluded to
+    ``baseline_value`` — N+1 distributed transform passes
+    (N = len(feature_names)), no data ever collected. Output shape:
     features array<struct<name, value, contribution>> + baseScore.
     """
     from pyspark.ml.functions import vector_to_array

@@ -1,0 +1,332 @@
+"""Exact TreeSHAP for pyspark.ml gradient-boosted-tree models.
+
+The reference explains L2G predictions with the shap library ON THE
+DRIVER (dataset/l2g_prediction.py:10,146-268: toPandas + shap
+TreeExplainer over a sampled background). This module computes the
+same quantity — the exact Shapley value of the tree-path-dependent
+conditional expectation, per Lundberg, Erion & Lee (2018/2020),
+"Consistent Individualized Feature Attribution for Tree Ensembles"
+(Algorithm 2, "Tree SHAP") — but fully distributed:
+
+1. the fitted ensemble's tree structure is serialized ONCE on the
+   driver into plain numpy arrays (children / feature / threshold /
+   leaf value / node cover), a few KB per tree;
+2. the arrays ship to executors inside a ``mapInPandas`` closure
+   (Spark pickles the closure per task — no driver round-trips,
+   no model.transform passes);
+3. each Arrow batch computes per-row phi with the polynomial-time
+   path recursion — O(trees · leaves · depth²) per row, independent
+   of the number of features.
+
+Attributions are on the MARGIN scale (the raw additive ensemble
+output F(x) = Σ weight_t · tree_t(x)), matching the reference's
+TreeExplainer behaviour on boosted classifiers; Spark's probability
+is the deterministic monotone map p = 1 / (1 + e^(−2F)). Local
+accuracy holds exactly: shapBaseValue + Σ shapValue == F(x).
+
+Unlike the occlusion explainer (``operators/l2g.explain_predictions``,
+N+1 transform passes and no efficiency axiom), this is the real
+Shapley decomposition, verified in tests against a brute-force
+subset enumeration of the same conditional expectation (exact to
+1e-10) — the strongest available check without the shap package.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------ extract
+def _serialize_tree(java_node, n_features: int) -> dict[str, np.ndarray]:
+    """Breadth-first flatten of one JVM decision tree into arrays.
+
+    cover[j] is the training-row count that reached node j (the
+    ImpurityCalculator count) — TreeSHAP uses the cover ratio as the
+    branch probability for features outside the conditioning set,
+    exactly like the reference's TreeExplainer reads tree_.weighted_
+    n_node_samples from sklearn."""
+    kids_l: list[int] = []
+    kids_r: list[int] = []
+    feat: list[int] = []
+    thr: list[float] = []
+    val: list[float] = []
+    cover: list[float] = []
+    nodes = [java_node]
+    while len(kids_l) < len(nodes):
+        j = len(kids_l)
+        node = nodes[j]
+        val.append(float(node.prediction()))
+        cover.append(float(node.impurityStats().count()))
+        cls = node.getClass().getSimpleName()
+        if cls.startswith("InternalNode"):
+            split = node.split()
+            if split.getClass().getSimpleName().startswith("CategoricalSplit"):
+                raise NotImplementedError(
+                    "categorical splits are not supported; assemble "
+                    "categorical features as one-hot/numeric columns"
+                )
+            f = int(split.featureIndex())
+            if f >= n_features:
+                raise ValueError(f"split feature {f} >= n_features {n_features}")
+            feat.append(f)
+            thr.append(float(split.threshold()))
+            kids_l.append(len(nodes))
+            nodes.append(node.leftChild())
+            kids_r.append(len(nodes))
+            nodes.append(node.rightChild())
+        else:
+            feat.append(-1)
+            thr.append(0.0)
+            kids_l.append(-1)
+            kids_r.append(-1)
+    return {
+        "children_left": np.array(kids_l, dtype=np.int32),
+        "children_right": np.array(kids_r, dtype=np.int32),
+        "feature": np.array(feat, dtype=np.int32),
+        "threshold": np.array(thr, dtype=np.float64),
+        "value": np.array(val, dtype=np.float64),
+        "cover": np.array(cover, dtype=np.float64),
+    }
+
+
+def extract_gbt_trees(model, n_features: int) -> tuple[list[dict], np.ndarray]:
+    """Serialize a GBTClassificationModel (or a PipelineModel whose
+    last stage is one) into (tree array dicts, tree weights)."""
+    gbt = model
+    if hasattr(gbt, "stages"):
+        gbt = gbt.stages[-1]
+    trees = [
+        _serialize_tree(t._call_java("rootNode"), n_features) for t in gbt.trees
+    ]
+    weights = np.asarray(gbt.treeWeights, dtype=float)
+    return trees, weights
+
+
+# ------------------------------------------------------------------ kernel
+def _tree_shap_single(tree: dict, x: np.ndarray, phi: np.ndarray) -> None:
+    """Exact tree-path-dependent SHAP for one tree and one row,
+    accumulated into phi (length n_features + 1; the last slot is
+    the base value E[tree]). Path recursion per the published
+    Algorithm 2; see module docstring."""
+    left = tree["children_left"]
+    right = tree["children_right"]
+    feature = tree["feature"]
+    threshold = tree["threshold"]
+    value = tree["value"]
+    cover = tree["cover"]
+
+    # the expected value of the tree is the cover-weighted leaf mean;
+    # credit it to the base slot
+    phi[-1] += _tree_expected_value(tree)
+
+    # path entries: feature index d, zero fraction z (proportion of
+    # paths flowing through when the feature is unknown), one
+    # fraction o (1 when the feature is known and follows this path),
+    # and the permutation weight w
+    def extend(m, pz, po, pi):
+        # deep-copy the path rows: both child recursions receive the
+        # same parent path, and the weight updates below must not
+        # leak from the hot branch into the cold branch
+        l = len(m)
+        m = [row[:] for row in m] + [[pi, pz, po, 1.0 if l == 0 else 0.0]]
+        for i in range(l - 1, -1, -1):
+            m[i + 1][3] += po * m[i][3] * (i + 1) / (l + 1)
+            m[i][3] = pz * m[i][3] * (l - i) / (l + 1)
+        return m
+
+    def unwind(m, i):
+        l = len(m) - 1
+        m = [row[:] for row in m]
+        n = m[l][3]
+        o_i, z_i = m[i][2], m[i][1]
+        if o_i != 0:
+            for j in range(l - 1, -1, -1):
+                t = m[j][3]
+                m[j][3] = n * (l + 1) / ((j + 1) * o_i)
+                n = t - m[j][3] * z_i * (l - j) / (l + 1)
+        else:
+            for j in range(l - 1, -1, -1):
+                m[j][3] = m[j][3] * (l + 1) / (z_i * (l - j))
+        for j in range(i, l):
+            m[j][0], m[j][1], m[j][2] = m[j + 1][0], m[j + 1][1], m[j + 1][2]
+        return m[:-1]
+
+    def unwound_sum(m, i):
+        l = len(m) - 1
+        o_i, z_i = m[i][2], m[i][1]
+        total = 0.0
+        if o_i != 0:
+            n = m[l][3]
+            for j in range(l - 1, -1, -1):
+                t = n / ((j + 1) * o_i)
+                total += t
+                n = m[j][3] - t * z_i * (l - j)
+        else:
+            for j in range(l - 1, -1, -1):
+                total += m[j][3] / (z_i * (l - j))
+        return total * (l + 1)
+
+    def recurse(j, m, pz, po, pi):
+        m = extend(m, pz, po, pi)
+        if left[j] < 0:  # leaf
+            v = value[j]
+            for i in range(1, len(m)):
+                w = unwound_sum(m, i)
+                phi[m[i][0]] += w * (m[i][2] - m[i][1]) * v
+            return
+        d = feature[j]
+        hot, cold = (
+            (left[j], right[j]) if x[d] <= threshold[j] else (right[j], left[j])
+        )
+        iz = io = 1.0
+        k = next((i for i in range(1, len(m)) if m[i][0] == d), None)
+        if k is not None:
+            iz, io = m[k][1], m[k][2]
+            m = unwind(m, k)
+        recurse(hot, m, iz * cover[hot] / cover[j], io, d)
+        recurse(cold, m, iz * cover[cold] / cover[j], 0.0, d)
+
+    recurse(0, [], 1.0, 1.0, -1)
+
+
+def _tree_expected_value(tree: dict) -> float:
+    """Cover-weighted expectation of the tree output (iterative
+    down-weighting from the root)."""
+    left, right = tree["children_left"], tree["children_right"]
+    value, cover = tree["value"], tree["cover"]
+    total = 0.0
+    stack = [(0, 1.0)]
+    while stack:
+        j, w = stack.pop()
+        if left[j] < 0:
+            total += w * value[j]
+        else:
+            stack.append((left[j], w * cover[left[j]] / cover[j]))
+            stack.append((right[j], w * cover[right[j]] / cover[j]))
+    return total
+
+
+def shap_values(
+    trees: list[dict], weights: np.ndarray, X: np.ndarray
+) -> np.ndarray:
+    """phi matrix for a batch: shape (n_rows, n_features + 1); the
+    last column is the base value (expected margin). Rows satisfy
+    sum(phi[:-1]) + phi[-1] == margin(x) exactly."""
+    n, d = X.shape
+    out = np.zeros((n, d + 1), dtype=np.float64)
+    for t, w in zip(trees, weights):
+        phi_t = np.zeros(d + 1, dtype=np.float64)
+        for i in range(n):
+            phi_t[:] = 0.0
+            _tree_shap_single(t, X[i], phi_t)
+            out[i] += w * phi_t
+    return out
+
+
+def gbt_margin(trees: list[dict], weights: np.ndarray, X: np.ndarray) -> np.ndarray:
+    """Raw additive ensemble output F(x) from the serialized arrays
+    (for local-accuracy verification without a transform pass)."""
+    n = X.shape[0]
+    out = np.zeros(n, dtype=np.float64)
+    for t, w in zip(trees, weights):
+        left, right = t["children_left"], t["children_right"]
+        feat, thr, val = t["feature"], t["threshold"], t["value"]
+        for i in range(n):
+            j = 0
+            while left[j] >= 0:
+                j = left[j] if X[i, feat[j]] <= thr[j] else right[j]
+            out[i] += w * val[j]
+    return out
+
+
+# ------------------------------------------------------------------ operator
+def explain_predictions_treeshap(
+    model,
+    feature_matrix: DataFrame,
+    feature_names: list[str],
+    key_cols: tuple[str, str] = ("studyLocusId", "geneId"),
+) -> DataFrame:
+    """Distributed exact TreeSHAP explanations for every row of the
+    feature matrix (null features imputed to 0.0, matching the
+    prediction path). Output mirrors the reference's l2g_predictions
+    shape: key columns, shapBaseValue (expected margin), and
+    features array<struct<name, value, shapValue>>.
+
+    One mapInPandas pass; the serialized trees ride the task closure.
+    """
+    trees, weights = extract_gbt_trees(model, len(feature_names))
+    names = list(feature_names)
+    k1, k2 = key_cols
+
+    src = feature_matrix.select(
+        F.col(k1).cast("string").alias(k1),
+        F.col(k2).cast("string").alias(k2),
+        *[F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias(c) for c in names],
+    )
+
+    schema = (
+        f"{k1} string, {k2} string, shapBaseValue double, margin double, "
+        "features array<struct<name: string, value: double, shapValue: double>>"
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = pdf[names].to_numpy(dtype=np.float64)
+            phi = shap_values(trees, weights, X)
+            margin = phi.sum(axis=1)
+            feats = [
+                [
+                    {"name": nm, "value": float(X[i, c]), "shapValue": float(phi[i, c])}
+                    for c, nm in enumerate(names)
+                ]
+                for i in range(len(pdf))
+            ]
+            yield pd.DataFrame(
+                {
+                    k1: pdf[k1].to_numpy(),
+                    k2: pdf[k2].to_numpy(),
+                    "shapBaseValue": phi[:, -1],
+                    "margin": margin,
+                    "features": feats,
+                }
+            )
+
+    return src.mapInPandas(run, schema=schema)
+
+
+def l2g_predictions_with_shap(
+    model,
+    feature_matrix: DataFrame,
+    feature_names: list[str],
+) -> DataFrame:
+    """Scored l2g_predictions entity rows with SHAP filled in —
+    the full reference surface (dataset/l2g_prediction.py:146-268:
+    score + per-feature shapValue + shapBaseValue) in one
+    distributed pass, conforming to the registered
+    ``l2g_predictions`` schema (assets/schemas/l2g_predictions.json):
+    score = sigmoid(2 · margin) is recovered from the same serialized
+    trees the SHAP pass walks, so no model.transform join is needed.
+    """
+    exp = explain_predictions_treeshap(model, feature_matrix, feature_names)
+    return exp.select(
+        F.col("studyLocusId"),
+        F.col("geneId"),
+        (1.0 / (1.0 + F.exp(-2.0 * F.col("margin")))).alias("score"),
+        F.transform(
+            "features",
+            lambda s: F.struct(
+                s["name"].alias("name"),
+                s["value"].cast("float").alias("value"),
+                s["shapValue"].cast("float").alias("shapValue"),
+            ),
+        ).alias("features"),
+        F.col("shapBaseValue").cast("float").alias("shapBaseValue"),
+    )
