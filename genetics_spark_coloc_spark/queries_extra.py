@@ -481,11 +481,12 @@ def q_l2g_registry_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL reference feature registry (feature_factory.py:102-134,
     29 features) as one wide matrix: distance ×4, coloc CLPP/H4 ×
     e/p/sQTL ×6, VEP ×2, their Neighbourhood variants, gene counts,
-    isProteinCoding, credibleSetConfidence. Multi-family pipeline —
-    neighbourhood normalisation + coloc zero-extension make it
-    impractical as one SQL statement; rows-only check here, while the
-    per-family hash checks live in l2g_distance_features /
-    vep_features and the unit tests pin exact values."""
+    isProteinCoding, credibleSetConfidence. Hash-checked end-to-end
+    against SQL_L2G_REGISTRY_MATRIX — one DuckDB statement that
+    replays every family pipeline (posterior-weighted distance
+    scoring, coloc max aggregation with protein-coding zero
+    extension, neighbourhood normalisation, windowed gene counts,
+    confidence-class scoring) and pivots to the 29-column matrix."""
     study_locus, variant_index = _synthetic_locus_and_variant_index(spark, sf_dir)
     # ~10 feature families each consume these inputs; without an
     # explicit materialization every family re-runs the window-heavy
@@ -561,6 +562,219 @@ def q_l2g_registry_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return matrix.select(*rounded)
 
+
+_REGISTRY_SQL_BODY = """
+slx AS (
+  SELECT l.studyLocusId, l.variantId,
+         CAST(substr(l.studyLocusId, 2) AS INT) AS ln,
+         CAST(1 + CAST(substr(l.studyLocusId, 2) AS INT) % 3 AS VARCHAR) AS chromosome,
+         100000 + (CAST(substr(l.studyLocusId, 2) AS INT) * 37) % 400000 AS position,
+         CASE CAST(substr(l.studyLocusId, 2) AS INT) % 4
+              WHEN 0 THEN 1.0 WHEN 1 THEN 0.75 WHEN 2 THEN 0.5 ELSE 0.25
+         END AS confScore
+  FROM lead l
+),
+study_index AS (
+  SELECT 'Q' || CAST(id AS VARCHAR) AS studyId,
+         'G' || CAST(id * 4 % 15 AS VARCHAR) AS geneId,
+         CASE id % 3 WHEN 0 THEN 'eqtl' WHEN 1 THEN 'pqtl' ELSE 'sqtl' END AS studyType
+  FROM range(0, 6) t(id)
+),
+rsl AS (
+  SELECT 'R' || CAST(id AS VARCHAR) AS rightStudyLocusId,
+         'Q' || CAST(id % 6 AS VARCHAR) AS studyId
+  FROM range(0, 30) t(id)
+),
+coloc_raw AS (
+  SELECT s.studyLocusId AS leftStudyLocusId,
+         'R' || CAST((s.ln * 2 + k) % 30 AS VARCHAR) AS rightStudyLocusId,
+         ((s.ln * 7 + k * 3) % 10) / 20.0 AS clpp,
+         ((s.ln * 11 + k * 5) % 10) / 10.0 AS h4
+  FROM slx s CROSS JOIN range(0, 2) t(k)
+),
+target_index AS (
+  SELECT 'G' || CAST(id AS VARCHAR) AS geneId,
+         CAST(1 + id % 3 AS VARCHAR) AS g_chrom,
+         150000 + (id * 61000) % 500000 AS g_tss,
+         CASE WHEN id % 3 = 2 THEN 'lncRNA' ELSE 'protein_coding' END AS biotype
+  FROM range(0, 15) t(id)
+),
+mean_agg AS (
+  SELECT tg.studyLocusId, c.geneId,
+         SUM((500000 - c.dTss + 1) * tg.posteriorProbability)  AS sTss,
+         SUM((500000 - c.dFoot + 1) * tg.posteriorProbability) AS sFoot
+  FROM tags tg JOIN csq c ON c.variantId = tg.tagVariantId
+  GROUP BY 1, 2
+),
+sent AS (
+  SELECT l.studyLocusId, c.geneId,
+         500000 - c.dTss + 1  AS sTss,
+         500000 - c.dFoot + 1 AS sFoot
+  FROM lead l JOIN csq c ON c.variantId = l.variantId
+),
+vep_base AS (
+  SELECT tg.studyLocusId, c.geneId,
+         MAX(c.sev) AS maxScore,
+         AVG(c.sev * tg.posteriorProbability) AS meanScore
+  FROM tags tg JOIN csq c ON c.variantId = tg.tagVariantId
+  GROUP BY 1, 2
+),
+local_long AS (
+  SELECT studyLocusId, geneId, 'distanceTssMean' AS featureName,
+         LOG10(sTss) / LOG10(500001) AS v FROM mean_agg
+  UNION ALL
+  SELECT studyLocusId, geneId, 'distanceFootprintMean',
+         LOG10(sFoot) / LOG10(500001) FROM mean_agg
+  UNION ALL
+  SELECT studyLocusId, geneId, 'distanceSentinelTss',
+         LOG10(sTss) / LOG10(500001) FROM sent
+  UNION ALL
+  SELECT studyLocusId, geneId, 'distanceSentinelFootprint',
+         LOG10(sFoot) / LOG10(500001) FROM sent
+  UNION ALL
+  SELECT studyLocusId, geneId, 'vepMaximum', maxScore FROM vep_base
+  UNION ALL
+  SELECT studyLocusId, geneId, 'vepMean', meanScore FROM vep_base
+),
+coloc_meta AS (
+  SELECT r.rightStudyLocusId, si.geneId, si.studyType AS rightType
+  FROM rsl r JOIN study_index si ON si.studyId = r.studyId
+),
+coloc_agg AS (
+  SELECT c.leftStudyLocusId AS studyLocusId, m.geneId,
+         CASE m.rightType WHEN 'eqtl' THEN 'eQtl'
+                          WHEN 'pqtl' THEN 'pQtl' ELSE 'sQtl' END AS pre,
+         MAX(c.clpp) AS maxClpp, MAX(c.h4) AS maxH4
+  FROM coloc_raw c JOIN coloc_meta m ON m.rightStudyLocusId = c.rightStudyLocusId
+  GROUP BY 1, 2, 3
+),
+coloc_long AS (
+  SELECT studyLocusId, geneId, pre || 'ColocClppMaximum' AS featureName,
+         maxClpp AS v FROM coloc_agg
+  UNION ALL
+  SELECT studyLocusId, geneId, pre || 'ColocH4Maximum', maxH4 FROM coloc_agg
+),
+locus_coding_genes AS (
+  SELECT DISTINCT s.studyLocusId, c.geneId
+  FROM slx s
+  JOIN csq c ON c.variantId = s.variantId
+  JOIN target_index ti ON ti.geneId = c.geneId AND ti.biotype = 'protein_coding'
+),
+coloc_zero AS (
+  SELECT g.studyLocusId, g.geneId, n.featureName, 0.0 AS v
+  FROM locus_coding_genes g
+  CROSS JOIN (SELECT DISTINCT featureName FROM coloc_long) n
+  WHERE NOT EXISTS (
+    SELECT 1 FROM coloc_long cl
+    WHERE cl.studyLocusId = g.studyLocusId AND cl.geneId = g.geneId
+      AND cl.featureName = n.featureName
+  )
+),
+coloc_ext AS (
+  SELECT * FROM coloc_long UNION ALL SELECT * FROM coloc_zero
+),
+local_nb AS (
+  SELECT studyLocusId, geneId, featureName || 'Neighbourhood' AS featureName,
+         CASE WHEN mx != 0 THEN v / mx ELSE 0.0 END AS v
+  FROM (
+    SELECT ll.studyLocusId, ll.geneId, ll.featureName, ll.v,
+           MAX(ll.v) OVER (PARTITION BY ll.studyLocusId, ll.featureName) AS mx
+    FROM local_long ll
+    JOIN target_index ti ON ti.geneId = ll.geneId AND ti.biotype = 'protein_coding'
+  )
+),
+coloc_nb AS (
+  SELECT studyLocusId, geneId, featureName || 'Neighbourhood' AS featureName,
+         CASE WHEN mx != 0 THEN v / mx ELSE 0.0 END AS v
+  FROM (
+    SELECT ce.studyLocusId, ce.geneId, ce.featureName, ce.v,
+           MAX(ce.v) OVER (PARTITION BY ce.studyLocusId, ce.featureName) AS mx
+    FROM coloc_ext ce
+    JOIN target_index ti ON ti.geneId = ce.geneId AND ti.biotype = 'protein_coding'
+  )
+),
+win_genes AS (
+  SELECT s.studyLocusId, ti.geneId, ti.biotype
+  FROM slx s
+  JOIN target_index ti
+    ON ti.g_chrom = s.chromosome
+   AND ti.g_tss BETWEEN s.position - 500000 AND s.position + 500000
+),
+win_counts AS (
+  SELECT studyLocusId,
+         CAST(COUNT(*) AS DOUBLE) AS geneCount,
+         CAST(SUM(CASE WHEN biotype = 'protein_coding' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS pcCount
+  FROM win_genes GROUP BY 1
+),
+counts_long AS (
+  SELECT w.studyLocusId, w.geneId, 'geneCount500kb' AS featureName,
+         c.geneCount AS v
+  FROM (SELECT DISTINCT studyLocusId, geneId FROM win_genes) w
+  JOIN win_counts c USING (studyLocusId)
+  UNION ALL
+  SELECT w.studyLocusId, w.geneId, 'proteinGeneCount500kb', c.pcCount
+  FROM (SELECT DISTINCT studyLocusId, geneId FROM win_genes) w
+  JOIN win_counts c USING (studyLocusId)
+),
+coding_long AS (
+  SELECT DISTINCT studyLocusId, geneId, 'isProteinCoding' AS featureName,
+         CASE WHEN biotype = 'protein_coding' THEN 1.0 ELSE 0.0 END AS v
+  FROM win_genes
+),
+conf_long AS (
+  SELECT tg.studyLocusId, c.geneId, 'credibleSetConfidence' AS featureName,
+         MAX(s.confScore) AS v
+  FROM tags tg
+  JOIN csq c ON c.variantId = tg.tagVariantId
+  JOIN slx s ON s.studyLocusId = tg.studyLocusId
+  GROUP BY 1, 2, 3
+),
+lng AS (
+  SELECT * FROM local_long
+  UNION ALL SELECT * FROM coloc_long
+  UNION ALL SELECT * FROM local_nb
+  UNION ALL SELECT * FROM coloc_nb
+  UNION ALL SELECT * FROM counts_long
+  UNION ALL SELECT * FROM coding_long
+  UNION ALL SELECT * FROM conf_long
+)
+"""
+
+_REGISTRY_PIVOT_COLS = ",\n".join(
+    "       ROUND(COALESCE(MAX(CASE WHEN featureName = '{n}' THEN v END), 0.0), 6)"
+    " AS {n}".format(n=n)
+    for n in [
+        "distanceSentinelTss",
+        "distanceSentinelTssNeighbourhood",
+        "distanceSentinelFootprint",
+        "distanceSentinelFootprintNeighbourhood",
+        "distanceTssMean",
+        "distanceTssMeanNeighbourhood",
+        "distanceFootprintMean",
+        "distanceFootprintMeanNeighbourhood",
+        "eQtlColocClppMaximum",
+        "eQtlColocClppMaximumNeighbourhood",
+        "pQtlColocClppMaximum",
+        "pQtlColocClppMaximumNeighbourhood",
+        "sQtlColocClppMaximum",
+        "sQtlColocClppMaximumNeighbourhood",
+        "eQtlColocH4Maximum",
+        "eQtlColocH4MaximumNeighbourhood",
+        "pQtlColocH4Maximum",
+        "pQtlColocH4MaximumNeighbourhood",
+        "sQtlColocH4Maximum",
+        "sQtlColocH4MaximumNeighbourhood",
+        "vepMean",
+        "vepMeanNeighbourhood",
+        "vepMaximum",
+        "vepMaximumNeighbourhood",
+        "geneCount500kb",
+        "proteinGeneCount500kb",
+        "isProteinCoding",
+        "credibleSetConfidence",
+    ]
+)
 
 def q_l2g_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All four L2G distance features in long format — posterior-
@@ -681,6 +895,20 @@ FROM pc
 """
 
 
+# one DuckDB statement replaying ALL feature-family pipelines of
+# build_registry_feature_matrix (operators/l2g.py:437-492) over the
+# same deterministic inputs, pivoted to the full-registry matrix
+SQL_L2G_REGISTRY_MATRIX = f"""
+WITH {TAGS_SQL.strip()},
+{_CSQ_SQL.strip()},
+{_REGISTRY_SQL_BODY.strip()}
+SELECT studyLocusId, geneId,
+{_REGISTRY_PIVOT_COLS}
+FROM lng
+GROUP BY studyLocusId, geneId
+"""
+
+
 # ------------------------------------------------------------- multimodal plan
 def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan from metadata only (payload pages
@@ -783,6 +1011,7 @@ EXTRA_ORACLES = {
     # finemap_susie / susie_credible_sets carry the exact hash checks
     # for the same code paths in their reduced configurations.
     "finemap_carma_ld": SQL_FINEMAP_CARMA_LD,
+    "l2g_registry_matrix": SQL_L2G_REGISTRY_MATRIX,
     "simhash": SQL_SIMHASH,
     "l2g_distance_features": SQL_L2G_DISTANCE,
     "vep_features": SQL_VEP_FEATURES,
