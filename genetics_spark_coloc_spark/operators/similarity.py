@@ -36,6 +36,33 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_vec(a: Column, b: Column) -> Column:
+    """Cosine similarity as an Arrow-vectorized batch kernel: each
+    batch is three numpy reductions over an (n×dim) pair block
+    instead of a per-element Catalyst fold per row. Semantically
+    identical to :func:`cosine` (BLAS summation order can differ in
+    the last ulp — only observable for similarities within ~1e-13 of
+    a downstream rounding boundary). Use in verification hot paths
+    over candidate pairs; keep :func:`cosine` for plan-only contexts.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos(av, bv):
+        if len(av) == 0:
+            return pd.Series([], dtype="float64")
+        x = np.stack(av.to_numpy()).astype(np.float64)
+        y = np.stack(bv.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", x, y)
+        return pd.Series(
+            num / (np.sqrt(np.einsum("ij,ij->i", x, x)) * np.sqrt(np.einsum("ij,ij->i", y, y)))
+        )
+
+    _cos.__annotations__ = {"av": pd.Series, "bv": pd.Series, "return": pd.Series}
+    return pandas_udf(_cos, "double")(a, b)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -318,20 +345,26 @@ def hyperplane_band_hash(
     )
 
 
-def hyperplane_signature_bits(
+def hyperplane_signature_bits_expr(
     vec: Column, num_planes: int, dim: int = 64
 ) -> Column:
-    """All ``num_planes`` sign bits in ONE pass over the vector.
+    """All ``num_planes`` sign bits in ONE pass over the vector, as a
+    pure Column expression (the exact-parity reference for
+    :func:`hyperplane_signature_bits`; also usable where Python
+    workers are unavailable).
 
-    Instead of one aggregate fold per plane (num_planes separate
-    scans whose giant expression trees get duplicated across every
-    downstream join side — the round-3 `embedding_near_dup` 3.5×
-    regression), the dim×num_planes ±1 sign matrix is embedded
-    dim-major and a single ``aggregate`` accumulates the projection
-    vector: acc_p += vec[d]·sign(p,d) for d ascending — the SAME
-    per-plane addition order as the per-plane fold, so projections
-    are bit-identical to ``_sign_bit_fold``'s. Returns
-    ``array<int>`` of 0/1 sign bits (bit p = 1 iff projection_p > 0).
+    The dim×num_planes ±1 sign matrix is embedded dim-major and a
+    single ``aggregate`` accumulates the projection vector:
+    acc_p += vec[d]·sign(p,d) for d ascending — the SAME per-plane
+    addition order as the per-plane fold, so projections are
+    bit-identical to ``_sign_bit_fold``'s. Returns ``array<int>`` of
+    0/1 sign bits (bit p = 1 iff projection_p > 0).
+
+    NOT the production path: Catalyst evaluates the higher-order
+    lambda chain element-at-a-time with per-row array allocation —
+    measured ~0.65 ms/row at 64×32, i.e. ~180 CPU-hours per billion
+    vectors, vs microseconds/row for the BLAS matmul in
+    :func:`hyperplane_signature_bits`.
     """
     signs_by_dim = F.array(
         *[
@@ -349,6 +382,48 @@ def hyperplane_signature_bits(
     return F.transform(
         projections, lambda pr: F.when(pr > 0, F.lit(1)).otherwise(F.lit(0))
     )
+
+
+def hyperplane_signature_bits(
+    vec: Column, num_planes: int, dim: int = 64
+) -> Column:
+    """All ``num_planes`` sign bits per vector, Arrow-vectorized.
+
+    Dense projection is linear algebra, not relational logic: each
+    Arrow batch is one (n×dim) @ (dim×num_planes) BLAS matmul —
+    6×+ faster than the Column-expression form locally and 10-100×
+    at scale (``hyperplane_signature_bits_expr`` keeps the exact
+    slow-path reference; a unit test pins both to identical bits).
+    This is one of the repo's two sanctioned Python-worker
+    exceptions (with the multimodal decode): vectorized batch
+    kernels, never row-at-a-time UDFs.
+
+    BLAS may order the dim-summation differently from the sequential
+    fold; a sign can only differ when a projection lands within
+    ~1e-13 of zero, which the oracle comparison at every SF has
+    never hit (and would surface as a hash mismatch, not silent
+    corruption).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    signs = np.array(
+        [[_plane_sign(p, d) for p in range(num_planes)] for d in range(dim)]
+    )
+
+    def _sig(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        bits = (x @ signs > 0).astype(np.int32)
+        return pd.Series(list(bits))
+
+    # set real class annotations: the module-level `from __future__
+    # import annotations` would stringify inline hints, which the
+    # pandas_udf eval-type inference cannot resolve for a local name
+    _sig.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(_sig, "array<int>")(vec)
 
 
 def lsh_cosine_candidates_banded(

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from genetics_spark_coloc_spark.operators.similarity import (
-    cosine,
+    cosine_vec,
     lsh_cosine_candidates_banded,
 )
 from genetics_spark_coloc_spark.sources.tables import load_table
@@ -37,7 +37,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             vecs.select(F.col("vec_id").alias("rightId"), F.col("embedding").alias("rv")),
             on="rightId",
         )
-        .withColumn("cosineSim", F.round(cosine(F.col("lv"), F.col("rv")), 6))
+        .withColumn("cosineSim", F.round(cosine_vec(F.col("lv"), F.col("rv")), 6))
         .filter(F.col("cosineSim") >= 0.4)
     )
     return joined.select("leftId", "rightId", "matchBand", "cosineSim")

@@ -22,9 +22,11 @@ from genetics_spark_coloc_spark.plans.inspect import (
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# every contract query except the applyInPandas kernel and the
-# Arrow-batched multimodal decode must stay JVM-side end to end
-PYTHON_ALLOWED = {"finemap_susie", "multimodal_features"}
+# every contract query except the applyInPandas kernel, the
+# Arrow-batched multimodal decode, and the vectorized hyperplane
+# projection (BLAS matmul per Arrow batch — similarity.py
+# hyperplane_signature_bits) must stay JVM-side end to end
+PYTHON_ALLOWED = {"finemap_susie", "multimodal_features", "embedding_near_dup"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

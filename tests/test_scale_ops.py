@@ -590,3 +590,27 @@ def test_salted_aggregate_matches_plain_groupby(spark):
     assert a == b
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") >= 2  # salt phase + combine phase
+
+
+class TestHyperplaneSignatureParity:
+    def test_vectorized_bits_equal_expression_bits(self, spark):
+        """The BLAS-matmul signature kernel and the pure-Column
+        reference must produce identical sign bits — the vectorized
+        path is a performance substitution, not a semantic change."""
+        from pyspark.sql import functions as F
+
+        from genetics_spark_coloc_spark.operators.similarity import (
+            hyperplane_signature_bits,
+            hyperplane_signature_bits_expr,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        fast = emb.select(
+            "vec_id", hyperplane_signature_bits(F.col("embedding"), 32, 64).alias("b")
+        ).toPandas().sort_values("vec_id").reset_index(drop=True)
+        slow = emb.select(
+            "vec_id",
+            hyperplane_signature_bits_expr(F.col("embedding"), 32, 64).alias("b"),
+        ).toPandas().sort_values("vec_id").reset_index(drop=True)
+        assert len(fast) == len(slow) > 0
+        assert all(list(a) == list(b) for a, b in zip(fast["b"], slow["b"]))
