@@ -85,10 +85,15 @@ def main() -> None:
     }
 
     if streams > 1:
-        # throughput pass: the whole suite again, N concurrent streams
+        # throughput pass: the whole suite again, N concurrent streams.
+        # Longest-processing-time-first order (by the power-pass
+        # latencies): starting the long poles first instead of at
+        # their dict position bounds the makespan — the same LPT rule
+        # a cluster workload manager applies to a query queue.
+        lpt = sorted(QUERIES.items(), key=lambda kv: -ok.get(kv[0], 0.0))
         start = time.perf_counter()
         with ThreadPoolExecutor(max_workers=streams) as pool:
-            list(pool.map(run_one, QUERIES.items()))
+            list(pool.map(run_one, lpt))
         wall = round(time.perf_counter() - start, 3)
         result.update(
             {"value": wall, "throughput_wall_sec": wall, "streams": streams}
