@@ -173,3 +173,134 @@ def streaming_attribution_join(
         ],
         how="inner",
     ).select("userId", "viewEventId", "viewTime", "clickEventId", "clickTime", "clickValue")
+
+
+def streaming_band_hashes(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Per-document MinHash band hashes as a STATELESS projection —
+    the stream-safe form of ``dedup.minhash_signatures`` +
+    band grouping (which use explode + groupBy, illegal mid-stream).
+
+    Identical values to the batch pipeline: each shingle is md5'd
+    once, permutation p reads the 8-hex window at offset 3p, the
+    signature element is the lexicographic min over shingles, and the
+    band hash is md5 of the band's sorted minhashes joined with '|'
+    (matching the batch ``sort_array(collect_list(...))`` exactly,
+    since sorting makes the aggregation order irrelevant).
+
+    Output: (id, bandIdx, bandHash) — one row per band per document,
+    no shuffle.
+    """
+    from genetics_spark_coloc_spark.operators.dedup import char_shingles
+
+    num_bands = num_perm // band_size
+    hashes = F.transform(char_shingles(F.col(text_col)), lambda s: F.md5(s))
+    min_hash = [
+        F.array_min(
+            F.transform(hashes, lambda h: F.substring(h, p * 3 + 1, 8))
+        )
+        for p in range(num_perm)
+    ]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("bandIdx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.sort_array(
+                            F.array(
+                                *min_hash[b * band_size : (b + 1) * band_size]
+                            )
+                        ),
+                    )
+                ).alias("bandHash"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    return docs.select(
+        F.col(id_col).alias("docId"), F.explode(bands).alias("bh")
+    ).select("docId", F.col("bh.bandIdx").alias("bandIdx"), F.col("bh.bandHash").alias("bandHash"))
+
+
+def streaming_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    band_size: int = 2,
+    max_bucket_size: int = 256,
+    state_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate detection: emit a
+    (leftId, rightId, bandIdx) row the moment a document lands in an
+    LSH bucket an earlier document already occupies.
+
+    The batch operator (``dedup.minhash_dedup_pairs``) self-joins the
+    band table; a stream cannot join its unbounded past, so the
+    bucket membership IS the state: ``applyInPandasWithState`` keyed
+    by (bandIdx, bandHash) keeps the sorted doc-id list per bucket
+    and emits new×seen (plus new×new) pairs per micro-batch, always
+    (min, max)-ordered like the batch output.
+
+    State is O(distinct occupied buckets); each bucket list is capped
+    at ``max_bucket_size`` ids (a hotter bucket stops emitting new
+    pairs and flags nothing — near-dup buckets this hot mean a
+    degenerate band hash, the same pathology the batch probe
+    documents). Pass ``state_timeout_ms`` on continuous deployments
+    to evict cold buckets; replaying the documents table through this
+    with ``availableNow`` reproduces the batch candidate-pair set
+    exactly (tested).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    banded = streaming_band_hashes(docs, text_col, id_col, num_perm, band_size)
+    out_schema = "leftId string, rightId string, bandIdx int"
+    state_schema = "ids array<string>"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        band_idx = int(key[0])
+        (seen,) = state.get if state.exists else ([],)
+        seen = list(seen)
+        fresh: list[str] = []
+        for pdf in pdfs:
+            for d in pdf["docId"].astype(str):
+                if d not in seen and d not in fresh:
+                    fresh.append(d)
+        fresh.sort()
+        lefts, rights = [], []
+        for i, d in enumerate(fresh):
+            if len(seen) + i >= max_bucket_size:
+                break
+            for other in seen + fresh[:i]:
+                lo, hi = (other, d) if other < d else (d, other)
+                lefts.append(lo)
+                rights.append(hi)
+        seen = sorted(set(seen) | set(fresh))[:max_bucket_size]
+        state.update((seen,))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        if lefts:
+            yield pd.DataFrame(
+                {"leftId": lefts, "rightId": rights, "bandIdx": band_idx}
+            )
+
+    return banded.groupBy("bandIdx", "bandHash").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -614,3 +614,48 @@ class TestHyperplaneSignatureParity:
         ).toPandas().sort_values("vec_id").reset_index(drop=True)
         assert len(fast) == len(slow) > 0
         assert all(list(a) == list(b) for a, b in zip(fast["b"], slow["b"]))
+
+
+class TestStreamingNearDup:
+    def test_streaming_pairs_match_batch_lsh(self, spark, tmp_path):
+        """Replaying the documents table through the stateful
+        streaming LSH reproduces the batch candidate-pair set
+        exactly (as unordered id pairs; the batch operator orders
+        numerically, the stream lexicographically)."""
+        from genetics_spark_coloc_spark.operators import dedup
+        from genetics_spark_coloc_spark.streaming.pipelines import (
+            streaming_near_dup_pairs,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        batch_pairs = {
+            frozenset({str(r.leftId), str(r.rightId)})
+            for r in dedup.minhash_dedup_pairs(
+                docs, "text", "doc_id", num_perm=8, band_size=2
+            ).collect()
+        }
+        assert batch_pairs, "fixture produced no near-dup pairs"
+
+        src = str(tmp_path / "docs_stream")
+        # two parquet files => at least two micro-batch candidates;
+        # state must carry bucket membership across them
+        docs.repartition(2).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = streaming_near_dup_pairs(stream, "text", "doc_id")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("neardup_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql("select * from neardup_out").collect()
+        stream_pairs = {frozenset({r.leftId, r.rightId}) for r in got}
+        assert stream_pairs == batch_pairs
+        # per-band rows never pair a doc with itself
+        assert all(len(p) == 2 for p in stream_pairs)
