@@ -177,3 +177,75 @@ def hash_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = items[-1][0]
     return expr.otherwise(F.lit(last)) if expr is not None else F.lit(last)
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of space-joined lowercase word n-grams in document
+    order (duplicates kept — coverage metrics count occurrences).
+    Built by zipping shifted slices: one O(m) slice per offset, not a
+    per-element lambda."""
+    toks = tokens(F.lower(text))
+    n_grams = F.size(toks) - F.lit(n - 1)
+    grams = F.slice(toks, 1, F.greatest(n_grams, F.lit(0)))
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(n_grams, F.lit(0)))
+        grams = F.zip_with(
+            grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return grams
+
+
+def duplicate_ngram_coverage(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> "DataFrame":
+    """Inter-document duplicate n-gram coverage: per document, the
+    fraction of its word n-gram occurrences whose gram also appears
+    in at least one OTHER document — the cross-document substring
+    duplication signal of Lee et al. (2022), "Deduplicating Training
+    Data Makes Language Models Better", at n-gram granularity (their
+    suffix-array spans, bucketed to fixed-width grams so the whole
+    computation is two hash-shuffles).
+
+    Scale shape: explode to (doc, gram) occurrences; grams' document
+    frequencies reduce with map-side combine on the high-cardinality
+    gram key; one join back and a per-doc aggregate. No UDFs, no
+    driver state. Documents with fewer than ``n`` tokens report
+    coverage 0 over 0 grams.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    grams = df.select(
+        F.col(id_col).alias("docId"),
+        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    # distinct docs per gram >= 2  <=>  gram is shared across docs
+    shared = (
+        grams.filter(F.col("gram").isNotNull())
+        .select("docId", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= 2)
+        .select("gram", F.lit(True).alias("isShared"))
+    )
+    per_doc = (
+        grams.join(shared, on="gram", how="left")
+        .groupBy("docId")
+        .agg(
+            F.count(F.col("gram")).alias("nGrams"),
+            F.sum(F.when(F.col("isShared"), 1).otherwise(0)).alias("_dup"),
+        )
+        .select(
+            "docId",
+            F.col("nGrams").cast("long").alias("nGrams"),
+            F.when(
+                F.col("nGrams") > 0, F.col("_dup") / F.col("nGrams")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dupGramCoverage"),
+        )
+    )
+    return per_doc

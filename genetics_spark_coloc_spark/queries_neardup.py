@@ -293,3 +293,54 @@ LIMIT 25
 
 NEARDUP_QUERIES["top_tokens"] = q_top_tokens
 NEARDUP_ORACLES["top_tokens"] = SQL_TOP_TOKENS
+
+
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate n-gram coverage (Lee et al. 2022's
+    substring-duplication signal at 5-gram granularity): per doc, the
+    fraction of word 5-gram occurrences shared with another document
+    (operators/text.duplicate_ngram_coverage)."""
+    from genetics_spark_coloc_spark.operators.text import duplicate_ngram_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = duplicate_ngram_coverage(docs, "text", "doc_id", n=5)
+    return out.select(
+        "docId", "nGrams", F.round("dupGramCoverage", 6).alias("dupGramCoverage")
+    )
+
+
+SQL_DUP_NGRAM_COVERAGE = """
+WITH toks AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+),
+grams AS (
+  SELECT docId,
+         UNNEST(CASE WHEN len(t) - 4 >= 1
+              THEN list_transform(range(0, len(t) - 4),
+                                  i -> array_to_string(list_slice(t, i + 1, i + 5), ' '))
+              ELSE [] END) AS g
+  FROM toks
+),
+shared AS (
+  SELECT g FROM (
+    SELECT g, COUNT(DISTINCT docId) AS df FROM grams GROUP BY g
+  ) WHERE df >= 2
+),
+cov AS (
+  SELECT gr.docId,
+         COUNT(*) AS nGrams,
+         SUM(CASE WHEN s.g IS NOT NULL THEN 1 ELSE 0 END) AS dup
+  FROM grams gr LEFT JOIN shared s ON s.g = gr.g
+  GROUP BY gr.docId
+)
+SELECT t.docId,
+       COALESCE(c.nGrams, 0) AS nGrams,
+       ROUND(COALESCE(CAST(c.dup AS DOUBLE) / c.nGrams, 0.0), 6) AS dupGramCoverage
+FROM toks t LEFT JOIN cov c ON c.docId = t.docId
+"""
+
+NEARDUP_QUERIES["dup_ngram_coverage"] = q_dup_ngram_coverage
+NEARDUP_ORACLES["dup_ngram_coverage"] = SQL_DUP_NGRAM_COVERAGE
