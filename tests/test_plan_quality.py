@@ -26,7 +26,13 @@ SF_DIR = "/root/testdata/sf0.001"
 # Arrow-batched multimodal decode, and the vectorized hyperplane
 # projection (BLAS matmul per Arrow batch — similarity.py
 # hyperplane_signature_bits) must stay JVM-side end to end
-PYTHON_ALLOWED = {"finemap_susie", "multimodal_features", "embedding_near_dup"}
+PYTHON_ALLOWED = {
+    "finemap_susie",
+    "multimodal_features",
+    "embedding_near_dup",
+    # BLAS centroid quantizer (similarity.py assign_to_centroids)
+    "ivf_topk",
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -659,3 +659,26 @@ class TestStreamingNearDup:
         assert stream_pairs == batch_pairs
         # per-band rows never pair a doc with itself
         assert all(len(p) == 2 for p in stream_pairs)
+
+
+class TestAssignToCentroidsParity:
+    def test_blas_assignment_equals_expression_form(self, spark):
+        """The matmul quantizer must reproduce the broadcast-join +
+        argmax expression form exactly: same centroid, same rounded
+        similarity, same small-id tie-breaks."""
+        from genetics_spark_coloc_spark.operators.similarity import (
+            assign_to_centroids,
+            assign_to_centroids_expr,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        centroids = emb.limit(16)
+        fast = {
+            r.vid: (r.centroidId, r.centroidSim)
+            for r in assign_to_centroids(emb, centroids).collect()
+        }
+        slow = {
+            r.vid: (r.centroidId, r.centroidSim)
+            for r in assign_to_centroids_expr(emb, centroids).collect()
+        }
+        assert fast == slow and len(fast) > 0
