@@ -94,3 +94,104 @@ def test_asof_matches_reference(spark, data):
         ).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-3.0, max_value=3.0, allow_nan=False),
+            st.floats(min_value=0.05, max_value=2.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_susie_reduced_kernel_matches_closed_form(stats):
+    """The reduced study-locus SuSiE kernel (the susie_credible_sets
+    oracle configuration) equals its closed form on arbitrary
+    (beta, se) loci — not just the testdata shapes."""
+    import numpy as np
+    import pandas as pd
+
+    from genetics_spark_coloc_spark.operators.finemapping import (
+        susie_study_locus_reduced_kernel,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "studyLocusId": "P1",
+            "variantId": [f"v{i:03d}" for i in range(len(stats))],
+            "beta": [b for b, _ in stats],
+            "standardError": [s for _, s in stats],
+        }
+    )
+    row = susie_study_locus_reduced_kernel(pdf).iloc[0]
+    n, ssq = 100_000.0, 0.2
+    omega = n + 1.0 / ssq
+    z = np.array([b / s for b, s in stats])
+    lbf = n * z * z / (2.0 * omega) - 0.5 * np.log(omega * ssq)
+    mx = lbf.max()
+    pip = np.exp(lbf - mx) / np.exp(lbf - mx).sum()
+    cs_lbf = mx - np.log(len(z)) + np.log(np.exp(lbf - mx).sum())
+    order = np.lexsort((pdf["variantId"].to_numpy(), -pip))
+    cum = np.cumsum(pip[order])
+    k = int(np.argmax(cum >= 0.99))
+    if cum[-1] < 0.99:
+        k = len(cum) - 1
+    members = order[: k + 1]
+    assert abs(row["credibleSetLog10BF"] - cs_lbf / np.log(10)) < 1e-9
+    assert len(row["locus"]) == len(members)
+    assert row["leadVariantId"] == pdf["variantId"].to_numpy()[members[0]]
+    assert abs(row["purityMeanR2"] - 1.0 / len(members)) < 1e-12
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-3.0, max_value=3.0, allow_nan=False),
+            st.floats(min_value=0.1, max_value=1.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_carma_identity_powerset_matches_closed_form(stats):
+    """carma_ld_kernel on identity LD with p<=3 variants (the
+    finemap_carma_ld oracle configuration) equals the explicit
+    powerset enumeration for arbitrary (beta, se)."""
+    from itertools import combinations
+    from math import lgamma
+
+    import numpy as np
+    import pandas as pd
+
+    from genetics_spark_coloc_spark.operators.finemapping import carma_ld_kernel
+
+    p = len(stats)
+    pdf = pd.DataFrame(
+        {
+            "studyLocusId": "C1",
+            "variantId": [f"v{i}" for i in range(p)],
+            "beta": [b for b, _ in stats],
+            "standardError": [s for _, s in stats],
+        }
+    )
+    res = carma_ld_kernel(pdf)
+    tau = 0.04
+    z = np.array([b / s for b, s in stats])
+    A = 0.5 * np.log(tau) - 0.5 * np.log(1 + tau) + z * z / (2.0 * (1.0 + tau))
+    subsets = [()]
+    for k in range(1, min(3, p) + 1):
+        subsets += list(combinations(range(p), k))
+    scores = {
+        s: sum(A[list(s)]) + lgamma(p - len(s) + 1) - lgamma(p + 1)
+        for s in subsets
+    }
+    mxs = max(scores.values())
+    w = {s: np.exp(v - mxs) for s, v in scores.items()}
+    tot = sum(w.values())
+    pips = np.array([sum(w[s] for s in subsets if j in s) / tot for j in range(p)])
+    got = res.sort_values("variantId")["posteriorProbability"].to_numpy()
+    assert np.allclose(got, pips, rtol=1e-9, atol=1e-12)
