@@ -69,10 +69,18 @@ def minhash_signatures(
     element is the lexicographic min over shingles. Output:
     (id, perm, minHash) long format — band grouping composes on top.
     """
-    shingled = df.select(
-        F.col(id_col).alias("docId"),
-        F.explode(char_shingles(F.col(text_col))).alias("shingle"),
-    ).select("docId", F.md5(F.col("shingle")).alias("h"))
+    shingled = (
+        df.select(
+            F.col(id_col).alias("docId"),
+            F.explode(char_shingles(F.col(text_col))).alias("shingle"),
+        )
+        # null text yields [null] (greatest(null,1)=1 keeps one slot):
+        # drop it so content-less docs have NO signature instead of
+        # all bucketing together via md5('') of an empty minhash list
+        # — matching the SQL oracle and the streaming band hashes
+        .filter(F.col("shingle").isNotNull())
+        .select("docId", F.md5(F.col("shingle")).alias("h"))
+    )
     # one min-aggregation per permutation in a single groupBy instead
     # of exploding shingles ×num_perm: the shuffle carries |docs|
     # rows × num_perm columns, not |docs×shingles×num_perm| rows

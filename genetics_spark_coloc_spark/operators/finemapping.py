@@ -147,7 +147,10 @@ def susie_reduced_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     pip = out["PIP"][:, 0]
     lbf = out["lbf_variable"][:, 0]
     vids = pdf["variantId"].to_numpy()
-    order = np.lexsort((vids, -pip))
+    # order by ROUNDED pip: raw pips that agree to 1e-6 are fp-noise
+    # ordered across engines; the vid tiebreak then fires identically
+    # on both sides (cum still sums the raw values, in this order)
+    order = np.lexsort((vids, -np.round(pip, 6)))
     cum_before = np.concatenate([[0.0], np.cumsum(pip[order])[:-1]])
     in_cs = np.zeros(len(z), dtype="int32")
     in_cs[order] = (cum_before < 0.99).astype("int32")
@@ -283,7 +286,9 @@ def susie_study_locus_kernel(
         if rank > 0 and cs_lbf < cs_lbf_thr:
             continue
         pip = out["PIP"][:, el]
-        order = np.lexsort((vids, -pip))
+        # rounded-pip ordering with vid tiebreak — engine-stable (see
+        # susie_reduced_kernel); the cumulative mass is still raw
+        order = np.lexsort((vids, -np.round(pip, 6)))
         cum = np.cumsum(pip[order])
         k = int(np.argmax(cum >= sum_pips))
         if cum[-1] < sum_pips:
@@ -506,10 +511,11 @@ def carma_kernel(
     w_single = np.exp(logp + (n - 1) * log1mp + log_abf - mx)
     pip = (w_single + w_pair) / total
 
-    # rank by PIP desc with variantId tiebreak — deterministic across
-    # replays and identical to the oracle's ORDER BY pip DESC, variantId
+    # rank by ROUNDED PIP desc with variantId tiebreak — raw pips
+    # equal to 1e-6 are fp-noise ordered, so the rounded key keeps the
+    # rank identical across engines and replays
     vids = pdf["variantId"].to_numpy()
-    order = np.lexsort((vids, -pip))
+    order = np.lexsort((vids, -np.round(pip, 6)))
     cs_index = np.empty(n, dtype="int32")
     cs_index[order] = np.arange(1, n + 1)
     return pd.DataFrame(

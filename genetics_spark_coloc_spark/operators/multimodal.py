@@ -84,6 +84,11 @@ def _decode_bmp(payload: bytes) -> list[float]:
     flipped = height > 0  # positive height = bottom-up row order
     height = abs(height)
     row_stride = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    # a plausible header over truncated/garbage pixel data must fall
+    # back to the stub, not crash the task: verify the full raster is
+    # actually present before any pixel read
+    if pixel_offset < 0 or pixel_offset + height * row_stride > len(payload):
+        raise NotImplementedError("BMP pixel data truncated")
 
     def pixels(x: int, y: int) -> tuple[int, int, int]:
         row = (height - 1 - y) if flipped else y
@@ -140,7 +145,10 @@ def extract_features(media: DataFrame, dim: int = 8, batch_size: int = 64) -> Da
                         decoded = decoded + [0.0] * (dim - len(decoded))
                     feats.append(decoded[:dim])
                     statuses.append("decoded")
-                except NotImplementedError:
+                except Exception:  # noqa: BLE001 — any undecodable
+                    # payload (malformed header, truncated raster,
+                    # codec bug) degrades to the stub; a poisoned blob
+                    # must never kill the job
                     feats.append(_fake_feature(raw, dim))
                     statuses.append("stubbed")
             yield pd.DataFrame(

@@ -36,28 +36,65 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _valid_rows(vals: list, dim: "int | None") -> list:
+    """Indices of batch cells that are actual ``dim``-length vectors
+    (``dim=None`` accepts the first valid row's length). The Column
+    forms null-propagate bad rows; the batch kernels must mask them
+    the same way instead of crashing np.stack."""
+    idx = []
+    want = dim
+    for i, a in enumerate(vals):
+        if a is None:
+            continue
+        if want is None:
+            want = len(a)
+        if len(a) == want:
+            idx.append(i)
+    return idx
+
+
 def cosine_vec(a: Column, b: Column) -> Column:
     """Cosine similarity as an Arrow-vectorized batch kernel: each
     batch is three numpy reductions over an (n×dim) pair block
     instead of a per-element Catalyst fold per row. Semantically
     identical to :func:`cosine` (BLAS summation order can differ in
     the last ulp — only observable for similarities within ~1e-13 of
-    a downstream rounding boundary). Use in verification hot paths
-    over candidate pairs; keep :func:`cosine` for plan-only contexts.
+    a downstream rounding boundary); null or length-mismatched pairs
+    yield null, exactly like the Column fold. Use in verification hot
+    paths over candidate pairs; keep :func:`cosine` for plan-only
+    contexts.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     def _cos(av, bv):
-        if len(av) == 0:
-            return pd.Series([], dtype="float64")
-        x = np.stack(av.to_numpy()).astype(np.float64)
-        y = np.stack(bv.to_numpy()).astype(np.float64)
-        num = np.einsum("ij,ij->i", x, y)
-        return pd.Series(
-            num / (np.sqrt(np.einsum("ij,ij->i", x, x)) * np.sqrt(np.einsum("ij,ij->i", y, y)))
-        )
+        xs, ys = av.tolist(), bv.tolist()
+        out = [None] * len(xs)
+        ok = [
+            i
+            for i in range(len(xs))
+            if xs[i] is not None and ys[i] is not None and len(xs[i]) == len(ys[i])
+        ]
+        lens = {len(xs[i]) for i in ok}
+        if len(lens) == 1:
+            x = np.array([xs[i] for i in ok], dtype=np.float64)
+            y = np.array([ys[i] for i in ok], dtype=np.float64)
+            sims = np.einsum("ij,ij->i", x, y) / (
+                np.sqrt(np.einsum("ij,ij->i", x, x))
+                * np.sqrt(np.einsum("ij,ij->i", y, y))
+            )
+            for j, i in enumerate(ok):
+                out[i] = float(sims[j])
+        else:  # ragged batch (mixed dims) — rare; per-row fallback
+            for i in ok:
+                x = np.asarray(xs[i], dtype=np.float64)
+                y = np.asarray(ys[i], dtype=np.float64)
+                out[i] = float(x @ y / (np.sqrt(x @ x) * np.sqrt(y @ y)))
+        # nullable Float64 so masked rows arrive as SQL NULL, not NaN
+        # (Spark orders NaN above all numbers — a NaN would PASS
+        # threshold filters the Column form's null would fail)
+        return pd.Series(out, dtype="Float64")
 
     _cos.__annotations__ = {"av": pd.Series, "bv": pd.Series, "return": pd.Series}
     return pandas_udf(_cos, "double")(a, b)
@@ -240,40 +277,98 @@ def assign_to_centroids(
     Output: (vid, vv, vnorm, centroidId, centroidSim); vnorm stays a
     JVM-side fold so downstream cosine expressions are unchanged.
     """
+    cids, cmat, cnorm, id_sql_type = _collect_centroid_matrix(
+        centroids, id_col, vec_col
+    )
+    return _assign_with_matrix(
+        vectors, cids, cmat, cnorm, id_sql_type, id_col, vec_col
+    )
+
+
+def _collect_centroid_matrix(
+    centroids: DataFrame, id_col: str, vec_col: str
+):
+    """Collect the (tiny) centroid table once: (ids ascending, k×dim
+    matrix, norms, id SQL type). NOTE: this runs a Spark job at
+    plan-build time — acceptable for a coarse quantizer's k rows;
+    callers composing several assignments (ivf_topk) share one
+    collect."""
+    import numpy as np
+
+    rows = centroids.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    ).collect()
+    if not rows:
+        raise ValueError("assign_to_centroids: centroids table is empty")
+    bad = [r for r in rows if r["cv"] is None]
+    if bad:
+        raise ValueError("assign_to_centroids: centroid with null vector")
+    rows.sort(key=lambda r: r["cid"])
+    cids = [r["cid"] for r in rows]
+    cmat = np.array([list(r["cv"]) for r in rows], dtype=np.float64)
+    cnorm = np.sqrt(np.einsum("ij,ij->i", cmat, cmat))
+    id_sql_type = centroids.schema[id_col].dataType.simpleString()
+    return cids, cmat, cnorm, id_sql_type
+
+
+def _round_half_away(x, ndigits: int = 6):
+    """round-half-away-from-zero at 1e-6 — the tie direction Spark's
+    F.round applies to doubles. (Spark rounds the SHORTEST DECIMAL
+    repr via BigDecimal HALF_UP while this scales the binary double,
+    so values within ~1ulp of a .5e-6 boundary can still differ — the
+    same knife-edge every cross-engine rounded comparison in this
+    repo accepts. np.round's half-to-even would differ on EVERY
+    boundary instead.)"""
+    import numpy as np
+
+    scale = 10.0**ndigits
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
+def _assign_with_matrix(
+    vectors: DataFrame,
+    cids: list,
+    cmat,
+    cnorm,
+    id_sql_type: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    rows = (
-        centroids.select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
-        )
-        .collect()
-    )
-    rows.sort(key=lambda r: r["cid"])
-    cids = np.array([r["cid"] for r in rows])
-    cmat = np.array([list(r["cv"]) for r in rows], dtype=np.float64)
-    cnorm = np.sqrt(np.einsum("ij,ij->i", cmat, cmat))
+    dim = cmat.shape[1]
+    cid_arr = np.array(cids)
 
     def _assign(vecs):
-        if len(vecs) == 0:
-            return pd.DataFrame({"centroidId": [], "centroidSim": []})
-        x = np.stack(vecs.to_numpy()).astype(np.float64)
-        sims = (x @ cmat.T) / (
-            np.sqrt(np.einsum("ij,ij->i", x, x))[:, None] * cnorm[None, :]
-        )
-        sims = np.round(sims, 6)
-        # argmax returns the FIRST max; cids ascending => smaller id
-        best = sims.argmax(axis=1)
+        vals = vecs.tolist()
+        ids = [None] * len(vals)
+        sims_out = [None] * len(vals)
+        ok = _valid_rows(vals, dim)
+        if ok:
+            x = np.array([vals[i] for i in ok], dtype=np.float64)
+            sims = (x @ cmat.T) / (
+                np.sqrt(np.einsum("ij,ij->i", x, x))[:, None] * cnorm[None, :]
+            )
+            sims = _round_half_away(sims)
+            # argmax returns the FIRST max; cids ascending => ties
+            # break toward the smaller centroid id
+            best = sims.argmax(axis=1)
+            for j, i in enumerate(ok):
+                ids[i] = cid_arr[best[j]].item()
+                sims_out[i] = float(sims[j, best[j]])
         return pd.DataFrame(
             {
-                "centroidId": cids[best],
-                "centroidSim": sims[np.arange(len(best)), best],
+                "centroidId": pd.Series(ids, dtype=object),
+                "centroidSim": pd.Series(sims_out, dtype="Float64"),
             }
         )
 
     _assign.__annotations__ = {"vecs": pd.Series, "return": pd.DataFrame}
-    kernel = pandas_udf(_assign, "centroidId long, centroidSim double")
+    kernel = pandas_udf(
+        _assign, f"centroidId {id_sql_type}, centroidSim double"
+    )
 
     return vectors.select(
         F.col(id_col).alias("vid"),
@@ -311,9 +406,16 @@ def ivf_topk(
     trades a linear increase in scanned lists for recall, exactly as
     in FAISS-style IVF indexes.
     """
-    members = assign_to_centroids(corpus, centroids, id_col, vec_col)
+    cids, cmat, cnorm, id_sql_type = _collect_centroid_matrix(
+        centroids, id_col, vec_col
+    )
+    members = _assign_with_matrix(
+        corpus, cids, cmat, cnorm, id_sql_type, id_col, vec_col
+    )
     if nprobe <= 1:
-        qassign = assign_to_centroids(queries, centroids, id_col, vec_col).select(
+        qassign = _assign_with_matrix(
+            queries, cids, cmat, cnorm, id_sql_type, id_col, vec_col
+        ).select(
             F.col("vid").alias("queryId"),
             F.col("vv").alias("qv"),
             F.col("vnorm").alias("qnorm"),
@@ -487,11 +589,18 @@ def hyperplane_signature_bits(
     )
 
     def _sig(vecs):
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        x = np.stack(vecs.to_numpy()).astype(np.float64)
-        bits = (x @ signs > 0).astype(np.int32)
-        return pd.Series(list(bits))
+        vals = vecs.tolist()
+        out = [None] * len(vals)
+        ok = _valid_rows(vals, dim)
+        if ok:
+            x = np.array([vals[i] for i in ok], dtype=np.float64)
+            bits = (x @ signs > 0).astype(np.int32)
+            for j, i in enumerate(ok):
+                out[i] = bits[j]
+        # null/ragged rows stay None: a null signature makes every
+        # band hash null, which the bucket equi-join drops — the same
+        # null-propagation the Column-expression form has
+        return pd.Series(out, dtype=object)
 
     # set real class annotations: the module-level `from __future__
     # import annotations` would stringify inline hints, which the

@@ -221,6 +221,10 @@ def duplicate_ngram_coverage(
         F.col(id_col).alias("docId"),
         F.explode_outer(word_ngrams(F.col(text_col), n)).alias("gram"),
     )
+    # both the shared-gram aggregate and the per-doc join consume this
+    # relation; truncate the lineage so the tokenize+n-gram+explode
+    # stage (the dominant scan) runs once, not twice
+    grams = grams.localCheckpoint(eager=False)
     # distinct docs per gram >= 2  <=>  gram is shared across docs
     shared = (
         grams.filter(F.col("gram").isNotNull())

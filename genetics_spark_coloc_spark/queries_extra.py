@@ -119,7 +119,7 @@ cum AS (
   SELECT *,
          COALESCE(SUM(posteriorProbability) OVER (
            PARTITION BY studyLocusId
-           ORDER BY posteriorProbability DESC, variantId
+           ORDER BY ROUND(posteriorProbability, 6) DESC, variantId
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cumBefore
   FROM pip
 )
@@ -385,7 +385,7 @@ s7 AS (
 SELECT studyLocusId, variantId,
        ROUND(pip, 6) AS posteriorProbability,
        CAST(ROW_NUMBER() OVER (PARTITION BY studyLocusId
-                               ORDER BY pip DESC, variantId) AS INT)
+                               ORDER BY ROUND(pip, 6) DESC, variantId) AS INT)
          AS credibleSetIndex,
        ROUND(A, 6) AS logBF
 FROM s7
@@ -1083,11 +1083,11 @@ pip AS (
 cum AS (
   SELECT *,
          COALESCE(SUM(pip) OVER (PARTITION BY studyLocusId
-                                 ORDER BY pip DESC, variantId
+                                 ORDER BY ROUND(pip, 6) DESC, variantId
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                   0.0) AS cumBefore,
          ROW_NUMBER() OVER (PARTITION BY studyLocusId
-                            ORDER BY pip DESC, variantId) AS rn
+                            ORDER BY ROUND(pip, 6) DESC, variantId) AS rn
   FROM pip
 )
 SELECT studyLocusId,

@@ -570,6 +570,11 @@ def run_step(
                 f"step {name!r} has no param {k!r}; available: {sorted(spec.params)}"
             )
         merged[k] = v
+    if spec.sink and output is None:
+        # sink steps consume the path themselves; fail with the same
+        # clear message non-sink steps get instead of a JVM error
+        # from a null path deep inside the writer
+        raise ValueError(f"sink step {name!r} writes to --out, which was not given")
     df = spec.runner(spark, dict(inputs), output, merged)
     if df is not None and write:
         if output is None:

@@ -224,7 +224,11 @@ def streaming_band_hashes(
             for b in range(num_bands)
         ]
     )
-    return docs.select(
+    # null text must vanish exactly as in batch (where exploding the
+    # null shingle array drops the row); without this filter every
+    # null-text doc would hash all bands to md5('') and spuriously
+    # pair with every other null-text doc
+    return docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("docId"), F.explode(bands).alias("bh")
     ).select("docId", F.col("bh.bandIdx").alias("bandIdx"), F.col("bh.bandHash").alias("bandHash"))
 
@@ -277,14 +281,18 @@ def streaming_near_dup_pairs(
                     fresh.append(d)
         fresh.sort()
         lefts, rights = [], []
-        for i, d in enumerate(fresh):
-            if len(seen) + i >= max_bucket_size:
+        # admission-ordered membership: docs are appended while the
+        # bucket is under cap and NEVER evicted — a capped bucket
+        # stops both pairing and admission, so membership is stable
+        # across replays instead of churning by id order
+        for d in fresh:
+            if len(seen) >= max_bucket_size:
                 break
-            for other in seen + fresh[:i]:
+            for other in seen:
                 lo, hi = (other, d) if other < d else (d, other)
                 lefts.append(lo)
                 rights.append(hi)
-        seen = sorted(set(seen) | set(fresh))[:max_bucket_size]
+            seen.append(d)
         state.update((seen,))
         if state_timeout_ms is not None:
             state.setTimeoutDuration(state_timeout_ms)

@@ -628,6 +628,13 @@ class TestStreamingNearDup:
         )
 
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        # null-text docs must vanish on BOTH paths (batch drops them
+        # at the shingle explode; the stream filters before banding)
+        docs = docs.select("doc_id", "text").unionByName(
+            spark.createDataFrame(
+                [(98_001, None), (98_002, None)], "doc_id long, text string"
+            )
+        )
         batch_pairs = {
             frozenset({str(r.leftId), str(r.rightId)})
             for r in dedup.minhash_dedup_pairs(
@@ -682,3 +689,121 @@ class TestAssignToCentroidsParity:
             for r in assign_to_centroids_expr(emb, centroids).collect()
         }
         assert fast == slow and len(fast) > 0
+
+
+class TestKernelRobustness:
+    """Round-4 review fixes: batch kernels must degrade like the
+    Column forms they replaced (null-propagate, stub, clear errors)
+    instead of crashing the task."""
+
+    def test_null_and_ragged_embeddings_survive(self, spark):
+        from genetics_spark_coloc_spark.operators.similarity import (
+            assign_to_centroids,
+            cosine_vec,
+            hyperplane_signature_bits,
+        )
+
+        rows = [
+            Row(vec_id=0, embedding=[float(d) / 64 for d in range(64)]),
+            Row(vec_id=1, embedding=None),
+            Row(vec_id=2, embedding=[1.0, 2.0]),  # ragged
+            Row(vec_id=3, embedding=[float(63 - d) / 64 for d in range(64)]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        sigs = {
+            r.vec_id: r.b
+            for r in df.select(
+                "vec_id",
+                hyperplane_signature_bits(F.col("embedding"), 32, 64).alias("b"),
+            ).collect()
+        }
+        assert sigs[1] is None and sigs[2] is None
+        assert sigs[0] is not None and sigs[3] is not None
+
+        sims = {
+            r.vec_id: r.c
+            for r in df.select(
+                "vec_id", cosine_vec(F.col("embedding"), F.col("embedding")).alias("c")
+            ).collect()
+        }
+        assert sims[1] is None  # null side -> null
+        assert abs(sims[0] - 1.0) < 1e-12
+        assert abs(sims[2] - 1.0) < 1e-12  # self-cosine of any length is valid
+        # length-mismatched pair -> null (the Column fold's zip_with
+        # semantics would silently truncate; the kernel refuses)
+        mismatch = df.filter(F.col("vec_id").isin(0, 2)).select(
+            cosine_vec(
+                F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0))
+            ).alias("c"),
+            "vec_id",
+        )
+        vals = {r.vec_id: r.c for r in mismatch.collect()}
+        assert vals[0] is None and vals[2] is None
+
+        cents = df.filter(F.col("vec_id") == 0)
+        assigned = {
+            r.vid: (r.centroidId, r.centroidSim)
+            for r in assign_to_centroids(df, cents).collect()
+        }
+        assert assigned[1] == (None, None)
+        assert assigned[2] == (None, None)
+        assert assigned[0][0] == 0
+
+    def test_empty_centroids_is_a_clear_error(self, spark):
+        from genetics_spark_coloc_spark.operators.similarity import (
+            assign_to_centroids,
+        )
+
+        df = spark.createDataFrame(
+            [Row(vec_id=0, embedding=[1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="centroids table is empty"):
+            assign_to_centroids(df, df.filter(F.col("vec_id") < 0))
+
+    def test_string_centroid_ids(self, spark):
+        from genetics_spark_coloc_spark.operators.similarity import (
+            assign_to_centroids,
+        )
+
+        df = spark.createDataFrame(
+            [
+                Row(vec_id="a", embedding=[1.0, 0.0]),
+                Row(vec_id="b", embedding=[0.0, 1.0]),
+            ],
+            "vec_id string, embedding array<double>",
+        )
+        out = {r.vid: r.centroidId for r in assign_to_centroids(df, df).collect()}
+        assert out == {"a": "a", "b": "b"}
+
+    def test_truncated_bmp_degrades_to_stub(self, spark):
+        import struct
+
+        from genetics_spark_coloc_spark.operators.multimodal import extract_features
+
+        # plausible 24-bit BMP header claiming 100x100 pixels but with
+        # no raster bytes at all
+        header = bytearray(54)
+        header[0:2] = b"BM"
+        struct.pack_into("<I", header, 10, 54)       # pixel offset
+        struct.pack_into("<ii", header, 18, 100, 100)  # width, height
+        struct.pack_into("<HH", header, 26, 1, 24)   # planes, bpp
+        struct.pack_into("<I", header, 30, 0)        # BI_RGB
+        media = spark.createDataFrame(
+            [Row(mediaId=1, modality="image", payload=bytes(header))],
+            "mediaId long, modality string, payload binary",
+        )
+        row = extract_features(media).collect()[0]
+        assert row.decodeStatus == "stubbed"
+        assert len(row.feature) == 8
+
+    def test_sink_step_without_out_is_a_clear_error(self, spark, tmp_path):
+        from genetics_spark_coloc_spark.steps import run_step
+
+        src = str(tmp_path / "vi")
+        spark.createDataFrame(
+            [Row(variantId="1_10_A_G", chromosome="1", position=10,
+                 referenceAllele="A", alternateAllele="G")]
+        ).write.parquet(src)
+        with pytest.raises(ValueError, match="writes to --out"):
+            run_step(spark, "variant_to_vcf", {"variant_index": src}, output=None)
