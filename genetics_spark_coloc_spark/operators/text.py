@@ -253,3 +253,90 @@ def duplicate_ngram_coverage(
         )
     )
     return per_doc
+
+
+# GPT-2-style pre-tokenizer, simplified to contraction suffixes /
+# letter runs / digit runs / punctuation runs / whitespace, each with
+# an optional leading space. Chosen so Java regex (Spark) and RE2
+# (DuckDB) produce IDENTICAL leftmost-first matches — verified across
+# punctuation, contractions, and non-ASCII text.
+PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+|\s+"
+)
+
+
+def pretokenize(text: Column) -> Column:
+    """Array of pre-tokens (the BPE pre-segmentation). Pass the
+    pattern as a Column literal — embedding it in a SQL string would
+    eat the backslash escapes."""
+    return F.regexp_extract_all(text, F.lit(PRETOKEN_PATTERN), F.lit(0))
+
+
+def pretoken_stats(
+    df: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """Tokenizer-cost accounting per document: pre-token count and a
+    BPE token-count estimate (each pre-token contributes
+    max(1, ceil(len/4)) — the ~4-chars-per-token rule applied at
+    pre-token granularity, so long words and punctuation runs are
+    charged realistically). Pure Column expressions; null text counts
+    as zero of both."""
+    toks = pretokenize(F.col(text_col))
+    est = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.greatest(F.lit(1).cast("long"), F.ceil(F.length(t) / 4.0)),
+    )
+    return df.select(
+        F.col(id_col).alias("docId"),
+        F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("nPretokens"),
+        F.coalesce(est, F.lit(0).cast("long")).alias("estBpeTokens"),
+    )
+
+
+def decontaminate(
+    train: "DataFrame",
+    eval_df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_matches: int = 1,
+) -> "DataFrame":
+    """Benchmark decontamination: flag training documents sharing word
+    n-grams with an evaluation set (the standard n-gram-overlap
+    decontamination used for LLM training corpora).
+
+    Per train document: the number of DISTINCT n-grams it shares with
+    ANY eval document, and isContaminated (>= ``min_matches``). Scale
+    shape: the eval gram set is the small side — distinct gram hash
+    join with map-side combine; the train explode is the only big
+    scan. Documents shorter than ``n`` tokens are trivially clean.
+    """
+    train_grams = train.select(
+        F.col(id_col).alias("docId"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    ).distinct()
+    eval_grams = (
+        eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    matches = (
+        train_grams.join(eval_grams, on="gram", how="inner")
+        .groupBy("docId")
+        .agg(F.count(F.lit(1)).alias("nMatchingGrams"))
+    )
+    return (
+        train.select(F.col(id_col).alias("docId"))
+        .distinct()
+        .join(matches, on="docId", how="left")
+        .select(
+            "docId",
+            F.coalesce("nMatchingGrams", F.lit(0)).cast("long").alias(
+                "nMatchingGrams"
+            ),
+            (F.coalesce("nMatchingGrams", F.lit(0)) >= min_matches).alias(
+                "isContaminated"
+            ),
+        )
+    )

@@ -344,3 +344,83 @@ FROM toks t LEFT JOIN cov c ON c.docId = t.docId
 
 NEARDUP_QUERIES["dup_ngram_coverage"] = q_dup_ngram_coverage
 NEARDUP_ORACLES["dup_ngram_coverage"] = SQL_DUP_NGRAM_COVERAGE
+
+
+def q_pretoken_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style tokenizer cost accounting: GPT-2-ish regex
+    pre-segmentation + a ceil(len/4)-per-pretoken token estimate
+    (operators/text.pretoken_stats). The pattern is chosen for exact
+    Java-regex / RE2 match parity."""
+    from genetics_spark_coloc_spark.operators.text import pretoken_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pretoken_stats(docs, "text", "doc_id")
+
+
+SQL_PRETOKEN_STATS = r"""
+WITH toks AS (
+  SELECT doc_id AS docId,
+         regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9'']+|\s+'
+         ) AS t
+  FROM documents
+)
+SELECT docId,
+       COALESCE(len(t), 0) AS nPretokens,
+       COALESCE(CAST(list_sum(list_transform(t,
+           x -> GREATEST(1, CAST(CEIL(length(x) / 4.0) AS BIGINT))
+         )) AS BIGINT), 0) AS estBpeTokens
+FROM toks
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word 5-gram with the deterministic eval subset (doc_id % 97 == 0)
+    — the standard n-gram-overlap decontamination for training
+    corpora (operators/text.decontaminate)."""
+    from genetics_spark_coloc_spark.operators.text import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(train, eval_df, "text", "doc_id", n=5)
+
+
+SQL_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         UNNEST(CASE WHEN len(t) - 4 >= 1
+              THEN list_transform(range(0, len(t) - 4),
+                                  i -> array_to_string(list_slice(t, i + 1, i + 5), ' '))
+              ELSE [] END) AS g
+  FROM toks
+),
+eval_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+),
+train_grams AS (
+  SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 != 0
+),
+matches AS (
+  SELECT t.doc_id, COUNT(*) AS n
+  FROM train_grams t JOIN eval_grams e ON e.g = t.g
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id AS docId,
+       COALESCE(m.n, 0) AS nMatchingGrams,
+       COALESCE(m.n, 0) >= 1 AS isContaminated
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 97 != 0) d
+LEFT JOIN matches m ON m.doc_id = d.doc_id
+"""
+
+NEARDUP_QUERIES["pretoken_stats"] = q_pretoken_stats
+NEARDUP_ORACLES["pretoken_stats"] = SQL_PRETOKEN_STATS
+NEARDUP_QUERIES["decontaminate"] = q_decontaminate
+NEARDUP_ORACLES["decontaminate"] = SQL_DECONTAMINATE
