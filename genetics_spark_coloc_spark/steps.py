@@ -293,6 +293,24 @@ def _run_locus_to_gene(spark, inputs, output, p):
     return predict_l2g(model, fm)
 
 
+def _run_locus_to_gene_predict(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.l2g import train_l2g_model
+    from genetics_spark_coloc_spark.operators.treeshap import (
+        l2g_predictions_with_shap,
+    )
+
+    fm = _parquet(spark, inputs["feature_matrix"])
+    feature_names = [
+        c
+        for c in fm.columns
+        if c not in ("studyLocusId", "geneId", p["label_col"])
+    ]
+    model = train_l2g_model(
+        fm, label_col=p["label_col"], max_iter=p["max_iter"]
+    )
+    return l2g_predictions_with_shap(model, fm, feature_names)
+
+
 def _run_overlaps(spark, inputs, output, p):
     from genetics_spark_coloc_spark.operators.overlaps import find_overlaps
 
@@ -509,6 +527,20 @@ STEPS: dict[str, StepSpec] = {
             "score it (reference: l2g.py LocusToGeneStep)",
             ("feature_matrix",),
             _run_locus_to_gene,
+            {
+                "label_col": Param(str, "goldStandardSet", "training label column"),
+                "max_iter": Param(int, 20, "GBT boosting iterations"),
+            },
+        ),
+        StepSpec(
+            "locus_to_gene_predict",
+            "Train, score, and SHAP-explain L2G predictions into the "
+            "l2g_predictions entity — exact distributed TreeSHAP replaces "
+            "the driver-side shap TreeExplainer "
+            "(reference: l2g.py LocusToGenePredictionStep + "
+            "dataset/l2g_prediction.py:146-268)",
+            ("feature_matrix",),
+            _run_locus_to_gene_predict,
             {
                 "label_col": Param(str, "goldStandardSet", "training label column"),
                 "max_iter": Param(int, 20, "GBT boosting iterations"),

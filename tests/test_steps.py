@@ -169,3 +169,37 @@ def test_cli_run_end_to_end(ss_path, tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "wrote" in r.stdout
+
+
+def test_run_locus_to_gene_predict(spark, tmp_path):
+    """The SHAP-bearing prediction step emits the l2g_predictions
+    entity shape with local accuracy on the margin scale."""
+    import math
+
+    rows = []
+    for i in range(200):
+        fa = ((i * 7) % 19) / 19.0
+        fb = ((i * 5) % 17) / 17.0
+        rows.append(
+            (f"L{i}", f"G{i % 30}", fa, fb, 1.0 if fa + fb > 1.0 else 0.0)
+        )
+    fm_path = str(tmp_path / "fm")
+    spark.createDataFrame(
+        rows, "studyLocusId string, geneId string, fA double, fB double, goldStandardSet double"
+    ).write.parquet(fm_path)
+    out = run_step(
+        spark,
+        "locus_to_gene_predict",
+        {"feature_matrix": fm_path},
+        str(tmp_path / "out"),
+        params={"max_iter": 5},
+    )
+    got = out.collect()
+    assert len(got) == 200
+    r = got[0]
+    assert {s["name"] for s in r.features} == {"fA", "fB"}
+    assert 0.0 <= r.score <= 1.0
+    # margin from score roundtrip equals base + sum(shap) to float32
+    margin = 0.5 * math.log(r.score / (1 - r.score))
+    total = r.shapBaseValue + sum(s["shapValue"] for s in r.features)
+    assert abs(total - margin) < 1e-5
