@@ -262,9 +262,23 @@ def streaming_near_dup_pairs(
     with ``availableNow`` reproduces the batch candidate-pair set
     exactly (tested).
     """
+    banded = streaming_band_hashes(docs, text_col, id_col, num_perm, band_size)
+    return bucket_pair_stream(banded, max_bucket_size, state_timeout_ms)
+
+
+def bucket_pair_stream(
+    banded: DataFrame,
+    max_bucket_size: int = 256,
+    state_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Shared stateful core of streaming LSH dedup: given stateless
+    (docId, bandIdx, bandHash) rows from ANY banded signature family
+    (MinHash text bands, hyperplane embedding bands), keep per-bucket
+    membership as state and emit new-vs-seen pairs per micro-batch.
+    See ``streaming_near_dup_pairs`` for semantics and state bounds.
+    """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    banded = streaming_band_hashes(docs, text_col, id_col, num_perm, band_size)
     out_schema = "leftId string, rightId string, bandIdx int"
     state_schema = "ids array<string>"
 
@@ -312,3 +326,62 @@ def streaming_near_dup_pairs(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def streaming_embedding_near_dup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_bands: int = 4,
+    planes_per_band: int = 8,
+    dim: int = 64,
+    max_bucket_size: int = 256,
+    state_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming hyperplane-LSH near-duplicate candidates over an
+    embedding stream: the stateless banded signature (the SAME BLAS
+    kernel + band slicing as the batch
+    ``similarity.lsh_cosine_candidates_banded``) feeds the shared
+    stateful bucket machinery. Candidates only — exact cosine
+    verification composes downstream exactly as in batch; null or
+    malformed vectors produce null band hashes and vanish before the
+    stateful stage, like the batch equi-join drops them.
+    """
+    from genetics_spark_coloc_spark.operators.similarity import (
+        hyperplane_signature_bits,
+    )
+
+    total = num_bands * planes_per_band
+    sig = vectors.select(
+        F.col(id_col).cast("string").alias("docId"),
+        hyperplane_signature_bits(F.col(vec_col), total, dim).alias("_bits"),
+    )
+    weights = F.array(*[F.lit(1 << r) for r in range(planes_per_band)])
+
+    def band_hash(b: int):
+        sl = F.slice(F.col("_bits"), b * planes_per_band + 1, planes_per_band)
+        return F.aggregate(
+            F.zip_with(sl, weights, lambda bit, w: bit * w),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("bandIdx"),
+                band_hash(b).cast("string").alias("bandHash"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    banded = (
+        sig.select("docId", F.explode(bands).alias("bh"))
+        .select(
+            "docId",
+            F.col("bh.bandIdx").alias("bandIdx"),
+            F.col("bh.bandHash").alias("bandHash"),
+        )
+        .filter(F.col("bandHash").isNotNull())
+    )
+    return bucket_pair_stream(banded, max_bucket_size, state_timeout_ms)

@@ -807,3 +807,45 @@ class TestKernelRobustness:
         ).write.parquet(src)
         with pytest.raises(ValueError, match="writes to --out"):
             run_step(spark, "variant_to_vcf", {"variant_index": src}, output=None)
+
+
+class TestStreamingEmbeddingNearDup:
+    def test_streaming_candidates_match_batch_banded_lsh(self, spark, tmp_path):
+        """Replaying the embeddings table through the stateful
+        hyperplane-LSH stream reproduces the batch banded candidate
+        set (as unordered id pairs)."""
+        from genetics_spark_coloc_spark.operators.similarity import (
+            lsh_cosine_candidates_banded,
+        )
+        from genetics_spark_coloc_spark.streaming.pipelines import (
+            streaming_embedding_near_dup,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        batch_pairs = {
+            frozenset({str(r.leftId), str(r.rightId)})
+            for r in lsh_cosine_candidates_banded(
+                emb, num_bands=4, planes_per_band=8
+            ).collect()
+        }
+        assert batch_pairs, "fixture produced no candidate pairs"
+
+        src = str(tmp_path / "emb_stream")
+        emb.repartition(2).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = streaming_embedding_near_dup(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("emb_neardup_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql("select * from emb_neardup_out").collect()
+        stream_pairs = {frozenset({r.leftId, r.rightId}) for r in got}
+        assert stream_pairs == batch_pairs
