@@ -112,10 +112,19 @@ def _tree_shap_single(tree: dict, x: np.ndarray, phi: np.ndarray) -> None:
     accumulated into phi (length n_features + 1; the last slot is
     the base value E[tree]). Path recursion per the published
     Algorithm 2; see module docstring."""
+    decisions = x[tree["feature"]] <= tree["threshold"]
+    _tree_shap_decisions(tree, decisions, phi)
+
+
+def _tree_shap_decisions(tree: dict, decisions: np.ndarray, phi: np.ndarray) -> None:
+    """The Algorithm-2 recursion driven by the per-node hot-child
+    DECISION VECTOR (decisions[j] True => the row would go left at
+    node j) instead of raw feature values. phi is a pure function of
+    this vector, which is what lets ``shap_values`` dedupe rows by
+    pattern and run the recursion once per distinct pattern."""
     left = tree["children_left"]
     right = tree["children_right"]
     feature = tree["feature"]
-    threshold = tree["threshold"]
     value = tree["value"]
     cover = tree["cover"]
 
@@ -180,7 +189,7 @@ def _tree_shap_single(tree: dict, x: np.ndarray, phi: np.ndarray) -> None:
             return
         d = feature[j]
         hot, cold = (
-            (left[j], right[j]) if x[d] <= threshold[j] else (right[j], left[j])
+            (left[j], right[j]) if decisions[j] else (right[j], left[j])
         )
         iz = io = 1.0
         k = next((i for i in range(1, len(m)) if m[i][0] == d), None)
@@ -219,11 +228,17 @@ def shap_values(
     n, d = X.shape
     out = np.zeros((n, d + 1), dtype=np.float64)
     for t, w in zip(trees, weights):
-        phi_t = np.zeros(d + 1, dtype=np.float64)
-        for i in range(n):
-            phi_t[:] = 0.0
-            _tree_shap_single(t, X[i], phi_t)
-            out[i] += w * phi_t
+        # phi is a pure function of the per-node decision vector
+        # (x[feat_j] <= thr_j for every internal node), so dedupe the
+        # batch by pattern and run the recursion once per distinct
+        # pattern — orders of magnitude fewer recursions on real data,
+        # where rows cluster into few threshold-crossing patterns
+        decisions = X[:, t["feature"]] <= t["threshold"][None, :]
+        uniq, inverse = np.unique(decisions, axis=0, return_inverse=True)
+        phis = np.zeros((len(uniq), d + 1), dtype=np.float64)
+        for u in range(len(uniq)):
+            _tree_shap_decisions(t, uniq[u], phis[u])
+        out += w * phis[inverse]
     return out
 
 

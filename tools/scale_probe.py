@@ -213,3 +213,73 @@ def extra_probes() -> None:
         lambda: assign_to_centroids(emb, centroids),
     )
     spark.stop()
+
+
+def text_probes(n_docs: int = 2_000_000) -> None:
+    """Round-4 operator probes: duplicate n-gram coverage,
+    decontamination, pre-tokenizer accounting over synthetic docs at
+    ~40x the sf0.1 document volume, plus distributed TreeSHAP over
+    1M feature rows.
+    Run via: python -c "import tools.scale_probe as sp; sp.text_probes()"
+    """
+    spark = get_session(
+        app_name="scale_probe_text",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.operators.text import (
+        decontaminate,
+        duplicate_ngram_coverage,
+        pretoken_stats,
+    )
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.md5(F.col("id").cast("string")),
+            F.lit(" some shared body text fragment number "),
+            (F.col("id") % 50_000).cast("string"),
+            F.lit(" tail "),
+            F.md5((F.col("id") * 17).cast("string")),
+        ).alias("text"),
+    )
+    probe("pretoken_stats_2m_docs", n_docs, lambda: pretoken_stats(docs))
+    probe(
+        "dup_ngram_coverage_2m_docs",
+        n_docs,
+        lambda: duplicate_ngram_coverage(docs, n=5),
+    )
+    probe(
+        "decontaminate_2m_docs",
+        n_docs,
+        lambda: decontaminate(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+            n=5,
+        ),
+    )
+
+    from genetics_spark_coloc_spark.operators.l2g import train_l2g_model
+    from genetics_spark_coloc_spark.operators.treeshap import (
+        explain_predictions_treeshap,
+    )
+
+    feats = [f"f{i}" for i in range(8)]
+    fm = spark.range(1_000_000).select(
+        F.concat(F.lit("L"), F.col("id").cast("string")).alias("studyLocusId"),
+        F.concat(F.lit("G"), (F.col("id") % 997).cast("string")).alias("geneId"),
+        *[
+            (F.pmod(F.hash(F.col("id"), F.lit(i)), F.lit(1000)) / 1000.0).alias(f)
+            for i, f in enumerate(feats)
+        ],
+        (F.col("id") % 2).cast("double").alias("goldStandardSet"),
+    )
+    model = train_l2g_model(fm.limit(50_000), feature_names=feats, max_iter=10)
+    probe(
+        "treeshap_1m_rows_10_trees_8_features",
+        1_000_000,
+        lambda: explain_predictions_treeshap(model, fm, feats),
+    )
+    spark.stop()
