@@ -340,3 +340,50 @@ def decontaminate(
             ),
         )
     )
+
+
+def tfidf_top_terms(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> "DataFrame":
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (tf · (ln((N+1)/(df+1)) + 1), the sklearn-style smooth idf).
+
+    Scale shape: one explode to (doc, term) with a count aggregate
+    (map-side combine), one broadcast-size term→df join keyed on the
+    term, and a per-doc top-k window over at most |distinct terms per
+    doc| rows. Ranking is on 6dp-rounded score with a term tiebreak
+    so rank order is engine-reproducible.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n")).collect()[0]["n"]
+    terms = (
+        df.select(
+            F.col(id_col).alias("docId"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("docId", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = terms.join(dfreq, on="term").select(
+        "docId",
+        "term",
+        F.round(
+            F.col("tf")
+            * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("docId").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("docId", "term", "tfidf", "rank")
+    )

@@ -424,3 +424,47 @@ NEARDUP_QUERIES["pretoken_stats"] = q_pretoken_stats
 NEARDUP_ORACLES["pretoken_stats"] = SQL_PRETOKEN_STATS
 NEARDUP_QUERIES["decontaminate"] = q_decontaminate
 NEARDUP_ORACLES["decontaminate"] = SQL_DECONTAMINATE
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (operators/text.tfidf_top_terms)."""
+    from genetics_spark_coloc_spark.operators.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id AS docId,
+         UNNEST(CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS term
+  FROM documents
+),
+tf AS (
+  SELECT docId, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+),
+n AS (
+  SELECT COUNT(DISTINCT doc_id) AS nDocs FROM documents
+),
+scored AS (
+  SELECT t.docId, t.term,
+         ROUND(t.tf * (LN((n.nDocs + 1.0) / (d.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf t JOIN dfreq d ON d.term = t.term CROSS JOIN n
+)
+SELECT docId, term, tfidf,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY docId
+                               ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+WHERE rank <= 3
+"""
+
+NEARDUP_QUERIES["tfidf_top_terms"] = q_tfidf_top_terms
+NEARDUP_ORACLES["tfidf_top_terms"] = SQL_TFIDF_TOP_TERMS
