@@ -68,6 +68,15 @@ def minhash_signatures(
     32-bit views of a 128-bit hash at 8× less hashing). The signature
     element is the lexicographic min over shingles. Output:
     (id, perm, minHash) long format — band grouping composes on top.
+
+    Known hot-bucket hazard (identical on both engines, so oracle
+    parity holds): CONTENTLESS documents — empty or whitespace-only
+    text — all share the constant shingle '' and therefore identical
+    signatures, co-bucketing quadratically in the LSH join. They ARE
+    exact duplicates of each other, but pre-filter them (or route
+    them through ``exact_dedup``, which groups them in one hash agg)
+    rather than paying O(m²) candidate pairs for them here; null text
+    is dropped outright.
     """
     shingled = (
         df.select(

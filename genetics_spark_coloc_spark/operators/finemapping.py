@@ -71,6 +71,18 @@ FINEMAP_RESULT_SCHEMA = (
 )
 
 
+def _rank_key(pips):
+    """PIPs rounded half-AWAY-from-zero at 1e-6 — the ordering key the
+    DuckDB oracles spell as ORDER BY ROUND(pip, 6). np.round's
+    half-to-even would disagree with SQL ROUND on every .5 boundary;
+    this scaled form only differs from an engine's shortest-repr
+    rounding within ~1ulp of a boundary (the knife-edge every
+    cross-engine rounded comparison in this repo accepts)."""
+    import numpy as np
+
+    return np.floor(np.abs(pips) * 1e6 + 0.5) / 1e6 * np.sign(pips)
+
+
 def susie_kernel(pdf: pd.DataFrame, max_l: int = 5, max_iter: int = 100, tol: float = 1e-6) -> pd.DataFrame:
     """NumPy IBSS kernel (SuSiE sum-of-single-effects on z-scores,
     independence approximation).
@@ -150,7 +162,7 @@ def susie_reduced_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     # order by ROUNDED pip: raw pips that agree to 1e-6 are fp-noise
     # ordered across engines; the vid tiebreak then fires identically
     # on both sides (cum still sums the raw values, in this order)
-    order = np.lexsort((vids, -np.round(pip, 6)))
+    order = np.lexsort((vids, -_rank_key(pip)))
     cum_before = np.concatenate([[0.0], np.cumsum(pip[order])[:-1]])
     in_cs = np.zeros(len(z), dtype="int32")
     in_cs[order] = (cum_before < 0.99).astype("int32")
@@ -288,7 +300,7 @@ def susie_study_locus_kernel(
         pip = out["PIP"][:, el]
         # rounded-pip ordering with vid tiebreak — engine-stable (see
         # susie_reduced_kernel); the cumulative mass is still raw
-        order = np.lexsort((vids, -np.round(pip, 6)))
+        order = np.lexsort((vids, -_rank_key(pip)))
         cum = np.cumsum(pip[order])
         k = int(np.argmax(cum >= sum_pips))
         if cum[-1] < sum_pips:
@@ -381,7 +393,7 @@ def carma_ld_kernel(
     # fp-noise-ordered (e.g. several saturated at 1.0), so ranking
     # the rounded value with a variantId tiebreak keeps the rank
     # stable under reordering/replay and engine-comparable
-    order = np.lexsort((vids, -np.round(pips, 6)))
+    order = np.lexsort((vids, -_rank_key(pips)))
     rank = np.empty(p, dtype="int32")
     rank[order] = np.arange(1, p + 1)
     rank[outlier_mask] = 0
@@ -515,7 +527,7 @@ def carma_kernel(
     # equal to 1e-6 are fp-noise ordered, so the rounded key keeps the
     # rank identical across engines and replays
     vids = pdf["variantId"].to_numpy()
-    order = np.lexsort((vids, -np.round(pip, 6)))
+    order = np.lexsort((vids, -_rank_key(pip)))
     cs_index = np.empty(n, dtype="int32")
     cs_index[order] = np.arange(1, n + 1)
     return pd.DataFrame(

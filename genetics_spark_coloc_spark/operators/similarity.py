@@ -210,9 +210,15 @@ def assign_to_centroids_expr(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Coarse quantizer as pure Column expressions (the exact-parity
-    reference for :func:`assign_to_centroids`): broadcast-join the
+    reference for :func:`assign_to_centroids` on CLEAN input —
+    numeric ids, non-null fixed-width vectors): broadcast-join the
     centroid table, score every (vector, centroid) pair with a
-    per-row cosine fold, argmax via max(struct).
+    per-row cosine fold, argmax via max(struct). Deliberate
+    divergences of the production kernel: invalid vectors (null /
+    wrong length / zero norm) get null assignments instead of the
+    arbitrary smallest-id centroid this form's null-sim struct max
+    falls through to, and string ids are supported (the -centroidId
+    negation here requires numeric ids).
 
     NOT the production path: the join materializes corpus×k rows and
     evaluates k dot-product folds per vector (k=256 probes measured
@@ -303,6 +309,11 @@ def _collect_centroid_matrix(
     bad = [r for r in rows if r["cv"] is None]
     if bad:
         raise ValueError("assign_to_centroids: centroid with null vector")
+    lens = {len(r["cv"]) for r in rows}
+    if len(lens) > 1:
+        raise ValueError(
+            f"assign_to_centroids: centroid vectors have mixed lengths {sorted(lens)}"
+        )
     rows.sort(key=lambda r: r["cid"])
     cids = [r["cid"] for r in rows]
     cmat = np.array([list(r["cv"]) for r in rows], dtype=np.float64)
@@ -348,16 +359,22 @@ def _assign_with_matrix(
         ok = _valid_rows(vals, dim)
         if ok:
             x = np.array([vals[i] for i in ok], dtype=np.float64)
-            sims = (x @ cmat.T) / (
-                np.sqrt(np.einsum("ij,ij->i", x, x))[:, None] * cnorm[None, :]
-            )
+            xnorm = np.sqrt(np.einsum("ij,ij->i", x, x))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (x @ cmat.T) / (xnorm[:, None] * cnorm[None, :])
+            # a zero-norm centroid (or vector) makes its similarity
+            # NaN, and NaN would poison argmax (numpy returns the NaN
+            # index) — force degenerate entries to -inf so only real
+            # similarities compete; all-degenerate rows yield null
+            sims[~np.isfinite(sims)] = -np.inf
             sims = _round_half_away(sims)
             # argmax returns the FIRST max; cids ascending => ties
             # break toward the smaller centroid id
             best = sims.argmax(axis=1)
             for j, i in enumerate(ok):
-                ids[i] = cid_arr[best[j]].item()
-                sims_out[i] = float(sims[j, best[j]])
+                if np.isfinite(sims[j, best[j]]):
+                    ids[i] = cid_arr[best[j]].item()
+                    sims_out[i] = float(sims[j, best[j]])
         return pd.DataFrame(
             {
                 "centroidId": pd.Series(ids, dtype=object),

@@ -233,7 +233,13 @@ def shap_values(
         # batch by pattern and run the recursion once per distinct
         # pattern — orders of magnitude fewer recursions on real data,
         # where rows cluster into few threshold-crossing patterns
-        decisions = X[:, t["feature"]] <= t["threshold"][None, :]
+        # leaf slots carry feature=-1 (which would alias the LAST real
+        # feature column and split otherwise-identical patterns on a
+        # meaningless bit) — index feature 0 there and force the bit
+        # constant so only internal-node decisions define the pattern
+        feat_safe = np.where(t["feature"] >= 0, t["feature"], 0)
+        decisions = X[:, feat_safe] <= t["threshold"][None, :]
+        decisions[:, t["feature"] < 0] = True
         uniq, inverse = np.unique(decisions, axis=0, return_inverse=True)
         phis = np.zeros((len(uniq), d + 1), dtype=np.float64)
         for u in range(len(uniq)):

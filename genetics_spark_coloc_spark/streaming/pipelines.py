@@ -99,6 +99,11 @@ def streaming_running_user_stats(
     state_schema = "count long, total double, mx double"
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # idle-user eviction: no data in this invocation — remove
+            # the accumulator instead of re-arming the timer forever
+            state.remove()
+            return
         count, total, mx = (
             state.get if state.exists else (0, 0.0, float("-inf"))
         )
@@ -285,6 +290,12 @@ def bucket_pair_stream(
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
+        if state.hasTimedOut:
+            # cold-bucket eviction: this invocation carries no data —
+            # drop the membership instead of re-arming the timer
+            # forever (the whole point of state_timeout_ms)
+            state.remove()
+            return
         band_idx = int(key[0])
         (seen,) = state.get if state.exists else ([],)
         seen = list(seen)

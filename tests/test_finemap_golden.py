@@ -366,7 +366,10 @@ class TestReducedOracleKernels:
         mx = lbf.max()
         pip = np.exp(lbf - mx) / np.exp(lbf - mx).sum()
         cs_lbf = mx - np.log(len(z)) + np.log(np.exp(lbf - mx).sum())
-        order = np.lexsort((pdf["variantId"].to_numpy(), -pip))
+        order = np.lexsort(
+            (pdf["variantId"].to_numpy(),
+             -(np.floor(np.abs(pip) * 1e6 + 0.5) / 1e6 * np.sign(pip)))
+        )
         cum = np.cumsum(pip[order])
         k = int(np.argmax(cum >= 0.99))
         members = order[: k + 1]
@@ -423,6 +426,9 @@ class TestReducedOracleKernels:
         assert np.allclose(res["logBF"].to_numpy(), A, rtol=0, atol=1e-12)
         # ranks: rounded-PIP descending, variantId tiebreak
         expect_rank = np.empty(p, dtype=int)
-        order = np.lexsort((pdf["variantId"].to_numpy(), -np.round(pips, 6)))
+        order = np.lexsort(
+            (pdf["variantId"].to_numpy(),
+             -(np.floor(np.abs(pips) * 1e6 + 0.5) / 1e6 * np.sign(pips)))
+        )
         expect_rank[order] = np.arange(1, p + 1)
         assert list(res["credibleSetIndex"]) == list(expect_rank)

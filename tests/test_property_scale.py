@@ -134,7 +134,10 @@ def test_susie_reduced_kernel_matches_closed_form(stats):
     mx = lbf.max()
     pip = np.exp(lbf - mx) / np.exp(lbf - mx).sum()
     cs_lbf = mx - np.log(len(z)) + np.log(np.exp(lbf - mx).sum())
-    order = np.lexsort((pdf["variantId"].to_numpy(), -pip))
+    order = np.lexsort(
+        (pdf["variantId"].to_numpy(),
+         -(np.floor(np.abs(pip) * 1e6 + 0.5) / 1e6 * np.sign(pip)))
+    )
     cum = np.cumsum(pip[order])
     k = int(np.argmax(cum >= 0.99))
     if cum[-1] < 0.99:
