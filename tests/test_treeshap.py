@@ -177,3 +177,23 @@ class TestTreeShapExact:
         row = out.iloc[0]
         assert len(row["features"]) == len(FEATS)
         assert row["shapBaseValue"] is not None
+
+    def test_pattern_dedupe_equals_per_row_recursion(self, fitted):
+        """The decision-pattern dedupe in shap_values must be a pure
+        optimization: identical phi to running the recursion per row,
+        including on batches with duplicated rows."""
+        from genetics_spark_coloc_spark.operators.treeshap import (
+            _tree_shap_single,
+        )
+
+        model, _, X = fitted
+        trees, w = extract_gbt_trees(model, len(FEATS))
+        Xdup = np.vstack([X, X[:3], X[:1]])  # force repeated patterns
+        fast = shap_values(trees, w, Xdup)
+        slow = np.zeros_like(fast)
+        for t, wt in zip(trees, w):
+            for i in range(len(Xdup)):
+                phi = np.zeros(len(FEATS) + 1)
+                _tree_shap_single(t, Xdup[i], phi)
+                slow[i] += wt * phi
+        assert np.abs(fast - slow).max() < 1e-12
