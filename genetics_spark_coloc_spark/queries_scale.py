@@ -544,15 +544,26 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation)."""
     ev = load_table(spark, sf_dir, "events")
     bucket = F.date_trunc("hour", F.col("event_time")).cast("long")
+
+    def r6(c):
+        # DuckDB ROUND scales by 1e6 and rounds half-away on the
+        # scaled DOUBLE; Spark F.round rounds the shortest decimal
+        # repr. These disagree when x*1e6 lands exactly on .5 as a
+        # double artifact (hit in the wild at sf0.1: avg
+        # 43.4728124999999963 scaled to exactly 43472812.5). Spell
+        # the oracle's algorithm here so both engines compute the
+        # SAME function instead of agreeing by luck.
+        return F.signum(c) * F.floor(F.abs(c) * 1e6 + 0.5) / 1e6
+
     return (
         ev.select(bucket.alias("bucketEpoch"), "event_type", "value")
         .groupBy("bucketEpoch", "event_type")
         .agg(
             F.count(F.lit(1)).alias("nEvents"),
-            F.round(F.sum("value"), 6).alias("valueSum"),
-            F.round(F.avg("value"), 6).alias("valueAvg"),
-            F.round(F.min("value"), 6).alias("valueMin"),
-            F.round(F.max("value"), 6).alias("valueMax"),
+            r6(F.sum("value")).alias("valueSum"),
+            r6(F.avg("value")).alias("valueAvg"),
+            r6(F.min("value")).alias("valueMin"),
+            r6(F.max("value")).alias("valueMax"),
         )
     )
 
