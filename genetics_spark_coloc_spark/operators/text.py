@@ -387,3 +387,43 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("docId", "term", "tfidf", "rank")
     )
+
+
+def char_entropy_stats(
+    df: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """Shannon entropy (nats) of the lowercased character distribution
+    per document — the classic gibberish/boilerplate quality signal
+    (low entropy = repeated characters, high = noise). Computed as an
+    explode → per-(doc, char) count → per-doc aggregate: two hash
+    shuffles with map-side combine, no UDFs. Empty/null text scores
+    0.0 over 0 characters.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    chars = df.select(
+        F.col(id_col).alias("docId"),
+        F.explode_outer(F.split(F.lower(F.col(text_col)), "")).alias("ch"),
+    ).filter(F.col("ch").isNull() | (F.col("ch") != ""))
+    counts = (
+        chars.filter(F.col("ch").isNotNull())
+        .groupBy("docId", "ch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_doc = counts.groupBy("docId").agg(
+        F.sum("n").alias("nChars"),
+        (
+            F.log(F.sum("n"))
+            - F.sum(F.col("n") * F.log("n")) / F.sum("n")
+        ).alias("entropy"),
+    )
+    return (
+        df.select(F.col(id_col).alias("docId"))
+        .distinct()
+        .join(per_doc, on="docId", how="left")
+        .select(
+            "docId",
+            F.coalesce("nChars", F.lit(0)).cast("long").alias("nChars"),
+            F.round(F.coalesce("entropy", F.lit(0.0)), 6).alias("charEntropy"),
+        )
+    )

@@ -468,3 +468,37 @@ WHERE rank <= 3
 
 NEARDUP_QUERIES["tfidf_top_terms"] = q_tfidf_top_terms
 NEARDUP_ORACLES["tfidf_top_terms"] = SQL_TFIDF_TOP_TERMS
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy
+    (operators/text.char_entropy_stats) — the gibberish/boilerplate
+    quality filter."""
+    from genetics_spark_coloc_spark.operators.text import char_entropy_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_entropy_stats(docs, "text", "doc_id")
+
+
+SQL_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id AS docId, UNNEST(string_split(lower(text), '')) AS ch
+  FROM documents WHERE text IS NOT NULL
+),
+counts AS (
+  SELECT docId, ch, COUNT(*) AS n FROM chars WHERE ch != '' GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT docId, SUM(n) AS nChars,
+         LN(SUM(n)) - SUM(n * LN(n)) / SUM(n) AS entropy
+  FROM counts GROUP BY 1
+)
+SELECT d.doc_id AS docId,
+       COALESCE(p.nChars, 0) AS nChars,
+       ROUND(COALESCE(p.entropy, 0.0), 6) AS charEntropy
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per_doc p ON p.docId = d.doc_id
+"""
+
+NEARDUP_QUERIES["char_entropy"] = q_char_entropy
+NEARDUP_ORACLES["char_entropy"] = SQL_CHAR_ENTROPY
