@@ -83,3 +83,19 @@ def neg_log10_chi2_sf_1df(z2: Column) -> Column:
     (reference _calculate_logpval, sumstat_quality_controls.py:53-66,
     which calls scipy in a row UDF)."""
     return -F.log10(erfc_tail(F.sqrt(z2 / 2.0)))
+
+
+def round_scaled_half_away(c: Column, digits: int = 6) -> Column:
+    """Round by scaling and flooring at +0.5 — the algorithm DuckDB's
+    ROUND applies to doubles, spelled as Spark Columns so an
+    oracle-paired query computes the SAME function on both engines
+    instead of agreeing by luck (Spark's F.round rounds the shortest
+    decimal repr instead, which diverges when x·10^d lands exactly on
+    .5 as a double artifact — hit in the wild by event_rollup at
+    sf0.1). Residual knife-edges vs std::round remain at
+    pred-of-.5-form scaled doubles and odd scaled integers ≥ 2^52 —
+    astronomically unlikely; every rounded cross-engine comparison in
+    this repo accepts that class. Use this (not F.round) for any NEW
+    oracle-paired aggregate of accumulated doubles."""
+    scale = float(10**digits)
+    return F.signum(c) * F.floor(F.abs(c) * scale + 0.5) / scale

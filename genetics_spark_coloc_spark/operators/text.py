@@ -401,12 +401,18 @@ def char_entropy_stats(
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    chars = df.select(
-        F.col(id_col).alias("docId"),
-        F.explode_outer(F.split(F.lower(F.col(text_col)), "")).alias("ch"),
-    ).filter(F.col("ch").isNull() | (F.col("ch") != ""))
+    from genetics_spark_coloc_spark.functions.stats import round_scaled_half_away
+
+    # null-text docs contribute no characters; the left join below
+    # restores them with 0/0.0 — mirroring the oracle's WHERE
+    # text IS NOT NULL + LEFT JOIN shape
     counts = (
-        chars.filter(F.col("ch").isNotNull())
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("docId"),
+            F.explode(F.split(F.lower(F.col(text_col)), "")).alias("ch"),
+        )
+        .filter(F.col("ch") != "")
         .groupBy("docId", "ch")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -424,6 +430,8 @@ def char_entropy_stats(
         .select(
             "docId",
             F.coalesce("nChars", F.lit(0)).cast("long").alias("nChars"),
-            F.round(F.coalesce("entropy", F.lit(0.0)), 6).alias("charEntropy"),
+            round_scaled_half_away(F.coalesce("entropy", F.lit(0.0))).alias(
+                "charEntropy"
+            ),
         )
     )

@@ -545,15 +545,11 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     bucket = F.date_trunc("hour", F.col("event_time")).cast("long")
 
-    def r6(c):
-        # DuckDB ROUND scales by 1e6 and rounds half-away on the
-        # scaled DOUBLE; Spark F.round rounds the shortest decimal
-        # repr. These disagree when x*1e6 lands exactly on .5 as a
-        # double artifact (hit in the wild at sf0.1: avg
-        # 43.4728124999999963 scaled to exactly 43472812.5). Spell
-        # the oracle's algorithm here so both engines compute the
-        # SAME function instead of agreeing by luck.
-        return F.signum(c) * F.floor(F.abs(c) * 1e6 + 0.5) / 1e6
+    from genetics_spark_coloc_spark.functions.stats import round_scaled_half_away
+
+    # DuckDB ROUND's algorithm spelled Spark-side (see the helper's
+    # docstring — this query hit the F.round divergence at sf0.1)
+    r6 = round_scaled_half_away
 
     return (
         ev.select(bucket.alias("bucketEpoch"), "event_type", "value")
