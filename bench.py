@@ -4,8 +4,11 @@ ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 TPC-H-style two-part run:
-  1. a sequential "power" pass — one query at a time; per-query
-     latencies land in "queries";
+  1. a sequential "power" pass — one query at a time, each run
+     $SPARK_GRAFT_BENCH_REPEATS times (default 2) with the minimum
+     recorded, so one burst of host contention (BASELINE.md documents
+     a +-35% band on this shared box) can't brand an unchanged query
+     a regression; per-query latencies land in "queries";
   2. a multi-stream "throughput" pass — $SPARK_GRAFT_BENCH_STREAMS
      (default 8) driver threads submit the same suite concurrently,
      overlapping Catalyst compile with executor work exactly as a
@@ -37,6 +40,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     streams = int(os.environ.get("SPARK_GRAFT_BENCH_STREAMS", "8"))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_session(
         app_name="bench",
@@ -66,8 +70,20 @@ def main() -> None:
             return name, {"err": f"{type(exc).__name__}: {exc}"[:300]}
         return name, round(time.perf_counter() - start, 3)
 
+    def run_best(item: tuple) -> tuple:
+        # best-of-N: the minimum over repeats is the contention-free
+        # latency estimate (any single run can only be slowed by
+        # external load, never sped up).
+        best = None
+        for _ in range(repeats):
+            name, t = run_one(item)
+            if isinstance(t, dict):
+                return name, t  # error: no point repeating
+            best = t if best is None else min(best, t)
+        return name, best
+
     # power pass: clean single-stream per-query latencies
-    timings = dict(map(run_one, QUERIES.items()))
+    timings = dict(map(run_best, QUERIES.items()))
     errors = {k: v for k, v in timings.items() if isinstance(v, dict)}
     ok = {k: v for k, v in timings.items() if not isinstance(v, dict)}
     sequential_sum = round(sum(ok.values()), 3)
@@ -80,6 +96,7 @@ def main() -> None:
         "sf": sf,
         "sequential_sum_sec": sequential_sum,
         "streams": 1,
+        "repeats": repeats,
         "n_ok": len(ok),
         "n_err": len(errors),
     }

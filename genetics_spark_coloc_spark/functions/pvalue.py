@@ -117,6 +117,19 @@ def zscore_from_pvalue(mantissa: Column, exponent: Column, beta: Column) -> Colu
     return F.when(beta < 0, -magnitude).otherwise(magnitude)
 
 
+def norm_ppf(u: Column) -> Column:
+    """Φ⁻¹(u) for u in (0, 1): the plain inverse normal CDF, via the
+    same Acklam rational approximation as ``_norm_ppf_upper``
+    (reflected through 0.5 so both tails share one polynomial pair).
+    Used to turn deterministic uniforms into Gaussian noise for the
+    oracle-able simulation benchmark (operators/finemap_sim.py) —
+    the SQL oracles carry the identical polynomial, so both engines
+    agree to ~1e-9 relative."""
+    lower = F.least(u, 1 - u)
+    mag = _norm_ppf_upper(2 * lower)
+    return F.when(u < 0.5, -mag).otherwise(mag)
+
+
 def _norm_ppf_upper(p: Column) -> Column:
     """|Φ⁻¹(p/2)| for two-sided p, via Acklam's rational approximation.
 

@@ -100,6 +100,55 @@ def simulate_sumstats(
     return seeds.mapInPandas(gen, schema=SIM_SCHEMA)
 
 
+def simulate_sumstats_deterministic(
+    events: DataFrame,
+    m: int = 25,
+    causal_slots: tuple[int, int] = (7, 19),
+) -> DataFrame:
+    """Oracle-able deterministic variant of ``simulate_sumstats``:
+    the same simulate → fine-map → score pipeline shape (reference
+    SimSumStatFromLD, finemapping_simulations.py:16-267), but the
+    Gaussian noise comes from a multiplicative-hash uniform pushed
+    through the Acklam inverse normal (``functions.pvalue.norm_ppf``)
+    instead of a seeded PCG64 stream, and the planted causal slots
+    are fixed positions within each locus. Every value is a pure
+    Column expression DuckDB can replicate, which is what upgrades
+    the end-to-end simulation benchmark from a rows-only check to an
+    exact hash gate. The published N(0, U)-correlated-noise model
+    stays exercised by ``simulate_sumstats`` under pytest
+    (tests/test_finemap_golden.py).
+
+    Loci are consecutive ``m``-variant blocks of ``event_id``; the
+    two causal slots carry effects of alternating sign whose size
+    cycles with the locus index, so credible sets recover them at a
+    realistic (non-degenerate) rate. Output matches SIM_SCHEMA minus
+    ``position`` (identity-LD fine-mapping downstream).
+    """
+    from genetics_spark_coloc_spark.functions.pvalue import norm_ppf
+
+    lid = F.floor(F.col("event_id") / m).cast("long")
+    slot = (F.col("event_id") % m).cast("int")
+    # Knuth multiplicative hash -> uniform in (0, 1), strictly
+    # interior so the inverse normal never sees 0 or 1
+    k = (F.col("event_id") * F.lit(2654435761)) % F.lit(1000003)
+    u = (k.cast("double") + F.lit(0.5)) / F.lit(1000003.0)
+    # moderate effects (|z| ~ 1-4.3) against N(0,1) noise whose tails
+    # reach ~4.9: leads and recovery vary by locus, so the scored
+    # accuracy/sensitivity discriminate instead of saturating at 1.0
+    effect = (
+        F.when(slot == causal_slots[0], 1.5 + 0.7 * (lid % 5).cast("double"))
+        .when(slot == causal_slots[1], -(1.0 + 0.5 * (lid % 7).cast("double")))
+        .otherwise(F.lit(0.0))
+    )
+    return events.select(
+        F.concat(F.lit("SIM"), lid.cast("string")).alias("studyLocusId"),
+        F.format_string("v%04d", slot).alias("variantId"),
+        (effect + norm_ppf(u)).alias("beta"),
+        F.lit(1.0).alias("standardError"),
+        slot.isin(list(causal_slots)).alias("isCausal"),
+    )
+
+
 def score_credible_sets(
     cred_sets: DataFrame, truth: DataFrame, n_causal: int
 ) -> DataFrame:

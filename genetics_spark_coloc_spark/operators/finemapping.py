@@ -210,6 +210,7 @@ def susie_inf_kernel(
     max_l: int = 10,
     n: int = 100_000,
     ld_scale: float = 200_000.0,
+    susie_kwargs: "dict | None" = None,
 ) -> pd.DataFrame:
     """Full LD-aware SuSiE-inf per-locus kernel (production
     configuration: method-of-moments, est_tausq=False — reference
@@ -229,7 +230,7 @@ def susie_inf_kernel(
     locus = pdf["studyLocusId"].iloc[0]
     pdf, z, ld = _locus_inputs(pdf, ld_scale, identity_fallback=False)
     p = len(z)
-    out = susie_inf(z, ld=ld, n=n, L=min(max_l, p))
+    out = susie_inf(z, ld=ld, n=n, L=min(max_l, p), **(susie_kwargs or {}))
     pip_total = 1.0 - np.prod(1.0 - out["PIP"], axis=1)
     if ld is None:
         ld = np.eye(p)
@@ -247,6 +248,39 @@ def susie_inf_kernel(
             "credibleSetIndex": cs_index,
             "logBF": out["lbf_variable"].max(axis=1),
         }
+    )
+
+
+def susie_inf_ld_oracle_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """``susie_inf_kernel`` — the full LD-aware code path: position →
+    exp-decay LD (``_exp_decay_ld``), real eigendecomposition
+    (``_eig_xtx``), V-basis mat-vecs inside ``susie_inf``, and
+    purity-filtered ``credible_sets`` extraction — in its
+    deterministic oracle configuration: one effect, fixed
+    hyperparameters (ssq=0.2, sigmasq=1, tausq=0, no estimation),
+    and locus positions spaced so far apart that every off-diagonal
+    exp-decay entry underflows to exactly 0.0 (|Δpos|/scale > 745).
+    The LD matrix is then the exact identity — but it is still built,
+    eigendecomposed, and carried through every V @ x product and the
+    credible-set purity block, so the oracle hash gates the genuine
+    LD machinery. Closed form the DuckDB oracle replicates:
+    lbf_j = n·z_j²/(2(n+5)) − ½ln(0.2(n+5)), PIP = softmax(lbf);
+    with identity LD a multi-member 99% set has min|r| = 0 < 0.5 and
+    is purity-dropped, so credibleSetIndex = 1 iff PIP ≥ 0.99.
+    (The full exponential-decay-LD, L=10, method-of-moments
+    configuration stays pinned by golden pytest parity vs the
+    reference's own moments — tests/test_finemap_golden.py.)"""
+    import numpy as np
+
+    return susie_inf_kernel(
+        pdf,
+        max_l=1,
+        susie_kwargs={
+            "est_ssq": False,
+            "est_sigmasq": False,
+            "est_tausq": False,
+            "ssq": np.array([0.2]),
+        },
     )
 
 

@@ -202,6 +202,105 @@ def _tree_shap_decisions(tree: dict, decisions: np.ndarray, phi: np.ndarray) -> 
     recurse(0, [], 1.0, 1.0, -1)
 
 
+def _tree_shap_batch(tree: dict, decisions: np.ndarray, phi: np.ndarray) -> None:
+    """Algorithm-2 recursion vectorized across decision patterns.
+
+    The tree is walked ONCE; the path state rides (n_patterns,)
+    vectors instead of scalars. This is exact — not an approximation
+    — because of two structural facts of the path recursion:
+
+    - the ``z`` (zero) fractions and the path feature ids are pure
+      node properties (products of cover ratios), identical for every
+      row, so they stay scalars;
+    - only the ``o`` (one) fractions and the permutation weights
+      depend on the row's decisions, and every update touching them
+      (extend, unwind, unwound-sum) is an elementwise recurrence —
+      the two o==0 / o!=0 unwind branches merge with ``np.where``.
+
+    Python-level work drops from O(patterns · nodes · depth²) to
+    O(nodes · depth²) numpy calls per tree; the per-element work is
+    pushed into BLAS-free vector arithmetic.
+
+    ``decisions``: (n_patterns, n_nodes) bool; ``phi``:
+    (n_patterns, n_features + 1), accumulated in place.
+    """
+    left = tree["children_left"]
+    right = tree["children_right"]
+    feature = tree["feature"]
+    value = tree["value"]
+    cover = tree["cover"]
+    npat = decisions.shape[0]
+
+    phi[:, -1] += _tree_expected_value(tree)
+
+    # path entry: [feature d (int), z (float), o ((npat,) float),
+    #              w ((npat,) float)]
+    def extend(m, pz, po, pi):
+        l = len(m)
+        m = [[d, z, o, w.copy()] for d, z, o, w in m]
+        m.append(
+            [pi, pz, po, np.ones(npat) if l == 0 else np.zeros(npat)]
+        )
+        for i in range(l - 1, -1, -1):
+            m[i + 1][3] += po * m[i][3] * ((i + 1) / (l + 1))
+            m[i][3] = m[i][3] * (pz * (l - i) / (l + 1))
+        return m
+
+    def unwind(m, i):
+        l = len(m) - 1
+        m = [[d, z, o, w.copy()] for d, z, o, w in m]
+        z_i, o_i = m[i][1], m[i][2]
+        hot = o_i != 0
+        o_safe = np.where(hot, o_i, 1.0)
+        n = m[l][3].copy()
+        for j in range(l - 1, -1, -1):
+            t = m[j][3]
+            w_hot = n * ((l + 1) / (j + 1)) / o_safe
+            n = t - w_hot * (z_i * (l - j) / (l + 1))
+            w_cold = t * ((l + 1) / (z_i * (l - j)))
+            m[j][3] = np.where(hot, w_hot, w_cold)
+        for j in range(i, l):
+            m[j][0], m[j][1], m[j][2] = m[j + 1][0], m[j + 1][1], m[j + 1][2]
+        return m[:-1]
+
+    def unwound_sum(m, i):
+        l = len(m) - 1
+        z_i, o_i = m[i][1], m[i][2]
+        hot = o_i != 0
+        o_safe = np.where(hot, o_i, 1.0)
+        n = m[l][3]
+        tot_hot = np.zeros(npat)
+        tot_cold = np.zeros(npat)
+        for j in range(l - 1, -1, -1):
+            t = n / ((j + 1) * o_safe)
+            tot_hot += t
+            n = m[j][3] - t * (z_i * (l - j))
+            tot_cold += m[j][3] / (z_i * (l - j))
+        return np.where(hot, tot_hot, tot_cold) * (l + 1)
+
+    def recurse(j, m, pz, po, pi):
+        m = extend(m, pz, po, pi)
+        if left[j] < 0:  # leaf
+            v = value[j]
+            for i in range(1, len(m)):
+                w = unwound_sum(m, i)
+                phi[:, m[i][0]] += w * (m[i][2] - m[i][1]) * v
+            return
+        d = feature[j]
+        iz, io = 1.0, np.ones(npat)
+        k = next((i for i in range(1, len(m)) if m[i][0] == d), None)
+        if k is not None:
+            iz, io = m[k][1], m[k][2]
+            m = unwind(m, k)
+        go_left = decisions[:, j].astype(np.float64)
+        recurse(left[j], m, iz * cover[left[j]] / cover[j], io * go_left, d)
+        recurse(
+            right[j], m, iz * cover[right[j]] / cover[j], io * (1.0 - go_left), d
+        )
+
+    recurse(0, [], 1.0, np.ones(npat), -1)
+
+
 def _tree_expected_value(tree: dict) -> float:
     """Cover-weighted expectation of the tree output (iterative
     down-weighting from the root)."""
@@ -242,8 +341,7 @@ def shap_values(
         decisions[:, t["feature"] < 0] = True
         uniq, inverse = np.unique(decisions, axis=0, return_inverse=True)
         phis = np.zeros((len(uniq), d + 1), dtype=np.float64)
-        for u in range(len(uniq)):
-            _tree_shap_decisions(t, uniq[u], phis[u])
+        _tree_shap_batch(t, uniq, phis)
         out += w * phis[inverse]
     return out
 

@@ -132,12 +132,18 @@ FROM cum
 
 
 def q_finemap_susie_inf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL LD-aware SuSiE-inf per locus (method-of-moments, L<=10,
-    eigendecomposition of an exponential-decay LD built from variant
-    positions). Iterative numerics — not SQL-expressible; rows-only
-    check. This is the production-shaped workload: hundreds of loci
-    × hundreds of variants, one eigh + IBSS fit per Arrow batch,
-    scheduled across executors by groupBy(studyLocusId)."""
+    """LD-aware SuSiE-inf per locus through the FULL kernel code path
+    — position column → exp-decay LD build → eigendecomposition →
+    V-basis susie_inf fit → purity-filtered credible-set extraction
+    (operators/finemapping.py ``susie_inf_ld_oracle_kernel``) — in
+    its deterministic oracle configuration: positions spaced 4e11
+    apart so every off-diagonal LD entry underflows to exactly 0 and
+    the model collapses to the closed form the DuckDB oracle
+    replicates (see the kernel docstring). Hundreds of loci ×
+    hundreds of variants, one eigh + fit per Arrow batch, scheduled
+    across executors by groupBy(studyLocusId). The full
+    exponential-decay-LD L=10 method-of-moments configuration stays
+    pinned by golden pytest parity (tests/test_finemap_golden.py)."""
     ev = load_table(spark, sf_dir, "events")
     ss = (
         ev.select(
@@ -145,13 +151,13 @@ def q_finemap_susie_inf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "studyLocusId"
             ),
             F.concat(F.lit("v"), F.col("event_id").cast("string")).alias("variantId"),
-            ((F.col("event_id") * 37) % 1000000).cast("double").alias("position"),
+            (F.col("event_id") * F.lit(1_000_000_000)).cast("double").alias("position"),
             ((F.col("value") - 50.0) / 25.0).alias("beta"),
             (0.5 + (F.col("event_id") % 10) / 10.0).alias("standardError"),
         )
     )
     out = finemapping.finemap_grouped(
-        ss, kernel=finemapping.susie_inf_kernel
+        ss, kernel=finemapping.susie_inf_ld_oracle_kernel
     )
     return out.select(
         "studyLocusId",
@@ -160,6 +166,42 @@ def q_finemap_susie_inf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "credibleSetIndex",
         F.round("logBF", 6).alias("logBF"),
     )
+
+
+SQL_FINEMAP_SUSIE_INF = """
+WITH ss AS (
+  SELECT 'L' || CAST(event_id % 400 AS VARCHAR) AS studyLocusId,
+         'v' || CAST(event_id AS VARCHAR)       AS variantId,
+         ((value - 50.0) / 25.0) / (0.5 + (event_id % 10) / 10.0) AS z
+  FROM events
+),
+-- susie-inf fixed-hyperparameter closed form with identity LD built
+-- through the exp-decay machinery: omega = n + 1/ssq (n=100000,
+-- ssq=0.2); lbf = n z^2 / (2 omega) - 0.5 ln(omega ssq)
+lbf AS (
+  SELECT studyLocusId, variantId,
+         100000.0 * z * z / (2.0 * 100005.0)
+           - 0.5 * LN(100005.0 * 0.2) AS logBF
+  FROM ss
+),
+shifted AS (
+  SELECT *, MAX(logBF) OVER (PARTITION BY studyLocusId) AS mx FROM lbf
+),
+pip AS (
+  SELECT *,
+         EXP(logBF - mx) / SUM(EXP(logBF - mx))
+           OVER (PARTITION BY studyLocusId) AS pip
+  FROM shifted
+)
+-- identity LD: a multi-member 99% credible set has min |r| = 0 and
+-- fails the 0.5 purity gate, so only a single dominant variant
+-- (PIP >= 0.99) survives as credible-set 1
+SELECT studyLocusId, variantId,
+       ROUND(pip, 6) AS posteriorProbability,
+       CASE WHEN pip >= 0.99 THEN 1 ELSE 0 END AS credibleSetIndex,
+       ROUND(logBF, 6) AS logBF
+FROM pip
+"""
 
 
 def q_finemap_carma_ld(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1006,10 +1048,7 @@ EXTRA_ORACLES = {
     "finemap_abf": SQL_FINEMAP_ABF,
     "finemap_susie": SQL_FINEMAP_SUSIE,
     "finemap_carma": SQL_FINEMAP_CARMA,
-    # finemap_susie_inf: intentionally no oracle — LD-aware iterative
-    # numerics (eigendecomposition + IBSS) are not SQL-expressible;
-    # finemap_susie / susie_credible_sets carry the exact hash checks
-    # for the same code paths in their reduced configurations.
+    "finemap_susie_inf": SQL_FINEMAP_SUSIE_INF,
     "finemap_carma_ld": SQL_FINEMAP_CARMA_LD,
     "l2g_registry_matrix": SQL_L2G_REGISTRY_MATRIX,
     "simhash": SQL_SIMHASH,
@@ -1109,30 +1148,117 @@ EXTRA_ORACLES["susie_credible_sets"] = SQL_SUSIE_CREDIBLE_SETS
 
 def q_finemap_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fine-mapping benchmark (reference
-    finemapping_simulations.py:16-267, distributed): simulate 40
-    replicate loci with 2 planted causal variants over one LD
-    structure, fine-map each with the LD-aware SuSiE-inf kernel, and
-    score accuracy/sensitivity against the truth. Seeded simulation +
-    iterative numerics — rows-only check."""
-    import numpy as np
-
+    finemapping_simulations.py:16-267, distributed): simulate
+    replicate loci with 2 planted causal variants, fine-map each
+    through the applyInPandas SuSiE kernel, and score
+    accuracy/sensitivity against the planted truth — the full
+    simulate → fine-map → score pipeline in one plan. Runs in its
+    oracle-able deterministic configuration (hash-uniform + Acklam
+    Gaussian noise, identity-LD reduced SuSiE — see
+    ``simulate_sumstats_deterministic``), so the driver hash-checks
+    the whole benchmark end-to-end; the published correlated-noise
+    N(0, U) model and the LD-aware kernel stay exercised by pytest
+    (tests/test_finemap_golden.py)."""
     from genetics_spark_coloc_spark.operators import finemap_sim
 
-    m = 60
-    positions = np.arange(m) * 12_000.0
-    ld = np.exp(-np.abs(positions[:, None] - positions[None, :]) / 200_000.0)
-    sim = finemap_sim.simulate_sumstats(
-        spark, ld, positions, n_loci=40, n_causal=2, he2_reggen=0.003, seed=11
-    ).localCheckpoint(eager=False)
+    sim = finemap_sim.simulate_sumstats_deterministic(
+        load_table(spark, sf_dir, "events")
+    )
     cred = finemapping.finemap_grouped(
         sim.drop("isCausal"),
-        kernel=finemapping.susie_study_locus_kernel,
+        kernel=finemapping.susie_study_locus_reduced_kernel,
         schema=finemapping.SUSIE_STUDY_LOCUS_SCHEMA,
     )
     truth = sim.select("studyLocusId", "variantId", "isCausal")
     return finemap_sim.score_credible_sets(cred, truth, n_causal=2)
 
 
+SQL_FINEMAP_SIMULATION = """
+WITH base AS (
+  SELECT 'SIM' || CAST(CAST(FLOOR(event_id / 25.0) AS BIGINT) AS VARCHAR)
+           AS studyLocusId,
+         printf('v%04d', CAST(event_id % 25 AS INT)) AS variantId,
+         CAST(event_id % 25 AS INT) IN (7, 19) AS isCausal,
+         ((event_id * 2654435761) % 1000003 + 0.5) / 1000003.0 AS u,
+         CASE WHEN event_id % 25 = 7
+                THEN 1.5 + 0.7 * CAST(CAST(FLOOR(event_id / 25.0) AS BIGINT) % 5 AS DOUBLE)
+              WHEN event_id % 25 = 19
+                THEN -(1.0 + 0.5 * CAST(CAST(FLOOR(event_id / 25.0) AS BIGINT) % 7 AS DOUBLE))
+              ELSE 0.0 END AS effect
+  FROM events
+),
+-- Acklam inverse normal on q = min(u, 1-u), reflected by u<0.5
+branches AS (
+  SELECT *, LEAST(u, 1.0 - u) AS q,
+         SQRT(-2 * LN(LEAST(u, 1.0 - u))) AS t,
+         LEAST(u, 1.0 - u) - 0.5 AS r,
+         (LEAST(u, 1.0 - u) - 0.5) * (LEAST(u, 1.0 - u) - 0.5) AS s
+  FROM base
+),
+sim AS (
+  SELECT studyLocusId, variantId, isCausal,
+         effect + (CASE WHEN u < 0.5 THEN -1.0 ELSE 1.0 END) * ABS(
+           CASE WHEN q < 0.02425 THEN
+             (((((-7.784894002430293e-03 * t + -3.223964580411365e-01) * t + -2.400758277161838e+00) * t
+                + -2.549732539343734e+00) * t + 4.374664141464968e+00) * t + 2.938163982698783e+00)
+             / ((((7.784695709041462e-03 * t + 3.224671290700398e-01) * t + 2.445134137142996e+00) * t
+                + 3.754408661907416e+00) * t + 1)
+           ELSE
+             -((((((-3.969683028665376e+01 * s + 2.209460984245205e+02) * s + -2.759285104469687e+02) * s
+                + 1.383577518672690e+02) * s + -3.066479806614716e+01) * s + 2.506628277459239e+00) * r)
+             / (((((-5.447609879822406e+01 * s + 1.615858368580409e+02) * s + -1.556989798598866e+02) * s
+                + 6.680131188771972e+01) * s + -1.328068155288572e+01) * s + 1)
+           END) AS z
+  FROM branches
+),
+-- reduced susie-inf closed form (identity LD, L=1, ssq=0.2):
+-- lbf = n z^2/(2(n+5)) - 0.5 ln(0.2(n+5)), pip = softmax(lbf)
+lbf AS (
+  SELECT studyLocusId, variantId, isCausal,
+         100000.0 * z * z / (2.0 * 100005.0) - 0.5 * LN(100005.0 * 0.2) AS lbf
+  FROM sim
+),
+s1 AS (
+  SELECT *, MAX(lbf) OVER w AS mx
+  FROM lbf WINDOW w AS (PARTITION BY studyLocusId)
+),
+pip AS (
+  SELECT *, EXP(lbf - mx) / SUM(EXP(lbf - mx)) OVER w AS pip
+  FROM s1 WINDOW w AS (PARTITION BY studyLocusId)
+),
+cum AS (
+  SELECT *,
+         COALESCE(SUM(pip) OVER (PARTITION BY studyLocusId
+                                 ORDER BY ROUND(pip, 6) DESC, variantId
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0.0) AS cumBefore,
+         ROW_NUMBER() OVER (PARTITION BY studyLocusId
+                            ORDER BY ROUND(pip, 6) DESC, variantId) AS rn
+  FROM pip
+),
+members AS (
+  SELECT studyLocusId, variantId, isCausal, rn FROM cum WHERE cumBefore < 0.99
+),
+per_cs AS (
+  SELECT studyLocusId,
+         MAX(CASE WHEN isCausal THEN 1.0 ELSE 0.0 END) AS isInX,
+         MAX(CASE WHEN rn = 1 AND isCausal THEN 1.0 ELSE 0.0 END) AS isInLead
+  FROM members GROUP BY studyLocusId
+),
+rec AS (
+  SELECT COUNT(*) AS recovered
+  FROM (SELECT DISTINCT studyLocusId, variantId FROM members WHERE isCausal)
+)
+SELECT COUNT(*)                               AS successfulRuns,
+       COUNT(*)                               AS numberOfCs,
+       COUNT(*) * 2                           AS expectedResults,
+       ROUND(AVG(1.0 - isInX), 6)             AS falsePositives,
+       ROUND(AVG(isInX), 6)                   AS accuracy,
+       ROUND(AVG(isInLead), 6)                AS accuracyLead,
+       ROUND(MAX(recovered) / (COUNT(*) * 2), 6) AS sensitivity
+FROM per_cs CROSS JOIN rec
+"""
+
+
 EXTRA_QUERIES["finemap_simulation"] = q_finemap_simulation
-# finemap_simulation: intentionally no oracle (seeded simulation +
-# iterative numerics)
+EXTRA_ORACLES["finemap_simulation"] = SQL_FINEMAP_SIMULATION
