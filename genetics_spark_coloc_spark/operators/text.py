@@ -209,38 +209,59 @@ def duplicate_ngram_coverage(
     suffix-array spans, bucketed to fixed-width grams so the whole
     computation is two hash-shuffles).
 
-    Scale shape: explode to (doc, gram) occurrences; grams' document
-    frequencies reduce with map-side combine on the high-cardinality
-    gram key; one join back and a per-doc aggregate. No UDFs, no
-    driver state. Documents with fewer than ``n`` tokens report
-    coverage 0 over 0 grams.
+    Scale shape: explode to (doc, gram) occurrences, then immediately
+    collapse the gram STRING to a 64-bit xxhash so the wide text keys
+    never cross the wire — every downstream shuffle (the per-gram
+    distinct, the document-frequency aggregate, the join back) moves
+    8-byte keys. A 64-bit collision merges two grams' document
+    frequencies; at 10^9 distinct grams the birthday bound is ~3%
+    for ONE merged pair corpus-wide, noise against the signal this
+    statistic feeds. Grams' document frequencies reduce with map-side
+    combine on the high-cardinality key; one join back and a per-doc
+    aggregate. No UDFs, no driver state. Documents with fewer than
+    ``n`` tokens report coverage 0 over 0 grams.
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     grams = df.select(
         F.col(id_col).alias("docId"),
-        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("gram"),
+        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("gramStr"),
+    ).select(
+        "docId",
+        # xxhash64(NULL) yields the seed, not NULL — keep the
+        # short-doc marker rows null so count(gram) still skips them
+        F.when(
+            F.col("gramStr").isNotNull(), F.xxhash64("gramStr")
+        ).alias("gram"),
     )
-    # both the shared-gram aggregate and the per-doc join consume this
-    # relation; truncate the lineage so the tokenize+n-gram+explode
-    # stage (the dominant scan) runs once, not twice
-    grams = grams.localCheckpoint(eager=False)
-    # distinct docs per gram >= 2  <=>  gram is shared across docs
+    # collapse to one row per (doc, gram) carrying the occurrence
+    # count — this single map-side-combining shuffle replaces the
+    # former raw-occurrence checkpoint AND the separate distinct()
+    # pass, and it is what both downstream consumers read; truncate
+    # the lineage so tokenize+n-gram+explode (the dominant scan)
+    # runs once, not twice
+    occ = grams.groupBy("docId", "gram").agg(
+        F.count(F.lit(1)).alias("_occ")
+    ).localCheckpoint(eager=False)
+    # rows are unique (doc, gram) pairs, so docs per gram >= 2
+    # <=> gram is shared across documents
     shared = (
-        grams.filter(F.col("gram").isNotNull())
-        .select("docId", "gram")
-        .distinct()
+        occ.filter(F.col("gram").isNotNull())
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") >= 2)
         .select("gram", F.lit(True).alias("isShared"))
     )
     per_doc = (
-        grams.join(shared, on="gram", how="left")
+        occ.join(shared, on="gram", how="left")
         .groupBy("docId")
         .agg(
-            F.count(F.col("gram")).alias("nGrams"),
-            F.sum(F.when(F.col("isShared"), 1).otherwise(0)).alias("_dup"),
+            F.sum(
+                F.when(F.col("gram").isNotNull(), F.col("_occ")).otherwise(0)
+            ).alias("nGrams"),
+            F.sum(F.when(F.col("isShared"), F.col("_occ")).otherwise(0)).alias(
+                "_dup"
+            ),
         )
         .select(
             "docId",
@@ -354,13 +375,18 @@ def tfidf_top_terms(
     Scale shape: one explode to (doc, term) with a count aggregate
     (map-side combine), one broadcast-size term→df join keyed on the
     term, and a per-doc top-k window over at most |distinct terms per
-    doc| rows. Ranking is on 6dp-rounded score with a term tiebreak
-    so rank order is engine-reproducible.
+    doc| rows. The corpus size N rides a broadcast crossJoin of a
+    1-row aggregate (the operators/normalisation.py pattern), keeping
+    the whole operator a single lazy plan — no driver-side collect.
+    Ranking is on 6dp-rounded score with a term tiebreak so rank
+    order is engine-reproducible.
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
     from pyspark.sql.window import Window  # noqa: PLC0415
 
-    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n")).collect()[0]["n"]
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("_nDocs")
+    )
     terms = (
         df.select(
             F.col(id_col).alias("docId"),
@@ -370,14 +396,18 @@ def tfidf_top_terms(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = terms.join(dfreq, on="term").select(
-        "docId",
-        "term",
-        F.round(
-            F.col("tf")
-            * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0),
-            6,
-        ).alias("tfidf"),
+    scored = (
+        terms.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "docId",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("_nDocs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("docId").orderBy(
         F.col("tfidf").desc(), F.col("term").asc()
