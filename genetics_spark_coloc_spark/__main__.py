@@ -8,11 +8,29 @@ CLI (reference: src/gentropy/cli.py:13-22) with plain argparse:
     python -m genetics_spark_coloc_spark run window_based_clumping \
         --in summary_statistics=/data/ss.parquet \
         --out /data/leads.parquet --param distance=250000
+
+Config-file execution (the reference's hydra compose surface,
+src/gentropy/config.py:26-787, without the dependency): a JSON file
+supplies the step name, input map, output path, params, and Spark
+settings; any flag given on the command line overrides the file —
+the same defaults-then-overrides layering hydra performs:
+
+    python -m genetics_spark_coloc_spark run --config coloc.json
+    python -m genetics_spark_coloc_spark run --config coloc.json \
+        --param method=ecaviar --out /data/coloc_ecaviar.parquet
+
+    # coloc.json
+    {"step": "colocalisation",
+     "inputs": {"credible_sets": "/data/credible_sets.parquet"},
+     "output": "/data/coloc.parquet",
+     "params": {"method": "coloc"},
+     "master": "local[8]", "shuffle_partitions": 16}
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 from genetics_spark_coloc_spark.steps import STEPS, coerce_param, run_step
@@ -38,7 +56,15 @@ def main(argv: list[str] | None = None) -> int:
     p_desc.add_argument("step", choices=sorted(STEPS))
 
     p_run = sub.add_parser("run", help="run a step")
-    p_run.add_argument("step", choices=sorted(STEPS))
+    p_run.add_argument(
+        "step", nargs="?", default=None, choices=sorted(STEPS),
+        help="step name (may come from --config instead)",
+    )
+    p_run.add_argument(
+        "--config", default=None, metavar="PATH",
+        help="JSON config file: {step, inputs, output, params, master, "
+        "shuffle_partitions}; command-line flags override it",
+    )
     p_run.add_argument(
         "--in", dest="inputs", action="append", default=[], metavar="KEY=PATH",
         help="input path, repeatable (e.g. summary_statistics=/x.parquet)",
@@ -48,7 +74,7 @@ def main(argv: list[str] | None = None) -> int:
         "--param", dest="params", action="append", default=[], metavar="KEY=VALUE",
         help="step parameter override, repeatable",
     )
-    p_run.add_argument("--master", default="local[*]", help="Spark master")
+    p_run.add_argument("--master", default=None, help="Spark master")
     p_run.add_argument(
         "--shuffle-partitions", type=int, default=None, help="spark.sql.shuffle.partitions"
     )
@@ -70,22 +96,52 @@ def main(argv: list[str] | None = None) -> int:
             print(f"  --param {k}={prm.default!r} ({prm.type.__name__}) {prm.help}")
         return 0
 
-    spec = STEPS[args.step]
-    inputs = _kv(args.inputs, "--in")
-    raw_params = _kv(args.params, "--param")
-    params = {k: coerce_param(spec, k, v) for k, v in raw_params.items()}
+    cfg: dict = {}
+    if args.config:
+        with open(args.config, encoding="utf-8") as fh:
+            cfg = json.load(fh)
+        unknown = set(cfg) - {
+            "step", "inputs", "output", "params", "master", "shuffle_partitions"
+        }
+        if unknown:
+            raise SystemExit(f"--config: unknown keys {sorted(unknown)}")
+
+    step = args.step or cfg.get("step")
+    if step is None:
+        raise SystemExit("run: step name required (positional or in --config)")
+    if step not in STEPS:
+        raise SystemExit(f"unknown step {step!r}; available: {sorted(STEPS)}")
+    spec = STEPS[step]
+
+    # layering: config file first, command-line flags override —
+    # per-key for inputs/params, whole-value for output/master
+    inputs = {**cfg.get("inputs", {}), **_kv(args.inputs, "--in")}
+    params = {}
+    for k, v in cfg.get("params", {}).items():
+        # JSON already carries typed values; strings still coerce so
+        # "250000" and 250000 both work
+        params[k] = coerce_param(spec, k, v) if isinstance(v, str) else v
+    for k, v in _kv(args.params, "--param").items():
+        params[k] = coerce_param(spec, k, v)
+    output = args.output if args.output is not None else cfg.get("output")
+    master = args.master or cfg.get("master") or "local[*]"
+    shuffle = (
+        args.shuffle_partitions
+        if args.shuffle_partitions is not None
+        else cfg.get("shuffle_partitions")
+    )
 
     from genetics_spark_coloc_spark.session import get_session
 
-    kwargs = {"app_name": f"step:{args.step}", "master": args.master}
-    if args.shuffle_partitions is not None:
-        kwargs["shuffle_partitions"] = args.shuffle_partitions
+    kwargs = {"app_name": f"step:{step}", "master": master}
+    if shuffle is not None:
+        kwargs["shuffle_partitions"] = int(shuffle)
     spark = get_session(**kwargs)
-    df = run_step(spark, args.step, inputs, args.output, params)
+    df = run_step(spark, step, inputs, output, params)
     if df is not None:
-        print(f"step {args.step}: wrote {args.output}")
+        print(f"step {step}: wrote {output}")
     else:
-        print(f"step {args.step}: done")
+        print(f"step {step}: done")
     return 0
 
 

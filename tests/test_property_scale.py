@@ -198,3 +198,57 @@ def test_carma_identity_powerset_matches_closed_form(stats):
     pips = np.array([sum(w[s] for s in subsets if j in s) / tot for j in range(p)])
     got = res.sort_values("variantId")["posteriorProbability"].to_numpy()
     assert np.allclose(got, pips, rtol=1e-9, atol=1e-12)
+
+
+def test_auc_rank_window_at_quantization_bound(spark):
+    """``evaluate_binary_predictions`` at the documented bound: 1M
+    DISTINCT raw float scores spanning [0, 1]. The single-partition
+    rank window runs over the per-quantized-score aggregate, so its
+    input stays <= 1e6 + 1 rows regardless of row count, and the
+    Mann-Whitney AUC with average tied ranks must match an exact
+    numpy computation of the same statistic on the same quantized
+    scores (what sklearn.roc_auc_score computes, which is not in
+    this environment) to 1e-9."""
+    import numpy as np
+    import pandas as pd
+
+    from genetics_spark_coloc_spark.operators.l2g_trainer import (
+        evaluate_binary_predictions,
+    )
+
+    n = 1_000_000
+    rng = np.random.default_rng(7)
+    score = rng.random(n)  # ~all distinct raw float64
+    label = (rng.random(n) < np.clip(score * 0.8 + 0.1, 0, 1)).astype(np.int64)
+    pdf = pd.DataFrame({"score": score, "label": label})
+    sdf = spark.createDataFrame(pdf).repartition(16)
+
+    # the bound property: after 1e-6 quantization the rank window's
+    # input cardinality is capped by bucket count, not row count
+    from pyspark.sql import functions as F
+
+    n_buckets = sdf.select(
+        F.countDistinct(F.round("score", 6)).alias("b")
+    ).collect()[0]["b"]
+    assert n_buckets <= 1_000_001
+
+    row = evaluate_binary_predictions(sdf).collect()[0]
+
+    # exact reference AUC on the same quantized scores (half-away
+    # quantization mirrors Spark's HALF_UP on non-negative doubles;
+    # seeded uniforms sit ~1e-10 per row from any 6dp midpoint)
+    q = np.floor(score * 1e6 + 0.5) / 1e6
+    order = np.argsort(q, kind="stable")
+    qs, ls = q[order], label[order]
+    ranks = np.empty(n, dtype=np.float64)
+    i = 0
+    while i < n:
+        j = i
+        while j < n and qs[j] == qs[i]:
+            j += 1
+        ranks[i:j] = (i + 1 + j) / 2.0  # average of ranks i+1..j
+        i = j
+    p_cnt = int(ls.sum())
+    n_cnt = n - p_cnt
+    auc = (ranks[ls == 1].sum() - p_cnt * (p_cnt + 1) / 2.0) / (p_cnt * n_cnt)
+    assert abs(row["areaUnderROC"] - auc) < 1e-9

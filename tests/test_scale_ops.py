@@ -668,6 +668,85 @@ class TestStreamingNearDup:
         assert all(len(p) == 2 for p in stream_pairs)
 
 
+    def test_state_rows_stay_bounded_under_eviction(self, spark, tmp_path):
+        """Long-run state-bound probe: feed many micro-batches whose
+        LSH buckets are DISJOINT batch-to-batch with
+        ``state_timeout_ms`` eviction armed. The state store must
+        hold O(recently-active buckets), not O(every bucket ever
+        seen) — the bound that makes an unbounded document stream
+        near-dup-able at all. Asserted from the engine's own
+        stateOperators metrics, not from inference."""
+        import time
+
+        from genetics_spark_coloc_spark.streaming.pipelines import (
+            bucket_pair_stream,
+        )
+
+        buckets_per_batch = 50
+        n_batches = 8
+        src = str(tmp_path / "banded_stream")
+
+        def write_batch(k: int) -> None:
+            rows = [
+                (f"d{k}_{i}", 0, f"bucket_{k}_{i % buckets_per_batch}")
+                for i in range(2 * buckets_per_batch)
+            ]
+            spark.createDataFrame(
+                rows, "docId string, bandIdx int, bandHash string"
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        write_batch(0)
+        stream = (
+            spark.readStream.schema("docId string, bandIdx int, bandHash string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = bucket_pair_stream(stream, state_timeout_ms=800)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("neardup_state_probe")
+            .outputMode("append")
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            for k in range(1, n_batches):
+                write_batch(k)
+                time.sleep(1.0)  # > timeout: earlier batches go cold
+            # settle: let eviction triggers fire past the last timeout
+            # (plain polling — processAllAvailable can block behind
+            # the continuous 200ms trigger loop)
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                time.sleep(1.0)
+                p = q.lastProgress
+                rows_total = (
+                    p["stateOperators"][0]["numRowsTotal"]
+                    if p and p["stateOperators"]
+                    else None
+                )
+                if rows_total is not None and rows_total <= 3 * buckets_per_batch:
+                    break
+            peak = max(
+                pr["stateOperators"][0]["numRowsTotal"]
+                for pr in q.recentProgress
+                if pr["stateOperators"]
+            )
+            final = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        finally:
+            q.stop()
+        total_buckets = n_batches * buckets_per_batch
+        # every batch's pairs were emitted (the operator worked)...
+        emitted = spark.sql(
+            "select count(distinct leftId) as n from neardup_state_probe"
+        ).collect()[0]["n"]
+        assert emitted >= buckets_per_batch * (n_batches - 1)
+        # ...while state stayed bounded by the active window, far
+        # below the all-buckets-ever total
+        assert final <= 3 * buckets_per_batch, (final, total_buckets)
+        assert peak < total_buckets, (peak, total_buckets)
+
+
 class TestAssignToCentroidsParity:
     def test_blas_assignment_equals_expression_form(self, spark):
         """The matmul quantizer must reproduce the broadcast-join +

@@ -171,6 +171,49 @@ def test_cli_run_end_to_end(ss_path, tmp_path):
     assert "wrote" in r.stdout
 
 
+def test_cli_run_from_config_file(credset_path, tmp_path):
+    """Config-file execution (the reference's hydra compose surface,
+    src/gentropy/config.py:26-787): the JSON file supplies step /
+    inputs / output / params / spark settings, and command-line flags
+    override it — here --out overrides the file's output path."""
+    import json
+    import os
+
+    out = str(tmp_path / "cfg_coloc.parquet")
+    cfg_path = tmp_path / "coloc.json"
+    cfg_path.write_text(
+        json.dumps(
+            {
+                "step": "colocalisation",
+                "inputs": {"credible_set": credset_path},
+                "output": str(tmp_path / "overridden_away.parquet"),
+                "params": {"coloc_method": "ecaviar"},
+                "master": "local[2]",
+                "shuffle_partitions": 4,
+            }
+        )
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "genetics_spark_coloc_spark", "run",
+         "--config", str(cfg_path), "--out", out],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "wrote" in r.stdout and out in r.stdout
+    assert os.path.isdir(out)
+    assert not os.path.exists(str(tmp_path / "overridden_away.parquet"))
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"step": "colocalisation", "bogus_key": 1}))
+    r = subprocess.run(
+        [sys.executable, "-m", "genetics_spark_coloc_spark", "run",
+         "--config", str(bad)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode != 0
+    assert "unknown keys" in r.stderr
+
+
 def test_run_locus_to_gene_predict(spark, tmp_path):
     """The SHAP-bearing prediction step emits the l2g_predictions
     entity shape with local accuracy on the margin scale."""
