@@ -365,6 +365,62 @@ def test_multimodal_bmp_really_decodes(spark):
     assert abs(row.feature[63] - expected_last) < 1e-6
 
 
+def test_multimodal_pillow_branch_parity(monkeypatch):
+    """The Pillow decode branch (operators/multimodal.py
+    ``_decode_image`` with ``_PILImage`` present) has never executed
+    in this codec-less environment. Drive it with a minimal PIL
+    stand-in that fulfils the exact surface the branch consumes —
+    ``open(BytesIO).convert("RGB")`` → ``.load()`` indexing +
+    ``.width``/``.height`` — backed by an independent BMP parse, and
+    assert the branch produces byte-identical features to the
+    built-in BMP path (both funnel through ``_grid_features``). The
+    undecodable→NotImplementedError wrap is asserted too. With real
+    Pillow installed the same test passes unchanged except the
+    stand-in is unused, so both branches stay covered either way."""
+    import io
+    import struct
+
+    import pytest as _pytest
+
+    from genetics_spark_coloc_spark.operators import multimodal
+
+    class _FakeLoaded:
+        def __init__(self, payload: bytes):
+            off = struct.unpack_from("<I", payload, 10)[0]
+            self.width, self.height = struct.unpack_from("<ii", payload, 18)
+            self._stride = (self.width * 3 + 3) & ~3
+            self._off, self._p = off, payload
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def load(self):
+            return self
+
+        def __getitem__(self, xy):
+            x, y = xy
+            o = self._off + (self.height - 1 - y) * self._stride + x * 3
+            return self._p[o + 2], self._p[o + 1], self._p[o]
+
+    class _FakePIL:
+        @staticmethod
+        def open(buf):
+            payload = buf.read()
+            if payload[:2] != b"BM":
+                raise OSError("cannot identify image file")
+            return _FakeLoaded(payload)
+
+    bmp = _tiny_bmp()
+    via_bmp_parser = multimodal._decode_bmp(bmp)
+    monkeypatch.setattr(multimodal, "_PILImage", _FakePIL)
+    via_pil_branch = multimodal._decode_image(bmp)
+    assert via_pil_branch == via_bmp_parser
+
+    with _pytest.raises(NotImplementedError, match="undecodable"):
+        multimodal._decode_image(b"\x89PNG not really")
+
+
 def test_ngram_repetition_ratio_edges(spark):
     from genetics_spark_coloc_spark.operators.text import ngram_repetition_ratio
     from pyspark.sql import functions as F
