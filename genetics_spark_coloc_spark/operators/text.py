@@ -465,3 +465,122 @@ def char_entropy_stats(
             ),
         )
     )
+
+
+def bigram_lm_score(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Corpus-trained bigram language-model quality signal — the
+    perplexity-proxy filter CCNet-style pipelines apply before LLM
+    training (Wenzek et al. 2020 score documents with a KenLM 5-gram;
+    this is the same shape at bigram order, trained on the corpus
+    itself so the operator is closed over its input).
+
+    Model: add-one-smoothed conditional probabilities over the corpus
+    vocabulary, P(w|v) = (c(v w) + 1) / (c_left(v) + V) with c_left
+    the count of bigram occurrences led by v; per document the score
+    is the mean natural-log probability over its bigram occurrences
+    and ``perplexity`` = exp(−score). Documents with fewer than two
+    tokens report 0 bigrams and null scores.
+
+    Scale shape: one explode to (doc, bigram) occurrences reused by
+    all three consumers via a lineage-truncated relation; training
+    counts reduce with map-side combine on the bigram / left-token
+    keys; scoring is two key-partitioned joins plus a broadcast 1-row
+    vocabulary-size crossJoin; one per-doc aggregate. No UDFs, no
+    driver state.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    occ = df.select(
+        F.col(id_col).alias("docId"),
+        F.explode(word_ngrams(F.col(text_col), 2)).alias("bigram"),
+    ).select(
+        "docId", "bigram", F.substring_index("bigram", " ", 1).alias("lft")
+    ).localCheckpoint(eager=False)
+    vocab = df.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    ).agg(F.countDistinct("tok").alias("_V"))
+    big_counts = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("_cB"))
+    left_counts = occ.groupBy("lft").agg(F.count(F.lit(1)).alias("_cL"))
+    scored = (
+        occ.join(big_counts, on="bigram")
+        .join(left_counts, on="lft")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("docId")
+        .agg(
+            F.count(F.lit(1)).alias("nBigrams"),
+            F.avg(
+                F.log((F.col("_cB") + 1.0) / (F.col("_cL") + F.col("_V")))
+            ).alias("_alp"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("docId"))
+        .distinct()
+        .join(scored, on="docId", how="left")
+        .select(
+            "docId",
+            F.coalesce("nBigrams", F.lit(0)).cast("long").alias("nBigrams"),
+            F.round("_alp", 6).alias("avgLogProb"),
+            F.round(F.exp(-F.col("_alp")), 6).alias("perplexity"),
+        )
+    )
+
+
+def hash_bucket(id_col: Column, salt: str) -> Column:
+    """Deterministic [0, 1) bucket from md5(salt|id) — the shared
+    device under ``hash_split`` and ``stratified_hash_sample``.
+    Different salts give independent buckets, so split assignment and
+    sampling decisions don't correlate."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), id_col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**8))
+    )
+
+
+def stratified_hash_sample(
+    df: "DataFrame",
+    stratum: Column,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "sample-v1",
+) -> "DataFrame":
+    """Per-stratum deterministic downsampling — the mixture-rebalance
+    step of pre-training pipelines (downweight dominant languages or
+    domains to a target mix, as in the Pile / ROOTS corpus recipes)
+    without randomSplit's run-to-run nondeterminism.
+
+    A row is kept iff its ``hash_bucket(id, salt)`` falls below its
+    stratum's rate; unlisted strata keep ``default_rate``. Membership
+    depends only on (salt, id), so the sample is reproducible across
+    runs, partitions, and engines, and the realized rate concentrates
+    on the target by the usual hash-uniformity argument. Pure Column
+    predicate — at 100 TB this is a pushed-down filter, no shuffle.
+
+    Adds ``stratum`` and ``samplingRate`` columns for audit.
+    """
+    rate: Column | None = None
+    for name, r in sorted(rates.items()):
+        cond = stratum == name
+        rate = (
+            F.when(cond, F.lit(float(r)))
+            if rate is None
+            else rate.when(cond, F.lit(float(r)))
+        )
+    rate_col = (
+        rate.otherwise(F.lit(float(default_rate)))
+        if rate is not None
+        else F.lit(float(default_rate))
+    )
+    out = df.withColumn("stratum", stratum).withColumn("samplingRate", rate_col)
+    return out.filter(hash_bucket(F.col(id_col), salt) < F.col("samplingRate"))

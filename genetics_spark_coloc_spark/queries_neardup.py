@@ -502,3 +502,120 @@ LEFT JOIN per_doc p ON p.docId = d.doc_id
 
 NEARDUP_QUERIES["char_entropy"] = q_char_entropy
 NEARDUP_ORACLES["char_entropy"] = SQL_CHAR_ENTROPY
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM pseudo-perplexity quality signal
+    (operators/text.bigram_lm_score) — the CCNet-style perplexity
+    filter (Wenzek et al. 2020) at bigram order, trained on the
+    documents table itself: add-one-smoothed P(w|v) over the corpus
+    vocabulary, mean log-prob and perplexity per document."""
+    from genetics_spark_coloc_spark.operators.text import bigram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_score(docs, "text", "doc_id")
+
+
+SQL_BIGRAM_LM = r"""
+WITH toks AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+  FROM documents
+),
+occ AS (
+  SELECT docId, g AS bigram, split_part(g, ' ', 1) AS lft
+  FROM toks,
+       UNNEST(CASE WHEN len(t) - 1 >= 1
+              THEN list_transform(range(0, len(t) - 1),
+                                  i -> array_to_string(list_slice(t, i + 1, i + 2), ' '))
+              ELSE [] END) AS u(g)
+),
+vocab AS (
+  SELECT COUNT(DISTINCT tok) AS V FROM toks, UNNEST(t) AS tt(tok)
+),
+bc AS (SELECT bigram, COUNT(*) AS cB FROM occ GROUP BY bigram),
+lc AS (SELECT lft, COUNT(*) AS cL FROM occ GROUP BY lft),
+agg AS (
+  SELECT o.docId,
+         COUNT(*) AS nBigrams,
+         AVG(LN((bc.cB + 1.0) / (lc.cL + v.V))) AS alp
+  FROM occ o
+  JOIN bc USING (bigram)
+  JOIN lc USING (lft)
+  CROSS JOIN vocab v
+  GROUP BY o.docId
+)
+SELECT d.docId,
+       COALESCE(a.nBigrams, 0) AS nBigrams,
+       ROUND(a.alp, 6) AS avgLogProb,
+       ROUND(EXP(-a.alp), 6) AS perplexity
+FROM (SELECT DISTINCT doc_id AS docId FROM documents) d
+LEFT JOIN agg a USING (docId)
+"""
+
+NEARDUP_QUERIES["bigram_lm"] = q_bigram_lm
+NEARDUP_ORACLES["bigram_lm"] = SQL_BIGRAM_LM
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified deterministic downsampling
+    (operators/text.stratified_hash_sample): rebalance the corpus mix
+    by keeping 50% of English and 25% of unidentified-language
+    documents (everything else intact), with md5-bucket membership so
+    the sample is reproducible across engines."""
+    from genetics_spark_coloc_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.stratified_hash_sample(
+        docs,
+        text.language_id(F.col("text")),
+        rates={"en": 0.5, "und": 0.25},
+        id_col="doc_id",
+    )
+    return out.select(
+        F.col("doc_id").alias("docId"),
+        F.col("stratum").alias("predictedLang"),
+        F.col("samplingRate"),
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH scored AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tok
+  FROM documents
+),
+s AS (
+  SELECT docId,
+         len(list_filter(tok, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+         len(list_filter(tok, x -> x IN ('the','and','of','to','is')))    AS s_en,
+         len(list_filter(tok, x -> x IN ('el','la','de','que','es')))     AS s_es,
+         len(list_filter(tok, x -> x IN ('le','la','et','les','est')))    AS s_fr
+  FROM scored
+),
+lang AS (
+  SELECT docId,
+         CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+              WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+              WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+              WHEN s_es >= s_fr THEN 'es'
+              ELSE 'fr' END AS predictedLang
+  FROM s
+),
+rated AS (
+  SELECT docId, predictedLang,
+         CASE WHEN predictedLang = 'en' THEN 0.5
+              WHEN predictedLang = 'und' THEN 0.25
+              ELSE 1.0 END AS samplingRate,
+         CAST(('0x' || substr(md5('sample-v1|' || CAST(docId AS VARCHAR)), 1, 8)) AS UBIGINT)
+           / 4294967296.0 AS bucket
+  FROM lang
+)
+SELECT docId, predictedLang, samplingRate
+FROM rated WHERE bucket < samplingRate
+"""
+
+NEARDUP_QUERIES["stratified_sample"] = q_stratified_sample
+NEARDUP_ORACLES["stratified_sample"] = SQL_STRATIFIED_SAMPLE

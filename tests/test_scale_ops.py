@@ -421,6 +421,71 @@ def test_multimodal_pillow_branch_parity(monkeypatch):
         multimodal._decode_image(b"\x89PNG not really")
 
 
+def test_bigram_lm_score_hand_computed(spark):
+    """Add-one-smoothed bigram LM on a 3-doc corpus, checked against
+    hand-derived probabilities: vocab {a,b} so V=2; c('a b')=2,
+    c('b a')=1, c_left(a)=2, c_left(b)=1."""
+    import math
+
+    from genetics_spark_coloc_spark.operators.text import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "A  b"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.docId: r for r in bigram_lm_score(docs, "text", "doc_id").collect()
+    }
+    p_ab = (2 + 1) / (2 + 2)  # P(b|a)
+    p_ba = (1 + 1) / (1 + 2)  # P(a|b)
+    d1 = (math.log(p_ab) + math.log(p_ba)) / 2
+    assert got[1].nBigrams == 2
+    assert abs(got[1].avgLogProb - round(d1, 6)) < 1e-9
+    assert abs(got[1].perplexity - round(math.exp(-d1), 6)) < 1e-9
+    # lowercasing: "A  b" trains and scores as "a b"
+    assert got[2].nBigrams == 1
+    assert abs(got[2].avgLogProb - round(math.log(p_ab), 6)) < 1e-9
+    # empty and null docs survive with zero bigrams and null scores
+    for d in (3, 4):
+        assert got[d].nBigrams == 0
+        assert got[d].avgLogProb is None and got[d].perplexity is None
+
+
+def test_stratified_hash_sample_rates_and_determinism(spark):
+    """Realized per-stratum rates concentrate on the targets, the
+    sample is identical across invocations (hash membership, no RNG),
+    and unlisted strata fall back to default_rate."""
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.operators.text import stratified_hash_sample
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("und")
+        .alias("lang"),
+    )
+    kept = stratified_hash_sample(
+        df, F.col("lang"), rates={"en": 0.5, "und": 0.25}, id_col="doc_id"
+    )
+    by = {
+        r.stratum: r.n
+        for r in kept.groupBy("stratum").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(by["en"] / (20_000 / 3) - 0.5) < 0.05
+    assert abs(by["und"] / (20_000 / 3) - 0.25) < 0.05
+    assert by["de"] == 6667  # default_rate 1.0 keeps every row
+    ids_a = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    ids_b = sorted(
+        r.doc_id
+        for r in stratified_hash_sample(
+            df, F.col("lang"), rates={"en": 0.5, "und": 0.25}, id_col="doc_id"
+        ).select("doc_id").collect()
+    )
+    assert ids_a == ids_b
+
+
 def test_ngram_repetition_ratio_edges(spark):
     from genetics_spark_coloc_spark.operators.text import ngram_repetition_ratio
     from pyspark.sql import functions as F
