@@ -778,6 +778,10 @@ def q_eqtl_finemapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey", "l_linenumber")
         .agg(F.min("l_partkey").alias("l_partkey"))
+        # both raw frames (credible sets + wide LBFs) derive from this
+        # deduped relation; truncate the lineage so the dedup shuffle
+        # over the biggest table runs once, not once per frame
+        .localCheckpoint(eager=False)
     )
     k = F.col("l_orderkey").cast("long")
     ln = F.col("l_linenumber").cast("long")
