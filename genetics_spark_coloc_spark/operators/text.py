@@ -584,3 +584,35 @@ def stratified_hash_sample(
     )
     out = df.withColumn("stratum", stratum).withColumn("samplingRate", rate_col)
     return out.filter(hash_bucket(F.col(id_col), salt) < F.col("samplingRate"))
+
+
+# PII pattern family — one definition shared by the counter and the
+# redactor so they can never disagree. Patterns are written in the
+# common subset of Java regex (Spark) and RE2 (DuckDB oracles):
+# no backrefs, no lookaround.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "longDigits": (r"\d{9,}", "<NUM>"),
+}
+
+
+def pii_stats(text: Column) -> dict[str, Column]:
+    """Per-document PII pattern counts — the pre-training privacy
+    filter primitive (count/flag before redaction or drop). Returns
+    {name: count Column}; all JVM-side regexp_extract_all, no UDFs."""
+    return {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long")
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace every PII match with its placeholder token, applied in
+    PII_PATTERNS order (emails before digit runs, so an address is
+    redacted as one unit rather than leaving '<NUM>@host'). Pure
+    regexp_replace chain — a pushed-down projection at any scale."""
+    out = text
+    for pat, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out

@@ -619,3 +619,80 @@ FROM rated WHERE bucket < samplingRate
 
 NEARDUP_QUERIES["stratified_sample"] = q_stratified_sample
 NEARDUP_ORACLES["stratified_sample"] = SQL_STRATIFIED_SAMPLE
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/text.pii_stats /
+    pii_redact): the privacy-filter step of a training-data pipeline.
+    The synthetic corpus carries no PII, so the query plants a
+    deterministic mix of emails, IPv4s and long digit runs on a
+    doc_id-keyed subset — counts and the redacted text are then
+    hash-checked exactly against the DuckDB spelling of the same
+    patterns."""
+    from genetics_spark_coloc_spark.operators.text import pii_redact, pii_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    planted = docs.select(
+        k.alias("docId"),
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                k % 7 == 0,
+                F.concat(F.lit(" contact user"), k.cast("string"), F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                k % 11 == 0,
+                F.concat(F.lit(" from 10.0."), (k % 256).cast("string"), F.lit(".1")),
+            ).otherwise(F.lit("")),
+            F.when(
+                k % 13 == 0,
+                F.concat(F.lit(" ref 9"), (k * 137).cast("string"), F.lit("00012345")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    stats = pii_stats(F.col("text"))
+    return planted.select(
+        "docId",
+        stats["email"].alias("nEmails"),
+        stats["ipv4"].alias("nIpv4"),
+        stats["longDigits"].alias("nLongDigitRuns"),
+        (
+            (stats["email"] + stats["ipv4"] + stats["longDigits"]) > 0
+        ).alias("hasPii"),
+        pii_redact(F.col("text")).alias("redactedText"),
+    )
+
+
+SQL_PII_SCRUB = r"""
+WITH planted AS (
+  SELECT doc_id AS docId,
+         COALESCE(text, '')
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' ref 9' || CAST(doc_id * 137 AS VARCHAR) || '00012345'
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT docId,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS nEmails,
+       CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS nIpv4,
+       CAST(len(regexp_extract_all(text, '\d{9,}')) AS BIGINT) AS nLongDigitRuns,
+       (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        + len(regexp_extract_all(text, '\d{9,}'))) > 0 AS hasPii,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+         '\d{9,}', '<NUM>', 'g') AS redactedText
+FROM planted
+"""
+
+NEARDUP_QUERIES["pii_scrub"] = q_pii_scrub
+NEARDUP_ORACLES["pii_scrub"] = SQL_PII_SCRUB

@@ -421,6 +421,41 @@ def test_multimodal_pillow_branch_parity(monkeypatch):
         multimodal._decode_image(b"\x89PNG not really")
 
 
+def test_pii_stats_and_redaction(spark):
+    """Counts and redaction agree on planted PII; emails redact as
+    one unit (never a leftover '<NUM>@...'), IPs don't double-count
+    as digit runs, clean text passes through untouched."""
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.operators.text import pii_redact, pii_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at john.doe99@sub.example.org or 192.168.0.1 ok"),
+            (2, "account 1234567890123 and backup 987654321"),
+            (3, "perfectly clean prose"),
+        ],
+        "doc_id long, text string",
+    )
+    stats = pii_stats(F.col("text"))
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            stats["email"].alias("e"),
+            stats["ipv4"].alias("i"),
+            stats["longDigits"].alias("d"),
+            pii_redact(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (got[1].e, got[1].i, got[1].d) == (1, 1, 0)
+    assert got[1].red == "mail me at <EMAIL> or <IP> ok"
+    assert (got[2].e, got[2].i, got[2].d) == (0, 0, 2)
+    assert got[2].red == "account <NUM> and backup <NUM>"
+    assert got[3].red == "perfectly clean prose"
+    assert "@" not in got[1].red and "<NUM>@" not in got[1].red
+
+
 def test_bigram_lm_score_hand_computed(spark):
     """Add-one-smoothed bigram LM on a 3-doc corpus, checked against
     hand-derived probabilities: vocab {a,b} so V=2; c('a b')=2,

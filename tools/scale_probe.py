@@ -260,6 +260,29 @@ def text_probes(n_docs: int = 2_000_000) -> None:
             n=5,
         ),
     )
+    from genetics_spark_coloc_spark.operators.text import (
+        bigram_lm_score,
+        pii_redact,
+        pii_stats,
+    )
+
+    probe(
+        "bigram_lm_2m_docs",
+        n_docs,
+        lambda: bigram_lm_score(docs, "text", "doc_id"),
+    )
+    stats = pii_stats(F.col("text"))
+    probe(
+        "pii_scrub_2m_docs",
+        n_docs,
+        lambda: docs.select(
+            "doc_id",
+            stats["email"].alias("nEmails"),
+            stats["ipv4"].alias("nIpv4"),
+            stats["longDigits"].alias("nLongDigitRuns"),
+            pii_redact(F.col("text")).alias("redactedText"),
+        ),
+    )
 
     from genetics_spark_coloc_spark.operators.l2g import train_l2g_model
     from genetics_spark_coloc_spark.operators.treeshap import (
