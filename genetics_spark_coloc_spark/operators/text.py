@@ -486,35 +486,48 @@ def bigram_lm_score(
     tokens report 0 bigrams and null scores.
 
     Scale shape: one explode to (doc, bigram) occurrences reused by
-    all three consumers via a lineage-truncated relation; training
-    counts reduce with map-side combine on the bigram / left-token
-    keys; scoring is two key-partitioned joins plus a broadcast 1-row
-    vocabulary-size crossJoin; one per-doc aggregate. No UDFs, no
-    driver state.
+    both consumers via a lineage-truncated relation. The log
+    probability is a pure function of the DISTINCT bigram, so it is
+    computed once per distinct bigram — the per-bigram count
+    aggregate (map-side combine) joins the per-left-token aggregate
+    on the distinct-key tables, with the 1-row vocabulary size rides
+    a broadcast crossJoin — and only then joins back to occurrences:
+    ONE big join on the bigram key instead of two, with the build
+    side bounded by distinct-bigram (not occurrence) cardinality.
+    One per-doc aggregate. No UDFs, no driver state.
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     occ = df.select(
         F.col(id_col).alias("docId"),
         F.explode(word_ngrams(F.col(text_col), 2)).alias("bigram"),
-    ).select(
-        "docId", "bigram", F.substring_index("bigram", " ", 1).alias("lft")
     ).localCheckpoint(eager=False)
     vocab = df.select(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
     ).agg(F.countDistinct("tok").alias("_V"))
     big_counts = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("_cB"))
-    left_counts = occ.groupBy("lft").agg(F.count(F.lit(1)).alias("_cL"))
-    scored = (
-        occ.join(big_counts, on="bigram")
+    left_counts = (
+        occ.select(F.substring_index("bigram", " ", 1).alias("lft"))
+        .groupBy("lft")
+        .agg(F.count(F.lit(1)).alias("_cL"))
+    )
+    bigram_logp = (
+        big_counts.withColumn("lft", F.substring_index("bigram", " ", 1))
         .join(left_counts, on="lft")
         .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            F.log((F.col("_cB") + 1.0) / (F.col("_cL") + F.col("_V"))).alias(
+                "_lp"
+            ),
+        )
+    )
+    scored = (
+        occ.join(bigram_logp, on="bigram")
         .groupBy("docId")
         .agg(
             F.count(F.lit(1)).alias("nBigrams"),
-            F.avg(
-                F.log((F.col("_cB") + 1.0) / (F.col("_cL") + F.col("_V")))
-            ).alias("_alp"),
+            F.avg("_lp").alias("_alp"),
         )
     )
     return (
