@@ -690,3 +690,80 @@ def lsh_cosine_candidates_banded(
         )
         .agg(F.min(F.col("l.band")).alias("matchBand"))
     )
+
+
+def kmeans_lloyd(
+    vectors: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column — the
+    coarse-quantizer TRAINING step IVF needs before
+    ``assign_to_centroids`` can index anything (the counterpart of
+    faiss's IVF train phase, expressed Spark-first).
+
+    Deterministic and cross-engine replayable by construction:
+
+    - init: the ``k`` smallest-id vectors, renumbered 0..k-1 — no RNG;
+    - assign: :func:`assign_to_centroids` (one BLAS matmul per Arrow
+      batch, ties on 6dp-rounded cosine toward the smaller id);
+    - update: the per-cluster elementwise mean as ``dim`` avg
+      aggregates in ONE map-side-combined shuffle — never a
+      posexplode to (row × dim) scale;
+    - each iteration's centroid coordinates round to 6dp, so the
+      iteration state (and therefore the whole trajectory) is exactly
+      reproducible across engines instead of drifting on float
+      summation order.
+
+    A cluster that loses every member simply drops (its mean is
+    undefined); k shrinks, matching the SQL group-by semantics.
+    Returns the final centroids LONG-form for engine-comparable
+    output: (centroidId, clusterSize, pos, coord).
+    """
+    v = (
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("embedding"),
+        )
+        .filter(F.size("embedding") == dim)
+        .localCheckpoint(eager=False)
+    )
+    w = Window.orderBy("vec_id")
+    centroids = (
+        v.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).cast("long").alias("vec_id"),
+            "embedding",
+        )
+    )
+    for _ in range(max(1, n_iter)):
+        assigned = assign_to_centroids(
+            v, centroids, id_col="vec_id", vec_col="embedding"
+        )
+        centroids = (
+            assigned.filter(F.col("centroidId").isNotNull())
+            .groupBy("centroidId")
+            .agg(
+                F.count(F.lit(1)).alias("clusterSize"),
+                *[
+                    F.round(F.avg(F.get("vv", i)), 6).alias(f"_c{i}")
+                    for i in range(dim)
+                ],
+            )
+            .select(
+                F.col("centroidId").alias("vec_id"),
+                "clusterSize",
+                F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias(
+                    "embedding"
+                ),
+            )
+        )
+    return centroids.select(
+        F.col("vec_id").alias("centroidId"),
+        "clusterSize",
+        F.posexplode("embedding").alias("pos", "coord"),
+    )

@@ -898,3 +898,71 @@ SCALE_ORACLES = {
     "explained_by_finemap": SQL_EXPLAINED_BY_FINEMAP,
     "harmonise_sumstats": SQL_HARMONISE_SUMSTATS,
 }
+
+
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer TRAINING (operators/similarity.
+    kmeans_lloyd): two deterministic Lloyd iterations over the
+    embeddings table — BLAS-matmul assignment, single-shuffle
+    elementwise-mean update, 6dp-rounded iteration state — emitting
+    the final centroids long-form. The full trajectory is replayed by
+    the DuckDB oracle, so the training loop itself is hash-checked,
+    not just one assignment pass."""
+    from genetics_spark_coloc_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=4, n_iter=2, dim=64)
+
+
+def _kmeans_avg_cols(src: str) -> str:
+    return ",\n         ".join(
+        f"ROUND(AVG({src}[{i + 1}]), 6) AS c{i}" for i in range(64)
+    )
+
+
+_KMEANS_LIST = "[" + ", ".join(f"c{i}" for i in range(64)) + "]"
+
+SQL_KMEANS_CENTROIDS = f"""
+WITH vec AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE len(embedding) = 64
+),
+seed AS (SELECT vec_id, v FROM vec ORDER BY vec_id LIMIT 4),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv FROM seed
+),
+a1 AS (
+  SELECT vec_id, v, cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY {_COS_SQL.format(a="v", b="cv")} DESC, cid ASC
+         ) AS rnk
+  FROM vec CROSS JOIN c0
+),
+u1 AS (
+  SELECT cid, COUNT(*) AS cnt,
+         {_kmeans_avg_cols("v")}
+  FROM a1 WHERE rnk = 1 GROUP BY cid
+),
+c1 AS (SELECT cid, cnt, {_KMEANS_LIST} AS cv FROM u1),
+a2 AS (
+  SELECT vec_id, v, cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY {_COS_SQL.format(a="v", b="cv")} DESC, cid ASC
+         ) AS rnk
+  FROM vec CROSS JOIN c1
+),
+u2 AS (
+  SELECT cid, COUNT(*) AS cnt,
+         {_kmeans_avg_cols("v")}
+  FROM a2 WHERE rnk = 1 GROUP BY cid
+),
+c2 AS (SELECT cid, cnt, {_KMEANS_LIST} AS cv FROM u2)
+SELECT cid AS centroidId, cnt AS clusterSize,
+       CAST(t.i AS INT) AS pos, cv[CAST(t.i AS INT) + 1] AS coord
+FROM c2 CROSS JOIN range(0, 64) t(i)
+"""
+
+SCALE_QUERIES["kmeans_centroids"] = q_kmeans_centroids
+SCALE_ORACLES["kmeans_centroids"] = SQL_KMEANS_CENTROIDS

@@ -32,6 +32,8 @@ PYTHON_ALLOWED = {
     "embedding_near_dup",
     # BLAS centroid quantizer (similarity.py assign_to_centroids)
     "ivf_topk",
+    # Lloyd k-means trains through the same BLAS assignment kernel
+    "kmeans_centroids",
 }
 
 

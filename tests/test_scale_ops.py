@@ -421,6 +421,32 @@ def test_multimodal_pillow_branch_parity(monkeypatch):
         multimodal._decode_image(b"\x89PNG not really")
 
 
+def test_kmeans_lloyd_partitions_and_moves(spark):
+    """Two Lloyd iterations over the real embeddings: every valid
+    vector lands in exactly one cluster (sizes sum to the corpus),
+    centroids move off their seed vectors by iteration 2, and the
+    run is deterministic (no RNG anywhere)."""
+    from genetics_spark_coloc_spark.operators.similarity import kmeans_lloyd
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    out = kmeans_lloyd(emb, k=4, n_iter=2, dim=64).collect()
+    sizes = {r.centroidId: r.clusterSize for r in out}
+    assert sum(sizes.values()) == n
+    assert set(sizes) <= {0, 1, 2, 3} and len(sizes) >= 2
+    # centroid 0 is the mean of its cluster, not the seed vector
+    seed0 = [
+        float(x)
+        for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    ]
+    got0 = [r.coord for r in sorted(
+        (r for r in out if r.centroidId == 0), key=lambda r: r.pos
+    )]
+    assert any(abs(a - b) > 1e-4 for a, b in zip(got0, seed0))
+    again = kmeans_lloyd(emb, k=4, n_iter=2, dim=64).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_pii_stats_and_redaction(spark):
     """Counts and redaction agree on planted PII; emails redact as
     one unit (never a leftover '<NUM>@...'), IPs don't double-count
