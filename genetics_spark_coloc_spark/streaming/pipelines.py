@@ -396,3 +396,63 @@ def streaming_embedding_near_dup(
         .filter(F.col("bandHash").isNotNull())
     )
     return bucket_pair_stream(banded, max_bucket_size, state_timeout_ms)
+
+
+def streaming_decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_matches: int = 1,
+) -> DataFrame:
+    """STATELESS streaming benchmark decontamination: flag arriving
+    training documents that share word n-grams with a fixed
+    evaluation set — the streaming twin of ``text.decontaminate``
+    (whose train-side distinct + groupBy are illegal mid-stream, and
+    whose per-document decision needs no cross-document state
+    anyway).
+
+    The eval gram set is collected ONCE on the driver and rides the
+    task closure, exactly like the serialized trees in
+    ``operators/treeshap.py`` — sound because an eval benchmark is
+    small by construction (thousands of prompts, not a corpus); the
+    arriving documents are the unbounded side. Tokenization stays the
+    IDENTICAL JVM-side ``word_ngrams`` expression as the batch
+    operator — only the final membership count crosses into an
+    Arrow-batched pandas_udf — so replaying a corpus through this
+    stream reproduces the batch operator's output exactly (tested).
+
+    Emits (docId, nMatchingGrams, isContaminated) per arriving
+    document; no watermark, no state store.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    eval_grams = frozenset(
+        r["gram"]
+        for r in eval_df.select(
+            F.explode(text.word_ngrams(F.col(text_col), n)).alias("gram")
+        )
+        .distinct()
+        .collect()
+    )
+
+    def _count_hits(grams: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                sum(1 for g in set(gs) if g in eval_grams) if gs is not None else 0
+                for gs in grams
+            ],
+            dtype="int64",
+        )
+
+    _count_hits.__annotations__ = {"grams": pd.Series, "return": pd.Series}
+    kernel = pandas_udf(_count_hits, "long")
+
+    return docs.select(
+        F.col(id_col).alias("docId"),
+        kernel(text.word_ngrams(F.col(text_col), n)).alias("nMatchingGrams"),
+    ).withColumn(
+        "isContaminated", F.col("nMatchingGrams") >= min_matches
+    )

@@ -929,6 +929,49 @@ class TestStreamingNearDup:
         assert peak < total_buckets, (peak, total_buckets)
 
 
+    def test_streaming_decontaminate_matches_batch(self, spark, tmp_path):
+        """Replaying the documents table through the stateless
+        streaming decontaminator reproduces the batch operator's
+        (docId, nMatchingGrams, isContaminated) rows exactly."""
+        from genetics_spark_coloc_spark.operators.text import decontaminate
+        from genetics_spark_coloc_spark.streaming.pipelines import (
+            streaming_decontaminate,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        eval_df = docs.filter(F.col("doc_id") % 13 == 0)
+        train = docs.filter(F.col("doc_id") % 13 != 0)
+        batch = {
+            r.docId: (r.nMatchingGrams, r.isContaminated)
+            for r in decontaminate(train, eval_df, n=5).collect()
+        }
+        assert batch and any(v[1] for v in batch.values()), "fixture too clean"
+
+        src = str(tmp_path / "train_stream")
+        train.repartition(2).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(train.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = streaming_decontaminate(stream, eval_df, n=5)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("decon_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.docId: (r.nMatchingGrams, r.isContaminated)
+            for r in spark.sql("select * from decon_out").collect()
+        }
+        assert got == batch
+
+
 class TestAssignToCentroidsParity:
     def test_blas_assignment_equals_expression_form(self, spark):
         """The matmul quantizer must reproduce the broadcast-join +
