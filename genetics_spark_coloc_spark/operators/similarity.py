@@ -720,8 +720,9 @@ def kmeans_lloyd(
 
     A cluster that loses every member simply drops (its mean is
     undefined); k shrinks, matching the SQL group-by semantics.
-    Returns the final centroids LONG-form for engine-comparable
-    output: (centroidId, clusterSize, pos, coord).
+    Returns the final centroids as (centroidId, clusterSize,
+    embedding) — ready to feed :func:`assign_to_centroids` /
+    :func:`ivf_topk` as the coarse quantizer.
     """
     v = (
         vectors.select(
@@ -763,7 +764,5 @@ def kmeans_lloyd(
             )
         )
     return centroids.select(
-        F.col("vec_id").alias("centroidId"),
-        "clusterSize",
-        F.posexplode("embedding").alias("pos", "coord"),
+        F.col("vec_id").alias("centroidId"), "clusterSize", "embedding"
     )

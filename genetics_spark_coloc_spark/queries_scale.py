@@ -911,7 +911,12 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from genetics_spark_coloc_spark.operators.similarity import kmeans_lloyd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_lloyd(emb, k=4, n_iter=2, dim=64)
+    out = kmeans_lloyd(emb, k=4, n_iter=2, dim=64)
+    return out.select(
+        "centroidId",
+        "clusterSize",
+        F.posexplode("embedding").alias("pos", "coord"),
+    )
 
 
 def _kmeans_avg_cols(src: str) -> str:

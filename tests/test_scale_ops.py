@@ -439,12 +439,12 @@ def test_kmeans_lloyd_partitions_and_moves(spark):
         float(x)
         for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
     ]
-    got0 = [r.coord for r in sorted(
-        (r for r in out if r.centroidId == 0), key=lambda r: r.pos
-    )]
+    got0 = next(list(r.embedding) for r in out if r.centroidId == 0)
     assert any(abs(a - b) > 1e-4 for a, b in zip(got0, seed0))
     again = kmeans_lloyd(emb, k=4, n_iter=2, dim=64).collect()
-    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    assert sorted((r.centroidId, tuple(r.embedding)) for r in out) == sorted(
+        (r.centroidId, tuple(r.embedding)) for r in again
+    )
 
 
 def test_pii_stats_and_redaction(spark):
