@@ -401,6 +401,26 @@ def _assign_with_matrix(
     )
 
 
+def ivf_members(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the IVF inverted lists once: every corpus vector tagged
+    with its nearest centroid. Persist/bucket THIS by ``centroidId``
+    at rest and pass it to repeated :func:`ivf_topk` calls via
+    ``members=`` — the index-build/search split every query batch
+    after the first gets for free (re-assigning a 100 TB corpus per
+    query batch is the anti-pattern this exists to avoid)."""
+    cids, cmat, cnorm, id_sql_type = _collect_centroid_matrix(
+        centroids, id_col, vec_col
+    )
+    return _assign_with_matrix(
+        corpus, cids, cmat, cnorm, id_sql_type, id_col, vec_col
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -409,6 +429,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    members: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: nearest-centroid partition of the
     corpus (inverted lists), then exact cosine only within the
@@ -422,13 +443,18 @@ def ivf_topk(
     the corpus is bucketed by centroidId at rest). Raising nprobe
     trades a linear increase in scanned lists for recall, exactly as
     in FAISS-style IVF indexes.
+
+    Pass ``members`` (a persisted :func:`ivf_members` result) to skip
+    rebuilding the inverted lists — the index-build/search split for
+    repeated query batches.
     """
     cids, cmat, cnorm, id_sql_type = _collect_centroid_matrix(
         centroids, id_col, vec_col
     )
-    members = _assign_with_matrix(
-        corpus, cids, cmat, cnorm, id_sql_type, id_col, vec_col
-    )
+    if members is None:
+        members = _assign_with_matrix(
+            corpus, cids, cmat, cnorm, id_sql_type, id_col, vec_col
+        )
     if nprobe <= 1:
         qassign = _assign_with_matrix(
             queries, cids, cmat, cnorm, id_sql_type, id_col, vec_col

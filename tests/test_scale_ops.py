@@ -166,6 +166,16 @@ def test_assign_to_centroids_and_ivf(spark):
     assert {r.neighborId for r in out} == {0, 4}
     assert all(r.centroidId == 0 for r in out)
 
+    # prebuilt inverted lists (ivf_members) must reproduce the same
+    # result — the index-build/search split for repeated query batches
+    from genetics_spark_coloc_spark.operators.similarity import ivf_members
+
+    lists = ivf_members(corpus, centroids)
+    out2 = ivf_topk(
+        corpus, corpus.filter(F.col("vec_id") == 2), centroids, k=2, members=lists
+    ).collect()
+    assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
+
 
 def test_asof_join_inclusive_and_tiebreak(spark):
     from genetics_spark_coloc_spark.operators.asof import asof_join
