@@ -490,7 +490,7 @@ def bigram_lm_score(
     probability is a pure function of the DISTINCT bigram, so it is
     computed once per distinct bigram — the per-bigram count
     aggregate (map-side combine) joins the per-left-token aggregate
-    on the distinct-key tables, with the 1-row vocabulary size rides
+    on the distinct-key tables, and the 1-row vocabulary size rides
     a broadcast crossJoin — and only then joins back to occurrences:
     ONE big join on the bigram key instead of two, with the build
     side bounded by distinct-bigram (not occurrence) cardinality.
