@@ -629,3 +629,91 @@ def pii_redact(text: Column) -> Column:
     for pat, token in PII_PATTERNS.values():
         out = F.regexp_replace(out, pat, token)
     return out
+
+
+def gopher_quality(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_ellipsis_line_frac: float = 0.3,
+    max_bullet_line_frac: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> "DataFrame":
+    """The published Gopher quality-rule family (Rae et al. 2021,
+    "Scaling Language Models", Appendix A "MassiveWeb" filters) as one
+    shuffle-free projection: per document, one boolean per rule plus
+    the conjunction ``keep`` — word-count window, mean word length
+    window, symbol-to-word ratio (# and ellipsis), bullet-start and
+    ellipsis-end line fractions, alphabetic-word fraction, and
+    stopword presence. Emitting per-rule booleans (not just the
+    verdict) is what makes the filter auditable: rejection-reason
+    distributions are one groupBy away. Pure Column expressions in
+    the Java-regex∩RE2 subset; thresholds are the paper's defaults.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    # null text behaves as empty (rejected by the word-count rule) on
+    # both engines, instead of riding engine-specific null semantics
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(txt)
+    n_words = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    mean_len = F.when(
+        n_words > 0, total_len.cast("double") / n_words.cast("double")
+    ).otherwise(0.0)
+    n_symbols = (
+        F.length(txt)
+        - F.length(F.regexp_replace(txt, r"#", ""))
+        + F.size(F.regexp_extract_all(txt, F.lit(r"\.\.\."), 0))
+    )
+    lines = F.split(txt, r"\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"^\s*[-*•]"))
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda ln: ln.rlike(r"\.\.\.\s*$")))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike(r"[A-Za-z]")))
+    stop_hits = F.size(
+        F.filter(tokens(F.lower(txt)), lambda t: t.isin(STOPWORDS))
+    )
+
+    rules = {
+        "okWordCount": (n_words >= min_words) & (n_words <= max_words),
+        "okMeanWordLen": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "okSymbolRatio": F.when(
+            n_words > 0,
+            n_symbols.cast("double") / n_words.cast("double")
+            <= max_symbol_word_ratio,
+        ).otherwise(F.lit(False)),
+        "okBulletLines": F.when(
+            n_lines > 0,
+            bullet_lines.cast("double") / n_lines.cast("double")
+            <= max_bullet_line_frac,
+        ).otherwise(F.lit(False)),
+        "okEllipsisLines": F.when(
+            n_lines > 0,
+            ellipsis_lines.cast("double") / n_lines.cast("double")
+            <= max_ellipsis_line_frac,
+        ).otherwise(F.lit(False)),
+        "okAlphaWords": F.when(
+            n_words > 0,
+            alpha_words.cast("double") / n_words.cast("double")
+            >= min_alpha_word_frac,
+        ).otherwise(F.lit(False)),
+        "okStopwords": stop_hits >= min_stopword_hits,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        F.col(id_col).alias("docId"),
+        *[c.alias(n) for n, c in rules.items()],
+        keep.alias("keep"),
+    )

@@ -696,3 +696,69 @@ FROM planted
 
 NEARDUP_QUERIES["pii_scrub"] = q_pii_scrub
 NEARDUP_ORACLES["pii_scrub"] = SQL_PII_SCRUB
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher / MassiveWeb quality-rule family (Rae et
+    al. 2021, Appendix A) as one auditable shuffle-free projection
+    (operators/text.gopher_quality): per-rule booleans + the keep
+    verdict. min_words lowered to 20 so the synthetic corpus (docs of
+    ~20-45 words) exercises both outcomes of the word-count rule."""
+    from genetics_spark_coloc_spark.operators.text import gopher_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality(docs, "text", "doc_id", min_words=20)
+
+
+SQL_GOPHER_QUALITY = r"""
+WITH base AS (
+  SELECT doc_id AS docId, COALESCE(text, '') AS text FROM documents
+),
+feat AS (
+  SELECT docId, text,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(text), '\s+') END AS t,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS tl,
+         string_split(text, chr(10)) AS lines
+  FROM base
+),
+m AS (
+  SELECT docId,
+         len(t) AS nWords,
+         CASE WHEN len(t) > 0
+              THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+              ELSE 0.0 END AS meanLen,
+         length(text) - length(regexp_replace(text, '#', '', 'g'))
+           + len(regexp_extract_all(text, '\.\.\.')) AS nSymbols,
+         len(lines) AS nLines,
+         len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*•]'))) AS bulletLines,
+         len(list_filter(lines, x -> regexp_matches(x, '\.\.\.\s*$'))) AS ellipsisLines,
+         len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS alphaWords,
+         len(list_filter(tl, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS stopHits
+  FROM feat
+)
+SELECT docId,
+       nWords >= 20 AND nWords <= 100000                            AS okWordCount,
+       meanLen >= 3.0 AND meanLen <= 10.0                           AS okMeanWordLen,
+       CASE WHEN nWords > 0
+            THEN CAST(nSymbols AS DOUBLE) / nWords <= 0.1 ELSE FALSE END AS okSymbolRatio,
+       CASE WHEN nLines > 0
+            THEN CAST(bulletLines AS DOUBLE) / nLines <= 0.1 ELSE FALSE END AS okBulletLines,
+       CASE WHEN nLines > 0
+            THEN CAST(ellipsisLines AS DOUBLE) / nLines <= 0.3 ELSE FALSE END AS okEllipsisLines,
+       CASE WHEN nWords > 0
+            THEN CAST(alphaWords AS DOUBLE) / nWords >= 0.8 ELSE FALSE END AS okAlphaWords,
+       stopHits >= 2                                                AS okStopwords,
+       (nWords >= 20 AND nWords <= 100000)
+         AND (meanLen >= 3.0 AND meanLen <= 10.0)
+         AND (CASE WHEN nWords > 0 THEN CAST(nSymbols AS DOUBLE) / nWords <= 0.1 ELSE FALSE END)
+         AND (CASE WHEN nLines > 0 THEN CAST(bulletLines AS DOUBLE) / nLines <= 0.1 ELSE FALSE END)
+         AND (CASE WHEN nLines > 0 THEN CAST(ellipsisLines AS DOUBLE) / nLines <= 0.3 ELSE FALSE END)
+         AND (CASE WHEN nWords > 0 THEN CAST(alphaWords AS DOUBLE) / nWords >= 0.8 ELSE FALSE END)
+         AND (stopHits >= 2)                                        AS keep
+FROM m
+"""
+
+NEARDUP_QUERIES["gopher_quality"] = q_gopher_quality
+NEARDUP_ORACLES["gopher_quality"] = SQL_GOPHER_QUALITY

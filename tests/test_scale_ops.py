@@ -1225,3 +1225,33 @@ class TestStreamingEmbeddingNearDup:
         got = spark.sql("select * from emb_neardup_out").collect()
         stream_pairs = {frozenset({r.leftId, r.rightId}) for r in got}
         assert stream_pairs == batch_pairs
+
+
+def test_gopher_quality_rules(spark):
+    """Each published rule fires on a crafted violator and the keep
+    verdict is the conjunction; null text rejects via word count."""
+    from genetics_spark_coloc_spark.operators.text import gopher_quality
+
+    good = "the quick brown fox jumps over the lazy dog " * 8  # 72 words
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "short doc"),                                # word count
+            (3, "aa " * 60),                                 # mean word len < 3
+            (4, ("the of " * 30) + "# " * 20),               # symbol ratio
+            (5, "\n".join(["- bullet point here"] * 10)),    # bullet lines
+            (6, ("the of word " * 20) + "1 " * 40),          # alpha fraction
+            (7, "zebra quartz " * 30),                       # no stopwords
+            (8, None),                                       # null text
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.docId: r for r in gopher_quality(docs, min_words=20).collect()}
+    assert got[1].keep
+    assert not got[2].okWordCount and not got[2].keep
+    assert not got[3].okMeanWordLen and not got[3].keep
+    assert not got[4].okSymbolRatio and not got[4].keep
+    assert not got[5].okBulletLines and not got[5].keep
+    assert not got[6].okAlphaWords and not got[6].keep
+    assert not got[7].okStopwords and not got[7].keep
+    assert not got[8].okWordCount and not got[8].keep
