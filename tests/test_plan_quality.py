@@ -100,6 +100,16 @@ def test_asof_join_single_shuffle(spark):
     assert shuffle_count(df) <= 3, f"asof shuffles: {shuffle_count(df)}"
 
 
+def test_stateless_text_filters_are_shuffle_free(spark):
+    """pii_scrub and gopher_quality advertise themselves as pure
+    pushed-down projections — at 100 TB that claim is the difference
+    between a map-only pass and a cluster-wide exchange, so CI pins
+    it to the physical plan."""
+    for name in ["pii_scrub", "gopher_quality"]:
+        df = QUERIES[name](spark, SF_DIR)
+        assert shuffle_count(df) == 0, f"{name}: {shuffle_count(df)} exchanges"
+
+
 def test_broadcast_used_for_small_dim(spark):
     from genetics_spark_coloc_spark.plans.inspect import physical_plan
 
