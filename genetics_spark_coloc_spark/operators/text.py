@@ -717,3 +717,37 @@ def gopher_quality(
         *[c.alias(n) for n, c in rules.items()],
         keep.alias("keep"),
     )
+
+
+def duplicate_line_stats(text: Column) -> dict[str, Column]:
+    """Line-level repetition signals from the Gopher repetition
+    family (Rae et al. 2021, Appendix A: "duplicate line fraction"
+    and "duplicate line character fraction"): the fraction of lines
+    that are exact repeats of another line, and the fraction of
+    non-newline characters living inside such repeated lines.
+
+    Pure array expressions: per-line occurrence counts via an O(L²)
+    filter-within-transform, fine because L is lines-per-document,
+    not corpus size. Returns {nLines, dupLineFrac, dupLineCharFrac}.
+    """
+    lines = F.split(F.coalesce(text, F.lit("")), r"\n")
+    n_lines = F.size(lines)
+    occ = F.transform(
+        lines, lambda ln: F.size(F.filter(lines, lambda x: x == ln))
+    )
+    dup_lines = F.size(F.filter(occ, lambda c: c >= 2))
+    total_chars = F.aggregate(lines, F.lit(0), lambda a, ln: a + F.length(ln))
+    dup_chars = F.aggregate(
+        F.zip_with(lines, occ, lambda ln, c: F.when(c >= 2, F.length(ln)).otherwise(F.lit(0))),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    return {
+        "nLines": n_lines.cast("long"),
+        "dupLineFrac": F.when(
+            n_lines > 0, dup_lines.cast("double") / n_lines.cast("double")
+        ).otherwise(0.0),
+        "dupLineCharFrac": F.when(
+            total_chars > 0, dup_chars.cast("double") / total_chars.cast("double")
+        ).otherwise(0.0),
+    }

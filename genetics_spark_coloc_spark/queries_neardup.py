@@ -762,3 +762,69 @@ FROM m
 
 NEARDUP_QUERIES["gopher_quality"] = q_gopher_quality
 NEARDUP_ORACLES["gopher_quality"] = SQL_GOPHER_QUALITY
+
+
+def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher line-level repetition signals (operators/text.
+    duplicate_line_stats): duplicate-line fraction and duplicate-line
+    character fraction. The newline-free synthetic corpus is chunked
+    into 2-token lines first (pure array expressions on both
+    engines), so exact line repeats actually occur (~3% of lines)
+    and the fractions discriminate."""
+    from genetics_spark_coloc_spark.operators.text import (
+        duplicate_line_stats,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    n_chunks = F.ceil(F.size(toks) / 2.0).cast("int")
+    fabricated = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(-1))),
+            lambda i: F.array_join(F.slice(toks, i * 2 + 1, 2), " "),
+        ),
+        "\n",
+    )
+    stats = duplicate_line_stats(fabricated)
+    return docs.select(
+        F.col("doc_id").alias("docId"),
+        stats["nLines"].alias("nLines"),
+        F.round(stats["dupLineFrac"], 6).alias("dupLineFrac"),
+        F.round(stats["dupLineCharFrac"], 6).alias("dupLineCharFrac"),
+    )
+
+
+SQL_LINE_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+  FROM documents
+),
+lines AS (
+  SELECT docId,
+         list_transform(range(0, CAST(CEIL(len(t) / 2.0) AS BIGINT)),
+                        i -> array_to_string(list_slice(t, i*2+1, i*2+2), ' ')) AS l
+  FROM toks
+),
+occ AS (
+  SELECT docId, l,
+         list_transform(l, ln -> len(list_filter(l, x -> x = ln))) AS c
+  FROM lines
+)
+SELECT docId,
+       CAST(len(l) AS BIGINT) AS nLines,
+       ROUND(CASE WHEN len(l) > 0
+             THEN CAST(len(list_filter(c, x -> x >= 2)) AS DOUBLE) / len(l)
+             ELSE 0.0 END, 6) AS dupLineFrac,
+       ROUND(CASE WHEN list_sum(list_transform(l, ln -> length(ln))) > 0
+             THEN CAST(list_sum(list_transform(range(1, len(l) + 1),
+                    i -> CASE WHEN c[i] >= 2 THEN length(l[i]) ELSE 0 END)) AS DOUBLE)
+                  / list_sum(list_transform(l, ln -> length(ln)))
+             ELSE 0.0 END, 6) AS dupLineCharFrac
+FROM occ
+"""
+
+NEARDUP_QUERIES["line_repetition"] = q_line_repetition
+NEARDUP_ORACLES["line_repetition"] = SQL_LINE_REPETITION

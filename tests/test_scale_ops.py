@@ -1255,3 +1255,34 @@ def test_gopher_quality_rules(spark):
     assert not got[6].okAlphaWords and not got[6].keep
     assert not got[7].okStopwords and not got[7].keep
     assert not got[8].okWordCount and not got[8].keep
+
+
+def test_duplicate_line_stats_hand_computed(spark):
+    """dup-line fraction/char fraction on crafted inputs: repeated
+    lines count (all occurrences), unique lines don't, null text is
+    zero-lines... actually one empty line, zero chars."""
+    from genetics_spark_coloc_spark.operators.text import duplicate_line_stats
+
+    stats = duplicate_line_stats(F.col("text"))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\nalpha\ngamma"),   # 4 lines, 'alpha' x2
+            (2, "one\ntwo\nthree"),             # no repeats
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            stats["nLines"].alias("n"),
+            stats["dupLineFrac"].alias("f"),
+            stats["dupLineCharFrac"].alias("cf"),
+        ).collect()
+    }
+    assert got[1].n == 4 and abs(got[1].f - 0.5) < 1e-9
+    # alpha+alpha chars = 10 of 19 total (alpha=5, beta=4, alpha=5, gamma=5)
+    assert abs(got[1].cf - 10 / 19) < 1e-9
+    assert got[2].f == 0.0 and got[2].cf == 0.0
+    assert got[3].n == 1 and got[3].f == 0.0 and got[3].cf == 0.0
