@@ -792,3 +792,74 @@ def kmeans_lloyd(
     return centroids.select(
         F.col("vec_id").alias("centroidId"), "clusterSize", "embedding"
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    k: int = 16,
+    n_iter: int = 2,
+    threshold: float = 0.97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): cluster
+    the embedding space with k-means, then mark near-duplicate pairs
+    only WITHIN each cluster — the quadratic cosine comparison is
+    confined to cluster-sized blocks, which is the entire scale trick
+    of the published method (corpus² → Σ cluster²).
+
+    Composed from this module's own pieces: :func:`kmeans_lloyd`
+    trains the centroids (deterministic, replayable), the corpus
+    assigns through the same BLAS kernel, and the within-cluster
+    self-join scores exact cosine on 6dp-rounded values. A row is a
+    duplicate when some SMALLER-id vector in its cluster has cosine
+    >= ``threshold`` — keep-smallest-id, the deterministic keeper
+    rule the dedup family uses throughout.
+
+    Returns (vecId, centroidId, isDuplicate, dupOf, maxSim) — dupOf
+    is the smallest qualifying keeper id, maxSim its similarity.
+    """
+    centroids = kmeans_lloyd(
+        vectors, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, dim=dim
+    ).select(F.col("centroidId").alias("vec_id"), "embedding")
+    members = ivf_members(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    left = members.select(
+        F.col("vid").alias("vecId"),
+        F.col("vv").alias("lv"),
+        F.col("vnorm").alias("lnorm"),
+        "centroidId",
+    )
+    right = members.select(
+        F.col("vid").alias("otherId"),
+        F.col("vv").alias("rv"),
+        F.col("vnorm").alias("rnorm"),
+        "centroidId",
+    )
+    pairs = (
+        left.join(right, on="centroidId")
+        .filter(F.col("otherId") < F.col("vecId"))
+        .withColumn(
+            "sim",
+            F.round(
+                dot(F.col("lv"), F.col("rv")) / (F.col("lnorm") * F.col("rnorm")),
+                6,
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    best = pairs.groupBy("vecId", "centroidId").agg(
+        F.min("otherId").alias("dupOf"), F.max("sim").alias("maxSim")
+    )
+    return (
+        members.select(F.col("vid").alias("vecId"), "centroidId")
+        .join(best.drop("centroidId"), on="vecId", how="left")
+        .select(
+            "vecId",
+            "centroidId",
+            F.col("dupOf").isNotNull().alias("isDuplicate"),
+            "dupOf",
+            "maxSim",
+        )
+    )

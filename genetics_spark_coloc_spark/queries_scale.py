@@ -971,3 +971,91 @@ FROM c2 CROSS JOIN range(0, 64) t(i)
 
 SCALE_QUERIES["kmeans_centroids"] = q_kmeans_centroids
 SCALE_ORACLES["kmeans_centroids"] = SQL_KMEANS_CENTROIDS
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.semantic_dedup): k-means
+    partitions the embedding space, near-duplicate marking runs only
+    within clusters (Σ cluster² instead of corpus² comparisons), and
+    the keeper is the smallest id. Threshold 0.45 sits below the
+    synthetic corpus's ~0.51 max pairwise cosine so duplicate marks
+    actually occur. The oracle replays the ENTIRE composition —
+    2-iteration k-means training, final assignment, within-cluster
+    pair scoring — in one DuckDB statement."""
+    from genetics_spark_coloc_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, k=8, n_iter=2, threshold=0.45, dim=64)
+    return out.select(
+        "vecId",
+        "centroidId",
+        "isDuplicate",
+        "dupOf",
+        F.round("maxSim", 6).alias("maxSim"),
+    )
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH vec AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE len(embedding) = 64
+),
+seed AS (SELECT vec_id, v FROM vec ORDER BY vec_id LIMIT 8),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv FROM seed
+),
+a1 AS (
+  SELECT vec_id, v, cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY {_COS_SQL.format(a="v", b="cv")} DESC, cid ASC
+         ) AS rnk
+  FROM vec CROSS JOIN c0
+),
+u1 AS (
+  SELECT cid, COUNT(*) AS cnt,
+         {_kmeans_avg_cols("v")}
+  FROM a1 WHERE rnk = 1 GROUP BY cid
+),
+c1 AS (SELECT cid, {_KMEANS_LIST} AS cv FROM u1),
+a2 AS (
+  SELECT vec_id, v, cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY {_COS_SQL.format(a="v", b="cv")} DESC, cid ASC
+         ) AS rnk
+  FROM vec CROSS JOIN c1
+),
+u2 AS (
+  SELECT cid, COUNT(*) AS cnt,
+         {_kmeans_avg_cols("v")}
+  FROM a2 WHERE rnk = 1 GROUP BY cid
+),
+c2 AS (SELECT cid, {_KMEANS_LIST} AS cv FROM u2),
+a3 AS (
+  SELECT vec_id, v, cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY {_COS_SQL.format(a="v", b="cv")} DESC, cid ASC
+         ) AS rnk
+  FROM vec CROSS JOIN c2
+),
+mem AS (SELECT vec_id, v, cid FROM a3 WHERE rnk = 1),
+pairs AS (
+  SELECT a.vec_id AS vecId, b.vec_id AS otherId,
+         {_COS_SQL.format(a="a.v", b="b.v")} AS sim
+  FROM mem a JOIN mem b ON a.cid = b.cid AND b.vec_id < a.vec_id
+),
+best AS (
+  SELECT vecId, MIN(otherId) AS dupOf, MAX(sim) AS maxSim
+  FROM pairs WHERE sim >= 0.45 GROUP BY vecId
+)
+SELECT m.vec_id AS vecId, m.cid AS centroidId,
+       best.dupOf IS NOT NULL AS isDuplicate,
+       best.dupOf,
+       ROUND(best.maxSim, 6) AS maxSim
+FROM mem m LEFT JOIN best ON best.vecId = m.vec_id
+"""
+
+SCALE_QUERIES["semantic_dedup"] = q_semantic_dedup
+SCALE_ORACLES["semantic_dedup"] = SQL_SEMANTIC_DEDUP

@@ -34,6 +34,8 @@ PYTHON_ALLOWED = {
     "ivf_topk",
     # Lloyd k-means trains through the same BLAS assignment kernel
     "kmeans_centroids",
+    # SemDeDup composes k-means training + BLAS assignment
+    "semantic_dedup",
 }
 
 

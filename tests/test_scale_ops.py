@@ -1286,3 +1286,25 @@ def test_duplicate_line_stats_hand_computed(spark):
     assert abs(got[1].cf - 10 / 19) < 1e-9
     assert got[2].f == 0.0 and got[2].cf == 0.0
     assert got[3].n == 1 and got[3].f == 0.0 and got[3].cf == 0.0
+
+
+def test_semantic_dedup_marks_planted_near_dups(spark):
+    """A planted near-copy (tiny perturbation of an existing vector)
+    must be marked duplicate-of the smaller original id; orthogonal
+    vectors stay clean."""
+    from genetics_spark_coloc_spark.operators.similarity import semantic_dedup
+
+    base = [[1.0 if d == i % 4 else 0.02 * ((i + d) % 3) for d in range(4)]
+            for i in range(12)]
+    base.append([v * 1.0 + (0.001 if d == 0 else 0.0) for d, v in enumerate(base[2])])
+    rows = [(i, v) for i, v in enumerate(base)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vecId: r for r in semantic_dedup(
+        df, k=4, n_iter=2, threshold=0.99, dim=4
+    ).collect()}
+    assert len(out) == 13
+    planted = out[12]
+    assert planted.isDuplicate and planted.dupOf == 2 and planted.maxSim >= 0.99
+    assert not out[0].isDuplicate and not out[1].isDuplicate
+    # the keeper itself is never marked (only larger ids point back)
+    assert not out[2].isDuplicate
