@@ -320,6 +320,35 @@ def _run_overlaps(spark, inputs, output, p):
     )
 
 
+def _run_corpus_curation(spark, inputs, output, p):
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.operators import text as t
+    from genetics_spark_coloc_spark.operators.dedup import exact_dedup
+
+    docs = _parquet(spark, inputs["documents"]).select(
+        F.col("doc_id").alias("docId"), "text"
+    )
+    quality = t.gopher_quality(docs, "text", "docId", min_words=p["min_words"])
+    keepers = exact_dedup(docs, "text", "docId").select(
+        F.col("keeperId").alias("docId"), "nCopies"
+    )
+    curated = (
+        docs.join(quality.select("docId", "keep"), on="docId")
+        .join(keepers, on="docId")  # inner: non-keeper copies drop
+        .filter(F.col("keep"))
+    )
+    body = t.pii_redact(F.col("text")) if p["redact_pii"] else F.col("text")
+    return curated.select(
+        "docId",
+        body.alias("text"),
+        "nCopies",
+        t.token_count(F.col("text")).alias("nTokens"),
+        t.language_id(F.col("text")).alias("lang"),
+        t.hash_split(F.col("docId")).alias("split"),
+    )
+
+
 # --------------------------------------------------------------- registry
 
 STEPS: dict[str, StepSpec] = {
@@ -553,6 +582,20 @@ STEPS: dict[str, StepSpec] = {
             ("credible_set",),
             _run_overlaps,
             {"intra_study_overlap": Param(bool, False, "include same-study pairs")},
+        ),
+        StepSpec(
+            "corpus_curation",
+            "Training-corpus curation pipeline: Gopher quality rules -> "
+            "exact dedup (keep-smallest-id) -> PII redaction -> language "
+            "ID -> deterministic splits, in one plan (additive layer "
+            "beyond the reference's genetics surface; composes the "
+            "operators the individual contract queries verify)",
+            ("documents",),
+            _run_corpus_curation,
+            {
+                "min_words": Param(int, 50, "Gopher word-count lower bound"),
+                "redact_pii": Param(bool, True, "apply PII redaction to text"),
+            },
         ),
     ]
 }

@@ -246,3 +246,26 @@ def test_run_locus_to_gene_predict(spark, tmp_path):
     margin = 0.5 * math.log(r.score / (1 - r.score))
     total = r.shapBaseValue + sum(s["shapValue"] for s in r.features)
     assert abs(total - margin) < 1e-5
+
+
+def test_run_corpus_curation(spark, tmp_path):
+    """The composed curation step runs end-to-end on the documents
+    table: quality-filtered, exact-duplicate copies removed, every
+    kept doc carries split/lang/token metadata."""
+    out = run_step(
+        spark,
+        "corpus_curation",
+        {"documents": f"{SF}/documents.parquet"},
+        str(tmp_path / "curated.parquet"),
+        params={"min_words": 10},
+    )
+    rows = out.collect()
+    n_in = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert 0 < len(rows) < n_in
+    assert {"docId", "text", "nCopies", "nTokens", "lang", "split"} <= set(
+        out.columns
+    )
+    texts = [r.text for r in rows]
+    assert len(texts) == len(set(texts))  # exact dups gone
+    assert {r.split for r in rows} <= {"train", "validation", "test"}
+    assert all(r.nTokens >= 10 for r in rows)
