@@ -751,3 +751,60 @@ def duplicate_line_stats(text: Column) -> dict[str, Column]:
             total_chars > 0, dup_chars.cast("double") / total_chars.cast("double")
         ).otherwise(0.0),
     }
+
+
+def pack_sequences(
+    df: "DataFrame",
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """GPT-style contiguous sequence packing: documents are laid out
+    in deterministic ``id`` order, token counts accumulate, and each
+    document is assigned the training sequence (bin) its first token
+    falls into — the concat-then-chunk packing used to build
+    fixed-length pretraining batches, as an assignment table instead
+    of a materialized token stream.
+
+    Emits (docId, nTokens, seqId, offsetInSeq, spansBoundary):
+    ``offsetInSeq`` is where the document starts inside its sequence
+    and ``spansBoundary`` marks documents crossing a chunk edge (the
+    ones a loss mask or document-attention reset must handle).
+
+    Scale shape: one global sort-by-id window for the running token
+    sum. A single total-order window is the honest cost of contiguous
+    packing (the layout IS a global order); for corpora where that
+    matters, pre-partition by shard key and pack within shards —
+    the same operator applied per shard via partitionBy.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.orderBy(F.col(id_col))
+    toks = token_count(F.col(text_col))
+    out = df.select(
+        F.col(id_col).alias("docId"), toks.alias("nTokens")
+    ).withColumn(
+        "startTok",
+        F.coalesce(
+            F.sum("nTokens").over(
+                Window.orderBy(F.col("docId")).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    return out.select(
+        "docId",
+        "nTokens",
+        F.floor(F.col("startTok") / seq_len).cast("long").alias("seqId"),
+        (F.col("startTok") % seq_len).cast("long").alias("offsetInSeq"),
+        (
+            F.floor(F.col("startTok") / seq_len)
+            != F.floor(
+                (F.col("startTok") + F.greatest(F.col("nTokens") - 1, F.lit(0)))
+                / seq_len
+            )
+        ).alias("spansBoundary"),
+    )

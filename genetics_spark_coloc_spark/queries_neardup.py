@@ -828,3 +828,41 @@ FROM occ
 
 NEARDUP_QUERIES["line_repetition"] = q_line_repetition
 NEARDUP_ORACLES["line_repetition"] = SQL_LINE_REPETITION
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing (operators/text.pack_sequences):
+    documents laid out in docId order, each assigned the 128-token
+    training sequence its first token falls into, with the
+    boundary-spanning flag a loss mask needs. seq_len=128 so the
+    ~30-word synthetic docs produce multi-doc sequences AND
+    boundary spans."""
+    from genetics_spark_coloc_spark.operators.text import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=128, text_col="text", id_col="doc_id")
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH toks AS (
+  SELECT doc_id AS docId,
+         CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(text), '\s+') END) AS BIGINT) AS nTokens
+  FROM documents
+),
+laid AS (
+  SELECT docId, nTokens,
+         COALESCE(SUM(nTokens) OVER (ORDER BY docId
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS startTok
+  FROM toks
+)
+SELECT docId, nTokens,
+       CAST(FLOOR(startTok / 128.0) AS BIGINT) AS seqId,
+       startTok % 128 AS offsetInSeq,
+       FLOOR(startTok / 128.0)
+         <> FLOOR((startTok + GREATEST(nTokens - 1, 0)) / 128.0) AS spansBoundary
+FROM laid
+"""
+
+NEARDUP_QUERIES["pack_sequences"] = q_pack_sequences
+NEARDUP_ORACLES["pack_sequences"] = SQL_PACK_SEQUENCES

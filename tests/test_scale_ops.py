@@ -1308,3 +1308,22 @@ def test_semantic_dedup_marks_planted_near_dups(spark):
     assert not out[0].isDuplicate and not out[1].isDuplicate
     # the keeper itself is never marked (only larger ids point back)
     assert not out[2].isDuplicate
+
+
+def test_pack_sequences_layout(spark):
+    """Deterministic concat-then-chunk layout: offsets accumulate in
+    id order, bins advance every seq_len tokens, boundary spans flag
+    exactly the docs crossing a chunk edge."""
+    from genetics_spark_coloc_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a " * 6), (2, "b " * 3), (3, "c " * 4), (4, "d " * 2)],
+        "doc_id long, text string",
+    )
+    got = {r.docId: r for r in pack_sequences(docs, seq_len=8).collect()}
+    # layout: doc1 [0,6) seq0; doc2 [6,9) spans 0->1; doc3 [9,13) seq1;
+    # doc4 [13,15) seq1
+    assert (got[1].seqId, got[1].offsetInSeq, got[1].spansBoundary) == (0, 0, False)
+    assert (got[2].seqId, got[2].offsetInSeq, got[2].spansBoundary) == (0, 6, True)
+    assert (got[3].seqId, got[3].offsetInSeq, got[3].spansBoundary) == (1, 1, False)
+    assert (got[4].seqId, got[4].offsetInSeq, got[4].spansBoundary) == (1, 5, False)
