@@ -73,14 +73,17 @@ def main() -> None:
     def run_best(item: tuple) -> tuple:
         # best-of-N: the minimum over repeats is the contention-free
         # latency estimate (any single run can only be slowed by
-        # external load, never sped up).
-        best = None
+        # external load, never sped up). A transient failure must not
+        # discard an earlier successful timing — a query errors only
+        # when EVERY repeat errors.
+        best = err = None
         for _ in range(repeats):
             name, t = run_one(item)
             if isinstance(t, dict):
-                return name, t  # error: no point repeating
+                err = t
+                continue
             best = t if best is None else min(best, t)
-        return name, best
+        return name, best if best is not None else err
 
     # power pass: clean single-stream per-query latencies
     timings = dict(map(run_best, QUERIES.items()))

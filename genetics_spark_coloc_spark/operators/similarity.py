@@ -788,6 +788,11 @@ def kmeans_lloyd(
                     "embedding"
                 ),
             )
+            # truncate the lineage each iteration: without this,
+            # iteration i's centroid collect replays assignments
+            # 1..i-1 over the corpus and downstream actions replay
+            # the whole trajectory again (O(n_iter²) corpus scans)
+            .localCheckpoint(eager=False)
         )
     return centroids.select(
         F.col("vec_id").alias("centroidId"), "clusterSize", "embedding"
@@ -819,11 +824,18 @@ def semantic_dedup(
     rule the dedup family uses throughout.
 
     Returns (vecId, centroidId, isDuplicate, dupOf, maxSim) — dupOf
-    is the smallest qualifying keeper id, maxSim its similarity.
+    is the smallest qualifying keeper id; maxSim is the best
+    similarity over ALL qualifying smaller-id pairs (not necessarily
+    the similarity to dupOf itself).
     """
     centroids = kmeans_lloyd(
         vectors, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, dim=dim
-    ).select(F.col("centroidId").alias("vec_id"), "embedding")
+    ).select(
+        # rename to the CALLER's column names — ivf_members resolves
+        # both tables through (id_col, vec_col)
+        F.col("centroidId").alias(id_col),
+        F.col("embedding").alias(vec_col),
+    )
     members = ivf_members(vectors, centroids, id_col=id_col, vec_col=vec_col)
     left = members.select(
         F.col("vid").alias("vecId"),

@@ -163,11 +163,7 @@ def hash_split(
     pipelines (and the same device l2g_trainer uses for group
     splits)."""
     weights = weights or {"train": 0.8, "validation": 0.1, "test": 0.1}
-    bucket = (
-        F.conv(F.substring(F.md5(F.concat(F.lit(salt + "|"), id_col.cast("string"))), 1, 8), 16, 10)
-        .cast("double")
-        / F.lit(float(16**8))
-    )
+    bucket = hash_bucket(id_col, salt)
     expr = None
     cum = 0.0
     items = list(weights.items())
@@ -780,7 +776,6 @@ def pack_sequences(
     from pyspark.sql import functions as F  # noqa: PLC0415
     from pyspark.sql.window import Window  # noqa: PLC0415
 
-    w = Window.orderBy(F.col(id_col))
     toks = token_count(F.col(text_col))
     out = df.select(
         F.col(id_col).alias("docId"), toks.alias("nTokens")

@@ -779,13 +779,18 @@ def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
     n_chunks = F.ceil(F.size(toks) / 2.0).cast("int")
-    fabricated = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(-1))),
-            lambda i: F.array_join(F.slice(toks, i * 2 + 1, 2), " "),
+    # zero-token documents fabricate ONE empty line on both engines
+    # (sequence(0, -1) would descend and fake two lines)
+    fabricated = F.when(
+        n_chunks > 0,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(toks, i * 2 + 1, 2), " "),
+            ),
+            "\n",
         ),
-        "\n",
-    )
+    ).otherwise(F.lit(""))
     stats = duplicate_line_stats(fabricated)
     return docs.select(
         F.col("doc_id").alias("docId"),
@@ -798,14 +803,17 @@ def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_LINE_REPETITION = r"""
 WITH toks AS (
   SELECT doc_id AS docId,
-         CASE WHEN length(trim(lower(text))) = 0 THEN []
-              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+         CASE WHEN length(trim(lower(COALESCE(text, '')))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(COALESCE(text, ''))), '\s+') END AS t
   FROM documents
 ),
 lines AS (
+  -- zero-token documents fabricate ONE empty line, matching the
+  -- Spark side's split('') = [''] behaviour
   SELECT docId,
-         list_transform(range(0, CAST(CEIL(len(t) / 2.0) AS BIGINT)),
-                        i -> array_to_string(list_slice(t, i*2+1, i*2+2), ' ')) AS l
+         CASE WHEN len(t) = 0 THEN ['']
+              ELSE list_transform(range(0, CAST(CEIL(len(t) / 2.0) AS BIGINT)),
+                        i -> array_to_string(list_slice(t, i*2+1, i*2+2), ' ')) END AS l
   FROM toks
 ),
 occ AS (

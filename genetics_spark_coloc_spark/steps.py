@@ -339,9 +339,13 @@ def _run_corpus_curation(spark, inputs, output, p):
         .filter(F.col("keep"))
     )
     body = t.pii_redact(F.col("text")) if p["redact_pii"] else F.col("text")
-    return curated.select(
+    # metadata is computed over the EMITTED body (post-redaction), so
+    # token accounting and language id describe the text the step
+    # actually writes
+    redacted = curated.withColumn("text", body)
+    return redacted.select(
         "docId",
-        body.alias("text"),
+        "text",
         "nCopies",
         t.token_count(F.col("text")).alias("nTokens"),
         t.language_id(F.col("text")).alias("lang"),

@@ -67,7 +67,7 @@ def main() -> None:
         .mapInPandas(gen, "vec_id long, embedding array<double>")
         .localCheckpoint(eager=True)
     )
-    queries = corpus.filter(F.col("vec_id") % (n_corpus // 200) == 0)
+    queries = corpus.filter(F.col("vec_id") % max(1, n_corpus // 200) == 0)
 
     t0 = time.perf_counter()
     truth = (
