@@ -722,19 +722,33 @@ def duplicate_line_stats(text: Column) -> dict[str, Column]:
     that are exact repeats of another line, and the fraction of
     non-newline characters living inside such repeated lines.
 
-    Pure array expressions: per-line occurrence counts via an O(L²)
-    filter-within-transform, fine because L is lines-per-document,
-    not corpus size. Returns {nLines, dupLineFrac, dupLineCharFrac}.
+    Pure array expressions via a SORTED-RUNS formulation: sort the
+    lines, mark positions equal to a neighbour (members of a
+    duplicate run), count/weigh those. O(L log L) per document with
+    only flat vector expressions — the naive per-line
+    filter-within-transform is O(L²) AND re-inlines the line-array
+    expression per element under Catalyst's projection collapse,
+    which turned a 5k-doc corpus of ~150-line documents into minutes.
+    Returns {nLines, dupLineFrac, dupLineCharFrac}.
     """
     lines = F.split(F.coalesce(text, F.lit("")), r"\n")
     n_lines = F.size(lines)
-    occ = F.transform(
-        lines, lambda ln: F.size(F.filter(lines, lambda x: x == ln))
+    srt = F.array_sort(lines)
+    head = F.slice(srt, 1, F.greatest(n_lines - 1, F.lit(0)))
+    tail = F.slice(srt, 2, F.greatest(n_lines - 1, F.lit(0)))
+    eq_next = F.zip_with(head, tail, lambda a, b: a == b)
+    false1 = F.array(F.lit(False))
+    in_run = F.zip_with(
+        F.concat(false1, eq_next),  # equals-previous, per position
+        F.concat(eq_next, false1),  # equals-next, per position
+        lambda a, b: a | b,
     )
-    dup_lines = F.size(F.filter(occ, lambda c: c >= 2))
+    dup_lines = F.size(F.filter(in_run, lambda x: x))
     total_chars = F.aggregate(lines, F.lit(0), lambda a, ln: a + F.length(ln))
     dup_chars = F.aggregate(
-        F.zip_with(lines, occ, lambda ln, c: F.when(c >= 2, F.length(ln)).otherwise(F.lit(0))),
+        F.zip_with(
+            srt, in_run, lambda ln, f: F.when(f, F.length(ln)).otherwise(F.lit(0))
+        ),
         F.lit(0),
         lambda a, x: a + x,
     )

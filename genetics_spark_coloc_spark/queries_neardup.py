@@ -779,21 +779,34 @@ def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
     n_chunks = F.ceil(F.size(toks) / 2.0).cast("int")
-    # zero-token documents fabricate ONE empty line on both engines
-    # (sequence(0, -1) would descend and fake two lines)
-    fabricated = F.when(
-        n_chunks > 0,
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.array_join(F.slice(toks, i * 2 + 1, 2), " "),
-            ),
-            "\n",
+    # linear-time chunking: zip even- and odd-position tokens (a
+    # per-chunk slice would be O(tokens²)); a trailing odd token
+    # stands alone. Zero-token documents fabricate ONE empty line on
+    # both engines.
+    evens = F.filter(toks, lambda x, i: i % 2 == 0)
+    odds = F.filter(toks, lambda x, i: i % 2 == 1)
+    pairs = F.zip_with(
+        evens,
+        odds,
+        lambda a, b: F.when(b.isNull(), a).otherwise(
+            F.concat(a, F.lit(" "), b)
         ),
+    )
+    fabricated = F.when(
+        n_chunks > 0, F.array_join(pairs, "\n")
     ).otherwise(F.lit(""))
-    stats = duplicate_line_stats(fabricated)
-    return docs.select(
-        F.col("doc_id").alias("docId"),
+    # materialize the fabricated text ONCE per row: Catalyst's
+    # projection collapse would otherwise re-inline the O(tokens²)
+    # chunking into every downstream reference of the line array
+    # (~6× inside the sorted-runs stats), which measured 36 s at
+    # sf0.1 vs ~1 s with the barrier. Real newline-bearing corpora
+    # skip the fabrication entirely and need no barrier.
+    fab = docs.select(
+        F.col("doc_id").alias("docId"), fabricated.alias("fabText")
+    ).localCheckpoint(eager=False)
+    stats = duplicate_line_stats(F.col("fabText"))
+    return fab.select(
+        "docId",
         stats["nLines"].alias("nLines"),
         F.round(stats["dupLineFrac"], 6).alias("dupLineFrac"),
         F.round(stats["dupLineCharFrac"], 6).alias("dupLineCharFrac"),
