@@ -1,0 +1,358 @@
+"""Product quantization (PQ) for embedding compression + ADC search.
+
+The 100 TB story for vector search is memory, not FLOPs: a 100 TB
+corpus of 64-dim float32 embeddings is ~400 GB per billion vectors,
+but its PQ codes at m=4 subspaces × 256 codes are 4 bytes/vector —
+100× smaller, small enough that the entire index rides in executor
+memory and the ANN scan never touches the raw vectors again
+(Jégou, Douze, Schmid 2011, "Product Quantization for Nearest
+Neighbor Search"; the same layout FAISS's IVF-PQ uses).
+
+Spark-first decomposition:
+
+- **train** (:func:`train_pq_codebooks`): m independent k-means
+  problems over disjoint coordinate slices — reuses
+  :func:`~genetics_spark_coloc_spark.operators.similarity.kmeans_lloyd`
+  per subspace, so training inherits its determinism (smallest-id
+  init, 6dp-rounded iteration state, one map-side-combined shuffle
+  per update). PQ training classically runs on a corpus *sample*
+  (FAISS trains on ~100k vectors regardless of corpus size); pass a
+  sampled DataFrame for that.
+- **encode** (:func:`pq_encode`): the codebook is tiny (m×k rows) and
+  rides the task closure; each Arrow batch scores every subspace
+  against its k centroids as one (n×sub_dim)@(sub_dim×k) BLAS
+  product — no join, no shuffle, the corpus is read once and written
+  once as (id, codes). This is the table you persist.
+- **search** (:func:`pq_adc_topk`): asymmetric distance computation —
+  per query, an m×k lookup table of exact subspace distances to every
+  centroid; a corpus vector's approximate distance is m table
+  gathers + a sum, never a vector op. The kernel emits only the
+  per-batch top-k per query, so the final exact ranking shuffles
+  k·batches·|Q| rows, not corpus×|Q|.
+
+Cross-engine reproducibility (the repo-wide oracle contract): all
+distances are squared-L2 computed by the expanded form
+``‖x‖² − 2·x·c + ‖c‖²`` in float64, rounded half-away at 6dp before
+any argmin/ranking, ties broken toward the smaller code / neighbor
+id — the same device ``assign_to_centroids`` pins with a parity test.
+
+Reference parity note: the reference repo (gentropy) has no vector
+search; this module is part of the additive LLM-data-pipeline layer
+(SURVEY.md §2 additions), sharing its determinism idioms with
+operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from genetics_spark_coloc_spark.operators.similarity import (
+    _argbest_rounded,
+    _round_half_away,
+    _valid_rows,
+    kmeans_lloyd,
+)
+
+
+def codebooks_from_first_k(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic reduced-config codebook: centroid (s, j) is the
+    s-th coordinate slice of the j-th smallest-id vector. Not a
+    trained quantizer — it exists so encode/search have an exact
+    cross-engine oracle (the same trick the reduced-config SuSiE /
+    CARMA oracles use); production paths call
+    :func:`train_pq_codebooks`. Output: (subspace, code, centroid)."""
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    sub = dim // m
+    w = Window.orderBy(id_col)
+    first = (
+        vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .filter(F.size("v") == dim)
+        .orderBy(id_col)
+        .limit(k)
+        .select((F.row_number().over(w) - 1).alias("code"), "v")
+    )
+    return first.select(
+        "code",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("subspace"),
+                        F.slice("v", s * sub + 1, sub).alias("centroid"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("_s"),
+    ).select(F.col("_s.subspace").alias("subspace"), "code", "_s.centroid")
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Train PQ codebooks: m independent Lloyd k-means runs, one per
+    coordinate slice, each inheriting kmeans_lloyd's deterministic
+    init and 6dp-rounded iteration state. The m trainings are
+    independent Spark jobs over the same (cached) input — pass a
+    corpus SAMPLE as ``vectors`` at scale, as FAISS does. A subspace
+    cluster that empties drops from that subspace's codebook (k may
+    shrink per subspace, matching kmeans_lloyd semantics).
+    Output: (subspace, code, centroid, clusterSize)."""
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    sub = dim // m
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).filter(F.size("v") == dim)
+    v = v.localCheckpoint(eager=False)
+    parts = []
+    for s in range(m):
+        sliced = v.select("vec_id", F.slice("v", s * sub + 1, sub).alias("sv"))
+        cent = kmeans_lloyd(
+            sliced, k=k, n_iter=n_iter, id_col="vec_id", vec_col="sv", dim=sub
+        )
+        parts.append(
+            cent.select(
+                F.lit(s).alias("subspace"),
+                F.col("centroidId").alias("code"),
+                F.col("embedding").alias("centroid"),
+                "clusterSize",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _collect_pq_codebooks(codebooks: DataFrame):
+    """Collect the (tiny, m×k-row) codebook table once at plan-build
+    time — same documented trade as ``_collect_centroid_matrix``.
+    Returns (codes, mats): per subspace s, ``codes[s]`` the ascending
+    code ids and ``mats[s]`` the (k_s × sub_dim) float64 centroid
+    matrix. Validates contiguous subspaces 0..m-1 and one common
+    sub_dim."""
+    import numpy as np
+
+    rows = codebooks.select("subspace", "code", "centroid").collect()
+    if not rows:
+        raise ValueError("pq: codebooks table is empty")
+    by_s: dict[int, list] = {}
+    sub_dim = None
+    for r in rows:
+        if r["centroid"] is None:
+            raise ValueError("pq: codebook row with null centroid")
+        if sub_dim is None:
+            sub_dim = len(r["centroid"])
+        elif len(r["centroid"]) != sub_dim:
+            raise ValueError(
+                f"pq: mixed centroid lengths {len(r['centroid'])} vs {sub_dim}"
+            )
+        by_s.setdefault(int(r["subspace"]), []).append(
+            (int(r["code"]), list(r["centroid"]))
+        )
+    m = len(by_s)
+    if sorted(by_s) != list(range(m)):
+        raise ValueError(f"pq: subspaces must be contiguous 0..m-1, got {sorted(by_s)}")
+    codes, mats = [], []
+    for s in range(m):
+        entries = sorted(by_s[s], key=lambda e: e[0])
+        if len({c for c, _ in entries}) != len(entries):
+            raise ValueError(f"pq: duplicate code in subspace {s}")
+        codes.append(np.array([c for c, _ in entries], dtype=np.int64))
+        mats.append(np.array([v for _, v in entries], dtype=np.float64))
+    return codes, mats
+
+
+def _sq_dist(x, cmat):
+    """Squared L2 between rows of x (n×d) and rows of cmat (k×d), by
+    the expanded form ‖x‖² − 2·x·c + ‖c‖² — the exact float64 formula
+    the DuckDB oracles mirror with list_inner_product."""
+    import numpy as np
+
+    xx = np.einsum("ij,ij->i", x, x)
+    cc = np.einsum("ij,ij->i", cmat, cmat)
+    return xx[:, None] - 2.0 * (x @ cmat.T) + cc[None, :]
+
+
+def _sq_dist_rounded(x, cmat):
+    """6dp-rounded :func:`_sq_dist` — for the small ADC lookup tables
+    whose rounded VALUES feed the distance sums; the encode hot path
+    ranks via _argbest_rounded instead of rounding the full matrix."""
+    return _round_half_away(_sq_dist(x, cmat))
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its m nearest-subspace-centroid codes:
+    one Arrow batch → m BLAS products, each (n×sub_dim)@(sub_dim×k_s);
+    argmin on the 6dp-rounded squared distance, ties toward the
+    smaller code. No shuffle — the scan writes (vid, codes) straight
+    back out; persist THAT as the search-time index. Rows whose
+    vector is null / wrong length get null codes (the standard
+    null-propagation contract). Output: (vid, codes array<int>)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    codes_by_s, mats = _collect_pq_codebooks(codebooks)
+    m = len(mats)
+    sub = mats[0].shape[1]
+    dim = m * sub
+
+    def _encode(vecs):
+        vals = vecs.tolist()
+        out = [None] * len(vals)
+        ok = _valid_rows(vals, dim)
+        if ok:
+            x = np.array([vals[i] for i in ok], dtype=np.float64)
+            picked = np.empty((len(ok), m), dtype=np.int64)
+            for s in range(m):
+                d2 = _sq_dist(x[:, s * sub : (s + 1) * sub], mats[s])
+                # argmin of the ROUNDED distances (first min; codes
+                # ascending => ties toward the smaller code) without
+                # paying full-matrix rounding — see _argbest_rounded
+                picked[:, s] = codes_by_s[s][
+                    _argbest_rounded(d2, largest=False)
+                ]
+            for j, i in enumerate(ok):
+                out[i] = [int(c) for c in picked[j]]
+        return pd.Series(out, dtype=object)
+
+    _encode.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    kernel = pandas_udf(_encode, "array<int>")
+    return vectors.select(
+        F.col(id_col).alias("vid"), kernel(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per query an m×k_s
+    table of 6dp-rounded exact subspace distances to every centroid;
+    a candidate's distance is m integer gathers + a sum (re-rounded
+    at 6dp). The query set is collected at plan-build time (it is the
+    small side by contract — same documented trade as the IVF
+    centroid collect); the corpus side streams through one
+    mapInPandas pass that emits only the per-batch top-k per query
+    ordered by (adcDist asc, vid asc) — a correct prefix of the final
+    total order — so the closing exact rank shuffles
+    O(k·batches·|Q|) rows, never corpus×|Q|. The query vector itself
+    (vid == queryId) is excluded, matching ivf_topk.
+    Output: (queryId, neighborId, adcDist, rank ≤ k)."""
+    import numpy as np
+    import pandas as pd
+
+    codes_by_s, mats = _collect_pq_codebooks(codebooks)
+    m = len(mats)
+    sub = mats[0].shape[1]
+    dim = m * sub
+    k_per_s = [mat.shape[0] for mat in mats]
+    for s in range(m):
+        # ADC gathers by POSITION: require code ids to be the dense
+        # range 0..k_s-1 (true for both codebook builders here)
+        if not (codes_by_s[s] == np.arange(k_per_s[s])).all():
+            raise ValueError(
+                f"pq_adc_topk: subspace {s} codes are not dense 0..k-1"
+            )
+
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).collect()
+    qrows = [r for r in qrows if r["qv"] is not None and len(r["qv"]) == dim]
+    qid_type = queries.schema[id_col].dataType.simpleString()
+    vid_type = encoded.schema["vid"].dataType.simpleString()
+    out_schema = f"queryId {qid_type}, neighborId {vid_type}, adcDist double"
+    if not qrows:
+        return encoded.limit(0).select(
+            F.col("vid").cast(qid_type).alias("queryId"),
+            F.col("vid").alias("neighborId"),
+            F.lit(None).cast("double").alias("adcDist"),
+            F.lit(None).cast("int").alias("rank"),
+        )
+    qrows.sort(key=lambda r: r["qid"])
+    qids = [r["qid"] for r in qrows]
+    qmat = np.array([list(r["qv"]) for r in qrows], dtype=np.float64)
+    # per query, per subspace: distance table to every centroid
+    tables = [
+        _sq_dist_rounded(qmat[:, s * sub : (s + 1) * sub], mats[s]) for s in range(m)
+    ]  # tables[s] is (|Q| × k_s)
+    n_q = len(qids)
+
+    def _scan(batches):
+        for pdf in batches:
+            vids = pdf["vid"].to_numpy()
+            vals = pdf["codes"].tolist()
+            ok = [
+                i
+                for i, c in enumerate(vals)
+                if c is not None
+                and len(c) == m
+                and all(
+                    cs is not None and 0 <= cs < k_per_s[s]
+                    for s, cs in enumerate(c)
+                )
+            ]
+            if not ok:
+                continue
+            codes = np.array([vals[i] for i in ok], dtype=np.int64)
+            bvids = vids[ok]
+            chunks = []
+            for qi in range(n_q):
+                adc = np.zeros(len(ok), dtype=np.float64)
+                for s in range(m):
+                    adc += tables[s][qi][codes[:, s]]
+                adc = _round_half_away(adc)
+                keep = bvids != qids[qi]
+                if not keep.any():
+                    continue
+                a, v = adc[keep], bvids[keep]
+                order = np.lexsort((v, a))[:k]
+                chunks.append(
+                    pd.DataFrame(
+                        {
+                            "queryId": [qids[qi]] * len(order),
+                            "neighborId": v[order],
+                            "adcDist": a[order],
+                        }
+                    )
+                )
+            if chunks:
+                yield pd.concat(chunks, ignore_index=True)
+
+    pruned = encoded.mapInPandas(_scan, out_schema)
+    w = Window.partitionBy("queryId").orderBy(
+        F.col("adcDist").asc(), F.col("neighborId").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("queryId", "neighborId", "adcDist", "rank")
+    )

@@ -336,6 +336,43 @@ def _round_half_away(x, ndigits: int = 6):
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
 
+def _argbest_rounded(mat, largest: bool, ndigits: int = 6):
+    """Per-row arg-best (argmax if ``largest`` else argmin) of
+    ``_round_half_away(mat)`` with the first-index tie break —
+    WITHOUT rounding the full matrix. Rounding n×k floats costs ~10×
+    the matmul that produced them (measured: 0.9 s vs 0.05 s per
+    10k×256×8 batch), but rounding can only change the winner when a
+    competitor sits within one 1e-6 grid step of the unrounded best
+    (values further apart than the grid spacing round to strictly
+    ordered values). So: unrounded argbest first, then re-round and
+    re-rank JUST the rows that have a second candidate inside the
+    grid step — ~0 rows on real-valued data. Semantics are pinned
+    equal to round-everything-then-argbest by the parity tests."""
+    import numpy as np
+
+    # one grid step, widened by an absolute slop so float error in
+    # the ×10^6 scaling can never hide a competitor that would round
+    # equal (the bound is exact in real arithmetic; the slop covers
+    # the ~ulp wobble of the scaled products)
+    eps = 10.0**-ndigits + 1e-10
+    n = mat.shape[0]
+    if largest:
+        best = mat.argmax(axis=1)
+        dbest = mat[np.arange(n), best]
+        close = mat >= dbest[:, None] - eps
+    else:
+        best = mat.argmin(axis=1)
+        dbest = mat[np.arange(n), best]
+        close = mat <= dbest[:, None] + eps
+    risky = np.flatnonzero(close.sum(axis=1) > 1)
+    if risky.size:
+        rounded = _round_half_away(mat[risky], ndigits)
+        best[risky] = (
+            rounded.argmax(axis=1) if largest else rounded.argmin(axis=1)
+        )
+    return best
+
+
 def _assign_with_matrix(
     vectors: DataFrame,
     cids: list,
@@ -367,14 +404,15 @@ def _assign_with_matrix(
             # index) — force degenerate entries to -inf so only real
             # similarities compete; all-degenerate rows yield null
             sims[~np.isfinite(sims)] = -np.inf
-            sims = _round_half_away(sims)
-            # argmax returns the FIRST max; cids ascending => ties
-            # break toward the smaller centroid id
-            best = sims.argmax(axis=1)
+            # argmax of the ROUNDED sims without rounding the full
+            # matrix (see _argbest_rounded); first max + ascending
+            # cids => ties break toward the smaller centroid id
+            best = _argbest_rounded(sims, largest=True)
+            chosen = _round_half_away(sims[np.arange(len(best)), best])
             for j, i in enumerate(ok):
-                if np.isfinite(sims[j, best[j]]):
+                if np.isfinite(chosen[j]):
                     ids[i] = cid_arr[best[j]].item()
-                    sims_out[i] = float(sims[j, best[j]])
+                    sims_out[i] = float(chosen[j])
         return pd.DataFrame(
             {
                 "centroidId": pd.Series(ids, dtype=object),

@@ -595,6 +595,129 @@ def stratified_hash_sample(
     return out.filter(hash_bucket(F.col(id_col), salt) < F.col("samplingRate"))
 
 
+def temperature_mixture(
+    df: "DataFrame",
+    stratum: Column,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> "DataFrame":
+    """Temperature-weighted mixture rebalance: sampling rates are
+    DERIVED from the corpus's own stratum counts instead of supplied
+    — rate_s = (n_s / n_min)^(α−1), the exponential smoothing of
+    multilingual pre-training recipes (XLM-R's p_i ∝ n_i^α, Conneau
+    et al. 2020; same family as DoReMi's domain reweighting). α=1
+    keeps the natural mix (all rates 1), α=0 flattens every stratum
+    down to the rarest one's share, 0<α<1 interpolates. The rarest
+    stratum's rate is exactly 1 by construction — rebalance only ever
+    downsamples, so membership stays a per-row hash test.
+
+    Shape at scale: one tiny groupBy-count (strata cardinality rows),
+    a broadcast scalar min, a broadcast join of the rates back onto
+    the corpus, then the same deterministic ``hash_bucket`` filter
+    ``stratified_hash_sample`` uses — the big relation is touched by
+    exactly one scan + broadcast-hash-join, no repartition. Rates are
+    rounded at 6dp BEFORE the membership test so both engines compare
+    the same threshold. Rows with a NULL stratum count as their own
+    stratum (null-safe join), matching SQL GROUP BY semantics.
+
+    Adds ``stratum`` and ``samplingRate`` for audit, like
+    :func:`stratified_hash_sample`.
+    """
+    counts = df.groupBy(stratum.alias("stratum")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    # truncate the tiny counts relation's lineage: without this,
+    # Catalyst re-expands the aggregate under the min() subtree and
+    # the corpus is scanned a second time just to derive n_min
+    counts = counts.localCheckpoint(eager=False)
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "stratum",
+        F.round(
+            F.pow(
+                F.col("_n").cast("double") / F.col("_nmin").cast("double"),
+                F.lit(float(alpha) - 1.0),
+            ),
+            6,
+        ).alias("samplingRate"),
+    )
+    tagged = df.withColumn("stratum", stratum)
+    out = tagged.join(
+        F.broadcast(rates),
+        tagged["stratum"].eqNullSafe(rates["stratum"]),
+    ).drop(rates["stratum"])
+    return out.filter(
+        hash_bucket(F.col(id_col), salt) < F.col("samplingRate")
+    )
+
+
+def classifier_score(
+    df: "DataFrame",
+    weights: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bias: float = 0.0,
+    threshold: float = 0.5,
+) -> "DataFrame":
+    """Linear bag-of-words quality classifier — the model-based
+    document filter of CCNet / LLaMA-style pipelines (a fasttext-like
+    scorer deciding keep/drop), expressed as pure relational algebra
+    so the MODEL is data, not code: ``weights`` is a (term, weight)
+    table, score = σ(bias + mean of the document's token weights),
+    unknown tokens contribute 0 (they still count in the mean, the
+    bag-average convention). Rule-based filters (gopher_quality) and
+    this learned filter intentionally share the same tokenizer.
+
+    Shape at scale: tokenize + explode (no shuffle — stays in the
+    scan stage), broadcast-hash left join against the vocabulary
+    (a fasttext vocab is ~1M rows — squarely broadcast territory),
+    then ONE map-side-combined groupBy on the document key. Empty
+    documents score σ(bias).
+
+    Output: (docId, nTokens, meanWeight, score, label) with floats
+    rounded at 6dp.
+    """
+    toks = df.select(
+        F.col(id_col).alias("docId"),
+        # NULL text scores like an empty document (σ(bias)), not a
+        # null-propagated row — the keep/drop decision must be total
+        F.coalesce(
+            tokens(F.lower(F.col(text_col))),
+            F.array().cast("array<string>"),
+        ).alias("_toks"),
+    ).select(
+        "docId",
+        F.size("_toks").alias("nTokens"),
+        F.explode_outer("_toks").alias("term"),
+    )
+    scored = (
+        toks.join(F.broadcast(weights), on="term", how="left")
+        .groupBy("docId")
+        .agg(
+            F.max("nTokens").alias("nTokens"),
+            F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("_wsum"),
+        )
+        .withColumn(
+            "meanWeight",
+            F.when(
+                F.col("nTokens") > 0, F.col("_wsum") / F.col("nTokens")
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "_logit", F.lit(float(bias)) + F.col("meanWeight")
+        )
+        .withColumn("score", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_logit"))))
+    )
+    return scored.select(
+        "docId",
+        "nTokens",
+        F.round("meanWeight", 6).alias("meanWeight"),
+        F.round("score", 6).alias("score"),
+        (F.col("score") >= F.lit(float(threshold))).alias("label"),
+    )
+
+
 # PII pattern family — one definition shared by the counter and the
 # redactor so they can never disagree. Patterns are written in the
 # common subset of Java regex (Spark) and RE2 (DuckDB oracles):

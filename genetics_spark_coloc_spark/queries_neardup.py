@@ -494,7 +494,7 @@ per_doc AS (
   FROM counts GROUP BY 1
 )
 SELECT d.doc_id AS docId,
-       COALESCE(p.nChars, 0) AS nChars,
+       CAST(COALESCE(p.nChars, 0) AS BIGINT) AS nChars,
        ROUND(COALESCE(p.entropy, 0.0), 6) AS charEntropy
 FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN per_doc p ON p.docId = d.doc_id
@@ -879,7 +879,7 @@ laid AS (
 )
 SELECT docId, nTokens,
        CAST(FLOOR(startTok / 128.0) AS BIGINT) AS seqId,
-       startTok % 128 AS offsetInSeq,
+       CAST(startTok % 128 AS BIGINT) AS offsetInSeq,
        FLOOR(startTok / 128.0)
          <> FLOOR((startTok + GREATEST(nTokens - 1, 0)) / 128.0) AS spansBoundary
 FROM laid
@@ -887,3 +887,125 @@ FROM laid
 
 NEARDUP_QUERIES["pack_sequences"] = q_pack_sequences
 NEARDUP_ORACLES["pack_sequences"] = SQL_PACK_SEQUENCES
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture rebalance (operators/text.
+    temperature_mixture): sampling rates DERIVED from per-language
+    corpus counts, rate = (n_lang/n_min)^(α−1) at α=0.5 — English
+    (the dominant stratum) is downsampled hardest, the rarest
+    language keeps rate 1.0. Membership is the same md5-bucket test
+    as hash_split, so the realized sample is engine-reproducible."""
+    from genetics_spark_coloc_spark.operators.text import temperature_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_mixture(
+        docs, F.col("lang"), alpha=0.5, id_col="doc_id", salt="mix-v1"
+    )
+    return out.select(
+        F.col("doc_id").alias("docId"),
+        F.col("stratum"),
+        F.col("samplingRate"),
+    )
+
+
+SQL_TEMPERATURE_MIXTURE = """
+WITH counts AS (
+  SELECT lang AS stratum, COUNT(*) AS n FROM documents GROUP BY lang
+),
+mn AS (SELECT MIN(n) AS nmin FROM counts),
+rates AS (
+  SELECT stratum,
+         ROUND(POWER(CAST(n AS DOUBLE) / CAST(nmin AS DOUBLE), -0.5), 6)
+           AS samplingRate
+  FROM counts CROSS JOIN mn
+)
+SELECT d.doc_id AS docId, r.stratum, r.samplingRate
+FROM documents d
+JOIN rates r ON d.lang IS NOT DISTINCT FROM r.stratum
+WHERE CAST(('0x' || substr(md5('mix-v1|' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        / 4294967296.0 < r.samplingRate
+"""
+
+NEARDUP_QUERIES["temperature_mixture"] = q_temperature_mixture
+NEARDUP_ORACLES["temperature_mixture"] = SQL_TEMPERATURE_MIXTURE
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (operators/text.classifier_score):
+    a fasttext-style linear scorer whose model is a (term, weight)
+    TABLE — here a deterministic stand-in lexicon (top-32 corpus
+    tokens, weight ±ln(1+count) signed by the term's md5 parity) so
+    the whole score path — tokenize, broadcast vocab join, bag
+    average, sigmoid — is hash-checked end to end. Swapping in real
+    trained weights changes the table, not the plan."""
+    from genetics_spark_coloc_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(text.tokens(F.lower(F.col("text")))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(32)
+    )
+    # full-precision weights: a 6dp-rounded table would park wsum/n
+    # exactly on decimal half-boundaries where Spark's HALF_UP and
+    # DuckDB's binary rounding legitimately disagree
+    weights = vocab.select(
+        "term",
+        (
+            F.when(
+                F.substring(F.md5("term"), 1, 1).isin(*list("01234567")),
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+            * F.ln(F.lit(1.0) + F.col("cnt"))
+        ).alias("weight"),
+    )
+    return text.classifier_score(docs, weights, bias=0.1)
+
+
+SQL_QUALITY_CLASSIFIER = """
+WITH toks AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS tok
+  FROM documents
+),
+exploded AS (SELECT docId, UNNEST(tok) AS term FROM toks),
+vocab AS (
+  SELECT term, COUNT(*) AS cnt FROM exploded GROUP BY term
+  ORDER BY cnt DESC, term ASC LIMIT 32
+),
+weights AS (
+  SELECT term,
+         CASE WHEN substr(md5(term), 1, 1) IN
+                ('0','1','2','3','4','5','6','7')
+              THEN 1.0 ELSE -1.0 END
+           * LN(1.0 + cnt) AS weight
+  FROM vocab
+),
+perdoc AS (
+  SELECT t.docId, len(t.tok) AS nTokens,
+         COALESCE(SUM(w.weight), 0.0) AS wsum
+  FROM toks t
+  LEFT JOIN LATERAL (SELECT UNNEST(t.tok) AS term) u ON TRUE
+  LEFT JOIN weights w ON u.term = w.term
+  GROUP BY t.docId, len(t.tok)
+),
+scored AS (
+  SELECT docId, nTokens,
+         CASE WHEN nTokens > 0 THEN wsum / nTokens ELSE 0.0 END AS meanWeight
+  FROM perdoc
+)
+SELECT docId, CAST(nTokens AS INT) AS nTokens,
+       ROUND(meanWeight, 6) AS meanWeight,
+       ROUND(1.0 / (1.0 + EXP(-(0.1 + meanWeight))), 6) AS score,
+       1.0 / (1.0 + EXP(-(0.1 + meanWeight))) >= 0.5 AS label
+FROM scored
+"""
+
+NEARDUP_QUERIES["quality_classifier"] = q_quality_classifier
+NEARDUP_ORACLES["quality_classifier"] = SQL_QUALITY_CLASSIFIER

@@ -1059,3 +1059,139 @@ FROM mem m LEFT JOIN best ON best.vecId = m.vec_id
 
 SCALE_QUERIES["semantic_dedup"] = q_semantic_dedup
 SCALE_ORACLES["semantic_dedup"] = SQL_SEMANTIC_DEDUP
+
+
+# ----------------------------------------------------------------------------
+# product quantization: 100x index compression + ADC search
+# ----------------------------------------------------------------------------
+
+_PQ_D2 = (
+    "ROUND(list_inner_product({a}, {a}) - 2 * list_inner_product({a}, {b})"
+    " + list_inner_product({b}, {b}), 6)"
+)
+
+# shared oracle CTE chain: vectors, per-subspace slices, the first-16
+# reduced-config codebook, and the argmin encoding (m=4 subspaces of
+# 16 dims, k=16 codes) — mirrors operators/pq.codebooks_from_first_k
+# + pq_encode exactly (same expanded squared-L2, same 6dp rounding,
+# same smaller-code tie break)
+_PQ_ENC_SQL = f"""
+vec AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE len(embedding) = 64
+),
+sub AS (
+  SELECT vec_id, s.i AS subspace,
+         list_slice(v, s.i * 16 + 1, s.i * 16 + 16) AS sv
+  FROM vec CROSS JOIN range(0, 4) s(i)
+),
+seed AS (SELECT vec_id, v FROM vec ORDER BY vec_id LIMIT 16),
+cb AS (
+  SELECT s.i AS subspace,
+         ROW_NUMBER() OVER (PARTITION BY s.i ORDER BY vec_id) - 1 AS code,
+         list_slice(v, s.i * 16 + 1, s.i * 16 + 16) AS cv
+  FROM seed CROSS JOIN range(0, 4) s(i)
+),
+scored AS (
+  SELECT sub.vec_id, sub.subspace, cb.code,
+         ROW_NUMBER() OVER (
+           PARTITION BY sub.vec_id, sub.subspace
+           ORDER BY {_PQ_D2.format(a="sv", b="cv")} ASC, cb.code ASC
+         ) AS rnk
+  FROM sub JOIN cb ON sub.subspace = cb.subspace
+),
+enc AS (SELECT vec_id, subspace, code FROM scored WHERE rnk = 1)
+"""
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding (operators/pq.pq_encode): every 64-dim embedding
+    compressed to 4 subspace codes — one BLAS product per subspace
+    per Arrow batch against the broadcast-closure codebook, no
+    shuffle. The reduced-config codebook (first 16 vectors' slices,
+    codebooks_from_first_k) makes the full encode hash-checkable;
+    production trains via train_pq_codebooks. Long-form output so the
+    codes themselves are the compared values."""
+    from genetics_spark_coloc_spark.operators.pq import (
+        codebooks_from_first_k,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = codebooks_from_first_k(emb, m=4, k=16, dim=64)
+    enc = pq_encode(emb, cb)
+    # posexplode_outer, NOT posexplode: the non-outer form plants an
+    # implicit size()>0 filter under the Generate and Catalyst
+    # duplicates the encode kernel into it — two ArrowEvalPython
+    # passes over every batch; the outer form + a post-explode null
+    # filter keeps the kernel evaluated exactly once
+    return (
+        enc.select(
+            F.col("vid").alias("vecId"),
+            F.posexplode_outer("codes").alias("subspace", "code"),
+        )
+        .filter(F.col("code").isNotNull())
+    )
+
+
+SQL_PQ_ENCODE = f"""
+WITH {_PQ_ENC_SQL.strip()}
+SELECT vec_id AS vecId, CAST(subspace AS INT) AS subspace,
+       CAST(code AS INT) AS code
+FROM enc
+"""
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-3 over PQ codes (operators/pq.
+    pq_adc_topk): per query an exact 4×16 subspace-distance table,
+    per candidate 4 integer gathers + a sum — the corpus pass reads
+    only the (id, codes) index and emits per-batch top-k, so the
+    final ranking shuffle is O(k·batches·|Q|). Queries are the
+    vec_id % 100 == 0 vectors, matching the IVF query convention."""
+    from genetics_spark_coloc_spark.operators.pq import (
+        codebooks_from_first_k,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = codebooks_from_first_k(emb, m=4, k=16, dim=64)
+    enc = pq_encode(emb, cb)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return pq_adc_topk(enc, cb, queries, k=3)
+
+
+SQL_PQ_ADC_TOPK = f"""
+WITH {_PQ_ENC_SQL.strip()},
+q AS (SELECT vec_id AS queryId, v AS qv FROM vec WHERE vec_id % 100 = 0),
+qsub AS (
+  SELECT queryId, s.i AS subspace,
+         list_slice(qv, s.i * 16 + 1, s.i * 16 + 16) AS qs
+  FROM q CROSS JOIN range(0, 4) s(i)
+),
+tbl AS (
+  SELECT queryId, qsub.subspace, cb.code,
+         {_PQ_D2.format(a="qs", b="cv")} AS d2
+  FROM qsub JOIN cb ON qsub.subspace = cb.subspace
+),
+adc AS (
+  SELECT t.queryId, e.vec_id AS neighborId, ROUND(SUM(t.d2), 6) AS adcDist
+  FROM enc e JOIN tbl t ON t.subspace = e.subspace AND t.code = e.code
+  WHERE e.vec_id != t.queryId
+  GROUP BY t.queryId, e.vec_id
+),
+ranked AS (
+  SELECT queryId, neighborId, adcDist,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY queryId ORDER BY adcDist ASC, neighborId ASC
+         ) AS INT) AS rank
+  FROM adc
+)
+SELECT queryId, neighborId, adcDist, rank FROM ranked WHERE rank <= 3
+"""
+
+SCALE_QUERIES["pq_encode"] = q_pq_encode
+SCALE_ORACLES["pq_encode"] = SQL_PQ_ENCODE
+SCALE_QUERIES["pq_adc_topk"] = q_pq_adc_topk
+SCALE_ORACLES["pq_adc_topk"] = SQL_PQ_ADC_TOPK

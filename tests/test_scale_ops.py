@@ -1359,3 +1359,82 @@ def test_stateless_text_ops_run_on_streams(spark, tmp_path):
         for r in spark.sql("select * from gq_out").collect()
     }
     assert got == batch
+
+
+def test_temperature_mixture_rates_and_determinism(spark):
+    """α=0.5 halves the dominant stratum's rate relative to sqrt of
+    its excess; the rarest stratum keeps rate exactly 1; membership
+    is replayable; α=1 is the identity mix."""
+    from genetics_spark_coloc_spark.operators.text import temperature_mixture
+    from pyspark.sql import functions as F
+
+    rows = [(i, "en" if i < 400 else "fi") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mixture(df, F.col("lang"), alpha=0.5).collect()
+    rates = {r["stratum"]: r["samplingRate"] for r in out}
+    assert rates["fi"] == 1.0
+    assert rates["en"] == pytest.approx((400 / 100) ** -0.5, abs=1e-6)
+    # every rare-stratum row survives; dominant stratum thins out
+    kept_en = sum(1 for r in out if r["stratum"] == "en")
+    assert sum(1 for r in out if r["stratum"] == "fi") == 100
+    assert 0 < kept_en < 400
+    again = temperature_mixture(df, F.col("lang"), alpha=0.5).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"] for r in out
+    )
+    ident = temperature_mixture(df, F.col("lang"), alpha=1.0)
+    assert ident.count() == 500
+
+
+def test_temperature_mixture_null_stratum_kept_as_group(spark):
+    from genetics_spark_coloc_spark.operators.text import temperature_mixture
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, None), (1, None), (2, "en")], "doc_id long, lang string"
+    )
+    out = temperature_mixture(df, F.col("lang"), alpha=0.0).collect()
+    # n_min = 1 ('en'); null stratum (n=2) gets rate 0.5, en keeps 1.0
+    assert {r["samplingRate"] for r in out if r["stratum"] is None} <= {0.5}
+    assert [r["samplingRate"] for r in out if r["stratum"] == "en"] == [1.0]
+
+
+def test_classifier_score_known_weights(spark):
+    """Hand-checkable bag-average: score = σ(bias + mean weight),
+    unknown tokens contribute 0 but count in the mean, empty docs
+    score σ(bias)."""
+    import math
+
+    from genetics_spark_coloc_spark.operators.text import classifier_score
+
+    docs = spark.createDataFrame(
+        [
+            (0, "good good bad"),
+            (1, "unknown words only"),
+            (2, ""),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    weights = spark.createDataFrame(
+        [("good", 2.0), ("bad", -1.0)], "term string, weight double"
+    )
+    got = {
+        r["docId"]: r
+        for r in classifier_score(docs, weights, bias=0.5).collect()
+    }
+    mean0 = (2.0 + 2.0 - 1.0) / 3
+    assert got[0]["meanWeight"] == pytest.approx(mean0, abs=1e-6)
+    assert got[0]["score"] == pytest.approx(
+        1 / (1 + math.exp(-(0.5 + mean0))), abs=1e-6
+    )
+    assert got[0]["label"] is True
+    assert got[1]["meanWeight"] == 0.0
+    assert got[1]["score"] == pytest.approx(
+        1 / (1 + math.exp(-0.5)), abs=1e-6
+    )
+    for d in (2, 3):
+        assert got[d]["nTokens"] == 0
+        assert got[d]["score"] == pytest.approx(
+            1 / (1 + math.exp(-0.5)), abs=1e-6
+        )

@@ -306,3 +306,78 @@ def text_probes(n_docs: int = 2_000_000) -> None:
         lambda: explain_predictions_treeshap(model, fm, feats),
     )
     spark.stop()
+
+
+def pq_probes(n_vec: int = 200_000, dim: int = 64) -> None:
+    """Round-5 PQ probes: encode throughput at 256-codes×8-subspaces
+    (the faiss-typical config scaled to dim 64) and ADC search over
+    the encoded corpus with 16 queries — both at 100× the sf0.1
+    embedding volume. Plus temperature-mixture and classifier-score
+    at 2M docs.
+    Run via: python -c "import tools.scale_probe as sp; sp.pq_probes()"
+    """
+    spark = get_session(
+        app_name="scale_probe_pq",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.operators.pq import (
+        codebooks_from_first_k,
+        pq_adc_topk,
+        pq_encode,
+    )
+    from genetics_spark_coloc_spark.operators.text import (
+        classifier_score,
+        temperature_mixture,
+    )
+
+    emb = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (F.pmod(F.hash(F.col("id"), F.lit(d)), F.lit(2000)) / 1000.0 - 1.0)
+                .cast("float")
+                for d in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    cb = codebooks_from_first_k(emb, m=8, k=256, dim=dim)
+    probe("pq_encode_200k_vecs_8x256", n_vec, lambda: pq_encode(emb, cb))
+    enc = pq_encode(emb, cb).localCheckpoint()
+    queries = emb.filter(F.col("vec_id") % (n_vec // 16) == 0)
+    probe(
+        "pq_adc_topk_200k_vecs_16_queries",
+        n_vec,
+        lambda: pq_adc_topk(enc, cb, queries, k=10),
+    )
+
+    n_docs = 2_000_000
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.md5(F.col("id").cast("string")),
+            F.lit(" quality corpus body text "),
+            (F.col("id") % 977).cast("string"),
+        ).alias("text"),
+        # zipf-ish stratum skew: stratum 0 holds ~50% of the corpus
+        F.when(F.col("id") % 2 == 0, F.lit("s0"))
+        .otherwise(F.concat(F.lit("s"), (F.pmod(F.hash("id"), F.lit(31)) + 1).cast("string")))
+        .alias("lang"),
+    )
+    probe(
+        "temperature_mixture_2m_docs",
+        n_docs,
+        lambda: temperature_mixture(docs, F.col("lang"), alpha=0.5),
+    )
+    weights = spark.range(1000).select(
+        F.md5(F.col("id").cast("string")).alias("term"),
+        (F.pmod(F.hash("id"), F.lit(200)) / 100.0 - 1.0).alias("weight"),
+    )
+    probe(
+        "classifier_score_2m_docs_1k_vocab",
+        n_docs,
+        lambda: classifier_score(docs, weights),
+    )
+    spark.stop()
