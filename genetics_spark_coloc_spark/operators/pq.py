@@ -356,3 +356,223 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("queryId", "neighborId", "adcDist", "rank")
     )
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the IVF-PQ index — the FAISS coarse+fine layout: each
+    vector is assigned to its nearest coarse centroid by squared L2
+    (6dp-rounded, ties toward the smaller centroid id), and the
+    RESIDUAL x − c is PQ-encoded. Storing residual codes instead of
+    raw-vector codes is what makes the fine quantizer accurate: the
+    residual distribution is centered and tight, so k codes cover it
+    far better than they cover the raw space (Jégou et al. 2011 §III).
+
+    One mapInPandas pass does both steps per Arrow batch — coarse
+    assignment is one (n×dim)@(dim×k) product, each subspace encode
+    one more — so the corpus is scanned once, shuffled never. Persist
+    the output partitioned/bucketed by ``centroidId``: that makes
+    every later search a pruned scan of nprobe buckets.
+
+    Output: (vid, centroidId, codes array<int>). Invalid vectors
+    (null / wrong dim) keep a row with null centroidId + codes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from genetics_spark_coloc_spark.operators.similarity import (
+        _collect_centroid_matrix,
+    )
+
+    cids, cmat, _cnorm, id_sql_type = _collect_centroid_matrix(
+        centroids, id_col, vec_col
+    )
+    cid_arr = np.array(cids)
+    codes_by_s, mats = _collect_pq_codebooks(codebooks)
+    m = len(mats)
+    sub = mats[0].shape[1]
+    dim = m * sub
+    if cmat.shape[1] != dim:
+        raise ValueError(
+            f"ivfpq_index: centroid dim {cmat.shape[1]} != m*sub_dim {dim}"
+        )
+    out_schema = (
+        f"vid long, centroidId {id_sql_type}, codes array<int>"
+    )
+
+    def _build(batches):
+        for pdf in batches:
+            vals = pdf[vec_col].tolist()
+            vids = pdf[id_col].to_numpy()
+            cent_out = [None] * len(vals)
+            codes_out = [None] * len(vals)
+            ok = _valid_rows(vals, dim)
+            if ok:
+                x = np.array([vals[i] for i in ok], dtype=np.float64)
+                d2c = _sq_dist(x, cmat)
+                cidx = _argbest_rounded(d2c, largest=False)
+                resid = x - cmat[cidx]
+                picked = np.empty((len(ok), m), dtype=np.int64)
+                for s in range(m):
+                    d2 = _sq_dist(resid[:, s * sub : (s + 1) * sub], mats[s])
+                    picked[:, s] = codes_by_s[s][
+                        _argbest_rounded(d2, largest=False)
+                    ]
+                for j, i in enumerate(ok):
+                    cent_out[i] = cid_arr[cidx[j]].item()
+                    codes_out[i] = [int(c) for c in picked[j]]
+            yield pd.DataFrame(
+                {
+                    "vid": vids,
+                    "centroidId": pd.Series(cent_out, dtype=object),
+                    "codes": pd.Series(codes_out, dtype=object),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(_build, out_schema)
+
+
+def ivfpq_topk(
+    index: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search: per query, probe the ``nprobe`` nearest coarse
+    centroids (squared L2, 6dp-rounded, smaller-id ties); for EACH
+    probed centroid build the ADC table from the query's residual
+    against THAT centroid (the residual changes per probe — the
+    subtlety that distinguishes IVF-PQ from flat PQ); candidates are
+    the probed lists' code rows, distance = m gathers + sum, both
+    per-cell and final sums 6dp-rounded. The scan emits only the
+    per-batch top-k per query; a closing window ranks exactly.
+
+    ``index`` is an :func:`ivfpq_index` result — when it is persisted
+    bucketed by centroidId, the kernel's per-probe mask becomes
+    partition pruning at rest. Self-matches (vid == queryId) are
+    excluded. Output: (queryId, centroidId, neighborId, adcDist,
+    rank ≤ k).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from genetics_spark_coloc_spark.operators.similarity import (
+        _collect_centroid_matrix,
+    )
+
+    cids, cmat, _cnorm, _t = _collect_centroid_matrix(
+        centroids, id_col, vec_col
+    )
+    cid_arr = np.array(cids)
+    codes_by_s, mats = _collect_pq_codebooks(codebooks)
+    m = len(mats)
+    sub = mats[0].shape[1]
+    dim = m * sub
+    k_per_s = [mat.shape[0] for mat in mats]
+    for s in range(m):
+        if not (codes_by_s[s] == np.arange(k_per_s[s])).all():
+            raise ValueError(
+                f"ivfpq_topk: subspace {s} codes are not dense 0..k-1"
+            )
+    nprobe = min(nprobe, len(cids))
+
+    qrows = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).collect()
+    qrows = [r for r in qrows if r["qv"] is not None and len(r["qv"]) == dim]
+    qid_type = queries.schema[id_col].dataType.simpleString()
+    cent_type = index.schema["centroidId"].dataType.simpleString()
+    out_schema = (
+        f"queryId {qid_type}, centroidId {cent_type}, "
+        f"neighborId long, adcDist double"
+    )
+    if not qrows:
+        return index.limit(0).select(
+            F.col("vid").cast(qid_type).alias("queryId"),
+            F.col("centroidId"),
+            F.col("vid").alias("neighborId"),
+            F.lit(None).cast("double").alias("adcDist"),
+            F.lit(None).cast("int").alias("rank"),
+        )
+    qrows.sort(key=lambda r: r["qid"])
+    qids = [r["qid"] for r in qrows]
+    qmat = np.array([list(r["qv"]) for r in qrows], dtype=np.float64)
+    # per query: the nprobe nearest centroid POSITIONS by rounded d2,
+    # ties toward the smaller centroid id (positions are id-ascending)
+    d2q = _round_half_away(_sq_dist(qmat, cmat))
+    probe_pos = np.argsort(d2q, axis=1, kind="stable")[:, :nprobe]
+    # tables[(qi, pos)] = per-subspace rounded distance tables of the
+    # query's residual against the PROBED centroid
+    tables: dict[tuple, list] = {}
+    for qi in range(len(qids)):
+        for p in probe_pos[qi]:
+            r = (qmat[qi] - cmat[p])[None, :]
+            tables[(qi, int(p))] = [
+                _sq_dist_rounded(r[:, s * sub : (s + 1) * sub], mats[s])[0]
+                for s in range(m)
+            ]
+    pos_by_cid = {int(cid_arr[p]): int(p) for p in range(len(cids))}
+
+    def _scan(batches):
+        for pdf in batches:
+            vids = pdf["vid"].to_numpy()
+            cents = pdf["centroidId"].to_numpy()
+            vals = pdf["codes"].tolist()
+            chunks = []
+            for qi in range(len(qids)):
+                for p in probe_pos[qi]:
+                    want_cid = cid_arr[p]
+                    sel = [
+                        i
+                        for i, c in enumerate(vals)
+                        if cents[i] == want_cid
+                        and vids[i] != qids[qi]
+                        and c is not None
+                        and len(c) == m
+                        and all(
+                            cs is not None and 0 <= cs < k_per_s[s]
+                            for s, cs in enumerate(c)
+                        )
+                    ]
+                    if not sel:
+                        continue
+                    codes = np.array([vals[i] for i in sel], dtype=np.int64)
+                    t = tables[(qi, int(p))]
+                    adc = np.zeros(len(sel), dtype=np.float64)
+                    for s in range(m):
+                        adc += t[s][codes[:, s]]
+                    adc = _round_half_away(adc)
+                    v = vids[sel]
+                    order = np.lexsort((v, adc))[:k]
+                    chunks.append(
+                        pd.DataFrame(
+                            {
+                                "queryId": [qids[qi]] * len(order),
+                                "centroidId": [want_cid.item()] * len(order),
+                                "neighborId": v[order],
+                                "adcDist": adc[order],
+                            }
+                        )
+                    )
+            if chunks:
+                yield pd.concat(chunks, ignore_index=True)
+
+    pruned = index.mapInPandas(_scan, out_schema)
+    w = Window.partitionBy("queryId").orderBy(
+        F.col("adcDist").asc(), F.col("neighborId").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("queryId", "centroidId", "neighborId", "adcDist", "rank")
+    )

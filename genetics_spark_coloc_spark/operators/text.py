@@ -886,6 +886,110 @@ def duplicate_line_stats(text: Column) -> dict[str, Column]:
     }
 
 
+def chunk_documents(
+    df: "DataFrame",
+    max_tokens: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Sliding-window document chunking — the long-document splitter
+    of training-prep pipelines (HF ``return_overflowing_tokens``
+    semantics): windows of ``max_tokens`` tokens starting every
+    ``stride`` tokens (overlap = max_tokens − stride), stopping once
+    a window reaches the end, so no chunk is fully contained in its
+    predecessor. Documents with ≤ max_tokens tokens (including empty
+    ones) yield exactly one chunk.
+
+    Pure array expressions: tokenize once, ``sequence`` out the chunk
+    starts, slice + rejoin per chunk — a flatMap-shaped projection
+    with no shuffle and no UDF; chunk explosion is bounded by
+    ~n_tokens/stride per document.
+
+    Emits (docId, chunkIdx, startTok, nChunkTokens, chunkText).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    if stride <= 0 or max_tokens <= 0 or stride > max_tokens:
+        raise ValueError(
+            f"chunk_documents: need 0 < stride <= max_tokens, got "
+            f"stride={stride} max_tokens={max_tokens}"
+        )
+    toks = F.coalesce(
+        tokens(F.col(text_col)), F.array().cast("array<string>")
+    )
+    n = F.size(toks)
+    # 1 chunk when n <= max_tokens, else ceil((n-max)/stride)+1
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        F.floor(
+            (n - F.lit(max_tokens) + F.lit(stride - 1)) / F.lit(stride)
+        ).cast("int")
+        + F.lit(1)
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("docId"),
+            toks.alias("_toks"),
+            n.alias("_n"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunkIdx"),
+        )
+        .withColumn("startTok", F.col("chunkIdx") * F.lit(stride))
+        .select(
+            "docId",
+            "chunkIdx",
+            "startTok",
+            F.least(
+                F.lit(max_tokens), F.col("_n") - F.col("startTok")
+            ).alias("nChunkTokens"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("startTok") + 1, F.lit(max_tokens)),
+                " ",
+            ).alias("chunkText"),
+        )
+    )
+
+
+def interleave_order(
+    df: "DataFrame",
+    source: Column,
+    id_col: str = "doc_id",
+    salt: str = "epoch-0",
+) -> "DataFrame":
+    """Deterministic balanced training order: shuffle WITHIN each
+    source by a salted hash, then interleave sources round-robin —
+    consecutive training samples rotate across domains instead of
+    clumping (the source-stratified shuffle of pretraining loaders),
+    and changing ``salt`` ("epoch-1", …) reshuffles every epoch
+    reproducibly.
+
+    The order is defined by the emitted key pair, NOT a global row
+    number: consumers ``orderBy(roundIdx, orderKey)``, which Spark
+    executes as a range-partitioned distributed sort — no
+    single-partition window anywhere. ``roundIdx`` is the row's rank
+    within its source (one shuffle, partitioned by source);
+    ``orderKey`` is the salted md5 that both drives the within-source
+    shuffle and breaks ties across sources inside a round.
+
+    Emits (docId, source, roundIdx, orderKey).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    key = F.md5(
+        F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy("orderKey")
+    return (
+        df.select(
+            F.col(id_col).alias("docId"),
+            source.alias("source"),
+            key.alias("orderKey"),
+        )
+        .withColumn("roundIdx", F.row_number().over(w))
+        .select("docId", "source", "roundIdx", "orderKey")
+    )
+
+
 def pack_sequences(
     df: "DataFrame",
     seq_len: int = 2048,

@@ -1009,3 +1009,68 @@ FROM scored
 
 NEARDUP_QUERIES["quality_classifier"] = q_quality_classifier
 NEARDUP_ORACLES["quality_classifier"] = SQL_QUALITY_CLASSIFIER
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/text.chunk_documents):
+    32-token windows every 24 tokens — long documents explode into
+    overlapping training chunks, short ones stay whole. chunkText is
+    re-joined so the oracle hash covers the actual window content,
+    not just offsets."""
+    from genetics_spark_coloc_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=32, stride=24)
+
+
+SQL_DOC_CHUNKS = """
+WITH toks AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS tok
+  FROM documents
+),
+sized AS (
+  SELECT docId, tok, len(tok) AS n,
+         CASE WHEN len(tok) <= 32 THEN 1
+              ELSE CAST(FLOOR((len(tok) - 32 + 23) / 24.0) AS INT) + 1 END
+           AS nChunks
+  FROM toks
+)
+SELECT docId, CAST(c.k AS INT) AS chunkIdx,
+       CAST(c.k * 24 AS INT) AS startTok,
+       CAST(LEAST(32, n - c.k * 24) AS INT) AS nChunkTokens,
+       ARRAY_TO_STRING(tok[c.k * 24 + 1 : c.k * 24 + 32], ' ') AS chunkText
+FROM sized CROSS JOIN LATERAL (
+  SELECT UNNEST(GENERATE_SERIES(0, nChunks - 1)) AS k
+) c
+"""
+
+NEARDUP_QUERIES["doc_chunks"] = q_doc_chunks
+NEARDUP_ORACLES["doc_chunks"] = SQL_DOC_CHUNKS
+
+
+def q_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced epoch ordering (operators/text.interleave_order):
+    salted within-source shuffle + round-robin interleave across the
+    20 sources, the whole total order carried by (roundIdx, orderKey)
+    so it needs no single-partition window. The oracle replays the
+    same md5 keys and per-source ranks."""
+    from genetics_spark_coloc_spark.operators.text import interleave_order
+
+    docs = load_table(spark, sf_dir, "documents")
+    return interleave_order(docs, F.col("source"), salt="epoch-0")
+
+
+SQL_INTERLEAVE_ORDER = """
+SELECT doc_id AS docId, source,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY source
+         ORDER BY md5('epoch-0|' || CAST(doc_id AS VARCHAR))
+       ) AS INT) AS roundIdx,
+       md5('epoch-0|' || CAST(doc_id AS VARCHAR)) AS orderKey
+FROM documents
+"""
+
+NEARDUP_QUERIES["interleave_order"] = q_interleave_order
+NEARDUP_ORACLES["interleave_order"] = SQL_INTERLEAVE_ORDER

@@ -1195,3 +1195,112 @@ SCALE_QUERIES["pq_encode"] = q_pq_encode
 SCALE_ORACLES["pq_encode"] = SQL_PQ_ENCODE
 SCALE_QUERIES["pq_adc_topk"] = q_pq_adc_topk
 SCALE_ORACLES["pq_adc_topk"] = SQL_PQ_ADC_TOPK
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (operators/pq.ivfpq_index + ivfpq_topk): coarse
+    L2 assignment to the 4 deterministic centroids, PQ encoding of
+    the RESIDUALS, then ADC top-3 within each query's probed list —
+    the FAISS coarse+fine layout end to end, with the whole
+    composition (assignment, residual, encoding, probe, ADC ranking)
+    replayed by one DuckDB statement."""
+    from genetics_spark_coloc_spark.operators.pq import (
+        codebooks_from_first_k,
+        ivfpq_index,
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 4)
+    cb = codebooks_from_first_k(emb, m=4, k=16, dim=64)
+    index = ivfpq_index(emb, centroids, cb)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivfpq_topk(index, centroids, cb, queries, k=3, nprobe=1)
+
+
+_L2_SQL = (
+    "ROUND(list_inner_product({a}, {a}) - 2 * list_inner_product({a}, {b})"
+    " + list_inner_product({b}, {b}), 6)"
+)
+
+SQL_IVFPQ_TOPK = f"""
+WITH vec AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE len(embedding) = 64
+),
+cent AS (
+  SELECT vec_id AS centroidId, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 4
+),
+assign AS (
+  SELECT vec_id, v, centroidId, cv,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY {_L2_SQL.format(a="v", b="cv")} ASC, centroidId ASC
+         ) AS rnk
+  FROM vec CROSS JOIN cent
+),
+member AS (
+  SELECT vec_id, centroidId,
+         list_transform(range(1, 65), i -> v[i] - cv[i]) AS rv
+  FROM assign WHERE rnk = 1
+),
+seed AS (SELECT vec_id, v FROM vec ORDER BY vec_id LIMIT 16),
+cb AS (
+  SELECT s.i AS subspace,
+         ROW_NUMBER() OVER (PARTITION BY s.i ORDER BY vec_id) - 1 AS code,
+         list_slice(v, s.i * 16 + 1, s.i * 16 + 16) AS cbv
+  FROM seed CROSS JOIN range(0, 4) s(i)
+),
+rsub AS (
+  SELECT vec_id, centroidId, s.i AS subspace,
+         list_slice(rv, s.i * 16 + 1, s.i * 16 + 16) AS rs
+  FROM member CROSS JOIN range(0, 4) s(i)
+),
+encscore AS (
+  SELECT rsub.vec_id, rsub.centroidId, rsub.subspace, cb.code,
+         ROW_NUMBER() OVER (
+           PARTITION BY rsub.vec_id, rsub.subspace
+           ORDER BY {_L2_SQL.format(a="rs", b="cbv")} ASC, cb.code ASC
+         ) AS rnk
+  FROM rsub JOIN cb ON rsub.subspace = cb.subspace
+),
+enc AS (
+  SELECT vec_id, centroidId, subspace, code FROM encscore WHERE rnk = 1
+),
+q AS (
+  SELECT m.vec_id AS queryId, m.centroidId, m.rv AS qrv
+  FROM member m WHERE m.vec_id % 100 = 0
+),
+qsub AS (
+  SELECT queryId, centroidId, s.i AS subspace,
+         list_slice(qrv, s.i * 16 + 1, s.i * 16 + 16) AS qs
+  FROM q CROSS JOIN range(0, 4) s(i)
+),
+tbl AS (
+  SELECT queryId, qsub.centroidId, qsub.subspace, cb.code,
+         {_L2_SQL.format(a="qs", b="cbv")} AS d2
+  FROM qsub JOIN cb ON qsub.subspace = cb.subspace
+),
+adc AS (
+  SELECT t.queryId, t.centroidId, e.vec_id AS neighborId,
+         ROUND(SUM(t.d2), 6) AS adcDist
+  FROM enc e
+  JOIN tbl t ON t.centroidId = e.centroidId
+            AND t.subspace = e.subspace AND t.code = e.code
+  WHERE e.vec_id != t.queryId
+  GROUP BY t.queryId, t.centroidId, e.vec_id
+),
+ranked AS (
+  SELECT queryId, centroidId, neighborId, adcDist,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY queryId ORDER BY adcDist ASC, neighborId ASC
+         ) AS INT) AS rank
+  FROM adc
+)
+SELECT queryId, centroidId, neighborId, adcDist, rank
+FROM ranked WHERE rank <= 3
+"""
+
+SCALE_QUERIES["ivfpq_topk"] = q_ivfpq_topk
+SCALE_ORACLES["ivfpq_topk"] = SQL_IVFPQ_TOPK

@@ -36,6 +36,11 @@ PYTHON_ALLOWED = {
     "kmeans_centroids",
     # SemDeDup composes k-means training + BLAS assignment
     "semantic_dedup",
+    # PQ encode / ADC search / IVF-PQ: per-subspace BLAS products and
+    # lookup-table gathers per Arrow batch (operators/pq.py)
+    "pq_encode",
+    "pq_adc_topk",
+    "ivfpq_topk",
 }
 
 

