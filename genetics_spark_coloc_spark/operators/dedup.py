@@ -18,6 +18,7 @@ No UDFs anywhere — explode/groupBy/higher-order functions only.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
 from pyspark.sql import functions as F
 
 from genetics_spark_coloc_spark.operators.text import tokens
@@ -237,4 +238,111 @@ def simhash(text: Column, bits: int = 32) -> Column:
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
+    )
+
+
+def _band_hashes(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int,
+    band_size: int,
+) -> DataFrame:
+    """(docId, bandIdx, bandHash) for a corpus — the shared banding
+    step of the batch self-join and the incremental index join."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm)
+    return (
+        sigs.withColumn("bandIdx", (F.col("perm") / band_size).cast("int"))
+        .groupBy("docId", "bandIdx")
+        .agg(
+            F.md5(
+                F.concat_ws("|", F.sort_array(F.collect_list("minHash")))
+            ).alias("bandHash")
+        )
+    )
+
+
+def incremental_exact_dedup(
+    delta: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup of a NEW batch against an EXISTING corpus — the
+    shape every production crawl pipeline actually runs (today's
+    shard vs the historical index), instead of re-deduplicating the
+    whole corpus per batch. ``index`` only needs (id, text) — in
+    production you persist just the content-hash column and pass
+    that via an identically-named ``text_col``.
+
+    Two marks per delta document: ``dupOfIndex`` (content hash seen
+    in the index — a LEFT SEMI join against the distinct index
+    hashes, so the index side shuffles only 16-byte keys) and
+    ``dupWithinDelta`` (an earlier delta doc, smaller id, has the
+    same hash — one window over the delta only). ``keep`` = neither.
+
+    Emits (docId, contentHash, dupOfIndex, dupWithinDelta, keep).
+    """
+    d = delta.select(
+        F.col(id_col).alias("docId"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("contentHash"),
+    )
+    idx_hashes = index.select(
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("contentHash")
+    ).distinct()
+    w = Window.partitionBy("contentHash").orderBy("docId")
+    marked = (
+        d.join(
+            idx_hashes.withColumn("_inIndex", F.lit(True)),
+            on="contentHash",
+            how="left",
+        )
+        .withColumn("dupOfIndex", F.coalesce(F.col("_inIndex"), F.lit(False)))
+        .withColumn("dupWithinDelta", F.row_number().over(w) > 1)
+    )
+    return marked.select(
+        "docId",
+        "contentHash",
+        "dupOfIndex",
+        "dupWithinDelta",
+        (~F.col("dupOfIndex") & ~F.col("dupWithinDelta")).alias("keep"),
+    )
+
+
+def incremental_lsh_candidates(
+    delta: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Near-dup candidates of a NEW batch against an EXISTING corpus:
+    band the delta, join it against the INDEX's persisted band table
+    — never delta×delta, never index×index, so per-batch cost scales
+    with |delta|, not |corpus|. In production the index band table is
+    written once (bucketed by (bandIdx, bandHash)) and each day's
+    delta joins into it shuffle-free; here it is derived inline from
+    ``index`` for a self-contained oracle.
+
+    Emits distinct (deltaId, indexId) candidate pairs; feed them to
+    ngram_jaccard for exact verification, exactly like the batch
+    pipeline.
+    """
+    dbands = _band_hashes(delta, text_col, id_col, num_perm, band_size)
+    ibands = _band_hashes(index, text_col, id_col, num_perm, band_size)
+    return (
+        dbands.alias("d")
+        .join(
+            ibands.alias("i"),
+            on=[
+                F.col("d.bandIdx") == F.col("i.bandIdx"),
+                F.col("d.bandHash") == F.col("i.bandHash"),
+            ],
+        )
+        .select(
+            F.col("d.docId").alias("deltaId"),
+            F.col("i.docId").alias("indexId"),
+        )
+        .distinct()
     )

@@ -1044,3 +1044,163 @@ def pack_sequences(
             )
         ).alias("spansBoundary"),
     )
+
+
+def bpe_top_merges(
+    df: "DataFrame",
+    k: int = 20,
+    text_col: str = "text",
+) -> "DataFrame":
+    """First-iteration BPE merge candidates: corpus-wide counts of
+    ADJACENT token pairs, top-k by frequency — the statistic each BPE
+    training round is built on (Sennrich et al. 2016). Full BPE
+    training is inherently sequential (each merge changes the next
+    round's pair counts); at corpus scale the per-round primitive is
+    exactly this distributed count, re-run per merge on the rewritten
+    corpus — so this operator IS the distributed inner loop, exposed
+    once.
+
+    Shape: zip each token array with its own tail (one O(m) slice,
+    no per-element lambda), explode, one map-side-combined count,
+    TakeOrderedAndProject top-k — no global sort, no UDF.
+
+    Emits (pair, pairCount) ordered by (count desc, pair asc).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n_pairs = F.size(toks) - F.lit(1)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n_pairs, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n_pairs, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        df.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("pairCount"))
+        .orderBy(F.desc("pairCount"), F.asc("pair"))
+        .limit(k)
+    )
+
+
+def strip_boilerplate(
+    df: "DataFrame",
+    lines: Column,
+    id_col: str = "doc_id",
+    max_df: int = 10,
+) -> "DataFrame":
+    """Corpus-level boilerplate line removal — the RefinedWeb/CCNet
+    step that strips lines occurring in many documents (cookie
+    banners, navigation, licence footers): a line appearing in more
+    than ``max_df`` distinct documents is dropped from every
+    document; order of surviving lines is preserved.
+
+    Shape at scale: explode to (doc, pos, line), collapse the line
+    STRING to xxhash64 before the document-frequency shuffle (8-byte
+    keys on the wire — same device as duplicate_ngram_coverage), one
+    distinct-per-doc count with map-side combine, one hash join back,
+    then a per-doc collect_list(struct(pos, line)) sorted by position
+    to rebuild the cleaned text. Three narrow shuffles, no UDF.
+
+    Emits (docId, nLines, nKept, cleanedText); documents whose lines
+    are ALL boilerplate keep a row with empty cleanedText.
+    """
+    occ = df.select(
+        F.col(id_col).alias("docId"), F.posexplode_outer(lines).alias("pos", "line")
+    ).withColumn(
+        "lineHash",
+        F.when(F.col("line").isNotNull(), F.xxhash64("line")),
+    )
+    dfreq = (
+        occ.filter(F.col("lineHash").isNotNull())
+        .select("lineHash", "docId")
+        .distinct()
+        .groupBy("lineHash")
+        .agg(F.count(F.lit(1)).alias("lineDf"))
+    )
+    kept = (
+        occ.join(dfreq, on="lineHash", how="left")
+        .withColumn(
+            "_keep",
+            F.col("line").isNotNull() & (F.col("lineDf") <= F.lit(max_df)),
+        )
+    )
+    return (
+        kept.groupBy("docId")
+        .agg(
+            F.sum(F.when(F.col("line").isNotNull(), 1).otherwise(0)).alias(
+                "nLines"
+            ),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("nKept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("cleanedText"),
+        )
+    )
+
+
+# URL canonicalization patterns, written in the Java-regex ∩ RE2
+# subset (no lookaround/backrefs) so the DuckDB oracles replay them
+_URL_TRACKING_PARAM = r"(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL for crawl-level deduplication
+    (CommonCrawl/CCNet convention): lowercase scheme+host, drop the
+    fragment, drop tracking query parameters (utm_*, fbclid, gclid,
+    ref), collapse an emptied query string, strip a trailing slash on
+    the path. Pure regexp_replace chain — a pushed-down projection.
+    """
+    # lowercase scheme://host only (path/query stay case-sensitive)
+    c = F.concat(
+        F.lower(F.regexp_extract(url, r"^([a-zA-Z]+://[^/]*)", 1)),
+        F.regexp_replace(url, r"^[a-zA-Z]+://[^/]*", ""),
+    )
+    c = F.regexp_replace(c, r"#.*$", "")  # fragment
+    c = F.regexp_replace(c, _URL_TRACKING_PARAM, "")  # tracking params
+    # separator cleanup ORDER matters: collapse doubled '&' runs
+    # first, then a '?&' dangler, then a fully-emptied query, then
+    # a path slash directly before '?' , then a trailing slash
+    c = F.regexp_replace(c, r"&&+", "&")
+    c = F.regexp_replace(c, r"\?&", "?")
+    c = F.regexp_replace(c, r"[?&]+$", "")
+    c = F.regexp_replace(c, r"/\?", "?")
+    c = F.regexp_replace(c, r"/$", "")
+    return c
+
+
+def url_dedup(
+    df: "DataFrame",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """URL-level exact deduplication after canonicalization — the
+    cheapest dedup pass of a crawl pipeline, run before any content
+    hashing: one projection + one hash groupBy on the canonical URL,
+    keeper = smallest id (deterministic). Emits the input ids with
+    (canonicalUrl, urlGroupSize, isKeeper)."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    canon = df.select(
+        F.col(id_col).alias("docId"),
+        F.col(url_col).alias("url"),
+        canonicalize_url(F.col(url_col)).alias("canonicalUrl"),
+    )
+    w_min = Window.partitionBy("canonicalUrl")
+    return canon.select(
+        "docId",
+        "url",
+        "canonicalUrl",
+        F.count(F.lit(1)).over(w_min).cast("long").alias("urlGroupSize"),
+        (F.col("docId") == F.min("docId").over(w_min)).alias("isKeeper"),
+    )

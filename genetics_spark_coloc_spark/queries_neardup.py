@@ -1074,3 +1074,298 @@ FROM documents
 
 NEARDUP_QUERIES["interleave_order"] = q_interleave_order
 NEARDUP_ORACLES["interleave_order"] = SQL_INTERLEAVE_ORDER
+
+
+def q_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE inner loop (operators/text.bpe_top_merges):
+    corpus-wide adjacent-token-pair counts, top-20 merge candidates —
+    one map-side-combined count + TakeOrderedAndProject."""
+    from genetics_spark_coloc_spark.operators.text import bpe_top_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_top_merges(docs, k=20)
+
+
+SQL_BPE_TOP_MERGES = r"""
+WITH toks AS (
+  SELECT CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+  FROM documents
+),
+pairs AS (
+  SELECT t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS pair
+  FROM toks CROSS JOIN LATERAL (
+    SELECT UNNEST(GENERATE_SERIES(1, len(t) - 1)) AS i
+  ) g
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS pairCount
+FROM pairs GROUP BY pair
+ORDER BY pairCount DESC, pair ASC LIMIT 20
+"""
+
+NEARDUP_QUERIES["bpe_top_merges"] = q_bpe_top_merges
+NEARDUP_ORACLES["bpe_top_merges"] = SQL_BPE_TOP_MERGES
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal (operators/text.
+    strip_boilerplate): the newline-free corpus is chunked into
+    2-token lines (the line_repetition device), lines occurring in
+    more than 50 distinct documents are dropped everywhere, and each
+    document's cleaned text is rebuilt in order."""
+    from genetics_spark_coloc_spark.operators.text import (
+        strip_boilerplate,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    evens = F.filter(toks, lambda x, i: i % 2 == 0)
+    odds = F.filter(toks, lambda x, i: i % 2 == 1)
+    pairs = F.zip_with(
+        evens,
+        odds,
+        lambda a, b: F.when(b.isNull(), a).otherwise(
+            F.concat(a, F.lit(" "), b)
+        ),
+    )
+    fabricated = F.when(
+        F.size(toks) > 0, F.array_join(pairs, "\n")
+    ).otherwise(F.lit(""))
+    # same projection-collapse barrier as line_repetition: without it
+    # the O(tokens²) chunking re-inlines into every consumer
+    fab = docs.select(
+        F.col("doc_id").alias("docId"), fabricated.alias("fabText")
+    ).localCheckpoint(eager=False)
+    return strip_boilerplate(
+        fab, F.split(F.col("fabText"), "\n"), id_col="docId", max_df=50
+    )
+
+
+SQL_BOILERPLATE_STRIP = r"""
+WITH toks AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(lower(COALESCE(text, '')))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(COALESCE(text, ''))), '\s+') END AS t
+  FROM documents
+),
+lines AS (
+  SELECT docId,
+         CASE WHEN len(t) = 0 THEN ['']
+              ELSE list_transform(range(0, CAST(CEIL(len(t) / 2.0) AS BIGINT)),
+                        i -> array_to_string(list_slice(t, i*2+1, i*2+2), ' ')) END AS l
+  FROM toks
+),
+occ AS (
+  SELECT docId, CAST(i AS INT) - 1 AS pos, l[CAST(i AS INT)] AS line
+  FROM lines CROSS JOIN LATERAL (
+    SELECT UNNEST(GENERATE_SERIES(1, len(l))) AS i
+  ) g
+),
+dfreq AS (
+  SELECT line, COUNT(DISTINCT docId) AS lineDf FROM occ GROUP BY line
+)
+SELECT o.docId,
+       CAST(COUNT(*) AS BIGINT) AS nLines,
+       CAST(SUM(CASE WHEN d.lineDf <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS nKept,
+       COALESCE(STRING_AGG(CASE WHEN d.lineDf <= 50 THEN o.line END,
+                           chr(10) ORDER BY o.pos), '') AS cleanedText
+FROM occ o JOIN dfreq d ON d.line = o.line
+GROUP BY o.docId
+"""
+
+NEARDUP_QUERIES["boilerplate_strip"] = q_boilerplate_strip
+NEARDUP_ORACLES["boilerplate_strip"] = SQL_BOILERPLATE_STRIP
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + exact dedup (operators/text.
+    canonicalize_url / url_dedup): the corpus carries no URLs, so the
+    query plants a deterministic mix of case variants, tracking
+    params, fragments, and trailing slashes keyed on doc_id — ~10
+    canonical groups emerge and the keeper choice is hash-checked."""
+    from genetics_spark_coloc_spark.operators.text import url_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    url = F.concat(
+        F.when(k % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(k % 3 == 2, F.lit("cdn.example.com"))
+        .when(k % 3 == 0, F.lit("Example.COM"))
+        .otherwise(F.lit("example.com")),
+        F.lit("/article/"),
+        (k % 5).cast("string"),
+        F.when(k % 4 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(k % 2 == 0, F.lit("?utm_source=feed")).otherwise(F.lit("")),
+        F.when(k % 4 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    planted = docs.select("doc_id", url.alias("url"))
+    return url_dedup(planted, url_col="url", id_col="doc_id")
+
+
+SQL_URL_DEDUP = r"""
+WITH planted AS (
+  SELECT doc_id AS docId,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+         || (CASE WHEN doc_id % 3 = 2 THEN 'cdn.example.com'
+                  WHEN doc_id % 3 = 0 THEN 'Example.COM'
+                  ELSE 'example.com' END)
+         || '/article/' || CAST(doc_id % 5 AS VARCHAR)
+         || (CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed' ELSE '' END)
+         || (CASE WHEN doc_id % 4 = 0 THEN '#top' ELSE '' END) AS url
+  FROM documents
+),
+canon AS (
+  SELECT docId, url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       lower(regexp_extract(url, '^([a-zA-Z]+://[^/]*)', 1))
+                         || regexp_replace(url, '^[a-zA-Z]+://[^/]*', '', 'g'),
+                       '#.*$', '', 'g'),
+                     '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+                   '&&+', '&', 'g'),
+                 '\?&', '?', 'g'),
+               '[?&]+$', '', 'g'),
+             '/\?', '?', 'g'),
+           '/$', '', 'g') AS canonicalUrl
+  FROM planted
+),
+grp AS (
+  SELECT canonicalUrl, COUNT(*) AS urlGroupSize, MIN(docId) AS keeperId
+  FROM canon GROUP BY canonicalUrl
+)
+SELECT c.docId, c.url, c.canonicalUrl,
+       CAST(g.urlGroupSize AS BIGINT) AS urlGroupSize,
+       c.docId = g.keeperId AS isKeeper
+FROM canon c JOIN grp g ON c.canonicalUrl = g.canonicalUrl
+"""
+
+NEARDUP_QUERIES["url_dedup"] = q_url_dedup
+NEARDUP_ORACLES["url_dedup"] = SQL_URL_DEDUP
+
+
+_PLANTED_DELTA_SPARK = None  # (marker: built inline in each query below)
+
+
+def _planted_delta_corpus(spark: SparkSession, sf_dir: str):
+    """Shared device for the incremental-dedup queries: the corpus
+    has no exact duplicates, so docs with doc_id % 9 ∈ {1,2} are
+    overwritten with one of 13 template strings — duplicate groups
+    then span the delta (doc_id % 4 == 0) / index split both ways."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    content = F.when(
+        F.pmod(k, F.lit(9)).isin(1, 2),
+        F.concat(F.lit("template block "), F.pmod(k, F.lit(13)).cast("string")),
+    ).otherwise(F.col("text"))
+    planted = docs.select("doc_id", content.alias("content"))
+    return (
+        planted.filter(k % 4 == 0),
+        planted.filter(k % 4 != 0),
+    )
+
+
+_PLANTED_DELTA_SQL = """
+planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 IN (1, 2)
+              THEN 'template block ' || CAST(doc_id % 13 AS VARCHAR)
+              ELSE text END AS content
+  FROM documents
+),
+delta AS (SELECT * FROM planted WHERE doc_id % 4 = 0),
+idx AS (SELECT * FROM planted WHERE doc_id % 4 != 0)
+"""
+
+
+def q_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (operators/dedup.
+    incremental_exact_dedup): today's batch (doc_id % 4 == 0) marked
+    against the persisted corpus — content-hash semi join against the
+    distinct index hashes plus a within-delta first-occurrence
+    window; per-batch cost scales with the batch, not the corpus."""
+    from genetics_spark_coloc_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    delta, index = _planted_delta_corpus(spark, sf_dir)
+    return incremental_exact_dedup(delta, index, text_col="content")
+
+
+SQL_DELTA_DEDUP = f"""
+WITH {_PLANTED_DELTA_SQL.strip()},
+d AS (
+  SELECT doc_id AS docId, md5(COALESCE(content, '')) AS contentHash
+  FROM delta
+),
+ih AS (SELECT DISTINCT md5(COALESCE(content, '')) AS contentHash FROM idx),
+marked AS (
+  SELECT d.docId, d.contentHash,
+         ih.contentHash IS NOT NULL AS dupOfIndex,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.contentHash ORDER BY d.docId
+         ) > 1 AS dupWithinDelta
+  FROM d LEFT JOIN ih ON d.contentHash = ih.contentHash
+)
+SELECT docId, contentHash, dupOfIndex, dupWithinDelta,
+       NOT dupOfIndex AND NOT dupWithinDelta AS keep
+FROM marked
+"""
+
+NEARDUP_QUERIES["delta_dedup"] = q_delta_dedup
+NEARDUP_ORACLES["delta_dedup"] = SQL_DELTA_DEDUP
+
+
+def q_delta_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup candidates (operators/dedup.
+    incremental_lsh_candidates): the delta's band table joined
+    against the index's — never delta×delta or index×index, the
+    daily-crawl shape where the index band table is persisted
+    bucketed by (bandIdx, bandHash)."""
+    from genetics_spark_coloc_spark.operators.dedup import (
+        incremental_lsh_candidates,
+    )
+
+    delta, index = _planted_delta_corpus(spark, sf_dir)
+    return incremental_lsh_candidates(
+        delta, index, text_col="content", num_perm=8, band_size=2
+    )
+
+
+SQL_DELTA_LSH_PAIRS = f"""
+WITH {_PLANTED_DELTA_SQL.strip()},
+sh AS (
+  SELECT DISTINCT doc_id AS docId, doc_id % 4 = 0 AS isDelta,
+         substr(lower(content), CAST(i AS INT) * 4 + 1, 8) AS shingle
+  FROM planted CROSS JOIN range(0, 64) AS t(i)
+  WHERE CAST(i AS INT) < CAST(FLOOR(LEAST(GREATEST((length(lower(content)) - 8) / 4 + 1, 1), 64)) AS INT)
+),
+hashed AS (
+  SELECT docId, isDelta, CAST(p AS INT) AS perm,
+         substr(md5(shingle), CAST(p AS INT) * 3 + 1, 8) AS h
+  FROM sh, range(0, 8) AS pt(p)
+),
+sig AS (
+  SELECT docId, isDelta, perm, MIN(h) AS minHash
+  FROM hashed GROUP BY docId, isDelta, perm
+),
+bands AS (
+  SELECT docId, isDelta, CAST(FLOOR(perm / 2) AS INT) AS bandIdx,
+         md5(string_agg(minHash, '|' ORDER BY minHash)) AS bandHash
+  FROM sig
+  GROUP BY docId, isDelta, CAST(FLOOR(perm / 2) AS INT)
+)
+SELECT DISTINCT d.docId AS deltaId, i.docId AS indexId
+FROM bands d
+JOIN bands i ON d.bandIdx = i.bandIdx AND d.bandHash = i.bandHash
+WHERE d.isDelta AND NOT i.isDelta
+"""
+
+NEARDUP_QUERIES["delta_lsh_pairs"] = q_delta_lsh_pairs
+NEARDUP_ORACLES["delta_lsh_pairs"] = SQL_DELTA_LSH_PAIRS

@@ -1580,3 +1580,157 @@ def test_stateless_round5_ops_run_on_streams(spark, tmp_path):
         for r in spark.sql("select * from pq_out").collect()
     }
     assert got2 == batch_codes
+
+
+def test_bpe_top_merges_counts(spark):
+    from genetics_spark_coloc_spark.operators.text import bpe_top_merges
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b x"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    out = bpe_top_merges(docs, k=3).collect()
+    got = [(r["pair"], r["pairCount"]) for r in out]
+    # 'a b' x3 ('a b a b c' has two, 'a b x' one); ties broken by pair asc
+    assert got[0] == ("a b", 3)
+    assert ("b a", 1) in got or ("b c", 1) in got or ("b x", 1) in got
+    assert len(got) == 3
+
+
+def test_strip_boilerplate_drops_common_lines_preserves_order(spark):
+    from genetics_spark_coloc_spark.operators.text import strip_boilerplate
+    from pyspark.sql import functions as F
+
+    rows = [(i, "COOKIE BANNER\nunique line %d\nFOOTER" % i) for i in range(5)]
+    rows.append((99, "only unique content"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["docId"]: r
+        for r in strip_boilerplate(
+            df, F.split(F.col("text"), "\n"), max_df=3
+        ).collect()
+    }
+    for i in range(5):
+        assert out[i]["nLines"] == 3
+        assert out[i]["nKept"] == 1
+        assert out[i]["cleanedText"] == f"unique line {i}"
+    assert out[99]["cleanedText"] == "only unique content"
+    # order preservation with interleaved boilerplate
+    df2 = spark.createDataFrame(
+        [(i, "z common\nfirst%d\nz common\nsecond%d" % (i, i)) for i in range(4)],
+        "doc_id long, text string",
+    )
+    out2 = {
+        r["docId"]: r["cleanedText"]
+        for r in strip_boilerplate(
+            df2, F.split(F.col("text"), "\n"), max_df=2
+        ).collect()
+    }
+    assert out2[0] == "first0\nsecond0"
+
+
+def test_canonicalize_url_variants_collapse(spark):
+    from genetics_spark_coloc_spark.operators.text import canonicalize_url
+    from pyspark.sql import functions as F
+
+    urls = [
+        "HTTPS://Example.COM/a/b?utm_source=x&page=2#frag",
+        "https://example.com/a/b?page=2",
+        "https://example.com/a/b/?page=2",
+        "https://example.com/a/b?page=2&utm_campaign=y",
+        "https://example.com/a/b?utm_a=1&utm_b=2&page=2",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["c"]
+        for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    assert got == {"https://example.com/a/b?page=2"}
+    # tracking-only query collapses entirely; fragment-only URL cleans
+    df2 = spark.createDataFrame(
+        [("https://e.com/p?utm_x=1",), ("https://e.com/p#sec",)], "url string"
+    )
+    got2 = {
+        r["c"]
+        for r in df2.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    assert got2 == {"https://e.com/p"}
+
+
+def test_url_dedup_keeper_is_min_id(spark):
+    from genetics_spark_coloc_spark.operators.text import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (3, "https://e.com/x?utm_a=1"),
+            (1, "HTTPS://E.COM/x"),
+            (2, "https://e.com/x/"),
+            (9, "https://e.com/other"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["docId"]: r for r in url_dedup(df).collect()}
+    assert out[1]["isKeeper"] and not out[2]["isKeeper"] and not out[3]["isKeeper"]
+    assert out[1]["urlGroupSize"] == 3
+    assert out[9]["isKeeper"] and out[9]["urlGroupSize"] == 1
+
+
+def test_incremental_exact_dedup_marks(spark):
+    from genetics_spark_coloc_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    index = spark.createDataFrame(
+        [(100, "seen before"), (101, "other old")], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [
+            (1, "seen before"),   # dup of index
+            (2, "brand new"),
+            (3, "brand new"),     # dup within delta of 2
+            (4, "also new"),
+            (5, None),            # null text hashes as ''
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["docId"]: r for r in incremental_exact_dedup(delta, index).collect()
+    }
+    assert out[1]["dupOfIndex"] and not out[1]["keep"]
+    assert out[2]["keep"] and not out[2]["dupWithinDelta"]
+    assert out[3]["dupWithinDelta"] and not out[3]["dupOfIndex"]
+    assert not out[3]["keep"]
+    assert out[4]["keep"] and out[5]["keep"]
+
+
+def test_incremental_lsh_candidates_cross_only(spark):
+    from genetics_spark_coloc_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_dedup_pairs,
+    )
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, text_a) for i in range(4)] + [
+        (i, f"completely different content number {i} with enough length")
+        for i in range(4, 8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    delta = df.filter("doc_id % 2 = 0")
+    index = df.filter("doc_id % 2 = 1")
+    got = {
+        (r["deltaId"], r["indexId"])
+        for r in incremental_lsh_candidates(delta, index).collect()
+    }
+    # pairs are strictly delta x index
+    assert all(d % 2 == 0 and i % 2 == 1 for d, i in got)
+    # the 4 identical docs (0,1,2,3) must pair across the split
+    assert (0, 1) in got and (2, 3) in got and (0, 3) in got
+    # cross-split coverage matches the batch pipeline restricted to
+    # cross pairs
+    batch = {
+        tuple(sorted((r["leftId"], r["rightId"])))
+        for r in minhash_dedup_pairs(df, "text", "doc_id").collect()
+    }
+    cross_batch = {p for p in batch if (p[0] % 2) != (p[1] % 2)}
+    got_norm = {tuple(sorted(p)) for p in got}
+    assert got_norm == cross_batch
