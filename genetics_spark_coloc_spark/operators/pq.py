@@ -576,3 +576,64 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("queryId", "centroidId", "neighborId", "adcDist", "rank")
     )
+
+
+def ivfpq_residuals(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual vectors for IVF-PQ TRAINING: each vector's offset
+    from its nearest coarse centroid (squared-L2 assignment,
+    6dp-rounded, smaller-id ties — identical to ivfpq_index). FAISS
+    trains the fine quantizer on exactly these residuals, not raw
+    vectors, because the residual distribution is what the PQ
+    codebook must cover; compose with
+    ``train_pq_codebooks(ivfpq_residuals(sample, cents),
+    vec_col="residual")`` on a corpus SAMPLE and feed the result to
+    :func:`ivfpq_index` / :func:`ivfpq_topk`.
+
+    One mapInPandas pass: coarse assignment is one BLAS product per
+    Arrow batch; no shuffle. Output: (vid, centroidId, residual
+    array<double>); invalid vectors keep a row with nulls.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from genetics_spark_coloc_spark.operators.similarity import (
+        _collect_centroid_matrix,
+    )
+
+    cids, cmat, _cnorm, id_sql_type = _collect_centroid_matrix(
+        centroids, id_col, vec_col
+    )
+    cid_arr = np.array(cids)
+    dim = cmat.shape[1]
+    out_schema = (
+        f"vid long, centroidId {id_sql_type}, residual array<double>"
+    )
+
+    def _resid(batches):
+        for pdf in batches:
+            vals = pdf[vec_col].tolist()
+            vids = pdf[id_col].to_numpy()
+            cent_out = [None] * len(vals)
+            res_out = [None] * len(vals)
+            ok = _valid_rows(vals, dim)
+            if ok:
+                x = np.array([vals[i] for i in ok], dtype=np.float64)
+                cidx = _argbest_rounded(_sq_dist(x, cmat), largest=False)
+                resid = x - cmat[cidx]
+                for j, i in enumerate(ok):
+                    cent_out[i] = cid_arr[cidx[j]].item()
+                    res_out[i] = [float(v) for v in resid[j]]
+            yield pd.DataFrame(
+                {
+                    "vid": vids,
+                    "centroidId": pd.Series(cent_out, dtype=object),
+                    "residual": pd.Series(res_out, dtype=object),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(_resid, out_schema)

@@ -1734,3 +1734,97 @@ def test_incremental_lsh_candidates_cross_only(spark):
     cross_batch = {p for p in batch if (p[0] % 2) != (p[1] % 2)}
     got_norm = {tuple(sorted(p)) for p in got}
     assert got_norm == cross_batch
+
+
+def test_incremental_dedup_runs_stream_static(spark, tmp_path):
+    """The production continuous-ingest shape: a STREAMING delta
+    marked against a STATIC persisted index. incremental_exact_dedup
+    composes a stream-static left join + a window; the window is not
+    stream-safe, so the streaming twin marks dupOfIndex only (the
+    within-batch mark belongs to the batch compactor) — certified
+    against the batch operator's dupOfIndex on the same rows."""
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    index = spark.createDataFrame(
+        [(100, "seen before"), (101, "other old")], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [(1, "seen before"), (2, "brand new"), (3, "other old"), (4, None)],
+        "doc_id long, text string",
+    )
+    want = {
+        r["docId"]: r["dupOfIndex"]
+        for r in incremental_exact_dedup(delta, index).collect()
+    }
+    src = str(tmp_path / "delta_stream")
+    delta.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(delta.schema).parquet(src)
+    idx_hashes = index.select(
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("contentHash")
+    ).distinct()
+    marked = (
+        stream.select(
+            F.col("doc_id").alias("docId"),
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("contentHash"),
+        )
+        .join(
+            idx_hashes.withColumn("_inIndex", F.lit(True)),
+            on="contentHash",
+            how="left",
+        )
+        .select(
+            "docId",
+            F.coalesce(F.col("_inIndex"), F.lit(False)).alias("dupOfIndex"),
+        )
+    )
+    q = (
+        marked.writeStream.format("memory")
+        .queryName("delta_marked")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["docId"]: r["dupOfIndex"]
+        for r in spark.sql("select * from delta_marked").collect()
+    }
+    assert got == want
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Property: across chunks, token positions [0, n) are covered
+    exactly by the sliding windows (union of [start, start+len) is
+    the full range, consecutive chunks overlap by max_tokens-stride
+    except possibly the last)."""
+    import random
+
+    from genetics_spark_coloc_spark.operators.text import chunk_documents
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(30):
+        n = rng.randint(0, 40)
+        rows.append((i, " ".join(f"w{j}" for j in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for max_t, stride in [(8, 8), (8, 5), (5, 2), (1, 1)]:
+        chunks = {}
+        for r in chunk_documents(df, max_tokens=max_t, stride=stride).collect():
+            chunks.setdefault(r["docId"], []).append(
+                (r["startTok"], r["nChunkTokens"])
+            )
+        for i, text in rows:
+            n = len(text.split()) if text else 0
+            cs = sorted(chunks[i])
+            covered = set()
+            for start, ln in cs:
+                assert 0 <= start and (start == 0 or start < n)
+                covered.update(range(start, start + ln))
+            assert covered == set(range(n)), (i, max_t, stride, cs)
+            # no chunk fully contained in its predecessor
+            for (s1, l1), (s2, l2) in zip(cs, cs[1:]):
+                assert s2 + l2 > s1 + l1

@@ -394,4 +394,25 @@ def pq_probes(n_vec: int = 200_000, dim: int = 64) -> None:
         n_docs,
         lambda: classifier_score(docs, weights),
     )
+    from genetics_spark_coloc_spark.operators.dedup import (
+        incremental_exact_dedup,
+        incremental_lsh_candidates,
+    )
+
+    # incremental dedup: a 200k-doc delta against a 1.8M-doc index
+    # (10% daily batch) — per-batch cost must track the delta
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    index = docs.filter(F.col("doc_id") % 10 != 0)
+    probe(
+        "incremental_exact_dedup_200k_delta_vs_1800k_index",
+        n_docs // 10,
+        lambda: incremental_exact_dedup(delta, index),
+    )
+    probe(
+        "incremental_lsh_200k_delta_vs_1800k_index",
+        n_docs // 10,
+        lambda: incremental_lsh_candidates(
+            delta.limit(50_000), index.limit(450_000)
+        ),
+    )
     spark.stop()
