@@ -1204,3 +1204,165 @@ def url_dedup(
         F.count(F.lit(1)).over(w_min).cast("long").alias("urlGroupSize"),
         (F.col("docId") == F.min("docId").over(w_min)).alias("isKeeper"),
     )
+
+
+def duplicate_spans(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+) -> "DataFrame":
+    """Exact substring-duplicate SPAN extraction — the span-level form
+    of Lee et al. (2022) suffix-array dedup, re-expressed for Spark:
+    a token position is duplicated iff it lies inside some
+    ``min_tokens``-token window whose (lowercased) text occurs MORE
+    THAN ONCE in the corpus (any document, any position — self-repeats
+    count, matching the suffix-array semantics). Overlapping and
+    abutting duplicated windows are merged into maximal spans, so each
+    output row is one contiguous duplicated region.
+
+    Scale shape: windows come from shifted-slice zips (no per-element
+    lambda), are collapsed to 64-bit xxhash before the frequency
+    shuffle (8-byte keys on the wire, map-side combine), one hash join
+    back, then a per-doc lag window + running-sum island merge — the
+    same device as sessionization. No UDFs; the only wide relations
+    shuffle on 8-byte or (docId) keys.
+
+    Emits one row per maximal span: (docId, spanStart, spanEnd,
+    spanTokens) with token offsets [spanStart, spanEnd). Documents
+    with no duplicated window produce no rows.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    k = min_tokens
+    wins = df.select(
+        F.col(id_col).alias("docId"),
+        F.posexplode(word_ngrams(F.col(text_col), k)).alias("start", "gramStr"),
+    ).select("docId", "start", F.xxhash64("gramStr").alias("gram"))
+    dup_grams = (
+        wins.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= 2)
+        .select("gram")
+    )
+    dup = wins.join(dup_grams, on="gram", how="inner").select("docId", "start")
+    w = Window.partitionBy("docId").orderBy("start")
+    run = Window.partitionBy("docId").orderBy("start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # two windows [s0,s0+k) [s1,s1+k) merge when s1 <= s0 + k
+    # (overlap or exact abutment -> one contiguous duplicated region)
+    islands = dup.withColumn(
+        "_brk",
+        F.when(
+            F.col("start") - F.lag("start").over(w) > F.lit(k), 1
+        ).otherwise(0),
+    ).withColumn("islandId", F.sum("_brk").over(run))
+    return (
+        islands.groupBy("docId", "islandId")
+        .agg(
+            F.min("start").cast("long").alias("spanStart"),
+            (F.max("start") + F.lit(k)).cast("long").alias("spanEnd"),
+        )
+        .select(
+            "docId",
+            "spanStart",
+            "spanEnd",
+            (F.col("spanEnd") - F.col("spanStart")).alias("spanTokens"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+) -> "DataFrame":
+    """Lee et al. (2022) substring-duplicate REMOVAL: cut every
+    maximal duplicated span found by :func:`duplicate_spans` out of
+    each document and rebuild the text from the surviving tokens
+    (original case; matching is case-insensitive like the span
+    finder). One extra groupBy(docId) to gather a doc's spans plus
+    one join back to the corpus; the token filter is a JVM array
+    lambda over (token, index), O(tokens x spans) per document with
+    spans typically tiny.
+
+    Emits (docId, nTokens, nDupTokens, cleanedText) for EVERY input
+    document; untouched documents keep their (whitespace-normalised)
+    text with nDupTokens = 0.
+    """
+    spans = duplicate_spans(df, text_col, id_col, min_tokens)
+    per_doc = spans.groupBy("docId").agg(
+        F.collect_list(F.struct("spanStart", "spanEnd")).alias("_spans"),
+        F.sum("spanTokens").alias("_nDup"),
+    )
+    base = df.select(
+        F.col(id_col).alias("docId"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    joined = base.join(per_doc, on="docId", how="left")
+    kept = F.when(F.col("_spans").isNull(), F.col("_toks")).otherwise(
+        F.filter(
+            F.col("_toks"),
+            lambda t, i: ~F.exists(
+                F.col("_spans"),
+                lambda s: (i >= s["spanStart"]) & (i < s["spanEnd"]),
+            ),
+        )
+    )
+    return joined.select(
+        "docId",
+        F.coalesce(F.size("_toks"), F.lit(-1)).cast("long").alias("nTokens"),
+        F.coalesce(F.col("_nDup"), F.lit(0)).cast("long").alias("nDupTokens"),
+        F.concat_ws(" ", kept).alias("cleanedText"),
+    )
+
+
+def winnow_fingerprints(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> "DataFrame":
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm): hash every ``k``-token gram, slide a
+    ``window``-wide frame over the gram-hash sequence, and keep the
+    minimum hash of each frame. The selected set is position-robust:
+    any shared substring of at least ``window + k - 1`` tokens is
+    guaranteed to contribute at least one common fingerprint, so
+    equal-fingerprint buckets are near-dup candidates.
+
+    Hashes are md5 hex strings and selection is lexicographic string
+    min — both replay identically in any engine, so the sketch is
+    cross-engine stable. All work is per-row array math inside
+    whole-stage codegen: O(grams x window) with no explode, no
+    shuffle, no UDF. Documents shorter than ``window`` grams keep one
+    fingerprint (the global min) if they have any gram at all.
+
+    Emits (docId, nGrams, nFps, fpSketch) where fpSketch = md5 of the
+    '|'-joined sorted distinct fingerprints.
+    """
+    grams = word_ngrams(F.col(text_col), k)
+    hashes = F.transform(grams, lambda g: F.md5(g))
+    m = F.size(hashes)
+    n_frames = m - F.lit(window - 1)
+    sel = (
+        F.when(
+            m >= F.lit(window),
+            F.transform(
+                F.sequence(F.lit(1), n_frames),
+                lambda j: F.array_min(F.slice(hashes, j, window)),
+            ),
+        )
+        .when(m >= 1, F.array(F.array_min(hashes)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    fps = F.array_sort(F.array_distinct(sel))
+    return df.select(
+        F.col(id_col).alias("docId"),
+        F.coalesce(m, F.lit(-1)).cast("long").alias("nGrams"),
+        F.coalesce(F.size(fps), F.lit(0)).cast("long").alias("nFps"),
+        F.md5(F.concat_ws("|", fps)).alias("fpSketch"),
+    )

@@ -1369,3 +1369,189 @@ WHERE d.isDelta AND NOT i.isDelta
 
 NEARDUP_QUERIES["delta_lsh_pairs"] = q_delta_lsh_pairs
 NEARDUP_ORACLES["delta_lsh_pairs"] = SQL_DELTA_LSH_PAIRS
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal exact-duplicate token spans (Lee et al. 2022 span
+    semantics at 5-token anchor windows): every contiguous region
+    covered by a 5-gram occurring more than once in the corpus
+    (operators/text.duplicate_spans)."""
+    from genetics_spark_coloc_spark.operators.text import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "text", "doc_id", min_tokens=5)
+
+
+SQL_DUP_SPANS = """
+WITH toks AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+),
+starts AS (
+  SELECT docId,
+         UNNEST(CASE WHEN len(t) >= 5 THEN range(0, len(t) - 4) ELSE [] END) AS start,
+         t
+  FROM toks
+),
+grams AS (
+  SELECT docId, start,
+         array_to_string(list_slice(t, start + 1, start + 5), ' ') AS g
+  FROM starts
+),
+dupg AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+),
+dup AS (
+  SELECT docId, start FROM grams WHERE g IN (SELECT g FROM dupg)
+),
+isl AS (
+  SELECT docId, start,
+         SUM(CASE WHEN prev IS NULL OR start - prev > 5 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY docId ORDER BY start) AS islandId
+  FROM (
+    SELECT docId, start,
+           LAG(start) OVER (PARTITION BY docId ORDER BY start) AS prev
+    FROM dup
+  )
+)
+SELECT docId,
+       CAST(MIN(start) AS BIGINT) AS spanStart,
+       CAST(MAX(start) + 5 AS BIGINT) AS spanEnd,
+       CAST(MAX(start) + 5 - MIN(start) AS BIGINT) AS spanTokens
+FROM isl GROUP BY docId, islandId
+"""
+
+NEARDUP_QUERIES["dup_spans"] = q_dup_spans
+NEARDUP_ORACLES["dup_spans"] = SQL_DUP_SPANS
+
+
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-duplicate removal: cut every maximal duplicated span
+    and rebuild the text (operators/text.remove_duplicate_spans)."""
+    from genetics_spark_coloc_spark.operators.text import remove_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, "text", "doc_id", min_tokens=5)
+
+
+SQL_DUP_SPAN_REMOVAL = """
+WITH toks AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+),
+starts AS (
+  SELECT docId,
+         UNNEST(CASE WHEN len(t) >= 5 THEN range(0, len(t) - 4) ELSE [] END) AS start,
+         t
+  FROM toks
+),
+grams AS (
+  SELECT docId, start,
+         array_to_string(list_slice(t, start + 1, start + 5), ' ') AS g
+  FROM starts
+),
+dupg AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+),
+dup AS (
+  SELECT docId, start FROM grams WHERE g IN (SELECT g FROM dupg)
+),
+isl AS (
+  SELECT docId, start,
+         SUM(CASE WHEN prev IS NULL OR start - prev > 5 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY docId ORDER BY start) AS islandId
+  FROM (
+    SELECT docId, start,
+           LAG(start) OVER (PARTITION BY docId ORDER BY start) AS prev
+    FROM dup
+  )
+),
+spans AS (
+  SELECT docId, MIN(start) AS spanStart, MAX(start) + 5 AS spanEnd
+  FROM isl GROUP BY docId, islandId
+),
+origtoks AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+tok AS (
+  SELECT docId, UNNEST(range(0, len(t))) AS p, t FROM origtoks
+),
+kept AS (
+  SELECT k.docId, k.p, k.t[k.p + 1] AS tk
+  FROM tok k
+  LEFT JOIN spans s
+    ON s.docId = k.docId AND k.p >= s.spanStart AND k.p < s.spanEnd
+  WHERE s.docId IS NULL
+),
+cleaned AS (
+  SELECT docId, string_agg(tk, ' ' ORDER BY p) AS cleanedText
+  FROM kept GROUP BY docId
+),
+dupcount AS (
+  SELECT docId, SUM(spanEnd - spanStart) AS nDup FROM spans GROUP BY docId
+)
+SELECT o.docId,
+       CAST(COALESCE(len(o.t), -1) AS BIGINT) AS nTokens,
+       CAST(COALESCE(d.nDup, 0) AS BIGINT) AS nDupTokens,
+       COALESCE(c.cleanedText, '') AS cleanedText
+FROM origtoks o
+LEFT JOIN cleaned c ON c.docId = o.docId
+LEFT JOIN dupcount d ON d.docId = o.docId
+"""
+
+NEARDUP_QUERIES["dup_span_removal"] = q_dup_span_removal
+NEARDUP_ORACLES["dup_span_removal"] = SQL_DUP_SPAN_REMOVAL
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sketches (Schleimer et al. 2003, MOSS):
+    min-hash-per-frame selection over 5-gram md5s, frame width 4
+    (operators/text.winnow_fingerprints)."""
+    from genetics_spark_coloc_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
+
+
+SQL_WINNOW_FINGERPRINT = """
+WITH toks AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+),
+hashes AS (
+  SELECT docId,
+         CASE WHEN t IS NULL THEN NULL
+              WHEN len(t) >= 5
+              THEN list_transform(range(0, len(t) - 4),
+                     i -> md5(array_to_string(list_slice(t, i + 1, i + 5), ' ')))
+              ELSE CAST([] AS VARCHAR[]) END AS h
+  FROM toks
+),
+sel AS (
+  SELECT docId, h,
+         CASE WHEN h IS NULL THEN CAST([] AS VARCHAR[])
+              WHEN len(h) >= 4
+              THEN list_transform(range(1, len(h) - 2),
+                     j -> list_min(list_slice(h, j, j + 3)))
+              WHEN len(h) >= 1 THEN [list_min(h)]
+              ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM hashes
+)
+SELECT docId,
+       CAST(COALESCE(len(h), -1) AS BIGINT) AS nGrams,
+       CAST(len(list_distinct(s)) AS BIGINT) AS nFps,
+       md5(array_to_string(list_sort(list_distinct(s)), '|')) AS fpSketch
+FROM sel
+"""
+
+NEARDUP_QUERIES["winnow_fingerprint"] = q_winnow_fingerprint
+NEARDUP_ORACLES["winnow_fingerprint"] = SQL_WINNOW_FINGERPRINT

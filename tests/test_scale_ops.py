@@ -1828,3 +1828,128 @@ def test_chunk_documents_covers_every_token(spark):
             # no chunk fully contained in its predecessor
             for (s1, l1), (s2, l2) in zip(cs, cs[1:]):
                 assert s2 + l2 > s1 + l1
+
+
+def test_duplicate_spans_merges_overlaps_and_self_repeats(spark):
+    """Hand-computed span semantics: cross-doc shared runs merge into
+    maximal spans, a within-doc exact repeat counts (suffix-array
+    parity), abutting windows (gap == k) merge, unique docs and
+    sub-window docs emit nothing, matching is case-insensitive."""
+    from genetics_spark_coloc_spark.operators.text import duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            (0, "A b c d e f g h"),
+            (1, "x x a b c d e f y"),
+            (2, "p q r s t p q r s t"),
+            (3, "solo words only here now"),
+            (4, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["docId"], r["spanStart"], r["spanEnd"], r["spanTokens"])
+        for r in duplicate_spans(df, min_tokens=5).collect()
+    }
+    assert got == {(0, 0, 6, 6), (1, 2, 8, 6), (2, 0, 10, 10)}
+
+
+def test_remove_duplicate_spans_rebuilds_text(spark):
+    from genetics_spark_coloc_spark.operators.text import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            (0, "A b c d e f g h"),
+            (1, "x x a b c d e f y"),
+            (2, "p q r s t p q r s t"),
+            (3, "solo words only here now"),
+            (4, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["docId"]: (r["nTokens"], r["nDupTokens"], r["cleanedText"])
+        for r in remove_duplicate_spans(df, min_tokens=5).collect()
+    }
+    assert got == {
+        0: (8, 6, "g h"),          # original case preserved
+        1: (9, 6, "x x y"),
+        2: (10, 10, ""),           # fully duplicated doc -> empty
+        3: (5, 0, "solo words only here now"),
+        4: (2, 0, "a b"),
+    }
+
+
+def test_winnow_fingerprints_match_reference_python(spark):
+    """Pin the full winnowing pipeline (gram md5, frame min, distinct
+    sort, sketch) to an independent pure-python replay; plus the edge
+    rows: fewer grams than the frame -> single global-min fingerprint,
+    empty text -> md5('') sketch over zero fingerprints."""
+    import hashlib
+
+    from genetics_spark_coloc_spark.operators.text import winnow_fingerprints
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog again and again",
+        1: "tiny doc here now yes six",   # 2 grams < window
+        2: "",                            # no grams
+    }
+    k, w = 5, 4
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r["docId"]: (r["nGrams"], r["nFps"], r["fpSketch"])
+        for r in winnow_fingerprints(df, k=k, window=w).collect()
+    }
+
+    def expect(text):
+        toks = text.lower().split()
+        grams = [
+            " ".join(toks[i : i + k]) for i in range(max(len(toks) - k + 1, 0))
+        ]
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        if len(hs) >= w:
+            sel = [min(hs[j : j + w]) for j in range(len(hs) - w + 1)]
+        elif hs:
+            sel = [min(hs)]
+        else:
+            sel = []
+        fps = sorted(set(sel))
+        return (
+            len(hs),
+            len(fps),
+            hashlib.md5("|".join(fps).encode()).hexdigest(),
+        )
+
+    assert got == {i: expect(t) for i, t in texts.items()}
+    assert got[2][2] == hashlib.md5(b"").hexdigest()
+
+
+def test_winnow_shared_long_substring_guarantees_common_fingerprint(spark):
+    """The winnowing guarantee (Schleimer et al. 2003 Thm): any shared
+    run of >= window + k - 1 tokens yields at least one common
+    selected fingerprint. Checked by replaying selection per doc and
+    intersecting — two docs embedding the same 8-token run in
+    different random contexts must intersect."""
+    import hashlib
+    import random
+
+    rng = random.Random(11)
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    k, w = 5, 4
+
+    def sel_set(text):
+        toks = text.lower().split()
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+    for trial in range(5):
+        left = " ".join(
+            [f"l{rng.randint(0, 9)}{i}" for i in range(10)] + [shared]
+        )
+        right = " ".join(
+            [shared] + [f"r{rng.randint(0, 9)}{i}" for i in range(10)]
+        )
+        assert sel_set(left) & sel_set(right), trial

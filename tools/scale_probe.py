@@ -416,3 +416,51 @@ def pq_probes(n_vec: int = 200_000, dim: int = 64) -> None:
         ),
     )
     spark.stop()
+
+
+def span_probes(n_docs: int = 2_000_000) -> None:
+    """Duplicate-span + winnowing probes at ~40x the sf0.1 document
+    volume. The synthetic corpus embeds a shared 7-token fragment in
+    every doc (unique head/tail), so ~all docs carry one duplicated
+    span — the worst case for the island merge.
+    Run via: python -c "import tools.scale_probe as sp; sp.span_probes()"
+    """
+    spark = get_session(
+        app_name="scale_probe_spans",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.operators.text import (
+        duplicate_spans,
+        remove_duplicate_spans,
+        winnow_fingerprints,
+    )
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.md5(F.col("id").cast("string")),
+            F.lit(" some shared body text fragment number "),
+            (F.col("id") % 50_000).cast("string"),
+            F.lit(" tail "),
+            F.md5((F.col("id") * 17).cast("string")),
+        ).alias("text"),
+    )
+    probe(
+        "duplicate_spans_2m_docs",
+        n_docs,
+        lambda: duplicate_spans(docs, min_tokens=5),
+    )
+    probe(
+        "remove_duplicate_spans_2m_docs",
+        n_docs,
+        lambda: remove_duplicate_spans(docs, min_tokens=5),
+    )
+    probe(
+        "winnow_fingerprints_2m_docs",
+        n_docs,
+        lambda: winnow_fingerprints(docs, k=5, window=4),
+    )
+    spark.stop()
