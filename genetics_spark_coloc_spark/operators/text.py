@@ -1344,7 +1344,22 @@ def winnow_fingerprints(
     Emits (docId, nGrams, nFps, fpSketch) where fpSketch = md5 of the
     '|'-joined sorted distinct fingerprints.
     """
-    grams = word_ngrams(F.col(text_col), k)
+    sel, m = _winnow_selected(F.col(text_col), k, window)
+    fps = F.array_sort(F.array_distinct(sel))
+    return df.select(
+        F.col(id_col).alias("docId"),
+        F.coalesce(m, F.lit(-1)).cast("long").alias("nGrams"),
+        F.coalesce(F.size(fps), F.lit(0)).cast("long").alias("nFps"),
+        F.md5(F.concat_ws("|", fps)).alias("fpSketch"),
+    )
+
+
+def _winnow_selected(text: Column, k: int, window: int):
+    """(selected-fingerprint array, gram count) column pair for
+    winnowing: md5 per k-token gram, lexicographic min per
+    ``window``-wide frame. Selection keeps duplicates in frame order;
+    callers distinct/sort as needed."""
+    grams = word_ngrams(text, k)
     hashes = F.transform(grams, lambda g: F.md5(g))
     m = F.size(hashes)
     n_frames = m - F.lit(window - 1)
@@ -1359,10 +1374,54 @@ def winnow_fingerprints(
         .when(m >= 1, F.array(F.array_min(hashes)))
         .otherwise(F.array().cast("array<string>"))
     )
-    fps = F.array_sort(F.array_distinct(sel))
-    return df.select(
+    return sel, m
+
+
+def winnow_candidate_pairs(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 1,
+) -> "DataFrame":
+    """MOSS-style candidate generation from winnowing fingerprints:
+    documents sharing at least ``min_shared`` selected fingerprints
+    become a candidate pair, with the shared-fingerprint count as the
+    similarity proxy — the inverted-index half of Schleimer et al.
+    (2003) §4, and the third candidate generator of the dedup family
+    (besides MinHash-LSH bands and hyperplane buckets).
+
+    Scale shape: explode each doc's DISTINCT selected fingerprints to
+    (fp, docId) postings — never all-pairs; the self-join is confined
+    to each fingerprint's posting list (bucket join, identical device
+    to ``lsh_candidate_pairs``). Pairs are (left < right); the count
+    aggregate reduces with map-side combine. A pathological
+    fingerprint shared by a large fraction of the corpus quadratically
+    inflates its bucket exactly like an LSH band does — salt or cap
+    posting lists upstream if the corpus has giant boilerplate
+    families (``strip_boilerplate`` first is the documented pipeline
+    order).
+
+    Emits (leftId, rightId, nSharedFps >= min_shared).
+    """
+    sel, _m = _winnow_selected(F.col(text_col), k, window)
+    postings = df.select(
         F.col(id_col).alias("docId"),
-        F.coalesce(m, F.lit(-1)).cast("long").alias("nGrams"),
-        F.coalesce(F.size(fps), F.lit(0)).cast("long").alias("nFps"),
-        F.md5(F.concat_ws("|", fps)).alias("fpSketch"),
+        F.explode(F.array_distinct(sel)).alias("fp"),
+    )
+    left = postings.alias("l")
+    right = postings.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.fp") == F.col("r.fp"))
+            & (F.col("l.docId") < F.col("r.docId")),
+        )
+        .groupBy(
+            F.col("l.docId").alias("leftId"),
+            F.col("r.docId").alias("rightId"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("nSharedFps"))
+        .filter(F.col("nSharedFps") >= F.lit(min_shared))
     )

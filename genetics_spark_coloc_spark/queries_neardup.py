@@ -1555,3 +1555,55 @@ FROM sel
 
 NEARDUP_QUERIES["winnow_fingerprint"] = q_winnow_fingerprint
 NEARDUP_ORACLES["winnow_fingerprint"] = SQL_WINNOW_FINGERPRINT
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS candidate pairs from shared winnowing fingerprints
+    (3-gram md5, frame width 2 — parameters sized so the synthetic
+    corpus's shared runs actually collide)
+    (operators/text.winnow_candidate_pairs)."""
+    from genetics_spark_coloc_spark.operators.text import winnow_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_candidate_pairs(docs, "text", "doc_id", k=3, window=2)
+
+
+SQL_WINNOW_PAIRS = """
+WITH toks AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+),
+hashes AS (
+  SELECT docId,
+         CASE WHEN t IS NULL THEN NULL
+              WHEN len(t) >= 3
+              THEN list_transform(range(0, len(t) - 2),
+                     i -> md5(array_to_string(list_slice(t, i + 1, i + 3), ' ')))
+              ELSE CAST([] AS VARCHAR[]) END AS h
+  FROM toks
+),
+sel AS (
+  SELECT docId,
+         CASE WHEN h IS NULL THEN CAST([] AS VARCHAR[])
+              WHEN len(h) >= 2
+              THEN list_transform(range(1, len(h)),
+                     j -> list_min(list_slice(h, j, j + 1)))
+              WHEN len(h) >= 1 THEN [list_min(h)]
+              ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM hashes
+),
+postings AS (
+  SELECT docId, UNNEST(list_distinct(s)) AS fp FROM sel
+)
+SELECT l.docId AS leftId, r.docId AS rightId,
+       CAST(COUNT(*) AS BIGINT) AS nSharedFps
+FROM postings l JOIN postings r
+  ON l.fp = r.fp AND l.docId < r.docId
+GROUP BY l.docId, r.docId
+HAVING COUNT(*) >= 1
+"""
+
+NEARDUP_QUERIES["winnow_pairs"] = q_winnow_pairs
+NEARDUP_ORACLES["winnow_pairs"] = SQL_WINNOW_PAIRS

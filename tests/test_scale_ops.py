@@ -1953,3 +1953,82 @@ def test_winnow_shared_long_substring_guarantees_common_fingerprint(spark):
             [shared] + [f"r{rng.randint(0, 9)}{i}" for i in range(10)]
         )
         assert sel_set(left) & sel_set(right), trial
+
+
+def test_winnow_fingerprints_runs_on_streams(spark, tmp_path):
+    """winnow_fingerprints is a stateless per-row projection, so it
+    runs UNCHANGED on a readStream — certified by exact batch
+    replay, like gopher_quality above."""
+    from genetics_spark_coloc_spark.operators.text import winnow_fingerprints
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch = {
+        r.docId: tuple(r)[1:]
+        for r in winnow_fingerprints(docs, k=5, window=4).collect()
+    }
+    src = str(tmp_path / "docs_winnow")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        winnow_fingerprints(stream, k=5, window=4)
+        .writeStream.format("memory")
+        .queryName("winnow_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.docId: tuple(r)[1:]
+        for r in spark.sql("select * from winnow_out").collect()
+    }
+    assert got == batch
+
+
+def test_winnow_candidate_pairs_match_python_replay(spark):
+    """Pair counts equal the intersection sizes of per-doc selected
+    fingerprint sets replayed in pure python; pairs with empty
+    intersection never appear; min_shared filters."""
+    import hashlib
+    from itertools import combinations
+
+    from genetics_spark_coloc_spark.operators.text import winnow_candidate_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = {
+        0: f"one two three four five {shared}",
+        1: f"{shared} six seven eight nine ten",
+        2: f"eleven twelve {shared} thirteen fourteen",
+        3: "totally unrelated words in this document here",
+        4: "",
+    }
+    k, w = 5, 4
+
+    def sel_set(text):
+        toks = text.lower().split()
+        grams = [" ".join(toks[i : i + k]) for i in range(max(len(toks) - k + 1, 0))]
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        if len(hs) >= w:
+            return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+        return {min(hs)} if hs else set()
+
+    sets = {i: sel_set(t) for i, t in texts.items()}
+    want = {
+        (a, b): len(sets[a] & sets[b])
+        for a, b in combinations(sorted(texts), 2)
+        if sets[a] & sets[b]
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r["leftId"], r["rightId"]): r["nSharedFps"]
+        for r in winnow_candidate_pairs(df, k=k, window=w).collect()
+    }
+    assert got == want
+    assert all((a, 3) not in got and (3, b) not in got for a in range(3) for b in range(4, 5))
+    got2 = {
+        (r["leftId"], r["rightId"]): r["nSharedFps"]
+        for r in winnow_candidate_pairs(df, k=k, window=w, min_shared=2).collect()
+    }
+    assert got2 == {p: c for p, c in want.items() if c >= 2}

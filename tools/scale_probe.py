@@ -463,4 +463,18 @@ def span_probes(n_docs: int = 2_000_000) -> None:
         n_docs,
         lambda: winnow_fingerprints(docs, k=5, window=4),
     )
+    from genetics_spark_coloc_spark.operators.text import (
+        winnow_candidate_pairs,
+    )
+
+    # pair generation on a 200k slice: every doc shares the 7-token
+    # body fragment with ~3 others (id % 50k families), so posting
+    # lists stay small while the bucket join is exercised corpus-wide
+    probe(
+        "winnow_candidate_pairs_200k_docs",
+        n_docs // 10,
+        lambda: winnow_candidate_pairs(
+            docs.filter(F.col("doc_id") % 10 == 0), k=5, window=4
+        ),
+    )
     spark.stop()
