@@ -1425,3 +1425,78 @@ def winnow_candidate_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("nSharedFps"))
         .filter(F.col("nSharedFps") >= F.lit(min_shared))
     )
+
+
+def bm25_scores(
+    df: "DataFrame",
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "DataFrame":
+    """Okapi BM25 retrieval scoring (Robertson & Walker 1994) of every
+    document against a small keyword query — the lexical half of a
+    hybrid (BM25 + ANN) retrieval stack.
+
+    Because the query is a handful of literal terms, NOTHING explodes:
+    each per-term tf is one JVM ``size(filter(tokens))`` array
+    expression, so the corpus pass is a shuffle-free projection. The
+    two corpus statistics BM25 needs — avg document length and
+    per-term document frequencies — are a single 1-row aggregate
+    (sum/count + one count-if per term) broadcast back via crossJoin,
+    the same device as ``tfidf_top_terms``; no driver collect, no
+    second scan shape. idf uses the standard BM25 form
+    ln(1 + (N - df + 0.5)/(df + 0.5)), always positive.
+
+    Emits (docId, dl, score) for documents matching at least one
+    query term; score rounded to 6dp for engine-reproducible ranking.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    q = [t.lower() for t in query_terms]
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def _tf(term: str) -> Column:
+        # NB: a single-parameter lambda — a second (defaulted) param
+        # would be read by F.filter as the element-index argument
+        return F.coalesce(
+            F.size(F.filter(toks, lambda t: t == F.lit(term))), F.lit(0)
+        ).cast("long")
+
+    base = df.select(
+        F.col(id_col).alias("docId"),
+        F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("dl"),
+        *[_tf(term).alias(f"_tf{i}") for i, term in enumerate(q)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_nDocs"),
+        F.avg("dl").alias("_avgdl"),
+        *[
+            F.sum(F.when(F.col(f"_tf{i}") > 0, 1).otherwise(0)).alias(f"_df{i}")
+            for i in range(len(q))
+        ],
+    )
+    joined = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(q)):
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = F.log(
+            1.0
+            + (F.col("_nDocs") - F.col(f"_df{i}") + 0.5)
+            / (F.col(f"_df{i}") + 0.5)
+        )
+        part = idf * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
+        )
+        score = part if score is None else score + part
+    return (
+        joined.filter(
+            sum(
+                (F.when(F.col(f"_tf{i}") > 0, 1).otherwise(0) for i in range(len(q))),
+                F.lit(0),
+            )
+            > 0
+        )
+        .select("docId", "dl", F.round(score, 6).alias("score"))
+    )

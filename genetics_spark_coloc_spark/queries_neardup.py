@@ -1607,3 +1607,52 @@ HAVING COUNT(*) >= 1
 
 NEARDUP_QUERIES["winnow_pairs"] = q_winnow_pairs
 NEARDUP_ORACLES["winnow_pairs"] = SQL_WINNOW_PAIRS
+
+
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 scoring of the corpus against a 3-term keyword
+    query — the lexical retrieval half of a hybrid search stack
+    (operators/text.bm25_scores)."""
+    from genetics_spark_coloc_spark.operators.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, ["hash", "join", "vector"], "text", "doc_id")
+
+
+SQL_BM25_RETRIEVAL = """
+WITH toks AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+),
+base AS (
+  SELECT docId,
+         CAST(COALESCE(len(t), 0) AS BIGINT) AS dl,
+         CAST(COALESCE(len(list_filter(t, x -> x = 'hash')), 0) AS BIGINT) AS tf0,
+         CAST(COALESCE(len(list_filter(t, x -> x = 'join')), 0) AS BIGINT) AS tf1,
+         CAST(COALESCE(len(list_filter(t, x -> x = 'vector')), 0) AS BIGINT) AS tf2
+  FROM toks
+),
+stats AS (
+  SELECT COUNT(*) AS nDocs, AVG(dl) AS avgdl,
+         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM base
+)
+SELECT b.docId, b.dl,
+       ROUND(
+         ln(1 + (s.nDocs - s.df0 + 0.5) / (s.df0 + 0.5))
+           * b.tf0 * 2.2 / (b.tf0 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+       + ln(1 + (s.nDocs - s.df1 + 0.5) / (s.df1 + 0.5))
+           * b.tf1 * 2.2 / (b.tf1 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+       + ln(1 + (s.nDocs - s.df2 + 0.5) / (s.df2 + 0.5))
+           * b.tf2 * 2.2 / (b.tf2 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl)),
+       6) AS score
+FROM base b, stats s
+WHERE b.tf0 + b.tf1 + b.tf2 > 0
+"""
+
+NEARDUP_QUERIES["bm25_retrieval"] = q_bm25_retrieval
+NEARDUP_ORACLES["bm25_retrieval"] = SQL_BM25_RETRIEVAL

@@ -2032,3 +2032,52 @@ def test_winnow_candidate_pairs_match_python_replay(spark):
         for r in winnow_candidate_pairs(df, k=k, window=w, min_shared=2).collect()
     }
     assert got2 == {p: c for p, c in want.items() if c >= 2}
+
+
+def test_bm25_scores_match_python_replay(spark):
+    """Okapi BM25 against an independent python implementation:
+    per-term idf/tf saturation, document-length normalisation, the
+    match-at-least-one-term filter, and case-insensitivity."""
+    import math
+
+    from genetics_spark_coloc_spark.operators.text import bm25_scores
+
+    texts = {
+        0: "Spark hash join beats sort merge join here",
+        1: "vector search with hash buckets",
+        2: "nothing relevant at all in this one",
+        3: "join join join join",
+        4: "",
+    }
+    q = ["hash", "join", "vector"]
+    k1, b = 1.2, 0.75
+    tfs = {
+        i: {t: texts[i].lower().split().count(t) for t in q} for i in texts
+    }
+    dls = {i: len(texts[i].split()) for i in texts}
+    n = len(texts)
+    avgdl = sum(dls.values()) / n
+    dfq = {t: sum(1 for i in texts if tfs[i][t] > 0) for t in q}
+
+    def score(i):
+        s = 0.0
+        for t in q:
+            tf = tfs[i][t]
+            idf = math.log(1 + (n - dfq[t] + 0.5) / (dfq[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[i] / avgdl))
+        return round(s, 6)
+
+    want = {
+        i: (dls[i], score(i))
+        for i in texts
+        if any(tfs[i][t] > 0 for t in q)
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["docId"]: (r["dl"], r["score"])
+        for r in bm25_scores(df, q, k1=k1, b=b).collect()
+    }
+    assert set(got) == set(want) == {0, 1, 3}
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) < 1e-6, (i, got[i], want[i])
