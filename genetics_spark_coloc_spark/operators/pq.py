@@ -637,3 +637,95 @@ def ivfpq_residuals(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(_resid, out_schema)
+
+
+def sq8_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization (the SQ8 index of
+    FAISS/Milvus — 4x smaller than float32 at rest, the cheapest
+    compression tier below PQ): scale = max|v| / 127, code_i =
+    floor(v_i / scale + 0.5). |v_i| <= max|v| pins codes to
+    [-127, 127] with no clamp, and floor(x + 0.5) is the same
+    deterministic round-half-up in every engine (unlike banker's
+    rounding). All-zero vectors encode as scale 0 with all-zero
+    codes.
+
+    Pure array Column expressions inside whole-stage codegen — no
+    explode, no shuffle, no UDF; at 100 TB this is a projection that
+    rides whatever scan produces the vectors.
+
+    Emits (vid, dim, scale, codes array<int>); null vectors keep a
+    row with null scale/codes.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = maxabs / F.lit(127.0)
+    codes = F.when(
+        maxabs > 0,
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        F.col(id_col).alias("vid"),
+        F.size(v).cast("int").alias("dim"),
+        scale.alias("scale"),
+        codes.alias("codes"),
+    )
+
+
+def sq8_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric brute-force top-k over SQ8 codes: the float query
+    scores each candidate as scale * sum(q_i * code_i) — the exact
+    dot product against the dequantized vector, computed WITHOUT
+    materialising any float corpus (the corpus side stays int8 +
+    one scale). Queries broadcast (small by contract), candidates
+    stream; per-query ranking is a window over rounded score with an
+    id tie-break, so rank order is engine-reproducible.
+
+    Emits (queryId, neighborId, approxDot, rank <= k), excluding
+    self-pairs.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    q = queries.select(
+        F.col(id_col).alias("queryId"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    scored = (
+        corpus_codes.join(
+            F.broadcast(q), F.col("vid") != F.col("queryId"), "inner"
+        )
+        .filter(F.col("codes").isNotNull() & (F.size("qv") == F.col("dim")))
+        .select(
+            "queryId",
+            F.col("vid").alias("neighborId"),
+            F.round(
+                F.col("scale")
+                * F.aggregate(
+                    F.zip_with(
+                        F.col("qv"),
+                        F.col("codes"),
+                        lambda a, b: a * b.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("approxDot"),
+        )
+    )
+    w = Window.partitionBy("queryId").orderBy(
+        F.col("approxDot").desc(), F.col("neighborId").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

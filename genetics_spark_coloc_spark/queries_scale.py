@@ -1304,3 +1304,94 @@ FROM ranked WHERE rank <= 3
 
 SCALE_QUERIES["ivfpq_topk"] = q_ivfpq_topk
 SCALE_ORACLES["ivfpq_topk"] = SQL_IVFPQ_TOPK
+
+
+def q_sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of every embedding (operators/pq.
+    sq8_encode) — long-form (one row per dimension) so the codes
+    themselves are the compared values; per-vector scale rides along
+    rounded to 6dp."""
+    from genetics_spark_coloc_spark.operators.pq import sq8_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = sq8_encode(emb)
+    return (
+        enc.select(
+            F.col("vid").alias("vecId"),
+            F.round("scale", 6).alias("scale"),
+            F.posexplode_outer("codes").alias("pos", "code"),
+        )
+        .filter(F.col("code").isNotNull())
+        .select("vecId", "pos", "code", "scale")
+    )
+
+
+SQL_SQ8_ENCODE = """
+WITH vec AS (
+  SELECT vec_id AS vecId, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+enc AS (
+  SELECT vecId, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM vec
+)
+SELECT vecId,
+       CAST(UNNEST(range(0, len(v))) AS INT) AS pos,
+       CAST(CASE WHEN scale > 0
+                 THEN floor(v[CAST(UNNEST(range(0, len(v))) AS INT) + 1] / scale + 0.5)
+                 ELSE 0 END AS INT) AS code,
+       ROUND(scale, 6) AS scale
+FROM enc
+"""
+
+
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric top-3 search over SQ8 codes for the first 10
+    vectors as queries (operators/pq.sq8_topk): corpus stays int8 +
+    one scale, the float query dots against dequantized codes."""
+    from genetics_spark_coloc_spark.operators.pq import sq8_encode, sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = sq8_encode(emb)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return sq8_topk(enc, queries_df, k=3)
+
+
+SQL_SQ8_TOPK = """
+WITH vec AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+enc AS (
+  SELECT vid, dim, m / 127.0 AS scale,
+         CASE WHEN m > 0
+              THEN list_transform(v, x -> CAST(floor(x / (m / 127.0) + 0.5) AS INT))
+              ELSE list_transform(v, x -> 0) END AS codes
+  FROM (
+    SELECT vec_id AS vid, len(v) AS dim, v,
+           list_max(list_transform(v, x -> abs(x))) AS m
+    FROM vec
+  )
+),
+q AS (
+  SELECT vec_id AS queryId, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL
+),
+s AS (
+  SELECT q.queryId, e.vid AS neighborId,
+         ROUND(e.scale * list_dot_product(q.qv, list_transform(e.codes, c -> CAST(c AS DOUBLE))), 6) AS approxDot
+  FROM q JOIN enc e ON e.vid != q.queryId AND len(q.qv) = e.dim
+),
+ranked AS (
+  SELECT queryId, neighborId, approxDot,
+         CAST(ROW_NUMBER() OVER (PARTITION BY queryId ORDER BY approxDot DESC, neighborId ASC) AS INT) AS rank
+  FROM s
+)
+SELECT queryId, neighborId, approxDot, rank FROM ranked WHERE rank <= 3
+"""
+
+SCALE_QUERIES["sq8_encode"] = q_sq8_encode
+SCALE_ORACLES["sq8_encode"] = SQL_SQ8_ENCODE
+SCALE_QUERIES["sq8_topk"] = q_sq8_topk
+SCALE_ORACLES["sq8_topk"] = SQL_SQ8_TOPK

@@ -260,3 +260,55 @@ def test_residual_trained_codebooks_beat_raw_trained(spark):
     # reconstruction through coarse+fine must beat flat PQ on this
     # clustered corpus by a wide margin
     assert res_mse < raw_mse * 0.5, (res_mse, raw_mse)
+
+
+def test_sq8_roundtrip_error_bound(spark):
+    """Dequantized values differ from the originals by at most
+    scale/2 + ulp (round-half-up quantization), codes stay in
+    [-127, 127], max-|v| dims hit exactly ±127, and the zero/null
+    edge rows encode as documented."""
+    from genetics_spark_coloc_spark.operators.pq import sq8_encode
+
+    rng = np.random.RandomState(3)
+    mat = rng.randn(40, 16) * rng.uniform(0.1, 10, size=(40, 1))
+    rows = [(int(i), [float(x) for x in mat[i]]) for i in range(40)]
+    rows += [(100, [0.0] * 16), (101, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vid"]: r for r in sq8_encode(df).collect()}
+    for i in range(40):
+        r = got[i]
+        v = mat[i]
+        scale = max(abs(v)) / 127.0
+        assert abs(r["scale"] - scale) < 1e-12
+        codes = np.array(r["codes"])
+        assert codes.min() >= -127 and codes.max() <= 127
+        assert np.max(np.abs(codes)) == 127  # extreme dim saturates
+        recon = codes * r["scale"]
+        assert np.max(np.abs(recon - v)) <= scale / 2 + 1e-12
+    assert got[100]["scale"] == 0.0 and got[100]["codes"] == [0] * 16
+    assert got[101]["codes"] is None and got[101]["scale"] is None
+
+
+def test_sq8_topk_matches_exact_ranking_on_separated_data(spark):
+    """On well-separated vectors the SQ8 approximate dot preserves the
+    exact top-k ranking (quantization error << margin)."""
+    from genetics_spark_coloc_spark.operators.pq import sq8_encode, sq8_topk
+
+    rng = np.random.RandomState(9)
+    # 5 orthogonal-ish direction groups with big magnitude gaps
+    base = np.eye(8)[:5] * 100
+    mat = np.vstack([base + rng.randn(5, 8) * 0.01 for _ in range(4)])
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in mat[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    enc = sq8_encode(df)
+    got = {}
+    for r in sq8_topk(enc, df.filter("vec_id < 5"), k=3).collect():
+        got.setdefault(r["queryId"], []).append((r["rank"], r["neighborId"]))
+    for qid in range(5):
+        exact = np.argsort(
+            [-float(mat[qid] @ mat[j]) if j != qid else np.inf for j in range(20)]
+        )[:3]
+        want = [int(x) for x in exact]
+        assert [n for _, n in sorted(got[qid])] == want, (qid, got[qid], want)
