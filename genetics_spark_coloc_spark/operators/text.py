@@ -1500,3 +1500,46 @@ def bm25_scores(
         )
         .select("docId", "dl", F.round(score, 6).alias("score"))
     )
+
+
+def rrf_fuse(
+    ranked_lists: list["DataFrame"],
+    id_col: str = "docId",
+    rank_col: str = "rank",
+    k0: int = 60,
+) -> "DataFrame":
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N
+    candidate rank lists — the standard glue of hybrid retrieval
+    (BM25 list + ANN list): score(d) = sum over lists of
+    1 / (k0 + rank_d), ranked descending.
+
+    Inputs are TOP-K candidate lists by construction, so the final
+    global ordering window runs over at most sum(|list_i|) rows —
+    bounded and tiny relative to the corpus; the union + groupBy is
+    one narrow shuffle on docId. Scores are 6dp-rounded before
+    ranking so the fused order is engine-reproducible.
+
+    Emits (docId, nLists, rrfScore, fusedRank).
+    """
+    from functools import reduce  # noqa: PLC0415
+
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    tagged = [
+        d.select(
+            F.col(id_col).alias("docId"),
+            F.col(rank_col).cast("long").alias("rank"),
+        )
+        for d in ranked_lists
+    ]
+    unioned = reduce(lambda a, b: a.unionByName(b), tagged)
+    scored = unioned.groupBy("docId").agg(
+        F.count(F.lit(1)).cast("long").alias("nLists"),
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(k0)) + F.col("rank"))), 6
+        ).alias("rrfScore"),
+    )
+    w = Window.orderBy(F.col("rrfScore").desc(), F.col("docId").asc())
+    return scored.withColumn(
+        "fusedRank", F.row_number().over(w).cast("int")
+    )

@@ -1656,3 +1656,112 @@ WHERE b.tf0 + b.tf1 + b.tf2 > 0
 
 NEARDUP_QUERIES["bm25_retrieval"] = q_bm25_retrieval
 NEARDUP_ORACLES["bm25_retrieval"] = SQL_BM25_RETRIEVAL
+
+
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 keyword
+    list ('hash join vector', top-50) with the embedding-cosine list
+    for query vector 0 (top-50) — lexical and dense candidates glued
+    by operators/text.rrf_fuse (Cormack et al. 2009)."""
+    from pyspark.sql.window import Window
+
+    from genetics_spark_coloc_spark.operators.similarity import cosine_topk
+    from genetics_spark_coloc_spark.operators.text import bm25_scores, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = bm25_scores(docs, ["hash", "join", "vector"], "text", "doc_id")
+    w = Window.orderBy(F.col("score").desc(), F.col("docId").asc())
+    bm_ranked = (
+        bm.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("docId", "rank")
+    )
+    dense = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=50).select(
+        F.col("neighborId").alias("docId"), "rank"
+    )
+    return rrf_fuse([bm_ranked, dense])
+
+
+SQL_HYBRID_RETRIEVAL = """
+WITH toks AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+),
+base AS (
+  SELECT docId,
+         CAST(COALESCE(len(t), 0) AS BIGINT) AS dl,
+         CAST(COALESCE(len(list_filter(t, x -> x = 'hash')), 0) AS BIGINT) AS tf0,
+         CAST(COALESCE(len(list_filter(t, x -> x = 'join')), 0) AS BIGINT) AS tf1,
+         CAST(COALESCE(len(list_filter(t, x -> x = 'vector')), 0) AS BIGINT) AS tf2
+  FROM toks
+),
+stats AS (
+  SELECT COUNT(*) AS nDocs, AVG(dl) AS avgdl,
+         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM base
+),
+bm AS (
+  SELECT b.docId,
+         ROUND(
+           ln(1 + (s.nDocs - s.df0 + 0.5) / (s.df0 + 0.5))
+             * b.tf0 * 2.2 / (b.tf0 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+         + ln(1 + (s.nDocs - s.df1 + 0.5) / (s.df1 + 0.5))
+             * b.tf1 * 2.2 / (b.tf1 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+         + ln(1 + (s.nDocs - s.df2 + 0.5) / (s.df2 + 0.5))
+             * b.tf2 * 2.2 / (b.tf2 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl)),
+         6) AS score
+  FROM base b, stats s
+  WHERE b.tf0 + b.tf1 + b.tf2 > 0
+),
+bmr AS (
+  SELECT docId, rank FROM (
+    SELECT docId,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, docId ASC) AS BIGINT) AS rank
+    FROM bm
+  ) WHERE rank <= 50
+),
+q AS (
+  SELECT vec_id AS queryId, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+c AS (
+  SELECT vec_id AS neighborId, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+),
+cs AS (
+  SELECT queryId, neighborId,
+         ROUND(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosineSim
+  FROM q, c
+  WHERE queryId != neighborId
+),
+cr AS (
+  SELECT neighborId AS docId, rank FROM (
+    SELECT neighborId,
+           CAST(ROW_NUMBER() OVER (ORDER BY cosineSim DESC, neighborId ASC) AS BIGINT) AS rank
+    FROM cs
+  ) WHERE rank <= 50
+),
+u AS (
+  SELECT docId, rank FROM bmr
+  UNION ALL
+  SELECT docId, rank FROM cr
+),
+fused AS (
+  SELECT docId,
+         CAST(COUNT(*) AS BIGINT) AS nLists,
+         ROUND(SUM(1.0 / (60.0 + rank)), 6) AS rrfScore
+  FROM u GROUP BY docId
+)
+SELECT docId, nLists, rrfScore,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrfScore DESC, docId ASC) AS INT) AS fusedRank
+FROM fused
+"""
+
+NEARDUP_QUERIES["hybrid_retrieval"] = q_hybrid_retrieval
+NEARDUP_ORACLES["hybrid_retrieval"] = SQL_HYBRID_RETRIEVAL

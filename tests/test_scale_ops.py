@@ -2081,3 +2081,33 @@ def test_bm25_scores_match_python_replay(spark):
     for i in want:
         assert got[i][0] == want[i][0]
         assert abs(got[i][1] - want[i][1]) < 1e-6, (i, got[i], want[i])
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF semantics: score = sum 1/(k0+rank) over lists containing
+    the doc; docs in both lists outrank single-list docs with worse
+    ranks; ties break by docId."""
+    from genetics_spark_coloc_spark.operators.text import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "docId long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(12, 1), (13, 2), (10, 3)], "docId long, rank long"
+    )
+    got = {
+        r["docId"]: (r["nLists"], r["rrfScore"], r["fusedRank"])
+        for r in rrf_fuse([a, b], k0=60).collect()
+    }
+    want_scores = {
+        10: round(1 / 61 + 1 / 63, 6),
+        11: round(1 / 62, 6),
+        12: round(1 / 63 + 1 / 61, 6),
+        13: round(1 / 62, 6),
+    }
+    assert {d: s for d, (_, s, _) in got.items()} == want_scores
+    # 10 and 12 tie exactly -> docId ascending; 11/13 tie -> docId
+    assert [d for d, (_, _, r) in sorted(got.items(), key=lambda kv: kv[1][2])] == [
+        10, 12, 11, 13
+    ]
+    assert got[10][0] == 2 and got[11][0] == 1
