@@ -122,3 +122,26 @@ def test_broadcast_used_for_small_dim(spark):
 
     df = QUERIES["cosine_topk"](spark, SF_DIR)
     assert "BroadcastExchange" in physical_plan(df) or "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
+
+
+def test_winnow_and_sq8_are_shuffle_free(spark):
+    """winnow_fingerprint and sq8_encode advertise themselves as
+    in-row array math (no explode, no shuffle) — pinned to the
+    physical plan like the stateless text filters above."""
+    for name in ["winnow_fingerprint", "sq8_encode"]:
+        df = QUERIES[name](spark, SF_DIR)
+        assert shuffle_count(df) == 0, f"{name}: {shuffle_count(df)} exchanges"
+
+
+def test_bm25_corpus_pass_broadcasts_stats(spark):
+    """bm25_scores' corpus statistics (avgdl, per-term df) must ride a
+    BroadcastExchange back onto the corpus scan — a SortMergeJoin here
+    would shuffle the whole corpus for a 1-row table; and the plan
+    must contain at most the broadcast exchange pair, never a
+    corpus-keyed exchange."""
+    from genetics_spark_coloc_spark.plans.inspect import physical_plan
+
+    df = QUERIES["bm25_retrieval"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
