@@ -913,3 +913,30 @@ def semantic_dedup(
             "maxSim",
         )
     )
+
+
+def truncate_embeddings(
+    df: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style dimension truncation (Kusupati et al. 2022):
+    keep the first ``dims`` coordinates of each embedding — the MRL
+    convention where prefixes of the vector are themselves valid
+    lower-capacity embeddings — so downstream cosine ranking runs at
+    dims/d of the full cost. The truncated vector is returned UN-
+    normalized; cosine similarity is scale-invariant, so re-ranking
+    through :func:`cosine_topk` needs no renorm pass, and callers that
+    want unit vectors can compose with their own scaling.
+
+    Shuffle-free projection; vectors shorter than ``dims`` pass
+    through whole (slice caps at length), null vectors stay null.
+
+    Emits (id_col, vec_col) with the same column names, so the result
+    drops into any consumer of the original table.
+    """
+    return df.select(
+        F.col(id_col),
+        F.slice(F.col(vec_col), 1, dims).alias(vec_col),
+    )

@@ -1765,3 +1765,48 @@ FROM fused
 
 NEARDUP_QUERIES["hybrid_retrieval"] = q_hybrid_retrieval
 NEARDUP_ORACLES["hybrid_retrieval"] = SQL_HYBRID_RETRIEVAL
+
+
+def q_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka low-dimensional retrieval: cosine top-5 for the
+    first 10 vectors computed on the FIRST 16 of 64 dimensions
+    (operators/similarity.truncate_embeddings + cosine_topk) — the
+    cheap first stage of an MRL funnel, 4x less dot-product work per
+    candidate."""
+    from genetics_spark_coloc_spark.operators.similarity import (
+        cosine_topk,
+        truncate_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    trunc = truncate_embeddings(emb, dims=16)
+    return cosine_topk(trunc, trunc.filter(F.col("vec_id") < 10), k=5)
+
+
+SQL_MRL_TOPK = """
+WITH q AS (
+  SELECT vec_id AS queryId, CAST(embedding[1:16] AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (
+  SELECT vec_id AS neighborId, CAST(embedding[1:16] AS DOUBLE[]) AS cv
+  FROM embeddings
+),
+s AS (
+  SELECT queryId, neighborId,
+         ROUND(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosineSim
+  FROM q, c
+  WHERE queryId != neighborId
+),
+ranked AS (
+  SELECT queryId, neighborId, cosineSim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY queryId ORDER BY cosineSim DESC, neighborId ASC) AS INT) AS rank
+  FROM s
+)
+SELECT queryId, neighborId, cosineSim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+NEARDUP_QUERIES["mrl_topk"] = q_mrl_topk
+NEARDUP_ORACLES["mrl_topk"] = SQL_MRL_TOPK

@@ -2111,3 +2111,23 @@ def test_rrf_fuse_hand_computed(spark):
         10, 12, 11, 13
     ]
     assert got[10][0] == 2 and got[11][0] == 1
+
+
+def test_truncate_embeddings_prefix_and_edges(spark):
+    from genetics_spark_coloc_spark.operators.similarity import (
+        truncate_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0, 3.0, 4.0]),
+            (1, [5.0, 6.0]),   # shorter than dims -> whole vector
+            (2, None),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["embedding"]
+        for r in truncate_embeddings(df, dims=3).collect()
+    }
+    assert got == {0: [1.0, 2.0, 3.0], 1: [5.0, 6.0], 2: None}
