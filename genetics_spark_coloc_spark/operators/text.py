@@ -1543,3 +1543,74 @@ def rrf_fuse(
     return scored.withColumn(
         "fusedRank", F.row_number().over(w).cast("int")
     )
+
+
+def bpe_merge_tokens(toks: Column, pa: Column, pb: Column) -> Column:
+    """One BPE merge round applied to a token array: every
+    left-to-right non-overlapping adjacent (pa, pb) occurrence
+    collapses into the single symbol ``pa + ' ' + pb`` — exactly the
+    corpus rewrite between two ``bpe_top_merges`` counting rounds
+    (Sennrich et al. 2016).
+
+    The space joiner is deliberate: whitespace tokens can never
+    contain a space, so a merged symbol is strictly longer than its
+    left part and can never spuriously equal ``pa`` — which makes the
+    sequential fold below EXACT for every pair, including pa == pb
+    (where "a a a" must become ["a a", "a"], leftmost-first) and
+    symbols that are themselves earlier merges.
+
+    Cost model: the fold copies the accumulator per element —
+    O(tokens^2) array writes per document, all JVM-side. Fine for
+    typical documents; for million-token rows, pre-chunk first
+    (``chunk_documents``).
+    """
+    return F.aggregate(
+        toks,
+        F.array().cast("array<string>"),
+        lambda acc, t: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == pa)
+            & (t == pb),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(pa, F.lit(" "), pb)),
+            ),
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+
+
+def apply_top_bpe_merge(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """One full round of the distributed BPE training loop: count all
+    adjacent pairs (``bpe_top_merges``), pick the winner, rewrite the
+    corpus with :func:`bpe_merge_tokens`. The winning pair is a 1-row
+    aggregate broadcast onto the corpus scan — no driver round-trip,
+    the whole round is one lazy plan; training N merges = N of these
+    rounds, each a distributed count + rewrite (the inherently
+    sequential part of BPE is the rounds, never the corpus pass).
+
+    Emits the rewritten corpus long-form: (docId, pos, symbol) with
+    merged symbols spelled "left right".
+    """
+    top1 = (
+        bpe_top_merges(df, k=1, text_col=text_col)
+        .select(F.split("pair", " ").alias("_p"))
+        .select(
+            F.get("_p", 0).alias("_pa"),
+            F.get("_p", 1).alias("_pb"),
+        )
+    )
+    toks = tokens(F.lower(F.col(text_col)))
+    merged = df.crossJoin(F.broadcast(top1)).select(
+        F.col(id_col).alias("docId"),
+        bpe_merge_tokens(toks, F.col("_pa"), F.col("_pb")).alias("_sym"),
+    )
+    return (
+        merged.select(
+            "docId", F.posexplode_outer("_sym").alias("pos", "symbol")
+        )
+        .filter(F.col("symbol").isNotNull())
+    )

@@ -1810,3 +1810,69 @@ FROM ranked WHERE rank <= 5
 
 NEARDUP_QUERIES["mrl_topk"] = q_mrl_topk
 NEARDUP_ORACLES["mrl_topk"] = SQL_MRL_TOPK
+
+
+def q_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed BPE training round: count pairs, broadcast the
+    winner, rewrite every document (operators/text.
+    apply_top_bpe_merge). The oracle replays the rewrite through an
+    independent gaps-and-islands parity formulation of leftmost-first
+    matching — two different exact algorithms, one answer."""
+    from genetics_spark_coloc_spark.operators.text import apply_top_bpe_merge
+
+    docs = load_table(spark, sf_dir, "documents")
+    return apply_top_bpe_merge(docs, "text", "doc_id")
+
+
+SQL_BPE_APPLY_MERGE = """
+WITH toks AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+),
+pairs AS (
+  SELECT UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS p
+  FROM toks
+),
+top1 AS (
+  SELECT p FROM pairs GROUP BY p ORDER BY COUNT(*) DESC, p ASC LIMIT 1
+),
+pq AS (
+  SELECT string_split(p, ' ')[1] AS pa, string_split(p, ' ')[2] AS pb FROM top1
+),
+tok AS (
+  SELECT docId, UNNEST(range(0, len(t))) AS i, t FROM toks
+),
+m AS (
+  SELECT tok.docId, tok.i, tok.t[tok.i + 1] AS tk,
+         COALESCE(tok.t[tok.i + 1] = pq.pa AND tok.t[tok.i + 2] = pq.pb, FALSE) AS isMatch
+  FROM tok, pq
+),
+runs AS (
+  SELECT docId, i, tk, isMatch,
+         i - ROW_NUMBER() OVER (PARTITION BY docId, isMatch ORDER BY i) AS grp
+  FROM m
+),
+active AS (
+  SELECT docId, i, tk, isMatch,
+         isMatch AND (ROW_NUMBER() OVER (PARTITION BY docId, isMatch, grp ORDER BY i) % 2) = 1 AS isActive
+  FROM runs
+),
+sym AS (
+  SELECT docId, i,
+         CASE WHEN isActive
+              THEN tk || ' ' || LEAD(tk) OVER (PARTITION BY docId ORDER BY i)
+              WHEN COALESCE(LAG(isActive) OVER (PARTITION BY docId ORDER BY i), FALSE)
+              THEN NULL
+              ELSE tk END AS symbol
+  FROM active
+)
+SELECT docId,
+       CAST(ROW_NUMBER() OVER (PARTITION BY docId ORDER BY i) - 1 AS INT) AS pos,
+       symbol
+FROM sym WHERE symbol IS NOT NULL
+"""
+
+NEARDUP_QUERIES["bpe_apply_merge"] = q_bpe_apply_merge
+NEARDUP_ORACLES["bpe_apply_merge"] = SQL_BPE_APPLY_MERGE

@@ -2131,3 +2131,56 @@ def test_truncate_embeddings_prefix_and_edges(spark):
         for r in truncate_embeddings(df, dims=3).collect()
     }
     assert got == {0: [1.0, 2.0, 3.0], 1: [5.0, 6.0], 2: None}
+
+
+def test_bpe_merge_tokens_chain_semantics(spark):
+    """Leftmost-first non-overlapping BPE merge, including the
+    pa == pb run case ('a a a' -> ['a a', 'a']), even runs, merges
+    at boundaries, and no-op docs; plus a second round applied on top
+    of first-round symbols."""
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.operators.text import bpe_merge_tokens
+
+    def run(tokens_list, pa, pb):
+        df = spark.createDataFrame([(tokens_list,)], "t array<string>")
+        return df.select(
+            bpe_merge_tokens(F.col("t"), F.lit(pa), F.lit(pb)).alias("m")
+        ).collect()[0]["m"]
+
+    assert run(["a", "b", "c"], "a", "b") == ["a b", "c"]
+    assert run(["a", "a", "a"], "a", "a") == ["a a", "a"]
+    assert run(["a", "a", "a", "a"], "a", "a") == ["a a", "a a"]
+    assert run(["x", "a", "b", "a", "b"], "a", "b") == ["x", "a b", "a b"]
+    assert run(["a", "b", "b"], "a", "b") == ["a b", "b"]
+    assert run(["c", "d"], "a", "b") == ["c", "d"]
+    assert run([], "a", "b") == []
+    # round 2: the merged symbol is the left partner of a new pair
+    first = run(["t1", "t2", "x"], "t1", "t2")
+    assert first == ["t1 t2", "x"]
+    assert run(first, "t1 t2", "x") == ["t1 t2 x"]
+    # and a symbol can be the right partner too
+    assert run(["y", "t1 t2"], "y", "t1 t2") == ["y t1 t2"]
+
+
+def test_apply_top_bpe_merge_rewrites_with_corpus_winner(spark):
+    """The broadcast winner is the corpus-wide top pair; every
+    occurrence is rewritten, other docs pass through."""
+    from genetics_spark_coloc_spark.operators.text import apply_top_bpe_merge
+
+    df = spark.createDataFrame(
+        [
+            (0, "big data big data big data"),
+            (1, "data big here"),
+            (2, "unrelated words"),
+        ],
+        "doc_id long, text string",
+    )
+    # pairs: (big,data) x3, (data,big) x3 -> tie broken 'big data' < 'data big'
+    out = {}
+    for r in apply_top_bpe_merge(df).collect():
+        out.setdefault(r["docId"], []).append((r["pos"], r["symbol"]))
+    docs = {i: [s for _, s in sorted(v)] for i, v in out.items()}
+    assert docs[0] == ["big data", "big data", "big data"]
+    assert docs[1] == ["data", "big", "here"]
+    assert docs[2] == ["unrelated", "words"]
