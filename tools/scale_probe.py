@@ -478,3 +478,60 @@ def span_probes(n_docs: int = 2_000_000) -> None:
         ),
     )
     spark.stop()
+
+
+def retrieval_probes(n_docs: int = 2_000_000, n_vec: int = 500_000) -> None:
+    """BM25 / SQ8 / BPE-round probes at pipeline volume.
+    Run via: python -c "import tools.scale_probe as sp; sp.retrieval_probes()"
+    """
+    spark = get_session(
+        app_name="scale_probe_retrieval",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.operators.pq import sq8_encode, sq8_topk
+    from genetics_spark_coloc_spark.operators.text import (
+        apply_top_bpe_merge,
+        bm25_scores,
+    )
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.md5(F.col("id").cast("string")),
+            F.lit(" some shared body text fragment number "),
+            (F.col("id") % 50_000).cast("string"),
+            F.lit(" tail "),
+            F.md5((F.col("id") * 17).cast("string")),
+        ).alias("text"),
+    )
+    probe(
+        "bm25_2m_docs_3_terms",
+        n_docs,
+        lambda: bm25_scores(docs, ["shared", "fragment", "tail"]),
+    )
+    probe(
+        "bpe_apply_merge_round_2m_docs",
+        n_docs,
+        lambda: apply_top_bpe_merge(docs),
+    )
+    vecs = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (
+                F.pmod(F.hash(F.col("id"), i), F.lit(2001)) - 1000
+            ).cast("double")
+            / 1000.0,
+        ).alias("embedding"),
+    )
+    enc = sq8_encode(vecs)
+    probe("sq8_encode_500k_x64d", n_vec, lambda: enc)
+    probe(
+        "sq8_topk_500k_corpus_16_queries",
+        n_vec,
+        lambda: sq8_topk(enc, vecs.filter(F.col("vec_id") < 16), k=10),
+    )
+    spark.stop()
