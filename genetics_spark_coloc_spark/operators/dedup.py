@@ -346,3 +346,51 @@ def incremental_lsh_candidates(
         )
         .distinct()
     )
+
+
+def exact_dedup_keep_best(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Exact dedup with a QUALITY-AWARE keeper: within each identical-
+    content group keep the row with the highest score (ties → smallest
+    id) — the production policy when duplicates differ in sidecar
+    quality (crawl snapshot date, decode fidelity, metadata richness)
+    and "smallest id" would discard the best copy.
+
+    Same single hash-groupBy as :func:`exact_dedup`; the argmax rides
+    a max(struct(score, negated id)) aggregate, so no window and no
+    second shuffle. Null scores sort below any real score but a group
+    of all-null scores still keeps its smallest id.
+
+    Returns (contentHash, keeperId, keeperScore, nCopies).
+    """
+    # max(struct) compares fields left to right: score desc is the
+    # natural max; for the id tiebreak SMALLEST must win under max()
+    # so the struct carries -id
+    arg = F.struct(
+        F.coalesce(F.col(score_col), F.lit(float("-inf"))).alias("s"),
+        (-F.col(id_col)).alias("negId"),
+    )
+    return (
+        df.select(
+            F.md5(F.col(text_col)).alias("contentHash"),
+            F.col(id_col),
+            F.col(score_col),
+        )
+        .groupBy("contentHash")
+        .agg(
+            F.max(arg).alias("_best"),
+            F.count(F.lit(1)).alias("nCopies"),
+        )
+        .select(
+            "contentHash",
+            (-F.col("_best.negId")).cast("long").alias("keeperId"),
+            F.when(
+                F.col("_best.s") != F.lit(float("-inf")), F.col("_best.s")
+            ).alias("keeperScore"),
+            "nCopies",
+        )
+    )

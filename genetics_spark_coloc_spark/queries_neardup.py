@@ -1876,3 +1876,49 @@ FROM sym WHERE symbol IS NOT NULL
 
 NEARDUP_QUERIES["bpe_apply_merge"] = q_bpe_apply_merge
 NEARDUP_ORACLES["bpe_apply_merge"] = SQL_BPE_APPLY_MERGE
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup (operators/dedup.
+    exact_dedup_keep_best): the corpus is doubled (each doc re-crawled
+    under id+100000) with a deterministic sidecar quality score, and
+    each identical-content group keeps its highest-scoring copy —
+    the snapshot-selection policy of a crawl pipeline."""
+    from genetics_spark_coloc_spark.operators.dedup import exact_dedup_keep_best
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.col("text")
+    )
+    aug = docs.unionByName(recrawl).withColumn(
+        "score", (F.pmod(F.col("doc_id") * 37, F.lit(101))).cast("double")
+    )
+    return exact_dedup_keep_best(aug, "text", "doc_id", "score")
+
+
+SQL_DEDUP_KEEP_BEST = """
+WITH aug AS (
+  SELECT doc_id, text, CAST((doc_id * 37) % 101 AS DOUBLE) AS score
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text,
+         CAST(((doc_id + 100000) * 37) % 101 AS DOUBLE) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT md5(text) AS contentHash, doc_id, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(text) ORDER BY score DESC, doc_id ASC
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY md5(text)) AS nCopies
+  FROM aug
+)
+SELECT contentHash,
+       CAST(doc_id AS BIGINT) AS keeperId,
+       score AS keeperScore,
+       CAST(nCopies AS BIGINT) AS nCopies
+FROM ranked WHERE rn = 1
+"""
+
+NEARDUP_QUERIES["dedup_keep_best"] = q_dedup_keep_best
+NEARDUP_ORACLES["dedup_keep_best"] = SQL_DEDUP_KEEP_BEST

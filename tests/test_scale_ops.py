@@ -2184,3 +2184,30 @@ def test_apply_top_bpe_merge_rewrites_with_corpus_winner(spark):
     assert docs[0] == ["big data", "big data", "big data"]
     assert docs[1] == ["data", "big", "here"]
     assert docs[2] == ["unrelated", "words"]
+
+
+def test_exact_dedup_keep_best_argmax_and_null_scores(spark):
+    """Highest score wins; score ties break to smallest id; a group of
+    all-null scores keeps its smallest id with null keeperScore."""
+    from genetics_spark_coloc_spark.operators.dedup import (
+        exact_dedup_keep_best,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text", 0.2),
+            (2, "same text", 0.9),       # winner
+            (3, "same text", 0.9),       # tie -> 2 still wins (smaller id)
+            (4, "other", None),
+            (5, "other", None),          # all-null group -> keeper 4
+            (6, "third", 0.5),
+            (7, "mixed nulls", None),
+            (8, "mixed nulls", 0.1),     # real score beats null
+        ],
+        "doc_id long, text string, score double",
+    )
+    got = {
+        r["keeperId"]: (r["keeperScore"], r["nCopies"])
+        for r in exact_dedup_keep_best(df, "text", "doc_id", "score").collect()
+    }
+    assert got == {2: (0.9, 3), 4: (None, 2), 6: (0.5, 1), 8: (0.1, 2)}
