@@ -2211,3 +2211,36 @@ def test_exact_dedup_keep_best_argmax_and_null_scores(spark):
         for r in exact_dedup_keep_best(df, "text", "doc_id", "score").collect()
     }
     assert got == {2: (0.9, 3), 4: (None, 2), 6: (0.5, 1), 8: (0.1, 2)}
+
+
+def test_winnow_xxhash64_path_keeps_guarantee(spark):
+    """hash_fn='xxhash64' selects different fingerprints (different
+    hash ordering) but the winnowing guarantee is hash-independent:
+    docs sharing a >= window+k-1 token run must still pair; gram
+    counts are identical across hash functions."""
+    from genetics_spark_coloc_spark.operators.text import (
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = {
+        0: f"one two three four five {shared}",
+        1: f"{shared} six seven eight nine ten",
+        2: "totally unrelated words in this document here",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    pairs = {
+        (r["leftId"], r["rightId"])
+        for r in winnow_candidate_pairs(df, hash_fn="xxhash64").collect()
+    }
+    assert (0, 1) in pairs
+    md = {r["docId"]: r for r in winnow_fingerprints(df).collect()}
+    xx = {r["docId"]: r for r in winnow_fingerprints(df, hash_fn="xxhash64").collect()}
+    for i in texts:
+        assert md[i]["nGrams"] == xx[i]["nGrams"]
+        assert xx[i]["nFps"] >= 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, hash_fn="sha1")
