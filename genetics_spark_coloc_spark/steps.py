@@ -338,6 +338,20 @@ def _run_corpus_curation(spark, inputs, output, p):
         .join(keepers, on="docId")  # inner: non-keeper copies drop
         .filter(F.col("keep"))
     )
+    if p["strip_dup_spans"]:
+        # Lee et al. 2022 substring dedup over the SURVIVING corpus
+        # (post quality + exact dedup, so boilerplate families already
+        # collapsed don't re-trigger span marking)
+        cleaned = t.remove_duplicate_spans(
+            curated.select("docId", "text"),
+            "text",
+            "docId",
+            min_tokens=p["span_min_tokens"],
+        )
+        curated = curated.drop("text").join(
+            cleaned.select("docId", F.col("cleanedText").alias("text")),
+            on="docId",
+        )
     body = t.pii_redact(F.col("text")) if p["redact_pii"] else F.col("text")
     # metadata is computed over the EMITTED body (post-redaction), so
     # token accounting and language id describe the text the step
@@ -599,6 +613,14 @@ STEPS: dict[str, StepSpec] = {
             {
                 "min_words": Param(int, 50, "Gopher word-count lower bound"),
                 "redact_pii": Param(bool, True, "apply PII redaction to text"),
+                "strip_dup_spans": Param(
+                    bool,
+                    False,
+                    "cut corpus-duplicated token spans (Lee et al. 2022)",
+                ),
+                "span_min_tokens": Param(
+                    int, 50, "anchor window width for duplicated spans"
+                ),
             },
         ),
     ]

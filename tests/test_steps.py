@@ -269,3 +269,32 @@ def test_run_corpus_curation(spark, tmp_path):
     assert len(texts) == len(set(texts))  # exact dups gone
     assert {r.split for r in rows} <= {"train", "validation", "test"}
     assert all(r.nTokens >= 10 for r in rows)
+
+def test_run_corpus_curation_with_span_stripping(spark, tmp_path):
+    """strip_dup_spans=True cuts corpus-duplicated token runs from the
+    surviving docs: total tokens shrink (the sf0.001 documents share
+    5-gram runs), no doc gains tokens, and schema is unchanged."""
+    base = run_step(
+        spark,
+        "corpus_curation",
+        {"documents": f"{SF}/documents.parquet"},
+        str(tmp_path / "c1.parquet"),
+        params={"min_words": 10},
+    )
+    stripped = run_step(
+        spark,
+        "corpus_curation",
+        {"documents": f"{SF}/documents.parquet"},
+        str(tmp_path / "c2.parquet"),
+        params={
+            "min_words": 10,
+            "strip_dup_spans": True,
+            "span_min_tokens": 5,
+        },
+    )
+    b = {r.docId: r.nTokens for r in base.collect()}
+    s = {r.docId: r.nTokens for r in stripped.collect()}
+    assert set(s) == set(b)
+    assert all(s[d] <= b[d] for d in b)
+    assert sum(s.values()) < sum(b.values())
+    assert set(stripped.columns) == set(base.columns)
