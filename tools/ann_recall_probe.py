@@ -127,3 +127,79 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def sq8_recall(n_corpus: int = 200_000) -> None:
+    """SQ8 fidelity probe: recall@10 of asymmetric int8 search vs
+    exact float search on the SAME unit-normalized Gaussian-mixture
+    corpus (unit vectors make cosine == dot, so the two rankings are
+    directly comparable).
+    Run via: python -c "import tools.ann_recall_probe as ap; ap.sq8_recall()"
+    """
+    dim, k, n_components = 64, 10, 64
+    spark = get_session(
+        app_name="sq8_recall_probe",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.operators.pq import sq8_encode, sq8_topk
+    from genetics_spark_coloc_spark.operators.similarity import cosine_topk
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            if len(ids) == 0:
+                continue
+            rng = np.random.default_rng(int(ids[0]) + 7)
+            comp = ids % n_components
+            centers = np.random.default_rng(42).normal(size=(n_components, dim))
+            vecs = centers[comp] + 0.9 * rng.normal(size=(len(ids), dim))
+            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": [list(map(float, v)) for v in vecs]}
+            )
+
+    corpus = (
+        spark.range(n_corpus)
+        .repartition(64)
+        .mapInPandas(gen, "vec_id long, embedding array<double>")
+        .localCheckpoint(eager=True)
+    )
+    queries = corpus.filter(F.col("vec_id") % max(1, n_corpus // 100) == 0)
+    t0 = time.perf_counter()
+    truth = (
+        cosine_topk(corpus, queries, k=k)
+        .select("queryId", "neighborId")
+        .localCheckpoint(eager=True)
+    )
+    n_truth = truth.count()
+    truth_sec = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    enc = sq8_encode(corpus).localCheckpoint(eager=True)
+    enc.count()
+    enc_sec = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    approx = sq8_topk(enc, queries, k=k).select("queryId", "neighborId")
+    hits = approx.join(truth, on=["queryId", "neighborId"], how="inner").count()
+    sec = round(time.perf_counter() - t0, 2)
+    print(
+        json.dumps(
+            {
+                "probe": "sq8_recall",
+                "corpus": n_corpus,
+                "dim": dim,
+                "k": k,
+                "recall_at_k": round(hits / n_truth, 4),
+                "truth_sec": truth_sec,
+                "encode_sec": enc_sec,
+                "search_sec": sec,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
