@@ -1350,47 +1350,64 @@ def winnow_fingerprints(
     Emits (docId, nGrams, nFps, fpSketch) where fpSketch = md5 of the
     '|'-joined sorted distinct fingerprints.
     """
-    sel, m = _winnow_selected(F.col(text_col), k, window, hash_fn)
+    staged, sel, m = _winnow_staged(df, text_col, id_col, k, window, hash_fn)
     fps = F.array_sort(F.array_distinct(sel))
-    return df.select(
-        F.col(id_col).alias("docId"),
+    return staged.select(
+        "docId",
         F.coalesce(m, F.lit(-1)).cast("long").alias("nGrams"),
         F.coalesce(F.size(fps), F.lit(0)).cast("long").alias("nFps"),
         F.md5(F.concat_ws("|", fps)).alias("fpSketch"),
     )
 
 
-def _winnow_selected(
-    text: Column, k: int, window: int, hash_fn: str = "md5"
+def _winnow_staged(
+    df: "DataFrame",
+    text_col: str,
+    id_col: str,
+    k: int,
+    window: int,
+    hash_fn: str = "md5",
 ):
-    """(selected-fingerprint array, gram count) column pair for
-    winnowing: one hash per k-token gram, min per ``window``-wide
-    frame (lexicographic for md5 strings, numeric for xxhash64
-    bigints). Selection keeps duplicates in frame order; callers
-    distinct/sort as needed."""
+    """(staged df with materialized gram hashes, selected-fingerprint
+    array, gram count) for winnowing: one hash per k-token gram, min
+    per ``window``-wide frame (lexicographic for md5 strings, numeric
+    for xxhash64 bigints). Selection keeps duplicates in frame order;
+    callers distinct/sort as needed.
+
+    Two deliberate plan shapes: (1) the gram+hash chain is an ALIASED
+    column in its own Project — it is referenced by every shifted
+    slice below, and CollapseProject refuses to inline a
+    multiply-referenced non-trivial alias, so the chain evaluates
+    once per row instead of once per reference; (2) frame minima come
+    from ZIPPED SHIFTED SLICES (the word_ngrams device), O(m*window)
+    per row — a per-frame slice lambda would re-evaluate its operand
+    per frame, O(m^2), a measured 9x wall blowup on long documents.
+    """
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"unsupported hash_fn: {hash_fn!r}")
-    grams = word_ngrams(text, k)
+    grams = word_ngrams(F.col(text_col), k)
     if hash_fn == "md5":
-        hashes = F.transform(grams, lambda g: F.md5(g))
+        gram_hashes = F.transform(grams, lambda g: F.md5(g))
         empty_type = "array<string>"
     else:
-        hashes = F.transform(grams, lambda g: F.xxhash64(g))
+        gram_hashes = F.transform(grams, lambda g: F.xxhash64(g))
         empty_type = "array<bigint>"
+    staged = df.select(
+        F.col(id_col).alias("docId"), gram_hashes.alias("_h")
+    )
+    hashes = F.col("_h")
     m = F.size(hashes)
     n_frames = m - F.lit(window - 1)
+    mins = F.slice(hashes, 1, F.greatest(n_frames, F.lit(0)))
+    for t in range(1, window):
+        shifted = F.slice(hashes, t + 1, F.greatest(n_frames, F.lit(0)))
+        mins = F.zip_with(mins, shifted, lambda a, b: F.least(a, b))
     sel = (
-        F.when(
-            m >= F.lit(window),
-            F.transform(
-                F.sequence(F.lit(1), n_frames),
-                lambda j: F.array_min(F.slice(hashes, j, window)),
-            ),
-        )
+        F.when(m >= F.lit(window), mins)
         .when(m >= 1, F.array(F.array_min(hashes)))
         .otherwise(F.array().cast(empty_type))
     )
-    return sel, m
+    return staged, sel, m
 
 
 def winnow_candidate_pairs(
@@ -1422,9 +1439,9 @@ def winnow_candidate_pairs(
 
     Emits (leftId, rightId, nSharedFps >= min_shared).
     """
-    sel, _m = _winnow_selected(F.col(text_col), k, window, hash_fn)
-    postings = df.select(
-        F.col(id_col).alias("docId"),
+    staged, sel, _m = _winnow_staged(df, text_col, id_col, k, window, hash_fn)
+    postings = staged.select(
+        "docId",
         F.explode(F.array_distinct(sel)).alias("fp"),
     )
     left = postings.alias("l")
