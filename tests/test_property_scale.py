@@ -252,3 +252,56 @@ def test_auc_rank_window_at_quantization_bound(spark):
     n_cnt = n - p_cnt
     auc = (ranks[ls == 1].sum() - p_cnt * (p_cnt + 1) / 2.0) / (p_cnt * n_cnt)
     assert abs(row["areaUnderROC"] - auc) < 1e-9
+
+
+def test_duplicate_spans_equal_bruteforce_on_random_corpora(spark):
+    """Property: duplicate_spans == brute force on random small-vocab
+    corpora. Brute force: token position p of doc d is duplicated iff
+    SOME k-window covering p occurs >= 2 times corpus-wide; spans are
+    the maximal runs of duplicated positions. Random corpora from a
+    4-word vocabulary maximize collisions, self-repeats, and abutting
+    windows."""
+    import random
+
+    from genetics_spark_coloc_spark.operators.text import duplicate_spans
+
+    k = 3
+    for seed in range(6):
+        rng = random.Random(seed)
+        vocab = ["aa", "bb", "cc", "dd"]
+        docs = {
+            i: [rng.choice(vocab) for _ in range(rng.randint(0, 12))]
+            for i in range(8)
+        }
+        from collections import Counter
+
+        wins = Counter()
+        for toks in docs.values():
+            for j in range(len(toks) - k + 1):
+                wins[tuple(toks[j : j + k])] += 1
+        want = set()
+        for i, toks in docs.items():
+            dup_pos = set()
+            for j in range(len(toks) - k + 1):
+                if wins[tuple(toks[j : j + k])] >= 2:
+                    dup_pos.update(range(j, j + k))
+            # maximal runs of duplicated positions
+            run = []
+            for p in sorted(dup_pos):
+                if run and p == run[-1] + 1:
+                    run.append(p)
+                else:
+                    if run:
+                        want.add((i, run[0], run[-1] + 1, len(run)))
+                    run = [p]
+            if run:
+                want.add((i, run[0], run[-1] + 1, len(run)))
+        df = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in docs.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["docId"], r["spanStart"], r["spanEnd"], r["spanTokens"])
+            for r in duplicate_spans(df, min_tokens=k).collect()
+        }
+        assert got == want, (seed, got ^ want)
