@@ -1648,3 +1648,61 @@ def apply_top_bpe_merge(
         )
         .filter(F.col("symbol").isNotNull())
     )
+
+
+def vocab_coverage(
+    df: "DataFrame",
+    vocab: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    term_col: str = "term",
+) -> "DataFrame":
+    """Tokenizer-fit diagnostic: per document, how much of the token
+    stream a candidate vocabulary covers — the out-of-vocabulary rate
+    that decides whether a tokenizer/vocab pairing suits a corpus
+    before committing to a full training run.
+
+    Scale shape: one explode to (doc, token) occurrences, one join
+    against the DISTINCT vocabulary keyed on the term (Spark
+    broadcasts it when small; a multi-million-entry vocab falls back
+    to a hash join on the term key), one per-doc aggregate with
+    map-side combine. Tokens are lowercased to match the vocabulary
+    convention of every other operator here.
+
+    Emits (docId, nTokens, nOov, oovRate) for EVERY input document;
+    empty docs report rate 0 over 0 tokens.
+    """
+    occ = df.select(
+        F.col(id_col).alias("docId"),
+        F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    v = vocab.select(F.col(term_col).alias("tok")).distinct().withColumn(
+        "_inV", F.lit(True)
+    )
+    return (
+        occ.join(v, on="tok", how="left")
+        .groupBy("docId")
+        .agg(
+            F.sum(F.when(F.col("tok").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("nTokens"),
+            F.sum(
+                F.when(
+                    F.col("tok").isNotNull() & F.col("_inV").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("nOov"),
+        )
+        .select(
+            "docId",
+            "nTokens",
+            "nOov",
+            F.when(
+                F.col("nTokens") > 0,
+                F.round(F.col("nOov") / F.col("nTokens"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("oovRate"),
+        )
+    )

@@ -1922,3 +1922,58 @@ FROM ranked WHERE rn = 1
 
 NEARDUP_QUERIES["dedup_keep_best"] = q_dedup_keep_best
 NEARDUP_ORACLES["dedup_keep_best"] = SQL_DEDUP_KEEP_BEST
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV rate of every document against the corpus's own top-20
+    token vocabulary (operators/text.vocab_coverage composed with the
+    top_tokens heavy-hitters profile)."""
+    from genetics_spark_coloc_spark.operators.text import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("term")
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+    )
+    return vocab_coverage(docs, toks)
+
+
+SQL_VOCAB_COVERAGE = """
+WITH toks AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+),
+occ AS (
+  SELECT docId, UNNEST(t) AS tok FROM toks
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS n FROM occ GROUP BY tok
+  ) ORDER BY n DESC, tok ASC LIMIT 20
+),
+cov AS (
+  SELECT o.docId,
+         COUNT(*) AS nTokens,
+         SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS nOov
+  FROM occ o LEFT JOIN vocab v ON v.tok = o.tok
+  GROUP BY o.docId
+)
+SELECT t.docId,
+       CAST(COALESCE(c.nTokens, 0) AS BIGINT) AS nTokens,
+       CAST(COALESCE(c.nOov, 0) AS BIGINT) AS nOov,
+       COALESCE(ROUND(CAST(c.nOov AS DOUBLE) / c.nTokens, 6), 0.0) AS oovRate
+FROM toks t LEFT JOIN cov c ON c.docId = t.docId
+"""
+
+NEARDUP_QUERIES["vocab_coverage"] = q_vocab_coverage
+NEARDUP_ORACLES["vocab_coverage"] = SQL_VOCAB_COVERAGE

@@ -2244,3 +2244,30 @@ def test_winnow_xxhash64_path_keeps_guarantee(spark):
 
     with pytest.raises(ValueError):
         winnow_fingerprints(df, hash_fn="sha1")
+
+
+def test_vocab_coverage_hand_computed(spark):
+    from genetics_spark_coloc_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat SAT on the mat"),   # case-insensitive
+            (1, "unknown words only"),
+            (2, ""),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("on",), ("mat",), ("sat",)], "term string"
+    )
+    got = {
+        r["docId"]: (r["nTokens"], r["nOov"], r["oovRate"])
+        for r in vocab_coverage(docs, vocab).collect()
+    }
+    assert got == {
+        0: (6, 0, 0.0),
+        1: (3, 3, 1.0),
+        2: (0, 0, 0.0),
+        3: (0, 0, 0.0),
+    }
