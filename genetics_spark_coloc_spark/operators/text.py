@@ -1706,3 +1706,59 @@ def vocab_coverage(
             .alias("oovRate"),
         )
     )
+
+
+def corpus_stats_by_source(
+    df: "DataFrame",
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Per-source corpus profile — the mixture-design summary read
+    before weighting sources: document count, token volume, distinct
+    vocabulary size, type-token ratio (the Heaps-law point estimate
+    that flags template-generated vs organic sources), and mean doc
+    length.
+
+    Scale shape: one explode to (source, token) occurrences, one
+    two-level aggregate — count_distinct(token) reduces through a
+    partial per-partition distinct on the (source, token) pair, and
+    the doc-level stats ride a separate tiny per-source aggregate
+    joined back. Output is |sources| rows.
+
+    Emits (source, nDocs, nTokens, nDistinctTokens, typeTokenRatio,
+    meanDocTokens), sources with only empty/null docs report zeros.
+    """
+    occ = df.select(
+        F.col(source_col).alias("source"),
+        F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    tok_stats = occ.groupBy("source").agg(
+        F.sum(F.when(F.col("tok").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("nTokens"),
+        F.count_distinct(F.col("tok")).cast("long").alias("nDistinctTokens"),
+    )
+    doc_stats = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("nDocs")
+    )
+    return (
+        doc_stats.join(tok_stats, on="source", how="left")
+        .select(
+            "source",
+            "nDocs",
+            F.coalesce(F.col("nTokens"), F.lit(0)).alias("nTokens"),
+            F.coalesce(F.col("nDistinctTokens"), F.lit(0)).alias(
+                "nDistinctTokens"
+            ),
+            F.when(
+                F.col("nTokens") > 0,
+                F.round(F.col("nDistinctTokens") / F.col("nTokens"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("typeTokenRatio"),
+            F.round(F.col("nTokens") / F.col("nDocs"), 6).alias(
+                "meanDocTokens"
+            ),
+        )
+    )

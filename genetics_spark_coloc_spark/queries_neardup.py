@@ -1977,3 +1977,48 @@ FROM toks t LEFT JOIN cov c ON c.docId = t.docId
 
 NEARDUP_QUERIES["vocab_coverage"] = q_vocab_coverage
 NEARDUP_ORACLES["vocab_coverage"] = SQL_VOCAB_COVERAGE
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (operators/text.
+    corpus_stats_by_source): token volume, vocabulary size,
+    type-token ratio, mean doc length."""
+    from genetics_spark_coloc_spark.operators.text import (
+        corpus_stats_by_source,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_stats_by_source(docs)
+
+
+SQL_CORPUS_STATS = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+),
+occ AS (
+  SELECT source, UNNEST(t) AS tok FROM toks
+),
+ts AS (
+  SELECT source, COUNT(*) AS nTokens,
+         COUNT(DISTINCT tok) AS nDistinctTokens
+  FROM occ GROUP BY source
+),
+ds AS (
+  SELECT source, COUNT(*) AS nDocs FROM documents GROUP BY source
+)
+SELECT d.source,
+       CAST(d.nDocs AS BIGINT) AS nDocs,
+       CAST(COALESCE(t.nTokens, 0) AS BIGINT) AS nTokens,
+       CAST(COALESCE(t.nDistinctTokens, 0) AS BIGINT) AS nDistinctTokens,
+       COALESCE(ROUND(CAST(t.nDistinctTokens AS DOUBLE) / t.nTokens, 6), 0.0)
+         AS typeTokenRatio,
+       ROUND(CAST(COALESCE(t.nTokens, 0) AS DOUBLE) / d.nDocs, 6)
+         AS meanDocTokens
+FROM ds d LEFT JOIN ts t ON t.source = d.source
+"""
+
+NEARDUP_QUERIES["corpus_stats"] = q_corpus_stats
+NEARDUP_ORACLES["corpus_stats"] = SQL_CORPUS_STATS

@@ -2271,3 +2271,35 @@ def test_vocab_coverage_hand_computed(spark):
         2: (0, 0, 0.0),
         3: (0, 0, 0.0),
     }
+
+
+def test_corpus_stats_by_source_hand_computed(spark):
+    from genetics_spark_coloc_spark.operators.text import (
+        corpus_stats_by_source,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a", "web"),
+            (1, "a c", "web"),
+            (2, "x x x x", "books"),
+            (3, "", "empty_src"),
+            (4, None, "empty_src"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: (
+            r["nDocs"],
+            r["nTokens"],
+            r["nDistinctTokens"],
+            r["typeTokenRatio"],
+            r["meanDocTokens"],
+        )
+        for r in corpus_stats_by_source(docs).collect()
+    }
+    assert got == {
+        "web": (2, 5, 3, 0.6, 2.5),
+        "books": (1, 4, 1, 0.25, 4.0),
+        "empty_src": (2, 0, 0, 0.0, 0.0),
+    }
