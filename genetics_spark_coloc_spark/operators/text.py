@@ -1762,3 +1762,56 @@ def corpus_stats_by_source(
             ),
         )
     )
+
+
+def winnow_similarity(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 1,
+    hash_fn: str = "md5",
+) -> "DataFrame":
+    """MOSS similarity scoring: fingerprint-set Jaccard for every
+    candidate pair — shared / (|L| + |R| - shared) over the winnowed
+    fingerprint sets, the score MOSS reports per file pair. Composes
+    :func:`winnow_candidate_pairs` (bucket join, never all-pairs)
+    with two broadcast-sized joins against the per-doc fingerprint
+    counts; at corpus scale the pair relation dominates and the
+    count table is |docs| rows keyed by id.
+
+    Emits (leftId, rightId, nSharedFps, fpJaccard) rounded to 6dp.
+    """
+    pairs = winnow_candidate_pairs(
+        df, text_col, id_col, k, window, min_shared, hash_fn
+    )
+    staged, sel, _m = _winnow_staged(df, text_col, id_col, k, window, hash_fn)
+    counts = staged.select(
+        "docId",
+        F.size(F.array_distinct(sel)).cast("long").alias("nFps"),
+    )
+    return (
+        pairs.join(
+            counts.select(
+                F.col("docId").alias("leftId"), F.col("nFps").alias("_nL")
+            ),
+            on="leftId",
+        )
+        .join(
+            counts.select(
+                F.col("docId").alias("rightId"), F.col("nFps").alias("_nR")
+            ),
+            on="rightId",
+        )
+        .select(
+            "leftId",
+            "rightId",
+            "nSharedFps",
+            F.round(
+                F.col("nSharedFps")
+                / (F.col("_nL") + F.col("_nR") - F.col("nSharedFps")),
+                6,
+            ).alias("fpJaccard"),
+        )
+    )

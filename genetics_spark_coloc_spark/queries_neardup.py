@@ -2022,3 +2022,65 @@ FROM ds d LEFT JOIN ts t ON t.source = d.source
 
 NEARDUP_QUERIES["corpus_stats"] = q_corpus_stats
 NEARDUP_ORACLES["corpus_stats"] = SQL_CORPUS_STATS
+
+
+def q_winnow_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS fingerprint-Jaccard for every winnow candidate pair
+    (operators/text.winnow_similarity), 3-gram/frame-2 parameters
+    matching winnow_pairs."""
+    from genetics_spark_coloc_spark.operators.text import winnow_similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_similarity(docs, "text", "doc_id", k=3, window=2)
+
+
+SQL_WINNOW_SIMILARITY = """
+WITH toks AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+),
+hashes AS (
+  SELECT docId,
+         CASE WHEN t IS NULL THEN NULL
+              WHEN len(t) >= 3
+              THEN list_transform(range(0, len(t) - 2),
+                     i -> md5(array_to_string(list_slice(t, i + 1, i + 3), ' ')))
+              ELSE CAST([] AS VARCHAR[]) END AS h
+  FROM toks
+),
+sel AS (
+  SELECT docId,
+         CASE WHEN h IS NULL THEN CAST([] AS VARCHAR[])
+              WHEN len(h) >= 2
+              THEN list_transform(range(1, len(h)),
+                     j -> list_min(list_slice(h, j, j + 1)))
+              WHEN len(h) >= 1 THEN [list_min(h)]
+              ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM hashes
+),
+counts AS (
+  SELECT docId, len(list_distinct(s)) AS nFps FROM sel
+),
+postings AS (
+  SELECT docId, UNNEST(list_distinct(s)) AS fp FROM sel
+),
+pairs AS (
+  SELECT l.docId AS leftId, r.docId AS rightId,
+         CAST(COUNT(*) AS BIGINT) AS nSharedFps
+  FROM postings l JOIN postings r
+    ON l.fp = r.fp AND l.docId < r.docId
+  GROUP BY l.docId, r.docId
+  HAVING COUNT(*) >= 1
+)
+SELECT p.leftId, p.rightId, p.nSharedFps,
+       ROUND(CAST(p.nSharedFps AS DOUBLE)
+             / (cl.nFps + cr.nFps - p.nSharedFps), 6) AS fpJaccard
+FROM pairs p
+JOIN counts cl ON cl.docId = p.leftId
+JOIN counts cr ON cr.docId = p.rightId
+"""
+
+NEARDUP_QUERIES["winnow_similarity"] = q_winnow_similarity
+NEARDUP_ORACLES["winnow_similarity"] = SQL_WINNOW_SIMILARITY

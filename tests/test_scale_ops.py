@@ -2303,3 +2303,40 @@ def test_corpus_stats_by_source_hand_computed(spark):
         "books": (1, 4, 1, 0.25, 4.0),
         "empty_src": (2, 0, 0, 0.0, 0.0),
     }
+
+
+def test_winnow_similarity_identical_docs_score_one(spark):
+    """Identical docs share every fingerprint -> Jaccard 1.0; docs
+    with partial overlap land strictly between 0 and 1; the score
+    matches the set-Jaccard of the python-replayed selections."""
+    import hashlib
+
+    from genetics_spark_coloc_spark.operators.text import winnow_similarity
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = {
+        0: f"one two three four five {shared}",
+        1: f"one two three four five {shared}",    # identical to 0
+        2: f"{shared} six seven eight nine ten",   # partial overlap
+    }
+    k, w = 5, 4
+
+    def sel_set(text):
+        toks = text.lower().split()
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+    sets = {i: sel_set(t) for i, t in texts.items()}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r["leftId"], r["rightId"]): (r["nSharedFps"], r["fpJaccard"])
+        for r in winnow_similarity(df, k=k, window=w).collect()
+    }
+    for (a, b), (n, j) in got.items():
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        assert n == inter
+        assert abs(j - round(inter / union, 6)) < 1e-9
+    assert got[(0, 1)][1] == 1.0
+    assert 0.0 < got[(0, 2)][1] < 1.0
