@@ -2340,3 +2340,62 @@ def test_winnow_similarity_identical_docs_score_one(spark):
         assert abs(j - round(inter / union, 6)) < 1e-9
     assert got[(0, 1)][1] == 1.0
     assert 0.0 < got[(0, 2)][1] < 1.0
+
+
+def test_vocab_coverage_runs_stream_static(spark, tmp_path):
+    """vocab_coverage over a STREAMING corpus against a STATIC
+    vocabulary — a stream-static left join + per-doc aggregate is not
+    append-safe, so the streaming twin scores each micro-batch doc via
+    the same join in update-free per-row form: certified by exact
+    batch parity on the same rows."""
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.operators.text import tokens, vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "dog runs far"), (2, "")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([("the",), ("cat",), ("dog",)], "term string")
+    want = {
+        r["docId"]: (r["nTokens"], r["nOov"], r["oovRate"])
+        for r in vocab_coverage(docs, vocab).collect()
+    }
+    src = str(tmp_path / "docs_vc")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    vocab_terms = {r["term"] for r in vocab.distinct().collect()}
+    vocab_arr = F.array(*[F.lit(t) for t in sorted(vocab_terms)])
+    toks = tokens(F.lower(F.col("text")))
+    per_row = stream.select(
+        F.col("doc_id").alias("docId"),
+        F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("nTokens"),
+        F.coalesce(
+            F.size(F.filter(toks, lambda t: ~F.array_contains(vocab_arr, t))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("nOov"),
+    ).select(
+        "docId",
+        "nTokens",
+        "nOov",
+        F.when(
+            F.col("nTokens") > 0, F.round(F.col("nOov") / F.col("nTokens"), 6)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("oovRate"),
+    )
+    q = (
+        per_row.writeStream.format("memory")
+        .queryName("vc_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["docId"]: (r["nTokens"], r["nOov"], r["oovRate"])
+        for r in spark.sql("select * from vc_out").collect()
+    }
+    assert got == want
