@@ -940,3 +940,82 @@ def truncate_embeddings(
         F.col(id_col),
         F.slice(F.col(vec_col), 1, dims).alias(vec_col),
     )
+
+
+def mrl_funnel_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    shortlist_dims: int,
+    shortlist_k: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage Matryoshka retrieval funnel (the pattern MRL
+    truncation exists for): stage 1 shortlists ``shortlist_k``
+    candidates per query by cosine over the first ``shortlist_dims``
+    coordinates (dims/d of the dot-product work), stage 2 re-ranks
+    ONLY the shortlist by full-dimension exact cosine. At corpus
+    scale stage 1 is the only pass that touches every vector; stage 2
+    joins the (|Q| x shortlist_k)-row shortlist back to the corpus on
+    the id key — broadcast-sized by construction.
+
+    Emits (queryId, neighborId, cosineSim, rank <= k) where cosineSim
+    is the FULL-dimension similarity; ranking windows use the rounded
+    score with an id tiebreak, engine-reproducible.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    shortlist = cosine_topk(
+        truncate_embeddings(corpus, shortlist_dims, id_col, vec_col),
+        truncate_embeddings(queries, shortlist_dims, id_col, vec_col),
+        k=shortlist_k,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("queryId", "neighborId")
+    cand = shortlist.join(
+        corpus.select(
+            F.col(id_col).alias("neighborId"), F.col(vec_col).alias("cvec")
+        ),
+        on="neighborId",
+    ).join(
+        F.broadcast(
+            queries.select(
+                F.col(id_col).alias("queryId"), F.col(vec_col).alias("qvec")
+            )
+        ),
+        on="queryId",
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qvec"),
+            F.col("cvec"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _norm(c):
+        return F.sqrt(
+            F.aggregate(
+                c,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+
+    scored = cand.select(
+        "queryId",
+        "neighborId",
+        F.round(dot / (_norm(F.col("qvec")) * _norm(F.col("cvec"))), 6).alias(
+            "cosineSim"
+        ),
+    )
+    w = Window.partitionBy("queryId").orderBy(
+        F.col("cosineSim").desc(), F.col("neighborId").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

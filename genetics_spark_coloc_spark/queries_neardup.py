@@ -2084,3 +2084,61 @@ JOIN counts cr ON cr.docId = p.rightId
 
 NEARDUP_QUERIES["winnow_similarity"] = q_winnow_similarity
 NEARDUP_ORACLES["winnow_similarity"] = SQL_WINNOW_SIMILARITY
+
+
+def q_mrl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage MRL retrieval funnel: 16-dim shortlist of 20, full
+    64-dim exact re-rank to top-5 for the first 10 query vectors
+    (operators/similarity.mrl_funnel_topk)."""
+    from genetics_spark_coloc_spark.operators.similarity import mrl_funnel_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mrl_funnel_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        shortlist_dims=16,
+        shortlist_k=20,
+        k=5,
+    )
+
+
+SQL_MRL_FUNNEL = """
+WITH q16 AS (
+  SELECT vec_id AS queryId, CAST(embedding[1:16] AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+c16 AS (
+  SELECT vec_id AS neighborId, CAST(embedding[1:16] AS DOUBLE[]) AS cv
+  FROM embeddings
+),
+s16 AS (
+  SELECT queryId, neighborId,
+         ROUND(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim16
+  FROM q16, c16 WHERE queryId != neighborId
+),
+shortlist AS (
+  SELECT queryId, neighborId FROM (
+    SELECT queryId, neighborId,
+           ROW_NUMBER() OVER (PARTITION BY queryId ORDER BY sim16 DESC, neighborId ASC) AS r
+    FROM s16
+  ) WHERE r <= 20
+),
+full_s AS (
+  SELECT s.queryId, s.neighborId,
+         ROUND(list_dot_product(q.v, c.v) /
+               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosineSim
+  FROM shortlist s
+  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) q
+    ON q.vec_id = s.queryId
+  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) c
+    ON c.vec_id = s.neighborId
+)
+SELECT queryId, neighborId, cosineSim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY queryId ORDER BY cosineSim DESC, neighborId ASC) AS INT) AS rank
+FROM full_s
+QUALIFY rank <= 5
+"""
+
+NEARDUP_QUERIES["mrl_funnel"] = q_mrl_funnel
+NEARDUP_ORACLES["mrl_funnel"] = SQL_MRL_FUNNEL

@@ -2399,3 +2399,38 @@ def test_vocab_coverage_runs_stream_static(spark, tmp_path):
         for r in spark.sql("select * from vc_out").collect()
     }
     assert got == want
+
+
+def test_mrl_funnel_with_full_shortlist_equals_exact(spark):
+    """When the shortlist covers the whole corpus, the funnel's
+    ranking must equal brute-force full-dimension cosine_topk; with a
+    tight shortlist it returns a subset-ranking of the shortlist."""
+    import numpy as np
+
+    from genetics_spark_coloc_spark.operators.similarity import (
+        cosine_topk,
+        mrl_funnel_topk,
+    )
+
+    rng = np.random.RandomState(17)
+    mat = rng.randn(30, 8)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in mat[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter("vec_id < 3")
+    exact = {
+        (r["queryId"], r["rank"]): r["neighborId"]
+        for r in cosine_topk(df, q, k=5).collect()
+    }
+    funnel_all = {
+        (r["queryId"], r["rank"]): r["neighborId"]
+        for r in mrl_funnel_topk(
+            df, q, shortlist_dims=8, shortlist_k=29, k=5
+        ).collect()
+    }
+    assert funnel_all == exact
+    tight = mrl_funnel_topk(df, q, shortlist_dims=4, shortlist_k=10, k=5)
+    rows = tight.collect()
+    assert {r["queryId"] for r in rows} == {0, 1, 2}
+    assert all(1 <= r["rank"] <= 5 for r in rows)
