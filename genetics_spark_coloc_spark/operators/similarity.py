@@ -1019,3 +1019,67 @@ def mrl_funnel_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def binary_signatures(
+    df: DataFrame,
+    num_planes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-bit binary embedding: each vector compressed to a
+    ``num_planes``-bit integer of hyperplane projection signs — the
+    32x-and-beyond compression tier below SQ8, with the Goemans-
+    Williamson guarantee that Hamming distance between signatures
+    estimates angular distance. Planes are the same md5-derived family
+    every LSH operator here uses (one projection rule, one oracle
+    spelling). Shuffle-free projection.
+
+    Emits (vid, signature) — int for <=31 planes, bigint above.
+    """
+    return df.select(
+        F.col(id_col).alias("vid"),
+        _sign_bit_fold(F.col(vec_col), num_planes, dim).alias("signature"),
+    )
+
+
+def hamming_topk(
+    corpus_sigs: DataFrame,
+    query_sigs: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force Hamming top-k over binary signatures: per query,
+    the ``k`` nearest signatures by bit_count(xor) — one integer op
+    per candidate, the cheapest whole-corpus scan of the retrieval
+    funnel (re-rank survivors with SQ8 or exact cosine). Queries
+    broadcast; ranking windows per query on (distance asc, id asc),
+    engine-reproducible. Self-pairs excluded.
+
+    Emits (queryId, neighborId, hammingDist, rank <= k).
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    q = query_sigs.select(
+        F.col("vid").alias("queryId"), F.col("signature").alias("qsig")
+    )
+    scored = corpus_sigs.join(
+        F.broadcast(q), F.col("vid") != F.col("queryId"), "inner"
+    ).select(
+        "queryId",
+        F.col("vid").alias("neighborId"),
+        F.bit_count(
+            F.col("signature").cast("bigint").bitwiseXOR(
+                F.col("qsig").cast("bigint")
+            )
+        )
+        .cast("int")
+        .alias("hammingDist"),
+    )
+    w = Window.partitionBy("queryId").orderBy(
+        F.col("hammingDist").asc(), F.col("neighborId").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

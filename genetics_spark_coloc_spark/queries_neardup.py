@@ -2142,3 +2142,47 @@ QUALIFY rank <= 5
 
 NEARDUP_QUERIES["mrl_funnel"] = q_mrl_funnel
 NEARDUP_ORACLES["mrl_funnel"] = SQL_MRL_FUNNEL
+
+
+def q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming top-5 over 32-bit sign signatures for the first 10
+    vectors (operators/similarity.binary_signatures + hamming_topk)
+    — the binary tier of the retrieval funnel."""
+    from genetics_spark_coloc_spark.operators.similarity import (
+        binary_signatures,
+        hamming_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = binary_signatures(emb, num_planes=32)
+    return hamming_topk(sigs, sigs.filter(F.col("vid") < 10), k=5)
+
+
+SQL_HAMMING_TOPK = """
+WITH proj AS (
+  SELECT e.vec_id AS vid, CAST(p AS INT) AS p,
+         list_sum(list_transform(range(len(e.embedding)), d ->
+           CAST(e.embedding[CAST(d AS INT) + 1] AS DOUBLE) *
+           CASE WHEN substr(md5(CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1)
+                     IN ('0','2','4','6','8','a','c','e')
+                THEN 1.0 ELSE -1.0 END)) AS proj
+  FROM embeddings e CROSS JOIN range(0, 32) t(p)
+),
+sigs AS (
+  SELECT vid,
+         CAST(SUM(CASE WHEN proj > 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS signature
+  FROM proj GROUP BY vid
+),
+s AS (
+  SELECT q.vid AS queryId, c.vid AS neighborId,
+         CAST(bit_count(xor(c.signature, q.signature)) AS INT) AS hammingDist
+  FROM sigs c JOIN (SELECT * FROM sigs WHERE vid < 10) q
+    ON c.vid != q.vid
+)
+SELECT queryId, neighborId, hammingDist,
+       CAST(ROW_NUMBER() OVER (PARTITION BY queryId ORDER BY hammingDist ASC, neighborId ASC) AS INT) AS rank
+FROM s QUALIFY rank <= 5
+"""
+
+NEARDUP_QUERIES["hamming_topk"] = q_hamming_topk
+NEARDUP_ORACLES["hamming_topk"] = SQL_HAMMING_TOPK

@@ -2434,3 +2434,42 @@ def test_mrl_funnel_with_full_shortlist_equals_exact(spark):
     rows = tight.collect()
     assert {r["queryId"] for r in rows} == {0, 1, 2}
     assert all(1 <= r["rank"] <= 5 for r in rows)
+
+
+def test_hamming_topk_matches_python_replay_and_correlates_angle(spark):
+    """Signature xor popcount equals a python replay of the md5-plane
+    projections; near-identical vectors land at Hamming rank 1."""
+    import hashlib
+
+    import numpy as np
+
+    from genetics_spark_coloc_spark.operators.similarity import (
+        binary_signatures,
+        hamming_topk,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(10, 16)
+    # vec 10..19: tiny perturbations of vec 0..9
+    mat = np.vstack([base, base + rng.randn(10, 16) * 1e-6])
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in mat[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    sigs = binary_signatures(df, num_planes=32, dim=16)
+    got_sigs = {r["vid"]: r["signature"] for r in sigs.collect()}
+
+    def sign(p, d):
+        return 1.0 if hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0] in "02468ace" else -1.0
+
+    planes = np.array([[sign(p, d) for d in range(16)] for p in range(32)])
+    for i in range(20):
+        proj = planes @ mat[i]
+        want = sum(1 << r for r in range(32) if proj[r] > 0)
+        assert got_sigs[i] == want, i
+    top = {
+        r["queryId"]: r["neighborId"]
+        for r in hamming_topk(sigs, sigs.filter("vid < 10"), k=1).collect()
+    }
+    # each query's nearest signature is its perturbed twin
+    assert top == {i: i + 10 for i in range(10)}
