@@ -1815,3 +1815,42 @@ def winnow_similarity(
             ).alias("fpJaccard"),
         )
     )
+
+
+def weighted_sample(
+    df: "DataFrame",
+    weight: Column,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample-v1",
+) -> "DataFrame":
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006, A-Res): each row draws key =
+    u^(1/w) with u the hash-uniform from md5(salt|id), and the n
+    largest keys are the sample — provably equivalent to sequential
+    weighted draws, but embarrassingly parallel and REPRODUCIBLE
+    (same salt → same sample on any cluster layout, unlike
+    rand()-based sampling). Rows with weight <= 0 or null are
+    excluded, matching the sequential semantics.
+
+    One projection + TakeOrderedAndProject top-n: no shuffle beyond
+    the k-row ordered collect. The standard corpus use: quality- or
+    temperature-weighted subset selection where the manifest must be
+    re-derivable.
+
+    Emits the sampled (docId, weight, sampleKey) ordered by key desc.
+    """
+    u = hash_bucket(F.col(id_col), salt)
+    key = F.when(
+        weight > 0, F.pow(u, F.lit(1.0) / weight.cast("double"))
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("docId"),
+            weight.cast("double").alias("weight"),
+            F.round(key, 12).alias("sampleKey"),
+        )
+        .filter(F.col("sampleKey").isNotNull())
+        .orderBy(F.desc("sampleKey"), F.asc("docId"))
+        .limit(n)
+    )

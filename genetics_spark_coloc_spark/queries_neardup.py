@@ -2186,3 +2186,39 @@ FROM s QUALIFY rank <= 5
 
 NEARDUP_QUERIES["hamming_topk"] = q_hamming_topk
 NEARDUP_ORACLES["hamming_topk"] = SQL_HAMMING_TOPK
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample of 50 documents, weight = token
+    count (Efraimidis-Spirakis A-Res keys from the md5 hash-uniform;
+    operators/text.weighted_sample) — the reproducible manifest form
+    of weighted subset selection."""
+    from genetics_spark_coloc_spark.operators.text import (
+        token_count,
+        weighted_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, token_count(F.col("text")), n=50)
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH base AS (
+  SELECT doc_id AS docId,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE) AS weight,
+         CAST(('0x' || substr(md5('wsample-v1|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+           / 4294967296.0 AS u
+  FROM documents
+  WHERE text IS NOT NULL
+),
+keyed AS (
+  SELECT docId, weight, ROUND(POWER(u, 1.0 / weight), 12) AS sampleKey
+  FROM base WHERE weight > 0
+)
+SELECT docId, weight, sampleKey
+FROM keyed ORDER BY sampleKey DESC, docId ASC LIMIT 50
+"""
+
+NEARDUP_QUERIES["weighted_sample"] = q_weighted_sample
+NEARDUP_ORACLES["weighted_sample"] = SQL_WEIGHTED_SAMPLE

@@ -2473,3 +2473,37 @@ def test_hamming_topk_matches_python_replay_and_correlates_angle(spark):
     }
     # each query's nearest signature is its perturbed twin
     assert top == {i: i + 10 for i in range(10)}
+
+
+def test_weighted_sample_matches_replay_and_biases_by_weight(spark):
+    """Keys replay exactly in python (md5 uniform -> u^(1/w)); zero/
+    null weights are excluded; across many salts the heavy item is
+    sampled into a size-1 sample far more often than a light one
+    (A-Res correctness, statistically)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.operators.text import weighted_sample
+
+    df = spark.createDataFrame(
+        [(0, 10.0), (1, 1.0), (2, 0.0), (3, None)],
+        "doc_id long, w double",
+    )
+
+    def u(salt, i):
+        return int(hashlib.md5(f"{salt}|{i}".encode()).hexdigest()[:8], 16) / 16**8
+
+    got = {
+        r["docId"]: r["sampleKey"]
+        for r in weighted_sample(df, F.col("w"), n=10, salt="s0").collect()
+    }
+    assert set(got) == {0, 1}
+    for i, w in [(0, 10.0), (1, 1.0)]:
+        assert abs(got[i] - round(u("s0", i) ** (1.0 / w), 12)) < 1e-12
+    heavy_wins = 0
+    for t in range(40):
+        top = weighted_sample(df, F.col("w"), n=1, salt=f"t{t}").collect()[0]
+        heavy_wins += top["docId"] == 0
+    # P(heavy wins) = 10/11; 40 trials -> expect ~36, demand > 28
+    assert heavy_wins > 28, heavy_wins
