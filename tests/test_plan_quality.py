@@ -145,3 +145,26 @@ def test_bm25_corpus_pass_broadcasts_stats(spark):
     plan = physical_plan(df)
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_retrieval_funnel_broadcasts_query_side(spark):
+    """hamming_topk / sq8_topk / mrl_funnel brute-force stages must
+    broadcast the query side — a SortMergeJoin would shuffle the whole
+    corpus per query batch."""
+    from genetics_spark_coloc_spark.plans.inspect import physical_plan
+
+    for name in ["hamming_topk", "sq8_topk", "mrl_funnel"]:
+        plan = physical_plan(QUERIES[name](spark, SF_DIR))
+        assert (
+            "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+        ), name
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """The A-Res top-n must compile to TakeOrderedAndProject — a
+    global Sort would materialize the whole corpus ordering for a
+    50-row answer."""
+    from genetics_spark_coloc_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(QUERIES["weighted_sample"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
