@@ -535,3 +535,67 @@ def retrieval_probes(n_docs: int = 2_000_000, n_vec: int = 500_000) -> None:
         lambda: sq8_topk(enc, vecs.filter(F.col("vec_id") < 16), k=10),
     )
     spark.stop()
+
+
+def retrieval_probes2(n_docs: int = 2_000_000, n_vec: int = 500_000) -> None:
+    """Hamming / vocab-coverage / weighted-sample probes.
+    Run via: python -c "import tools.scale_probe as sp; sp.retrieval_probes2()"
+    """
+    spark = get_session(
+        app_name="scale_probe_retrieval2",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.operators.similarity import (
+        binary_signatures,
+        hamming_topk,
+    )
+    from genetics_spark_coloc_spark.operators.text import (
+        token_count,
+        vocab_coverage,
+        weighted_sample,
+    )
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.md5(F.col("id").cast("string")),
+            F.lit(" some shared body text fragment number "),
+            (F.col("id") % 50_000).cast("string"),
+            F.lit(" tail "),
+            F.md5((F.col("id") * 17).cast("string")),
+        ).alias("text"),
+    )
+    vocab = spark.range(10_000).select(
+        F.md5(F.col("id").cast("string")).alias("term")
+    )
+    probe(
+        "vocab_coverage_2m_docs_10k_vocab",
+        n_docs,
+        lambda: vocab_coverage(docs, vocab),
+    )
+    probe(
+        "weighted_sample_2m_docs_top1000",
+        n_docs,
+        lambda: weighted_sample(docs, token_count(F.col("text")), n=1000),
+    )
+    vecs = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (
+                F.pmod(F.hash(F.col("id"), i), F.lit(2001)) - 1000
+            ).cast("double")
+            / 1000.0,
+        ).alias("embedding"),
+    )
+    sigs = binary_signatures(vecs, num_planes=32)
+    probe("binary_signatures_500k_x64d_32planes", n_vec, lambda: sigs)
+    probe(
+        "hamming_topk_500k_corpus_16_queries",
+        n_vec,
+        lambda: hamming_topk(sigs, sigs.filter(F.col("vid") < 16), k=10),
+    )
+    spark.stop()
