@@ -80,3 +80,17 @@ def get_record_with_minimum_value(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def declared_single_partition(col: Column) -> Column:
+    """A constant-zero partition key that SURVIVES constant folding,
+    for windows whose single-partition execution is the intended
+    semantics (a bounded ``limit(k)`` input, or an intrinsically
+    sequential global prefix sum). ``partitionBy(lit(0))`` is folded
+    to an empty partition spec by the optimizer, so WindowExec still
+    warns 'No Partition Defined'; hashing a real column keeps the
+    expression non-foldable while every row still lands in the one
+    partition the operator requires. Cost: one xxhash64 per row —
+    noise on the bounded inputs this is for.
+    """
+    return F.pmod(F.xxhash64(col), F.lit(1))

@@ -361,17 +361,26 @@ def exact_dedup_keep_best(
     and "smallest id" would discard the best copy.
 
     Same single hash-groupBy as :func:`exact_dedup`; the argmax rides
-    a max(struct(score, negated id)) aggregate, so no window and no
-    second shuffle. Null scores sort below any real score but a group
-    of all-null scores still keeps its smallest id.
+    a max(struct(hasScore, score, negated id)) aggregate, so no window
+    and no second shuffle. Null AND NaN scores rank below any real
+    score (Spark's native ordering puts NaN ABOVE every double, which
+    would let a NaN-scored copy steal the keeper slot); a group with
+    no real scores keeps its smallest id with null keeperScore. An
+    explicit hasScore flag — not a -inf sentinel — drives the
+    null-ness of keeperScore, so a legitimate score of exactly -inf is
+    reported as -inf, not null.
 
     Returns (contentHash, keeperId, keeperScore, nCopies).
     """
-    # max(struct) compares fields left to right: score desc is the
-    # natural max; for the id tiebreak SMALLEST must win under max()
-    # so the struct carries -id
+    # max(struct) compares fields left to right: hasScore first (any
+    # scored row beats any null/NaN-scored one), score desc next; for
+    # the id tiebreak SMALLEST must win under max() so the struct
+    # carries -id
+    score = F.col(score_col).cast("double")
+    has_score = score.isNotNull() & ~F.isnan(score)
     arg = F.struct(
-        F.coalesce(F.col(score_col), F.lit(float("-inf"))).alias("s"),
+        has_score.cast("int").alias("hasScore"),
+        F.when(has_score, score).otherwise(F.lit(0.0)).alias("s"),
         (-F.col(id_col)).alias("negId"),
     )
     return (
@@ -389,7 +398,7 @@ def exact_dedup_keep_best(
             "contentHash",
             (-F.col("_best.negId")).cast("long").alias("keeperId"),
             F.when(
-                F.col("_best.s") != F.lit(float("-inf")), F.col("_best.s")
+                F.col("_best.hasScore") == 1, F.col("_best.s")
             ).alias("keeperScore"),
             "nCopies",
         )

@@ -551,6 +551,57 @@ def train_l2g_model(
     return Pipeline(stages=[assembler, gbt]).fit(feature_matrix)
 
 
+def save_l2g_model(
+    model,
+    path: str,
+    feature_names: list[str] | None = None,
+    label_col: str = "goldStandardSet",
+) -> None:
+    """Persist a trained L2G model so a model trained today can score
+    tomorrow without retraining (reference ``LocusToGeneModel.save``,
+    method/l2g/model.py:211-231; there skops serializes a driver-side
+    sklearn estimator). Here the distributed pyspark.ml PipelineModel
+    uses its native ML writer — readable on any cluster that can see
+    the path — plus a sidecar ``l2g_metadata`` JSON dataset (feature
+    list + label column, mirroring the reference's ``features_list``
+    metadata) written through Spark so it lands on the same
+    filesystem, local or object store.
+
+    ``feature_names`` defaults to the fitted VectorAssembler's input
+    columns, so the saved metadata always matches what the model was
+    actually trained on.
+    """
+    if feature_names is None:
+        feature_names = list(model.stages[0].getInputCols())
+    model.write().overwrite().save(f"{path}/pipeline")
+    from pyspark.sql import SparkSession  # noqa: PLC0415
+
+    ss = SparkSession.getActiveSession()
+    meta = ss.createDataFrame(
+        [(list(feature_names), label_col)],
+        "featureNames array<string>, labelCol string",
+    )
+    meta.coalesce(1).write.mode("overwrite").json(f"{path}/l2g_metadata")
+
+
+def load_l2g_model(spark, path: str):
+    """Load a persisted L2G model (reference
+    ``LocusToGeneModel.load_from_disk``, method/l2g/model.py:56-110).
+    Returns ``(PipelineModel, metadata dict)`` where metadata carries
+    ``featureNames`` (list[str]) and ``labelCol``. Loaded models score
+    identically to the in-session model (pinned by the round-trip
+    parity test)."""
+    from pyspark.ml import PipelineModel
+
+    model = PipelineModel.load(f"{path}/pipeline")
+    row = spark.read.json(f"{path}/l2g_metadata").first()
+    meta = {
+        "featureNames": list(row["featureNames"]),
+        "labelCol": row["labelCol"],
+    }
+    return model, meta
+
+
 def predict_l2g(model, feature_matrix: DataFrame) -> DataFrame:
     """Distributed scoring: P(gene is causal) per (studyLocusId, geneId)."""
     from pyspark.ml.functions import vector_to_array

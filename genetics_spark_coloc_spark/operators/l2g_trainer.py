@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from genetics_spark_coloc_spark.functions.reshape import declared_single_partition
 
 
 def assign_group_split(
@@ -84,7 +85,11 @@ def evaluate_binary_predictions(
         F.count("*").alias("_cnt"),
         F.sum(F.col(label_col).cast("int")).alias("_posCnt"),
     )
-    ws = Window.orderBy(F.col("_score").asc())
+    # bounded by quantized-score cardinality (6dp grid), not row
+    # count; declared single partition — the running sum needs one
+    ws = Window.partitionBy(
+        declared_single_partition(F.col("_score"))
+    ).orderBy(F.col("_score").asc())
     score_ranks = per_score.withColumn(
         "_minrank",
         F.coalesce(

@@ -48,6 +48,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from genetics_spark_coloc_spark.functions.reshape import declared_single_partition
+
 from genetics_spark_coloc_spark.operators.similarity import (
     _argbest_rounded,
     _round_half_away,
@@ -73,7 +75,10 @@ def codebooks_from_first_k(
     if dim % m != 0:
         raise ValueError(f"pq: dim {dim} not divisible by m {m}")
     sub = dim // m
-    w = Window.orderBy(id_col)
+    # input is .limit(k) — at most k rows — so a single-partition
+    # window is the intended plan; declare the partition explicitly
+    # (constant key) so WindowExec does not warn 'No Partition Defined'
+    w = Window.partitionBy(declared_single_partition(F.col(id_col))).orderBy(id_col)
     first = (
         vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
         .filter(F.size("v") == dim)
@@ -401,8 +406,9 @@ def ivfpq_index(
         raise ValueError(
             f"ivfpq_index: centroid dim {cmat.shape[1]} != m*sub_dim {dim}"
         )
+    vid_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"vid long, centroidId {id_sql_type}, codes array<int>"
+        f"vid {vid_type}, centroidId {id_sql_type}, codes array<int>"
     )
 
     def _build(batches):
@@ -492,9 +498,10 @@ def ivfpq_topk(
     qrows = [r for r in qrows if r["qv"] is not None and len(r["qv"]) == dim]
     qid_type = queries.schema[id_col].dataType.simpleString()
     cent_type = index.schema["centroidId"].dataType.simpleString()
+    vid_type = index.schema["vid"].dataType.simpleString()
     out_schema = (
         f"queryId {qid_type}, centroidId {cent_type}, "
-        f"neighborId long, adcDist double"
+        f"neighborId {vid_type}, adcDist double"
     )
     if not qrows:
         return index.limit(0).select(
@@ -610,8 +617,9 @@ def ivfpq_residuals(
     )
     cid_arr = np.array(cids)
     dim = cmat.shape[1]
+    vid_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"vid long, centroidId {id_sql_type}, residual array<double>"
+        f"vid {vid_type}, centroidId {id_sql_type}, residual array<double>"
     )
 
     def _resid(batches):

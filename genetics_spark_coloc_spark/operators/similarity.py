@@ -18,6 +18,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from genetics_spark_coloc_spark.functions.reshape import declared_single_partition
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ with double accumulation, left-to-right."""
@@ -350,20 +352,25 @@ def _argbest_rounded(mat, largest: bool, ndigits: int = 6):
     equal to round-everything-then-argbest by the parity tests."""
     import numpy as np
 
-    # one grid step, widened by an absolute slop so float error in
-    # the ×10^6 scaling can never hide a competitor that would round
-    # equal (the bound is exact in real arithmetic; the slop covers
-    # the ~ulp wobble of the scaled products)
-    eps = 10.0**-ndigits + 1e-10
+    # one grid step, widened by an absolute + RELATIVE slop so float
+    # error in the ×10^6 scaling can never hide a competitor that
+    # would round equal (the grid-step bound is exact in real
+    # arithmetic; the absolute term covers the ulp wobble of the
+    # scaled products near zero, and the |dbest|-proportional term
+    # covers it at large magnitude — for |x| ≳ 5e5 the error of
+    # x*1e6 exceeds any fixed absolute slop, so without the relative
+    # term a rounding-equal competitor could escape the re-rank)
     n = mat.shape[0]
     if largest:
         best = mat.argmax(axis=1)
         dbest = mat[np.arange(n), best]
-        close = mat >= dbest[:, None] - eps
+        eps = 10.0**-ndigits + 1e-10 + np.abs(dbest) * 4e-16
+        close = mat >= (dbest - eps)[:, None]
     else:
         best = mat.argmin(axis=1)
         dbest = mat[np.arange(n), best]
-        close = mat <= dbest[:, None] + eps
+        eps = 10.0**-ndigits + 1e-10 + np.abs(dbest) * 4e-16
+        close = mat <= (dbest + eps)[:, None]
     risky = np.flatnonzero(close.sum(axis=1) > 1)
     if risky.size:
         rounded = _round_half_away(mat[risky], ndigits)
@@ -796,7 +803,10 @@ def kmeans_lloyd(
         .filter(F.size("embedding") == dim)
         .localCheckpoint(eager=False)
     )
-    w = Window.orderBy("vec_id")
+    # seed rows are .limit(k) — bounded — so the renumbering window is
+    # intentionally single-partition; declared constant key avoids the
+    # WindowExec 'No Partition Defined' warning
+    w = Window.partitionBy(declared_single_partition(F.col("vec_id"))).orderBy("vec_id")
     centroids = (
         v.orderBy("vec_id")
         .limit(k)
@@ -1083,3 +1093,84 @@ def hamming_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def choose_nprobe(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    target_recall: float = 0.9,
+    k: int = 10,
+    n_queries: int = 50,
+    max_nprobe: "int | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    members: DataFrame | None = None,
+) -> "tuple[int, list[dict]]":
+    """FAISS-style nprobe auto-tuner: the smallest ``nprobe`` whose
+    measured recall@k on a sampled ground truth meets
+    ``target_recall`` — the knob a user otherwise hand-probes with
+    tools/ann_recall_probe.py (VERDICT r5 task #8).
+
+    Method: a deterministic hash-spread sample of ~``n_queries``
+    corpus vectors becomes the query set; exact :func:`cosine_topk`
+    on that sample is the ground truth (|sample| × corpus work — the
+    tuning cost, same trade FAISS makes training on a sample); then
+    :func:`ivf_topk` recall is measured at doubling nprobe values
+    (1, 2, 4, ...) until the target is met or ``max_nprobe``
+    (default: the centroid count) is reached. The inverted lists are
+    built ONCE via :func:`ivf_members` and reused across probes, so
+    each step costs one sampled search, not a corpus re-assignment.
+
+    This is a driver-side tuning loop that RUNS Spark jobs (like the
+    codebook collects, documented trade) — call it once per index
+    build, not per query.
+
+    Returns ``(nprobe, curve)`` where curve is
+    ``[{"nprobe": int, "recall_at_k": float}, ...]`` for every probed
+    value; if even ``max_nprobe`` misses the target, the largest
+    probed value is returned (its recall is in the curve — loud in
+    the artifact rather than an exception, matching how a user would
+    then either raise k_centroids or accept the recall).
+    """
+    if not (0.0 < target_recall <= 1.0):
+        raise ValueError(f"target_recall must be in (0, 1]: {target_recall}")
+    n_corpus = corpus.count()
+    if n_corpus == 0:
+        raise ValueError("choose_nprobe: empty corpus")
+    rate = max(1, n_corpus // max(1, n_queries))
+    queries = corpus.filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(rate)) == 0
+    ).localCheckpoint(eager=False)
+    truth = (
+        cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+        .select("queryId", "neighborId")
+        .localCheckpoint(eager=False)
+    )
+    n_truth = truth.count()
+    if n_truth == 0:
+        raise ValueError(
+            "choose_nprobe: ground truth is empty (corpus smaller than 2?)"
+        )
+    if members is None:
+        members = ivf_members(corpus, centroids, id_col, vec_col)
+    members = members.localCheckpoint(eager=False)
+    cap = max_nprobe or centroids.count()
+    curve: list[dict] = []
+    nprobe = 1
+    while True:
+        approx = ivf_topk(
+            corpus,
+            queries,
+            centroids,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            nprobe=nprobe,
+            members=members,
+        ).select("queryId", "neighborId")
+        hits = approx.join(truth, on=["queryId", "neighborId"], how="inner").count()
+        recall = hits / n_truth
+        curve.append({"nprobe": nprobe, "recall_at_k": round(recall, 4)})
+        if recall >= target_recall or nprobe >= cap:
+            return nprobe, curve
+        nprobe = min(nprobe * 2, cap)

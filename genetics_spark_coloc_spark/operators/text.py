@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from genetics_spark_coloc_spark.functions.reshape import declared_single_partition
 
 # deliberately small, deterministic marker sets (parity with the SQL
 # oracle matters more than linguistic accuracy)
@@ -175,6 +176,25 @@ def hash_split(
     return expr.otherwise(F.lit(last)) if expr is not None else F.lit(last)
 
 
+def gram_key(gram: Column, wide: bool = False) -> Column:
+    """Shuffle key for an n-gram string: 8-byte ``xxhash64`` by
+    default; ``wide=True`` upgrades to a two-salt 16-byte
+    ``struct(xxhash64(g), xxhash64(g, 1))`` key. The 64-bit key has a
+    birthday-collision tail at corpus scale (~10^4 falsely merged
+    gram families at 10^12 grams — they only OVER-mark duplicates,
+    never miss one); the two independent salts push the collision
+    probability to the 128-bit regime (~10^-14 at 10^12 grams) at 2×
+    the wire bytes. Struct keys hash/compare natively in Spark, so
+    groupBy/join shapes are unchanged either way.
+    """
+    if wide:
+        return F.struct(
+            F.xxhash64(gram).alias("h0"),
+            F.xxhash64(gram, F.lit(1)).alias("h1"),
+        )
+    return F.xxhash64(gram)
+
+
 def word_ngrams(text: Column, n: int) -> Column:
     """Array of space-joined lowercase word n-grams in document
     order (duplicates kept — coverage metrics count occurrences).
@@ -196,6 +216,7 @@ def duplicate_ngram_coverage(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 5,
+    wide_keys: bool = False,
 ) -> "DataFrame":
     """Inter-document duplicate n-gram coverage: per document, the
     fraction of its word n-gram occurrences whose gram also appears
@@ -212,7 +233,9 @@ def duplicate_ngram_coverage(
     8-byte keys. A 64-bit collision merges two grams' document
     frequencies; at 10^9 distinct grams the birthday bound is ~3%
     for ONE merged pair corpus-wide, noise against the signal this
-    statistic feeds. Grams' document frequencies reduce with map-side
+    statistic feeds — set ``wide_keys=True`` for the two-salt 128-bit
+    struct key (:func:`gram_key`) at the 10^12-gram tail, 2× the
+    wire bytes. Grams' document frequencies reduce with map-side
     combine on the high-cardinality key; one join back and a per-doc
     aggregate. No UDFs, no driver state. Documents with fewer than
     ``n`` tokens report coverage 0 over 0 grams.
@@ -227,7 +250,8 @@ def duplicate_ngram_coverage(
         # xxhash64(NULL) yields the seed, not NULL — keep the
         # short-doc marker rows null so count(gram) still skips them
         F.when(
-            F.col("gramStr").isNotNull(), F.xxhash64("gramStr")
+            F.col("gramStr").isNotNull(),
+            gram_key(F.col("gramStr"), wide_keys),
         ).alias("gram"),
     )
     # collapse to one row per (doc, gram) carrying the occurrence
@@ -1024,9 +1048,12 @@ def pack_sequences(
         "startTok",
         F.coalesce(
             F.sum("nTokens").over(
-                Window.orderBy(F.col("docId")).rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
+                # global token offsets are intrinsically a sequential
+                # prefix sum — single partition is the semantics, not
+                # an accident; see the shard-via-partitionBy note above
+                Window.partitionBy(declared_single_partition(F.col("docId")))
+                .orderBy(F.col("docId"))
+                .rowsBetween(Window.unboundedPreceding, -1)
             ),
             F.lit(0),
         ),
@@ -1151,7 +1178,11 @@ def strip_boilerplate(
 
 # URL canonicalization patterns, written in the Java-regex ∩ RE2
 # subset (no lookaround/backrefs) so the DuckDB oracles replay them
-_URL_TRACKING_PARAM = r"(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
+# Anchored at a query-param boundary ([?&]) so a parameter whose NAME
+# merely ends in "ref" (href=, pref=, xref=) is left intact; the
+# separator is captured and re-emitted so the existing cleanup chain
+# ('&&+' → '&', '?&' → '?', trailing '[?&]+') still collapses the gap.
+_URL_TRACKING_PARAM = r"([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
 
 
 def canonicalize_url(url: Column) -> Column:
@@ -1167,7 +1198,7 @@ def canonicalize_url(url: Column) -> Column:
         F.regexp_replace(url, r"^[a-zA-Z]+://[^/]*", ""),
     )
     c = F.regexp_replace(c, r"#.*$", "")  # fragment
-    c = F.regexp_replace(c, _URL_TRACKING_PARAM, "")  # tracking params
+    c = F.regexp_replace(c, _URL_TRACKING_PARAM, "$1")  # tracking params
     # separator cleanup ORDER matters: collapse doubled '&' runs
     # first, then a '?&' dangler, then a fully-emptied query, then
     # a path slash directly before '?' , then a trailing slash
@@ -1211,6 +1242,7 @@ def duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_tokens: int = 5,
+    wide_keys: bool = False,
 ) -> "DataFrame":
     """Exact substring-duplicate SPAN extraction — the span-level form
     of Lee et al. (2022) suffix-array dedup, re-expressed for Spark:
@@ -1223,10 +1255,12 @@ def duplicate_spans(
 
     Scale shape: windows come from shifted-slice zips (no per-element
     lambda), are collapsed to 64-bit xxhash before the frequency
-    shuffle (8-byte keys on the wire, map-side combine), one hash join
-    back, then a per-doc lag window + running-sum island merge — the
-    same device as sessionization. No UDFs; the only wide relations
-    shuffle on 8-byte or (docId) keys.
+    shuffle (8-byte keys on the wire, map-side combine; set
+    ``wide_keys=True`` for the two-salt 128-bit key — see
+    :func:`gram_key` — at the ~10^12-gram collision tail), one hash
+    join back, then a per-doc lag window + running-sum island merge —
+    the same device as sessionization. No UDFs; the only wide
+    relations shuffle on 8- or 16-byte or (docId) keys.
 
     Emits one row per maximal span: (docId, spanStart, spanEnd,
     spanTokens) with token offsets [spanStart, spanEnd). Documents
@@ -1238,7 +1272,7 @@ def duplicate_spans(
     wins = df.select(
         F.col(id_col).alias("docId"),
         F.posexplode(word_ngrams(F.col(text_col), k)).alias("start", "gramStr"),
-    ).select("docId", "start", F.xxhash64("gramStr").alias("gram"))
+    ).select("docId", "start", gram_key(F.col("gramStr"), wide_keys).alias("gram"))
     dup_grams = (
         wins.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -1278,6 +1312,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_tokens: int = 5,
+    wide_keys: bool = False,
 ) -> "DataFrame":
     """Lee et al. (2022) substring-duplicate REMOVAL: cut every
     maximal duplicated span found by :func:`duplicate_spans` out of
@@ -1292,7 +1327,7 @@ def remove_duplicate_spans(
     document; untouched documents keep their (whitespace-normalised)
     text with nDupTokens = 0.
     """
-    spans = duplicate_spans(df, text_col, id_col, min_tokens)
+    spans = duplicate_spans(df, text_col, id_col, min_tokens, wide_keys)
     per_doc = spans.groupBy("docId").agg(
         F.collect_list(F.struct("spanStart", "spanEnd")).alias("_spans"),
         F.sum("spanTokens").alias("_nDup"),
@@ -1317,6 +1352,166 @@ def remove_duplicate_spans(
         F.coalesce(F.col("_nDup"), F.lit(0)).cast("long").alias("nDupTokens"),
         F.concat_ws(" ", kept).alias("cleanedText"),
     )
+
+
+def verbatim_match_spans(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_gram_freq: "int | None" = None,
+    wide_keys: bool = False,
+) -> "DataFrame":
+    """EXACT maximal verbatim matches of >= ``min_tokens`` tokens —
+    the true maximal-match-length semantics of Lee et al. (2022)
+    suffix-array dedup, which :func:`duplicate_spans` islands only
+    bound from above: a 200-token verbatim copy reports ONE row with
+    matchTokens=200, while an island chained from unrelated 5-token
+    matches reports several short rows.
+
+    Device: occurrences of duplicated ``min_tokens``-grams self-join
+    on the gram key; a pair of occurrences (left doc/pos, right
+    doc/pos) lies on the diagonal (leftId, rightId, leftStart −
+    rightStart), and a verbatim copy of L tokens is exactly a run of
+    L−k+1 CONSECUTIVE leftStart values on one diagonal (each step
+    extends the match by one token; the run ends precisely where the
+    texts diverge). Runs are found with the same lag + running-sum
+    island device as sessionization — no UDF anywhere.
+
+    Scale shape: grams collapse to hashed keys before the frequency
+    shuffle and the pair join (``wide_keys=True`` upgrades to the
+    two-salt 128-bit struct key — see :func:`gram_key` — for
+    corpora at the ~10^12-gram birthday-collision tail). The pair
+    join is quadratic in per-gram frequency; ``max_gram_freq`` caps
+    it by EXCLUDING grams above the cap from pairing (boilerplate
+    stop-grams), under-reporting matches that only run through such
+    grams — the standard suffix-filter trade, off by default.
+
+    Pairs are canonical ((leftId, leftStart) < (rightId, rightStart)
+    lexicographically), so each match is reported once. Output:
+    (leftId, rightId, leftStart, rightStart, matchTokens); token
+    matching is lowercased, offsets are 0-based token positions.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    k = min_tokens
+    wins = df.select(
+        F.col(id_col).alias("docId"),
+        F.posexplode(word_ngrams(F.col(text_col), k)).alias(
+            "start", "gramStr"
+        ),
+    ).select("docId", "start", gram_key(F.col("gramStr"), wide_keys).alias("gram"))
+    counts = wins.groupBy("gram").agg(F.count(F.lit(1)).alias("_cnt"))
+    pairable = counts.filter(F.col("_cnt") >= 2)
+    if max_gram_freq is not None:
+        pairable = pairable.filter(F.col("_cnt") <= max_gram_freq)
+    occ = wins.join(pairable.select("gram"), on="gram", how="inner")
+    left = occ.select(
+        "gram",
+        F.col("docId").alias("leftId"),
+        F.col("start").alias("leftStart"),
+    )
+    right = occ.select(
+        "gram",
+        F.col("docId").alias("rightId"),
+        F.col("start").alias("rightStart"),
+    )
+    pairs = left.join(right, on="gram", how="inner").filter(
+        (F.col("leftId") < F.col("rightId"))
+        | (
+            (F.col("leftId") == F.col("rightId"))
+            & (F.col("leftStart") < F.col("rightStart"))
+        )
+    )
+    diag = pairs.select(
+        "leftId",
+        "rightId",
+        (F.col("leftStart") - F.col("rightStart")).alias("_d"),
+        "leftStart",
+        "rightStart",
+    )
+    w = Window.partitionBy("leftId", "rightId", "_d").orderBy("leftStart")
+    run = (
+        Window.partitionBy("leftId", "rightId", "_d")
+        .orderBy("leftStart")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = diag.withColumn(
+        "_brk",
+        F.when(
+            F.col("leftStart") - F.lag("leftStart").over(w) != 1, 1
+        ).otherwise(0),
+    ).withColumn("runId", F.sum("_brk").over(run))
+    return (
+        runs.groupBy("leftId", "rightId", "_d", "runId")
+        .agg(
+            F.min("leftStart").cast("long").alias("leftStart"),
+            F.min("rightStart").cast("long").alias("rightStart"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias(
+                "matchTokens"
+            ),
+        )
+        .select("leftId", "rightId", "leftStart", "rightStart", "matchTokens")
+    )
+
+
+def duplicate_span_lengths(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_gram_freq: "int | None" = None,
+    wide_keys: bool = False,
+) -> "DataFrame":
+    """:func:`duplicate_spans` islands annotated with the MAXIMAL
+    verbatim match length inside each island — spanTokens says how
+    wide the duplicated region is; maxMatchTokens says how long its
+    longest single verbatim copy actually is (the quantity Lee et al.
+    2022 report). A 200-token copy scores (200, 200); a chain of
+    unrelated 5-token matches covering 200 tokens scores (200, 5).
+
+    Every verbatim match lies wholly inside an island on BOTH its
+    sides (each of its anchor windows is duplicated, and duplicated
+    windows are what islands are made of), so the annotation is a
+    doc-keyed equi join of match endpoints onto islands plus a
+    containment filter — no range-join machinery needed. With
+    ``max_gram_freq`` set, matches running through capped grams are
+    missing and maxMatchTokens falls back to null for islands only
+    such matches would explain.
+
+    Output: (docId, spanStart, spanEnd, spanTokens, maxMatchTokens).
+    """
+    spans = duplicate_spans(df, text_col, id_col, min_tokens)
+    matches = verbatim_match_spans(
+        df, text_col, id_col, min_tokens, max_gram_freq, wide_keys
+    )
+    sides = matches.select(
+        F.col("leftId").alias("_mDoc"),
+        F.col("leftStart").alias("_mStart"),
+        "matchTokens",
+    ).unionByName(
+        matches.select(
+            F.col("rightId").alias("_mDoc"),
+            F.col("rightStart").alias("_mStart"),
+            "matchTokens",
+        )
+    )
+    # containment belongs in the JOIN condition (a post-filter on a
+    # left join would drop capped islands instead of nulling them);
+    # the docId equality keeps this a hash join, containment rides as
+    # the join residual
+    joined = spans.join(
+        sides,
+        on=(
+            (F.col("docId") == F.col("_mDoc"))
+            & (F.col("_mStart") >= F.col("spanStart"))
+            & (F.col("_mStart") < F.col("spanEnd"))
+        ),
+        how="left",
+    )
+    return joined.groupBy(
+        "docId", "spanStart", "spanEnd", "spanTokens"
+    ).agg(F.max("matchTokens").alias("maxMatchTokens"))
 
 
 def winnow_fingerprints(
@@ -1573,7 +1768,13 @@ def rrf_fuse(
             F.sum(F.lit(1.0) / (F.lit(float(k0)) + F.col("rank"))), 6
         ).alias("rrfScore"),
     )
-    w = Window.orderBy(F.col("rrfScore").desc(), F.col("docId").asc())
+    # the union of the input ranked lists is bounded by contract
+    # (callers pass top-k lists), so a single-partition rank is the
+    # intended plan; the constant partition key declares that and
+    # silences WindowExec's 'No Partition Defined' warning
+    w = Window.partitionBy(declared_single_partition(F.col("docId"))).orderBy(
+        F.col("rrfScore").desc(), F.col("docId").asc()
+    )
     return scored.withColumn(
         "fusedRank", F.row_number().over(w).cast("int")
     )

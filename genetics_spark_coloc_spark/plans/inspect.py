@@ -56,3 +56,30 @@ def read_schemas(df: DataFrame) -> list[str]:
 def shuffle_count(df: DataFrame) -> int:
     """Number of exchanges in the plan (each is a full shuffle)."""
     return physical_plan(df).count("Exchange")
+
+
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Number of WindowExec nodes with an EMPTY partition spec — the
+    shape that forces every row onto one partition ('No Partition
+    Defined' warning). In the plan text a Window node prints
+    ``Window [funcs], [partitionSpec], [orderSpec]``; the
+    unpartitioned form drops the middle group, so it has exactly two
+    top-level bracket groups instead of three.
+    """
+    count = 0
+    for line in physical_plan(df).splitlines():
+        stripped = line.lstrip(" +-*:")
+        if not stripped.startswith("Window ["):
+            continue
+        depth = 0
+        groups = 0
+        for ch in stripped[len("Window "):]:
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups < 3:
+            count += 1
+    return count

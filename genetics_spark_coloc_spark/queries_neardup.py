@@ -19,6 +19,7 @@ from genetics_spark_coloc_spark.operators.similarity import (
     lsh_cosine_candidates_banded,
 )
 from genetics_spark_coloc_spark.sources.tables import load_table
+from genetics_spark_coloc_spark.functions.reshape import declared_single_partition
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,7 +266,9 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(
         F.col("docFreq").desc(), F.col("termFreq").desc(), F.col("token")
     ).limit(25)
-    w = Window.orderBy(F.col("docFreq").desc(), F.col("termFreq").desc(), F.col("token"))
+    w = Window.partitionBy(declared_single_partition(F.col("token"))).orderBy(
+        F.col("docFreq").desc(), F.col("termFreq").desc(), F.col("token")
+    )
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "token", "docFreq", "termFreq"
     )
@@ -1228,7 +1231,7 @@ canon AS (
                        lower(regexp_extract(url, '^([a-zA-Z]+://[^/]*)', 1))
                          || regexp_replace(url, '^[a-zA-Z]+://[^/]*', '', 'g'),
                        '#.*$', '', 'g'),
-                     '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+                     '([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '\1', 'g'),
                    '&&+', '&', 'g'),
                  '\?&', '?', 'g'),
                '[?&]+$', '', 'g'),
@@ -1510,6 +1513,110 @@ NEARDUP_QUERIES["dup_span_removal"] = q_dup_span_removal
 NEARDUP_ORACLES["dup_span_removal"] = SQL_DUP_SPAN_REMOVAL
 
 
+def q_dup_span_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span islands annotated with the MAXIMAL verbatim
+    match length inside each island — the true Lee et al. (2022)
+    maximal-match semantics (operators/text.duplicate_span_lengths):
+    a long verbatim copy scores maxMatchTokens == spanTokens, a chain
+    of unrelated 5-token matches scores maxMatchTokens == 5."""
+    from genetics_spark_coloc_spark.operators.text import (
+        duplicate_span_lengths,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_span_lengths(docs, "text", "doc_id", min_tokens=5)
+
+
+SQL_DUP_SPAN_LENGTHS = """
+WITH toks AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+),
+starts AS (
+  SELECT docId,
+         UNNEST(CASE WHEN len(t) >= 5 THEN range(0, len(t) - 4) ELSE [] END) AS start,
+         t
+  FROM toks
+),
+grams AS (
+  SELECT docId, start,
+         array_to_string(list_slice(t, start + 1, start + 5), ' ') AS g
+  FROM starts
+),
+dupg AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+),
+dup AS (
+  SELECT docId, start FROM grams WHERE g IN (SELECT g FROM dupg)
+),
+isl AS (
+  SELECT docId, start,
+         SUM(CASE WHEN prev IS NULL OR start - prev > 5 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY docId ORDER BY start) AS islandId
+  FROM (
+    SELECT docId, start,
+           LAG(start) OVER (PARTITION BY docId ORDER BY start) AS prev
+    FROM dup
+  )
+),
+spans AS (
+  SELECT docId,
+         CAST(MIN(start) AS BIGINT) AS spanStart,
+         CAST(MAX(start) + 5 AS BIGINT) AS spanEnd,
+         CAST(MAX(start) + 5 - MIN(start) AS BIGINT) AS spanTokens
+  FROM isl GROUP BY docId, islandId
+),
+occ AS (
+  SELECT docId, start, g FROM grams WHERE g IN (SELECT g FROM dupg)
+),
+pairs AS (
+  SELECT a.docId AS leftId, a.start AS leftStart,
+         b.docId AS rightId, b.start AS rightStart
+  FROM occ a JOIN occ b ON a.g = b.g
+  WHERE (a.docId < b.docId)
+     OR (a.docId = b.docId AND a.start < b.start)
+),
+runs AS (
+  SELECT leftId, rightId, d, leftStart, rightStart,
+         SUM(brk) OVER (
+           PARTITION BY leftId, rightId, d ORDER BY leftStart
+         ) AS runId
+  FROM (
+    SELECT leftId, rightId, leftStart - rightStart AS d,
+           leftStart, rightStart,
+           CASE WHEN leftStart - LAG(leftStart) OVER (
+                  PARTITION BY leftId, rightId, leftStart - rightStart
+                  ORDER BY leftStart
+                ) = 1 THEN 0 ELSE 1 END AS brk
+    FROM pairs
+  )
+),
+matches AS (
+  SELECT leftId, rightId,
+         CAST(MIN(leftStart) AS BIGINT) AS leftStart,
+         CAST(MIN(rightStart) AS BIGINT) AS rightStart,
+         CAST(COUNT(*) + 4 AS BIGINT) AS matchTokens
+  FROM runs GROUP BY leftId, rightId, d, runId
+),
+sides AS (
+  SELECT leftId AS docId, leftStart AS mStart, matchTokens FROM matches
+  UNION ALL
+  SELECT rightId AS docId, rightStart AS mStart, matchTokens FROM matches
+)
+SELECT s.docId, s.spanStart, s.spanEnd, s.spanTokens,
+       MAX(m.matchTokens) AS maxMatchTokens
+FROM spans s
+LEFT JOIN sides m
+  ON m.docId = s.docId AND m.mStart >= s.spanStart AND m.mStart < s.spanEnd
+GROUP BY s.docId, s.spanStart, s.spanEnd, s.spanTokens
+"""
+
+NEARDUP_QUERIES["dup_span_lengths"] = q_dup_span_lengths
+NEARDUP_ORACLES["dup_span_lengths"] = SQL_DUP_SPAN_LENGTHS
+
+
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint sketches (Schleimer et al. 2003, MOSS):
     min-hash-per-frame selection over 5-gram md5s, frame width 4
@@ -1671,11 +1778,17 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     bm = bm25_scores(docs, ["hash", "join", "vector"], "text", "doc_id")
-    w = Window.orderBy(F.col("score").desc(), F.col("docId").asc())
-    bm_ranked = (
-        bm.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
-        .select("docId", "rank")
+    # orderBy + limit compiles to TakeOrderedAndProject (per-partition
+    # top-k merged on the driver); a rank window over the WHOLE scored
+    # corpus would sort every BM25 hit on one partition. The rank is
+    # assigned on the surviving 50 rows only (same result: identical
+    # ordering + deterministic docId tiebreak).
+    bm_top = bm.orderBy(F.col("score").desc(), F.col("docId").asc()).limit(50)
+    w = Window.partitionBy(declared_single_partition(F.col("docId"))).orderBy(
+        F.col("score").desc(), F.col("docId").asc()
+    )
+    bm_ranked = bm_top.withColumn("rank", F.row_number().over(w)).select(
+        "docId", "rank"
     )
     dense = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=50).select(
         F.col("neighborId").alias("docId"), "rank"

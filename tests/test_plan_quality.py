@@ -168,3 +168,29 @@ def test_weighted_sample_is_take_ordered(spark):
 
     plan = physical_plan(QUERIES["weighted_sample"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_no_unpartitioned_windows_in_ann_and_retrieval_plans(spark):
+    """Every ranking window in the ANN / retrieval / sampling plans is
+    either keyed by queryId or declared single-partition over a
+    bounded input (r5 ADVICE): an empty partition spec would move ALL
+    rows to one partition silently. Pinned to the physical plan."""
+    from genetics_spark_coloc_spark.plans.inspect import (
+        unpartitioned_window_count,
+    )
+
+    for name in [
+        "pq_adc_topk",
+        "ivfpq_topk",
+        "mrl_funnel",
+        "cosine_topk",
+        "hamming_topk",
+        "sq8_topk",
+        "hybrid_retrieval",
+        "top_tokens",
+        "binary_metrics",
+        "pq_encode",
+    ]:
+        df = QUERIES[name](spark, SF_DIR)
+        n = unpartitioned_window_count(df)
+        assert n == 0, f"{name}: {n} unpartitioned window(s)"

@@ -312,3 +312,105 @@ def test_sq8_topk_matches_exact_ranking_on_separated_data(spark):
         )[:3]
         want = [int(x) for x in exact]
         assert [n for _, n in sorted(got[qid])] == want, (qid, got[qid], want)
+
+
+def test_ivfpq_string_ids_roundtrip(spark):
+    """The vid/neighborId output types are derived from the input id
+    column (ADVICE r5): string doc ids must flow through ivfpq_index,
+    ivfpq_residuals, and ivfpq_topk without a cast failure, and the
+    lexicographically smaller neighborId must win ADC ties."""
+    from genetics_spark_coloc_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_residuals,
+        ivfpq_topk,
+    )
+
+    df, mat = _vecs(spark, n=24, dim=8, seed=11)
+    sdf = df.select(
+        F.concat(F.lit("doc-"), F.format_string("%03d", "vec_id")).alias(
+            "vec_id"
+        ),
+        "embedding",
+    )
+    cents = df.filter(F.col("vec_id") < 3)  # long centroid ids
+    cb = codebooks_from_first_k(df, m=2, k=4, dim=8)
+    idx = ivfpq_index(sdf, cents, cb).localCheckpoint()
+    assert dict(idx.dtypes)["vid"] == "string"
+    rows = idx.collect()
+    assert len(rows) == 24 and all(r["vid"].startswith("doc-") for r in rows)
+
+    res = ivfpq_residuals(sdf, cents)
+    assert dict(res.dtypes)["vid"] == "string"
+    assert res.count() == 24
+
+    queries = sdf.filter(F.col("vec_id") < "doc-002")
+    out = ivfpq_topk(idx, cents, cb, queries, k=4, nprobe=3)
+    assert dict(out.dtypes)["neighborId"] == "string"
+    got = out.collect()
+    assert got
+    for r in got:
+        assert r["neighborId"] != r["queryId"]
+        assert r["neighborId"].startswith("doc-")
+
+
+def test_argbest_rounded_relative_slop_large_magnitude(spark):
+    """At |x| ~ 1e6+ the float error of x*1e6 exceeds any absolute
+    slop; the relative eps term must still catch a competitor that
+    rounds equal to the best, so the first-index tie break applies
+    (ADVICE r5)."""
+    from genetics_spark_coloc_spark.operators.similarity import (
+        _argbest_rounded,
+        _round_half_away,
+    )
+
+    base = 1.25e6
+    # col1 is the unrounded min but col0 rounds equal -> tie -> index 0
+    delta = 3e-7
+    mat = np.array([[base + delta, base], [base, base + delta]])
+    r = _round_half_away(mat)
+    assert r[0, 0] == r[0, 1] and r[1, 0] == r[1, 1]  # grid-step tie
+    best = _argbest_rounded(mat, largest=False)
+    assert list(best) == [0, 0]
+    best_max = _argbest_rounded(mat, largest=True)
+    assert list(best_max) == [0, 0]
+    # sanity: a clearly separated pair is untouched by the slop
+    mat2 = np.array([[base, base + 10.0]])
+    assert list(_argbest_rounded(mat2, largest=False)) == [0]
+    assert list(_argbest_rounded(mat2, largest=True)) == [1]
+
+
+def test_choose_nprobe_hits_target_on_clustered_fixture(spark):
+    """The auto-tuner returns the smallest probed nprobe whose
+    measured recall@k meets the target on a clustered corpus, and the
+    curve is monotone non-decreasing (VERDICT r5 task #8)."""
+    from genetics_spark_coloc_spark.operators.similarity import (
+        choose_nprobe,
+        kmeans_lloyd,
+    )
+
+    rng = np.random.RandomState(3)
+    n_comp, dim, per = 8, 16, 60
+    centers = rng.randn(n_comp, dim) * 8
+    rows = []
+    for i in range(n_comp * per):
+        v = centers[i % n_comp] + rng.randn(dim) * 0.5
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_lloyd(df, k=16, n_iter=2, dim=dim).select(
+        F.col("centroidId").alias("vec_id"), "embedding"
+    ).localCheckpoint()
+
+    nprobe, curve = choose_nprobe(
+        df, cents, target_recall=0.8, k=5, n_queries=20
+    )
+    recs = [c["recall_at_k"] for c in curve]
+    assert curve[-1]["nprobe"] == nprobe
+    assert recs == sorted(recs), curve  # monotone in nprobe
+    assert recs[-1] >= 0.8, curve  # target met on this easy geometry
+    # minimality: every earlier probed value missed the target
+    assert all(r < 0.8 for r in recs[:-1]), curve
+    # a sky-high target caps at max_nprobe and reports the best curve
+    np2, curve2 = choose_nprobe(
+        df, cents, target_recall=1.0, k=5, n_queries=20, max_nprobe=2
+    )
+    assert np2 == 2 and curve2[-1]["nprobe"] == 2

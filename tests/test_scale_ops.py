@@ -1655,6 +1655,27 @@ def test_canonicalize_url_variants_collapse(spark):
         for r in df2.select(canonicalize_url(F.col("url")).alias("c")).collect()
     }
     assert got2 == {"https://e.com/p"}
+    # params whose NAME merely ends in "ref" are NOT tracking params and
+    # must survive intact (regression: unanchored regex mangled these)
+    df3 = spark.createDataFrame(
+        [
+            ("https://e.com/p?href=X",),
+            ("https://e.com/p?pref=1",),
+            ("https://e.com/p?pref=2",),
+            ("https://e.com/p?xref=Y&ref=tw",),
+        ],
+        "url string",
+    )
+    got3 = sorted(
+        r["c"]
+        for r in df3.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    )
+    assert got3 == [
+        "https://e.com/p?href=X",
+        "https://e.com/p?pref=1",
+        "https://e.com/p?pref=2",
+        "https://e.com/p?xref=Y",
+    ]
 
 
 def test_url_dedup_keeper_is_min_id(spark):
@@ -2203,6 +2224,12 @@ def test_exact_dedup_keep_best_argmax_and_null_scores(spark):
             (6, "third", 0.5),
             (7, "mixed nulls", None),
             (8, "mixed nulls", 0.1),     # real score beats null
+            (9, "nan group", float("nan")),
+            (10, "nan group", 0.3),      # real score beats NaN
+            (11, "all nan", float("nan")),
+            (12, "all nan", float("nan")),  # keeper 11, null score
+            (13, "neg inf", float("-inf")),
+            (14, "neg inf", float("-inf")),  # keeper 13, score IS -inf
         ],
         "doc_id long, text string, score double",
     )
@@ -2210,7 +2237,15 @@ def test_exact_dedup_keep_best_argmax_and_null_scores(spark):
         r["keeperId"]: (r["keeperScore"], r["nCopies"])
         for r in exact_dedup_keep_best(df, "text", "doc_id", "score").collect()
     }
-    assert got == {2: (0.9, 3), 4: (None, 2), 6: (0.5, 1), 8: (0.1, 2)}
+    assert got == {
+        2: (0.9, 3),
+        4: (None, 2),
+        6: (0.5, 1),
+        8: (0.1, 2),
+        10: (0.3, 2),
+        11: (None, 2),
+        13: (float("-inf"), 2),
+    }
 
 
 def test_winnow_xxhash64_path_keeps_guarantee(spark):
@@ -2507,3 +2542,175 @@ def test_weighted_sample_matches_replay_and_biases_by_weight(spark):
         heavy_wins += top["docId"] == 0
     # P(heavy wins) = 10/11; 40 trials -> expect ~36, demand > 28
     assert heavy_wins > 28, heavy_wins
+
+
+def _brute_maximal_matches(docs: dict, k: int):
+    """Reference maximal verbatim matches in plain Python: every
+    canonical pair of positions that starts a maximal >= k-token
+    match. docs: {docId: [lowercased tokens]}."""
+    out = set()
+    ids = sorted(docs)
+    for a in ids:
+        for b in ids:
+            if a > b:
+                continue
+            ta, tb = docs[a], docs[b]
+            for p in range(len(ta)):
+                for q in range(len(tb)):
+                    if a == b and p >= q:
+                        continue
+                    if ta[p] != tb[q]:
+                        continue
+                    # maximal on the left?
+                    if p > 0 and q > 0 and ta[p - 1] == tb[q - 1]:
+                        continue
+                    ln = 0
+                    while (
+                        p + ln < len(ta)
+                        and q + ln < len(tb)
+                        and ta[p + ln] == tb[q + ln]
+                    ):
+                        ln += 1
+                    if ln >= k:
+                        out.add((a, b, p, q, ln))
+    return out
+
+
+def test_verbatim_match_spans_matches_brute_force(spark):
+    """Diagonal-run maximal matches equal the brute-force Python
+    oracle on adversarial overlapping-repeat fixtures: a long
+    verbatim copy, self-overlapping repeats, and chained short
+    matches from different partners (VERDICT r5 task #2)."""
+    from genetics_spark_coloc_spark.operators.text import (
+        verbatim_match_spans,
+    )
+
+    texts = {
+        0: "A b c d e f g h i j pad0 pad00",         # 10-token copy src
+        1: "zz yy a b c d e f g h i j ww",            # ... and dst
+        2: "x x x x x x x x",                         # self-overlap
+        3: "p1 p2 p3 p4 p5 p6",                       # chained island
+        4: "left4 p1 p2 p3 p4 p5 tail4",              # partner 1
+        5: "head5 p2 p3 p4 p5 p6 tail5",              # partner 2
+        6: "lone words only here never repeated five",
+    }
+    docs = {i: t.lower().split() for i, t in texts.items()}
+    k = 5
+    want = _brute_maximal_matches(docs, k)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (
+            r["leftId"],
+            r["rightId"],
+            r["leftStart"],
+            r["rightStart"],
+            r["matchTokens"],
+        )
+        for r in verbatim_match_spans(df, min_tokens=k).collect()
+    }
+    assert got == want, (sorted(got - want), sorted(want - got))
+    # wide 128-bit keys: identical result, different wire type
+    got_wide = {
+        (
+            r["leftId"],
+            r["rightId"],
+            r["leftStart"],
+            r["rightStart"],
+            r["matchTokens"],
+        )
+        for r in verbatim_match_spans(df, min_tokens=k, wide_keys=True).collect()
+    }
+    assert got_wide == want
+
+
+def test_verbatim_match_spans_brute_force_randomized(spark):
+    """Property check on a randomized corpus with planted repeats:
+    operator == brute force for every seed."""
+    import random
+
+    from genetics_spark_coloc_spark.operators.text import (
+        verbatim_match_spans,
+    )
+
+    k = 3
+    for seed in (1, 7, 23):
+        rng = random.Random(seed)
+        vocab = [f"w{j}" for j in range(6)]  # tiny vocab -> collisions
+        texts = {}
+        for i in range(5):
+            n = rng.randint(4, 14)
+            texts[i] = " ".join(rng.choice(vocab) for _ in range(n))
+        docs = {i: t.split() for i, t in texts.items()}
+        want = _brute_maximal_matches(docs, k)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in texts.items()], "doc_id long, text string"
+        )
+        got = {
+            (
+                r["leftId"],
+                r["rightId"],
+                r["leftStart"],
+                r["rightStart"],
+                r["matchTokens"],
+            )
+            for r in verbatim_match_spans(df, min_tokens=k).collect()
+        }
+        assert got == want, (seed, sorted(got - want), sorted(want - got))
+
+
+def test_duplicate_span_lengths_discriminates_copy_vs_chain(spark):
+    """The Lee et al. discrimination VERDICT r5 asked for: a long
+    verbatim copy scores maxMatchTokens == spanTokens, while an
+    island chained from unrelated short matches scores spanTokens
+    large but maxMatchTokens == k."""
+    from genetics_spark_coloc_spark.operators.text import (
+        duplicate_span_lengths,
+    )
+
+    texts = {
+        0: "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10",          # 10-token copy
+        1: "pre c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 post",
+        3: "p1 p2 p3 p4 p5 p6",                        # chained island
+        4: "l4a l4b p1 p2 p3 p4 p5 t4",                # partner 1
+        5: "h5 p2 p3 p4 p5 p6 t5a t5b",                # partner 2
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    rows = {
+        (r["docId"], r["spanStart"]): r
+        for r in duplicate_span_lengths(df, min_tokens=5).collect()
+    }
+    # the 10-token copy: island == match
+    r0 = rows[(0, 0)]
+    assert r0["spanTokens"] == 10 and r0["maxMatchTokens"] == 10
+    r1 = rows[(1, 1)]
+    assert r1["spanTokens"] == 10 and r1["maxMatchTokens"] == 10
+    # the chained island: 6 tokens wide, but no verbatim run > 5
+    r3 = rows[(3, 0)]
+    assert r3["spanTokens"] == 6 and r3["maxMatchTokens"] == 5
+
+
+def test_verbatim_match_max_gram_freq_caps_pairing(spark):
+    """Grams above the frequency cap are excluded from pairing:
+    matches that only exist through hot grams disappear, and islands
+    they explained report null maxMatchTokens (documented trade)."""
+    from genetics_spark_coloc_spark.operators.text import (
+        duplicate_span_lengths,
+        verbatim_match_spans,
+    )
+
+    # one 5-gram shared by 4 docs (freq 4)
+    texts = {i: f"u{i} hot1 hot2 hot3 hot4 hot5 v{i}" for i in range(4)}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    full = verbatim_match_spans(df, min_tokens=5).collect()
+    assert len(full) == 6  # C(4,2) doc pairs
+    capped = verbatim_match_spans(df, min_tokens=5, max_gram_freq=3).collect()
+    assert capped == []
+    spans = duplicate_span_lengths(df, min_tokens=5, max_gram_freq=3).collect()
+    assert len(spans) == 4
+    assert all(r["maxMatchTokens"] is None for r in spans)
