@@ -33,6 +33,7 @@ def connected_components(
     until_converged: bool = False,
     raise_on_unconverged: bool = True,
     check_every: int = 1,
+    stats_out: "dict | None" = None,
 ) -> DataFrame:
     """Label every vertex with the MINIMUM vertex id reachable from it.
 
@@ -57,6 +58,10 @@ def connected_components(
     unconverged labeling would silently split true clusters. Pass
     ``raise_on_unconverged=False`` only when a caller checks (or
     tolerates) convergence itself.
+
+    Pass a dict as ``stats_out`` to receive ``{"rounds": executed,
+    "converged": bool}`` — the scale probes record the round count
+    this way without re-implementing the loop.
     """
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -74,7 +79,9 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     )
+    executed = 0
     for _ in range(num_rounds):
+        executed += 1
         prev = labels
         # propagate: min label over self + neighbours
         nbr = (
@@ -135,6 +142,10 @@ def connected_components(
                 "rounds (an edge still bridges two labels); raise "
                 "num_rounds or set until_converged=True"
             )
+        converged = True
+    if stats_out is not None:
+        stats_out["rounds"] = executed
+        stats_out["converged"] = converged
     return labels.select("id", F.col("label").alias("component"))
 
 

@@ -1237,12 +1237,36 @@ def url_dedup(
     )
 
 
+def _gram_windows(
+    df: "DataFrame",
+    text_col: str,
+    id_col: str,
+    k: int,
+    wide_keys: bool,
+) -> "DataFrame":
+    """(docId, start, gram) — every k-token window of every document
+    with its hashed shuffle key: the shared first stage of
+    :func:`duplicate_spans` and :func:`verbatim_match_spans`.
+    Composite callers (duplicate_span_lengths) build this ONCE and
+    pass it to both via their ``windows=`` parameter, so the dominant
+    tokenize+n-gram corpus scan runs once, not twice."""
+    return df.select(
+        F.col(id_col).alias("docId"),
+        F.posexplode(word_ngrams(F.col(text_col), k)).alias(
+            "start", "gramStr"
+        ),
+    ).select(
+        "docId", "start", gram_key(F.col("gramStr"), wide_keys).alias("gram")
+    )
+
+
 def duplicate_spans(
     df: "DataFrame",
     text_col: str = "text",
     id_col: str = "doc_id",
     min_tokens: int = 5,
     wide_keys: bool = False,
+    windows: "DataFrame | None" = None,
 ) -> "DataFrame":
     """Exact substring-duplicate SPAN extraction — the span-level form
     of Lee et al. (2022) suffix-array dedup, re-expressed for Spark:
@@ -1269,10 +1293,11 @@ def duplicate_spans(
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     k = min_tokens
-    wins = df.select(
-        F.col(id_col).alias("docId"),
-        F.posexplode(word_ngrams(F.col(text_col), k)).alias("start", "gramStr"),
-    ).select("docId", "start", gram_key(F.col("gramStr"), wide_keys).alias("gram"))
+    wins = (
+        windows
+        if windows is not None
+        else _gram_windows(df, text_col, id_col, k, wide_keys)
+    )
     dup_grams = (
         wins.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -1361,6 +1386,7 @@ def verbatim_match_spans(
     min_tokens: int = 5,
     max_gram_freq: "int | None" = None,
     wide_keys: bool = False,
+    windows: "DataFrame | None" = None,
 ) -> "DataFrame":
     """EXACT maximal verbatim matches of >= ``min_tokens`` tokens —
     the true maximal-match-length semantics of Lee et al. (2022)
@@ -1395,12 +1421,11 @@ def verbatim_match_spans(
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     k = min_tokens
-    wins = df.select(
-        F.col(id_col).alias("docId"),
-        F.posexplode(word_ngrams(F.col(text_col), k)).alias(
-            "start", "gramStr"
-        ),
-    ).select("docId", "start", gram_key(F.col("gramStr"), wide_keys).alias("gram"))
+    wins = (
+        windows
+        if windows is not None
+        else _gram_windows(df, text_col, id_col, k, wide_keys)
+    )
     counts = wins.groupBy("gram").agg(F.count(F.lit(1)).alias("_cnt"))
     pairable = counts.filter(F.col("_cnt") >= 2)
     if max_gram_freq is not None:
@@ -1481,9 +1506,18 @@ def duplicate_span_lengths(
 
     Output: (docId, spanStart, spanEnd, spanTokens, maxMatchTokens).
     """
-    spans = duplicate_spans(df, text_col, id_col, min_tokens)
+    # ONE tokenize+n-gram pass feeds both the island finder and the
+    # match finder (lazy checkpoint: materialized on first use,
+    # reused by the second — the corpus scan is the dominant cost)
+    wins = _gram_windows(
+        df, text_col, id_col, min_tokens, wide_keys
+    ).localCheckpoint(eager=False)
+    spans = duplicate_spans(
+        df, text_col, id_col, min_tokens, wide_keys, windows=wins
+    )
     matches = verbatim_match_spans(
-        df, text_col, id_col, min_tokens, max_gram_freq, wide_keys
+        df, text_col, id_col, min_tokens, max_gram_freq, wide_keys,
+        windows=wins,
     )
     sides = matches.select(
         F.col("leftId").alias("_mDoc"),

@@ -599,3 +599,63 @@ def retrieval_probes2(n_docs: int = 2_000_000, n_vec: int = 500_000) -> None:
         lambda: hamming_topk(sigs, sigs.filter(F.col("vid") < 16), k=10),
     )
     spark.stop()
+
+
+def wide_key_probes(n_docs: int = 2_000_000) -> None:
+    """128-bit vs 64-bit gram-key trade (VERDICT r5 task #3): the
+    same 2M-doc worst-case corpus as span_probes(), run through
+    duplicate_spans and verbatim_match_spans with narrow (xxhash64,
+    8-byte) and wide (two-salt struct, 16-byte) keys. The wide key
+    pushes the birthday-collision probability from ~3e-9 per gram
+    pair at 10^12 grams (≈10^4 falsely merged gram families
+    corpus-wide) to the 128-bit regime (~1e-14 total) at 2× the
+    shuffle key bytes — this probe measures what that costs in wall.
+    Run via: python -c "import tools.scale_probe as sp; sp.wide_key_probes()"
+    """
+    spark = get_session(
+        app_name="scale_probe_wide_keys",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.operators.text import (
+        duplicate_spans,
+        verbatim_match_spans,
+    )
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.md5(F.col("id").cast("string")),
+            F.lit(" some shared body text fragment number "),
+            (F.col("id") % 50_000).cast("string"),
+            F.lit(" tail "),
+            F.md5((F.col("id") * 17).cast("string")),
+        ).alias("text"),
+    )
+    for wide in (False, True):
+        tag = "wide128" if wide else "narrow64"
+        probe(
+            f"duplicate_spans_2m_docs_{tag}",
+            n_docs,
+            lambda w=wide: duplicate_spans(docs, min_tokens=5, wide_keys=w),
+        )
+    # verbatim matches pair-join on the gram key — the shape where
+    # key width costs most. The corpus's universal boilerplate prefix
+    # ("some shared body text fragment number") is a 200k-frequency
+    # gram — C(200k,2) pairs if paired — so the probe REQUIRES the
+    # max_gram_freq cap, exactly the knob a production run of this
+    # operator needs on boilerplate-heavy corpora; family grams
+    # (freq 4) still pair and carry the matches.
+    sl = docs.filter(F.col("doc_id") < n_docs // 10)
+    for wide in (False, True):
+        tag = "wide128" if wide else "narrow64"
+        probe(
+            f"verbatim_match_spans_200k_docs_{tag}",
+            n_docs // 10,
+            lambda w=wide: verbatim_match_spans(
+                sl, min_tokens=5, max_gram_freq=100, wide_keys=w
+            ),
+        )
+    spark.stop()
