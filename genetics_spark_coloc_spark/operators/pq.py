@@ -535,37 +535,54 @@ def ivfpq_topk(
             vids = pdf["vid"].to_numpy()
             cents = pdf["centroidId"].to_numpy()
             vals = pdf["codes"].tolist()
+            # validate + bucket the batch ONCE, not once per
+            # (query, probe): a per-pair Python re-scan of the whole
+            # batch is O(batch·|Q|·nprobe) interpreter work; bucketed
+            # rows make each probe a direct inverted-list slice
+            ok = [
+                i
+                for i, c in enumerate(vals)
+                if c is not None
+                and len(c) == m
+                and all(
+                    cs is not None and 0 <= cs < k_per_s[s]
+                    for s, cs in enumerate(c)
+                )
+            ]
+            if not ok:
+                continue
+            codes_all = np.array([vals[i] for i in ok], dtype=np.int64)
+            vid_all = vids[ok]
+            cent_all = cents[ok]
+            rows_by_pos: dict = {}
+            for cid, pos in pos_by_cid.items():
+                mask = np.flatnonzero(cent_all == cid)
+                if mask.size:
+                    rows_by_pos[pos] = mask
             chunks = []
             for qi in range(len(qids)):
                 for p in probe_pos[qi]:
-                    want_cid = cid_arr[p]
-                    sel = [
-                        i
-                        for i, c in enumerate(vals)
-                        if cents[i] == want_cid
-                        and vids[i] != qids[qi]
-                        and c is not None
-                        and len(c) == m
-                        and all(
-                            cs is not None and 0 <= cs < k_per_s[s]
-                            for s, cs in enumerate(c)
-                        )
-                    ]
-                    if not sel:
+                    rows = rows_by_pos.get(int(p))
+                    if rows is None:
                         continue
-                    codes = np.array([vals[i] for i in sel], dtype=np.int64)
+                    v = vid_all[rows]
+                    keep = v != qids[qi]
+                    if not keep.any():
+                        continue
+                    sel = rows[keep]
+                    v = v[keep]
+                    codes = codes_all[sel]
                     t = tables[(qi, int(p))]
                     adc = np.zeros(len(sel), dtype=np.float64)
                     for s in range(m):
                         adc += t[s][codes[:, s]]
                     adc = _round_half_away(adc)
-                    v = vids[sel]
                     order = np.lexsort((v, adc))[:k]
                     chunks.append(
                         pd.DataFrame(
                             {
                                 "queryId": [qids[qi]] * len(order),
-                                "centroidId": [want_cid.item()] * len(order),
+                                "centroidId": [cid_arr[p].item()] * len(order),
                                 "neighborId": v[order],
                                 "adcDist": adc[order],
                             }

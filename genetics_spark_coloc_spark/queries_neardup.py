@@ -1617,6 +1617,76 @@ NEARDUP_QUERIES["dup_span_lengths"] = q_dup_span_lengths
 NEARDUP_ORACLES["dup_span_lengths"] = SQL_DUP_SPAN_LENGTHS
 
 
+def q_verbatim_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximal verbatim matches >= 5 tokens across the corpus
+    (operators/text.verbatim_match_spans): each row is one maximal
+    copy — diagonal-chain runs over duplicated-gram occurrence pairs,
+    the Lee et al. (2022) maximal-match primitive."""
+    from genetics_spark_coloc_spark.operators.text import (
+        verbatim_match_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return verbatim_match_spans(docs, "text", "doc_id", min_tokens=5)
+
+
+SQL_VERBATIM_MATCHES = """
+WITH toks AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+),
+starts AS (
+  SELECT docId,
+         UNNEST(CASE WHEN len(t) >= 5 THEN range(0, len(t) - 4) ELSE [] END) AS start,
+         t
+  FROM toks
+),
+grams AS (
+  SELECT docId, start,
+         array_to_string(list_slice(t, start + 1, start + 5), ' ') AS g
+  FROM starts
+),
+dupg AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+),
+occ AS (
+  SELECT docId, start, g FROM grams WHERE g IN (SELECT g FROM dupg)
+),
+pairs AS (
+  SELECT a.docId AS leftId, a.start AS leftStart,
+         b.docId AS rightId, b.start AS rightStart
+  FROM occ a JOIN occ b ON a.g = b.g
+  WHERE (a.docId < b.docId)
+     OR (a.docId = b.docId AND a.start < b.start)
+),
+runs AS (
+  SELECT leftId, rightId, d, leftStart, rightStart,
+         SUM(brk) OVER (
+           PARTITION BY leftId, rightId, d ORDER BY leftStart
+         ) AS runId
+  FROM (
+    SELECT leftId, rightId, leftStart - rightStart AS d,
+           leftStart, rightStart,
+           CASE WHEN leftStart - LAG(leftStart) OVER (
+                  PARTITION BY leftId, rightId, leftStart - rightStart
+                  ORDER BY leftStart
+                ) = 1 THEN 0 ELSE 1 END AS brk
+    FROM pairs
+  )
+)
+SELECT leftId, rightId,
+       CAST(MIN(leftStart) AS BIGINT) AS leftStart,
+       CAST(MIN(rightStart) AS BIGINT) AS rightStart,
+       CAST(COUNT(*) + 4 AS BIGINT) AS matchTokens
+FROM runs GROUP BY leftId, rightId, d, runId
+"""
+
+NEARDUP_QUERIES["verbatim_matches"] = q_verbatim_matches
+NEARDUP_ORACLES["verbatim_matches"] = SQL_VERBATIM_MATCHES
+
+
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint sketches (Schleimer et al. 2003, MOSS):
     min-hash-per-frame selection over 5-gram md5s, frame width 4

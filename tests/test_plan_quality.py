@@ -194,3 +194,26 @@ def test_no_unpartitioned_windows_in_ann_and_retrieval_plans(spark):
         df = QUERIES[name](spark, SF_DIR)
         n = unpartitioned_window_count(df)
         assert n == 0, f"{name}: {n} unpartitioned window(s)"
+
+
+def test_span_queries_stay_hash_shaped_and_bounded(spark):
+    """The new maximal-match pipeline must stay hash-join shaped (the
+    gram pair join and the island-annotation join are equi joins with
+    residuals — never CartesianProduct), with a bounded exchange
+    count and no unpartitioned windows (diagonal runs partition by
+    (leftId, rightId, offset); islands by docId)."""
+    from genetics_spark_coloc_spark.plans.inspect import (
+        has_cartesian,
+        shuffle_count,
+        unpartitioned_window_count,
+    )
+
+    for name, budget in [
+        ("dup_spans", 6),
+        ("verbatim_matches", 10),
+        ("dup_span_lengths", 20),
+    ]:
+        df = QUERIES[name](spark, SF_DIR)
+        assert not has_cartesian(df), name
+        assert shuffle_count(df) <= budget, (name, shuffle_count(df))
+        assert unpartitioned_window_count(df) == 0, name

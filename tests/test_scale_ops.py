@@ -2714,3 +2714,28 @@ def test_verbatim_match_max_gram_freq_caps_pairing(spark):
     spans = duplicate_span_lengths(df, min_tokens=5, max_gram_freq=3).collect()
     assert len(spans) == 4
     assert all(r["maxMatchTokens"] is None for r in spans)
+
+
+def test_wide_keys_parity_dup_ngram_and_spans(spark):
+    """wide_keys=True (two-salt 128-bit struct keys) must produce
+    byte-identical results to the 64-bit default on collision-free
+    inputs — the key width changes the wire format, never the
+    answer."""
+    from genetics_spark_coloc_spark.operators.text import (
+        duplicate_ngram_coverage,
+        duplicate_spans,
+    )
+
+    texts = {
+        0: "a b c d e f g h i j",
+        1: "x a b c d e f y z w",
+        2: "totally different words here that never repeat at all",
+        3: "",  # short-doc marker path
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    for fn in (duplicate_spans, duplicate_ngram_coverage):
+        narrow = sorted(map(tuple, fn(df).collect()))
+        wide = sorted(map(tuple, fn(df, wide_keys=True).collect()))
+        assert narrow == wide, fn.__name__
