@@ -2739,3 +2739,44 @@ def test_wide_keys_parity_dup_ngram_and_spans(spark):
         narrow = sorted(map(tuple, fn(df).collect()))
         wide = sorted(map(tuple, fn(df, wide_keys=True).collect()))
         assert narrow == wide, fn.__name__
+
+
+def test_connected_components_unroll_parity(spark):
+    """unroll=2 stacks two propagate+shortcut steps per
+    materialization — identical labeling to unroll=1 on every shape
+    (chain, clique, isolated vertex), with propagation budget
+    num_rounds x unroll."""
+    from genetics_spark_coloc_spark.operators.graph import (
+        connected_components,
+    )
+
+    verts = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    edges = spark.createDataFrame(
+        # chain 0-1-2-3-4-5, clique 6-7-8, pair 9-10; 11 isolated
+        [(i, i + 1) for i in range(5)]
+        + [(6, 7), (7, 8), (6, 8), (9, 10)],
+        "leftId long, rightId long",
+    )
+    base = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            verts, edges, num_rounds=8, until_converged=True
+        ).collect()
+    }
+    stats: dict = {}
+    unrolled = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            verts,
+            edges,
+            num_rounds=4,
+            until_converged=True,
+            check_every=2,
+            unroll=2,
+            stats_out=stats,
+        ).collect()
+    }
+    assert base == unrolled
+    assert stats["converged"] and stats["propagations"] == stats["rounds"] * 2
+    want = {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 6, 7: 6, 8: 6, 9: 9, 10: 9, 11: 11}
+    assert base == want
