@@ -528,7 +528,10 @@ def ivfpq_topk(
                 _sq_dist_rounded(r[:, s * sub : (s + 1) * sub], mats[s])[0]
                 for s in range(m)
             ]
-    pos_by_cid = {int(cid_arr[p]): int(p) for p in range(len(cids))}
+    # keep the centroid id's NATIVE type as the key (long ids stay
+    # ints, string ids stay strings) — int() would crash non-numeric
+    # centroid ids at plan build
+    pos_by_cid = {cid_arr[p].item(): int(p) for p in range(len(cids))}
 
     def _scan(batches):
         for pdf in batches:

@@ -1548,6 +1548,74 @@ def duplicate_span_lengths(
     ).agg(F.max("matchTokens").alias("maxMatchTokens"))
 
 
+def remove_verbatim_matches(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_match_tokens: int = 50,
+    max_gram_freq: "int | None" = None,
+    wide_keys: bool = False,
+) -> "DataFrame":
+    """The ACTUAL Lee et al. (2022) ExactSubstr removal policy: cut
+    every occurrence of a verbatim substring of at least
+    ``min_match_tokens`` tokens that appears more than once in the
+    corpus (their paper uses 50). :func:`remove_duplicate_spans` cuts
+    every >= k-token duplicated ISLAND — far more aggressive; this
+    variant touches only long verbatim copies, the policy shown to
+    help LM training without shredding short idioms.
+
+    Anchoring grams at ``min_match_tokens`` directly (rather than
+    filtering short-anchor matches) makes the threshold the CHEAP
+    path: duplicated 50-grams are rare, so the frequency shuffle and
+    the pair join shrink with the threshold. Overlapping matches are
+    handled by recomputing coverage from the kept-token count, not by
+    summing (possibly overlapping) match lengths.
+
+    Emits (docId, nTokens, nDupTokens, cleanedText) for EVERY input
+    document, matching :func:`remove_duplicate_spans`'s shape.
+    """
+    matches = verbatim_match_spans(
+        df, text_col, id_col, min_match_tokens, max_gram_freq, wide_keys
+    )
+    sides = matches.select(
+        F.col("leftId").alias("docId"),
+        F.col("leftStart").alias("_s"),
+        (F.col("leftStart") + F.col("matchTokens")).alias("_e"),
+    ).unionByName(
+        matches.select(
+            F.col("rightId").alias("docId"),
+            F.col("rightStart").alias("_s"),
+            (F.col("rightStart") + F.col("matchTokens")).alias("_e"),
+        )
+    )
+    per_doc = sides.groupBy("docId").agg(
+        F.collect_list(F.struct(F.col("_s"), F.col("_e"))).alias("_spans")
+    )
+    base = df.select(
+        F.col(id_col).alias("docId"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    joined = base.join(per_doc, on="docId", how="left")
+    kept = F.when(F.col("_spans").isNull(), F.col("_toks")).otherwise(
+        F.filter(
+            F.col("_toks"),
+            lambda t, i: ~F.exists(
+                F.col("_spans"),
+                lambda s: (i >= s["_s"]) & (i < s["_e"]),
+            ),
+        )
+    )
+    return joined.select(
+        "docId",
+        F.coalesce(F.size("_toks"), F.lit(-1)).cast("long").alias("nTokens"),
+        (
+            F.coalesce(F.size("_toks"), F.lit(0))
+            - F.size(F.coalesce(kept, F.array()))
+        ).cast("long").alias("nDupTokens"),
+        F.concat_ws(" ", kept).alias("cleanedText"),
+    )
+
+
 def winnow_fingerprints(
     df: "DataFrame",
     text_col: str = "text",

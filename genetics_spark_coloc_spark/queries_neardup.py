@@ -1687,6 +1687,110 @@ NEARDUP_QUERIES["verbatim_matches"] = q_verbatim_matches
 NEARDUP_ORACLES["verbatim_matches"] = SQL_VERBATIM_MATCHES
 
 
+def q_verbatim_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual Lee et al. (2022) ExactSubstr removal policy: cut
+    every occurrence of a >= 20-token verbatim substring appearing
+    more than once (operators/text.remove_verbatim_matches) — long
+    copies only, unlike the island-level dup_span_removal."""
+    from genetics_spark_coloc_spark.operators.text import (
+        remove_verbatim_matches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_verbatim_matches(docs, "text", "doc_id", min_match_tokens=20)
+
+
+SQL_VERBATIM_REMOVAL = """
+WITH toks AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+),
+starts AS (
+  SELECT docId,
+         UNNEST(CASE WHEN len(t) >= 20 THEN range(0, len(t) - 19) ELSE [] END) AS start,
+         t
+  FROM toks
+),
+grams AS (
+  SELECT docId, start,
+         array_to_string(list_slice(t, start + 1, start + 20), ' ') AS g
+  FROM starts
+),
+dupg AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+),
+occ AS (
+  SELECT docId, start, g FROM grams WHERE g IN (SELECT g FROM dupg)
+),
+pairs AS (
+  SELECT a.docId AS leftId, a.start AS leftStart,
+         b.docId AS rightId, b.start AS rightStart
+  FROM occ a JOIN occ b ON a.g = b.g
+  WHERE (a.docId < b.docId)
+     OR (a.docId = b.docId AND a.start < b.start)
+),
+runs AS (
+  SELECT leftId, rightId, d, leftStart, rightStart,
+         SUM(brk) OVER (
+           PARTITION BY leftId, rightId, d ORDER BY leftStart
+         ) AS runId
+  FROM (
+    SELECT leftId, rightId, leftStart - rightStart AS d,
+           leftStart, rightStart,
+           CASE WHEN leftStart - LAG(leftStart) OVER (
+                  PARTITION BY leftId, rightId, leftStart - rightStart
+                  ORDER BY leftStart
+                ) = 1 THEN 0 ELSE 1 END AS brk
+    FROM pairs
+  )
+),
+matches AS (
+  SELECT leftId, rightId,
+         MIN(leftStart) AS leftStart,
+         MIN(rightStart) AS rightStart,
+         COUNT(*) + 19 AS matchTokens
+  FROM runs GROUP BY leftId, rightId, d, runId
+),
+sides AS (
+  SELECT leftId AS docId, leftStart AS s, leftStart + matchTokens AS e FROM matches
+  UNION ALL
+  SELECT rightId AS docId, rightStart AS s, rightStart + matchTokens AS e FROM matches
+),
+origtoks AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+tok AS (
+  SELECT docId, UNNEST(range(0, len(t))) AS p, t FROM origtoks
+),
+kept AS (
+  SELECT k.docId, k.p, k.t[k.p + 1] AS tk
+  FROM tok k
+  LEFT JOIN sides s
+    ON s.docId = k.docId AND k.p >= s.s AND k.p < s.e
+  WHERE s.docId IS NULL
+),
+cleaned AS (
+  SELECT docId, string_agg(tk, ' ' ORDER BY p) AS cleanedText,
+         COUNT(*) AS nKept
+  FROM kept GROUP BY docId
+)
+SELECT o.docId,
+       CAST(COALESCE(len(o.t), -1) AS BIGINT) AS nTokens,
+       CAST(COALESCE(len(o.t), 0) - COALESCE(c.nKept, 0) AS BIGINT) AS nDupTokens,
+       COALESCE(c.cleanedText, '') AS cleanedText
+FROM origtoks o
+LEFT JOIN cleaned c ON c.docId = o.docId
+"""
+
+NEARDUP_QUERIES["verbatim_removal"] = q_verbatim_removal
+NEARDUP_ORACLES["verbatim_removal"] = SQL_VERBATIM_REMOVAL
+
+
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint sketches (Schleimer et al. 2003, MOSS):
     min-hash-per-frame selection over 5-gram md5s, frame width 4

@@ -352,6 +352,26 @@ def test_ivfpq_string_ids_roundtrip(spark):
         assert r["neighborId"] != r["queryId"]
         assert r["neighborId"].startswith("doc-")
 
+    # STRING centroid ids flow end-to-end too (the probe-position map
+    # must keep the centroid id's native type, not int() it)
+    scents = cents.select(
+        F.concat(F.lit("c-"), F.col("vec_id").cast("string")).alias(
+            "vec_id"
+        ),
+        "embedding",
+    )
+    sidx = ivfpq_index(sdf, scents, cb).localCheckpoint()
+    assert dict(sidx.dtypes)["centroidId"] == "string"
+    out2 = ivfpq_topk(sidx, scents, cb, queries, k=4, nprobe=2).collect()
+    assert out2
+    assert all(r["centroidId"].startswith("c-") for r in out2)
+    # same neighbors as the long-centroid run at full probe depth
+    out3 = {
+        (r["queryId"], r["neighborId"])
+        for r in ivfpq_topk(sidx, scents, cb, queries, k=4, nprobe=3).collect()
+    }
+    assert out3 == {(r["queryId"], r["neighborId"]) for r in got}
+
 
 def test_argbest_rounded_relative_slop_large_magnitude(spark):
     """At |x| ~ 1e6+ the float error of x*1e6 exceeds any absolute

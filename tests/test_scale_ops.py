@@ -2780,3 +2780,69 @@ def test_connected_components_unroll_parity(spark):
     assert stats["converged"] and stats["propagations"] == stats["rounds"] * 2
     want = {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 6, 7: 6, 8: 6, 9: 9, 10: 9, 11: 11}
     assert base == want
+
+
+def test_remove_verbatim_matches_policy(spark):
+    """ExactSubstr policy: only long verbatim copies are cut; short
+    duplicated islands survive (unlike remove_duplicate_spans), and
+    EVERY occurrence of the long copy goes."""
+    from genetics_spark_coloc_spark.operators.text import (
+        remove_duplicate_spans,
+        remove_verbatim_matches,
+    )
+
+    long_copy = " ".join(f"c{i}" for i in range(12))
+    texts = {
+        0: f"head0 {long_copy} tail0",
+        1: f"pre1 pre2 {long_copy} post1",
+        2: "s1 s2 s3 s4 s5 end2",       # short 5-gram dup with doc 3
+        3: "s1 s2 s3 s4 s5 end3",
+        4: "unique words that never repeat anywhere at all ok",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    out = {
+        r["docId"]: r
+        for r in remove_verbatim_matches(df, min_match_tokens=10).collect()
+    }
+    # the 12-token copy is cut from BOTH docs
+    assert out[0]["cleanedText"] == "head0 tail0"
+    assert out[0]["nDupTokens"] == 12
+    assert out[1]["cleanedText"] == "pre1 pre2 post1"
+    # the short 5-token dup survives this policy...
+    assert out[2]["cleanedText"] == texts[2]
+    assert out[2]["nDupTokens"] == 0
+    assert out[4]["cleanedText"] == texts[4]
+    # ...but not the island-level one
+    island = {
+        r["docId"]: r for r in remove_duplicate_spans(df).collect()
+    }
+    assert island[2]["nDupTokens"] == 5
+
+
+def test_remove_verbatim_matches_overlapping_coverage(spark):
+    """Overlapping matches must not double-count removed tokens:
+    nDupTokens is recomputed from kept tokens, not summed spans."""
+    from genetics_spark_coloc_spark.operators.text import (
+        remove_verbatim_matches,
+    )
+
+    # doc 0 shares tokens 0..9 with doc 1 and tokens 5..14 with doc 2
+    a = [f"w{i}" for i in range(15)]
+    texts = {
+        0: " ".join(a),
+        1: " ".join(a[0:10]) + " x1 x2",
+        2: "y1 y2 " + " ".join(a[5:15]),
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    out = {
+        r["docId"]: r
+        for r in remove_verbatim_matches(df, min_match_tokens=10).collect()
+    }
+    # doc 0 loses ALL 15 tokens (two overlapping 10-token matches)
+    assert out[0]["nDupTokens"] == 15 and out[0]["cleanedText"] == ""
+    assert out[1]["nDupTokens"] == 10 and out[1]["cleanedText"] == "x1 x2"
+    assert out[2]["nDupTokens"] == 10 and out[2]["cleanedText"] == "y1 y2"
