@@ -193,6 +193,12 @@ def simhash(text: Column, bits: int = 32) -> Column:
     Per token, take the first ``bits`` bits of md5; sum +1/-1 per bit
     over tokens; signature bit = sign. Pure array math.
     """
+    if bits > 32:
+        raise ValueError(
+            f"simhash: bits={bits} exceeds the 32 bits of hash material "
+            "derived per token (first 8 md5 hex digits); zip_with would "
+            "null-pad the vote vector silently"
+        )
     toks = F.array_distinct(tokens(F.lower(text)))
 
     # Per token, derive the 32-bit vector from the first 8 hex chars
@@ -238,6 +244,82 @@ def simhash(text: Column, bits: int = 32) -> Column:
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup candidate generation + verification — the
+    Manku, Jain, Das Sarma (2007) web-crawl dedup design: split each
+    ``bits``-bit signature into ``bands`` contiguous blocks; any two
+    documents sharing at least one exact block become candidates; a
+    candidate pair survives iff the FULL-signature Hamming distance
+    is <= ``max_hamming``. Pigeonhole guarantee: a pair with Hamming
+    distance <= bands-1 differs in at most bands-1 blocks, so at
+    least one block matches — with the defaults (4 bands, radius 3)
+    recall is EXACT, not probabilistic; raising max_hamming beyond
+    bands-1 trades recall for a wider radius.
+
+    Scale shape: the only wide operation is the per-block equi
+    self-join on (bandIdx, blockVal) — never all-pairs, exactly the
+    MinHash-LSH bucket-join device; verification is one JVM
+    ``bit_count(xor)`` on the pair, no text touched. The signature is
+    an ALIASED column in its own projection so the md5 vote fold runs
+    once per document, not once per block reference.
+
+    Output: (leftId, rightId, hammingDist), deduplicated across
+    blocks.
+    """
+    if bits % bands != 0:
+        raise ValueError(f"simhash_pairs: bits {bits} not divisible by bands {bands}")
+    w = bits // bands
+    mask = (1 << w) - 1
+    base = df.select(
+        F.col(id_col).alias("docId"),
+        simhash(F.col(text_col), bits).alias("sig"),
+    )
+    blocks = base.select(
+        "docId",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), i * w).bitwiseAND(F.lit(mask))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bandIdx", "blockVal"),
+    )
+    left = blocks.select(
+        "bandIdx",
+        "blockVal",
+        F.col("docId").alias("leftId"),
+        F.col("sig").alias("_sigL"),
+    )
+    right = blocks.select(
+        "bandIdx",
+        "blockVal",
+        F.col("docId").alias("rightId"),
+        F.col("sig").alias("_sigR"),
+    )
+    return (
+        left.join(right, on=["bandIdx", "blockVal"], how="inner")
+        .filter(F.col("leftId") < F.col("rightId"))
+        .select(
+            "leftId",
+            "rightId",
+            F.bit_count(
+                F.col("_sigL").bitwiseXOR(F.col("_sigR"))
+            ).cast("int").alias("hammingDist"),
+        )
+        .filter(F.col("hammingDist") <= max_hamming)
+        .distinct()
     )
 
 

@@ -470,6 +470,37 @@ GROUP BY docId
 """
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (Manku et al. 2007, operators/
+    dedup.simhash_near_dup_pairs): 4 blocks of 8 bits, candidates
+    share a block, survivors have full-signature Hamming <= 3 —
+    pigeonhole-exact recall at that radius."""
+    from genetics_spark_coloc_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(
+        docs, "text", "doc_id", bits=32, bands=4, max_hamming=3
+    )
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH sh AS ({SQL_SIMHASH}),
+blocks AS (
+  SELECT docId, simhash AS sig, CAST(i AS INT) AS bandIdx,
+         (simhash >> (CAST(i AS INT) * 8)) & 255 AS blockVal
+  FROM sh CROSS JOIN range(0, 4) t(i)
+)
+SELECT DISTINCT a.docId AS leftId, b.docId AS rightId,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hammingDist
+FROM blocks a
+JOIN blocks b ON a.bandIdx = b.bandIdx AND a.blockVal = b.blockVal
+WHERE a.docId < b.docId
+  AND bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
 # -------------------------------------------------------------- l2g features
 def _synthetic_locus_and_variant_index(spark: SparkSession, sf_dir: str):
     """Shared study-locus (with max-pp sentinel) + variant-index
@@ -1037,6 +1068,7 @@ EXTRA_QUERIES = {
     "finemap_susie_inf": q_finemap_susie_inf,
     "finemap_carma_ld": q_finemap_carma_ld,
     "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
     "l2g_registry_matrix": q_l2g_registry_matrix,
     "l2g_distance_features": q_l2g_distance,
     "vep_features": q_vep_features,
@@ -1052,6 +1084,7 @@ EXTRA_ORACLES = {
     "finemap_carma_ld": SQL_FINEMAP_CARMA_LD,
     "l2g_registry_matrix": SQL_L2G_REGISTRY_MATRIX,
     "simhash": SQL_SIMHASH,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
     "l2g_distance_features": SQL_L2G_DISTANCE,
     "vep_features": SQL_VEP_FEATURES,
     "frame_plan": SQL_FRAME_PLAN,

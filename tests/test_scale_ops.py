@@ -2846,3 +2846,48 @@ def test_remove_verbatim_matches_overlapping_coverage(spark):
     assert out[0]["nDupTokens"] == 15 and out[0]["cleanedText"] == ""
     assert out[1]["nDupTokens"] == 10 and out[1]["cleanedText"] == "x1 x2"
     assert out[2]["nDupTokens"] == 10 and out[2]["cleanedText"] == "y1 y2"
+
+
+def test_simhash_near_dup_pairs_pigeonhole(spark):
+    """Manku et al. banded pairs: near-identical docs pair with small
+    Hamming distance; at radius <= bands-1 recall is EXACT (verified
+    against a brute-force all-pairs Hamming scan); unrelated docs
+    beyond the radius are excluded."""
+    from genetics_spark_coloc_spark.operators.dedup import (
+        simhash,
+        simhash_near_dup_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = {
+        0: base,
+        1: base + " extra",             # tiny perturbation
+        2: base.replace("gamma", "gaga"),
+        3: "wholly different content nothing shared with the others x y z",
+        4: base,                        # exact dup of 0 -> hamming 0
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    sigs = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", simhash(F.col("text")).alias("s")).collect()
+    }
+    brute = set()
+    for a in sigs:
+        for b in sigs:
+            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3:
+                brute.add((a, b))
+    got = {
+        (r["leftId"], r["rightId"]): r["hammingDist"]
+        for r in simhash_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert set(got) == brute  # pigeonhole-exact at radius bands-1
+    assert got[(0, 4)] == 0
+    for (a, b), h in got.items():
+        assert h == bin(sigs[a] ^ sigs[b]).count("1")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="32 bits"):
+        df.select(simhash(F.col("text"), bits=64)).collect()
