@@ -62,24 +62,41 @@ def unpartitioned_window_count(df: DataFrame) -> int:
     """Number of WindowExec nodes with an EMPTY partition spec — the
     shape that forces every row onto one partition ('No Partition
     Defined' warning). In the plan text a Window node prints
-    ``Window [funcs], [partitionSpec], [orderSpec]``; the
-    unpartitioned form drops the middle group, so it has exactly two
-    top-level bracket groups instead of three.
+    ``Window [funcs], [partitionSpec], [orderSpec]`` with empty specs
+    OMITTED — so two bracket groups can mean EITHER an unpartitioned
+    ordered window (second group is an order spec, its entries carry
+    ASC/DESC) or a partition-only aggregate window (no ordering —
+    fine). Only the former is counted.
     """
+    import re
+
     count = 0
     for line in physical_plan(df).splitlines():
         stripped = line.lstrip(" +-*:")
         if not stripped.startswith("Window ["):
             continue
+        body = stripped[len("Window "):]
         depth = 0
-        groups = 0
-        for ch in stripped[len("Window "):]:
+        groups: list[str] = []
+        cur: list[str] = []
+        for ch in body:
             if ch == "[":
                 if depth == 0:
-                    groups += 1
+                    cur = []
+                else:
+                    cur.append(ch)
                 depth += 1
             elif ch == "]":
                 depth -= 1
-        if groups < 3:
-            count += 1
+                if depth == 0:
+                    groups.append("".join(cur))
+                else:
+                    cur.append(ch)
+            elif depth > 0:
+                cur.append(ch)
+        if len(groups) >= 3:
+            continue  # funcs + partition + order: partitioned
+        if len(groups) == 2 and not re.search(r"\b(ASC|DESC)\b", groups[1]):
+            continue  # partition-only aggregate window: fine
+        count += 1
     return count

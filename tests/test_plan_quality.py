@@ -46,9 +46,18 @@ PYTHON_ALLOWED = {
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_python_eval_in_contract_plans(spark, name):
+    from genetics_spark_coloc_spark.plans.inspect import (
+        unpartitioned_window_count,
+    )
+
+    df = QUERIES[name](spark, SF_DIR)
+    # EVERY query: no ordered window with an empty partition spec
+    # (silently single-partitions the whole input; bounded windows
+    # declare their single partition via declared_single_partition)
+    n = unpartitioned_window_count(df)
+    assert n == 0, f"{name}: {n} unpartitioned ordered window(s)"
     if name in PYTHON_ALLOWED:
         pytest.skip("applyInPandas kernel is the designed exception")
-    df = QUERIES[name](spark, SF_DIR)
     assert not has_python_eval(df), f"{name} routes rows through Python workers"
 
 
