@@ -2157,3 +2157,75 @@ def weighted_sample(
         .orderBy(F.desc("sampleKey"), F.asc("docId"))
         .limit(n)
     )
+
+
+def bpe_train_merges(
+    df: "DataFrame",
+    n_merges: int = 3,
+    text_col: str = "text",
+    materialize_rounds: bool = False,
+) -> "DataFrame":
+    """Full iterative BPE training for ``n_merges`` rounds (Sennrich
+    et al. 2016): round r counts adjacent pairs on the corpus as
+    rewritten by merges 1..r-1, takes the (count desc, pair asc)
+    winner, and rewrites with :func:`bpe_merge_tokens`. Emits the
+    learned merge table — (mergeRank, pair, pairCount) — which IS the
+    BPE tokenizer artifact; apply it later with repeated
+    :func:`bpe_merge_tokens` folds.
+
+    Shape per round: one O(m) slice-zip pair explode, one
+    map-side-combined count, TakeOrderedAndProject(1), winner
+    broadcast onto the next rewrite — no driver round-trip, no UDF;
+    the whole training run is ONE lazy plan of n_merges chained
+    rounds. BPE's sequential dependency is between rounds only, so
+    this is the minimal coordination a distributed trainer can have.
+
+    Scale note: lazily chained, round r re-executes the r-1 earlier
+    fold rewrites (O(n²) total fold work — fine for small n_merges
+    or bench-scale corpora, and it keeps the registry plan pure).
+    For production vocab sizes set ``materialize_rounds=True``: each
+    rewritten corpus is localCheckpoint'ed so every round does
+    exactly one corpus pass, the same lineage-truncation device the
+    CC and k-means loops use.
+    """
+    cur = df.select(tokens(F.lower(F.col(text_col))).alias("_t"))
+    winners = []
+    for r in range(n_merges):
+        n_pairs = F.size("_t") - F.lit(1)
+        # the winner carries pa/pb as SEPARATE columns: from round 2
+        # on, symbols themselves contain the ' ' joiner, so the pair
+        # string cannot be split back into its halves. The tie-break
+        # is on the joined pair string (matches the oracle's ORDER BY
+        # pair ASC — tuple order and string order DIFFER once pa can
+        # be a spaced symbol).
+        pairs = F.zip_with(
+            F.slice("_t", 1, F.greatest(n_pairs, F.lit(0))),
+            F.slice("_t", 2, F.greatest(n_pairs, F.lit(0))),
+            lambda a, b: F.struct(a.alias("pa"), b.alias("pb")),
+        )
+        win = (
+            cur.select(F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.pa").alias("_pa"), F.col("p.pb").alias("_pb"))
+            .agg(F.count(F.lit(1)).alias("pairCount"))
+            .withColumn("pair", F.concat_ws(" ", "_pa", "_pb"))
+            .orderBy(F.desc("pairCount"), F.asc("pair"))
+            .limit(1)
+        )
+        winners.append(
+            win.select(
+                F.lit(r + 1).cast("int").alias("mergeRank"),
+                "pair",
+                "pairCount",
+            )
+        )
+        if r + 1 < n_merges:
+            pq = win.select("_pa", "_pb")
+            cur = cur.crossJoin(F.broadcast(pq)).select(
+                bpe_merge_tokens(F.col("_t"), F.col("_pa"), F.col("_pb")).alias("_t")
+            )
+            if materialize_rounds:
+                cur = cur.localCheckpoint(eager=False)
+    out = winners[0]
+    for w in winners[1:]:
+        out = out.unionByName(w)
+    return out

@@ -2509,3 +2509,106 @@ FROM keyed ORDER BY sampleKey DESC, docId ASC LIMIT 50
 
 NEARDUP_QUERIES["weighted_sample"] = q_weighted_sample
 NEARDUP_ORACLES["weighted_sample"] = SQL_WEIGHTED_SAMPLE
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE training, 3 merge rounds (operators/text.
+    bpe_train_merges): each round counts adjacent pairs on the
+    corpus as rewritten by the previous winners — the full
+    distributed trainer, not just one round. The oracle UNROLLS the
+    same 3 rounds in SQL, replaying each rewrite through the
+    independent gaps-and-islands parity formulation of
+    leftmost-first matching (same device the bpe_apply_merge oracle
+    uses), so the two sides share no algorithm."""
+    from genetics_spark_coloc_spark.operators.text import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, n_merges=3)
+
+
+def _bpe_train_oracle_sql(n_merges: int = 3) -> str:
+    """Generate the unrolled n-round BPE training oracle: round r
+    counts pairs on t{r-1}, keeps winner w{r}, and (if another round
+    follows) rewrites t{r-1} -> t{r} with the leftmost-first
+    non-overlapping merge expressed as gaps-and-islands run parity."""
+    ctes = [
+        r"""t0 AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+  FROM documents
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"t{r - 1}"
+        ctes.append(
+            f"""p{r} AS (
+  SELECT UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS pair
+  FROM {prev}
+)"""
+        )
+        ctes.append(
+            f"""w{r} AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS pairCount
+  FROM p{r} GROUP BY pair ORDER BY pairCount DESC, pair ASC LIMIT 1
+)"""
+        )
+        if r == n_merges:
+            break
+        ctes.append(
+            f"""pq{r} AS (
+  SELECT string_split(pair, ' ')[1] AS pa, string_split(pair, ' ')[2] AS pb FROM w{r}
+)"""
+        )
+        ctes.append(
+            f"""e{r} AS (
+  SELECT docId, UNNEST(range(0, len(t))) AS i, t FROM {prev}
+)"""
+        )
+        ctes.append(
+            f"""m{r} AS (
+  SELECT e{r}.docId, e{r}.i, e{r}.t[e{r}.i + 1] AS tk,
+         COALESCE(e{r}.t[e{r}.i + 1] = pq{r}.pa AND e{r}.t[e{r}.i + 2] = pq{r}.pb, FALSE) AS isMatch
+  FROM e{r}, pq{r}
+)"""
+        )
+        ctes.append(
+            f"""r{r} AS (
+  SELECT docId, i, tk, isMatch,
+         i - ROW_NUMBER() OVER (PARTITION BY docId, isMatch ORDER BY i) AS grp
+  FROM m{r}
+)"""
+        )
+        ctes.append(
+            f"""a{r} AS (
+  SELECT docId, i, tk, isMatch,
+         isMatch AND (ROW_NUMBER() OVER (PARTITION BY docId, isMatch, grp ORDER BY i) % 2) = 1 AS isActive
+  FROM r{r}
+)"""
+        )
+        ctes.append(
+            f"""s{r} AS (
+  SELECT docId, i,
+         CASE WHEN isActive
+              THEN tk || ' ' || LEAD(tk) OVER (PARTITION BY docId ORDER BY i)
+              WHEN COALESCE(LAG(isActive) OVER (PARTITION BY docId ORDER BY i), FALSE)
+              THEN NULL
+              ELSE tk END AS symbol
+  FROM a{r}
+)"""
+        )
+        ctes.append(
+            f"""t{r} AS (
+  SELECT docId, list(symbol ORDER BY i) AS t
+  FROM s{r} WHERE symbol IS NOT NULL GROUP BY docId
+)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS mergeRank, pair, pairCount FROM w{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+NEARDUP_QUERIES["bpe_train_merges"] = q_bpe_train_merges
+NEARDUP_ORACLES["bpe_train_merges"] = _bpe_train_oracle_sql(3)

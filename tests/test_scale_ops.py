@@ -2891,3 +2891,65 @@ def test_simhash_near_dup_pairs_pigeonhole(spark):
 
     with _pytest.raises(ValueError, match="32 bits"):
         df.select(simhash(F.col("text"), bits=64)).collect()
+
+
+def test_bpe_train_merges_vs_bruteforce(spark):
+    """3-round iterative trainer equals a sequential reference BPE
+    (count pairs -> leftmost-first rewrite -> repeat) on a fixture
+    engineered so later winners only exist AFTER earlier merges:
+    round 1 merges (a,a), round 2's top pair involves the 'a a'
+    symbol created by round 1."""
+    from genetics_spark_coloc_spark.operators.text import bpe_train_merges
+
+    texts = [
+        "a a b a a b a a b",
+        "a a a a b",
+        "c a a b c",
+        "x y x y",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+
+    def brute(corpus, n):
+        corpus = [t.split() for t in corpus]
+        merges = []
+        for _ in range(n):
+            counts = {}
+            for toks in corpus:
+                for i in range(len(toks) - 1):
+                    p = (toks[i], toks[i + 1])
+                    counts[p] = counts.get(p, 0) + 1
+            # tie-break on the JOINED pair string, matching the
+            # operator and its SQL oracle (tuple order differs once
+            # symbols contain the ' ' joiner)
+            (pa, pb), c = min(
+                counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+            )
+            merges.append((f"{pa} {pb}", c))
+            new_corpus = []
+            for toks in corpus:
+                out, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == pa and toks[i + 1] == pb:
+                        out.append(f"{pa} {pb}")
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                new_corpus.append(out)
+            corpus = new_corpus
+        return merges
+
+    expected = brute(texts, 3)
+    got = [
+        (r["pair"], r["pairCount"])
+        for r in bpe_train_merges(df, n_merges=3).orderBy("mergeRank").collect()
+    ]
+    assert got == expected
+    # materialized variant is identical
+    got_m = [
+        (r["pair"], r["pairCount"])
+        for r in bpe_train_merges(df, n_merges=3, materialize_rounds=True)
+        .orderBy("mergeRank").collect()
+    ]
+    assert got_m == expected
