@@ -1395,3 +1395,44 @@ SCALE_QUERIES["sq8_encode"] = q_sq8_encode
 SCALE_ORACLES["sq8_encode"] = SQL_SQ8_ENCODE
 SCALE_QUERIES["sq8_topk"] = q_sq8_topk
 SCALE_ORACLES["sq8_topk"] = SQL_SQ8_TOPK
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key over (l_partkey, l_suppkey)
+    (functions/zorder.zorder_key): the write-time layout device that
+    makes parquet min/max skipping effective on BOTH join dimensions
+    at once. The key is exact fixed-point bit interleaving, so the
+    oracle recomputes it with independent SQL bit operators. Output
+    is the 200 smallest keys — a TakeOrderedAndProject, no global
+    sort."""
+    from genetics_spark_coloc_spark.functions.zorder import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            zorder_key([F.col("l_partkey"), F.col("l_suppkey")], bits=16).alias(
+                "zkey"
+            ),
+        )
+        .orderBy(F.asc("zkey"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(200)
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    from genetics_spark_coloc_spark.functions.zorder import zorder_key_sql
+
+    key = zorder_key_sql(["l_partkey", "l_suppkey"], bits=16)
+    return f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, {key} AS zkey
+FROM lineitem
+ORDER BY zkey ASC, l_orderkey ASC, l_linenumber ASC LIMIT 200
+"""
+
+
+SCALE_QUERIES["zorder_key"] = q_zorder_key
+SCALE_ORACLES["zorder_key"] = _zorder_oracle_sql()

@@ -2953,3 +2953,80 @@ def test_bpe_train_merges_vs_bruteforce(spark):
         .orderBy("mergeRank").collect()
     ]
     assert got_m == expected
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    """The Column build equals an independent per-row Python Morton
+    interleave, including mask wrap of overwide inputs."""
+    from genetics_spark_coloc_spark.functions.zorder import zorder_key
+
+    vals = [(0, 0), (1, 0), (0, 1), (5, 9), (65535, 65535), (65536, 1), (70000, 123)]
+    df = spark.createDataFrame(vals, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.withColumn(
+            "z", zorder_key([F.col("a"), F.col("b")], bits=16)
+        ).collect()
+    }
+
+    def morton(a, b, bits=16):
+        a &= (1 << bits) - 1
+        b &= (1 << bits) - 1
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    for (a, b), z in got.items():
+        assert z == morton(a, b), (a, b)
+
+
+def test_zorder_layout_bounds_every_dimension(spark):
+    """On a 64x64 grid split into 16 range partitions, Z-order
+    layout yields ~16x16 tiles (BOTH dims locally bounded), while an
+    x-only sort leaves y spanning the full domain — the min/max
+    data-skipping story, measured."""
+    from genetics_spark_coloc_spark.functions.zorder import zorder_layout
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64)], "x long, y long"
+    )
+
+    def mean_spans(d):
+        rows = (
+            d.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .collect()
+        )
+        return (
+            sum(r["sx"] for r in rows) / len(rows),
+            sum(r["sy"] for r in rows) / len(rows),
+        )
+
+    zx, zy = mean_spans(zorder_layout(df, [F.col("x"), F.col("y")], 16, bits=6))
+    lx, ly = mean_spans(
+        df.repartitionByRange(16, F.col("x")).sortWithinPartitions("x")
+    )
+    assert ly > 60  # linear layout: y is unbounded inside every partition
+    assert zx <= 24 and zy <= 24  # Z-order: both dims tile-bounded
+    assert zy < ly / 2
+
+
+def test_quantize_fixed_clamps_and_grids(spark):
+    from genetics_spark_coloc_spark.functions.zorder import quantize_fixed
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (0.5,), (0.999,), (1.0,), (7.0,)], "v double"
+    )
+    got = [
+        r["q"]
+        for r in df.select(
+            quantize_fixed(F.col("v"), 0.0, 1.0, bits=4).alias("q")
+        ).collect()
+    ]
+    assert got == [0, 0, 8, 15, 15, 15]
