@@ -1436,3 +1436,122 @@ ORDER BY zkey ASC, l_orderkey ASC, l_linenumber ASC LIMIT 200
 
 SCALE_QUERIES["zorder_key"] = q_zorder_key
 SCALE_ORACLES["zorder_key"] = _zorder_oracle_sql()
+
+
+def q_nb_language_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed multinomial Naive Bayes training on the documents
+    corpus with lang labels (operators/nb.nb_train): top-5 tokens per
+    label by count. NB is chosen as the oracle-checkable stand-in for
+    the fastText-style curation classifiers: training is pure
+    counting aggregation, so every smoothed log-likelihood is exact
+    closed form."""
+    from pyspark.sql import Window
+
+    from genetics_spark_coloc_spark.operators.nb import nb_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = nb_train(docs, label_col="lang", text_col="text", alpha=1.0)
+    w = Window.partitionBy("label").orderBy(
+        F.desc("tokenCount"), F.asc("token")
+    )
+    return (
+        model.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "label", "token", "tokenCount", F.round("logLik", 6).alias("logLik")
+        )
+    )
+
+
+SQL_NB_COMMON = r"""
+tr AS (
+  SELECT lang AS label,
+         UNNEST(CASE WHEN length(trim(lower(text))) = 0 THEN []
+                ELSE string_split_regex(trim(lower(text)), '\s+') END) AS token
+  FROM documents
+),
+cnt AS (SELECT label, token, COUNT(*) AS tokenCount FROM tr GROUP BY 1, 2),
+lt AS (SELECT label, COUNT(*) AS labelTokens FROM tr GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT token) AS vocabSize FROM tr),
+model AS (
+  SELECT cnt.label, cnt.token, cnt.tokenCount,
+         LN((cnt.tokenCount + 1.0) / (lt.labelTokens + 1.0 * v.vocabSize)) AS logLik
+  FROM cnt, lt, v WHERE cnt.label = lt.label
+)
+"""
+
+SQL_NB_LANGUAGE_MODEL = (
+    "WITH "
+    + SQL_NB_COMMON
+    + """
+SELECT label, token, CAST(tokenCount AS BIGINT) AS tokenCount,
+       ROUND(logLik, 6) AS logLik
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                   ORDER BY tokenCount DESC, token ASC) AS rn
+      FROM model)
+WHERE rn <= 5
+"""
+)
+
+
+def q_nb_language_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document against the trained NB model and keep
+    the argmax label (operators/nb.nb_score): logPrior + per-token
+    smoothed log-likelihood sums, unseen tokens at the label floor.
+    The candidate set is |docs| x |labels| (never |docs| x |vocab|);
+    model and priors ride as broadcasts; the argmax is a min_by
+    aggregate on (-rounded score, label) — no window over the corpus."""
+    from genetics_spark_coloc_spark.operators.nb import (
+        nb_priors,
+        nb_score,
+        nb_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = nb_train(docs, label_col="lang", text_col="text", alpha=1.0)
+    priors = nb_priors(docs, label_col="lang", alpha=1.0)
+    return nb_score(docs, model, priors, id_col="doc_id", text_col="text")
+
+
+SQL_NB_LANGUAGE_PREDICT = (
+    "WITH "
+    + SQL_NB_COMMON
+    + r""",
+floors AS (
+  SELECT lt.label, LN(1.0 / (lt.labelTokens + 1.0 * v.vocabSize)) AS floorLik
+  FROM lt, v
+),
+dt AS (
+  SELECT doc_id AS docId,
+         UNNEST(CASE WHEN length(trim(lower(text))) = 0 THEN []
+                ELSE string_split_regex(trim(lower(text)), '\s+') END) AS token
+  FROM documents
+),
+scored AS (
+  SELECT dt.docId, f.label, SUM(COALESCE(m.logLik, f.floorLik)) AS tokenScore
+  FROM dt CROSS JOIN floors f
+  LEFT JOIN model m ON m.label = f.label AND m.token = dt.token
+  GROUP BY 1, 2
+),
+pri AS (SELECT lang AS label, COUNT(*) AS docCount FROM documents GROUP BY 1),
+pritot AS (SELECT SUM(docCount) AS n, COUNT(*) AS l FROM pri),
+priors AS (
+  SELECT label, LN((docCount + 1.0) / (n + 1.0 * l)) AS logPrior
+  FROM pri, pritot
+),
+final AS (
+  SELECT s.docId, s.label, ROUND(s.tokenScore + p.logPrior, 6) AS score
+  FROM scored s JOIN priors p ON s.label = p.label
+)
+SELECT docId, label, score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY docId
+                                   ORDER BY score DESC, label ASC) AS rn
+      FROM final)
+WHERE rn = 1
+"""
+)
+
+SCALE_QUERIES["nb_language_model"] = q_nb_language_model
+SCALE_ORACLES["nb_language_model"] = SQL_NB_LANGUAGE_MODEL
+SCALE_QUERIES["nb_language_predict"] = q_nb_language_predict
+SCALE_ORACLES["nb_language_predict"] = SQL_NB_LANGUAGE_PREDICT

@@ -3030,3 +3030,69 @@ def test_quantize_fixed_clamps_and_grids(spark):
         ).collect()
     ]
     assert got == [0, 0, 8, 15, 15, 15]
+
+
+def test_nb_train_score_vs_bruteforce(spark):
+    """Train + argmax-score equals a hand-rolled Python multinomial
+    NB (Laplace alpha=1) on a fixture with unseen tokens, repeated
+    tokens, an empty doc, and a score tie broken by label order."""
+    import math
+
+    from genetics_spark_coloc_spark.operators.nb import (
+        nb_priors,
+        nb_score,
+        nb_train,
+    )
+
+    rows = [
+        (0, "spam spam eggs", "a"),
+        (1, "spam eggs ham", "a"),
+        (2, "ham ham toast", "b"),
+        (3, "toast eggs", "b"),
+        (4, "", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    train = {(lab, t) for _, txt, lab in rows for t in txt.split()}
+    vocab = {t for _, txt, lab in rows for t in txt.split()}
+    cnt, lab_tot, docs_per = {}, {}, {}
+    for _, txt, lab in rows:
+        docs_per[lab] = docs_per.get(lab, 0) + 1
+        for t in txt.split():
+            cnt[(lab, t)] = cnt.get((lab, t), 0) + 1
+            lab_tot[lab] = lab_tot.get(lab, 0) + 1
+    V = len(vocab)
+
+    def lik(lab, t):
+        return math.log(
+            (cnt.get((lab, t), 0) + 1.0) / (lab_tot[lab] + V)
+        )
+
+    n, L = len(rows), len(docs_per)
+
+    def prior(lab):
+        return math.log((docs_per[lab] + 1.0) / (n + L))
+
+    model = nb_train(df)
+    priors = nb_priors(df)
+    got = {
+        r["docId"]: (r["label"], r["score"])
+        for r in nb_score(df, model, priors).collect()
+    }
+    for doc_id, txt, _ in rows:
+        toks = txt.split()
+        if not toks:
+            assert doc_id not in got  # empty docs produce no tokens
+            continue
+        scores = {
+            lab: round(prior(lab) + sum(lik(lab, t) for t in toks), 6)
+            for lab in docs_per
+        }
+        best = min(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got[doc_id] == best, (doc_id, got[doc_id], best)
+
+    # model log-liks are the closed form
+    m = {(r["label"], r["token"]): r["logLik"] for r in model.collect()}
+    assert set(m) == train
+    for (lab, t), ll in m.items():
+        assert abs(ll - lik(lab, t)) < 1e-12
