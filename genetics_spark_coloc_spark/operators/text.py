@@ -2229,3 +2229,36 @@ def bpe_train_merges(
     for w in winners[1:]:
         out = out.unionByName(w)
     return out
+
+
+def quality_percentile_select(
+    df: "DataFrame",
+    keep_frac: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Per-source top-fraction selection by quality score — the
+    DataComp/FineWeb curation device: rank every document WITHIN its
+    source stratum and keep the best ``keep_frac``, so a uniformly
+    high-scoring source cannot crowd the others out of the mixture
+    (absolute-threshold filters do exactly that).
+
+    percent_rank over (source | score desc, id asc): the id tie-break
+    makes selection reproducible under score ties, and ranking is one
+    window partitioned by source — the shuffle moves (id, score)
+    pairs only, never text. Emits (source, docId, q, pctRank) for the
+    kept rows; the caller semi-joins ids back against the corpus so
+    full text never rides through the rank shuffle."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    scored = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("docId"),
+        quality_score(F.col(text_col)).alias("q"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("q"), F.asc("docId"))
+    return (
+        scored.withColumn("pctRank", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("pctRank") <= F.lit(keep_frac))
+    )

@@ -2612,3 +2612,46 @@ def _bpe_train_oracle_sql(n_merges: int = 3) -> str:
 
 NEARDUP_QUERIES["bpe_train_merges"] = q_bpe_train_merges
 NEARDUP_ORACLES["bpe_train_merges"] = _bpe_train_oracle_sql(3)
+
+
+def q_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-50% quality selection (operators/text.
+    quality_percentile_select): stratified percent_rank keep — the
+    curation step between scoring and mixing."""
+    from genetics_spark_coloc_spark.operators.text import (
+        quality_percentile_select,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_percentile_select(docs, keep_frac=0.5)
+
+
+SQL_QUALITY_SELECT = r"""
+WITH toks AS (
+  SELECT source, doc_id AS docId, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok
+  FROM documents
+),
+scored AS (
+  SELECT source, docId,
+         ROUND((
+           LEAST(ntok / 100.0, 1.0)
+           + GREATEST(0.0, 1.0 - 5.0 * (length(text) - length(regexp_replace(text, '[\p{Punct}]', '', 'g'))) / NULLIF(length(text), 0))
+           + GREATEST(0.0, 1.0 - 5.0 * (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / NULLIF(length(text), 0))
+           + LEAST(3.0 * len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) / NULLIF(ntok, 0), 1.0)
+         ) / 4.0, 6) AS q
+  FROM toks
+),
+ranked AS (
+  SELECT source, docId, q,
+         ROUND(PERCENT_RANK() OVER (PARTITION BY source
+                                    ORDER BY q DESC, docId ASC), 6) AS pctRank
+  FROM scored
+)
+SELECT source, docId, q, pctRank FROM ranked WHERE pctRank <= 0.5
+"""
+
+NEARDUP_QUERIES["quality_select"] = q_quality_select
+NEARDUP_ORACLES["quality_select"] = SQL_QUALITY_SELECT
