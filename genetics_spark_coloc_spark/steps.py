@@ -367,6 +367,42 @@ def _run_corpus_curation(spark, inputs, output, p):
     )
 
 
+def _run_nb_classifier_train(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.nb import nb_train
+
+    docs = _parquet(spark, inputs["documents"])
+    return nb_train(
+        docs, label_col=p["label_col"], text_col=p["text_col"], alpha=p["alpha"]
+    )
+
+
+def _run_nb_classifier_predict(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.nb import nb_priors, nb_score
+
+    docs = _parquet(spark, inputs["documents"])
+    model = _parquet(spark, inputs["model"])
+    labeled = _parquet(spark, inputs["labeled"])
+    priors = nb_priors(labeled, label_col=p["label_col"], alpha=p["alpha"])
+    return nb_score(
+        docs,
+        model,
+        priors,
+        id_col=p["id_col"],
+        text_col=p["text_col"],
+        alpha=p["alpha"],
+    )
+
+
+def _run_zorder_layout(spark, inputs, output, p):
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.functions.zorder import zorder_layout
+
+    df = _parquet(spark, inputs["table"])
+    cols = [F.col(c.strip()) for c in p["columns"].split(",") if c.strip()]
+    return zorder_layout(df, cols, p["num_partitions"], bits=p["bits"])
+
+
 # --------------------------------------------------------------- registry
 
 STEPS: dict[str, StepSpec] = {
@@ -621,6 +657,50 @@ STEPS: dict[str, StepSpec] = {
                 "span_min_tokens": Param(
                     int, 50, "anchor window width for duplicated spans"
                 ),
+            },
+        ),
+        StepSpec(
+            "nb_classifier_train",
+            "Train a multinomial Naive Bayes corpus classifier (language/"
+            "source/quality routing) as pure counting aggregations; the "
+            "model parquet is the (label, token, tokenCount, logLik) "
+            "long form (additive layer beyond the reference's genetics "
+            "surface)",
+            ("documents",),
+            _run_nb_classifier_train,
+            {
+                "label_col": Param(str, "lang", "label column"),
+                "text_col": Param(str, "text", "text column"),
+                "alpha": Param(float, 1.0, "Laplace smoothing"),
+            },
+        ),
+        StepSpec(
+            "nb_classifier_predict",
+            "Score documents against a trained NB model parquet and emit "
+            "the argmax label per document (priors recomputed from the "
+            "labeled corpus; additive layer beyond the reference's "
+            "genetics surface)",
+            ("documents", "model", "labeled"),
+            _run_nb_classifier_predict,
+            {
+                "label_col": Param(str, "lang", "label column of the labeled corpus"),
+                "id_col": Param(str, "doc_id", "document id column"),
+                "text_col": Param(str, "text", "text column"),
+                "alpha": Param(float, 1.0, "Laplace smoothing"),
+            },
+        ),
+        StepSpec(
+            "zorder_layout",
+            "Rewrite a table clustered on the Morton interleave of the "
+            "given integer columns (range partition + local sort) so "
+            "parquet min/max skipping prunes on every listed dimension "
+            "(additive layer beyond the reference's genetics surface)",
+            ("table",),
+            _run_zorder_layout,
+            {
+                "columns": Param(str, "", "comma-separated integer columns"),
+                "num_partitions": Param(int, 200, "output partition count"),
+                "bits": Param(int, 16, "bits per dimension"),
             },
         ),
     ]

@@ -298,3 +298,44 @@ def test_run_corpus_curation_with_span_stripping(spark, tmp_path):
     assert all(s[d] <= b[d] for d in b)
     assert sum(s.values()) < sum(b.values())
     assert set(stripped.columns) == set(base.columns)
+
+
+def test_run_nb_classifier_train_and_predict(spark, tmp_path):
+    docs = str(tmp_path / "docs.parquet")
+    spark.read.parquet(f"{SF}/documents.parquet").write.parquet(docs)
+    model_out = str(tmp_path / "model.parquet")
+    model = run_step(
+        spark, "nb_classifier_train", {"documents": docs}, model_out
+    )
+    assert set(model.columns) == {"label", "token", "tokenCount", "logLik"}
+    assert model.count() > 0
+    preds = run_step(
+        spark,
+        "nb_classifier_predict",
+        {"documents": docs, "model": model_out, "labeled": docs},
+        str(tmp_path / "preds.parquet"),
+    )
+    rows = preds.collect()
+    assert {r["label"] for r in rows} <= {
+        r["label"] for r in model.select("label").distinct().collect()
+    }
+    n_docs = (
+        spark.read.parquet(docs)
+        .where(F.length(F.trim("text")) > 0)
+        .count()
+    )
+    assert len(rows) == n_docs  # one argmax row per non-empty doc
+
+
+def test_run_zorder_layout_step(spark, tmp_path):
+    src = str(tmp_path / "li.parquet")
+    spark.read.parquet(f"{SF}/lineitem.parquet").write.parquet(src)
+    out = run_step(
+        spark,
+        "zorder_layout",
+        {"table": src},
+        str(tmp_path / "z.parquet"),
+        params={"columns": "l_partkey,l_suppkey", "num_partitions": 4},
+    )
+    assert out.columns == spark.read.parquet(src).columns  # key is dropped
+    assert out.count() == spark.read.parquet(src).count()
