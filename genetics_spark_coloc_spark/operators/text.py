@@ -2262,3 +2262,57 @@ def quality_percentile_select(
         scored.withColumn("pctRank", F.round(F.percent_rank().over(w), 6))
         .filter(F.col("pctRank") <= F.lit(keep_frac))
     )
+
+
+def token_budget_allocation(
+    df: "DataFrame",
+    total_budget: int,
+    temperature: float = 1.0,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Data-recipe planning: split a token budget across sources with
+    temperature-scaled proportional weights (the LLaMA/DoReMi-style
+    mixture table). For source s with available token count n_s,
+
+        w_s = n_s^(1/T) / sum n^(1/T)        (T=1: proportional;
+                                              T->inf: uniform)
+        target_s = round(w_s * budget)
+        rate_s   = target_s / n_s            (>1 means epochs of
+                                              oversampling)
+
+    Emits (source, availableTokens, targetWeight, targetTokens,
+    samplingRate, epochs) — the manifest a sampler (weighted_sample /
+    temperature_mixture) executes. One groupBy to per-source counts
+    (map-side combined), one 1-row total broadcast back onto the
+    handful of source rows; everything downstream of the count is
+    tiny. Closed form, fully oracle-checkable."""
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(token_count(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "availableTokens"
+        )
+    )
+    powered = counts.withColumn(
+        "_p", F.pow(F.col("availableTokens").cast("double"), 1.0 / temperature)
+    )
+    total = powered.agg(F.sum("_p").alias("_tot"))
+    return (
+        powered.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "availableTokens",
+            F.round(F.col("_p") / F.col("_tot"), 6).alias("targetWeight"),
+            F.round(F.col("_p") / F.col("_tot") * F.lit(float(total_budget)))
+            .cast("long")
+            .alias("targetTokens"),
+        )
+        .withColumn(
+            "samplingRate",
+            F.round(
+                F.col("targetTokens") / F.col("availableTokens").cast("double"), 6
+            ),
+        )
+        .withColumn(
+            "epochs", F.ceil(F.col("targetTokens") / F.col("availableTokens").cast("double")).cast("int")
+        )
+    )

@@ -2655,3 +2655,41 @@ SELECT source, docId, q, pctRank FROM ranked WHERE pctRank <= 0.5
 
 NEARDUP_QUERIES["quality_select"] = q_quality_select
 NEARDUP_ORACLES["quality_select"] = SQL_QUALITY_SELECT
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled token-budget allocation across sources
+    (operators/text.token_budget_allocation, T=2, 1M-token budget):
+    the mixture manifest a sampler executes."""
+    from genetics_spark_coloc_spark.operators.text import (
+        token_budget_allocation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_allocation(docs, total_budget=1_000_000, temperature=2.0)
+
+
+SQL_TOKEN_BUDGET = r"""
+WITH cnt AS (
+  SELECT source,
+         SUM(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END) AS availableTokens
+  FROM documents GROUP BY source
+),
+p AS (SELECT source, availableTokens,
+             POWER(availableTokens, 0.5) AS pw FROM cnt),
+tot AS (SELECT SUM(pw) AS t FROM p),
+alloc AS (
+  SELECT source, availableTokens,
+         ROUND(pw / t, 6) AS targetWeight,
+         CAST(ROUND(pw / t * 1000000.0) AS BIGINT) AS targetTokens
+  FROM p, tot
+)
+SELECT source, availableTokens, targetWeight, targetTokens,
+       ROUND(targetTokens / CAST(availableTokens AS DOUBLE), 6) AS samplingRate,
+       CAST(CEIL(targetTokens / CAST(availableTokens AS DOUBLE)) AS INT) AS epochs
+FROM alloc
+"""
+
+NEARDUP_QUERIES["token_budget"] = q_token_budget
+NEARDUP_ORACLES["token_budget"] = SQL_TOKEN_BUDGET
