@@ -456,3 +456,94 @@ def streaming_decontaminate(
     ).withColumn(
         "isContaminated", F.col("nMatchingGrams") >= min_matches
     )
+
+
+def streaming_nb_route(
+    docs: DataFrame,
+    model: DataFrame,
+    priors: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """STATELESS streaming corpus routing with a trained Naive Bayes
+    model: each arriving document gets its argmax label and score —
+    the streaming twin of ``operators.nb.nb_score`` (whose explode +
+    groupBy shuffle is unnecessary per-document: the decision is a
+    fold over the document's own tokens against a fixed model).
+
+    The (label, token) -> logLik table, per-label smoothed floors,
+    and log-priors are collected ONCE on the driver and ride the task
+    closure — sound for the same reason the decontamination gram set
+    does: a deployed routing classifier is pruned-vocab small by
+    construction (a fastText-style model ships as one file), while
+    the arriving corpus is the unbounded side. Tokenization is the
+    IDENTICAL JVM-side expression as the batch operator; scoring and
+    the 6dp-rounded min_by tie-break are replicated exactly
+    (half-away rounding, lexicographic label on ties), so replaying a
+    corpus through this stream reproduces ``nb_score`` bit for bit
+    (tested).
+
+    Emits (docId, label, score) per arriving non-empty document; no
+    watermark, no state store.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    lik = {
+        (r["label"], r["token"]): (r["logLik"], r["tokenCount"])
+        for r in model.select("label", "token", "logLik", "tokenCount").collect()
+    }
+    # same algebraic floor reconstruction as nb_score: from any model
+    # row, floor = logLik - ln(tokenCount + alpha) + ln(alpha)
+    floors: dict[str, float] = {}
+    for (lab, _), (ll, tc) in lik.items():
+        floors[lab] = max(
+            floors.get(lab, float("-inf")),
+            ll - math.log(tc + alpha) + math.log(alpha),
+        )
+    prior = {
+        r["label"]: r["logPrior"]
+        for r in priors.select("label", "logPrior").collect()
+    }
+    labels = sorted(prior)
+
+    def _round6(x: float) -> float:
+        scaled = x * 1e6
+        return (
+            math.floor(scaled + 0.5) if x >= 0 else math.ceil(scaled - 0.5)
+        ) / 1e6
+
+    def _route(toks: pd.Series) -> pd.DataFrame:
+        out_lab, out_score = [], []
+        for ts in toks:
+            if ts is None or len(ts) == 0:
+                out_lab.append(None)
+                out_score.append(None)
+                continue
+            best_lab, best_score = None, None
+            for lab in labels:
+                s = prior[lab]
+                fl = floors[lab]
+                for t in ts:
+                    hit = lik.get((lab, t))
+                    s += hit[0] if hit is not None else fl
+                s = _round6(s)
+                if best_score is None or s > best_score:
+                    best_lab, best_score = lab, s
+            out_lab.append(best_lab)
+            out_score.append(best_score)
+        return pd.DataFrame({"label": out_lab, "score": out_score})
+
+    _route.__annotations__ = {"toks": pd.Series, "return": pd.DataFrame}
+    kernel = pandas_udf(_route, "label string, score double")
+
+    routed = docs.select(
+        F.col(id_col).alias("docId"),
+        kernel(text.tokens(F.lower(F.col(text_col)))).alias("_r"),
+    )
+    return routed.filter(F.col("_r.label").isNotNull()).select(
+        "docId", F.col("_r.label").alias("label"), F.col("_r.score").alias("score")
+    )

@@ -3096,3 +3096,49 @@ def test_nb_train_score_vs_bruteforce(spark):
     assert set(m) == train
     for (lab, t), ll in m.items():
         assert abs(ll - lik(lab, t)) < 1e-12
+
+
+def test_streaming_nb_route_matches_batch(spark, tmp_path):
+    """Replaying the documents table through the stateless streaming
+    NB router reproduces batch nb_score's (docId, label, score) rows
+    exactly — same tokenization, same floors, same rounded tie-break."""
+    from genetics_spark_coloc_spark.operators.nb import (
+        nb_priors,
+        nb_score,
+        nb_train,
+    )
+    from genetics_spark_coloc_spark.streaming.pipelines import (
+        streaming_nb_route,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    model = nb_train(docs)
+    priors = nb_priors(docs)
+    batch = {
+        r.docId: (r.label, r.score) for r in nb_score(docs, model, priors).collect()
+    }
+    assert len(batch) > 100
+
+    src = str(tmp_path / "doc_stream")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_nb_route(stream, model, priors)
+        .writeStream.format("memory")
+        .queryName("nb_route_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.docId: (r.label, r.score)
+        for r in spark.sql("select * from nb_route_out").collect()
+    }
+    assert got == batch
