@@ -107,10 +107,13 @@ def nb_score(
     floor ln(alpha / (labelTokens + alpha * V)). Ties break toward
     the lexicographically smaller label.
 
-    Shape: doc tokens keep their multiplicity (position explode),
-    cross the tiny label list, left-join the broadcast model, one
-    groupBy (doc, label), one per-doc max-struct argmax — the
-    candidate set is |docs| x |labels|, never |docs| x |vocab|."""
+    Shape: doc tokens are first compressed to per-doc (token, n)
+    pairs (one map-side-combined groupBy), so the label cross and
+    the broadcast-model join fan out over DISTINCT doc-tokens — on
+    real text that shrinks the join input by the token repeat factor
+    (each occurrence contributes n * logLik, not a row). The final
+    argmax is a min_by aggregate; the candidate set is |docs| x
+    |labels|, never |docs| x |vocab|."""
     # Reconstruct the floor from the model itself: for any (label,
     # token) row, floor = logLik - ln(tokenCount + alpha) + ln(alpha)
     # — algebraically exact, so the model long form is self-contained
@@ -122,8 +125,12 @@ def nb_score(
             + F.log(F.lit(alpha))
         ).alias("floorLik")
     )
-    toks = docs.select(
-        F.col(id_col).alias("docId"), F.explode(_tok(text_col)).alias("token")
+    toks = (
+        docs.select(
+            F.col(id_col).alias("docId"), F.explode(_tok(text_col)).alias("token")
+        )
+        .groupBy("docId", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     scored = (
         toks.crossJoin(F.broadcast(label_floors))
@@ -131,9 +138,9 @@ def nb_score(
               ["label", "token"], "left")
         .groupBy("docId", "label")
         .agg(
-            F.sum(F.coalesce(F.col("logLik"), F.col("floorLik"))).alias(
-                "tokenScore"
-            )
+            F.sum(
+                F.col("n") * F.coalesce(F.col("logLik"), F.col("floorLik"))
+            ).alias("tokenScore")
         )
         .join(F.broadcast(priors.select("label", "logPrior")), "label")
         .select(

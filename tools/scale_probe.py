@@ -659,3 +659,99 @@ def wide_key_probes(n_docs: int = 2_000_000) -> None:
             ),
         )
     spark.stop()
+
+
+def round6_probes(n_rows: int = 20_000_000, n_docs: int = 2_000_000) -> None:
+    """Round-6 additions at 100-400x bench volume: Morton keys +
+    clustered layout, NB classifier training/scoring, iterative BPE
+    training (materialized rounds), stratified quality selection, and
+    token-budget allocation.
+    Run via: python -c "import tools.scale_probe as sp; sp.round6_probes()"
+    """
+    spark = get_session(
+        app_name="scale_probe_round6",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.functions.zorder import (
+        zorder_key,
+        zorder_layout,
+    )
+    from genetics_spark_coloc_spark.operators.nb import (
+        nb_priors,
+        nb_score,
+        nb_train,
+    )
+    from genetics_spark_coloc_spark.operators.text import (
+        bpe_train_merges,
+        quality_percentile_select,
+        token_budget_allocation,
+    )
+
+    rows = spark.range(n_rows).select(
+        F.col("id"),
+        (F.xxhash64("id") % 65536).alias("x"),
+        (F.xxhash64("id", F.lit(1)) % 65536).alias("y"),
+    )
+    probe(
+        f"zorder_key_{n_rows // 1_000_000}m",
+        n_rows,
+        lambda: rows.select(
+            "id", zorder_key([F.abs("x"), F.abs("y")], bits=16).alias("z")
+        ),
+    )
+    probe(
+        f"zorder_layout_{n_rows // 1_000_000}m",
+        n_rows,
+        lambda: zorder_layout(rows, [F.abs("x"), F.abs("y")], 64, bits=16),
+    )
+
+    # synthetic labeled corpus: ~60-token docs from a zipf-ish pool,
+    # 20 labels with label-correlated vocabulary so training is
+    # realistic (not all tokens shared)
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 20).cast("string").alias("lang"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit(f"w{j}_"),
+                    (
+                        F.xxhash64("id", F.lit(j))
+                        % (50 + ((F.col("id") % 20) * 13 + j) % 200)
+                    ).cast("string"),
+                )
+                for j in range(60)
+            ],
+        ).alias("text"),
+    ).withColumn("source", F.concat(F.lit("s"), (F.col("doc_id") % 20)))
+    probe(f"nb_train_{n_docs // 1_000_000}m_docs", n_docs,
+          lambda: nb_train(docs))
+    model = nb_train(docs).localCheckpoint()
+    priors = nb_priors(docs).localCheckpoint()
+    sub = docs.filter(F.col("doc_id") % 10 == 0)
+    probe(
+        f"nb_score_{n_docs // 10_000_000}m_docs" if n_docs >= 10_000_000
+        else f"nb_score_{n_docs // 10 // 1000}k_docs",
+        n_docs // 10,
+        lambda: nb_score(sub, model, priors),
+    )
+    probe(
+        f"bpe_train3_{n_docs // 1_000_000}m_docs",
+        n_docs,
+        lambda: bpe_train_merges(docs, n_merges=3, materialize_rounds=True),
+    )
+    probe(
+        f"quality_select_{n_docs // 1_000_000}m_docs",
+        n_docs,
+        lambda: quality_percentile_select(docs),
+    )
+    probe(
+        f"token_budget_{n_docs // 1_000_000}m_docs",
+        n_docs,
+        lambda: token_budget_allocation(docs, 10_000_000_000, temperature=2.0),
+    )
+    spark.stop()
