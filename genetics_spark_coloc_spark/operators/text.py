@@ -2316,3 +2316,213 @@ def token_budget_allocation(
             "epochs", F.ceil(F.col("targetTokens") / F.col("availableTokens").cast("double")).cast("int")
         )
     )
+
+
+def _md5_bucket(col: Column, n_buckets: int) -> Column:
+    """Deterministic [0, n_buckets) feature bucket from the first 8
+    hex digits of md5 — engine-portable (DuckDB mirrors it exactly),
+    unlike xxhash64/murmur whose seeds differ across engines."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
+def dsir_importance_weights(
+    df: "DataFrame",
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+) -> "DataFrame":
+    """DSIR hashed-n-gram importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by how much more likely its hashed-unigram bag is
+    under the TARGET distribution (rows where ``is_target``) than
+    under the RAW corpus distribution, so that resampling raw data
+    proportional to exp(logWeight) approximates sampling from the
+    target domain.
+
+    Model: tokens hash into ``n_buckets`` buckets (md5 device, engine
+    -portable); bucket unigram distributions are add-``alpha``
+    smoothed, p[b] = (c_target[b]+alpha)/(N_target+alpha*B) and q[b]
+    likewise over the whole corpus; logWeight(doc) = sum_b c_doc[b] *
+    (log p[b] - log q[b]).
+
+    Scale shape: ONE explode of the corpus to (doc, bucket)
+    occurrences; both distribution estimates are <=B-row aggregates
+    with map-side combine, joined into a single <=B-row log-ratio dim
+    that BROADCASTS onto the per-(doc, bucket) count table; one
+    per-doc sum. No UDFs, no driver state, and the wire carries
+    bucket ids (int) rather than token strings.
+    """
+    occ = df.select(
+        F.col(id_col).alias("docId"),
+        is_target.alias("_tgt"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).withColumn("bucket", _md5_bucket(F.col("tok"), n_buckets))
+    raw = occ.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("_cR"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_cT"),
+    )
+    tot = raw.agg(
+        F.sum("_cR").alias("_NR"), F.sum("_cT").alias("_NT")
+    )
+    b = float(n_buckets)
+    ratio = raw.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("_cT") + alpha) / (F.col("_NT") + alpha * b))
+            - F.log((F.col("_cR") + alpha) / (F.col("_NR") + alpha * b))
+        ).alias("_lr"),
+    )
+    doc_buckets = occ.groupBy("docId", "bucket").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    scored = (
+        doc_buckets.join(F.broadcast(ratio), on="bucket")
+        .groupBy("docId")
+        .agg(
+            F.sum("_c").alias("nTokens"),
+            F.sum(F.col("_c") * F.col("_lr")).alias("_lw"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("docId"))
+        .distinct()
+        .join(scored, on="docId", how="left")
+        .select(
+            "docId",
+            F.coalesce("nTokens", F.lit(0)).cast("long").alias("nTokens"),
+            F.round(F.coalesce("_lw", F.lit(0.0)), 6).alias("logWeight"),
+        )
+    )
+
+
+def global_line_dedup(
+    df: "DataFrame",
+    lines: Column,
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """C4-style global span dedup (Raffel et al. 2020 discard all but
+    ONE occurrence of any three-sentence span corpus-wide): every
+    line keeps exactly its first corpus-wide occurrence — first =
+    smallest (docId, position) — and is dropped everywhere else.
+    Contrast ``strip_boilerplate``, which drops high-document-
+    frequency lines from EVERY document including the first.
+
+    Scale shape: explode to (doc, pos, line), collapse the line
+    string to xxhash64 before any shuffle (8-byte keys on the wire),
+    ONE groupBy(lineHash) min-aggregate over the encoded order key
+    docId*1e6+pos (map-side combine; single-occurrence lines never
+    dominate memory because the agg is a scalar min), one hash join
+    back, then the per-doc ordered rebuild. Emits (docId, nLines,
+    nKept, cleanedText); docs whose every line lost the race keep a
+    row with empty cleanedText.
+    """
+    occ = df.select(
+        F.col(id_col).alias("docId"),
+        F.posexplode_outer(lines).alias("pos", "line"),
+    ).withColumn(
+        "lineHash", F.when(F.col("line").isNotNull(), F.xxhash64("line"))
+    ).withColumn(
+        "orderKey", F.col("docId") * F.lit(1000000) + F.col("pos")
+    )
+    first = (
+        occ.filter(F.col("lineHash").isNotNull())
+        .groupBy("lineHash")
+        .agg(F.min("orderKey").alias("firstKey"))
+    )
+    kept = occ.join(first, on="lineHash", how="left").withColumn(
+        "_keep",
+        F.col("line").isNotNull() & (F.col("orderKey") == F.col("firstKey")),
+    )
+    return (
+        kept.groupBy("docId")
+        .agg(
+            F.sum(F.when(F.col("line").isNotNull(), 1).otherwise(0)).alias(
+                "nLines"
+            ),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("nKept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("cleanedText"),
+        )
+        .select(
+            "docId",
+            F.col("nLines").cast("long").alias("nLines"),
+            F.col("nKept").cast("long").alias("nKept"),
+            "cleanedText",
+        )
+    )
+
+
+def shard_plan(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shuffle-v1",
+) -> "DataFrame":
+    """Deterministic corpus shuffle + shard assignment — the data-
+    ordering step before training: every document gets a pseudorandom
+    but reproducible position (md5 hash of salt|id, so the order is
+    stable across runs, engines, and partitionings — randomSplit /
+    rand() are not), a shard = hash-order rank mod n_shards (round-
+    robin over the shuffled order, so shard sizes differ by at most
+    one even when ids are skewed), and a 0-based position within its
+    shard equal to its dataloader step.
+
+    Scale shape: the global rank is computed WITHOUT a global sort —
+    the distributed two-level rank pattern. The [0,1) hash key is
+    range-bucketed into 64 equal slices (hash uniformity makes the
+    slices balanced by construction, no sampling pass needed), each
+    bucket ranks its own rows under a PARTITIONED window, and a
+    64-row cumulative-offset dim (running sum over bucket counts —
+    bounded input, declared single partition) broadcasts back on.
+    One shuffle on the bucket key, one broadcast join; never a
+    single-partition pass over the data.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    n_range_buckets = 64
+    keyed = df.select(
+        F.col(id_col).alias("docId"),
+        hash_bucket(F.col(id_col), salt).alias("_k"),
+    ).withColumn(
+        "_b",
+        F.least(
+            F.floor(F.col("_k") * n_range_buckets).cast("int"),
+            F.lit(n_range_buckets - 1),
+        ),
+    )
+    counts = keyed.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = (
+        Window.partitionBy(declared_single_partition(F.col("_b")))
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_b").orderBy(F.col("_k"), F.col("docId"))
+    ranked = (
+        keyed.join(F.broadcast(offsets), on="_b")
+        .withColumn("_r", F.row_number().over(w_in) - 1 + F.col("_off"))
+    )
+    return ranked.select(
+        "docId",
+        F.pmod(F.col("_r"), F.lit(n_shards)).cast("int").alias("shard"),
+        (F.col("_r") / F.lit(n_shards)).cast("long").alias("posInShard"),
+    )

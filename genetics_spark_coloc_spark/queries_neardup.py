@@ -2693,3 +2693,159 @@ FROM alloc
 
 NEARDUP_QUERIES["token_budget"] = q_token_budget
 NEARDUP_ORACLES["token_budget"] = SQL_TOKEN_BUDGET
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/text.
+    dsir_importance_weights, Xie et al. 2023): hashed-unigram bucket
+    distributions are estimated for the English subset (target) and
+    the whole corpus (raw); every document scores the log importance
+    ratio of its bucket bag — the resampling weight that tilts the
+    raw corpus toward the target domain."""
+    from genetics_spark_coloc_spark.operators.text import (
+        dsir_importance_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs, is_target=F.col("lang") == "en", n_buckets=256, alpha=1.0
+    )
+
+
+SQL_DSIR_WEIGHTS = r"""
+WITH tok AS (
+  SELECT doc_id AS docId, lang,
+         UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+  WHERE length(trim(lower(COALESCE(text, '')))) > 0
+),
+occ AS (
+  SELECT docId, lang,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) % 256 AS bucket
+  FROM tok
+),
+raw AS (
+  SELECT bucket, COUNT(*) AS cR,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cT
+  FROM occ GROUP BY bucket
+),
+tot AS (SELECT SUM(cR) AS nr, SUM(cT) AS nt FROM raw),
+ratio AS (
+  SELECT bucket,
+         ln((cT + 1.0) / (nt + 256.0)) - ln((cR + 1.0) / (nr + 256.0)) AS lr
+  FROM raw, tot
+),
+db AS (SELECT docId, bucket, COUNT(*) AS c FROM occ GROUP BY docId, bucket),
+scored AS (
+  SELECT db.docId, SUM(c) AS nTokens, SUM(c * lr) AS lw
+  FROM db JOIN ratio USING (bucket) GROUP BY db.docId
+)
+SELECT d.doc_id AS docId,
+       CAST(COALESCE(s.nTokens, 0) AS BIGINT) AS nTokens,
+       ROUND(COALESCE(s.lw, 0.0), 6) AS logWeight
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN scored s ON s.docId = d.doc_id
+"""
+
+
+def q_global_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global span dedup (operators/text.global_line_dedup):
+    the newline-free corpus is chunked into 2-token lines (the
+    line_repetition device); each distinct line keeps only its first
+    corpus-wide occurrence (smallest docId, then position) and every
+    later occurrence is removed; cleaned text is rebuilt in order."""
+    from genetics_spark_coloc_spark.operators.text import (
+        global_line_dedup,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    evens = F.filter(toks, lambda x, i: i % 2 == 0)
+    odds = F.filter(toks, lambda x, i: i % 2 == 1)
+    pairs = F.zip_with(
+        evens,
+        odds,
+        lambda a, b: F.when(b.isNull(), a).otherwise(
+            F.concat(a, F.lit(" "), b)
+        ),
+    )
+    fabricated = F.when(
+        F.size(toks) > 0, F.array_join(pairs, "\n")
+    ).otherwise(F.lit(""))
+    fab = docs.select(
+        F.col("doc_id").alias("docId"), fabricated.alias("fabText")
+    ).localCheckpoint(eager=False)
+    return global_line_dedup(
+        fab, F.split(F.col("fabText"), "\n"), id_col="docId"
+    )
+
+
+SQL_GLOBAL_LINE_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(lower(COALESCE(text, '')))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(COALESCE(text, ''))), '\s+') END AS t
+  FROM documents
+),
+lines AS (
+  SELECT docId,
+         CASE WHEN len(t) = 0 THEN ['']
+              ELSE list_transform(range(0, CAST(CEIL(len(t) / 2.0) AS BIGINT)),
+                        i -> array_to_string(list_slice(t, i*2+1, i*2+2), ' ')) END AS l
+  FROM toks
+),
+occ AS (
+  SELECT docId, CAST(i AS INT) - 1 AS pos, l[CAST(i AS INT)] AS line
+  FROM lines CROSS JOIN LATERAL (
+    SELECT UNNEST(GENERATE_SERIES(1, len(l))) AS i
+  ) g
+),
+firsts AS (
+  SELECT line, MIN(docId * 1000000 + pos) AS firstKey FROM occ GROUP BY line
+)
+SELECT o.docId,
+       CAST(COUNT(*) AS BIGINT) AS nLines,
+       CAST(SUM(CASE WHEN o.docId * 1000000 + o.pos = f.firstKey
+                     THEN 1 ELSE 0 END) AS BIGINT) AS nKept,
+       COALESCE(STRING_AGG(CASE WHEN o.docId * 1000000 + o.pos = f.firstKey
+                                THEN o.line END, ' ' ORDER BY o.pos), '')
+         AS cleanedText
+FROM occ o JOIN firsts f ON f.line = o.line
+GROUP BY o.docId
+"""
+
+
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + shard assignment (operators/
+    text.shard_plan): md5-hash order gives every document a
+    reproducible pseudorandom position; shards are filled round-robin
+    over that order so sizes differ by at most one."""
+    from genetics_spark_coloc_spark.operators.text import shard_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_plan(docs, id_col="doc_id", n_shards=8)
+
+
+SQL_SHARD_PLAN = """
+WITH b AS (
+  SELECT doc_id AS docId,
+         CAST(('0x' || substr(md5('shuffle-v1|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+           / 4294967296.0 AS k
+  FROM documents
+),
+r AS (
+  SELECT docId, ROW_NUMBER() OVER (ORDER BY k, docId) - 1 AS rk FROM b
+)
+SELECT docId,
+       CAST(rk % 8 AS INT) AS shard,
+       CAST(rk // 8 AS BIGINT) AS posInShard
+FROM r
+"""
+
+NEARDUP_QUERIES["dsir_weights"] = q_dsir_weights
+NEARDUP_ORACLES["dsir_weights"] = SQL_DSIR_WEIGHTS
+NEARDUP_QUERIES["global_line_dedup"] = q_global_line_dedup
+NEARDUP_ORACLES["global_line_dedup"] = SQL_GLOBAL_LINE_DEDUP
+NEARDUP_QUERIES["shard_plan"] = q_shard_plan
+NEARDUP_ORACLES["shard_plan"] = SQL_SHARD_PLAN

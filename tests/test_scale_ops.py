@@ -3142,3 +3142,123 @@ def test_streaming_nb_route_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from nb_route_out").collect()
     }
     assert got == batch
+
+
+def test_dsir_weights_vs_bruteforce(spark):
+    """DSIR importance weights match a direct Python computation of
+    the add-one-smoothed hashed-unigram log ratio (Xie et al. 2023),
+    and documents drawn from the target domain score higher on
+    average than off-domain documents."""
+    import hashlib
+    import math
+
+    from genetics_spark_coloc_spark.operators.text import (
+        dsir_importance_weights,
+    )
+
+    rows = [
+        (0, "alpha beta alpha gamma", "en"),
+        (1, "alpha beta beta", "en"),
+        (2, "delta epsilon zeta delta", "fr"),
+        (3, "alpha gamma", "fr"),
+        (4, "", "en"),
+        (5, None, "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    B, alpha = 64, 1.0
+    got = {
+        r["docId"]: (r["nTokens"], r["logWeight"])
+        for r in dsir_importance_weights(
+            df, F.col("lang") == "en", n_buckets=B, alpha=alpha
+        ).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % B
+
+    raw, tgt = {}, {}
+    per_doc = {}
+    for did, text, lang in rows:
+        toks = (text or "").lower().split()
+        per_doc[did] = toks
+        for t in toks:
+            b = bucket(t)
+            raw[b] = raw.get(b, 0) + 1
+            if lang == "en":
+                tgt[b] = tgt.get(b, 0) + 1
+    NR, NT = sum(raw.values()), sum(tgt.values())
+    for did, text, lang in rows:
+        toks = per_doc[did]
+        lw = sum(
+            math.log((tgt.get(bucket(t), 0) + alpha) / (NT + alpha * B))
+            - math.log((raw.get(bucket(t), 0) + alpha) / (NR + alpha * B))
+            for t in toks
+        )
+        n_got, lw_got = got[did]
+        assert n_got == len(toks)
+        assert abs(lw_got - round(lw, 6)) < 1e-6, (did, lw_got, lw)
+    # the en-only vocabulary (doc 1's beta-heavy bag) must outscore
+    # the fr-only vocabulary (doc 2) — that is the point of DSIR
+    assert got[1][1] > got[2][1]
+
+
+def test_global_line_dedup_keeps_first_occurrence_only(spark):
+    """C4-style global span dedup: each duplicated line survives
+    exactly once, at its smallest (docId, pos); intra-doc repeats
+    after the first are removed too; order is preserved."""
+    from genetics_spark_coloc_spark.operators.text import global_line_dedup
+
+    rows = [
+        (10, ["a b", "c d", "a b"]),   # intra-doc repeat of "a b"
+        (11, ["c d", "e f"]),          # "c d" already seen in doc 10
+        (12, ["e f", "g h", "c d"]),   # both seen
+        (13, []),                      # no lines at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    out = {
+        r["docId"]: r
+        for r in global_line_dedup(df, F.col("lines")).collect()
+    }
+    assert out[10]["nLines"] == 3 and out[10]["nKept"] == 2
+    assert out[10]["cleanedText"] == "a b c d"
+    assert out[11]["nLines"] == 2 and out[11]["nKept"] == 1
+    assert out[11]["cleanedText"] == "e f"
+    assert out[12]["nKept"] == 1 and out[12]["cleanedText"] == "g h"
+    assert out[13]["nLines"] == 0 and out[13]["cleanedText"] == ""
+
+
+def test_shard_plan_balanced_and_deterministic(spark):
+    """Round-robin shard fill: sizes differ by at most one, positions
+    within a shard are contiguous from 0, the assignment is identical
+    across runs, and the two-level distributed rank agrees with a
+    brute-force global hash sort."""
+    import hashlib
+
+    from genetics_spark_coloc_spark.operators.text import shard_plan
+
+    n, shards = 103, 8
+    df = spark.createDataFrame(
+        [(i,) for i in range(n)], "doc_id long"
+    )
+    out = shard_plan(df, n_shards=shards).collect()
+    out2 = shard_plan(df, n_shards=shards).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    sizes = {}
+    pos = {}
+    for r in out:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+        pos.setdefault(r["shard"], []).append(r["posInShard"])
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    for s, ps in pos.items():
+        assert sorted(ps) == list(range(len(ps)))
+
+    def key(i):
+        h = hashlib.md5(f"shuffle-v1|{i}".encode()).hexdigest()[:8]
+        return int(h, 16) / float(16**8)
+
+    order = sorted(range(n), key=lambda i: (key(i), i))
+    expect = {
+        did: (rk % shards, rk // shards) for rk, did in enumerate(order)
+    }
+    got = {r["docId"]: (r["shard"], r["posInShard"]) for r in out}
+    assert got == expect
