@@ -193,3 +193,108 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frameTimestampMs"),
         )
     )
+
+
+def ahash_signature(
+    features: DataFrame,
+    feature_col: str = "feature",
+    id_col: str = "mediaId",
+) -> DataFrame:
+    """Average-hash (aHash) perceptual signature from a decoded
+    feature grid: bit i is set iff feature[i] exceeds the feature
+    mean — the classic perceptual-dedup fingerprint (same family as
+    pHash/dHash) computed over whatever grid ``extract_features``
+    produced. Pure Column array math on the already-extracted
+    features: payload bytes are never touched again, and the
+    signature packs into ONE bigint so downstream joins ship 8 bytes
+    per image instead of the float grid.
+
+    Feature values are k/256 rationals (both the decoded thumbnail
+    and the md5 stub emit exact dyadic rationals), so the mean and
+    the > comparison are exact in binary floating point — the
+    signature is bit-reproducible across engines.
+    """
+    n = F.size(F.col(feature_col))
+    mean = F.aggregate(
+        F.col(feature_col),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    ) / n.cast("double")
+    # bit i of the signature = (feature[i] > mean); packing folds the
+    # REVERSED bit array as acc*2 + bit, which assigns weight 2^i to
+    # position i without a per-element variable shift
+    bits = F.transform(
+        F.col(feature_col),
+        lambda x: F.when(x.cast("double") > mean, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    sig = F.aggregate(
+        F.reverse(bits),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * 2 + b,
+    )
+    return features.select(
+        F.col(id_col).alias("mediaId"),
+        F.size(F.col(feature_col)).alias("nBits"),
+        sig.alias("sig"),
+    )
+
+
+def ahash_near_dup_pairs(
+    signatures: DataFrame,
+    n_bits: int,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: every unordered pair of
+    signatures within ``max_hamming`` bits — the image-side analogue
+    of SimHash text near-dup (Manku et al. 2007), with the same
+    banded-pigeonhole candidate generation: the ``n_bits`` signature
+    splits into ``max_hamming + 1`` contiguous bands, and any pair
+    differing in at most ``max_hamming`` bits must agree EXACTLY on
+    at least one band, so a bucket self-join on (band, bandValue)
+    finds every qualifying pair without the all-pairs product; the
+    exact popcount check then runs on candidates only.
+
+    Scale shape: one explode to (band, bandValue) keys, one bucketed
+    self-join (never a cross join), distinct pair dedup, JVM-side
+    bit_count verify. Returns (mediaIdA < mediaIdB, hamming).
+    """
+    n_bands = max_hamming + 1
+    band_bits = -(-n_bits // n_bands)  # ceil
+    mask = (1 << band_bits) - 1
+    banded = signatures.select(
+        F.col("mediaId"),
+        F.col("sig"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("sig"), b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bandValue"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("mediaId", "sig", F.col("bk.band").alias("band"), F.col("bk.bandValue").alias("bandValue"))
+    left = banded.select(
+        F.col("band"), F.col("bandValue"),
+        F.col("mediaId").alias("mediaIdA"), F.col("sig").alias("sigA"),
+    )
+    right = banded.select(
+        F.col("band"), F.col("bandValue"),
+        F.col("mediaId").alias("mediaIdB"), F.col("sig").alias("sigB"),
+    )
+    pairs = (
+        left.join(right, on=["band", "bandValue"])
+        .filter(F.col("mediaIdA") < F.col("mediaIdB"))
+        .select("mediaIdA", "mediaIdB", "sigA", "sigB")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sigA").bitwiseXOR(F.col("sigB"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("mediaIdA", "mediaIdB", "hamming")

@@ -1249,15 +1249,47 @@ def _gram_windows(
     :func:`duplicate_spans` and :func:`verbatim_match_spans`.
     Composite callers (duplicate_span_lengths) build this ONCE and
     pass it to both via their ``windows=`` parameter, so the dominant
-    tokenize+n-gram corpus scan runs once, not twice."""
+    tokenize+n-gram corpus scan runs once, not twice.
+
+    Two measured optimizations over the naive string-gram build:
+
+    - keys are CHAINED token hashes, never materialized gram strings:
+      each token hashes once, then k−1 zip_with passes fold
+      ``xxhash64(acc, next)`` over shifted long slices — O(n·k) long
+      hash ops with zero string allocation, vs the string build's
+      O(n·k²) character copies (A/B at sf0.1: 1.00 vs 1.14 s at k=5,
+      2.80 vs 2.99 s at k=20). Key equality is window equality
+      modulo the same 64-bit birthday tail as hashing the string
+      (``wide_keys`` chains a second salt for the 128-bit regime).
+    - the result carries a lineage barrier: EVERY consumer reads the
+      windows twice (gram-frequency aggregate + join back onto the
+      occurrences), and without the barrier the whole tokenize+hash
+      corpus scan runs once per reference.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n_grams = F.greatest(F.size(tok_hashes) - F.lit(k - 1), F.lit(0))
+
+    def chain(seed_salted):
+        g = F.slice(seed_salted, 1, n_grams)
+        for j in range(1, k):
+            shifted = F.slice(seed_salted, j + 1, n_grams)
+            g = F.zip_with(g, shifted, lambda a, b: F.xxhash64(a, b))
+        return g
+
+    if wide_keys:
+        tok_hashes_1 = F.transform(toks, lambda t: F.xxhash64(t, F.lit(1)))
+        keys = F.zip_with(
+            chain(tok_hashes),
+            chain(tok_hashes_1),
+            lambda a, b: F.struct(a.alias("h0"), b.alias("h1")),
+        )
+    else:
+        keys = chain(tok_hashes)
     return df.select(
         F.col(id_col).alias("docId"),
-        F.posexplode(word_ngrams(F.col(text_col), k)).alias(
-            "start", "gramStr"
-        ),
-    ).select(
-        "docId", "start", gram_key(F.col("gramStr"), wide_keys).alias("gram")
-    )
+        F.posexplode(keys).alias("start", "gram"),
+    ).localCheckpoint(eager=False)
 
 
 def duplicate_spans(
@@ -1507,11 +1539,9 @@ def duplicate_span_lengths(
     Output: (docId, spanStart, spanEnd, spanTokens, maxMatchTokens).
     """
     # ONE tokenize+n-gram pass feeds both the island finder and the
-    # match finder (lazy checkpoint: materialized on first use,
-    # reused by the second — the corpus scan is the dominant cost)
-    wins = _gram_windows(
-        df, text_col, id_col, min_tokens, wide_keys
-    ).localCheckpoint(eager=False)
+    # match finder (_gram_windows carries its own lazy checkpoint:
+    # materialized on first use, reused by every later reference)
+    wins = _gram_windows(df, text_col, id_col, min_tokens, wide_keys)
     spans = duplicate_spans(
         df, text_col, id_col, min_tokens, wide_keys, windows=wins
     )
@@ -1574,9 +1604,13 @@ def remove_verbatim_matches(
     Emits (docId, nTokens, nDupTokens, cleanedText) for EVERY input
     document, matching :func:`remove_duplicate_spans`'s shape.
     """
+    # lineage barrier: both removal sides read the match table, and
+    # the diagonal-chain span search is the dominant cost — without
+    # it the whole spans subtree runs once per side (measured
+    # 8.3 s -> ~4.5 s at sf0.1)
     matches = verbatim_match_spans(
         df, text_col, id_col, min_match_tokens, max_gram_freq, wide_keys
-    )
+    ).localCheckpoint(eager=False)
     sides = matches.select(
         F.col("leftId").alias("docId"),
         F.col("leftStart").alias("_s"),

@@ -1555,3 +1555,54 @@ SCALE_QUERIES["nb_language_model"] = q_nb_language_model
 SCALE_ORACLES["nb_language_model"] = SQL_NB_LANGUAGE_MODEL
 SCALE_QUERIES["nb_language_predict"] = q_nb_language_predict
 SCALE_ORACLES["nb_language_predict"] = SQL_NB_LANGUAGE_PREDICT
+
+
+def q_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image pairs (operators/multimodal.
+    ahash_signature + ahash_near_dup_pairs): Arrow-batched feature
+    extraction over the image payloads, 16-bit average-hash
+    signatures (16 features = the md5 stub's full digest, so the
+    engine-portable nibble oracle covers every bit), then the banded
+    pigeonhole self-join for every pair within Hamming distance 3.
+    Production uses 64-bit grids; 16 bits here is the largest width
+    the cross-engine md5 mirror can certify bit-for-bit."""
+    from genetics_spark_coloc_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+        ahash_signature,
+        extract_features,
+    )
+
+    imgs = _media(spark, sf_dir).filter(F.col("modality") == "image")
+    feats = extract_features(imgs, dim=16)
+    sigs = ahash_signature(feats)
+    return ahash_near_dup_pairs(sigs, n_bits=16, max_hamming=3).orderBy(
+        "mediaIdA", "mediaIdB"
+    )
+
+
+SQL_IMAGE_AHASH_PAIRS = f"""
+WITH {MEDIA_SQL.strip()},
+feats AS (
+  SELECT mediaId,
+         list_transform(range(0, 16), i ->
+           ((strpos('0123456789abcdef', substr(payloadMd5, CAST(2*i+1 AS INT), 1)) - 1) * 16
+            + strpos('0123456789abcdef', substr(payloadMd5, CAST(2*i+2 AS INT), 1)) - 1) / 256.0
+         ) AS f
+  FROM media WHERE modality = 'image'
+),
+sigs AS (
+  SELECT mediaId,
+         CAST(list_sum(list_transform(range(0, 16), i ->
+           CASE WHEN f[CAST(i+1 AS INT)] > list_sum(f) / 16.0
+                THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS BIGINT) AS sig
+  FROM feats
+)
+SELECT a.mediaId AS mediaIdA, b.mediaId AS mediaIdB,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.mediaId < b.mediaId
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+ORDER BY mediaIdA, mediaIdB
+"""
+
+SCALE_QUERIES["image_ahash_pairs"] = q_image_ahash_pairs
+SCALE_ORACLES["image_ahash_pairs"] = SQL_IMAGE_AHASH_PAIRS

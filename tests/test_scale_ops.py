@@ -3262,3 +3262,48 @@ def test_shard_plan_balanced_and_deterministic(spark):
     }
     got = {r["docId"]: (r["shard"], r["posInShard"]) for r in out}
     assert got == expect
+
+
+def test_ahash_signature_and_banded_pairs(spark):
+    """aHash bits match a direct Python threshold-against-mean, and
+    the banded pigeonhole join returns EXACTLY the pairs within the
+    Hamming budget — including a pair at distance exactly 3 (kept)
+    and one at distance 4 (dropped), the band-boundary adversary."""
+    from genetics_spark_coloc_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+        ahash_signature,
+    )
+
+    def feats_for_sig(sig, n=16):
+        # feature k/256 with k=200 (bit set, above mean) or k=10
+        return [(200 if (sig >> i) & 1 else 10) / 256.0 for i in range(n)]
+
+    sigs = {
+        1: 0b1010101010101010,
+        2: 0b1010101010101001,  # hamming 2 from id 1
+        3: 0b1010101010010110,  # hamming 5 from id 1, 5 from id 2
+        4: 0b0010101010101010,  # hamming 1 from id 1, 3 from id 2
+        5: 0b0101011010101010,  # hamming 4 from id 4
+    }
+    rows = [(k, feats_for_sig(v)) for k, v in sigs.items()]
+    df = spark.createDataFrame(rows, "mediaId long, feature array<float>")
+    got_sigs = {r["mediaId"]: r["sig"] for r in ahash_signature(df).collect()}
+    assert got_sigs == sigs
+
+    pairs = {
+        (r["mediaIdA"], r["mediaIdB"]): r["hamming"]
+        for r in ahash_near_dup_pairs(
+            ahash_signature(df), n_bits=16, max_hamming=3
+        ).collect()
+    }
+    expect = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                expect[(a, b)] = h
+    assert pairs == expect
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1
+    assert (2, 4) in pairs and pairs[(2, 4)] == 3   # boundary kept
+    assert (4, 5) not in pairs                      # distance 4 dropped
