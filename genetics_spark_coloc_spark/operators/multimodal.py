@@ -263,6 +263,10 @@ def ahash_near_dup_pairs(
     n_bands = max_hamming + 1
     band_bits = -(-n_bits // n_bands)  # ceil
     mask = (1 << band_bits) - 1
+    # lineage barrier: the self-join reads the signature table twice,
+    # and upstream of it sits the Arrow-batched payload decode —
+    # without the barrier every payload decodes once PER SIDE
+    signatures = signatures.localCheckpoint(eager=False)
     banded = signatures.select(
         F.col("mediaId"),
         F.col("sig"),
