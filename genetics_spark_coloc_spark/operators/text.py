@@ -2560,3 +2560,80 @@ def shard_plan(
         F.pmod(F.col("_r"), F.lit(n_shards)).cast("int").alias("shard"),
         (F.col("_r") / F.lit(n_shards)).cast("long").alias("posInShard"),
     )
+
+
+def curation_funnel(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pii_text: "Column | None" = None,
+    min_words: int = 20,
+    max_dup_bigram_frac: float = 0.2,
+    max_dup_trigram_frac: float = 0.18,
+) -> "DataFrame":
+    """The end-to-end curation verdict table — every stage of the
+    standard pre-training keep/drop funnel (Gopher quality rules →
+    repetition filter → PII gate → exact-dedup keeper election) as
+    ONE declarative plan, emitting a per-document boolean per stage
+    plus the final ``kept`` conjunction. Per-stage booleans (not just
+    the verdict) are what make a production funnel auditable:
+    per-stage rejection counts are one groupBy away, and stage
+    ordering is irrelevant because every stage is evaluated
+    independently.
+
+    Scale shape: the quality, repetition and PII stages are
+    shuffle-free per-row projections; the only wide operations are
+    the keeper election (one min-by-contentHash window, partitioned
+    by the hash so it scales with the duplicate-family size, not the
+    corpus) and the three docId equi joins AQE plans as one stage.
+    ``pii_text`` lets callers gate on a different column than the
+    quality stages (e.g. pre-redaction raw text).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    quality = gopher_quality(df, text_col, id_col, min_words=min_words).select(
+        "docId", F.col("keep").alias("passQuality")
+    )
+    rep = df.select(
+        F.col(id_col).alias("docId"),
+        ngram_repetition_ratio(F.col(text_col), 2).alias("_f2"),
+        ngram_repetition_ratio(F.col(text_col), 3).alias("_f3"),
+    ).select(
+        "docId",
+        (
+            (F.col("_f2") <= max_dup_bigram_frac)
+            & (F.col("_f3") <= max_dup_trigram_frac)
+        ).alias("passRepetition"),
+    )
+    pii_col = pii_text if pii_text is not None else F.col(text_col)
+    pii_counts = list(pii_stats(pii_col).values())
+    total_pii = pii_counts[0]
+    for c in pii_counts[1:]:
+        total_pii = total_pii + c
+    pii = df.select(
+        F.col(id_col).alias("docId"),
+        (total_pii == 0).alias("passPii"),
+    )
+    w = Window.partitionBy(F.md5(F.coalesce(F.col(text_col), F.lit(""))))
+    keeper = df.select(
+        F.col(id_col).alias("docId"),
+        (F.col(id_col) == F.min(id_col).over(w)).alias("isKeeper"),
+    )
+    return (
+        quality.join(rep, on="docId")
+        .join(pii, on="docId")
+        .join(keeper, on="docId")
+        .select(
+            "docId",
+            "passQuality",
+            "passRepetition",
+            "passPii",
+            "isKeeper",
+            (
+                F.col("passQuality")
+                & F.col("passRepetition")
+                & F.col("passPii")
+                & F.col("isKeeper")
+            ).alias("kept"),
+        )
+    )

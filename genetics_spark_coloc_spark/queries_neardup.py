@@ -2849,3 +2849,138 @@ NEARDUP_QUERIES["global_line_dedup"] = q_global_line_dedup
 NEARDUP_ORACLES["global_line_dedup"] = SQL_GLOBAL_LINE_DEDUP
 NEARDUP_QUERIES["shard_plan"] = q_shard_plan
 NEARDUP_ORACLES["shard_plan"] = SQL_SHARD_PLAN
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation verdict table (operators/text.
+    curation_funnel): Gopher quality rules, repetition filter, PII
+    gate (over the same deterministic planted-PII device as
+    pii_scrub, so the stage is non-trivial on the synthetic corpus)
+    and exact-dedup keeper election — one declarative plan, one
+    boolean per stage, final kept conjunction."""
+    from genetics_spark_coloc_spark.operators.text import curation_funnel
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            k % 7 == 0,
+            F.concat(F.lit(" contact user"), k.cast("string"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 11 == 0,
+            F.concat(F.lit(" from 10.0."), (k % 256).cast("string"), F.lit(".1")),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 13 == 0,
+            F.concat(F.lit(" ref 9"), (k * 137).cast("string"), F.lit("00012345")),
+        ).otherwise(F.lit("")),
+    )
+    return curation_funnel(docs, "text", "doc_id", pii_text=planted, min_words=20)
+
+
+SQL_CURATION_FUNNEL = r"""
+WITH rtoks AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+  FROM documents
+),
+rgrams AS (
+  SELECT docId, len(t) AS nt,
+         CASE WHEN len(t) - 1 >= 1
+              THEN list_transform(range(0, len(t) - 1),
+                                  i -> array_to_string(list_slice(t, i + 1, i + 2), ' '))
+              ELSE [] END AS g2,
+         CASE WHEN len(t) - 2 >= 1
+              THEN list_transform(range(0, len(t) - 2),
+                                  i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
+              ELSE [] END AS g3
+  FROM rtoks
+),
+rep AS (
+  SELECT docId,
+         (CASE WHEN nt - 1 >= 1
+               THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / (nt - 1)
+               ELSE 0.0 END) <= 0.2
+         AND
+         (CASE WHEN nt - 2 >= 1
+               THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / (nt - 2)
+               ELSE 0.0 END) <= 0.18 AS passRepetition
+  FROM rgrams
+),
+gbase AS (
+  SELECT doc_id AS docId, COALESCE(text, '') AS text FROM documents
+),
+gfeat AS (
+  SELECT docId, text,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(text), '\s+') END AS t,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS tl,
+         string_split(text, chr(10)) AS lines
+  FROM gbase
+),
+gm AS (
+  SELECT docId,
+         len(t) AS nWords,
+         CASE WHEN len(t) > 0
+              THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+              ELSE 0.0 END AS meanLen,
+         length(text) - length(regexp_replace(text, '#', '', 'g'))
+           + len(regexp_extract_all(text, '\.\.\.')) AS nSymbols,
+         len(lines) AS nLines,
+         len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*•]'))) AS bulletLines,
+         len(list_filter(lines, x -> regexp_matches(x, '\.\.\.\s*$'))) AS ellipsisLines,
+         len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS alphaWords,
+         len(list_filter(tl, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS stopHits
+  FROM gfeat
+),
+gq AS (
+  SELECT docId,
+         (nWords >= 20 AND nWords <= 100000)
+           AND (meanLen >= 3.0 AND meanLen <= 10.0)
+           AND (CASE WHEN nWords > 0 THEN CAST(nSymbols AS DOUBLE) / nWords <= 0.1 ELSE FALSE END)
+           AND (CASE WHEN nLines > 0 THEN CAST(bulletLines AS DOUBLE) / nLines <= 0.1 ELSE FALSE END)
+           AND (CASE WHEN nLines > 0 THEN CAST(ellipsisLines AS DOUBLE) / nLines <= 0.3 ELSE FALSE END)
+           AND (CASE WHEN nWords > 0 THEN CAST(alphaWords AS DOUBLE) / nWords >= 0.8 ELSE FALSE END)
+           AND (stopHits >= 2) AS passQuality
+  FROM gm
+),
+planted AS (
+  SELECT doc_id AS docId,
+         COALESCE(text, '')
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' ref 9' || CAST(doc_id * 137 AS VARCHAR) || '00012345'
+                 ELSE '' END AS ptext
+  FROM documents
+),
+pii AS (
+  SELECT docId,
+         (len(regexp_extract_all(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          + len(regexp_extract_all(ptext, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+          + len(regexp_extract_all(ptext, '\d{9,}'))) = 0 AS passPii
+  FROM planted
+),
+keeper AS (
+  SELECT doc_id AS docId,
+         doc_id = MIN(doc_id) OVER (PARTITION BY md5(COALESCE(text, ''))) AS isKeeper
+  FROM documents
+)
+SELECT g.docId, g.passQuality, r.passRepetition, p.passPii, k.isKeeper,
+       g.passQuality AND r.passRepetition AND p.passPii AND k.isKeeper AS kept
+FROM gq g
+JOIN rep r ON r.docId = g.docId
+JOIN pii p ON p.docId = g.docId
+JOIN keeper k ON k.docId = g.docId
+"""
+
+NEARDUP_QUERIES["curation_funnel"] = q_curation_funnel
+NEARDUP_ORACLES["curation_funnel"] = SQL_CURATION_FUNNEL

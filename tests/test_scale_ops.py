@@ -3307,3 +3307,35 @@ def test_ahash_signature_and_banded_pairs(spark):
     assert (1, 4) in pairs and pairs[(1, 4)] == 1
     assert (2, 4) in pairs and pairs[(2, 4)] == 3   # boundary kept
     assert (4, 5) not in pairs                      # distance 4 dropped
+
+
+def test_curation_funnel_stage_verdicts(spark):
+    """Each funnel stage flags independently and `kept` is their
+    conjunction: a clean long doc passes; a repeated-bigram doc fails
+    only repetition; a PII doc fails only the PII gate; the later
+    copy of a duplicated text fails only keeper election."""
+    from genetics_spark_coloc_spark.operators.text import curation_funnel
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and then runs far "
+        "away into the green field while birds sing songs about rain "
+        "and the sun shines over every hill in the quiet valley today"
+    )
+    repetitive = ("spam ham " * 40).strip()
+    rows = [
+        (0, good),
+        (1, repetitive),                      # dup-bigram frac ~1
+        (2, good + " mail me a9@b.co now"),   # email -> PII fail
+        (3, good),                            # duplicate of 0 -> loses keeper
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["docId"]: r for r in curation_funnel(df, min_words=20).collect()}
+    assert out[0]["kept"] and all(
+        out[0][c] for c in ["passQuality", "passRepetition", "passPii", "isKeeper"]
+    )
+    assert not out[1]["passRepetition"] and not out[1]["kept"]
+    assert out[1]["passPii"]
+    assert not out[2]["passPii"] and not out[2]["kept"]
+    assert out[2]["passQuality"]
+    assert not out[3]["isKeeper"] and not out[3]["kept"]
+    assert out[3]["passQuality"] and out[3]["passRepetition"] and out[3]["passPii"]
