@@ -799,11 +799,49 @@ def gopher_quality(
     distributions are one groupBy away. Pure Column expressions in
     the Java-regex∩RE2 subset; thresholds are the paper's defaults.
     """
+    rules = gopher_rules(
+        F.col(text_col),
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_word_ratio=max_symbol_word_ratio,
+        max_ellipsis_line_frac=max_ellipsis_line_frac,
+        max_bullet_line_frac=max_bullet_line_frac,
+        min_alpha_word_frac=min_alpha_word_frac,
+        min_stopword_hits=min_stopword_hits,
+    )
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        F.col(id_col).alias("docId"),
+        *[c.alias(n) for n, c in rules.items()],
+        keep.alias("keep"),
+    )
+
+
+def gopher_rules(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_ellipsis_line_frac: float = 0.3,
+    max_bullet_line_frac: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> "dict[str, Column]":
+    """The Gopher rule family as pure COLUMN expressions ({name:
+    boolean Column}) — the composable form behind
+    :func:`gopher_quality`, reusable wherever a flag must ride an
+    existing projection (the streaming curation route cannot join)."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     # null text behaves as empty (rejected by the word-count rule) on
     # both engines, instead of riding engine-specific null semantics
-    txt = F.coalesce(F.col(text_col), F.lit(""))
+    txt = F.coalesce(text, F.lit(""))
     toks = tokens(txt)
     n_words = F.size(toks)
     total_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
@@ -852,14 +890,7 @@ def gopher_quality(
         ).otherwise(F.lit(False)),
         "okStopwords": stop_hits >= min_stopword_hits,
     }
-    keep = None
-    for c in rules.values():
-        keep = c if keep is None else (keep & c)
-    return df.select(
-        F.col(id_col).alias("docId"),
-        *[c.alias(n) for n, c in rules.items()],
-        keep.alias("keep"),
-    )
+    return rules
 
 
 def duplicate_line_stats(text: Column) -> dict[str, Column]:

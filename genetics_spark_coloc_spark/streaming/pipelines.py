@@ -547,3 +547,67 @@ def streaming_nb_route(
     return routed.filter(F.col("_r.label").isNotNull()).select(
         "docId", F.col("_r.label").alias("label"), F.col("_r.score").alias("score")
     )
+
+
+def streaming_curation_route(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    event_time_col: "str | None" = None,
+    watermark: str = "10 minutes",
+    min_words: int = 20,
+    max_dup_bigram_frac: float = 0.2,
+    max_dup_trigram_frac: float = 0.18,
+) -> DataFrame:
+    """Streaming curation funnel — the live-ingest twin of
+    ``operators.text.curation_funnel``: every first-of-family
+    arrival gets its per-stage verdicts (Gopher quality rules,
+    repetition filter, PII gate) from the IDENTICAL stateless Column
+    expressions the batch operator uses, so replaying a corpus
+    through the stream reproduces the batch flags bit for bit
+    (tested); later copies are dropped entirely. The keeper election
+    becomes streaming-native first-arrival-wins dedup
+    (``dropDuplicates`` on the content hash under a watermark — the
+    only stateful stage, with the standard eviction bound; batch
+    elects min-id instead, because a batch can rank the whole family
+    while a stream can only remember who came first).
+
+    Every stage flag rides ONE projection of the deduped stream — no
+    joins (stream-stream joins of two projections of the same source
+    are not stream-safe), no extra shuffle beyond the dedup state.
+    Pass ``event_time_col=None`` only for bounded replay tests (no
+    watermark, unbounded state).
+
+    Emits (docId, passQuality, passRepetition, passPii, kept).
+    """
+    from genetics_spark_coloc_spark.operators.text import (
+        gopher_rules,
+        ngram_repetition_ratio,
+        pii_stats,
+    )
+
+    hashed = docs.withColumn(
+        "_contentHash", F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    if event_time_col is not None:
+        hashed = hashed.withWatermark(event_time_col, watermark)
+    first = hashed.dropDuplicates(["_contentHash"])
+
+    rules = gopher_rules(F.col(text_col), min_words=min_words)
+    pass_quality = None
+    for c in rules.values():
+        pass_quality = c if pass_quality is None else (pass_quality & c)
+    pass_rep = (
+        ngram_repetition_ratio(F.col(text_col), 2) <= max_dup_bigram_frac
+    ) & (ngram_repetition_ratio(F.col(text_col), 3) <= max_dup_trigram_frac)
+    pii_counts = list(pii_stats(F.col(text_col)).values())
+    total_pii = pii_counts[0]
+    for c in pii_counts[1:]:
+        total_pii = total_pii + c
+    return first.select(
+        F.col(id_col).alias("docId"),
+        pass_quality.alias("passQuality"),
+        pass_rep.alias("passRepetition"),
+        (total_pii == 0).alias("passPii"),
+        (pass_quality & pass_rep & (total_pii == 0)).alias("kept"),
+    )
