@@ -221,8 +221,13 @@ def ahash_signature(
         lambda acc, x: acc + x.cast("double"),
     ) / n.cast("double")
     # bit i of the signature = (feature[i] > mean); packing folds the
-    # REVERSED bit array as acc*2 + bit, which assigns weight 2^i to
-    # position i without a per-element variable shift
+    # REVERSED bit array as (acc << 1) | bit, which assigns weight
+    # 2^i to position i without a per-element variable shift. The
+    # shift/OR form (not acc*2+b) matters at the production width of
+    # 64 features: setting the top bit of a signed long is a plain
+    # bit operation here, whereas the multiply form relies on silent
+    # two's-complement wraparound and throws under
+    # spark.sql.ansi.enabled=true.
     bits = F.transform(
         F.col(feature_col),
         lambda x: F.when(x.cast("double") > mean, F.lit(1).cast("long")).otherwise(
@@ -232,7 +237,7 @@ def ahash_signature(
     sig = F.aggregate(
         F.reverse(bits),
         F.lit(0).cast("long"),
-        lambda acc, b: acc * 2 + b,
+        lambda acc, b: F.shiftleft(acc, 1).bitwiseOR(b),
     )
     return features.select(
         F.col(id_col).alias("mediaId"),

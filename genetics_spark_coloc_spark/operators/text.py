@@ -2479,12 +2479,15 @@ def global_line_dedup(
 
     Scale shape: explode to (doc, pos, line), collapse the line
     string to xxhash64 before any shuffle (8-byte keys on the wire),
-    ONE groupBy(lineHash) min-aggregate over the encoded order key
-    docId*1e6+pos (map-side combine; single-occurrence lines never
-    dominate memory because the agg is a scalar min), one hash join
-    back, then the per-doc ordered rebuild. Emits (docId, nLines,
-    nKept, cleanedText); docs whose every line lost the race keep a
-    row with empty cleanedText.
+    ONE groupBy(lineHash) min-aggregate over the lexicographic
+    struct(docId, pos) order key (structs min-combine map-side like
+    any scalar; single-occurrence lines never dominate memory because
+    the agg is a scalar min), one hash join back, then the per-doc
+    ordered rebuild. The struct key — not an arithmetic
+    docId*K+pos encoding — keeps first-occurrence election correct
+    for documents of ANY length and for any orderable id type.
+    Emits (docId, nLines, nKept, cleanedText); docs whose every line
+    lost the race keep a row with empty cleanedText.
     """
     occ = df.select(
         F.col(id_col).alias("docId"),
@@ -2492,7 +2495,8 @@ def global_line_dedup(
     ).withColumn(
         "lineHash", F.when(F.col("line").isNotNull(), F.xxhash64("line"))
     ).withColumn(
-        "orderKey", F.col("docId") * F.lit(1000000) + F.col("pos")
+        "orderKey",
+        F.struct(F.col("docId").alias("d"), F.col("pos").alias("p")),
     )
     first = (
         occ.filter(F.col("lineHash").isNotNull())

@@ -2802,16 +2802,19 @@ occ AS (
   ) g
 ),
 firsts AS (
-  SELECT line, MIN(docId * 1000000 + pos) AS firstKey FROM occ GROUP BY line
-)
+  SELECT line, docId AS fDoc, pos AS fPos,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY docId, pos) AS rn
+  FROM occ
+),
+f1 AS (SELECT line, fDoc, fPos FROM firsts WHERE rn = 1)
 SELECT o.docId,
        CAST(COUNT(*) AS BIGINT) AS nLines,
-       CAST(SUM(CASE WHEN o.docId * 1000000 + o.pos = f.firstKey
+       CAST(SUM(CASE WHEN o.docId = f.fDoc AND o.pos = f.fPos
                      THEN 1 ELSE 0 END) AS BIGINT) AS nKept,
-       COALESCE(STRING_AGG(CASE WHEN o.docId * 1000000 + o.pos = f.firstKey
+       COALESCE(STRING_AGG(CASE WHEN o.docId = f.fDoc AND o.pos = f.fPos
                                 THEN o.line END, ' ' ORDER BY o.pos), '')
          AS cleanedText
-FROM occ o JOIN firsts f ON f.line = o.line
+FROM occ o JOIN f1 f ON f.line = o.line
 GROUP BY o.docId
 """
 

@@ -34,14 +34,19 @@ def streaming_dedup_exact(
 ) -> DataFrame:
     """Streaming exact dedup by content hash with a watermark bound.
 
-    ``dropDuplicates`` keyed on the hash + watermark keeps state
-    bounded: hashes older than the watermark are evicted — the
-    standard pattern for unbounded dedup state.
+    Uses ``dropDuplicatesWithinWatermark`` (Spark >= 3.5): plain
+    ``dropDuplicates(["contentHash"])`` would NEVER evict state —
+    eviction only happens when the event-time column is part of the
+    dedup key subset, which would wrongly treat same-hash records
+    with different timestamps as distinct. The WithinWatermark
+    variant keys state on the hash alone and expires entries once
+    the watermark passes their event time — the correct bounded-state
+    dedup pattern.
     """
     return (
         events.withColumn("contentHash", F.md5(F.col(text_col)))
         .withWatermark(event_time_col, watermark)
-        .dropDuplicates(["contentHash"])
+        .dropDuplicatesWithinWatermark(["contentHash"])
     )
 
 
@@ -508,7 +513,12 @@ def streaming_nb_route(
         r["label"]: r["logPrior"]
         for r in priors.select("label", "logPrior").collect()
     }
-    labels = sorted(prior)
+    # only labels present in BOTH prior and model: batch nb_score's
+    # explode+join inner-joins on label, so a label whose training
+    # docs were all empty (priors row, zero model rows) is silently
+    # unscorable there — replicate that instead of KeyError-ing the
+    # stream on floors[lab].
+    labels = sorted(set(prior) & set(floors))
 
     def _round6(x: float) -> float:
         scaled = x * 1e6
@@ -567,10 +577,12 @@ def streaming_curation_route(
     through the stream reproduces the batch flags bit for bit
     (tested); later copies are dropped entirely. The keeper election
     becomes streaming-native first-arrival-wins dedup
-    (``dropDuplicates`` on the content hash under a watermark — the
-    only stateful stage, with the standard eviction bound; batch
-    elects min-id instead, because a batch can rank the whole family
-    while a stream can only remember who came first).
+    (``dropDuplicatesWithinWatermark`` on the content hash — the only
+    stateful stage; state entries expire once the watermark passes
+    their event time, which plain ``dropDuplicates`` on a non-time
+    key subset would never do. Batch elects min-id instead, because a
+    batch can rank the whole family while a stream can only remember
+    who came first).
 
     Every stage flag rides ONE projection of the deduped stream — no
     joins (stream-stream joins of two projections of the same source
@@ -590,8 +602,11 @@ def streaming_curation_route(
         "_contentHash", F.md5(F.coalesce(F.col(text_col), F.lit("")))
     )
     if event_time_col is not None:
-        hashed = hashed.withWatermark(event_time_col, watermark)
-    first = hashed.dropDuplicates(["_contentHash"])
+        first = hashed.withWatermark(
+            event_time_col, watermark
+        ).dropDuplicatesWithinWatermark(["_contentHash"])
+    else:
+        first = hashed.dropDuplicates(["_contentHash"])
 
     rules = gopher_rules(F.col(text_col), min_words=min_words)
     pass_quality = None

@@ -1,0 +1,178 @@
+"""Round-7 regression tests for the ADVICE findings.
+
+Covers: streaming dedup state eviction via dropDuplicatesWithinWatermark,
+streaming_nb_route resilience to priors-only labels, 64-bit aHash packing
+under ANSI mode, and global_line_dedup first-occurrence election beyond
+the old 1e6-line arithmetic encoding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_streaming_dedup_uses_within_watermark_eviction(spark, tmp_path):
+    """The streaming exact-dedup plan must carry a
+    DeduplicateWithinWatermark node: plain dropDuplicates on a
+    non-time key subset never evicts state, so the old plan grew the
+    state store unboundedly on a live stream."""
+    from genetics_spark_coloc_spark.streaming.pipelines import (
+        streaming_dedup_exact,
+    )
+
+    src = str(tmp_path / "dedup_src")
+    spark.createDataFrame(
+        [("a", "hello"), ("b", "hello"), ("c", "world")],
+        "doc_id string, text string",
+    ).withColumn("ts", F.current_timestamp()).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string, ts timestamp")
+        .parquet(src)
+    )
+    deduped = streaming_dedup_exact(stream, "text", "ts")
+    plan = deduped._jdf.queryExecution().logical().toString()
+    assert "DeduplicateWithinWatermark" in plan, plan
+
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("r7_dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select text from r7_dedup_out").collect()
+    assert sorted(r.text for r in rows) == ["hello", "world"]
+
+
+def test_streaming_curation_route_within_watermark(spark):
+    """streaming_curation_route with an event-time column uses the
+    WithinWatermark dedup (bounded state); without one it falls back
+    to plain dropDuplicates for bounded replay."""
+    from genetics_spark_coloc_spark.streaming.pipelines import (
+        streaming_curation_route,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "some text here", "2024-01-01 00:00:00")],
+        "doc_id string, text string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with_time = streaming_curation_route(docs, event_time_col="ts")
+    plan = with_time._jdf.queryExecution().logical().toString()
+    assert "DeduplicateWithinWatermark" in plan, plan
+
+    without_time = streaming_curation_route(docs, event_time_col=None)
+    plan2 = without_time._jdf.queryExecution().logical().toString()
+    assert "DeduplicateWithinWatermark" not in plan2, plan2
+
+
+def test_streaming_nb_route_priors_only_label(spark, tmp_path):
+    """A label present in priors but absent from the model (all its
+    training docs were empty) must not crash the router — batch
+    nb_score silently omits such labels via its inner join, and the
+    stream must match that, not KeyError mid-batch."""
+    from genetics_spark_coloc_spark.operators.nb import (
+        nb_priors,
+        nb_score,
+        nb_train,
+    )
+    from genetics_spark_coloc_spark.streaming.pipelines import (
+        streaming_nb_route,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "alpha beta alpha", "en"),
+            ("d2", "alpha gamma", "en"),
+            ("d3", "uno dos tres", "es"),
+            ("d4", "", "xx"),  # label xx: only empty text -> no model rows
+            ("d5", "", "xx"),
+        ],
+        "doc_id string, text string, lang string",
+    )
+    model = nb_train(docs)
+    assert model.filter(F.col("label") == "xx").count() == 0
+    priors = nb_priors(docs)
+    assert priors.filter(F.col("label") == "xx").count() == 1
+
+    batch = {
+        r.docId: (r.label, r.score) for r in nb_score(docs, model, priors).collect()
+    }
+
+    src = str(tmp_path / "nb_src")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        streaming_nb_route(stream, model, priors)
+        .writeStream.format("memory")
+        .queryName("r7_nb_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.docId: (r.label, r.score)
+        for r in spark.sql("select * from r7_nb_out").collect()
+    }
+    assert got == batch
+    assert all(lab != "xx" for lab, _ in got.values())
+
+
+def test_ahash_signature_64_bits_ansi_safe(spark):
+    """Packing a 64-feature signature whose top bit is set must use
+    shift/OR semantics: the old acc*2+b fold overflowed a signed long
+    on the last step and threw under spark.sql.ansi.enabled=true."""
+    from genetics_spark_coloc_spark.operators.multimodal import ahash_signature
+
+    # feature[i] maps to weight 2^i: feature[63] far above the mean
+    # -> bit 63 (weight 2^63) is set
+    feats = [10.0 / 256.0] * 63 + [200.0 / 256.0]
+    df = spark.createDataFrame(
+        [("m1", feats)], "mediaId string, feature array<float>"
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        row = ahash_signature(df).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert row.nBits == 64
+    # only bit 63 set == long MIN_VALUE as a signed 64-bit pattern
+    assert row.sig == -(2**63)
+
+
+def test_global_line_dedup_beyond_1m_lines(spark):
+    """First-occurrence election must be lexicographic on
+    (docId, pos), not the old docId*1e6+pos arithmetic key: with a
+    shared line at pos >= 1e6 in the lower docId, the arithmetic key
+    elected the HIGHER docId's occurrence."""
+    from genetics_spark_coloc_spark.operators.text import global_line_dedup
+
+    n_pad = 1_000_001
+    df = (
+        spark.createDataFrame([(1,), (2,)], "docId int")
+        .withColumn(
+            "lines",
+            F.when(
+                F.col("docId") == 1,
+                # 1,000,001 distinct pad lines then "shared" at pos 1,000,001
+                F.concat(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(n_pad - 1)),
+                        lambda i: F.concat(F.lit("pad"), i.cast("string")),
+                    ),
+                    F.array(F.lit("shared")),
+                ),
+            ).otherwise(F.array(F.lit("shared"), F.lit("tail"))),
+        )
+    )
+    out = {
+        r.docId: (r.nLines, r.nKept)
+        for r in global_line_dedup(df, F.col("lines"), id_col="docId").collect()
+    }
+    # doc 1 keeps everything incl. "shared" (smallest (docId,pos));
+    # doc 2 loses "shared" to doc 1 despite its smaller arithmetic key
+    assert out[1] == (n_pad + 1, n_pad + 1)
+    assert out[2] == (2, 1)
