@@ -1450,6 +1450,8 @@ def verbatim_match_spans(
     max_gram_freq: "int | None" = None,
     wide_keys: bool = False,
     windows: "DataFrame | None" = None,
+    hot_gram_ceiling: "int | None" = 10_000,
+    on_hot_gram: str = "raise",
 ) -> "DataFrame":
     """EXACT maximal verbatim matches of >= ``min_tokens`` tokens —
     the true maximal-match-length semantics of Lee et al. (2022)
@@ -1476,6 +1478,18 @@ def verbatim_match_spans(
     stop-grams), under-reporting matches that only run through such
     grams — the standard suffix-filter trade, off by default.
 
+    Hot-gram guard: with ``max_gram_freq`` unset nothing else bounds
+    the Σfreq² pair join — one 10⁶-occurrence boilerplate gram
+    (license headers, templated pages) is 10¹² pairs. Mirroring
+    connected_components' loud-failure convergence guard, any
+    pairable gram whose frequency exceeds ``hot_gram_ceiling``
+    (default 10⁴) fails the job at execution time with the offending
+    frequency in the message (``on_hot_gram="raise"``, via an
+    assert_true that rides the existing counts aggregate — zero extra
+    scans or driver actions) or is excluded from pairing like an
+    explicit cap (``on_hot_gram="cap"``). ``hot_gram_ceiling=None``
+    disables the guard; an explicit ``max_gram_freq`` supersedes it.
+
     Pairs are canonical ((leftId, leftStart) < (rightId, rightStart)
     lexicographically), so each match is reported once. Output:
     (leftId, rightId, leftStart, rightStart, matchTokens); token
@@ -1483,6 +1497,8 @@ def verbatim_match_spans(
     """
     from pyspark.sql.window import Window  # noqa: PLC0415
 
+    if on_hot_gram not in ("raise", "cap"):
+        raise ValueError(f"on_hot_gram must be 'raise' or 'cap', got {on_hot_gram!r}")
     k = min_tokens
     wins = (
         windows
@@ -1493,6 +1509,32 @@ def verbatim_match_spans(
     pairable = counts.filter(F.col("_cnt") >= 2)
     if max_gram_freq is not None:
         pairable = pairable.filter(F.col("_cnt") <= max_gram_freq)
+    elif hot_gram_ceiling is not None:
+        if on_hot_gram == "cap":
+            pairable = pairable.filter(F.col("_cnt") <= hot_gram_ceiling)
+        else:
+            # execution-time guard: assert_true returns NULL when the
+            # condition holds, so the filter passes every row; a hot
+            # gram aborts the job with its frequency before the
+            # quadratic join can expand it
+            pairable = pairable.filter(
+                F.assert_true(
+                    F.col("_cnt") <= hot_gram_ceiling,
+                    F.concat(
+                        F.lit(
+                            "verbatim_match_spans hot-gram guard: a "
+                            "pairable gram occurs "
+                        ),
+                        F.col("_cnt").cast("string"),
+                        F.lit(
+                            f" times (> ceiling {hot_gram_ceiling}); the "
+                            "pair join is quadratic per gram. Set "
+                            "max_gram_freq / on_hot_gram='cap' to exclude "
+                            "boilerplate grams, or raise hot_gram_ceiling."
+                        ),
+                    ),
+                ).isNull()
+            )
     occ = wins.join(pairable.select("gram"), on="gram", how="inner")
     left = occ.select(
         "gram",
@@ -1550,6 +1592,8 @@ def duplicate_span_lengths(
     min_tokens: int = 5,
     max_gram_freq: "int | None" = None,
     wide_keys: bool = False,
+    hot_gram_ceiling: "int | None" = 10_000,
+    on_hot_gram: str = "raise",
 ) -> "DataFrame":
     """:func:`duplicate_spans` islands annotated with the MAXIMAL
     verbatim match length inside each island — spanTokens says how
@@ -1578,7 +1622,8 @@ def duplicate_span_lengths(
     )
     matches = verbatim_match_spans(
         df, text_col, id_col, min_tokens, max_gram_freq, wide_keys,
-        windows=wins,
+        windows=wins, hot_gram_ceiling=hot_gram_ceiling,
+        on_hot_gram=on_hot_gram,
     )
     sides = matches.select(
         F.col("leftId").alias("_mDoc"),
@@ -1616,6 +1661,8 @@ def remove_verbatim_matches(
     min_match_tokens: int = 50,
     max_gram_freq: "int | None" = None,
     wide_keys: bool = False,
+    hot_gram_ceiling: "int | None" = 10_000,
+    on_hot_gram: str = "raise",
 ) -> "DataFrame":
     """The ACTUAL Lee et al. (2022) ExactSubstr removal policy: cut
     every occurrence of a verbatim substring of at least
@@ -1640,7 +1687,8 @@ def remove_verbatim_matches(
     # it the whole spans subtree runs once per side (measured
     # 8.3 s -> ~4.5 s at sf0.1)
     matches = verbatim_match_spans(
-        df, text_col, id_col, min_match_tokens, max_gram_freq, wide_keys
+        df, text_col, id_col, min_match_tokens, max_gram_freq, wide_keys,
+        hot_gram_ceiling=hot_gram_ceiling, on_hot_gram=on_hot_gram,
     ).localCheckpoint(eager=False)
     sides = matches.select(
         F.col("leftId").alias("docId"),

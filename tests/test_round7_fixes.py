@@ -176,3 +176,70 @@ def test_global_line_dedup_beyond_1m_lines(spark):
     # doc 2 loses "shared" to doc 1 despite its smaller arithmetic key
     assert out[1] == (n_pad + 1, n_pad + 1)
     assert out[2] == (2, 1)
+
+
+def test_verbatim_hot_gram_guard_raises(spark):
+    """A planted boilerplate gram with ~1e5 occurrences must abort
+    the pair join loudly (the join is quadratic per gram: 1e5
+    occurrences -> 1e10 pairs), with the frequency in the message."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from genetics_spark_coloc_spark.operators.text import (
+        verbatim_match_spans,
+    )
+
+    # one doc of 100k identical tokens plants a single 5-gram with
+    # ~1e5 occurrences; a second doc makes it cross-doc pairable
+    docs = spark.range(2).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.array_repeat(F.lit("boiler"), 100_000), " "
+        ).alias("text"),
+    )
+    guarded = verbatim_match_spans(docs, "text", "doc_id", min_tokens=5)
+    with pytest.raises(SparkRuntimeException, match="hot-gram guard"):
+        guarded.count()
+
+
+def test_verbatim_hot_gram_guard_cap_and_disable(spark):
+    """on_hot_gram='cap' excludes the hot gram (bounded join, no
+    error); hot_gram_ceiling=None restores the unguarded behavior;
+    an explicit max_gram_freq supersedes the guard; and normal
+    corpora below the ceiling are untouched by the default."""
+    from genetics_spark_coloc_spark.operators.text import (
+        verbatim_match_spans,
+    )
+
+    hot = spark.range(2).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(F.array_repeat(F.lit("boiler"), 40), " ").alias("text"),
+    )
+    # cap mode: the hot gram (freq 72 > ceiling 10) is excluded -> no pairs
+    capped = verbatim_match_spans(
+        hot, "text", "doc_id", min_tokens=5, hot_gram_ceiling=10,
+        on_hot_gram="cap",
+    )
+    assert capped.count() == 0
+    # explicit max_gram_freq supersedes the guard entirely
+    explicit = verbatim_match_spans(
+        hot, "text", "doc_id", min_tokens=5, max_gram_freq=1000,
+        hot_gram_ceiling=10,
+    )
+    assert explicit.count() > 0
+    # disabled guard: same result as the explicit-cap=none path
+    unguarded = verbatim_match_spans(
+        hot, "text", "doc_id", min_tokens=5, hot_gram_ceiling=None
+    )
+    assert unguarded.count() == explicit.count()
+
+    # a normal small corpus sails through the default ceiling
+    normal = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tomorrow"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = verbatim_match_spans(normal, "text", "doc_id", min_tokens=5).collect()
+    assert len(rows) == 1 and rows[0].matchTokens == 9
