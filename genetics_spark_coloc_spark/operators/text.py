@@ -2664,59 +2664,48 @@ def curation_funnel(
     ordering is irrelevant because every stage is evaluated
     independently.
 
-    Scale shape: the quality, repetition and PII stages are
-    shuffle-free per-row projections; the only wide operations are
-    the keeper election (one min-by-contentHash window, partitioned
-    by the hash so it scales with the duplicate-family size, not the
-    corpus) and the three docId equi joins AQE plans as one stage.
+    Scale shape: every row-local stage (quality, repetition, PII)
+    rides ONE fused projection — a single scan of the text column, so
+    at corpus scale the funnel costs one pass of I/O, not one per
+    stage — and the only wide operation is the keeper election (one
+    min-by-contentHash window, partitioned by the hash so it scales
+    with the duplicate-family size, not the corpus). No joins
+    anywhere: the window runs directly over the staged projection.
     ``pii_text`` lets callers gate on a different column than the
     quality stages (e.g. pre-redaction raw text).
     """
     from pyspark.sql import Window  # noqa: PLC0415
 
-    quality = gopher_quality(df, text_col, id_col, min_words=min_words).select(
-        "docId", F.col("keep").alias("passQuality")
-    )
-    rep = df.select(
-        F.col(id_col).alias("docId"),
-        ngram_repetition_ratio(F.col(text_col), 2).alias("_f2"),
-        ngram_repetition_ratio(F.col(text_col), 3).alias("_f3"),
-    ).select(
-        "docId",
-        (
-            (F.col("_f2") <= max_dup_bigram_frac)
-            & (F.col("_f3") <= max_dup_trigram_frac)
-        ).alias("passRepetition"),
-    )
+    rules = gopher_rules(F.col(text_col), min_words=min_words)
+    pass_quality = None
+    for c in rules.values():
+        pass_quality = c if pass_quality is None else (pass_quality & c)
+    pass_rep = (
+        ngram_repetition_ratio(F.col(text_col), 2) <= max_dup_bigram_frac
+    ) & (ngram_repetition_ratio(F.col(text_col), 3) <= max_dup_trigram_frac)
     pii_col = pii_text if pii_text is not None else F.col(text_col)
     pii_counts = list(pii_stats(pii_col).values())
     total_pii = pii_counts[0]
     for c in pii_counts[1:]:
         total_pii = total_pii + c
-    pii = df.select(
+    staged = df.select(
         F.col(id_col).alias("docId"),
+        pass_quality.alias("passQuality"),
+        pass_rep.alias("passRepetition"),
         (total_pii == 0).alias("passPii"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_contentHash"),
     )
-    w = Window.partitionBy(F.md5(F.coalesce(F.col(text_col), F.lit(""))))
-    keeper = df.select(
-        F.col(id_col).alias("docId"),
-        (F.col(id_col) == F.min(id_col).over(w)).alias("isKeeper"),
-    )
-    return (
-        quality.join(rep, on="docId")
-        .join(pii, on="docId")
-        .join(keeper, on="docId")
-        .select(
-            "docId",
-            "passQuality",
-            "passRepetition",
-            "passPii",
-            "isKeeper",
-            (
-                F.col("passQuality")
-                & F.col("passRepetition")
-                & F.col("passPii")
-                & F.col("isKeeper")
-            ).alias("kept"),
-        )
+    w = Window.partitionBy("_contentHash")
+    return staged.select(
+        "docId",
+        "passQuality",
+        "passRepetition",
+        "passPii",
+        (F.col("docId") == F.min("docId").over(w)).alias("isKeeper"),
+    ).withColumn(
+        "kept",
+        F.col("passQuality")
+        & F.col("passRepetition")
+        & F.col("passPii")
+        & F.col("isKeeper"),
     )

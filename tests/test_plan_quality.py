@@ -226,3 +226,23 @@ def test_span_queries_stay_hash_shaped_and_bounded(spark):
         assert not has_cartesian(df), name
         assert shuffle_count(df) <= budget, (name, shuffle_count(df))
         assert unpartitioned_window_count(df) == 0, name
+
+
+def test_curation_funnel_single_text_scan(spark):
+    """All three row-local funnel stages (quality, repetition, PII)
+    must ride ONE fused projection: the physical plan scans the
+    documents parquet exactly once — at 100 TB a per-stage scan would
+    triple the funnel's I/O — and the only exchange is the keeper
+    window's hash partitioning."""
+    from genetics_spark_coloc_spark.contract import QUERIES
+    from genetics_spark_coloc_spark.plans.inspect import (
+        physical_plan,
+        shuffle_count,
+    )
+
+    df = QUERIES["curation_funnel"](spark, SF_DIR)
+    plan = physical_plan(df)
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 1, f"curation_funnel scans parquet {n_scans}x:\n{plan}"
+    assert "Join" not in plan, f"fused funnel must not join:\n{plan}"
+    assert shuffle_count(df) <= 1, physical_plan(df)

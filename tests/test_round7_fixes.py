@@ -243,3 +243,80 @@ def test_verbatim_hot_gram_guard_cap_and_disable(spark):
     )
     rows = verbatim_match_spans(normal, "text", "doc_id", min_tokens=5).collect()
     assert len(rows) == 1 and rows[0].matchTokens == 9
+
+
+def test_streaming_curation_route_matches_batch(spark, tmp_path):
+    """Replaying a corpus through streaming_curation_route reproduces
+    the batch curation_funnel verdicts: stage booleans are
+    content-determined, so every emitted row's flags must equal the
+    batch flags for that doc; exactly one doc per content family is
+    emitted; and the family-level kept verdict matches the batch
+    keeper's (stream elects first arrival, batch elects min-id — same
+    family, same content, same flags)."""
+    from genetics_spark_coloc_spark.operators.text import curation_funnel
+    from genetics_spark_coloc_spark.streaming.pipelines import (
+        streaming_curation_route,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # guarantee duplicate families: every doc appears twice under two ids
+    docs = base.unionByName(
+        base.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+
+    batch = curation_funnel(docs).collect()
+    b_flags = {
+        r.docId: (r.passQuality, r.passRepetition, r.passPii) for r in batch
+    }
+    fam = {
+        r["h"]: (r["anyKept"])
+        for r in curation_funnel(docs)
+        .join(
+            docs.select(
+                F.col("doc_id").alias("docId"),
+                F.md5(F.coalesce("text", F.lit(""))).alias("h"),
+            ),
+            on="docId",
+        )
+        .groupBy("h")
+        .agg(F.max(F.col("kept").cast("int")).alias("anyKept"))
+        .collect()
+    }
+
+    src = str(tmp_path / "curation_stream")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_curation_route(stream)
+        .writeStream.format("memory")
+        .queryName("r7_curation_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = spark.sql("select * from r7_curation_out").collect()
+
+    # one emission per content family
+    assert len(streamed) == len(fam) > 100
+    doc_hash = {
+        r.docId: r.h
+        for r in docs.select(
+            F.col("doc_id").alias("docId"),
+            F.md5(F.coalesce("text", F.lit(""))).alias("h"),
+        ).collect()
+    }
+    seen_families = set()
+    for r in streamed:
+        # stage flags bit-identical to the batch operator's for this doc
+        assert (r.passQuality, r.passRepetition, r.passPii) == b_flags[r.docId]
+        # family kept verdict matches the batch family verdict
+        assert int(r.kept) == fam[doc_hash[r.docId]], r
+        seen_families.add(doc_hash[r.docId])
+    assert seen_families == set(fam)
