@@ -139,10 +139,24 @@ def window_based_clumping(
     )
     if drop_clumped:
         return ranked.filter(F.col("isLead")).drop("isLead")
+    # append to an existing qualityControls array rather than
+    # overwrite it (reference method/window_based_clumping.py:169-187
+    # keeps prior flags, e.g. TOP_HIT, when the column is present)
+    base_qc = (
+        F.col("qualityControls")
+        if "qualityControls" in sumstats.columns
+        else F.array().cast("array<string>")
+    )
     return ranked.withColumn(
         "qualityControls",
-        F.when(~F.col("isLead"), F.array(F.lit(WINDOW_CLUMPED_FLAG))).otherwise(
-            F.array().cast("array<string>")
+        F.array_distinct(
+            F.when(
+                ~F.col("isLead"),
+                F.array_union(
+                    F.coalesce(base_qc, F.array().cast("array<string>")),
+                    F.array(F.lit(WINDOW_CLUMPED_FLAG)),
+                ),
+            ).otherwise(F.coalesce(base_qc, F.array().cast("array<string>")))
         ),
     ).drop("isLead")
 

@@ -89,3 +89,94 @@ def build_biosample_index(nodes: DataFrame, is_a_edges: DataFrame) -> DataFrame:
         "node", "biosampleId"
     )
     return nodes.join(rel, on="biosampleId", how="left")
+
+
+def retain_rows_with_ancestor_id(
+    index: DataFrame, ancestor_ids: "list[str]"
+) -> DataFrame:
+    """Rows whose ancestor set intersects ``ancestor_ids`` (reference
+    dataset/biosample_index.py:74-94) — e.g. restricting EFO to
+    cell-related terms under CL_0000000. Rows with a null ancestors
+    array are dropped, matching the reference's null-propagating
+    array_intersect filter."""
+    wanted = F.array(*[F.lit(a) for a in ancestor_ids])
+    return index.filter(
+        F.size(F.array_intersect(F.col("ancestors"), wanted)) > 0
+    )
+
+
+def merge_biosample_indices(indices: "list[DataFrame]") -> DataFrame:
+    """Merge per-ontology biosample indices into one (reference
+    dataset/biosample_index.py:36-72): group by biosampleId; scalar
+    columns take the first NON-NULL value, array columns the distinct
+    union.
+
+    The reference expresses "first" as ``F.first(ignorenulls=True)``
+    over an unordered union — nondeterministic across partitionings.
+    Here each input carries its list position as an explicit priority
+    and scalars resolve via ``min_by`` over non-null values, so the
+    merge is reproducible on any cluster; array unions are sorted for
+    the same reason. Pass the inputs in the reference's union order
+    (e.g. [uberon, efo, cell_ontology] for BiosampleIndexStep parity,
+    biosample_index.py:40 puts ``self`` LAST).
+
+    All inputs must share one schema; every non-key column's merge
+    rule derives from its type in the first input.
+    """
+    from pyspark.sql.types import ArrayType  # noqa: PLC0415
+
+    tagged = None
+    for prio, df in enumerate(indices):
+        t = df.withColumn("_prio", F.lit(prio))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    schema = {f.name: f.dataType for f in indices[0].schema.fields}
+    aggs = []
+    for name, dtype in schema.items():
+        if name == "biosampleId":
+            continue
+        if isinstance(dtype, ArrayType):
+            aggs.append(
+                F.array_sort(
+                    F.array_distinct(
+                        F.flatten(
+                            F.collect_list(F.coalesce(F.col(name), F.array().cast(dtype)))
+                        )
+                    )
+                ).alias(name)
+            )
+        else:
+            aggs.append(
+                F.min_by(
+                    F.col(name),
+                    F.when(F.col(name).isNotNull(), F.col("_prio")),
+                ).alias(name)
+            )
+    return tagged.groupBy("biosampleId").agg(*aggs)
+
+
+def assemble_biosample_index(
+    cell_ontology: "tuple[DataFrame, DataFrame]",
+    uberon: "tuple[DataFrame, DataFrame]",
+    efo: "tuple[DataFrame, DataFrame]",
+    cell_root: str = "CL_0000000",
+) -> DataFrame:
+    """The composed BiosampleIndexStep (reference
+    biosample_index.py:9-44): build a per-ontology index (node
+    metadata + ancestor/descendant closure) for Cell Ontology, Uberon
+    and EFO, restrict EFO to terms under ``cell_root``, and merge with
+    first-non-null/union-of-arrays semantics in the reference's union
+    order (uberon, efo, cell ontology).
+
+    Each argument is a ``(nodes, is_a_edges)`` pair as produced by
+    ``sources.obographs.read_obographs``. Closures run per ontology
+    (log-depth path doubling, operators above) — matching the
+    reference, which traverses each file's graph separately, so
+    cross-ontology edges (e.g. EFO is_a pointing at a CL term) count
+    toward the EFO index's ancestors but never extend the CL index.
+    """
+    cl_idx = build_biosample_index(*cell_ontology)
+    ub_idx = build_biosample_index(*uberon)
+    efo_idx = retain_rows_with_ancestor_id(
+        build_biosample_index(*efo), [cell_root]
+    )
+    return merge_biosample_indices([ub_idx, efo_idx, cl_idx])

@@ -1234,6 +1234,362 @@ WHERE (geneId != interactorGeneId OR interactorGeneId IS NULL)
 """
 
 
+# --------------------------------------------- GWAS-Catalog top-hit ingestion
+def q_gwas_catalog_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed top-hit ingestion (reference
+    gwas_catalog_top_hits.py:17-40): study splitter -> association
+    studyId adoption + md5 studyLocusId -> ambiguity + TOP_HIT flags
+    -> window clumping with non-leads flagged WINDOW_CLUMPED."""
+    from genetics_spark_coloc_spark.pipelines import gwas_catalog_top_hits
+
+    ev = load_table(spark, sf_dir, "events")
+    ks = ev.select((F.col("event_id") % 180).cast("int").alias("k")).distinct()
+    position = (
+        F.lit(1000)
+        + (F.col("k") / 60).cast("int") * 250
+        + (F.col("k") % 7) * 600
+    ).cast("int")
+    base = ks.select(
+        F.concat(F.lit("GCST"), (F.col("k") % 20).cast("string")).alias("studyId"),
+        F.concat_ws(
+            "|",
+            F.concat(F.lit("trait"), (F.col("k") % 5).cast("string")),
+            F.concat(F.lit("subset"), (F.col("k") % 2).cast("string")),
+            F.concat(F.lit("EFO_1/EFO_"), (F.col("k") % 3).cast("string")),
+        ).alias("subStudyDescription"),
+        F.lit("1").alias("chromosome"),
+        position.alias("position"),
+        F.concat(F.lit("1_"), position.cast("string"), F.lit("_A_G")).alias(
+            "variantId"
+        ),
+        (F.lit(1.0) + (F.col("k") % 9)).cast("float").alias("pValueMantissa"),
+        (-(F.lit(9) + (F.col("k") % 6))).cast("int").alias("pValueExponent"),
+        F.col("k"),
+    )
+    # planted ambiguity: a second mapping for every 13th association
+    # (same variantId within the updated study, weaker mantissa)
+    dups = base.filter(F.col("k") % 13 == 0).withColumn(
+        "pValueMantissa", (F.col("pValueMantissa") + F.lit(0.5)).cast("float")
+    )
+    associations = base.unionByName(dups).drop("k")
+    studies = spark.range(0, 20).select(
+        F.concat(F.lit("GCST"), F.col("id").cast("string")).alias("studyId"),
+        F.concat(F.lit("studyTrait"), F.col("id").cast("string")).alias(
+            "traitFromSource"
+        ),
+        F.array(F.concat(F.lit("EFO_S"), F.col("id").cast("string"))).alias(
+            "traitFromSourceMappedIds"
+        ),
+    )
+    # distance 5000 > the 4100 max position spread per study, so the
+    # greedy walk provably accepts exactly one lead per cluster — the
+    # oracle can use the rank-1 closed form instead of DuckDB's
+    # recursive CTE, whose threaded execution proved flaky
+    _, clumped = gwas_catalog_top_hits(studies, associations, distance=5000)
+    return clumped.select(
+        "studyId",
+        "variantId",
+        "chromosome",
+        "position",
+        F.round("pValueMantissa", 6).alias("pValueMantissa"),
+        "pValueExponent",
+        "studyLocusId",
+        F.array_join(F.array_sort("qualityControls"), ";").alias("qcFlags"),
+    )
+
+
+SQL_GWAS_CATALOG_TOP_HITS = """
+WITH ks AS (
+  SELECT DISTINCT CAST(event_id % 180 AS INT) AS k FROM events
+),
+base AS (
+  SELECT 'GCST' || CAST(k % 20 AS VARCHAR) AS studyId,
+         'trait' || CAST(k % 5 AS VARCHAR) || '|subset' || CAST(k % 2 AS VARCHAR)
+           || '|EFO_1/EFO_' || CAST(k % 3 AS VARCHAR) AS subStudyDescription,
+         '1' AS chromosome,
+         CAST(1000 + (k // 60) * 250 + (k % 7) * 600 AS INT) AS position,
+         CAST(1.0 + (k % 9) AS FLOAT) AS pValueMantissa,
+         CAST(-(9 + (k % 6)) AS INT) AS pValueExponent,
+         k
+  FROM ks
+),
+assoc AS (
+  SELECT studyId, subStudyDescription, chromosome, position,
+         '1_' || CAST(position AS VARCHAR) || '_A_G' AS variantId,
+         pValueMantissa, pValueExponent
+  FROM base
+  UNION ALL
+  SELECT studyId, subStudyDescription, chromosome, position,
+         '1_' || CAST(position AS VARCHAR) || '_A_G',
+         CAST(pValueMantissa + 0.5 AS FLOAT), pValueExponent
+  FROM base WHERE k % 13 = 0
+),
+ranks AS (
+  SELECT studyId, subStudyDescription,
+         DENSE_RANK() OVER (PARTITION BY studyId ORDER BY subStudyDescription) AS rnk
+  FROM (SELECT DISTINCT studyId, subStudyDescription FROM assoc)
+),
+mapping AS (
+  SELECT r.studyId, r.subStudyDescription,
+         CASE WHEN m.n = 1 THEN r.studyId
+              ELSE r.studyId || '_' || CAST(r.rnk AS VARCHAR) END AS updatedStudyId
+  FROM ranks r
+  JOIN (SELECT studyId, MAX(rnk) AS n FROM ranks GROUP BY 1) m
+    ON r.studyId = m.studyId
+),
+upd AS (
+  SELECT m.updatedStudyId AS studyId, a.variantId, a.chromosome, a.position,
+         a.pValueMantissa, a.pValueExponent
+  FROM assoc a
+  JOIN mapping m
+    ON a.studyId = m.studyId AND a.subStudyDescription = m.subStudyDescription
+),
+flagged AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY studyId, variantId) > 1 AS ambiguous
+  FROM upd
+),
+clustered AS (
+  SELECT *,
+         MAX(CASE WHEN gap IS NULL OR gap > 5000 THEN position END)
+           OVER (PARTITION BY studyId, chromosome ORDER BY position
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cluster_start
+  FROM (
+    SELECT *, position - LAG(position) OVER (PARTITION BY studyId, chromosome ORDER BY position) AS gap
+    FROM flagged
+  )
+),
+-- every cluster's positions are mutually within the 5000bp window
+-- (max per-study spread is 4100 by construction), so the greedy walk
+-- accepts exactly the most-significant row: lead <=> rank 1
+marked AS (
+  SELECT studyId, variantId, chromosome, position,
+         pValueMantissa, pValueExponent, ambiguous,
+         ROW_NUMBER() OVER (
+           PARTITION BY studyId, chromosome, cluster_start
+           ORDER BY pValueExponent ASC, pValueMantissa ASC, position ASC) = 1 AS isLead
+  FROM clustered
+)
+SELECT studyId, variantId, chromosome, position,
+       ROUND(pValueMantissa, 6) AS pValueMantissa, pValueExponent,
+       md5(studyId || '|' || variantId) AS studyLocusId,
+       CASE WHEN ambiguous THEN 'Association with ambiguous study;' ELSE '' END
+         || CASE WHEN NOT isLead
+                 THEN 'Explained by a more significant variant in the same window;'
+                 ELSE '' END
+         || 'Study locus from curated top hit' AS qcFlags
+FROM marked
+"""
+
+
+# ------------------------------------------------ biosample index assembly
+def q_biosample_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed biosample index (reference biosample_index.py:9-44):
+    Cell Ontology + Uberon + EFO indices (node metadata + per-graph
+    ancestor/descendant closures), EFO restricted to terms under
+    CL_0000000, merged with first-non-null scalars (reference union
+    order: uberon, efo, cell) and distinct-union arrays."""
+    from genetics_spark_coloc_spark.operators.ontology import (
+        assemble_biosample_index,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def ks(mod):
+        return ev.select(
+            (F.col("event_id") % mod).cast("int").alias("k")
+        ).distinct()
+
+    arr = lambda c: F.array(c)  # noqa: E731
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    cl = ks(25).filter(F.col("k") >= 1)
+    cl_nodes = cl.select(
+        F.concat(F.lit("CL_"), s(F.col("k"))).alias("biosampleId"),
+        F.concat(F.lit("cell "), s(F.col("k"))).alias("biosampleName"),
+        F.when(
+            F.col("k") % 4 != 0, F.concat(F.lit("cell desc "), s(F.col("k")))
+        ).alias("description"),
+        F.when(F.col("k") % 3 == 0, arr(F.concat(F.lit("CX:"), s(F.col("k") % 5)))).alias(
+            "xrefs"
+        ),
+        F.when(F.col("k") % 2 == 0, arr(F.concat(F.lit("cell syn "), s(F.col("k"))))).alias(
+            "synonyms"
+        ),
+    ).unionByName(
+        spark.createDataFrame(
+            [("CL_0000000", "cell root", "root of all cells", None, ["cellula"])],
+            "biosampleId string, biosampleName string, description string, "
+            "xrefs array<string>, synonyms array<string>",
+        )
+    )
+    cl_edges = cl.select(
+        F.concat(F.lit("CL_"), s(F.col("k"))).alias("subject"),
+        F.when(
+            F.col("k") >= 2, F.concat(F.lit("CL_"), s((F.col("k") / 2).cast("int")))
+        )
+        .otherwise(F.lit("CL_0000000"))
+        .alias("object"),
+    )
+
+    ub = ks(40)
+    ub_nodes = ub.select(
+        F.concat(F.lit("UBERON_"), s(F.col("k"))).alias("biosampleId"),
+        F.concat(F.lit("uberon "), s(F.col("k"))).alias("biosampleName"),
+        F.when(
+            F.col("k") % 3 == 0, F.concat(F.lit("u desc "), s(F.col("k")))
+        ).alias("description"),
+        F.lit(None).cast("array<string>").alias("xrefs"),
+        F.when(F.col("k") % 4 == 0, arr(F.concat(F.lit("u syn "), s(F.col("k"))))).alias(
+            "synonyms"
+        ),
+    )
+    ub_edges = ub.filter(F.col("k") >= 1).select(
+        F.concat(F.lit("UBERON_"), s(F.col("k"))).alias("subject"),
+        F.concat(F.lit("UBERON_"), s((F.col("k") / 2).cast("int"))).alias("object"),
+    )
+
+    efo = ks(12)
+    efo_nodes = efo.select(
+        F.concat(F.lit("EFO_"), s(F.col("k"))).alias("biosampleId"),
+        F.concat(F.lit("efo "), s(F.col("k"))).alias("biosampleName"),
+        F.when(
+            F.col("k") % 2 == 0, F.concat(F.lit("efo desc "), s(F.col("k")))
+        ).alias("description"),
+        F.when(F.col("k") % 4 == 0, arr(F.concat(F.lit("EX:"), s(F.col("k"))))).alias(
+            "xrefs"
+        ),
+        F.lit(None).cast("array<string>").alias("synonyms"),
+    ).unionByName(
+        spark.createDataFrame(
+            [
+                (
+                    "UBERON_5",
+                    "efo uberon five",
+                    "anatomical structure (efo)",
+                    None,
+                    ["efo u5 syn"],
+                )
+            ],
+            "biosampleId string, biosampleName string, description string, "
+            "xrefs array<string>, synonyms array<string>",
+        )
+    )
+    efo_edges = (
+        efo.filter(F.col("k") >= 1)
+        .select(
+            F.concat(F.lit("EFO_"), s(F.col("k"))).alias("subject"),
+            F.concat(F.lit("EFO_"), s((F.col("k") / 2).cast("int"))).alias("object"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("EFO_0", "CL_0000000"), ("UBERON_5", "EFO_3")],
+                "subject string, object string",
+            )
+        )
+    )
+
+    merged = assemble_biosample_index(
+        (cl_nodes, cl_edges), (ub_nodes, ub_edges), (efo_nodes, efo_edges)
+    )
+    return merged.select(
+        "biosampleId",
+        "biosampleName",
+        "description",
+        F.array_join("xrefs", "|").alias("xrefsStr"),
+        F.array_join("synonyms", "|").alias("synonymsStr"),
+        F.array_join("ancestors", "|").alias("ancestorsStr"),
+        F.array_join("descendants", "|").alias("descendantsStr"),
+    )
+
+
+SQL_BIOSAMPLE_INDEX = """
+WITH RECURSIVE
+k25 AS (SELECT DISTINCT CAST(event_id % 25 AS INT) AS k FROM events),
+k40 AS (SELECT DISTINCT CAST(event_id % 40 AS INT) AS k FROM events),
+k12 AS (SELECT DISTINCT CAST(event_id % 12 AS INT) AS k FROM events),
+cl_nodes AS (
+  SELECT 'CL_' || CAST(k AS VARCHAR) AS biosampleId,
+         'cell ' || CAST(k AS VARCHAR) AS biosampleName,
+         CASE WHEN k % 4 != 0 THEN 'cell desc ' || CAST(k AS VARCHAR) END AS description,
+         CASE WHEN k % 3 = 0 THEN ['CX:' || CAST(k % 5 AS VARCHAR)] END AS xrefs,
+         CASE WHEN k % 2 = 0 THEN ['cell syn ' || CAST(k AS VARCHAR)] END AS synonyms
+  FROM k25 WHERE k >= 1
+  UNION ALL
+  SELECT 'CL_0000000', 'cell root', 'root of all cells', NULL, ['cellula']
+),
+ub_nodes AS (
+  SELECT 'UBERON_' || CAST(k AS VARCHAR) AS biosampleId,
+         'uberon ' || CAST(k AS VARCHAR) AS biosampleName,
+         CASE WHEN k % 3 = 0 THEN 'u desc ' || CAST(k AS VARCHAR) END AS description,
+         CAST(NULL AS VARCHAR[]) AS xrefs,
+         CASE WHEN k % 4 = 0 THEN ['u syn ' || CAST(k AS VARCHAR)] END AS synonyms
+  FROM k40
+),
+efo_nodes AS (
+  SELECT 'EFO_' || CAST(k AS VARCHAR) AS biosampleId,
+         'efo ' || CAST(k AS VARCHAR) AS biosampleName,
+         CASE WHEN k % 2 = 0 THEN 'efo desc ' || CAST(k AS VARCHAR) END AS description,
+         CASE WHEN k % 4 = 0 THEN ['EX:' || CAST(k AS VARCHAR)] END AS xrefs,
+         CAST(NULL AS VARCHAR[]) AS synonyms
+  FROM k12
+  UNION ALL
+  SELECT 'UBERON_5', 'efo uberon five', 'anatomical structure (efo)', NULL, ['efo u5 syn']
+),
+edges AS (
+  SELECT 'cl' AS g, 'CL_' || CAST(k AS VARCHAR) AS s,
+         CASE WHEN k >= 2 THEN 'CL_' || CAST(k // 2 AS VARCHAR) ELSE 'CL_0000000' END AS o
+  FROM k25 WHERE k >= 1
+  UNION ALL
+  SELECT 'ub', 'UBERON_' || CAST(k AS VARCHAR), 'UBERON_' || CAST(k // 2 AS VARCHAR)
+  FROM k40 WHERE k >= 1
+  UNION ALL
+  SELECT 'efo', 'EFO_' || CAST(k AS VARCHAR), 'EFO_' || CAST(k // 2 AS VARCHAR)
+  FROM k12 WHERE k >= 1
+  UNION ALL SELECT 'efo', 'EFO_0', 'CL_0000000'
+  UNION ALL SELECT 'efo', 'UBERON_5', 'EFO_3'
+),
+closure AS (
+  SELECT g, s AS node, o AS dest FROM edges
+  UNION
+  SELECT c.g, c.node, e.o FROM closure c JOIN edges e ON c.g = e.g AND c.dest = e.s
+),
+anc AS (
+  SELECT g, node, list_sort(list(DISTINCT dest)) AS ancestors
+  FROM closure GROUP BY g, node
+),
+descs AS (
+  SELECT g, dest AS node, list_sort(list(DISTINCT node)) AS descendants
+  FROM closure GROUP BY g, dest
+),
+idx AS (
+  SELECT 0 AS prio, n.*, a.ancestors, d.descendants
+  FROM ub_nodes n
+  LEFT JOIN anc a ON a.g = 'ub' AND a.node = n.biosampleId
+  LEFT JOIN descs d ON d.g = 'ub' AND d.node = n.biosampleId
+  UNION ALL
+  SELECT 1, n.*, a.ancestors, d.descendants
+  FROM efo_nodes n
+  LEFT JOIN anc a ON a.g = 'efo' AND a.node = n.biosampleId
+  LEFT JOIN descs d ON d.g = 'efo' AND d.node = n.biosampleId
+  WHERE list_contains(COALESCE(a.ancestors, []), 'CL_0000000')
+  UNION ALL
+  SELECT 2, n.*, a.ancestors, d.descendants
+  FROM cl_nodes n
+  LEFT JOIN anc a ON a.g = 'cl' AND a.node = n.biosampleId
+  LEFT JOIN descs d ON d.g = 'cl' AND d.node = n.biosampleId
+)
+SELECT biosampleId,
+       arg_min(biosampleName, prio) FILTER (biosampleName IS NOT NULL) AS biosampleName,
+       arg_min(description, prio) FILTER (description IS NOT NULL) AS description,
+       COALESCE(ARRAY_TO_STRING(list_sort(list_distinct(flatten(list(COALESCE(xrefs, []))))), '|'), '') AS xrefsStr,
+       COALESCE(ARRAY_TO_STRING(list_sort(list_distinct(flatten(list(COALESCE(synonyms, []))))), '|'), '') AS synonymsStr,
+       COALESCE(ARRAY_TO_STRING(list_sort(list_distinct(flatten(list(COALESCE(ancestors, []))))), '|'), '') AS ancestorsStr,
+       COALESCE(ARRAY_TO_STRING(list_sort(list_distinct(flatten(list(COALESCE(descendants, []))))), '|'), '') AS descendantsStr
+FROM idx
+GROUP BY biosampleId
+"""
+
+
 STUDY_QUERIES = {
     "credible_set_log10bf": q_credible_set_log10bf,
     "trans_qtl_flag": q_trans_qtl_flag,
@@ -1248,6 +1604,8 @@ STUDY_QUERIES = {
     "gwas_assoc_beta": q_gwas_assoc_beta,
     "study_splitter": q_study_splitter,
     "l2g_gold_standard": q_l2g_gold_standard,
+    "gwas_catalog_top_hits": q_gwas_catalog_top_hits,
+    "biosample_index": q_biosample_index,
 }
 
 STUDY_ORACLES = {
@@ -1264,4 +1622,6 @@ STUDY_ORACLES = {
     "gwas_assoc_beta": SQL_GWAS_ASSOC_BETA,
     "study_splitter": SQL_STUDY_SPLITTER,
     "l2g_gold_standard": SQL_L2G_GOLD_STANDARD,
+    "gwas_catalog_top_hits": SQL_GWAS_CATALOG_TOP_HITS,
+    "biosample_index": SQL_BIOSAMPLE_INDEX,
 }

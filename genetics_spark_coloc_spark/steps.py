@@ -393,6 +393,33 @@ def _run_nb_classifier_predict(spark, inputs, output, p):
     )
 
 
+def _run_gwas_catalog_top_hits(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.pipelines import gwas_catalog_top_hits
+
+    study_index, clumped = gwas_catalog_top_hits(
+        _parquet(spark, inputs["catalog_studies"]),
+        _parquet(spark, inputs["catalog_associations"]),
+        distance=p["distance"],
+    )
+    if p["studies_out"]:
+        study_index.write.mode("overwrite").parquet(p["studies_out"])
+    return clumped
+
+
+def _run_biosample_index(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.ontology import (
+        assemble_biosample_index,
+    )
+    from genetics_spark_coloc_spark.sources.obographs import read_obographs
+
+    return assemble_biosample_index(
+        read_obographs(spark, inputs["cell_ontology"]),
+        read_obographs(spark, inputs["uberon"]),
+        read_obographs(spark, inputs["efo"]),
+        cell_root=p["cell_root"],
+    )
+
+
 def _run_zorder_layout(spark, inputs, output, p):
     from pyspark.sql import functions as F
 
@@ -701,6 +728,35 @@ STEPS: dict[str, StepSpec] = {
                 "columns": Param(str, "", "comma-separated integer columns"),
                 "num_partitions": Param(int, 200, "output partition count"),
                 "bits": Param(int, 16, "bits per dimension"),
+            },
+        ),
+        StepSpec(
+            "gwas_catalog_top_hits",
+            "Composed GWAS-Catalog top-hit ingestion: study splitter, "
+            "association studyId adoption + ambiguity/TOP_HIT flags, window "
+            "clumping with non-leads flagged "
+            "(reference: gwas_catalog_top_hits.py:17-40)",
+            ("catalog_studies", "catalog_associations"),
+            _run_gwas_catalog_top_hits,
+            {
+                "distance": Param(int, 500_000, "clumping window (bp)"),
+                "studies_out": Param(
+                    str, "", "optional parquet path for the split study index"
+                ),
+            },
+        ),
+        StepSpec(
+            "biosample_index",
+            "Biosample index from Cell Ontology + Uberon + EFO obographs "
+            "JSON: per-graph closures, EFO restricted under the cell root, "
+            "first-non-null/union merge "
+            "(reference: biosample_index.py:9-44)",
+            ("cell_ontology", "uberon", "efo"),
+            _run_biosample_index,
+            {
+                "cell_root": Param(
+                    str, "CL_0000000", "ancestor id gating EFO terms"
+                ),
             },
         ),
     ]

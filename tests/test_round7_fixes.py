@@ -320,3 +320,36 @@ def test_streaming_curation_route_matches_batch(spark, tmp_path):
         assert int(r.kept) == fam[doc_hash[r.docId]], r
         seen_families.add(doc_hash[r.docId])
     assert seen_families == set(fam)
+
+
+def test_merge_biosample_indices_semantics(spark):
+    """Reference merge semantics (dataset/biosample_index.py:36-72)
+    made deterministic: scalars take the first non-null by input
+    priority (not a partition-order-dependent F.first), arrays take
+    the sorted distinct union."""
+    from genetics_spark_coloc_spark.operators.ontology import (
+        merge_biosample_indices,
+    )
+
+    schema = (
+        "biosampleId string, biosampleName string, description string, "
+        "synonyms array<string>"
+    )
+    a = spark.createDataFrame(
+        [("X", "name-a", None, ["s1", "s2"]), ("Y", "only-a", "da", None)],
+        schema,
+    )
+    b = spark.createDataFrame(
+        [("X", "name-b", "desc-b", ["s2", "s3"])], schema
+    )
+    out = {
+        r.biosampleId: r
+        for r in merge_biosample_indices([a, b]).collect()
+    }
+    x = out["X"]
+    assert x.biosampleName == "name-a"  # priority 0 wins
+    assert x.description == "desc-b"  # first NON-NULL wins
+    assert x.synonyms == ["s1", "s2", "s3"]  # sorted distinct union
+    y = out["Y"]
+    assert (y.biosampleName, y.description) == ("only-a", "da")
+    assert y.synonyms == []

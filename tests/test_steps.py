@@ -339,3 +339,68 @@ def test_run_zorder_layout_step(spark, tmp_path):
     )
     assert out.columns == spark.read.parquet(src).columns  # key is dropped
     assert out.count() == spark.read.parquet(src).count()
+
+
+def test_run_gwas_catalog_top_hits(spark, tmp_path):
+    studies = spark.createDataFrame(
+        [
+            ("GCST1", "trait one", ["EFO_1"]),
+            ("GCST2", "trait two", ["EFO_2"]),
+        ],
+        "studyId string, traitFromSource string, traitFromSourceMappedIds array<string>",
+    )
+    assoc = spark.createDataFrame(
+        [
+            ("GCST1", "a|x|EFO_9", "1", 1000, "1_1000_A_G", 1.0, -10),
+            ("GCST1", "b|y|EFO_8", "1", 1200, "1_1200_A_G", 2.0, -9),
+            ("GCST2", "c|z|EFO_7", "2", 5000, "2_5000_A_G", 3.0, -12),
+        ],
+        "studyId string, subStudyDescription string, chromosome string, "
+        "position int, variantId string, pValueMantissa float, pValueExponent int",
+    )
+    sp, ap = str(tmp_path / "st.parquet"), str(tmp_path / "as.parquet")
+    studies.write.parquet(sp)
+    assoc.write.parquet(ap)
+    st_out = str(tmp_path / "studies_out.parquet")
+    out = str(tmp_path / "tophits.parquet")
+    df = run_step(
+        spark,
+        "gwas_catalog_top_hits",
+        {"catalog_studies": sp, "catalog_associations": ap},
+        out,
+        {"distance": 500, "studies_out": st_out},
+    )
+    rows = {r.variantId: r for r in df.collect()}
+    assert len(rows) == 3
+    # GCST1 splits into GCST1_1/GCST1_2; every row carries TOP_HIT
+    assert rows["1_1000_A_G"].studyId in ("GCST1_1", "GCST1_2")
+    for r in rows.values():
+        assert "Study locus from curated top hit" in r.qualityControls
+    st = spark.read.parquet(st_out).collect()
+    assert {r.studyId for r in st} == {"GCST1_1", "GCST1_2", "GCST2"}
+    for r in st:
+        assert r.qualityControls == [
+            "Harmonized summary statistics are not available or empty"
+        ]
+
+
+def test_run_biosample_index(spark, tmp_path):
+    data = "/root/reference/tests/gentropy/data_samples"
+    out = str(tmp_path / "biosamples.parquet")
+    df = run_step(
+        spark,
+        "biosample_index",
+        {
+            "cell_ontology": f"{data}/cell_ontology_sample.json",
+            "uberon": f"{data}/uberon_sample.json",
+            "efo": f"{data}/efo_biosample_sample.json",
+        },
+        out,
+    )
+    rows = df.collect()
+    assert len(rows) > 0
+    ids = {r.biosampleId for r in rows}
+    # one row per biosampleId after the merge
+    assert len(ids) == len(rows)
+    # no IRIs survive the prefix strip
+    assert not any("http" in i for i in ids)
