@@ -1,7 +1,11 @@
 """Benchmark harness: runs every contract query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+the full JSON result line {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec}, "sf": ...} followed by a COMPACT summary JSON
+as the LAST stdout line (value / sequential_sum_sec / n_ok / n_err,
+no per-query map — small enough that a consumer that keeps only the
+tail of stdout can still parse it; the full per-query result is also
+written to BENCH_FULL.json next to this script).
 
 TPC-H-style two-part run:
   1. a sequential "power" pass — one query at a time, each run
@@ -143,7 +147,39 @@ def main() -> None:
             }
         )
 
+    # Full result (with the per-query maps) goes to an artifact file
+    # and to stdout for non-truncating consumers; the LAST stdout line
+    # is a COMPACT summary (~250 bytes) so a tail-capped consumer
+    # (the driver keeps only the tail of stdout, and the full line for
+    # a 165-query suite exceeds it) can always json-parse the result.
+    artifact = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    try:
+        with open(artifact, "w") as fh:
+            json.dump(result, fh)
+    except OSError:
+        pass
     print(json.dumps(result))
+    compact = {
+        k: result[k]
+        for k in (
+            "metric",
+            "value",
+            "unit",
+            "sf",
+            "sequential_sum_sec",
+            "streams",
+            "repeats",
+            "n_ok",
+            "n_err",
+        )
+        if k in result
+    }
+    if "throughput_wall_sec" in result:
+        compact["throughput_wall_sec"] = result["throughput_wall_sec"]
+    compact["full_results"] = "BENCH_FULL.json"
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -755,3 +755,162 @@ def round6_probes(n_rows: int = 20_000_000, n_docs: int = 2_000_000) -> None:
         lambda: token_budget_allocation(docs, 10_000_000_000, temperature=2.0),
     )
     spark.stop()
+
+
+def round7_probes(
+    n_rows: int = 20_000_000,
+    n_sigs: int = 1_000_000,
+    n_docs: int = 2_000_000,
+) -> None:
+    """Round-7 probes: Z-order READ-side payoff (row-group pruning +
+    query wall on a 2-dim range predicate, Z-ordered vs hash-laid-out
+    parquet), aHash perceptual near-dup at 1M signatures, and the
+    verbatim hot-gram guard's bounded wall on a 2M-doc corpus whose
+    every document shares one boilerplate gram.
+    Run via: python -c "import tools.scale_probe as sp; sp.round7_probes()"
+    """
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    spark = get_session(
+        app_name="scale_probe_round7",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.functions.zorder import zorder_layout
+    from genetics_spark_coloc_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+    )
+    from genetics_spark_coloc_spark.operators.text import verbatim_match_spans
+
+    # ---- Z-order read benefit -------------------------------------
+    rows = spark.range(n_rows).select(
+        F.col("id"),
+        F.abs(F.xxhash64("id") % 65536).alias("x"),
+        F.abs(F.xxhash64("id", F.lit(1)) % 65536).alias("y"),
+    )
+    tmp = tempfile.mkdtemp(prefix="zorder_probe_")
+    z_path, h_path = f"{tmp}/zordered", f"{tmp}/hashed"
+    zorder_layout(rows, [F.col("x"), F.col("y")], 64, bits=16).write.parquet(z_path)
+    rows.repartition(64).write.parquet(h_path)
+
+    # a 1/16 x 1/16 corner => ~0.4% of rows qualify
+    lo, hi = 0, 4096
+
+    def rg_stats(path: str) -> tuple:
+        """(row groups overlapping the predicate, total row groups) from
+        parquet footers — the skip rate a min/max-pruning reader gets."""
+        overlap = total = 0
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            meta = pq.ParquetFile(f).metadata
+            names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+            ix, iy = names.index("x"), names.index("y")
+            for g in range(meta.num_row_groups):
+                rg = meta.row_group(g)
+                total += 1
+                sx, sy = rg.column(ix).statistics, rg.column(iy).statistics
+                if (
+                    sx is None
+                    or sy is None
+                    or (sx.min <= hi and sx.max >= lo and sy.min <= hi and sy.max >= lo)
+                ):
+                    overlap += 1
+        return overlap, total
+
+    for tag, path in (("zordered", z_path), ("hashed", h_path)):
+        ov, tot = rg_stats(path)
+        pred = (
+            (F.col("x").between(lo, hi)) & (F.col("y").between(lo, hi))
+        )
+        start = time.perf_counter()
+        n_hit = spark.read.parquet(path).filter(pred).count()
+        sec = round(time.perf_counter() - start, 2)
+        print(
+            json.dumps(
+                {
+                    "probe": f"zorder_read_{tag}_{n_rows // 1_000_000}m",
+                    "rows": n_rows,
+                    "sec": sec,
+                    "rowgroups_overlapping": ov,
+                    "rowgroups_total": tot,
+                    "rows_selected": n_hit,
+                }
+            ),
+            flush=True,
+        )
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    # ---- aHash near-dup at 1M signatures ---------------------------
+    base = spark.range(n_sigs).select(
+        F.col("id").alias("mediaId"), F.xxhash64("id").alias("sig")
+    )
+    # 10% planted near-dups: <=2 bit flips of an existing signature
+    flips = (
+        spark.range(n_sigs // 10)
+        .select((F.col("id") * 10).alias("src"))
+        .select(
+            (F.col("src") + n_sigs).alias("mediaId"),
+            # SQL form: shiftleft's python API wants a literal count
+            F.expr(
+                "xxhash64(src) ^ shiftleft(1L, cast(src % 64 as int))"
+                " ^ shiftleft(1L, cast((src * 7 + 13) % 64 as int))"
+            ).alias("sig"),
+        )
+    )
+    sigs = base.unionByName(flips)
+    n_total = n_sigs + n_sigs // 10
+    probe(
+        f"ahash_pairs_{n_total // 1_000_000}m_sigs",
+        n_total,
+        lambda: ahash_near_dup_pairs(sigs, n_bits=64, max_hamming=3),
+    )
+
+    # ---- hot-gram guard bounded wall -------------------------------
+    # every doc = 30 unique tokens + ONE shared 5-token boilerplate run
+    # => a 2M-occurrence gram. cap mode excludes it (bounded pair join,
+    # the wall below); raise mode aborts the same corpus in seconds.
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"u{j}_"), F.xxhash64("id", F.lit(j)).cast("string"))
+                    for j in range(30)
+                ],
+            ),
+            F.lit(" legal boiler plate footer text"),
+        ).alias("text"),
+    )
+    probe(
+        f"verbatim_guard_cap_{n_docs // 1_000_000}m_docs",
+        n_docs,
+        lambda: verbatim_match_spans(
+            docs, "text", "doc_id", min_tokens=5, on_hot_gram="cap"
+        ),
+    )
+    start = time.perf_counter()
+    try:
+        verbatim_match_spans(
+            docs, "text", "doc_id", min_tokens=5
+        ).write.format("noop").mode("overwrite").save()
+        aborted = False
+    except Exception:  # noqa: BLE001
+        aborted = True
+    print(
+        json.dumps(
+            {
+                "probe": f"verbatim_guard_raise_{n_docs // 1_000_000}m_docs",
+                "rows": n_docs,
+                "sec": round(time.perf_counter() - start, 2),
+                "aborted": aborted,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
