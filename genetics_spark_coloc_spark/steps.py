@@ -393,6 +393,118 @@ def _run_nb_classifier_predict(spark, inputs, output, p):
     )
 
 
+def _run_foldx_ingestion(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.sources.open_targets import (
+        foldx_to_amino_acid_variants,
+    )
+
+    return foldx_to_amino_acid_variants(
+        _parquet(spark, inputs["foldx_dataset"]), p["plddt_threshold"]
+    )
+
+
+def _run_finngen_finemapping_ingestion(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.sources.finngen_finemapping import (
+        finngen_finemapping_to_study_locus,
+    )
+
+    snps = spark.read.csv(inputs["susie_snps"], sep="\t", header=True)
+    summaries = spark.read.csv(
+        inputs["credset_summaries"], sep="\t", header=True
+    )
+    return finngen_finemapping_to_study_locus(
+        snps,
+        summaries,
+        release_prefix=p["release_prefix"],
+        lbf_threshold=p["lbf_threshold"],
+        n_effects=p["n_effects"],
+    )
+
+
+def _run_finngen_studies(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.sources.study_indexes import (
+        finngen_study_index,
+    )
+
+    pheno = spark.read.option("multiLine", "true").json(
+        inputs["phenotype_manifest"]
+    )
+    return finngen_study_index(
+        pheno,
+        release_prefix=p["release_prefix"],
+        sample_size=p["sample_size"],
+        sumstats_url_prefix=p["url_prefix"],
+        sumstats_url_suffix=p["url_suffix"],
+    )
+
+
+def _run_gwas_catalog_study_index(spark, inputs, output, p):
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.sources.gwas_catalog_study_index import (
+        annotate_ancestries,
+        annotate_discovery_sample_sizes,
+        parse_cohorts,
+        parse_efos,
+    )
+
+    raw = spark.read.csv(inputs["catalog_studies"], sep="\t", header=True)
+    studies = raw.select(
+        F.col("STUDY ACCESSION").alias("studyId"),
+        F.col("PUBMED ID").alias("pubmedId"),
+        F.col("DISEASE/TRAIT").alias("traitFromSource"),
+        F.col("INITIAL SAMPLE SIZE").alias("initialSampleSize"),
+        parse_efos(F.col("MAPPED_TRAIT_URI")).alias("traitFromSourceMappedIds"),
+        *(
+            [parse_cohorts(F.col("COHORT")).alias("cohorts")]
+            if "COHORT" in raw.columns
+            else []
+        ),
+    )
+    anc_raw = spark.read.csv(inputs["catalog_ancestry"], sep="\t", header=True)
+    lut = anc_raw.select(
+        F.col("STUDY ACCESSION").alias("studyId"),
+        F.lower(F.col("STAGE")).alias("stage"),
+        F.col("BROAD ANCESTRAL CATEGORY").alias("broadAncestralCategory"),
+        F.col("NUMBER OF INDIVIDUALS").alias("numberOfIndividuals"),
+    )
+    return annotate_ancestries(annotate_discovery_sample_sizes(studies), lut)
+
+
+def _run_gwas_catalog_study_curation(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.sources.gwas_catalog_study_index import (
+        annotate_from_study_curation,
+        parse_ot_curation_table,
+    )
+
+    studies = _parquet(spark, inputs["study_index"])
+    curation = parse_ot_curation_table(
+        spark.read.csv(inputs["curation_table"], sep="\t", header=True)
+    )
+    return annotate_from_study_curation(studies, curation)
+
+
+def _run_lof_curation_ingestion(spark, inputs, output, p):
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.sources.open_targets import (
+        lof_curation_to_variant_index,
+    )
+
+    # the raw OTAR2075 export is comma-separated with multi-line
+    # quoted fields (reference lof_curation_ingestion.py:24-29)
+    raw = spark.read.csv(
+        inputs["lof_curation"], sep=",", header=True, multiLine=True
+    )
+    return lof_curation_to_variant_index(
+        raw.select(
+            F.col("Variant ID GRCh37").alias("variantIdGrch37"),
+            F.col("Variant ID GRCh38").alias("variantIdGrch38"),
+            F.col("Verdict").alias("verdict"),
+        )
+    )
+
+
 def _run_gwas_catalog_top_hits(spark, inputs, output, p):
     from genetics_spark_coloc_spark.pipelines import gwas_catalog_top_hits
 
@@ -744,6 +856,70 @@ STEPS: dict[str, StepSpec] = {
                     str, "", "optional parquet path for the split study index"
                 ),
             },
+        ),
+        StepSpec(
+            "foldx_ingestion",
+            "FoldX ddG per amino-acid change, pLDDT-filtered and averaged "
+            "across structural models (reference: foldx_ingestion.py:15-40)",
+            ("foldx_dataset",),
+            _run_foldx_ingestion,
+            {"plddt_threshold": Param(float, 0.7, "min structure confidence")},
+        ),
+        StepSpec(
+            "finngen_finemapping_ingestion",
+            "FinnGen released SuSiE fine-mapping -> credible-set study loci "
+            "(reference: finngen_finemapping_ingestion.py + "
+            "finngen/finemapping.py:207-532)",
+            ("susie_snps", "credset_summaries"),
+            _run_finngen_finemapping_ingestion,
+            {
+                "release_prefix": Param(str, "FINNGEN_R11", "study id prefix"),
+                "lbf_threshold": Param(float, 2.0, "credible-set log10 BF cutoff"),
+                "n_effects": Param(int, 10, "SuSiE L (alpha/lbf column arity)"),
+            },
+        ),
+        StepSpec(
+            "finngen_studies",
+            "FinnGen phenotype manifest JSON -> study index rows "
+            "(reference: finngen_studies.py + finngen/study_index.py:127-189)",
+            ("phenotype_manifest",),
+            _run_finngen_studies,
+            {
+                "release_prefix": Param(str, "FINNGEN_R11", "study id prefix"),
+                "sample_size": Param(int, 500_348, "release cohort size"),
+                "url_prefix": Param(str, "", "sumstats location prefix"),
+                "url_suffix": Param(str, "", "sumstats location suffix"),
+            },
+        ),
+        StepSpec(
+            "gwas_catalog_study_index",
+            "Raw GWAS-Catalog studies + ancestry TSVs -> study index with "
+            "free-text sample sizes, pivoted ancestry stages and LD "
+            "population mapping (reference: gwas_catalog_study_index.py + "
+            "datasource/gwas_catalog/study_index.py:468-632)",
+            ("catalog_studies", "catalog_ancestry"),
+            _run_gwas_catalog_study_index,
+            {},
+        ),
+        StepSpec(
+            "gwas_catalog_study_curation",
+            "Merge the Open-Targets curation spreadsheet into a study index: "
+            "curated study type wins, analysis flags union, non-curated "
+            "sumstats studies flagged (reference: "
+            "gwas_catalog_study_curation.py + study_index.py:342-406)",
+            ("study_index", "curation_table"),
+            _run_gwas_catalog_study_curation,
+            {},
+        ),
+        StepSpec(
+            "lof_curation_ingestion",
+            "OTAR2075 loss-of-function curation CSV -> variant-index rows "
+            "with assessment, normalised score and description "
+            "(reference: lof_curation_ingestion.py + "
+            "datasource/open_targets/lof_curation.py:60-98)",
+            ("lof_curation",),
+            _run_lof_curation_ingestion,
+            {},
         ),
         StepSpec(
             "biosample_index",

@@ -404,3 +404,133 @@ def test_run_biosample_index(spark, tmp_path):
     assert len(ids) == len(rows)
     # no IRIs survive the prefix strip
     assert not any("http" in i for i in ids)
+
+
+def test_run_finngen_finemapping_ingestion(spark, tmp_path):
+    data = "/root/reference/tests/gentropy/data_samples"
+    out = str(tmp_path / "finngen_cs.parquet")
+    df = run_step(
+        spark,
+        "finngen_finemapping_ingestion",
+        {
+            "susie_snps": f"{data}/finngen_R9_AB1_EBV.SUSIE.snp.gz",
+            "credset_summaries": f"{data}/finngen_credset_summary_sample.tsv",
+        },
+        out,
+        {"release_prefix": "FINNGEN_R9"},
+    )
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.studyId.startswith("FINNGEN_R9_")
+        assert r.locus
+
+
+def test_run_finngen_studies(spark, tmp_path):
+    data = "/root/reference/tests/gentropy/data_samples"
+    out = str(tmp_path / "finngen_studies.parquet")
+    df = run_step(
+        spark,
+        "finngen_studies",
+        {"phenotype_manifest": f"{data}/finngen_studies_sample.json"},
+        out,
+        {"release_prefix": "FINNGEN_R9"},
+    )
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.studyId.startswith("FINNGEN_R9_")
+        assert r.nSamples == r.nCases + r.nControls
+        assert r.ldPopulationStructure is not None
+
+
+def test_run_gwas_catalog_study_index(spark, tmp_path):
+    data = "/root/reference/tests/gentropy/data_samples"
+    out = str(tmp_path / "gcat_studies.parquet")
+    df = run_step(
+        spark,
+        "gwas_catalog_study_index",
+        {
+            "catalog_studies": f"{data}/gwas_catalog_studies.tsv",
+            "catalog_ancestry": f"{data}/gwas_catalog_ancestries.tsv",
+        },
+        out,
+    )
+    rows = df.collect()
+    assert rows
+    assert all(r.studyId.startswith("GCST") for r in rows)
+    # the free-text sample parser recovered counts for at least one study
+    assert any(r.nSamples and r.nSamples > 0 for r in rows)
+    # ancestry pivot columns ride every row (the sample studies and
+    # sample ancestry files cover disjoint accessions, so values are
+    # null here; annotate_ancestries' pivot itself is unit-tested)
+    for c in ("discoverySamples", "ldPopulationStructure", "replicationSamples"):
+        assert c in df.columns
+
+
+def test_run_gwas_catalog_study_curation(spark, tmp_path):
+    studies = spark.createDataFrame(
+        [("GCST1", "gwas", True), ("GCST2", "gwas", True)],
+        "studyId string, studyType string, hasSumstats boolean",
+    )
+    curation = spark.createDataFrame(
+        [("GCST1", "eqtl", "caseCase", None, "true")],
+        "studyId string, studyType string, analysisFlag string, "
+        "qualityControl string, isCurated string",
+    )
+    sp = str(tmp_path / "st.parquet")
+    cp = str(tmp_path / "cur.tsv")
+    studies.write.parquet(sp)
+    curation.toPandas().to_csv(cp, sep="\t", index=False)
+    out = str(tmp_path / "curated.parquet")
+    df = run_step(
+        spark,
+        "gwas_catalog_study_curation",
+        {"study_index": sp, "curation_table": cp},
+        out,
+    )
+    rows = {r.studyId: r for r in df.collect()}
+    assert rows["GCST1"].studyType == "eqtl"  # curated type wins
+    assert rows["GCST1"].analysisFlags == ["caseCase"]
+    assert "Study was not curated by Open Targets" in (
+        rows["GCST2"].qualityControls
+    )
+
+
+def test_run_lof_curation_ingestion(spark, tmp_path):
+    import pandas as pd
+
+    raw = pd.DataFrame(
+        {
+            "Variant ID GRCh37": ["1-100-A-G", "2-200-C-T"],
+            "Variant ID GRCh38": ["1-110-A-G", "2-210-C-T"],
+            "Verdict": ["lof", "likely_not_lof"],
+        }
+    )
+    cp = str(tmp_path / "lof.csv")
+    raw.to_csv(cp, index=False)
+    out = str(tmp_path / "lof.parquet")
+    df = run_step(spark, "lof_curation_ingestion", {"lof_curation": cp}, out)
+    rows = {r.variantId: r for r in df.collect()}
+    # chr/pos from GRCh38, ref/alt from GRCh37
+    assert "1_110_A_G" in rows and "2_210_C_T" in rows
+
+
+def test_run_foldx_ingestion(spark, tmp_path):
+    foldx = spark.createDataFrame(
+        [
+            ("P1", 10, "A", "G", 0.9, 1.5),
+            ("P1", 11, "A", "G", 0.5, 9.0),  # below plddt: dropped
+        ],
+        "protein_acc string, position int, wild_type string, "
+        "mutated_type string, plddt double, foldx_ddg double",
+    )
+    fp = str(tmp_path / "foldx_in.parquet")
+    foldx.write.parquet(fp)
+    out = str(tmp_path / "foldx.parquet")
+    df = run_step(
+        spark, "foldx_ingestion", {"foldx_dataset": fp}, out,
+        {"plddt_threshold": 0.7},
+    )
+    rows = df.collect()
+    assert len(rows) == 1
