@@ -28,6 +28,7 @@ def transitive_closure(
     node_col: str = "subject",
     dest_col: str = "object",
     max_iterations: int = 20,
+    group_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """All (node, ancestor) pairs reachable through ``edges``.
 
@@ -36,25 +37,44 @@ def transitive_closure(
     self-loops unless present in the input. Converges when a round
     adds no new pairs; raises if ``max_iterations`` rounds don't
     reach a fixpoint (cycle longer than 2^max_iterations).
+
+    ``group_cols`` ride the self-join key, so DISJOINT graphs (e.g.
+    one ontology per tag) close in ONE shared iteration loop — the
+    round count becomes max depth over the graphs instead of the sum,
+    and each round is one driver action instead of one per graph.
     """
+    keys = list(group_cols)
     paths = (
-        edges.select(F.col(node_col).alias("node"), F.col(dest_col).alias("dest"))
+        edges.select(
+            *keys,
+            F.col(node_col).alias("node"),
+            F.col(dest_col).alias("dest"),
+        )
         .where(F.col("node").isNotNull() & F.col("dest").isNotNull())
         .distinct()
-        .localCheckpoint()
+        # lazy checkpoint: the count() below materializes it, so each
+        # round costs ONE job, not an eager-checkpoint job plus a
+        # count job — these driver-synchronous rounds are the whole
+        # cost of the closure on small graphs
+        .localCheckpoint(eager=False)
     )
     count = paths.count()
     for _ in range(max_iterations):
+        cond = F.col("a.dest") == F.col("b.node")
+        for k in keys:
+            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
         doubled = (
             paths.alias("a")
-            .join(
-                paths.alias("b"),
-                F.col("a.dest") == F.col("b.node"),
-                "inner",
+            .join(paths.alias("b"), cond, "inner")
+            .select(
+                *[F.col(f"a.{k}").alias(k) for k in keys],
+                F.col("a.node").alias("node"),
+                F.col("b.dest").alias("dest"),
             )
-            .select(F.col("a.node").alias("node"), F.col("b.dest").alias("dest"))
         )
-        new_paths = paths.unionByName(doubled).distinct().localCheckpoint()
+        new_paths = (
+            paths.unionByName(doubled).distinct().localCheckpoint(eager=False)
+        )
         new_count = new_paths.count()
         if new_count == count:
             return new_paths
@@ -168,15 +188,41 @@ def assemble_biosample_index(
     order (uberon, efo, cell ontology).
 
     Each argument is a ``(nodes, is_a_edges)`` pair as produced by
-    ``sources.obographs.read_obographs``. Closures run per ontology
-    (log-depth path doubling, operators above) — matching the
-    reference, which traverses each file's graph separately, so
-    cross-ontology edges (e.g. EFO is_a pointing at a CL term) count
-    toward the EFO index's ancestors but never extend the CL index.
+    ``sources.obographs.read_obographs``. Closures stay logically
+    per-ontology — matching the reference, which traverses each
+    file's graph separately, so cross-ontology edges (e.g. EFO is_a
+    pointing at a CL term) count toward the EFO index's ancestors but
+    never extend the CL index — but execute as ONE tagged
+    path-doubling loop (``group_cols`` rides the join key), so the
+    iteration count is the max ontology depth instead of the sum and
+    each round costs one driver action, not three.
     """
-    cl_idx = build_biosample_index(*cell_ontology)
-    ub_idx = build_biosample_index(*uberon)
-    efo_idx = retain_rows_with_ancestor_id(
-        build_biosample_index(*efo), [cell_root]
+    tagged = None
+    for tag, (_, edges) in (
+        ("cl", cell_ontology),
+        ("ub", uberon),
+        ("efo", efo),
+    ):
+        t = edges.select(
+            F.lit(tag).alias("_g"), F.col("subject"), F.col("object")
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    closure = transitive_closure(tagged, group_cols=("_g",))
+    ancestors = closure.groupBy("_g", "node").agg(
+        F.sort_array(F.collect_set("dest")).alias("ancestors")
     )
+    descendants = closure.groupBy("_g", F.col("dest").alias("node")).agg(
+        F.sort_array(F.collect_set("node")).alias("descendants")
+    )
+    rel = ancestors.join(descendants, on=["_g", "node"], how="full_outer")
+
+    def idx(tag: str, nodes: DataFrame) -> DataFrame:
+        r = rel.filter(F.col("_g") == tag).select(
+            F.col("node").alias("biosampleId"), "ancestors", "descendants"
+        )
+        return nodes.join(r, on="biosampleId", how="left")
+
+    cl_idx = idx("cl", cell_ontology[0])
+    ub_idx = idx("ub", uberon[0])
+    efo_idx = retain_rows_with_ancestor_id(idx("efo", efo[0]), [cell_root])
     return merge_biosample_indices([ub_idx, efo_idx, cl_idx])
