@@ -827,9 +827,14 @@ def round7_probes(
         pred = (
             (F.col("x").between(lo, hi)) & (F.col("y").between(lo, hi))
         )
-        start = time.perf_counter()
-        n_hit = spark.read.parquet(path).filter(pred).count()
-        sec = round(time.perf_counter() - start, 2)
+        # best-of-3: the first read pays codegen/JIT warmup, which
+        # would otherwise be charged to whichever layout runs first
+        sec, n_hit = None, 0
+        for _ in range(3):
+            start = time.perf_counter()
+            n_hit = spark.read.parquet(path).filter(pred).count()
+            t = round(time.perf_counter() - start, 2)
+            sec = t if sec is None else min(sec, t)
         print(
             json.dumps(
                 {
