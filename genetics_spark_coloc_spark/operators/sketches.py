@@ -1,0 +1,178 @@
+"""Deterministic streaming-sketch operators: Count-Min and HyperLogLog.
+
+Additive layer beyond the reference's genetics surface (the reference
+has no sketches; SURVEY §2 lists exact aggregations only): at 100 TB a
+pipeline needs sub-linear summaries — per-token frequencies for
+heavy-hitter stop-lists (Count-Min, Cormode & Muthukrishnan 2005) and
+distinct counts for vocabulary/cardinality monitoring (HyperLogLog,
+Flajolet et al. 2007).
+
+Both sketches here are DETERMINISTIC and ENGINE-PORTABLE by
+construction: hashing is md5 over salted strings and the register/
+bucket math is pure integer arithmetic, so an ANSI-SQL engine replays
+the sketch bit for bit (the driver's DuckDB oracle does exactly that).
+Spark's built-ins (``approx_count_distinct``, the
+``count_min_sketch`` SQL function) use engine-private hashing —
+correct, but unverifiable across engines and unstable across versions;
+these operators trade a little speed for reproducibility, which is
+what makes a sketch auditable in a data-curation pipeline.
+
+Scale shape: both sketches are groupBy aggregations over exploded
+tokens — map-side combined, output bounded by the sketch size
+(depth × width rows for CMS, 2^b rows per group for HLL registers),
+never by the corpus. The merge property holds relationally: sketches
+of two corpora union + re-aggregate to the sketch of the union, so
+per-partition/per-day sketches roll up without touching raw data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 15 hex chars = 60 bits: fits a signed long with headroom, identical
+# ('0x'||substr)::UBIGINT arithmetic on the DuckDB side
+_HEX_CHARS = 15
+_HASH_BITS = 4 * _HEX_CHARS
+
+
+def _md5_long(s: Column) -> Column:
+    """First 60 bits of md5(s) as a non-negative long — the portable
+    hash both engines compute identically."""
+    return F.conv(F.substring(F.md5(s), 1, _HEX_CHARS), 16, 10).cast("long")
+
+
+def cms_sketch(
+    df: DataFrame,
+    tokens: Column,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch of token frequencies: ``depth`` independent
+    hash rows × ``width`` counters. Point estimates read back via
+    :func:`cms_estimate` are the min over rows — never an
+    underestimate, overestimate bounded by 2N/width with probability
+    1 − 2^−depth.
+
+    One explode + one (row, bucket) groupBy; the shuffle carries at
+    most depth × width distinct keys regardless of corpus size, and
+    partial aggregation collapses each partition to ≤ depth × width
+    rows before the exchange.
+    """
+    tok = df.select(F.explode(tokens).alias("token"))
+    rows = tok.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("row"),
+                    (
+                        _md5_long(F.concat_ws("|", F.lit(str(d)), F.col("token")))
+                        % width
+                    ).alias("bucket"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("rb")
+    )
+    return rows.groupBy(
+        F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Frequency estimates for ``candidates`` from a CMS built with
+    the same (depth, width): per candidate, hash into each row's
+    bucket and take the min counter. The sketch is depth × width rows
+    — broadcast onto the candidate table, no shuffle of candidates.
+    Emits (token, estCount).
+    """
+    keyed = candidates.select(
+        F.col(token_col).alias("token"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("row"),
+                    (
+                        _md5_long(
+                            F.concat_ws("|", F.lit(str(d)), F.col(token_col))
+                        )
+                        % width
+                    ).alias("bucket"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("rb"),
+    ).select("token", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        keyed.join(F.broadcast(sketch), on=["row", "bucket"], how="left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("estCount"))
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    tokens: Column,
+    group_cols: "list[str]",
+    b: int = 10,
+) -> DataFrame:
+    """HyperLogLog registers per group: 2^b registers, each holding
+    the max leading-zero rank (rho) of the 60-bit portable hash's
+    suffix. rho is computed with integer bit-length arithmetic
+    (``conv(w, 10, 2)`` digit count), NOT floating log2 — exact at
+    power-of-two boundaries on every engine.
+
+    groupBy(group, register) max — output ≤ |groups| × 2^b rows.
+    Registers union + max-merge across corpora (the HLL merge law),
+    so per-shard register tables roll up relationally.
+    """
+    m = 1 << b
+    suffix_bits = _HASH_BITS - b
+    h = _md5_long(F.col("token"))
+    w = F.shiftright(h, b)  # top 60-b bits
+    # rho = (suffix bit positions above w's highest set bit) + 1;
+    # w == 0 -> all suffix bits zero -> rho = suffix_bits + 1
+    bitlen = F.length(F.conv(w, 10, 2))
+    rho = F.when(w == 0, F.lit(suffix_bits + 1)).otherwise(
+        F.lit(suffix_bits) - bitlen + 1
+    )
+    tok = df.select(*group_cols, F.explode(tokens).alias("token"))
+    return tok.select(
+        *group_cols,
+        (h % m).alias("register"),
+        rho.cast("int").alias("rho"),
+    ).groupBy(*group_cols, "register").agg(F.max("rho").alias("maxRho"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: "list[str]",
+    b: int = 10,
+) -> DataFrame:
+    """Distinct-count estimate from an HLL register table: the
+    classic alpha_m · m² / Σ2^−M_j raw estimate with the
+    linear-counting small-range correction (V = empty registers).
+    Pure aggregation over ≤ 2^b rows per group. Emits
+    (group…, estDistinct) rounded to 4dp so float parity holds
+    across engines.
+    """
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("maxRho"))).alias("_sumInv"),
+        F.count(F.lit(1)).alias("_nonZero"),
+    )
+    zeros = F.lit(m) - F.col("_nonZero")
+    raw = F.lit(alpha * m * m) / (F.col("_sumInv") + zeros.cast("double"))
+    small = raw <= 2.5 * m
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when(small & (zeros > 0), linear).otherwise(raw)
+    return agg.select(
+        *group_cols, F.round(est, 4).alias("estDistinct")
+    )

@@ -2987,3 +2987,151 @@ JOIN keeper k ON k.docId = g.docId
 
 NEARDUP_QUERIES["curation_funnel"] = q_curation_funnel
 NEARDUP_ORACLES["curation_funnel"] = SQL_CURATION_FUNNEL
+
+
+# --------------------------------------------------- deterministic sketches
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters (operators/sketches.py): a 4x1024
+    portable-hash CMS over the corpus token stream, read back for the
+    exact top-20 tokens — estimates are never below the true count
+    and the overshoot is bounded by the sketch width."""
+    from genetics_spark_coloc_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+    from genetics_spark_coloc_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    sketch = cms_sketch(docs, toks, depth=4, width=1024)
+    true_counts = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("trueCount"))
+    )
+    top = true_counts.orderBy(
+        F.desc("trueCount"), F.asc("token")
+    ).limit(20)
+    est = cms_estimate(sketch, top, depth=4, width=1024)
+    return (
+        top.join(est, on="token")
+        .select("token", F.col("trueCount").cast("long").alias("trueCount"), "estCount")
+    )
+
+
+SQL_CMS_HEAVY_HITTERS = r"""
+WITH toks AS (
+  SELECT CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+  FROM documents
+),
+occ AS (SELECT UNNEST(t) AS token FROM toks),
+true_counts AS (
+  SELECT token, COUNT(*) AS trueCount FROM occ GROUP BY token
+),
+top AS (
+  SELECT token, trueCount FROM true_counts
+  ORDER BY trueCount DESC, token ASC LIMIT 20
+),
+rows_ AS (SELECT UNNEST([0,1,2,3]) AS row),
+sketch AS (
+  SELECT r.row,
+         ('0x' || substr(md5(CAST(r.row AS VARCHAR) || '|' || o.token), 1, 15))::UBIGINT % 1024 AS bucket,
+         COUNT(*) AS cnt
+  FROM occ o CROSS JOIN rows_ r
+  GROUP BY 1, 2
+),
+keyed AS (
+  SELECT t.token, t.trueCount, r.row,
+         ('0x' || substr(md5(CAST(r.row AS VARCHAR) || '|' || t.token), 1, 15))::UBIGINT % 1024 AS bucket
+  FROM top t CROSS JOIN rows_ r
+)
+SELECT k.token, CAST(k.trueCount AS BIGINT) AS trueCount,
+       CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS estCount
+FROM keyed k LEFT JOIN sketch s ON s.row = k.row AND s.bucket = k.bucket
+GROUP BY k.token, k.trueCount
+"""
+
+
+def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate per language
+    (operators/sketches.py): 1024 portable-hash registers per group,
+    integer bit-length rho (no float log2), linear-counting
+    small-range correction — emitted next to the exact distinct count
+    so the ~3% relative error is visible in the result."""
+    from genetics_spark_coloc_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from genetics_spark_coloc_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    regs = hll_registers(docs, toks, ["lang"], b=10)
+    est = hll_estimate(regs, ["lang"], b=10)
+    true = (
+        docs.select("lang", F.explode(toks).alias("token"))
+        .groupBy("lang")
+        .agg(F.count_distinct("token").alias("trueDistinct"))
+    )
+    return true.join(est, on="lang").select(
+        "lang",
+        F.col("trueDistinct").cast("long").alias("trueDistinct"),
+        "estDistinct",
+    )
+
+
+SQL_HLL_DISTINCT_TOKENS = r"""
+WITH toks AS (
+  SELECT lang,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+  FROM documents
+),
+occ AS (SELECT lang, UNNEST(t) AS token FROM toks),
+hashed AS (
+  SELECT lang,
+         ('0x' || substr(md5(token), 1, 15))::UBIGINT AS h
+  FROM occ
+),
+rho AS (
+  SELECT lang,
+         h % 1024 AS register,
+         CASE WHEN (h >> 10) = 0 THEN 51
+              ELSE 50 - length(bin(h >> 10)) + 1 END AS rho
+  FROM hashed
+),
+regs AS (
+  SELECT lang, register, MAX(rho) AS maxRho FROM rho GROUP BY lang, register
+),
+agg AS (
+  SELECT lang,
+         SUM(POWER(2.0, -maxRho)) AS sumInv,
+         COUNT(*) AS nonZero
+  FROM regs GROUP BY lang
+),
+est AS (
+  SELECT lang,
+         (0.7213 / (1.0 + 1.079 / 1024)) * 1024.0 * 1024.0
+           / (sumInv + (1024 - nonZero)) AS raw,
+         1024 - nonZero AS zeros
+  FROM agg
+),
+hll AS (
+  SELECT lang,
+         ROUND(CASE WHEN raw <= 2.5 * 1024 AND zeros > 0
+                    THEN 1024.0 * LN(1024.0 / zeros)
+                    ELSE raw END, 4) AS estDistinct
+  FROM est
+),
+true_d AS (
+  SELECT lang, COUNT(DISTINCT token) AS trueDistinct FROM occ GROUP BY lang
+)
+SELECT t.lang, CAST(t.trueDistinct AS BIGINT) AS trueDistinct, h.estDistinct
+FROM true_d t JOIN hll h USING (lang)
+"""
+
+NEARDUP_QUERIES["cms_heavy_hitters"] = q_cms_heavy_hitters
+NEARDUP_ORACLES["cms_heavy_hitters"] = SQL_CMS_HEAVY_HITTERS
+NEARDUP_QUERIES["hll_distinct_tokens"] = q_hll_distinct_tokens
+NEARDUP_ORACLES["hll_distinct_tokens"] = SQL_HLL_DISTINCT_TOKENS

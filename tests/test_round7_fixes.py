@@ -353,3 +353,72 @@ def test_merge_biosample_indices_semantics(spark):
     y = out["Y"]
     assert (y.biosampleName, y.description) == ("only-a", "da")
     assert y.synonyms == []
+
+
+def test_cms_sketch_guarantees(spark):
+    """Count-Min invariants: estimates never UNDERestimate the true
+    count, and for a corpus with far fewer distinct tokens than
+    width x depth the heavy hitter's estimate is near-exact."""
+    from genetics_spark_coloc_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+    from genetics_spark_coloc_spark.operators.text import tokens
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("common common rare"),
+            (F.col("id") % 50).cast("string"),
+        ).alias("text"),
+    )
+    toks = tokens(F.lower(F.col("text")))
+    sketch = cms_sketch(docs, toks, depth=4, width=1024)
+    true = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("trueCount"))
+    )
+    est = {
+        r.token: r.estCount
+        for r in cms_estimate(sketch, true, depth=4, width=1024).collect()
+    }
+    for r in true.collect():
+        assert est[r.token] >= r.trueCount, r
+    assert est["common"] == 400  # 2 per doc, 51 distinct tokens, no collisions expected at 4x1024
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    """HLL invariants: the estimate lands within ~5x the standard
+    error of the true distinct count at b=10, and register tables
+    MERGE relationally (union + max == sketch of the union)."""
+    from genetics_spark_coloc_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from genetics_spark_coloc_spark.operators.text import tokens
+
+    def corpus(lo, hi):
+        return spark.range(lo, hi).select(
+            F.lit("en").alias("lang"),
+            F.concat(F.lit("tok"), F.col("id").cast("string")).alias("text"),
+        )
+
+    full = corpus(0, 5000)
+    toks = tokens(F.lower(F.col("text")))
+    est = hll_estimate(hll_registers(full, toks, ["lang"], b=10), ["lang"], b=10)
+    val = est.collect()[0].estDistinct
+    # RSE at m=1024 is ~3.25%; allow 5 sigma
+    assert abs(val - 5000) / 5000 < 0.1625, val
+
+    # merge law: registers of two halves, unioned + max-combined,
+    # give the same estimate as the full corpus
+    r1 = hll_registers(corpus(0, 2500), toks, ["lang"], b=10)
+    r2 = hll_registers(corpus(2500, 5000), toks, ["lang"], b=10)
+    merged = (
+        r1.unionByName(r2)
+        .groupBy("lang", "register")
+        .agg(F.max("maxRho").alias("maxRho"))
+    )
+    val2 = hll_estimate(merged, ["lang"], b=10).collect()[0].estDistinct
+    assert val2 == val
