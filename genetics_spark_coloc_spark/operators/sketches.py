@@ -176,3 +176,149 @@ def hll_estimate(
     return agg.select(
         *group_cols, F.round(est, 4).alias("estDistinct")
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    key: Column,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+) -> DataFrame:
+    """Relational Bloom filter: the set of SET BIT POSITIONS from
+    ``k`` portable hashes of every key — kept as a distinct-position
+    table (≤ m_bits rows) instead of a packed bitset, so it builds
+    with one map-side-combined distinct, merges across corpora by
+    UNION, and ships to other engines as plain rows. The point at
+    100 TB: probe a huge fact table against a filter built from a
+    selective dimension WITHOUT shuffling the fact table on the join
+    key (the filter broadcasts; false positives are re-checked only
+    by whatever exact step follows).
+
+    Catalyst injects its own runtime bloom under AQE for some joins;
+    this operator is the EXPLICIT, engine-portable variant a pipeline
+    can persist and reuse across runs/systems.
+    """
+    pos = df.select(
+        F.explode(
+            F.array(*[
+                (
+                    _md5_long(F.concat_ws("|", F.lit(str(i)), key.cast("string")))
+                    % m_bits
+                ).alias("p")
+                for i in range(k)
+            ])
+        ).alias("pos")
+    )
+    return pos.distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    df: DataFrame,
+    key: Column,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+) -> DataFrame:
+    """Membership probe: a key passes iff ALL ``k`` of its bit
+    positions are present in the filter (no false negatives; false
+    positives at the classic (1 − e^{−kn/m})^k rate). The filter
+    broadcasts; the probe side is never shuffled. Emits the input
+    keys (distinct) with ``bloomPass``.
+    """
+    keys = df.select(key.cast("string").alias("key")).distinct()
+    probed = keys.select(
+        "key",
+        F.explode(
+            F.array(*[
+                (
+                    _md5_long(F.concat_ws("|", F.lit(str(i)), F.col("key")))
+                    % m_bits
+                ).alias("p")
+                for i in range(k)
+            ])
+        ).alias("pos"),
+    )
+    hits = probed.join(
+        F.broadcast(bloom.withColumn("_hit", F.lit(1))), on="pos", how="left"
+    )
+    return hits.groupBy("key").agg(
+        (F.count(F.lit(1)) == F.sum(F.coalesce("_hit", F.lit(0)))).alias(
+            "bloomPass"
+        )
+    )
+
+
+def grid_quantile_sketch(
+    df: DataFrame,
+    value: Column,
+    group_cols: "list[str]",
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Fixed-grid histogram sketch for quantile estimation: values
+    clamp into ``n_bins`` equal bins over [lo, hi); per-(group, bin)
+    counts. One map-side-combined aggregation bounded by
+    |groups| × n_bins rows; sketches MERGE by unioning and summing
+    counts — the one-pass, sort-free way to get percentiles over
+    100 TB (exact percentile needs a global sort per group).
+    Deterministic: bin edges are fixed, so two engines produce the
+    identical sketch (unlike sampled t-digest/KLL).
+    """
+    span = float(hi) - float(lo)
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((value.cast("double") - lo) / span * n_bins).cast("int"),
+        ),
+    )
+    return (
+        df.select(*group_cols, bin_.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def grid_quantile_estimate(
+    sketch: DataFrame,
+    group_cols: "list[str]",
+    quantiles: "list[float]",
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Quantile estimates from a grid sketch: for each requested q,
+    the first bin whose cumulative count reaches q·total, linearly
+    interpolated inside the bin. Error is bounded by one bin width —
+    a fixed, knowable bound (vs the probabilistic bounds of sampled
+    sketches). Runs entirely on the ≤ |groups| × n_bins sketch rows:
+    one window per group, then a tiny quantile cross join. Emits
+    (group…, q, estValue) rounded to 6dp for engine parity.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    span = (float(hi) - float(lo)) / n_bins
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    cum = sketch.withColumn("cumCnt", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy(*group_cols))
+    )
+    qdf = cum.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "q double"
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cumCnt") >= F.col("q") * F.col("total"))
+        .groupBy(*group_cols, "q")
+        .agg(
+            F.min(F.struct("bin", "cumCnt", "cnt", "total")).alias("_b")
+        )
+    )
+    frac = (
+        F.col("_b.cumCnt").cast("double")
+        - F.col("q") * F.col("_b.total")
+    ) / F.col("_b.cnt").cast("double")
+    est = F.lit(lo) + (F.col("_b.bin") + 1.0 - frac) * span
+    return hit.select(
+        *group_cols, "q", F.round(est, 6).alias("estValue")
+    )

@@ -1606,3 +1606,115 @@ ORDER BY mediaIdA, mediaIdB
 
 SCALE_QUERIES["image_ahash_pairs"] = q_image_ahash_pairs
 SCALE_ORACLES["image_ahash_pairs"] = SQL_IMAGE_AHASH_PAIRS
+
+
+# --------------------------------------------- bloom filter join pruning
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational Bloom filter (operators/sketches.py): build a
+    4096-bit 3-hash filter over BUILDING-segment customers, probe
+    every ordering customer — no false negatives, measurable false
+    positives; at scale the broadcastable position table prunes a
+    fact-table join without shuffling the fact side."""
+    from genetics_spark_coloc_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    bloom = bloom_build(building, F.col("c_custkey"), m_bits=4096, k=3)
+    probed = bloom_probe(bloom, orders, F.col("o_custkey"), m_bits=4096, k=3)
+    truth = building.select(
+        F.col("c_custkey").cast("string").alias("key"),
+        F.lit(True).alias("isBuilding"),
+    ).distinct()
+    return probed.join(truth, on="key", how="left").select(
+        F.col("key").cast("long").alias("custkey"),
+        "bloomPass",
+        F.coalesce("isBuilding", F.lit(False)).alias("isBuilding"),
+    )
+
+
+SQL_BLOOM_SEMI_JOIN = """
+WITH building AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+hashes AS (SELECT UNNEST([0, 1, 2]) AS i),
+bloom AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(CAST(h.i AS VARCHAR) || '|' || CAST(b.c_custkey AS VARCHAR)), 1, 15))::UBIGINT % 4096 AS pos
+  FROM building b CROSS JOIN hashes h
+),
+probe_keys AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key FROM orders),
+probed AS (
+  SELECT p.key, h.i,
+         ('0x' || substr(md5(CAST(h.i AS VARCHAR) || '|' || p.key), 1, 15))::UBIGINT % 4096 AS pos
+  FROM probe_keys p CROSS JOIN hashes h
+),
+verdict AS (
+  SELECT p.key,
+         COUNT(*) = SUM(CASE WHEN bl.pos IS NOT NULL THEN 1 ELSE 0 END) AS bloomPass
+  FROM probed p LEFT JOIN bloom bl ON bl.pos = p.pos
+  GROUP BY p.key
+)
+SELECT CAST(v.key AS BIGINT) AS custkey, v.bloomPass,
+       COALESCE(b.c_custkey IS NOT NULL, FALSE) AS isBuilding
+FROM verdict v LEFT JOIN building b ON CAST(b.c_custkey AS VARCHAR) = v.key
+"""
+
+
+# --------------------------------------------- grid quantile sketch
+def q_grid_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-grid quantile sketch (operators/sketches.py):
+    one-pass per-(returnflag) price histograms, p50/p95/p99 read back
+    with in-bin interpolation — the sort-free percentile path with a
+    fixed one-bin-width error bound."""
+    from genetics_spark_coloc_spark.operators.sketches import (
+        grid_quantile_estimate,
+        grid_quantile_sketch,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sketch = grid_quantile_sketch(
+        li, F.col("l_extendedprice"), ["l_returnflag"], 0.0, 120000.0, 1024
+    )
+    return grid_quantile_estimate(
+        sketch, ["l_returnflag"], [0.5, 0.95, 0.99], 0.0, 120000.0, 1024
+    )
+
+
+SQL_GRID_QUANTILES = """
+WITH binned AS (
+  SELECT l_returnflag,
+         LEAST(1023, GREATEST(0,
+           CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - 0.0) / 120000.0 * 1024) AS INT)
+         )) AS bin
+  FROM lineitem
+),
+sketch AS (
+  SELECT l_returnflag, bin, COUNT(*) AS cnt FROM binned GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cumCnt,
+         SUM(cnt) OVER (PARTITION BY l_returnflag) AS total
+  FROM sketch
+),
+qs AS (SELECT UNNEST([0.5, 0.95, 0.99]) AS q),
+sel AS (
+  SELECT c.l_returnflag, q.q, c.bin, c.cnt, c.cumCnt, c.total,
+         ROW_NUMBER() OVER (PARTITION BY c.l_returnflag, q.q ORDER BY c.bin) AS rn
+  FROM cum c CROSS JOIN qs q
+  WHERE c.cumCnt >= q.q * c.total
+)
+SELECT l_returnflag, q,
+       ROUND(0.0 + (bin + 1.0 - (CAST(cumCnt AS DOUBLE) - q * total) / CAST(cnt AS DOUBLE))
+                   * (120000.0 / 1024), 6) AS estValue
+FROM sel WHERE rn = 1
+"""
+
+SCALE_QUERIES["bloom_semi_join"] = q_bloom_semi_join
+SCALE_ORACLES["bloom_semi_join"] = SQL_BLOOM_SEMI_JOIN
+SCALE_QUERIES["grid_quantiles"] = q_grid_quantiles
+SCALE_ORACLES["grid_quantiles"] = SQL_GRID_QUANTILES

@@ -422,3 +422,63 @@ def test_hll_estimate_accuracy_and_merge(spark):
     )
     val2 = hll_estimate(merged, ["lang"], b=10).collect()[0].estDistinct
     assert val2 == val
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    """Bloom invariants: every member passes (no false negatives);
+    false positives exist at an undersized m but stay near the
+    (1-e^{-kn/m})^k rate; filters merge by UNION."""
+    from genetics_spark_coloc_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.range(0, 500).select(F.col("id").alias("k"))
+    others = spark.range(500, 3000).select(F.col("id").alias("k"))
+    bloom = bloom_build(members, F.col("k"), m_bits=4096, k=3)
+    passed = {
+        int(r.key): r.bloomPass
+        for r in bloom_probe(
+            bloom, members.unionByName(others), F.col("k"), m_bits=4096, k=3
+        ).collect()
+    }
+    assert all(passed[i] for i in range(500))  # no false negatives
+    fp = sum(1 for i in range(500, 3000) if passed[i]) / 2500
+    # expected rate ~ (1 - e^{-3*500/4096})^3 ~ 2.9%; allow wide band
+    assert fp < 0.15, fp
+
+    # merge law: union of two half-filters == filter of the union
+    b1 = bloom_build(spark.range(0, 250).select(F.col("id").alias("k")), F.col("k"), 4096, 3)
+    b2 = bloom_build(spark.range(250, 500).select(F.col("id").alias("k")), F.col("k"), 4096, 3)
+    merged = b1.unionByName(b2).distinct()
+    assert sorted(r.pos for r in merged.collect()) == sorted(
+        r.pos for r in bloom.collect()
+    )
+
+
+def test_grid_quantile_error_bound(spark):
+    """Grid-sketch estimates land within one bin width of the exact
+    percentile — the fixed deterministic bound."""
+    from genetics_spark_coloc_spark.operators.sketches import (
+        grid_quantile_estimate,
+        grid_quantile_sketch,
+    )
+
+    lo, hi, n_bins = 0.0, 1000.0, 200
+    bin_width = (hi - lo) / n_bins
+    df = spark.range(10_000).select(
+        F.lit("g").alias("g"),
+        ((F.col("id") * 37) % 1000).cast("double").alias("v"),
+    )
+    sketch = grid_quantile_sketch(df, F.col("v"), ["g"], lo, hi, n_bins)
+    est = {
+        r.q: r.estValue
+        for r in grid_quantile_estimate(
+            sketch, ["g"], [0.5, 0.9, 0.99], lo, hi, n_bins
+        ).collect()
+    }
+    exact = df.selectExpr(
+        "percentile(v, array(0.5, 0.9, 0.99)) as p"
+    ).collect()[0].p
+    for q, ex in zip([0.5, 0.9, 0.99], exact):
+        assert abs(est[q] - ex) <= bin_width + 1e-6, (q, est[q], ex)
