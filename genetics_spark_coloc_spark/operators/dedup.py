@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql.window import Window
 from pyspark.sql import functions as F
 
+from genetics_spark_coloc_spark.functions.guards import guard_hot_buckets
 from genetics_spark_coloc_spark.operators.text import tokens
 
 
@@ -114,19 +115,39 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_perm: int = 8, band_size: int = 2
+    signatures: DataFrame,
+    num_perm: int = 8,
+    band_size: int = 2,
+    hot_bucket_ceiling: "int | None" = 10_000,
+    on_hot_bucket: str = "raise",
 ) -> DataFrame:
     """Band the signature and self-join buckets -> candidate pairs.
 
     Bands: contiguous groups of ``band_size`` permutations; band hash
     = md5 of concatenated min-hashes. Pairs are (left < right),
     distinct. At 100 TB the band join is the only shuffle and its key
-    (bandIdx, bandHash) is high-cardinality.
+    (bandIdx, bandHash) is high-cardinality — UNLESS the corpus has a
+    giant near-identical family (shared boilerplate), which funnels
+    that family into one bucket and the self-join goes quadratic.
+    The shared hot-bucket guard (functions/guards.py) makes that loud:
+    any bucket over ``hot_bucket_ceiling`` docs aborts the job at
+    execution time (``on_hot_bucket="raise"``, default) or is excluded
+    from pairing (``"cap"`` — under-reports pairs inside the
+    boilerplate family only). ``hot_bucket_ceiling=None`` disables.
+    In raise mode the pair output is bit-identical to the unguarded
+    plan, so oracles are untouched.
     """
     bands = (
         signatures.withColumn("bandIdx", (F.col("perm") / band_size).cast("int"))
         .groupBy("docId", "bandIdx")
         .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minHash")))).alias("bandHash"))
+    )
+    bands = guard_hot_buckets(
+        bands,
+        ["bandIdx", "bandHash"],
+        hot_bucket_ceiling,
+        on_hot_bucket,
+        "lsh_candidate_pairs",
     )
     left = bands.alias("l")
     right = bands.alias("r")
@@ -148,11 +169,21 @@ def lsh_candidate_pairs(
 
 
 def minhash_dedup_pairs(
-    df: DataFrame, text_col: str, id_col: str, num_perm: int = 8, band_size: int = 2
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 8,
+    band_size: int = 2,
+    hot_bucket_ceiling: "int | None" = 10_000,
+    on_hot_bucket: str = "raise",
 ) -> DataFrame:
     """Full MinHash-LSH near-duplicate candidate pipeline."""
     return lsh_candidate_pairs(
-        minhash_signatures(df, text_col, id_col, num_perm), num_perm, band_size
+        minhash_signatures(df, text_col, id_col, num_perm),
+        num_perm,
+        band_size,
+        hot_bucket_ceiling=hot_bucket_ceiling,
+        on_hot_bucket=on_hot_bucket,
     )
 
 
@@ -254,6 +285,8 @@ def simhash_near_dup_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    hot_bucket_ceiling: "int | None" = 10_000,
+    on_hot_bucket: str = "raise",
 ) -> DataFrame:
     """SimHash near-dup candidate generation + verification — the
     Manku, Jain, Das Sarma (2007) web-crawl dedup design: split each
@@ -272,6 +305,11 @@ def simhash_near_dup_pairs(
     ``bit_count(xor)`` on the pair, no text touched. The signature is
     an ALIASED column in its own projection so the md5 vote fold runs
     once per document, not once per block reference.
+
+    The per-block buckets carry the same degenerate-family hazard as
+    LSH bands; the shared hot-bucket guard (functions/guards.py)
+    applies with the same ``hot_bucket_ceiling``/``on_hot_bucket``
+    contract — raise mode leaves the output bit-identical.
 
     Output: (leftId, rightId, hammingDist), deduplicated across
     blocks.
@@ -298,6 +336,13 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("bandIdx", "blockVal"),
+    )
+    blocks = guard_hot_buckets(
+        blocks,
+        ["bandIdx", "blockVal"],
+        hot_bucket_ceiling,
+        on_hot_bucket,
+        "simhash_near_dup_pairs",
     )
     left = blocks.select(
         "bandIdx",

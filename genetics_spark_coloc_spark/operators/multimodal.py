@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from genetics_spark_coloc_spark.functions.guards import guard_hot_buckets
+
 MEDIA_SCHEMA = (
     "mediaId long, modality string, payload binary, mimeType string, "
     "width int, height int, durationMs int"
@@ -250,6 +252,8 @@ def ahash_near_dup_pairs(
     signatures: DataFrame,
     n_bits: int,
     max_hamming: int = 3,
+    hot_bucket_ceiling: "int | None" = 10_000,
+    on_hot_bucket: str = "raise",
 ) -> DataFrame:
     """Perceptual near-duplicate image pairs: every unordered pair of
     signatures within ``max_hamming`` bits — the image-side analogue
@@ -264,6 +268,13 @@ def ahash_near_dup_pairs(
     Scale shape: one explode to (band, bandValue) keys, one bucketed
     self-join (never a cross join), distinct pair dedup, JVM-side
     bit_count verify. Returns (mediaIdA < mediaIdB, hamming).
+
+    A degenerate image family (solid-color thumbnails, shared
+    letterbox frames) funnels into one (band, bandValue) bucket and
+    the self-join goes quadratic; the shared hot-bucket guard
+    (functions/guards.py) aborts loudly over ``hot_bucket_ceiling``
+    signatures per bucket (``on_hot_bucket="raise"``, bit-identical
+    output when no bucket is hot) or excludes hot buckets (``"cap"``).
     """
     n_bands = max_hamming + 1
     band_bits = -(-n_bits // n_bands)  # ceil
@@ -287,6 +298,13 @@ def ahash_near_dup_pairs(
             ])
         ).alias("bk"),
     ).select("mediaId", "sig", F.col("bk.band").alias("band"), F.col("bk.bandValue").alias("bandValue"))
+    banded = guard_hot_buckets(
+        banded,
+        ["band", "bandValue"],
+        hot_bucket_ceiling,
+        on_hot_bucket,
+        "ahash_near_dup_pairs",
+    )
     left = banded.select(
         F.col("band"), F.col("bandValue"),
         F.col("mediaId").alias("mediaIdA"), F.col("sig").alias("sigA"),

@@ -29,6 +29,7 @@ def transitive_closure(
     dest_col: str = "object",
     max_iterations: int = 20,
     group_cols: "tuple[str, ...]" = (),
+    max_pairs: "int | None" = 100_000_000,
 ) -> DataFrame:
     """All (node, ancestor) pairs reachable through ``edges``.
 
@@ -42,6 +43,17 @@ def transitive_closure(
     one ontology per tag) close in ONE shared iteration loop — the
     round count becomes max depth over the graphs instead of the sum,
     and each round is one driver action instead of one per graph.
+
+    OUTPUT-SIZE BOUND: the closure MATERIALIZES the full reachability
+    set — O(V · depth) pairs on tree-like DAGs, O(V²) worst case. An
+    ontology (10⁵ nodes, depth ~20) is a few million rows; a social or
+    citation graph is NOT — for "which nodes are connected" on such
+    graphs use ``connected_components`` (operators/graph.py), which
+    materializes one label per node, not per path. Mirroring the CC
+    convergence guard, ``max_pairs`` (default 1e8) aborts loudly the
+    first round the closure exceeds it — the count is already driver-
+    side for convergence, so the guard costs nothing. ``None``
+    disables.
     """
     keys = list(group_cols)
     paths = (
@@ -76,6 +88,14 @@ def transitive_closure(
             paths.unionByName(doubled).distinct().localCheckpoint(eager=False)
         )
         new_count = new_paths.count()
+        if max_pairs is not None and new_count > max_pairs:
+            raise RuntimeError(
+                f"transitive_closure output bound: {new_count} reachability "
+                f"pairs exceed max_pairs={max_pairs}. The closure is "
+                "O(V*depth) pairs (O(V^2) worst case) — for connectivity on "
+                "large dense graphs use connected_components "
+                "(operators/graph.py), or raise max_pairs explicitly."
+            )
         if new_count == count:
             return new_paths
         paths, count = new_paths, new_count
@@ -165,10 +185,21 @@ def merge_biosample_indices(indices: "list[DataFrame]") -> DataFrame:
                 ).alias(name)
             )
         else:
+            # ordering key is (_prio, value-as-string), not _prio
+            # alone: if ONE input carries duplicate biosampleId rows
+            # with differing scalars, bare-priority min_by ties and
+            # the winner is partitioning-dependent; the struct key
+            # breaks the tie on the value itself, so the merge is
+            # reproducible for ALL inputs, not just deduplicated ones
             aggs.append(
                 F.min_by(
                     F.col(name),
-                    F.when(F.col(name).isNotNull(), F.col("_prio")),
+                    F.when(
+                        F.col(name).isNotNull(),
+                        F.struct(
+                            F.col("_prio"), F.col(name).cast("string").alias("_v")
+                        ),
+                    ),
                 ).alias(name)
             )
     return tagged.groupBy("biosampleId").agg(*aggs)

@@ -322,3 +322,39 @@ def grid_quantile_estimate(
     return hit.select(
         *group_cols, "q", F.round(est, 6).alias("estValue")
     )
+
+
+def bloom_prune(
+    bloom: DataFrame,
+    fact: DataFrame,
+    key: Column,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+) -> DataFrame:
+    """Row-preserving Bloom pruning of a fact table — the composed
+    payoff of :func:`bloom_build`: keep every fact row whose ``key``
+    passes the filter, WITHOUT shuffling the fact side.
+
+    The device: each of the ``k`` hash positions becomes one
+    BROADCAST LEFT SEMI join of the fact table against the (≤ m_bits
+    row, broadcastable) position table. A broadcast semi join never
+    exchanges its probe side, so the fact table streams through all
+    ``k`` joins inside whole-stage codegen — at 100 TB this prunes a
+    petabyte-class scan down to the selective dimension's keyspace
+    for the cost of shipping the filter once per executor, where a
+    plain semi join on the key would shuffle the entire fact table.
+
+    No false negatives (every true match survives); false positives
+    at the classic (1 − e^{−kn/m})^k rate pass through and are
+    eliminated by whatever exact join/filter follows — the standard
+    bloom-prune contract. ``tests/test_plan_quality.py`` pins the
+    no-Exchange-on-the-fact-side property.
+    """
+    b = bloom.select("pos").localCheckpoint(eager=False)
+    out = fact
+    for i in range(k):
+        pos_i = (
+            _md5_long(F.concat_ws("|", F.lit(str(i)), key.cast("string"))) % m_bits
+        )
+        out = out.join(F.broadcast(b), on=pos_i == F.col("pos"), how="left_semi")
+    return out

@@ -1497,8 +1497,12 @@ def verbatim_match_spans(
     """
     from pyspark.sql.window import Window  # noqa: PLC0415
 
-    if on_hot_gram not in ("raise", "cap"):
-        raise ValueError(f"on_hot_gram must be 'raise' or 'cap', got {on_hot_gram!r}")
+    from genetics_spark_coloc_spark.functions.guards import (
+        hot_count_filter,
+        validate_on_hot,
+    )
+
+    validate_on_hot(on_hot_gram, "verbatim_match_spans")
     k = min_tokens
     wins = (
         windows
@@ -1509,32 +1513,12 @@ def verbatim_match_spans(
     pairable = counts.filter(F.col("_cnt") >= 2)
     if max_gram_freq is not None:
         pairable = pairable.filter(F.col("_cnt") <= max_gram_freq)
-    elif hot_gram_ceiling is not None:
-        if on_hot_gram == "cap":
-            pairable = pairable.filter(F.col("_cnt") <= hot_gram_ceiling)
-        else:
-            # execution-time guard: assert_true returns NULL when the
-            # condition holds, so the filter passes every row; a hot
-            # gram aborts the job with its frequency before the
-            # quadratic join can expand it
-            pairable = pairable.filter(
-                F.assert_true(
-                    F.col("_cnt") <= hot_gram_ceiling,
-                    F.concat(
-                        F.lit(
-                            "verbatim_match_spans hot-gram guard: a "
-                            "pairable gram occurs "
-                        ),
-                        F.col("_cnt").cast("string"),
-                        F.lit(
-                            f" times (> ceiling {hot_gram_ceiling}); the "
-                            "pair join is quadratic per gram. Set "
-                            "max_gram_freq / on_hot_gram='cap' to exclude "
-                            "boilerplate grams, or raise hot_gram_ceiling."
-                        ),
-                    ),
-                ).isNull()
-            )
+    else:
+        # rides the existing counts aggregate — the shared guard device
+        # (functions/guards.py) with zero extra scans or driver actions
+        pairable = hot_count_filter(
+            pairable, "_cnt", hot_gram_ceiling, on_hot_gram, "verbatim_match_spans"
+        )
     occ = wins.join(pairable.select("gram"), on="gram", how="inner")
     left = occ.select(
         "gram",
@@ -1828,6 +1812,8 @@ def winnow_candidate_pairs(
     window: int = 4,
     min_shared: int = 1,
     hash_fn: str = "md5",
+    hot_bucket_ceiling: "int | None" = 10_000,
+    on_hot_bucket: str = "raise",
 ) -> "DataFrame":
     """MOSS-style candidate generation from winnowing fingerprints:
     documents sharing at least ``min_shared`` selected fingerprints
@@ -1842,17 +1828,25 @@ def winnow_candidate_pairs(
     to ``lsh_candidate_pairs``). Pairs are (left < right); the count
     aggregate reduces with map-side combine. A pathological
     fingerprint shared by a large fraction of the corpus quadratically
-    inflates its bucket exactly like an LSH band does — salt or cap
-    posting lists upstream if the corpus has giant boilerplate
-    families (``strip_boilerplate`` first is the documented pipeline
-    order).
+    inflates its bucket exactly like an LSH band does — so the shared
+    hot-bucket guard (functions/guards.py) now enforces the bound: a
+    posting list over ``hot_bucket_ceiling`` docs aborts the job
+    loudly (``on_hot_bucket="raise"``, default; output bit-identical
+    when nothing is hot) or is excluded from pairing (``"cap"`` — the
+    boilerplate stop-fingerprint trade; ``strip_boilerplate`` first
+    remains the documented pipeline order).
 
     Emits (leftId, rightId, nSharedFps >= min_shared).
     """
+    from genetics_spark_coloc_spark.functions.guards import guard_hot_buckets
+
     staged, sel, _m = _winnow_staged(df, text_col, id_col, k, window, hash_fn)
     postings = staged.select(
         "docId",
         F.explode(F.array_distinct(sel)).alias("fp"),
+    )
+    postings = guard_hot_buckets(
+        postings, ["fp"], hot_bucket_ceiling, on_hot_bucket, "winnow_candidate_pairs"
     )
     left = postings.alias("l")
     right = postings.alias("r")
@@ -2405,17 +2399,28 @@ def token_budget_allocation(
             "availableTokens"
         )
     )
+    # the powered weights quantize to 6dp DECIMAL before the global
+    # sum: a double SUM is addition-order-dependent, so the total (and
+    # with it every rounded weight) could flip its last digit with the
+    # partitioning — observed as a 1-ulp oracle flake at 16 vs 8
+    # shuffle partitions. Decimal addition is exact and therefore
+    # order-independent: the manifest is bit-identical on any cluster
+    # layout and any engine (the DuckDB oracle quantizes identically).
     powered = counts.withColumn(
-        "_p", F.pow(F.col("availableTokens").cast("double"), 1.0 / temperature)
+        "_p",
+        F.round(
+            F.pow(F.col("availableTokens").cast("double"), 1.0 / temperature), 6
+        ).cast("decimal(28,6)"),
     )
     total = powered.agg(F.sum("_p").alias("_tot"))
+    frac = F.col("_p").cast("double") / F.col("_tot").cast("double")
     return (
         powered.crossJoin(F.broadcast(total))
         .select(
             "source",
             "availableTokens",
-            F.round(F.col("_p") / F.col("_tot"), 6).alias("targetWeight"),
-            F.round(F.col("_p") / F.col("_tot") * F.lit(float(total_budget)))
+            F.round(frac, 6).alias("targetWeight"),
+            F.round(frac * F.lit(float(total_budget)))
             .cast("long")
             .alias("targetTokens"),
         )

@@ -2672,17 +2672,18 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TOKEN_BUDGET = r"""
 WITH cnt AS (
   SELECT source,
-         SUM(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
-             ELSE len(string_split_regex(trim(text), '\s+')) END) AS availableTokens
+         CAST(SUM(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS availableTokens
   FROM documents GROUP BY source
 ),
 p AS (SELECT source, availableTokens,
-             POWER(availableTokens, 0.5) AS pw FROM cnt),
+             CAST(ROUND(POWER(availableTokens, 0.5), 6) AS DECIMAL(28,6)) AS pw
+      FROM cnt),
 tot AS (SELECT SUM(pw) AS t FROM p),
 alloc AS (
   SELECT source, availableTokens,
-         ROUND(pw / t, 6) AS targetWeight,
-         CAST(ROUND(pw / t * 1000000.0) AS BIGINT) AS targetTokens
+         ROUND(CAST(pw AS DOUBLE) / CAST(t AS DOUBLE), 6) AS targetWeight,
+         CAST(ROUND(CAST(pw AS DOUBLE) / CAST(t AS DOUBLE) * 1000000.0) AS BIGINT) AS targetTokens
   FROM p, tot
 )
 SELECT source, availableTokens, targetWeight, targetTokens,

@@ -1718,3 +1718,57 @@ SCALE_QUERIES["bloom_semi_join"] = q_bloom_semi_join
 SCALE_ORACLES["bloom_semi_join"] = SQL_BLOOM_SEMI_JOIN
 SCALE_QUERIES["grid_quantiles"] = q_grid_quantiles
 SCALE_ORACLES["grid_quantiles"] = SQL_GRID_QUANTILES
+
+
+# ------------------------------------------- bloom join pruning, composed
+def q_bloom_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed Bloom join pruning (operators/sketches.bloom_prune;
+    steps.py `bloom_prune`): build a 4096-bit 3-hash filter over
+    BUILDING-segment customers, then prune the orders FACT table with
+    k broadcast left-semi joins on the hashed bit positions — the
+    fact side is never shuffled (plan-pinned in
+    tests/test_plan_quality.py). Emits the surviving rows: every true
+    BUILDING order plus the deterministic false positives, which the
+    DuckDB oracle replays bit-for-bit via the same salted-md5 hash."""
+    from genetics_spark_coloc_spark.operators.sketches import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    bloom = bloom_build(building, F.col("c_custkey"), m_bits=4096, k=3)
+    pruned = bloom_prune(bloom, orders, F.col("o_custkey"), m_bits=4096, k=3)
+    return pruned.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+
+
+SQL_BLOOM_PRUNE_SCAN = """
+WITH building AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+hashes AS (SELECT UNNEST([0, 1, 2]) AS i),
+bloom AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(CAST(h.i AS VARCHAR) || '|' || CAST(b.c_custkey AS VARCHAR)), 1, 15))::UBIGINT % 4096 AS pos
+  FROM building b CROSS JOIN hashes h
+),
+probed AS (
+  SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, h.i,
+         ('0x' || substr(md5(CAST(h.i AS VARCHAR) || '|' || CAST(o.o_custkey AS VARCHAR)), 1, 15))::UBIGINT % 4096 AS pos
+  FROM orders o CROSS JOIN hashes h
+)
+SELECT p.o_orderkey AS orderkey,
+       ANY_VALUE(p.o_custkey) AS custkey,
+       ANY_VALUE(p.o_totalprice) AS totalprice
+FROM probed p JOIN bloom bl ON bl.pos = p.pos
+GROUP BY p.o_orderkey
+HAVING COUNT(*) = 3
+"""
+
+SCALE_QUERIES["bloom_prune_scan"] = q_bloom_prune_scan
+SCALE_ORACLES["bloom_prune_scan"] = SQL_BLOOM_PRUNE_SCAN

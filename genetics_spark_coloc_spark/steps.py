@@ -542,6 +542,26 @@ def _run_zorder_layout(spark, inputs, output, p):
     return zorder_layout(df, cols, p["num_partitions"], bits=p["bits"])
 
 
+def _run_bloom_prune(spark, inputs, output, p):
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.operators.sketches import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    fact = _parquet(spark, inputs["fact"])
+    dim = _parquet(spark, inputs["dimension"])
+    if p["dim_filter"]:
+        dim = dim.filter(p["dim_filter"])
+    bloom = bloom_build(
+        dim, F.col(p["dim_key"]), m_bits=p["m_bits"], k=p["k"]
+    )
+    return bloom_prune(
+        bloom, fact, F.col(p["fact_key"]), m_bits=p["m_bits"], k=p["k"]
+    )
+
+
 # --------------------------------------------------------------- registry
 
 STEPS: dict[str, StepSpec] = {
@@ -840,6 +860,24 @@ STEPS: dict[str, StepSpec] = {
                 "columns": Param(str, "", "comma-separated integer columns"),
                 "num_partitions": Param(int, 200, "output partition count"),
                 "bits": Param(int, 16, "bits per dimension"),
+            },
+        ),
+        StepSpec(
+            "bloom_prune",
+            "Prune a fact table by a Bloom filter built from a selective "
+            "dimension (e.g. summary statistics by credible-set variantIds): "
+            "k broadcast left-semi joins on the hashed bit positions, so the "
+            "fact side is never shuffled; no false negatives, false "
+            "positives fall to the exact step that follows (additive layer "
+            "beyond the reference's genetics surface)",
+            ("fact", "dimension"),
+            _run_bloom_prune,
+            {
+                "fact_key": Param(str, "variantId", "fact join/prune key column"),
+                "dim_key": Param(str, "variantId", "dimension key column"),
+                "dim_filter": Param(str, "", "optional SQL filter on the dimension"),
+                "m_bits": Param(int, 1 << 20, "bloom filter size in bits"),
+                "k": Param(int, 3, "hash count"),
             },
         ),
         StepSpec(

@@ -246,3 +246,19 @@ def test_curation_funnel_single_text_scan(spark):
     assert n_scans == 1, f"curation_funnel scans parquet {n_scans}x:\n{plan}"
     assert "Join" not in plan, f"fused funnel must not join:\n{plan}"
     assert shuffle_count(df) <= 1, physical_plan(df)
+
+
+def test_bloom_prune_fact_side_never_shuffles(spark):
+    """bloom_prune's contract: the fact table is pruned by k broadcast
+    LEFT SEMI joins on hashed bit positions and is NEVER exchanged —
+    the whole point of bloom pruning at 100 TB. The bloom side rides a
+    lineage barrier, so the query plan must contain exactly the three
+    BroadcastHashJoins and zero hash-partitioned exchanges."""
+    from genetics_spark_coloc_spark.plans.inspect import physical_plan
+
+    df = QUERIES["bloom_prune_scan"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "LeftSemi" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan

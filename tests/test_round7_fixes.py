@@ -198,7 +198,7 @@ def test_verbatim_hot_gram_guard_raises(spark):
         ).alias("text"),
     )
     guarded = verbatim_match_spans(docs, "text", "doc_id", min_tokens=5)
-    with pytest.raises(SparkRuntimeException, match="hot-gram guard"):
+    with pytest.raises(SparkRuntimeException, match="hot-bucket guard"):
         guarded.count()
 
 

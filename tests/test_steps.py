@@ -534,3 +534,39 @@ def test_run_foldx_ingestion(spark, tmp_path):
     )
     rows = df.collect()
     assert len(rows) == 1
+
+
+def test_run_bloom_prune_step(spark, tmp_path):
+    """Composed bloom_prune step: prune orders by a Bloom filter over
+    BUILDING customers — superset of the exact semi join (no false
+    negatives), subset of the full fact table."""
+    out = run_step(
+        spark,
+        "bloom_prune",
+        {"fact": f"{SF}/orders.parquet", "dimension": f"{SF}/customer.parquet"},
+        str(tmp_path / "pruned.parquet"),
+        params={
+            "fact_key": "o_custkey",
+            "dim_key": "c_custkey",
+            "dim_filter": "c_mktsegment = 'BUILDING'",
+            "m_bits": 4096,
+            "k": 3,
+        },
+    )
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    building = (
+        spark.read.parquet(f"{SF}/customer.parquet")
+        .where("c_mktsegment = 'BUILDING'")
+        .select(F.col("c_custkey").alias("o_custkey"))
+        .distinct()
+    )
+    n_true = orders.join(building, "o_custkey", "left_semi").count()
+    n_pruned = out.count()
+    assert n_true <= n_pruned <= orders.count()
+    # no false negatives: every true match survives the pruning
+    missed = (
+        orders.join(building, "o_custkey", "left_semi")
+        .join(out.select("o_orderkey"), "o_orderkey", "left_anti")
+        .count()
+    )
+    assert missed == 0
