@@ -34,7 +34,7 @@ This is an additive scale-hardening layer; the reference
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _MODES = ("raise", "cap")
@@ -54,6 +54,7 @@ def hot_count_filter(
     ceiling: "int | None",
     on_hot: str,
     context: str,
+    param_hint: str = "on_hot_bucket",
 ) -> DataFrame:
     """Apply the ceiling to an EXISTING per-bucket count table.
 
@@ -63,10 +64,18 @@ def hot_count_filter(
     the predicate holds, so every row passes the filter; a hot bucket
     aborts the job with its frequency before the quadratic join can
     expand it. ``cap`` mode drops hot buckets.
+
+    ``param_hint`` names the CALLER's mode parameter in the abort
+    message (``verbatim_match_spans`` exposes ``on_hot_gram``, the
+    banded generators ``on_hot_bucket``), so the remediation the
+    message suggests is always a parameter the failing call actually
+    has. ``on_hot`` is validated even when ``ceiling`` is None, so a
+    typo'd mode is rejected at plan time rather than silently
+    accepted with the guard disabled.
     """
+    validate_on_hot(on_hot, context)
     if ceiling is None:
         return counts
-    validate_on_hot(on_hot, context)
     if on_hot == "cap":
         return counts.filter(F.col(cnt_col) <= ceiling)
     return counts.filter(
@@ -77,7 +86,7 @@ def hot_count_filter(
                 F.col(cnt_col).cast("string"),
                 F.lit(
                     f" occurrences (> ceiling {ceiling}); the pair join is "
-                    "quadratic per bucket. Pass on_hot_bucket='cap' to "
+                    f"quadratic per bucket. Pass {param_hint}='cap' to "
                     "exclude degenerate buckets (strip_boilerplate upstream "
                     "is the documented pipeline order), or raise "
                     "hot_bucket_ceiling."
@@ -89,10 +98,11 @@ def hot_count_filter(
 
 def guard_hot_buckets(
     occ: DataFrame,
-    key_cols: "list[str | Column]",
+    key_cols: "list[str]",
     ceiling: "int | None",
     on_hot: str,
     context: str,
+    param_hint: str = "on_hot_bucket",
 ) -> DataFrame:
     """Guard an occurrence table before its bucket self-join.
 
@@ -105,12 +115,25 @@ def guard_hot_buckets(
     pair output is bit-identical to the unguarded plan, which is why
     turning the guard on does not touch any oracle. In ``cap`` mode
     hot buckets' occurrences are removed wholesale.
+
+    ``key_cols`` must be COLUMN NAMES present on ``occ`` (plain
+    strings): the semi join resolves them on both sides by name, so
+    an arbitrary Column expression has no name to join back on. Every
+    generator in this repo buckets by named columns; a caller with a
+    computed key materializes it with ``withColumn`` first.
     """
+    validate_on_hot(on_hot, context)
     if ceiling is None:
         return occ
-    validate_on_hot(on_hot, context)
-    keys = [F.col(k) if isinstance(k, str) else k for k in key_cols]
-    names = [k if isinstance(k, str) else occ.select(k).columns[0] for k in key_cols]
-    counts = occ.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bucket_cnt"))
-    ok = hot_count_filter(counts, "_bucket_cnt", ceiling, on_hot, context)
-    return occ.join(ok.select(*names), on=names, how="left_semi")
+    for k in key_cols:
+        if not isinstance(k, str):
+            raise TypeError(
+                f"{context}: guard_hot_buckets key_cols must be column "
+                f"names (str), got {type(k).__name__}; materialize computed "
+                "keys with withColumn first"
+            )
+    counts = occ.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bucket_cnt"))
+    ok = hot_count_filter(
+        counts, "_bucket_cnt", ceiling, on_hot, context, param_hint
+    )
+    return occ.join(ok.select(*key_cols), on=key_cols, how="left_semi")

@@ -104,11 +104,20 @@ def transitive_closure(
     )
 
 
-def ancestors_and_descendants(is_a_edges: DataFrame) -> DataFrame:
+def ancestors_and_descendants(
+    is_a_edges: DataFrame, max_pairs: "int | None" = 100_000_000
+) -> DataFrame:
     """Per-node sorted ancestor and descendant arrays from is_a edges
     (reference utils.py:119-134 — there two driver-side BFS passes;
-    here one closure, aggregated both directions)."""
-    closure = transitive_closure(is_a_edges)
+    here one closure, aggregated both directions).
+
+    NOTE: the underlying closure aborts loudly past ``max_pairs``
+    reachability pairs (default 1e8 — ample for any ontology, a
+    deliberate tripwire for graphs that should use
+    ``connected_components`` instead). Callers with legitimately
+    larger closures pass a higher bound or ``None`` explicitly here.
+    """
+    closure = transitive_closure(is_a_edges, max_pairs=max_pairs)
     ancestors = closure.groupBy("node").agg(
         F.sort_array(F.collect_set("dest")).alias("ancestors")
     )
@@ -118,14 +127,19 @@ def ancestors_and_descendants(is_a_edges: DataFrame) -> DataFrame:
     return ancestors.join(descendants, on="node", how="full_outer")
 
 
-def build_biosample_index(nodes: DataFrame, is_a_edges: DataFrame) -> DataFrame:
+def build_biosample_index(
+    nodes: DataFrame,
+    is_a_edges: DataFrame,
+    max_pairs: "int | None" = 100_000_000,
+) -> DataFrame:
     """Assemble the biosample index (reference utils.py:110-142):
     node metadata joined with ancestor/descendant arrays.
 
     ``nodes``: (biosampleId, biosampleName, description);
     ``is_a_edges``: (subject, object) direct is_a pairs.
+    ``max_pairs`` threads through to the closure's output bound.
     """
-    rel = ancestors_and_descendants(is_a_edges).withColumnRenamed(
+    rel = ancestors_and_descendants(is_a_edges, max_pairs=max_pairs).withColumnRenamed(
         "node", "biosampleId"
     )
     return nodes.join(rel, on="biosampleId", how="left")
@@ -210,6 +224,7 @@ def assemble_biosample_index(
     uberon: "tuple[DataFrame, DataFrame]",
     efo: "tuple[DataFrame, DataFrame]",
     cell_root: str = "CL_0000000",
+    max_pairs: "int | None" = 100_000_000,
 ) -> DataFrame:
     """The composed BiosampleIndexStep (reference
     biosample_index.py:9-44): build a per-ontology index (node
@@ -238,7 +253,7 @@ def assemble_biosample_index(
             F.lit(tag).alias("_g"), F.col("subject"), F.col("object")
         )
         tagged = t if tagged is None else tagged.unionByName(t)
-    closure = transitive_closure(tagged, group_cols=("_g",))
+    closure = transitive_closure(tagged, group_cols=("_g",), max_pairs=max_pairs)
     ancestors = closure.groupBy("_g", "node").agg(
         F.sort_array(F.collect_set("dest")).alias("ancestors")
     )

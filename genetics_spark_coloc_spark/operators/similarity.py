@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from genetics_spark_coloc_spark.functions.guards import guard_hot_buckets
 from genetics_spark_coloc_spark.functions.reshape import declared_single_partition
 
 
@@ -704,6 +705,8 @@ def lsh_cosine_candidates_banded(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    hot_bucket_ceiling: "int | None" = 10_000,
+    on_hot_bucket: str = "raise",
 ) -> DataFrame:
     """Multi-band hyperplane LSH candidates — the OR-construction
     (any band agreeing on all its planes ⇒ candidate), mirroring
@@ -714,6 +717,18 @@ def lsh_cosine_candidates_banded(
     bounded on arbitrarily large corpora (raise planes_per_band as
     the corpus grows; each band stays an equi-join). Output one row
     per candidate pair with the first agreeing band.
+
+    BUT the bound is only as good as the embedding spread: 2^8
+    hashes/band on near-collinear vectors funnels the corpus into a
+    handful of buckets and the self-join goes quadratic (BASELINE.md
+    documents the ~300M-pair blow-up this produces on noise). The
+    shared hot-bucket guard (functions/guards.py) makes that loud:
+    any (band, bandHash) bucket over ``hot_bucket_ceiling`` vectors
+    aborts at execution time (``on_hot_bucket="raise"``, default) or
+    is excluded from pairing (``"cap"``). Raise mode is bit-identical
+    to the unguarded plan when nothing is hot; ``None`` disables —
+    the same contract as every other banded generator
+    (operators/dedup.py:117).
 
     The signature (num_bands·planes_per_band sign bits) is computed
     ONCE per row via ``hyperplane_signature_bits``; each band hash is
@@ -745,6 +760,13 @@ def lsh_cosine_candidates_banded(
     )
     bucketed = sig.select("docId", F.explode(bands).alias("bh")).select(
         "docId", F.col("bh.band").alias("band"), F.col("bh.bandHash").alias("bandHash")
+    )
+    bucketed = guard_hot_buckets(
+        bucketed,
+        ["band", "bandHash"],
+        hot_bucket_ceiling,
+        on_hot_bucket,
+        "lsh_cosine_candidates_banded",
     )
     l, r = bucketed.alias("l"), bucketed.alias("r")
     return (
@@ -855,6 +877,8 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    hot_bucket_ceiling: "int | None" = 10_000,
+    on_hot_bucket: str = "raise",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
     learning at web-scale through semantic deduplication"): cluster
@@ -875,6 +899,20 @@ def semantic_dedup(
     is the smallest qualifying keeper id; maxSim is the best
     similarity over ALL qualifying smaller-id pairs (not necessarily
     the similarity to dupOf itself).
+
+    Σ cluster² is only bounded when the clusters are: a degenerate
+    embedding corpus (one dominant mode) funnels everything into one
+    cluster and the within-cluster join silently goes quadratic over
+    the whole corpus. The shared hot-bucket guard (functions/
+    guards.py) bounds that with ``centroidId`` as the bucket key:
+    a cluster over ``hot_bucket_ceiling`` members aborts loudly
+    (``on_hot_bucket="raise"``, default — bit-identical output when
+    nothing is hot) or is excluded from PAIRING only (``"cap"`` —
+    its members still appear in the output, marked non-duplicate).
+    The ceiling therefore also encodes the method's own scale
+    contract: pick ``k`` so expected cluster size stays under it
+    (SemDeDup at web scale runs k in the tens of thousands).
+    ``None`` disables.
     """
     centroids = kmeans_lloyd(
         vectors, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, dim=dim
@@ -885,13 +923,23 @@ def semantic_dedup(
         F.col("embedding").alias(vec_col),
     )
     members = ivf_members(vectors, centroids, id_col=id_col, vec_col=vec_col)
-    left = members.select(
+    # guard the PAIRING input only: in cap mode a hot cluster's
+    # members are excluded from the self-join but still flow through
+    # the final left join below, so every vector stays in the output
+    pairable = guard_hot_buckets(
+        members,
+        ["centroidId"],
+        hot_bucket_ceiling,
+        on_hot_bucket,
+        "semantic_dedup",
+    )
+    left = pairable.select(
         F.col("vid").alias("vecId"),
         F.col("vv").alias("lv"),
         F.col("vnorm").alias("lnorm"),
         "centroidId",
     )
-    right = members.select(
+    right = pairable.select(
         F.col("vid").alias("otherId"),
         F.col("vv").alias("rv"),
         F.col("vnorm").alias("rnorm"),

@@ -350,11 +350,19 @@ def bloom_prune(
     bloom-prune contract. ``tests/test_plan_quality.py`` pins the
     no-Exchange-on-the-fact-side property.
     """
-    b = bloom.select("pos").localCheckpoint(eager=False)
+    # alias the broadcast side: steps.py feeds arbitrary parquet fact
+    # tables, and a fact table that itself has a `pos` column would
+    # make the unqualified join condition ambiguous
+    b = (
+        bloom.select(F.col("pos").alias("__bloom_pos"))
+        .localCheckpoint(eager=False)
+    )
     out = fact
     for i in range(k):
         pos_i = (
             _md5_long(F.concat_ws("|", F.lit(str(i)), key.cast("string"))) % m_bits
         )
-        out = out.join(F.broadcast(b), on=pos_i == F.col("pos"), how="left_semi")
+        out = out.join(
+            F.broadcast(b), on=pos_i == F.col("__bloom_pos"), how="left_semi"
+        )
     return out

@@ -1517,7 +1517,12 @@ def verbatim_match_spans(
         # rides the existing counts aggregate — the shared guard device
         # (functions/guards.py) with zero extra scans or driver actions
         pairable = hot_count_filter(
-            pairable, "_cnt", hot_gram_ceiling, on_hot_gram, "verbatim_match_spans"
+            pairable,
+            "_cnt",
+            hot_gram_ceiling,
+            on_hot_gram,
+            "verbatim_match_spans",
+            param_hint="on_hot_gram",
         )
     occ = wins.join(pairable.select("gram"), on="gram", how="inner")
     left = occ.select(
