@@ -96,11 +96,43 @@ def main() -> None:
             best = t if best is None else min(best, t)
         return name, best if best is not None else err
 
+    # prior committed per-query latencies (this file is rewritten at
+    # the end of every run, so what's on disk now is last round's) —
+    # the regression-tripwire baseline
+    artifact = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    prior_queries: dict = {}
+    try:
+        with open(artifact) as fh:
+            prior = json.load(fh)
+        if prior.get("sf") == sf:
+            prior_queries = {
+                k: v
+                for k, v in prior.get("queries", {}).items()
+                if isinstance(v, (int, float))
+            }
+    except (OSError, ValueError):
+        pass
+
     # power pass: clean single-stream per-query latencies
     timings = dict(map(run_best, QUERIES.items()))
     errors = {k: v for k, v in timings.items() if isinstance(v, dict)}
     ok = {k: v for k, v in timings.items() if not isinstance(v, dict)}
     sequential_sum = round(sum(ok.values()), 3)
+
+    # regression tripwire: queries >1.5x slower than the prior
+    # committed run AND over 1 s now (sub-second entries swing with
+    # host contention; BASELINE.md documents the ±35% band, so the
+    # tripwire only names changes big enough to be real)
+    regressions = {
+        k: {"prior_sec": prior_queries[k], "now_sec": v}
+        for k, v in ok.items()
+        if k in prior_queries
+        and v > 1.0
+        and prior_queries[k] > 0
+        and v > 1.5 * prior_queries[k]
+    }
 
     result = {
         "metric": "contract_query_suite_wall_sec",
@@ -113,6 +145,7 @@ def main() -> None:
         "repeats": repeats,
         "n_ok": len(ok),
         "n_err": len(errors),
+        "regressions_over_1p5x": regressions,
     }
 
     if streams > 1:
@@ -152,9 +185,6 @@ def main() -> None:
     # is a COMPACT summary (~250 bytes) so a tail-capped consumer
     # (the driver keeps only the tail of stdout, and the full line for
     # a 165-query suite exceeds it) can always json-parse the result.
-    artifact = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
     try:
         with open(artifact, "w") as fh:
             json.dump(result, fh)
@@ -178,6 +208,9 @@ def main() -> None:
     }
     if "throughput_wall_sec" in result:
         compact["throughput_wall_sec"] = result["throughput_wall_sec"]
+    # name the regressed queries in the tail-safe summary line too —
+    # the count alone would force BENCH_FULL.json archaeology
+    compact["regressions_over_1p5x"] = sorted(regressions)
     compact["full_results"] = "BENCH_FULL.json"
     print(json.dumps(compact))
     spark.stop()

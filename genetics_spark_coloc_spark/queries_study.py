@@ -1348,13 +1348,23 @@ flagged AS (
   SELECT *, COUNT(*) OVER (PARTITION BY studyId, variantId) > 1 AS ambiguous
   FROM upd
 ),
+-- TOTAL window order (position, pValueMantissa): the planted
+-- ambiguous pair DUPLICATES a position, and with ORDER BY position
+-- alone the LAG sort and the running-MAX sort may break the tie
+-- differently (DuckDB's threaded window execution did exactly that,
+-- intermittently splitting the pair across clusters and flipping one
+-- WINDOW_CLUMPED flag); cluster_start itself depends only on position
+-- VALUES, so the tie-break changes nothing semantically
 clustered AS (
   SELECT *,
          MAX(CASE WHEN gap IS NULL OR gap > 5000 THEN position END)
-           OVER (PARTITION BY studyId, chromosome ORDER BY position
+           OVER (PARTITION BY studyId, chromosome
+                 ORDER BY position, pValueMantissa
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cluster_start
   FROM (
-    SELECT *, position - LAG(position) OVER (PARTITION BY studyId, chromosome ORDER BY position) AS gap
+    SELECT *, position - LAG(position) OVER (
+             PARTITION BY studyId, chromosome
+             ORDER BY position, pValueMantissa) AS gap
     FROM flagged
   )
 ),

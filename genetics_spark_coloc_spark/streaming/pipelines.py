@@ -280,15 +280,28 @@ def bucket_pair_stream(
     banded: DataFrame,
     max_bucket_size: int = 256,
     state_timeout_ms: int | None = None,
+    on_hot_bucket: str = "raise",
 ) -> DataFrame:
     """Shared stateful core of streaming LSH dedup: given stateless
     (docId, bandIdx, bandHash) rows from ANY banded signature family
     (MinHash text bands, hyperplane embedding bands), keep per-bucket
     membership as state and emit new-vs-seen pairs per micro-batch.
     See ``streaming_near_dup_pairs`` for semantics and state bounds.
+
+    ``on_hot_bucket`` aligns the stream with the batch guard contract
+    (functions/guards.py): a bucket past ``max_bucket_size`` members
+    FAILS the query loudly with the bucket key and size in the
+    message (``"raise"``, default — the same degenerate corpus that
+    aborts the batch generators must not silently degrade here), or
+    stops pairing AND admission for that bucket (``"cap"`` — the
+    pre-round-9 behavior; membership stays stable across replays).
+    Below the cap both modes are identical.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    from genetics_spark_coloc_spark.functions.guards import validate_on_hot
+
+    validate_on_hot(on_hot_bucket, "bucket_pair_stream")
     out_schema = "leftId string, rightId string, bandIdx int"
     state_schema = "ids array<string>"
 
@@ -310,6 +323,16 @@ def bucket_pair_stream(
                 if d not in seen and d not in fresh:
                     fresh.append(d)
         fresh.sort()
+        if on_hot_bucket == "raise" and len(seen) + len(fresh) > max_bucket_size:
+            raise RuntimeError(
+                f"bucket_pair_stream hot-bucket guard: bucket {tuple(key)} "
+                f"would hold {len(seen) + len(fresh)} docs "
+                f"(> max_bucket_size {max_bucket_size}); a bucket this hot "
+                "means a degenerate band hash and quadratic pair fan-out. "
+                "Pass on_hot_bucket='cap' to freeze the bucket instead "
+                "(strip_boilerplate upstream is the documented pipeline "
+                "order), or raise max_bucket_size."
+            )
         lefts, rights = [], []
         # admission-ordered membership: docs are appended while the
         # bucket is under cap and NEVER evicted — a capped bucket
@@ -626,3 +649,48 @@ def streaming_curation_route(
         (total_pii == 0).alias("passPii"),
         (pass_quality & pass_rep & (total_pii == 0)).alias("kept"),
     )
+
+
+def streaming_cms_sketch(
+    docs: DataFrame,
+    tokens,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch maintained over a document STREAM: each
+    micro-batch's token counts fold into the (row, bucket) register
+    state — the streaming-aggregation state IS the sketch, so the
+    state store holds at most depth × width rows forever, with no
+    watermark needed (the sketch is a monotone running summary by
+    design, never evicted).
+
+    Deliberately the SAME hashing/bucketing expressions as the batch
+    ``operators.sketches.cms_sketch`` — the CMS merge law (counts add)
+    is exactly what Spark's incremental streaming aggregation computes,
+    so replaying a corpus through this stream reproduces the batch
+    sketch bit for bit (certified in tests). Emit with
+    ``outputMode("update")`` (changed registers per trigger) or
+    ``"complete"`` (the whole ≤ depth × width register table).
+    """
+    from genetics_spark_coloc_spark.operators.sketches import cms_sketch
+
+    return cms_sketch(docs, tokens, depth=depth, width=width)
+
+
+def streaming_hll_registers(
+    docs: DataFrame,
+    tokens,
+    group_cols: "list[str]",
+    b: int = 10,
+) -> DataFrame:
+    """HyperLogLog registers maintained over a STREAM: per-register
+    max-rho state, ≤ |groups| × 2^b state rows regardless of stream
+    length. The HLL merge law (register-wise max) is what streaming
+    ``max`` aggregation computes incrementally, so the stream state
+    always equals the batch sketch of everything seen — replay parity
+    is certified in tests. Estimates read back through the batch
+    ``hll_estimate`` on any emitted register snapshot.
+    """
+    from genetics_spark_coloc_spark.operators.sketches import hll_registers
+
+    return hll_registers(docs, tokens, group_cols, b=b)

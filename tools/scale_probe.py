@@ -919,3 +919,146 @@ def round7_probes(
         flush=True,
     )
     spark.stop()
+
+
+def sketch_probes(n_docs: int = 2_000_000, n_fact: int = 20_000_000) -> None:
+    """Round-9 probes: the sketch family (CMS / HLL / grid-quantile)
+    at ~20M tokens and bloom_prune at 20M fact rows — the last
+    operator families with oracles but no measured 100×-volume row.
+
+    Each sketch probe also VERIFIES the bounded-output claim (the
+    aggregate's output rows never exceed the sketch size, regardless
+    of corpus size) and prints it alongside the timing.
+    Run via: python -c "import tools.scale_probe as sp; sp.sketch_probes()"
+    """
+    spark = get_session(
+        app_name="scale_probe_sketch",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.operators.sketches import (
+        bloom_build,
+        bloom_prune,
+        cms_sketch,
+        grid_quantile_sketch,
+        hll_registers,
+    )
+
+    n_tokens = n_docs * 10
+    # 10 tokens/doc: one zipf-ish hot token from a 5-word set plus 9
+    # from a ~500k vocab — heavy hitters present, cardinality high
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("hot"), F.pmod(F.hash("id"), F.lit(5)).cast("string")
+        ).alias("_t0"),
+        F.array(
+            *[
+                F.concat(
+                    F.lit("t"),
+                    F.pmod(F.hash(F.col("id"), F.lit(i)), F.lit(500_000)).cast(
+                        "string"
+                    ),
+                )
+                for i in range(9)
+            ]
+        ).alias("_rest"),
+    ).select(
+        "doc_id",
+        F.concat(F.array("_t0"), F.col("_rest")).alias("tokens"),
+        F.pmod(F.hash("doc_id"), F.lit(4)).cast("string").alias("lang"),
+    )
+
+    depth, width = 4, 1024
+    cms = cms_sketch(docs, F.col("tokens"), depth=depth, width=width)
+    probe(f"cms_sketch_{n_tokens // 1_000_000}m_tokens", n_tokens, lambda: cms)
+    out_rows = cms.count()
+    print(
+        json.dumps(
+            {
+                "probe": "cms_bounded_output",
+                "sketch_rows": out_rows,
+                "bound": depth * width,
+                "holds": out_rows <= depth * width,
+            }
+        ),
+        flush=True,
+    )
+
+    b = 10
+    hll = hll_registers(docs, F.col("tokens"), ["lang"], b=b)
+    probe(f"hll_registers_{n_tokens // 1_000_000}m_tokens", n_tokens, lambda: hll)
+    out_rows = hll.count()
+    print(
+        json.dumps(
+            {
+                "probe": "hll_bounded_output",
+                "sketch_rows": out_rows,
+                "bound": 4 * (1 << b),
+                "holds": out_rows <= 4 * (1 << b),
+            }
+        ),
+        flush=True,
+    )
+
+    n_bins = 1024
+    vals = spark.range(n_fact).select(
+        (F.pmod(F.hash("id"), F.lit(1_000_000)) / 1000.0).alias("v"),
+        F.pmod(F.hash("id", "id"), F.lit(4)).cast("string").alias("g"),
+    )
+    gq = grid_quantile_sketch(vals, F.col("v"), ["g"], lo=0.0, hi=1000.0, n_bins=n_bins)
+    probe(f"grid_quantile_{n_fact // 1_000_000}m_values", n_fact, lambda: gq)
+    out_rows = gq.count()
+    print(
+        json.dumps(
+            {
+                "probe": "grid_quantile_bounded_output",
+                "sketch_rows": out_rows,
+                "bound": 4 * n_bins,
+                "holds": out_rows <= 4 * n_bins,
+            }
+        ),
+        flush=True,
+    )
+
+    # bloom_prune: 10k-key selective dimension vs 20M-row fact table
+    # where only ~0.05% of fact rows carry a dimension key. Compare
+    # the pruned aggregate against the same aggregate unpruned — the
+    # payoff claim is "prune a petabyte scan down to the selective
+    # keyspace without shuffling the fact side".
+    m_bits, k = 1 << 20, 3
+    dim_keys = spark.range(10_000).select(
+        (F.col("id") * 2003).cast("long").alias("key")
+    )
+    bloom = bloom_build(dim_keys, F.col("key"), m_bits=m_bits, k=k).localCheckpoint()
+    fact = spark.range(n_fact).select(
+        F.pmod(F.hash("id"), F.lit(40_000_000)).cast("long").alias("key"),
+        (F.col("id") % 1000).cast("double").alias("amount"),
+    )
+    probe(
+        f"bloom_prune_{n_fact // 1_000_000}m_fact_rows",
+        n_fact,
+        lambda: bloom_prune(bloom, fact, F.col("key"), m_bits=m_bits, k=k)
+        .groupBy("key")
+        .agg(F.sum("amount").alias("s")),
+    )
+    probe(
+        f"unpruned_agg_{n_fact // 1_000_000}m_fact_rows",
+        n_fact,
+        lambda: fact.groupBy("key").agg(F.sum("amount").alias("s")),
+    )
+    pruned_rows = bloom_prune(bloom, fact, F.col("key"), m_bits=m_bits, k=k).count()
+    print(
+        json.dumps(
+            {
+                "probe": "bloom_prune_selectivity",
+                "fact_rows": n_fact,
+                "surviving_rows": pruned_rows,
+                "survive_pct": round(100.0 * pruned_rows / n_fact, 3),
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
