@@ -446,6 +446,8 @@ def incremental_lsh_candidates(
     id_col: str = "doc_id",
     num_perm: int = 8,
     band_size: int = 2,
+    hot_bucket_ceiling: "int | None" = 10_000,
+    on_hot_bucket: str = "raise",
 ) -> DataFrame:
     """Near-dup candidates of a NEW batch against an EXISTING corpus:
     band the delta, join it against the INDEX's persisted band table
@@ -455,12 +457,32 @@ def incremental_lsh_candidates(
     delta joins into it shuffle-free; here it is derived inline from
     ``index`` for a self-contained oracle.
 
+    The per-bucket fan-out is |delta bucket| × |index bucket|: a
+    boilerplate family hot on BOTH sides is the same quadratic hazard
+    as the self-join generators, so the shared hot-bucket guard
+    (functions/guards.py) applies to EACH side independently —
+    ``raise`` (default) aborts loudly on any bucket over
+    ``hot_bucket_ceiling`` occurrences (bit-identical output when
+    nothing is hot), ``cap`` excludes hot buckets, ``None`` disables.
+
     Emits distinct (deltaId, indexId) candidate pairs; feed them to
     ngram_jaccard for exact verification, exactly like the batch
     pipeline.
     """
-    dbands = _band_hashes(delta, text_col, id_col, num_perm, band_size)
-    ibands = _band_hashes(index, text_col, id_col, num_perm, band_size)
+    dbands = guard_hot_buckets(
+        _band_hashes(delta, text_col, id_col, num_perm, band_size),
+        ["bandIdx", "bandHash"],
+        hot_bucket_ceiling,
+        on_hot_bucket,
+        "incremental_lsh_candidates(delta)",
+    )
+    ibands = guard_hot_buckets(
+        _band_hashes(index, text_col, id_col, num_perm, band_size),
+        ["bandIdx", "bandHash"],
+        hot_bucket_ceiling,
+        on_hot_bucket,
+        "incremental_lsh_candidates(index)",
+    )
     return (
         dbands.alias("d")
         .join(

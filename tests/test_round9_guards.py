@@ -286,3 +286,29 @@ class TestStreamingHotBucketGuard:
         stream = self._banded_source(spark, tmp_path, n_hot=2)
         with pytest.raises(ValueError, match="on_hot_bucket"):
             bucket_pair_stream(stream, on_hot_bucket="warn")
+
+
+# --------------------------------- incremental (delta-vs-index) dedup
+def test_incremental_lsh_guard_raises_and_identity(spark):
+    """delta x index per bucket is |d|x|i| — the same quadratic class;
+    both sides carry the guard independently."""
+    from genetics_spark_coloc_spark.operators.dedup import (
+        incremental_lsh_candidates,
+    )
+
+    boiler = "shared boilerplate prefix common to every page of this site"
+    index = spark.range(30).select(
+        F.col("id").alias("doc_id"), F.lit(boiler).alias("text")
+    )
+    delta = spark.range(3).select(
+        (F.col("id") + 1000).alias("doc_id"), F.lit(boiler).alias("text")
+    )
+    hot = incremental_lsh_candidates(delta, index, hot_bucket_ceiling=10)
+    with pytest.raises(Exception, match="incremental_lsh_candidates"):
+        hot.count()
+    # under the ceiling: identical to unguarded — every delta doc
+    # candidates against every index doc
+    ok = incremental_lsh_candidates(delta, index, hot_bucket_ceiling=100)
+    ref = incremental_lsh_candidates(delta, index, hot_bucket_ceiling=None)
+    assert sorted(map(tuple, ok.collect())) == sorted(map(tuple, ref.collect()))
+    assert ok.count() == 3 * 30
