@@ -40,6 +40,25 @@ from genetics_spark_coloc_spark.contract import QUERIES
 from genetics_spark_coloc_spark.session import get_session
 
 
+def find_regressions(
+    prior: "dict[str, float]",
+    current: "dict[str, float]",
+    ratio: float = 1.5,
+    min_sec: float = 1.0,
+) -> "dict[str, dict]":
+    """Per-query regression tripwire: entries of ``current`` that are
+    more than ``ratio``× slower than ``prior`` AND over ``min_sec``
+    now. Sub-second latencies swing with host contention (BASELINE.md
+    documents a ±35% band), so the floor keeps the tripwire naming
+    only changes big enough to be real.
+    """
+    return {
+        k: {"prior_sec": prior[k], "now_sec": v}
+        for k, v in current.items()
+        if k in prior and v > min_sec and prior[k] > 0 and v > ratio * prior[k]
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -121,18 +140,7 @@ def main() -> None:
     ok = {k: v for k, v in timings.items() if not isinstance(v, dict)}
     sequential_sum = round(sum(ok.values()), 3)
 
-    # regression tripwire: queries >1.5x slower than the prior
-    # committed run AND over 1 s now (sub-second entries swing with
-    # host contention; BASELINE.md documents the ±35% band, so the
-    # tripwire only names changes big enough to be real)
-    regressions = {
-        k: {"prior_sec": prior_queries[k], "now_sec": v}
-        for k, v in ok.items()
-        if k in prior_queries
-        and v > 1.0
-        and prior_queries[k] > 0
-        and v > 1.5 * prior_queries[k]
-    }
+    regressions = find_regressions(prior_queries, ok)
 
     result = {
         "metric": "contract_query_suite_wall_sec",

@@ -312,3 +312,16 @@ def test_incremental_lsh_guard_raises_and_identity(spark):
     ref = incremental_lsh_candidates(delta, index, hot_bucket_ceiling=None)
     assert sorted(map(tuple, ok.collect())) == sorted(map(tuple, ref.collect()))
     assert ok.count() == 3 * 30
+
+
+# ------------------------------------------- bench regression tripwire
+def test_bench_find_regressions():
+    import bench
+
+    prior = {"a": 1.0, "b": 2.0, "c": 0.2, "d": 4.0}
+    current = {"a": 1.6, "b": 2.2, "c": 0.9, "d": 8.0, "new": 9.0}
+    got = bench.find_regressions(prior, current)
+    # a: 1.6x and >1s -> flagged; b: 1.1x -> no; c: 4.5x but sub-second
+    # floor -> no; d: 2x -> flagged; new: no prior -> no
+    assert set(got) == {"a", "d"}
+    assert got["d"] == {"prior_sec": 4.0, "now_sec": 8.0}
