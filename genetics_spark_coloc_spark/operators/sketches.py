@@ -366,3 +366,118 @@ def bloom_prune(
             F.broadcast(b), on=pos_i == F.col("__bloom_pos"), how="left_semi"
         )
     return out
+
+
+def kmv_sketch(
+    df: DataFrame,
+    keys: Column,
+    group_cols: "list[str]",
+    k: int = 256,
+) -> DataFrame:
+    """K-minimum-values sketch per group (Beyer et al. 2007, "On
+    synopses for distinct value estimation under multiset
+    operations"): the ``k`` SMALLEST distinct portable hashes of the
+    exploded ``keys``. The piece HLL cannot give you: KMV sketches
+    support set OPERATIONS — union, and crucially INTERSECTION — so
+    two corpora's sketches estimate their token/n-gram overlap without
+    touching raw data (train/test contamination measurement at 100 TB
+    is exactly this shape).
+
+    Deterministic and engine-portable like the CMS/HLL siblings
+    (60-bit md5 hashes, integer arithmetic). Scale shape: one
+    map-side-combined distinct on (group, hash), then a per-group
+    sort-rank that keeps k rows — the distinct is the only full
+    shuffle and the sort spills; output is ≤ |groups| × k rows, and
+    sketches MERGE by union + re-rank (take the k smallest of the
+    pooled values), so per-shard sketches roll up relationally.
+
+    Emits (group…, rank, hashValue), rank 1..k ascending by hash.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    hashed = (
+        df.select(*group_cols, F.explode(keys).alias("_key"))
+        .select(*group_cols, _md5_long(F.col("_key")).alias("hashValue"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("hashValue")
+    return (
+        hashed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*group_cols, "rank", "hashValue")
+    )
+
+
+def kmv_distinct_estimate(
+    sketch: DataFrame,
+    group_cols: "list[str]",
+    k: int = 256,
+) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: (k−1) · 2^60 /
+    h_(k) when the group filled all k slots, EXACT row count when it
+    did not (fewer than k distinct values means the sketch IS the
+    distinct set). Pure aggregation over ≤ k rows per group; 4dp
+    rounding for engine parity. Emits (group…, estDistinct).
+    """
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max(F.when(F.col("rank") == k, F.col("hashValue"))).alias("_kth"),
+    )
+    est = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+        F.lit(float((k - 1) * (1 << _HASH_BITS))) / F.col("_kth").cast("double")
+    )
+    return agg.select(*group_cols, F.round(est, 4).alias("estDistinct"))
+
+
+def kmv_overlap_estimate(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    k: int = 256,
+) -> DataFrame:
+    """Union / intersection / Jaccard estimates from TWO KMV sketches
+    (each a (rank, hashValue) table from :func:`kmv_sketch`): pool
+    both value sets, keep the K = min(k, |pool|) smallest, and count
+    how many of those appear in BOTH sketches (Beyer et al. 2007 §4):
+
+        estUnion        = (K−1) · 2^60 / pool_(K)   (exact when |pool| < k)
+        estJaccard      = |K-smallest ∩ both| / K
+        estIntersection = estJaccard · estUnion
+
+    The pool is ≤ 2k rows — the ranking window is a declared single
+    partition (operators/similarity.py precedent for bounded inputs),
+    and the whole estimate runs without touching either corpus.
+    Emits one row (nPool, estUnion, estIntersection, estJaccard).
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    from genetics_spark_coloc_spark.functions.reshape import (
+        declared_single_partition,
+    )
+
+    a = sketch_a.select("hashValue", F.lit(1).alias("_inA"), F.lit(0).alias("_inB"))
+    b = sketch_b.select("hashValue", F.lit(0).alias("_inA"), F.lit(1).alias("_inB"))
+    pool = (
+        a.unionByName(b)
+        .groupBy("hashValue")
+        .agg(F.max("_inA").alias("_inA"), F.max("_inB").alias("_inB"))
+    )
+    w = Window.partitionBy(declared_single_partition(F.col("hashValue"))).orderBy(
+        "hashValue"
+    )
+    ranked = pool.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
+    agg = ranked.groupBy().agg(
+        F.count(F.lit(1)).alias("nPool"),
+        F.max("hashValue").alias("_kth"),
+        F.sum(F.col("_inA") * F.col("_inB")).alias("_both"),
+    )
+    exact = F.col("nPool") < k
+    est_union = F.when(exact, F.col("nPool").cast("double")).otherwise(
+        F.lit(float((k - 1) * (1 << _HASH_BITS))) / F.col("_kth").cast("double")
+    )
+    jac = F.col("_both").cast("double") / F.col("nPool").cast("double")
+    return agg.select(
+        F.col("nPool").cast("long").alias("nPool"),
+        F.round(est_union, 4).alias("estUnion"),
+        F.round(jac * est_union, 4).alias("estIntersection"),
+        F.round(jac, 6).alias("estJaccard"),
+    )

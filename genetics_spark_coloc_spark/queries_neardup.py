@@ -3136,3 +3136,99 @@ NEARDUP_QUERIES["cms_heavy_hitters"] = q_cms_heavy_hitters
 NEARDUP_ORACLES["cms_heavy_hitters"] = SQL_CMS_HEAVY_HITTERS
 NEARDUP_QUERIES["hll_distinct_tokens"] = q_hll_distinct_tokens
 NEARDUP_ORACLES["hll_distinct_tokens"] = SQL_HLL_DISTINCT_TOKENS
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV cross-corpus overlap (operators/sketches.py kmv_*): split
+    the documents into two corpora by doc parity, sketch each corpus's
+    token SET with the 128 smallest portable hashes, and estimate
+    union / intersection / Jaccard from the sketches alone — the
+    train-vs-test contamination measurement a 100 TB pipeline runs
+    without re-scanning either corpus. True set sizes emitted
+    alongside so the estimation error is visible in the result."""
+    from genetics_spark_coloc_spark.operators.sketches import (
+        kmv_overlap_estimate,
+        kmv_sketch,
+    )
+    from genetics_spark_coloc_spark.operators.text import tokens
+
+    k = 128
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "corpus", (F.col("doc_id") % 2).cast("int")
+    )
+    toks = tokens(F.lower(F.col("text")))
+    sk = kmv_sketch(docs, toks, ["corpus"], k=k)
+    est = kmv_overlap_estimate(
+        sk.filter(F.col("corpus") == 0).select("rank", "hashValue"),
+        sk.filter(F.col("corpus") == 1).select("rank", "hashValue"),
+        k=k,
+    )
+    membership = (
+        docs.select("corpus", F.explode(toks).alias("token"))
+        .distinct()
+        .groupBy("token")
+        .agg(F.count_distinct("corpus").alias("_n"))
+    )
+    truth = membership.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("trueUnion"),
+        F.count_if(F.col("_n") == 2).cast("long").alias("trueIntersection"),
+    )
+    return est.crossJoin(truth)
+
+
+SQL_KMV_OVERLAP = r"""
+WITH toks AS (
+  SELECT CAST(doc_id % 2 AS INT) AS corpus,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+  FROM documents
+),
+occ AS (SELECT DISTINCT corpus, UNNEST(t) AS token FROM toks),
+hashed AS (
+  SELECT DISTINCT corpus,
+         ('0x' || substr(md5(token), 1, 15))::UBIGINT AS h
+  FROM occ
+),
+ranked AS (
+  SELECT corpus, h,
+         ROW_NUMBER() OVER (PARTITION BY corpus ORDER BY h) AS r
+  FROM hashed
+),
+sk AS (SELECT corpus, h FROM ranked WHERE r <= 128),
+pool AS (
+  SELECT h,
+         MAX(CASE WHEN corpus = 0 THEN 1 ELSE 0 END) AS inA,
+         MAX(CASE WHEN corpus = 1 THEN 1 ELSE 0 END) AS inB
+  FROM sk GROUP BY h
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY h) AS r FROM pool
+  ) WHERE r <= 128
+),
+agg AS (
+  SELECT COUNT(*) AS nPool, MAX(h) AS kth, SUM(inA * inB) AS nBoth
+  FROM kept
+),
+est AS (
+  SELECT CAST(nPool AS BIGINT) AS nPool,
+         CASE WHEN nPool < 128 THEN CAST(nPool AS DOUBLE)
+              ELSE 127.0 * POWER(2.0, 60) / CAST(kth AS DOUBLE) END AS u,
+         CAST(nBoth AS DOUBLE) / CAST(nPool AS DOUBLE) AS jac
+  FROM agg
+),
+truth AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS trueUnion,
+         CAST(COUNT(*) FILTER (WHERE nc = 2) AS BIGINT) AS trueIntersection
+  FROM (SELECT token, COUNT(DISTINCT corpus) AS nc FROM occ GROUP BY token)
+)
+SELECT e.nPool,
+       ROUND(e.u, 4) AS estUnion,
+       ROUND(e.jac * e.u, 4) AS estIntersection,
+       ROUND(e.jac, 6) AS estJaccard,
+       t.trueUnion, t.trueIntersection
+FROM est e CROSS JOIN truth t
+"""
+
+NEARDUP_QUERIES["kmv_overlap"] = q_kmv_overlap
+NEARDUP_ORACLES["kmv_overlap"] = SQL_KMV_OVERLAP

@@ -119,3 +119,94 @@ def test_streaming_hll_matches_batch_registers(spark, tmp_path):
     }
     for lang, n in truth.items():
         assert abs(est[lang] - n) / n < 0.35, (lang, est[lang], n)
+
+
+# ---------------------------------------------------------- KMV sketch
+class TestKMV:
+    """KMV laws: exact below k, bounded-error estimation above k,
+    union-merge, and intersection estimation — the set-operation
+    capability HLL lacks (Beyer et al. 2007)."""
+
+    def _sets(self, spark, n, salt=""):
+        return spark.range(n).select(
+            F.lit("g").alias("g"),
+            F.array(F.concat(F.lit(f"k{salt}"), F.col("id").cast("string"))).alias(
+                "keys"
+            ),
+        )
+
+    def test_exact_when_under_k(self, spark):
+        from genetics_spark_coloc_spark.operators.sketches import (
+            kmv_distinct_estimate,
+            kmv_sketch,
+        )
+
+        df = self._sets(spark, 40)
+        sk = kmv_sketch(df, F.col("keys"), ["g"], k=256)
+        assert sk.count() == 40  # sketch IS the distinct set
+        est = kmv_distinct_estimate(sk, ["g"], k=256).collect()[0]
+        assert est.estDistinct == 40.0
+
+    def test_estimate_within_bound(self, spark):
+        from genetics_spark_coloc_spark.operators.sketches import (
+            kmv_distinct_estimate,
+            kmv_sketch,
+        )
+
+        n, k = 20_000, 256
+        sk = kmv_sketch(self._sets(spark, n), F.col("keys"), ["g"], k=k)
+        assert sk.count() == k
+        est = kmv_distinct_estimate(sk, ["g"], k=k).collect()[0].estDistinct
+        # standard error ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+        assert abs(est - n) / n < 0.25, est
+
+    def test_merge_law(self, spark):
+        """Union of two sketches re-ranked to k smallest == sketch of
+        the union corpus."""
+        from pyspark.sql.window import Window
+
+        from genetics_spark_coloc_spark.operators.sketches import kmv_sketch
+
+        k = 64
+        a = self._sets(spark, 500)
+        b = self._sets(spark, 500, salt="x")
+        both = a.unionByName(b)
+        direct = {
+            r.hashValue
+            for r in kmv_sketch(both, F.col("keys"), ["g"], k=k).collect()
+        }
+        ska = kmv_sketch(a, F.col("keys"), ["g"], k=k)
+        skb = kmv_sketch(b, F.col("keys"), ["g"], k=k)
+        pooled = ska.unionByName(skb).select("g", "hashValue").distinct()
+        w = Window.partitionBy("g").orderBy("hashValue")
+        merged = {
+            r.hashValue
+            for r in pooled.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= k)
+            .collect()
+        }
+        assert merged == direct
+
+    def test_overlap_estimate_tracks_truth(self, spark):
+        from genetics_spark_coloc_spark.operators.sketches import (
+            kmv_overlap_estimate,
+            kmv_sketch,
+        )
+
+        # A = 0..4999, B = 2500..7499 -> union 7500, inter 2500,
+        # jaccard 1/3
+        k = 256
+        a_df = spark.range(5000).select(
+            F.lit("g").alias("g"),
+            F.array(F.concat(F.lit("k"), F.col("id").cast("string"))).alias("keys"),
+        )
+        b_df = spark.range(2500, 7500).select(
+            F.lit("g").alias("g"),
+            F.array(F.concat(F.lit("k"), F.col("id").cast("string"))).alias("keys"),
+        )
+        ska = kmv_sketch(a_df, F.col("keys"), ["g"], k=k)
+        skb = kmv_sketch(b_df, F.col("keys"), ["g"], k=k)
+        got = kmv_overlap_estimate(ska, skb, k=k).collect()[0]
+        assert abs(got.estUnion - 7500) / 7500 < 0.25
+        assert abs(got.estJaccard - 1 / 3) < 0.12
+        assert abs(got.estIntersection - 2500) / 2500 < 0.35
