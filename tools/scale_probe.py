@@ -944,6 +944,7 @@ def sketch_probes(n_docs: int = 2_000_000, n_fact: int = 20_000_000) -> None:
         cms_sketch,
         grid_quantile_sketch,
         hll_registers,
+        kmv_sketch,
     )
 
     n_tokens = n_docs * 10
@@ -1018,6 +1019,23 @@ def sketch_probes(n_docs: int = 2_000_000, n_fact: int = 20_000_000) -> None:
                 "sketch_rows": out_rows,
                 "bound": 4 * n_bins,
                 "holds": out_rows <= 4 * n_bins,
+            }
+        ),
+        flush=True,
+    )
+
+    # KMV: the sort-rank path — the distinct is the only full
+    # shuffle; the per-group top-k sort spills rather than OOMs
+    kmv = kmv_sketch(docs, F.col("tokens"), ["lang"], k=256)
+    probe(f"kmv_sketch_{n_tokens // 1_000_000}m_tokens", n_tokens, lambda: kmv)
+    out_rows = kmv.count()
+    print(
+        json.dumps(
+            {
+                "probe": "kmv_bounded_output",
+                "sketch_rows": out_rows,
+                "bound": 4 * 256,
+                "holds": out_rows <= 4 * 256,
             }
         ),
         flush=True,
