@@ -694,3 +694,79 @@ def streaming_hll_registers(
     from genetics_spark_coloc_spark.operators.sketches import hll_registers
 
     return hll_registers(docs, tokens, group_cols, b=b)
+
+
+def streaming_kmv_sketch(
+    docs: DataFrame,
+    tokens,
+    group_col: str = "lang",
+    k: int = 256,
+) -> DataFrame:
+    """KMV sketch maintained over a STREAM: per group, the k smallest
+    distinct portable hashes seen so far. Unlike CMS/HLL (whose merge
+    laws are plain streaming aggregations), the k-min set needs a
+    rank-and-truncate step no built-in streaming aggregate expresses,
+    so the state rides ``applyInPandasWithState``: a sorted ≤ k-long
+    array per group, merged with each micro-batch's new hashes — the
+    textbook KMV insertion, state O(groups × k) forever, no watermark.
+
+    Hashing is the batch operator's own 60-bit portable scheme
+    (``operators.sketches._md5_long`` expressions), so replaying a
+    corpus reproduces the batch ``kmv_sketch`` value for value
+    (certified in tests). Each trigger emits the group's FULL current
+    sketch under an incrementing ``version`` — downstream consumers
+    (and the parity test) keep the max version per group; feed that
+    snapshot to the batch ``kmv_distinct_estimate`` /
+    ``kmv_overlap_estimate`` readers unchanged.
+
+    ``group_col`` must be a string column (the streaming surface's
+    usual key restriction — cast upstream).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from genetics_spark_coloc_spark.operators.sketches import _md5_long
+
+    hashed = docs.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.explode(tokens).alias("_tok"),
+    ).select("g", _md5_long(F.col("_tok")).alias("hashValue"))
+    out_schema = "g string, version long, rank int, hashValue long"
+    state_schema = "vals array<long>, version long"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        vals, version = (
+            (list(state.get[0]), int(state.get[1])) if state.exists else ([], 0)
+        )
+        seen = set(vals)
+        for pdf in pdfs:
+            seen.update(int(h) for h in pdf["hashValue"])
+        new_vals = sorted(seen)[:k]
+        if new_vals == vals:
+            # every new hash was above the current k-th smallest — the
+            # sketch is unchanged, emit nothing (KMV's k-th bound only
+            # decreases, so truncated values can never re-enter)
+            return
+        vals = new_vals
+        version += 1
+        state.update((vals, version))
+        yield pd.DataFrame(
+            {
+                "g": key[0],
+                "version": version,
+                "rank": range(1, len(vals) + 1),
+                "hashValue": vals,
+            }
+        )
+
+    return hashed.groupBy("g").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

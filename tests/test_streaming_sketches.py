@@ -210,3 +210,51 @@ class TestKMV:
         assert abs(got.estUnion - 7500) / 7500 < 0.25
         assert abs(got.estJaccard - 1 / 3) < 0.12
         assert abs(got.estIntersection - 2500) / 2500 < 0.35
+
+
+def test_streaming_kmv_matches_batch_sketch(spark, tmp_path):
+    """Replaying the corpus through the stateful streaming KMV (3
+    micro-batches) reproduces the batch sketch value for value; the
+    max-version emission per group is the live snapshot."""
+    from genetics_spark_coloc_spark.operators.sketches import kmv_sketch
+    from genetics_spark_coloc_spark.streaming.pipelines import (
+        streaming_kmv_sketch,
+    )
+
+    k = 32
+    batch = {
+        (r.lang, r.rank): r.hashValue
+        for r in kmv_sketch(_docs(spark), F.col("tokens"), ["lang"], k=k).collect()
+    }
+    src = str(tmp_path / "kmv_src")
+    _docs(spark).repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(_docs(spark).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_kmv_sketch(stream, F.col("tokens"), "lang", k=k)
+        .writeStream.format("memory")
+        .queryName("kmv_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    rows = spark.sql("select * from kmv_stream").collect()
+    latest_version: dict = {}
+    for r in rows:
+        latest_version[r.g] = max(latest_version.get(r.g, 0), r.version)
+    stream_sk = {
+        (r.g, r.rank): r.hashValue
+        for r in rows
+        if r.version == latest_version[r.g]
+    }
+    assert stream_sk == batch
+    # state bound: each group's snapshot is <= k values
+    per_group = {}
+    for (g, _), _v in stream_sk.items():
+        per_group[g] = per_group.get(g, 0) + 1
+    assert all(n <= k for n in per_group.values())
