@@ -125,9 +125,17 @@ def window_based_clumping(
         # significant row at that position (ties at equal position)
         .withColumn(
             "posRank",
+            # variantId tiebreak makes the order TOTAL: without it, two
+            # rows tied on significance at the same position would get
+            # partitioning-dependent ranks and the lead flag would flip
+            # between runs (the DuckDB-side twin of this hazard actually
+            # fired in the gwas_catalog_top_hits oracle — see
+            # queries_study.py's clustered CTE comment)
             F.row_number().over(
                 Window.partitionBy("studyId", "chromosome", "cluster_id", "position").orderBy(
-                    F.col("pValueExponent").asc(), F.col("pValueMantissa").asc()
+                    F.col("pValueExponent").asc(),
+                    F.col("pValueMantissa").asc(),
+                    F.col("variantId").asc(),
                 )
             ),
         )
