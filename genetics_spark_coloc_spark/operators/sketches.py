@@ -386,10 +386,14 @@ def kmv_sketch(
     Deterministic and engine-portable like the CMS/HLL siblings
     (60-bit md5 hashes, integer arithmetic). Scale shape: one
     map-side-combined distinct on (group, hash), then a per-group
-    sort-rank that keeps k rows — the distinct is the only full
-    shuffle and the sort spills; output is ≤ |groups| × k rows, and
-    sketches MERGE by union + re-rank (take the k smallest of the
-    pooled values), so per-shard sketches roll up relationally.
+    rank-and-truncate that Catalyst rewrites to a PARTIAL +
+    FINAL ``WindowGroupLimit`` (SPARK-37099): every map partition
+    keeps only its k smallest rows BEFORE the group exchange, so the
+    rank shuffle carries ≤ k rows per partition per group — not the
+    distinct set (plan-pinned in tests). Output is ≤ |groups| × k
+    rows, and sketches MERGE by union + re-rank (take the k smallest
+    of the pooled values), so per-shard sketches roll up
+    relationally.
 
     Emits (group…, rank, hashValue), rank 1..k ascending by hash.
     """

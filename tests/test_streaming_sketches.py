@@ -258,3 +258,21 @@ def test_streaming_kmv_matches_batch_sketch(spark, tmp_path):
     for (g, _), _v in stream_sk.items():
         per_group[g] = per_group.get(g, 0) + 1
     assert all(n <= k for n in per_group.values())
+
+
+def test_kmv_sketch_plan_has_window_group_limit(spark):
+    """Scale pin: the rank<=k filter must rewrite to Partial+Final
+    WindowGroupLimit (SPARK-37099), so each map partition ships at
+    most k rows per group into the rank exchange — without it the
+    shuffle carries the full distinct set and the sketch stops being
+    sub-linear."""
+    from genetics_spark_coloc_spark.operators.sketches import kmv_sketch
+    from genetics_spark_coloc_spark.plans.inspect import physical_plan
+
+    df = spark.range(1000).select(
+        F.pmod(F.col("id"), F.lit(4)).cast("string").alias("g"),
+        F.array(F.col("id").cast("string")).alias("keys"),
+    )
+    plan = physical_plan(kmv_sketch(df, F.col("keys"), ["g"], k=16))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
