@@ -262,3 +262,29 @@ def test_bloom_prune_fact_side_never_shuffles(spark):
     assert "LeftSemi" in plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+TOPK_QUERIES = [
+    "cosine_topk",
+    "hamming_topk",
+    "pq_adc_topk",
+    "mrl_topk",
+    "sq8_topk",
+    "top1_per_group",
+    "ivf_topk",
+    "kmv_overlap",
+]
+
+
+@pytest.mark.parametrize("name", TOPK_QUERIES)
+def test_topk_rank_filter_gets_window_group_limit(spark, name):
+    """Every rank<=k operator must keep Catalyst's Partial+Final
+    WindowGroupLimit rewrite (SPARK-37099): each map partition ships
+    at most k rows per group into the rank exchange. Losing it (e.g.
+    by interposing a projection between the filter and the window)
+    silently turns a top-k into a full per-group sort shuffle at
+    100 TB."""
+    from genetics_spark_coloc_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(QUERIES[name](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, f"{name} lost the rank-limit pushdown"
