@@ -112,3 +112,89 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def sketch_stream_probes(n_docs: int = 500_000) -> None:
+    """Round-9 probe: streaming sketch maintenance throughput — CMS /
+    HLL as bounded-state streaming aggregations and KMV through the
+    stateful top-k — replayed over 8 micro-batches. The claim under
+    test at volume: state (and therefore per-trigger commit cost)
+    stays at sketch size while docs/sec stays ingest-bound.
+    Run via: python -c "import tools.stream_probe as sp; sp.sketch_stream_probes()"
+    """
+    spark = get_session(
+        app_name="stream_sketch_probe",
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.streaming.pipelines import (
+        streaming_cms_sketch,
+        streaming_hll_registers,
+        streaming_kmv_sketch,
+    )
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.array(
+            *[
+                F.concat(
+                    F.lit("t"),
+                    F.pmod(F.hash(F.col("id"), F.lit(i)), F.lit(200_000)).cast(
+                        "string"
+                    ),
+                )
+                for i in range(10)
+            ]
+        ).alias("tokens"),
+        F.pmod(F.hash("id"), F.lit(4)).cast("string").alias("lang"),
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_sketch_")
+    src = os.path.join(tmp, "docs")
+    docs.repartition(8).write.mode("overwrite").parquet(src)
+    schema = docs.schema
+
+    def run(name, build, mode):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.perf_counter()
+        q = (
+            build(stream)
+            .writeStream.format("memory")
+            .queryName(f"sp_{name}")
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(1800)
+        sec = round(time.perf_counter() - t0, 2)
+        out_n = spark.sql(f"select count(*) from sp_{name}").collect()[0][0]
+        state_rows = None
+        for pr in reversed(q.recentProgress):
+            if pr.get("stateOperators"):
+                state_rows = pr["stateOperators"][0]["numRowsTotal"]
+                break
+        print(
+            json.dumps(
+                {
+                    "probe": f"streaming_{name}_8_triggers",
+                    "docs": n_docs,
+                    "tokens": n_docs * 10,
+                    "sec": sec,
+                    "docs_per_sec": int(n_docs / sec),
+                    "output_rows": out_n,
+                    "state_rows": state_rows,
+                }
+            ),
+            flush=True,
+        )
+
+    run("cms", lambda s: streaming_cms_sketch(s, F.col("tokens"), depth=4, width=1024), "complete")
+    run("hll", lambda s: streaming_hll_registers(s, F.col("tokens"), ["lang"], b=10), "complete")
+    run("kmv", lambda s: streaming_kmv_sketch(s, F.col("tokens"), "lang", k=256), "update")
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
