@@ -562,6 +562,28 @@ def _run_bloom_prune(spark, inputs, output, p):
     )
 
 
+def _run_corpus_overlap(spark, inputs, output, p):
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.operators.sketches import (
+        kmv_overlap_estimate,
+        kmv_sketch,
+    )
+    from genetics_spark_coloc_spark.operators.text import tokens
+
+    k = p["k"]
+
+    def sketch(path: str):
+        df = _parquet(spark, path).select(
+            F.lit("g").alias("_g"), F.lower(F.col(p["text_col"])).alias("_t")
+        )
+        return kmv_sketch(df, tokens(F.col("_t")), ["_g"], k=k).select(
+            "rank", "hashValue"
+        )
+
+    return kmv_overlap_estimate(sketch(inputs["left"]), sketch(inputs["right"]), k=k)
+
+
 # --------------------------------------------------------------- registry
 
 STEPS: dict[str, StepSpec] = {
@@ -878,6 +900,20 @@ STEPS: dict[str, StepSpec] = {
                 "dim_filter": Param(str, "", "optional SQL filter on the dimension"),
                 "m_bits": Param(int, 1 << 20, "bloom filter size in bits"),
                 "k": Param(int, 3, "hash count"),
+            },
+        ),
+        StepSpec(
+            "corpus_overlap",
+            "Estimate the token-set union / intersection / Jaccard between "
+            "two document corpora from their KMV sketches alone (Beyer et "
+            "al. 2007) — the train/test contamination measurement, never "
+            "re-scanning either corpus past the one sketch pass (additive "
+            "layer beyond the reference's genetics surface)",
+            ("left", "right"),
+            _run_corpus_overlap,
+            {
+                "text_col": Param(str, "text", "document text column"),
+                "k": Param(int, 256, "sketch size (k smallest hashes)"),
             },
         ),
         StepSpec(

@@ -570,3 +570,37 @@ def test_run_bloom_prune_step(spark, tmp_path):
         .count()
     )
     assert missed == 0
+
+
+def test_run_corpus_overlap_step(spark, tmp_path):
+    """Composed corpus_overlap step: KMV overlap between two document
+    corpora — identical corpora estimate Jaccard 1, disjoint corpora
+    estimate 0; estimates stay within the sketch's error band."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    left = str(tmp_path / "left.parquet")
+    right = str(tmp_path / "right.parquet")
+    docs.write.mode("overwrite").parquet(left)
+    docs.write.mode("overwrite").parquet(right)
+    same = run_step(
+        spark,
+        "corpus_overlap",
+        {"left": left, "right": right},
+        str(tmp_path / "o1.parquet"),
+        params={"k": 64},
+    ).collect()[0]
+    assert same.estJaccard == 1.0
+
+    # disjoint token spaces: salt every token of the right corpus
+    salted = docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"(\S+)", r"zq$1zq").alias("text"),
+    )
+    salted.write.mode("overwrite").parquet(right)
+    disjoint = run_step(
+        spark,
+        "corpus_overlap",
+        {"left": left, "right": right},
+        str(tmp_path / "o2.parquet"),
+        params={"k": 64},
+    ).collect()[0]
+    assert disjoint.estJaccard < 0.05
