@@ -141,6 +141,14 @@ def lsh_candidate_pairs(
         signatures.withColumn("bandIdx", (F.col("perm") / band_size).cast("int"))
         .groupBy("docId", "bandIdx")
         .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minHash")))).alias("bandHash"))
+        # the band table feeds FOUR consumers (guard counts, guard
+        # semi-join probe, and both self-join sides); without a
+        # checkpoint the executed plan re-derives it — and re-scans
+        # the corpus + re-hashes every shingle — once per consumer
+        # (measured 7 source scans). Materializing the (docId, band)
+        # rows once costs O(docs × bands) storage and turns that into
+        # ONE corpus scan; lazy, so no extra job
+        .localCheckpoint(eager=False)
     )
     bands = guard_hot_buckets(
         bands,
@@ -469,15 +477,22 @@ def incremental_lsh_candidates(
     ngram_jaccard for exact verification, exactly like the batch
     pipeline.
     """
+    # checkpoint each side's band table: the guard (counts + semi
+    # probe) and the join each re-derive it otherwise — three corpus
+    # scans + shingle hashes per side (see lsh_candidate_pairs)
     dbands = guard_hot_buckets(
-        _band_hashes(delta, text_col, id_col, num_perm, band_size),
+        _band_hashes(delta, text_col, id_col, num_perm, band_size).localCheckpoint(
+            eager=False
+        ),
         ["bandIdx", "bandHash"],
         hot_bucket_ceiling,
         on_hot_bucket,
         "incremental_lsh_candidates(delta)",
     )
     ibands = guard_hot_buckets(
-        _band_hashes(index, text_col, id_col, num_perm, band_size),
+        _band_hashes(index, text_col, id_col, num_perm, band_size).localCheckpoint(
+            eager=False
+        ),
         ["bandIdx", "bandHash"],
         hot_bucket_ceiling,
         on_hot_bucket,
