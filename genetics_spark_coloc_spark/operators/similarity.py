@@ -927,7 +927,13 @@ def semantic_dedup(
         F.col("centroidId").alias(id_col),
         F.col("embedding").alias(vec_col),
     )
-    members = ivf_members(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    # checkpoint the assignment: members feeds FIVE consumers (guard
+    # counts, guard semi probe, both pairing sides, and the final
+    # output join) — each would otherwise re-run the BLAS
+    # nearest-centroid kernel over the whole corpus
+    members = ivf_members(
+        vectors, centroids, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=False)
     # guard the PAIRING input only: in cap mode a hot cluster's
     # members are excluded from the self-join but still flow through
     # the final left join below, so every vector stays in the output
