@@ -3232,3 +3232,119 @@ FROM est e CROSS JOIN truth t
 
 NEARDUP_QUERIES["kmv_overlap"] = q_kmv_overlap
 NEARDUP_ORACLES["kmv_overlap"] = SQL_KMV_OVERLAP
+
+
+def q_hll_shard_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational sketch rollup (operators/sketches.py hll_registers):
+    build HLL registers independently per SHARD (doc_id % 4 — the
+    per-day / per-partition ingest unit at 100 TB), then merge them to
+    per-language registers with a plain groupBy MAX — never touching
+    raw documents again. The merge law makes the rolled-up estimate
+    IDENTICAL to the single-pass estimate, which this query certifies
+    by emitting both (plus the true distinct count) per language."""
+    from genetics_spark_coloc_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from genetics_spark_coloc_spark.operators.text import tokens
+
+    b = 10
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "shard", (F.col("doc_id") % 4).cast("int")
+    )
+    toks = tokens(F.lower(F.col("text")))
+    sharded = hll_registers(docs, toks, ["lang", "shard"], b=b)
+    merged = sharded.groupBy("lang", "register").agg(
+        F.max("maxRho").alias("maxRho")
+    )
+    rolled = hll_estimate(merged, ["lang"], b=b).withColumnRenamed(
+        "estDistinct", "rolledUpEst"
+    )
+    direct = hll_estimate(
+        hll_registers(docs, toks, ["lang"], b=b), ["lang"], b=b
+    ).withColumnRenamed("estDistinct", "directEst")
+    truth = (
+        docs.select("lang", F.explode(toks).alias("token"))
+        .groupBy("lang")
+        .agg(F.count_distinct("token").cast("long").alias("trueDistinct"))
+    )
+    return (
+        truth.join(rolled, on="lang")
+        .join(direct, on="lang")
+        .withColumn("mergeLawHolds", F.col("rolledUpEst") == F.col("directEst"))
+    )
+
+
+SQL_HLL_SHARD_ROLLUP = r"""
+WITH toks AS (
+  SELECT lang, CAST(doc_id % 4 AS INT) AS shard,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+  FROM documents
+),
+occ AS (SELECT lang, shard, UNNEST(t) AS token FROM toks),
+hashed AS (
+  SELECT lang, shard, token,
+         ('0x' || substr(md5(token), 1, 15))::UBIGINT AS h
+  FROM occ
+),
+rho AS (
+  SELECT lang, shard,
+         h % 1024 AS register,
+         CASE WHEN (h >> 10) = 0 THEN 51
+              ELSE 50 - length(bin(h >> 10)) + 1 END AS rho
+  FROM hashed
+),
+sharded AS (
+  SELECT lang, shard, register, MAX(rho) AS maxRho
+  FROM rho GROUP BY lang, shard, register
+),
+merged AS (
+  SELECT lang, register, MAX(maxRho) AS maxRho
+  FROM sharded GROUP BY lang, register
+),
+direct AS (
+  SELECT lang, register, MAX(rho) AS maxRho
+  FROM rho GROUP BY lang, register
+),
+est_m AS (
+  SELECT lang,
+         SUM(POWER(2.0, -maxRho)) AS sumInv, COUNT(*) AS nonZero
+  FROM merged GROUP BY lang
+),
+est_d AS (
+  SELECT lang,
+         SUM(POWER(2.0, -maxRho)) AS sumInv, COUNT(*) AS nonZero
+  FROM direct GROUP BY lang
+),
+fin_m AS (
+  SELECT lang,
+         ROUND(CASE WHEN raw <= 2.5 * 1024 AND zeros > 0
+                    THEN 1024.0 * LN(1024.0 / zeros) ELSE raw END, 4) AS rolledUpEst
+  FROM (SELECT lang,
+               (0.7213 / (1.0 + 1.079 / 1024)) * 1024.0 * 1024.0
+                 / (sumInv + (1024 - nonZero)) AS raw,
+               1024 - nonZero AS zeros
+        FROM est_m)
+),
+fin_d AS (
+  SELECT lang,
+         ROUND(CASE WHEN raw <= 2.5 * 1024 AND zeros > 0
+                    THEN 1024.0 * LN(1024.0 / zeros) ELSE raw END, 4) AS directEst
+  FROM (SELECT lang,
+               (0.7213 / (1.0 + 1.079 / 1024)) * 1024.0 * 1024.0
+                 / (sumInv + (1024 - nonZero)) AS raw,
+               1024 - nonZero AS zeros
+        FROM est_d)
+),
+truth AS (
+  SELECT lang, CAST(COUNT(DISTINCT token) AS BIGINT) AS trueDistinct
+  FROM occ GROUP BY lang
+)
+SELECT t.lang, t.trueDistinct, m.rolledUpEst, d.directEst,
+       m.rolledUpEst = d.directEst AS mergeLawHolds
+FROM truth t JOIN fin_m m USING (lang) JOIN fin_d d USING (lang)
+"""
+
+NEARDUP_QUERIES["hll_shard_rollup"] = q_hll_shard_rollup
+NEARDUP_ORACLES["hll_shard_rollup"] = SQL_HLL_SHARD_ROLLUP
