@@ -305,3 +305,58 @@ def test_duplicate_spans_equal_bruteforce_on_random_corpora(spark):
             for r in duplicate_spans(df, min_tokens=k).collect()
         }
         assert got == want, (seed, got ^ want)
+
+
+# ------------------------------------------------- KMV sketch properties
+kmv_sets_strategy = st.tuples(
+    st.sets(st.integers(min_value=0, max_value=5000), min_size=1, max_size=120),
+    st.sets(st.integers(min_value=0, max_value=5000), min_size=1, max_size=120),
+)
+
+
+def _py_kmv(values, k):
+    """Pure-Python reference: k smallest 60-bit md5 hashes."""
+    import hashlib
+
+    hs = sorted(
+        int(hashlib.md5(f"v{v}".encode()).hexdigest()[:15], 16) for v in values
+    )
+    return hs[:k]
+
+
+@settings(max_examples=6, deadline=None)
+@given(kmv_sets_strategy)
+def test_kmv_sketch_and_overlap_match_reference(spark, sets):
+    """The sketch equals the Python reference exactly for ANY input
+    set, and the overlap estimator's pooled-K intersection count
+    matches a pure-Python replay of the Beyer et al. estimator."""
+    from genetics_spark_coloc_spark.operators.sketches import (
+        kmv_overlap_estimate,
+        kmv_sketch,
+    )
+
+    a_vals, b_vals = sets
+    k = 32
+
+    def spark_sketch(vals):
+        df = spark.createDataFrame(
+            [(f"v{v}",) for v in sorted(vals)], "key string"
+        ).select(F.lit("g").alias("g"), F.array("key").alias("keys"))
+        return kmv_sketch(df, F.col("keys"), ["g"], k=k)
+
+    ska, skb = spark_sketch(a_vals), spark_sketch(b_vals)
+    assert [r.hashValue for r in ska.orderBy("rank").collect()] == _py_kmv(
+        a_vals, k
+    )
+    # reference overlap: pool the two reference sketches, keep the
+    # K smallest, count members present in both sketches
+    ra, rb = set(_py_kmv(a_vals, k)), set(_py_kmv(b_vals, k))
+    pool = sorted(ra | rb)[:k]
+    n_pool = len(pool)
+    n_both = sum(1 for h in pool if h in ra and h in rb)
+    got = kmv_overlap_estimate(ska, skb, k=k).collect()[0]
+    assert got.nPool == n_pool
+    assert got.estJaccard == round(n_both / n_pool, 6)
+    if n_pool < k:
+        # exact branch: the pool IS the union
+        assert got.estUnion == float(len(a_vals | b_vals))
