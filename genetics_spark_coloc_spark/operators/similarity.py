@@ -758,14 +758,20 @@ def lsh_cosine_candidates_banded(
             for b in range(num_bands)
         ]
     )
-    bucketed = sig.select("docId", F.explode(bands).alias("bh")).select(
-        "docId", F.col("bh.band").alias("band"), F.col("bh.bandHash").alias("bandHash")
     # checkpoint before the guard + self-join: four consumers would
     # otherwise re-run the Arrow-batched BLAS signature kernel per
     # consumer (see dedup.lsh_candidate_pairs — same shape, measured
     # 7 re-derivations); one materialized (docId, band, hash) table
     # is tiny next to the embedding corpus
-    ).localCheckpoint(eager=False)
+    bucketed = (
+        sig.select("docId", F.explode(bands).alias("bh"))
+        .select(
+            "docId",
+            F.col("bh.band").alias("band"),
+            F.col("bh.bandHash").alias("bandHash"),
+        )
+        .localCheckpoint(eager=False)
+    )
     bucketed = guard_hot_buckets(
         bucketed,
         ["band", "bandHash"],

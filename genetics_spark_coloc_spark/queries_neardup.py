@@ -3260,9 +3260,29 @@ def q_hll_shard_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled = hll_estimate(merged, ["lang"], b=b).withColumnRenamed(
         "estDistinct", "rolledUpEst"
     )
-    direct = hll_estimate(
-        hll_registers(docs, toks, ["lang"], b=b), ["lang"], b=b
-    ).withColumnRenamed("estDistinct", "directEst")
+    direct_reg = hll_registers(docs, toks, ["lang"], b=b)
+    direct = hll_estimate(direct_reg, ["lang"], b=b).withColumnRenamed(
+        "estDistinct", "directEst"
+    )
+    # merge law certified on the INTEGER register tables, not the
+    # float estimates: two independently-aggregated double SUMs can
+    # differ by 1 ulp under Spark's nondeterministic partial-agg
+    # order and flip an equality at a 4dp rounding boundary; the
+    # register maxRho values are exact integers in both engines
+    regcmp = (
+        merged.withColumnRenamed("maxRho", "mRho")
+        .join(
+            direct_reg.withColumnRenamed("maxRho", "dRho"),
+            on=["lang", "register"],
+            how="full",
+        )
+        .groupBy("lang")
+        .agg(
+            F.min(
+                F.coalesce(F.col("mRho") == F.col("dRho"), F.lit(False))
+            ).alias("mergeLawHolds")
+        )
+    )
     truth = (
         docs.select("lang", F.explode(toks).alias("token"))
         .groupBy("lang")
@@ -3271,7 +3291,10 @@ def q_hll_shard_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         truth.join(rolled, on="lang")
         .join(direct, on="lang")
-        .withColumn("mergeLawHolds", F.col("rolledUpEst") == F.col("directEst"))
+        .join(regcmp, on="lang")
+        .select(
+            "lang", "trueDistinct", "rolledUpEst", "directEst", "mergeLawHolds"
+        )
     )
 
 
@@ -3340,10 +3363,20 @@ fin_d AS (
 truth AS (
   SELECT lang, CAST(COUNT(DISTINCT token) AS BIGINT) AS trueDistinct
   FROM occ GROUP BY lang
+),
+-- merge law certified on the exact integer register tables (see the
+-- Spark twin): float-estimate equality can flip at a rounding
+-- boundary under nondeterministic partial-agg order
+regcmp AS (
+  SELECT COALESCE(m.lang, d.lang) AS lang,
+         BOOL_AND(COALESCE(m.maxRho = d.maxRho, FALSE)) AS mergeLawHolds
+  FROM merged m FULL JOIN direct d
+    ON m.lang = d.lang AND m.register = d.register
+  GROUP BY 1
 )
-SELECT t.lang, t.trueDistinct, m.rolledUpEst, d.directEst,
-       m.rolledUpEst = d.directEst AS mergeLawHolds
+SELECT t.lang, t.trueDistinct, m.rolledUpEst, d.directEst, r.mergeLawHolds
 FROM truth t JOIN fin_m m USING (lang) JOIN fin_d d USING (lang)
+     JOIN regcmp r USING (lang)
 """
 
 NEARDUP_QUERIES["hll_shard_rollup"] = q_hll_shard_rollup

@@ -1348,23 +1348,26 @@ flagged AS (
   SELECT *, COUNT(*) OVER (PARTITION BY studyId, variantId) > 1 AS ambiguous
   FROM upd
 ),
--- TOTAL window order (position, pValueMantissa): the planted
--- ambiguous pair DUPLICATES a position, and with ORDER BY position
--- alone the LAG sort and the running-MAX sort may break the tie
--- differently (DuckDB's threaded window execution did exactly that,
--- intermittently splitting the pair across clusters and flipping one
--- WINDOW_CLUMPED flag); cluster_start itself depends only on position
+-- TOTAL window order (position, pValueMantissa, variantId): the
+-- planted ambiguous pair DUPLICATES a position, and with ORDER BY
+-- position alone the LAG sort and the running-MAX sort may break the
+-- tie differently (DuckDB's threaded window execution did exactly
+-- that, intermittently splitting the pair across clusters and
+-- flipping one WINDOW_CLUMPED flag); (position, pValueMantissa)
+-- alone is still not total — rows can tie on both — so variantId
+-- (unique within a study) closes the order, matching the Spark twin
+-- in clumping.py. cluster_start itself depends only on position
 -- VALUES, so the tie-break changes nothing semantically
 clustered AS (
   SELECT *,
          MAX(CASE WHEN gap IS NULL OR gap > 5000 THEN position END)
            OVER (PARTITION BY studyId, chromosome
-                 ORDER BY position, pValueMantissa
+                 ORDER BY position, pValueMantissa, variantId
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cluster_start
   FROM (
     SELECT *, position - LAG(position) OVER (
              PARTITION BY studyId, chromosome
-             ORDER BY position, pValueMantissa) AS gap
+             ORDER BY position, pValueMantissa, variantId) AS gap
     FROM flagged
   )
 ),

@@ -251,6 +251,7 @@ def streaming_near_dup_pairs(
     band_size: int = 2,
     max_bucket_size: int = 256,
     state_timeout_ms: int | None = None,
+    on_hot_bucket: str = "raise",
 ) -> DataFrame:
     """Streaming MinHash-LSH near-duplicate detection: emit a
     (leftId, rightId, bandIdx) row the moment a document lands in an
@@ -264,16 +265,19 @@ def streaming_near_dup_pairs(
     (min, max)-ordered like the batch output.
 
     State is O(distinct occupied buckets); each bucket list is capped
-    at ``max_bucket_size`` ids (a hotter bucket stops emitting new
-    pairs and flags nothing — near-dup buckets this hot mean a
-    degenerate band hash, the same pathology the batch probe
-    documents). Pass ``state_timeout_ms`` on continuous deployments
-    to evict cold buckets; replaying the documents table through this
-    with ``availableNow`` reproduces the batch candidate-pair set
-    exactly (tested).
+    at ``max_bucket_size`` ids. A bucket exceeding the cap FAILS the
+    query loudly by default (``on_hot_bucket="raise"`` — the same
+    contract as the batch guard in functions/guards.py: a bucket this
+    hot means a degenerate band hash and quadratic pair fan-out);
+    pass ``on_hot_bucket="cap"`` to instead freeze the bucket (stops
+    pairing and admission, membership stable across replays). Pass
+    ``state_timeout_ms`` on continuous deployments to evict cold
+    buckets; replaying the documents table through this with
+    ``availableNow`` reproduces the batch candidate-pair set exactly
+    (tested).
     """
     banded = streaming_band_hashes(docs, text_col, id_col, num_perm, band_size)
-    return bucket_pair_stream(banded, max_bucket_size, state_timeout_ms)
+    return bucket_pair_stream(banded, max_bucket_size, state_timeout_ms, on_hot_bucket)
 
 
 def bucket_pair_stream(
@@ -376,6 +380,7 @@ def streaming_embedding_near_dup(
     dim: int = 64,
     max_bucket_size: int = 256,
     state_timeout_ms: int | None = None,
+    on_hot_bucket: str = "raise",
 ) -> DataFrame:
     """Streaming hyperplane-LSH near-duplicate candidates over an
     embedding stream: the stateless banded signature (the SAME BLAS
@@ -423,7 +428,7 @@ def streaming_embedding_near_dup(
         )
         .filter(F.col("bandHash").isNotNull())
     )
-    return bucket_pair_stream(banded, max_bucket_size, state_timeout_ms)
+    return bucket_pair_stream(banded, max_bucket_size, state_timeout_ms, on_hot_bucket)
 
 
 def streaming_decontaminate(
