@@ -400,6 +400,32 @@ def _band_hashes(
     )
 
 
+def lsh_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """The corpus LSH band table (docId, bandIdx, bandHash) as a
+    PERSISTABLE index — the production at-rest shape of incremental
+    dedup: band the full corpus ONCE, write the result bucketed by
+    (bandIdx, bandHash) (``session.write_bucketed``, or the
+    ``lsh_band_index`` pipeline step), and every subsequent delta
+    batch joins into it with NO shuffle on the index side — the
+    bucketed scan already provides HashPartitioning on the join keys,
+    so per-batch cost scales with |delta| while the 100 TB corpus is
+    never re-banded or re-shuffled.
+
+    Band parameters (``num_perm``, ``band_size``) are part of the
+    index's identity: a delta banded with different parameters never
+    matches, so store them with the table (the pipeline step embeds
+    them as table properties) and pass the same values to
+    ``incremental_lsh_candidates``.
+    """
+    return _band_hashes(df, text_col, id_col, num_perm, band_size)
+
+
 def incremental_exact_dedup(
     delta: DataFrame,
     index: DataFrame,
@@ -449,21 +475,33 @@ def incremental_exact_dedup(
 
 def incremental_lsh_candidates(
     delta: DataFrame,
-    index: DataFrame,
+    index: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perm: int = 8,
     band_size: int = 2,
     hot_bucket_ceiling: "int | None" = 10_000,
     on_hot_bucket: str = "raise",
+    index_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates of a NEW batch against an EXISTING corpus:
-    band the delta, join it against the INDEX's persisted band table
-    — never delta×delta, never index×index, so per-batch cost scales
-    with |delta|, not |corpus|. In production the index band table is
-    written once (bucketed by (bandIdx, bandHash)) and each day's
-    delta joins into it shuffle-free; here it is derived inline from
-    ``index`` for a self-contained oracle.
+    band the delta, join it against the INDEX's band table — never
+    delta×delta, never index×index, so per-batch cost scales with
+    |delta|, not |corpus|.
+
+    Two ways to supply the index side, exactly one required:
+
+    - ``index_bands``: the PERSISTED band table — (docId, bandIdx,
+      bandHash) rows built by ``lsh_band_index`` (with the SAME
+      ``num_perm``/``band_size``) and written bucketed by (bandIdx,
+      bandHash). This is the production path: the corpus is banded
+      once at index-build time, and reading the bucketed table gives
+      the join (and the guard's count aggregate) HashPartitioning on
+      the join keys for free, so NOTHING on the index side shuffles
+      per delta batch (plan-pinned in tests/test_plan_quality.py).
+    - ``index``: the raw corpus — banded inline per call. Convenient
+      for self-contained runs and oracles; at 100 TB the re-banding
+      IS the per-batch cost, so production uses ``index_bands``.
 
     The per-bucket fan-out is |delta bucket| × |index bucket|: a
     boilerplate family hot on BOTH sides is the same quadratic hazard
@@ -477,9 +515,15 @@ def incremental_lsh_candidates(
     ngram_jaccard for exact verification, exactly like the batch
     pipeline.
     """
-    # checkpoint each side's band table: the guard (counts + semi
+    if (index is None) == (index_bands is None):
+        raise ValueError(
+            "incremental_lsh_candidates: pass exactly one of index (raw "
+            "corpus, banded inline) or index_bands (persisted band table "
+            "from lsh_band_index)"
+        )
+    # checkpoint the delta band table: the guard (counts + semi
     # probe) and the join each re-derive it otherwise — three corpus
-    # scans + shingle hashes per side (see lsh_candidate_pairs)
+    # scans + shingle hashes (see lsh_candidate_pairs)
     dbands = guard_hot_buckets(
         _band_hashes(delta, text_col, id_col, num_perm, band_size).localCheckpoint(
             eager=False
@@ -489,15 +533,28 @@ def incremental_lsh_candidates(
         on_hot_bucket,
         "incremental_lsh_candidates(delta)",
     )
-    ibands = guard_hot_buckets(
-        _band_hashes(index, text_col, id_col, num_perm, band_size).localCheckpoint(
-            eager=False
-        ),
-        ["bandIdx", "bandHash"],
-        hot_bucket_ceiling,
-        on_hot_bucket,
-        "incremental_lsh_candidates(index)",
-    )
+    if index_bands is not None:
+        # persisted path: NO checkpoint — a localCheckpoint would
+        # materialize to the driver-local store and DESTROY the
+        # bucketed scan's HashPartitioning, reintroducing the very
+        # exchange the persisted layout exists to avoid
+        ibands = guard_hot_buckets(
+            index_bands,
+            ["bandIdx", "bandHash"],
+            hot_bucket_ceiling,
+            on_hot_bucket,
+            "incremental_lsh_candidates(index)",
+        )
+    else:
+        ibands = guard_hot_buckets(
+            _band_hashes(index, text_col, id_col, num_perm, band_size).localCheckpoint(
+                eager=False
+            ),
+            ["bandIdx", "bandHash"],
+            hot_bucket_ceiling,
+            on_hot_bucket,
+            "incremental_lsh_candidates(index)",
+        )
     return (
         dbands.alias("d")
         .join(

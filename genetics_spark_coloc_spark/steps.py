@@ -562,6 +562,37 @@ def _run_bloom_prune(spark, inputs, output, p):
     )
 
 
+def _run_lsh_band_index(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.dedup import lsh_band_index
+    from genetics_spark_coloc_spark.session import write_bucketed
+
+    bands = lsh_band_index(
+        _parquet(spark, inputs["corpus"]),
+        text_col=p["text_col"],
+        id_col=p["id_col"],
+        num_perm=p["num_perm"],
+        band_size=p["band_size"],
+    )
+    # output is a CATALOG TABLE name, not a path: bucketing lives in
+    # the table catalog (session.write_bucketed), and the bucketed
+    # layout is the entire point of this step
+    write_bucketed(
+        bands,
+        output,
+        ["bandIdx", "bandHash"],
+        num_buckets=p["num_buckets"],
+        sort_cols=["bandIdx", "bandHash"],
+    )
+    # band parameters are part of the index identity — a delta banded
+    # differently never matches — so pin them to the table
+    spark.sql(
+        f"ALTER TABLE {output} SET TBLPROPERTIES ("
+        f"'genetics_spark_coloc.num_perm' = '{int(p['num_perm'])}', "
+        f"'genetics_spark_coloc.band_size' = '{int(p['band_size'])}')"
+    )
+    return None
+
+
 def _run_corpus_overlap(spark, inputs, output, p):
     from pyspark.sql import functions as F
 
@@ -901,6 +932,26 @@ STEPS: dict[str, StepSpec] = {
                 "m_bits": Param(int, 1 << 20, "bloom filter size in bits"),
                 "k": Param(int, 3, "hash count"),
             },
+        ),
+        StepSpec(
+            "lsh_band_index",
+            "Materialize the corpus MinHash-LSH band table as a catalog "
+            "table bucketed (and sorted) by (bandIdx, bandHash) — the "
+            "at-rest index of incremental dedup: every delta batch joins "
+            "into it with zero shuffle on the index side, so the corpus is "
+            "banded exactly once (additive layer beyond the reference's "
+            "genetics surface). --out is the catalog TABLE name; band "
+            "parameters are pinned as table properties",
+            ("corpus",),
+            _run_lsh_band_index,
+            {
+                "text_col": Param(str, "text", "document text column"),
+                "id_col": Param(str, "doc_id", "document id column"),
+                "num_perm": Param(int, 8, "minhash permutations"),
+                "band_size": Param(int, 2, "hashes per band"),
+                "num_buckets": Param(int, 64, "bucket count of the table"),
+            },
+            sink=True,
         ),
         StepSpec(
             "corpus_overlap",

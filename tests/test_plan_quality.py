@@ -15,6 +15,7 @@ from genetics_spark_coloc_spark.contract import QUERIES
 from genetics_spark_coloc_spark.plans.inspect import (
     has_cartesian,
     has_python_eval,
+    physical_plan,
     pushed_filters,
     read_schemas,
     shuffle_count,
@@ -288,3 +289,64 @@ def test_topk_rank_filter_gets_window_group_limit(spark, name):
 
     plan = physical_plan(QUERIES[name](spark, SF_DIR))
     assert "WindowGroupLimit" in plan, f"{name} lost the rank-limit pushdown"
+
+
+def test_persisted_band_index_no_exchange_on_index_side(spark):
+    """The persisted bucketed LSH band index is the production shape
+    of incremental dedup: with the index read from a table bucketed
+    by (bandIdx, bandHash), the ENTIRE index side of the delta join —
+    the guard's count aggregate, the guard's semi join, and the main
+    band join — must run WITHOUT a single exchange, because the
+    bucketed scan already provides HashPartitioning on the join keys.
+    At 100 TB that is the difference between shuffling the corpus
+    band table per delta batch and never touching it again.
+
+    Broadcast is disabled so the pin holds in the shape a real corpus
+    takes (the index side is far too big to broadcast); with it, the
+    only exchanges left are delta-side (guard count + join input) and
+    the final distinct — three, versus five when the index is
+    re-banded inline from the raw corpus.
+    """
+    from genetics_spark_coloc_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        lsh_band_index,
+    )
+    from genetics_spark_coloc_spark.session import write_bucketed
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1).limit(50)
+    spark.sql("DROP TABLE IF EXISTS band_index_plan_test")
+    write_bucketed(
+        lsh_band_index(corpus),
+        "band_index_plan_test",
+        ["bandIdx", "bandHash"],
+        num_buckets=4,
+        sort_cols=["bandIdx", "bandHash"],
+    )
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        persisted = spark.table("band_index_plan_test")
+        fast = incremental_lsh_candidates(delta, index_bands=persisted)
+        slow = incremental_lsh_candidates(delta, index=corpus)
+        plan = physical_plan(fast)
+        # both index-side consumers (guard count + join input) read
+        # the bucketed layout
+        assert plan.count("Bucketed: true") == 2, plan
+        # delta guard count + delta join input + final distinct; any
+        # fourth exchange means the index side started shuffling
+        assert shuffle_count(fast) == 3, plan
+        assert shuffle_count(slow) == 5
+        # same candidates as the inline-banded reference path
+        as_set = lambda df: {  # noqa: E731
+            (r["deltaId"], r["indexId"]) for r in df.collect()
+        }
+        got = as_set(fast)
+        assert got == as_set(slow)
+        assert got, "probe corpus produced no candidate pairs"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.sql("DROP TABLE IF EXISTS band_index_plan_test")

@@ -604,3 +604,64 @@ def test_run_corpus_overlap_step(spark, tmp_path):
         params={"k": 64},
     ).collect()[0]
     assert disjoint.estJaccard < 0.05
+
+
+def test_run_lsh_band_index_step(spark, tmp_path):
+    """The lsh_band_index sink step materializes the corpus band
+    table as a catalog table bucketed by (bandIdx, bandHash), pins
+    the band parameters as table properties, and the persisted table
+    drives incremental_lsh_candidates to the exact same candidate
+    pairs as inline banding."""
+    from genetics_spark_coloc_spark.operators.dedup import (
+        incremental_lsh_candidates,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1).limit(50)
+    corpus_path = str(tmp_path / "corpus.parquet")
+    corpus.write.mode("overwrite").parquet(corpus_path)
+    spark.sql("DROP TABLE IF EXISTS band_index_step_test")
+    try:
+        out = run_step(
+            spark,
+            "lsh_band_index",
+            {"corpus": corpus_path},
+            "band_index_step_test",
+            params={"num_buckets": 4},
+        )
+        assert out is None  # sink step writes the table itself
+        persisted = spark.table("band_index_step_test")
+        assert persisted.columns == ["docId", "bandIdx", "bandHash"]
+        # band parameters pinned to the table (index identity)
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(
+                "SHOW TBLPROPERTIES band_index_step_test"
+            ).collect()
+        }
+        assert props["genetics_spark_coloc.num_perm"] == "8"
+        assert props["genetics_spark_coloc.band_size"] == "2"
+        # bucketed layout recorded in the catalog
+        ddl = spark.sql(
+            "SHOW CREATE TABLE band_index_step_test"
+        ).collect()[0][0]
+        assert "CLUSTERED BY (bandIdx, bandHash)" in ddl, ddl
+        fast = {
+            (r["deltaId"], r["indexId"])
+            for r in incremental_lsh_candidates(
+                delta, index_bands=persisted
+            ).collect()
+        }
+        slow = {
+            (r["deltaId"], r["indexId"])
+            for r in incremental_lsh_candidates(delta, corpus).collect()
+        }
+        assert fast == slow and fast
+        # exactly one of index / index_bands is accepted
+        with pytest.raises(ValueError, match="exactly one"):
+            incremental_lsh_candidates(delta)
+        with pytest.raises(ValueError, match="exactly one"):
+            incremental_lsh_candidates(delta, corpus, index_bands=persisted)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_index_step_test")
