@@ -45,18 +45,65 @@ def find_regressions(
     current: "dict[str, float]",
     ratio: float = 1.5,
     min_sec: float = 1.0,
+    loads: "dict[str, float] | None" = None,
 ) -> "dict[str, dict]":
     """Per-query regression tripwire: entries of ``current`` that are
     more than ``ratio``× slower than ``prior`` AND over ``min_sec``
     now. Sub-second latencies swing with host contention (BASELINE.md
     documents a ±35% band), so the floor keeps the tripwire naming
     only changes big enough to be real.
+
+    Each flagged entry carries the 1-minute loadavg sampled when its
+    best repeat STARTED (``loads``), so the artifact itself
+    distinguishes "the plan regressed" from "another process was
+    hammering the box" — a load far above this bench's own footprint
+    at flag time adjudicates the flag without cross-round archaeology.
     """
     return {
-        k: {"prior_sec": prior[k], "now_sec": v}
+        k: {
+            "prior_sec": prior[k],
+            "now_sec": v,
+            **(
+                {"load1_at_measure": loads[k]}
+                if loads is not None and k in loads
+                else {}
+            ),
+        }
         for k, v in current.items()
         if k in prior and v > min_sec and prior[k] > 0 and v > ratio * prior[k]
     }
+
+
+def _cpu_snapshot() -> dict:
+    """Host-contention evidence for one bench pass: the (1, 5, 15)
+    minute loadavg plus the raw /proc/stat cpu jiffies. A consumer
+    diffs two snapshots' jiffies to get the host-wide busy fraction
+    DURING the pass — this process cannot see other processes'
+    scheduling any more precisely than that, but a pass that ran at
+    load 60 on a 32-cpu box explains its own slow wall."""
+    snap: dict = {"loadavg": list(os.getloadavg())}
+    try:
+        with open("/proc/stat") as fh:
+            fields = fh.readline().split()
+        # user nice system idle iowait irq softirq steal ...
+        jiffies = [int(x) for x in fields[1:9]]
+        snap["proc_stat_cpu"] = jiffies
+    except (OSError, ValueError, IndexError):
+        pass
+    return snap
+
+
+def _busy_frac(before: dict, after: dict) -> "float | None":
+    """Host-wide CPU busy fraction between two _cpu_snapshot()s."""
+    a, b = before.get("proc_stat_cpu"), after.get("proc_stat_cpu")
+    if not a or not b or len(a) != len(b):
+        return None
+    deltas = [y - x for x, y in zip(a, b)]
+    total = sum(deltas)
+    if total <= 0:
+        return None
+    idle = deltas[3] + deltas[4]  # idle + iowait
+    return round(1.0 - idle / total, 4)
 
 
 def main() -> None:
@@ -92,28 +139,33 @@ def main() -> None:
     def run_one(item: tuple) -> tuple:
         # Fault-isolating: one broken query must not blank the whole
         # bench — record its error string and keep timing the rest.
+        # The 1-minute loadavg at query start rides along so a slow
+        # measurement carries its own contention evidence.
         name, fn = item
+        load1 = round(os.getloadavg()[0], 2)
         start = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception as exc:  # noqa: BLE001
-            return name, {"err": f"{type(exc).__name__}: {exc}"[:300]}
-        return name, round(time.perf_counter() - start, 3)
+            return name, {"err": f"{type(exc).__name__}: {exc}"[:300]}, load1
+        return name, round(time.perf_counter() - start, 3), load1
 
     def run_best(item: tuple) -> tuple:
         # best-of-N: the minimum over repeats is the contention-free
         # latency estimate (any single run can only be slowed by
         # external load, never sped up). A transient failure must not
         # discard an earlier successful timing — a query errors only
-        # when EVERY repeat errors.
-        best = err = None
+        # when EVERY repeat errors. The load kept is the one sampled
+        # at the best repeat's start (the measurement that counts).
+        best = err = best_load = None
         for _ in range(repeats):
-            name, t = run_one(item)
+            name, t, load1 = run_one(item)
             if isinstance(t, dict):
                 err = t
                 continue
-            best = t if best is None else min(best, t)
-        return name, best if best is not None else err
+            if best is None or t < best:
+                best, best_load = t, load1
+        return name, (best if best is not None else err), best_load
 
     # prior committed per-query latencies (this file is rewritten at
     # the end of every run, so what's on disk now is last round's) —
@@ -135,12 +187,16 @@ def main() -> None:
         pass
 
     # power pass: clean single-stream per-query latencies
-    timings = dict(map(run_best, QUERIES.items()))
+    power_before = _cpu_snapshot()
+    rows = [run_best(item) for item in QUERIES.items()]
+    power_after = _cpu_snapshot()
+    timings = {name: t for name, t, _ in rows}
+    query_load1 = {name: ld for name, t, ld in rows if ld is not None}
     errors = {k: v for k, v in timings.items() if isinstance(v, dict)}
     ok = {k: v for k, v in timings.items() if not isinstance(v, dict)}
     sequential_sum = round(sum(ok.values()), 3)
 
-    regressions = find_regressions(prior_queries, ok)
+    regressions = find_regressions(prior_queries, ok, loads=query_load1)
 
     result = {
         "metric": "contract_query_suite_wall_sec",
@@ -154,6 +210,15 @@ def main() -> None:
         "n_ok": len(ok),
         "n_err": len(errors),
         "regressions_over_1p5x": regressions,
+        # contention evidence: loadavg + /proc/stat around the pass,
+        # per-query load at each best repeat's start — a wall swing
+        # with high ambient load is host contention, not a plan change
+        "power_pass_load": {
+            "before": power_before,
+            "after": power_after,
+            "host_busy_frac": _busy_frac(power_before, power_after),
+        },
+        "query_load1": query_load1,
     }
 
     if streams > 1:
@@ -168,13 +233,21 @@ def main() -> None:
         lpt = sorted(QUERIES.items(), key=lambda kv: -ok.get(kv[0], 0.0))
         wall = None
         tp: dict = {}
+        tp_load: dict = {}
         for _ in range(repeats):
+            before = _cpu_snapshot()
             start = time.perf_counter()
             with ThreadPoolExecutor(max_workers=streams) as pool:
-                this_tp = dict(pool.map(run_one, lpt))
+                this_tp = {n: t for n, t, _ in pool.map(run_one, lpt)}
             this_wall = round(time.perf_counter() - start, 3)
+            after = _cpu_snapshot()
             if wall is None or this_wall < wall:
                 wall, tp = this_wall, this_tp
+                tp_load = {
+                    "before": before,
+                    "after": after,
+                    "host_busy_frac": _busy_frac(before, after),
+                }
         result.update(
             {
                 "value": wall,
@@ -185,6 +258,10 @@ def main() -> None:
                 # queries whose contended/solo ratio blows up are the
                 # ones serializing the suite
                 "throughput_queries": tp,
+                # contention evidence for the CHOSEN throughput pass:
+                # this wall is the headline value, so a regression in
+                # it must be adjudicable from the artifact alone
+                "throughput_pass_load": tp_load,
             }
         )
 
@@ -219,6 +296,21 @@ def main() -> None:
     # name the regressed queries in the tail-safe summary line too —
     # the count alone would force BENCH_FULL.json archaeology
     compact["regressions_over_1p5x"] = sorted(regressions)
+    # contention evidence in the summary line: ambient load around
+    # each pass (1-min loadavg before/after) + host busy fraction, so
+    # a wall swing adjudicates itself without opening the artifact
+    compact["power_load1"] = [
+        result["power_pass_load"]["before"]["loadavg"][0],
+        result["power_pass_load"]["after"]["loadavg"][0],
+    ]
+    compact["power_busy_frac"] = result["power_pass_load"]["host_busy_frac"]
+    if "throughput_pass_load" in result and result["throughput_pass_load"]:
+        tpl = result["throughput_pass_load"]
+        compact["throughput_load1"] = [
+            tpl["before"]["loadavg"][0],
+            tpl["after"]["loadavg"][0],
+        ]
+        compact["throughput_busy_frac"] = tpl["host_busy_frac"]
     compact["full_results"] = "BENCH_FULL.json"
     print(json.dumps(compact))
     spark.stop()

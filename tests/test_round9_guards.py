@@ -325,3 +325,29 @@ def test_bench_find_regressions():
     # floor -> no; d: 2x -> flagged; new: no prior -> no
     assert set(got) == {"a", "d"}
     assert got["d"] == {"prior_sec": 4.0, "now_sec": 8.0}
+    # contention annotation: each flag carries the loadavg sampled at
+    # its best repeat's start, so the artifact adjudicates itself
+    annotated = bench.find_regressions(
+        prior, current, loads={"a": 33.5, "b": 1.0}
+    )
+    assert annotated["a"]["load1_at_measure"] == 33.5
+    assert "load1_at_measure" not in annotated["d"]  # no sample -> no claim
+
+
+def test_bench_cpu_snapshot_and_busy_frac():
+    """The per-pass contention evidence: snapshots carry loadavg and
+    /proc/stat jiffies, and the busy fraction between two snapshots
+    lands in [0, 1]; degenerate inputs return None, never raise."""
+    import bench
+
+    snap = bench._cpu_snapshot()
+    assert len(snap["loadavg"]) == 3
+    assert len(snap.get("proc_stat_cpu", [0] * 8)) == 8
+    a = {"proc_stat_cpu": [100, 0, 50, 800, 50, 0, 0, 0]}
+    b = {"proc_stat_cpu": [200, 0, 100, 1400, 100, 0, 0, 0]}
+    frac = bench._busy_frac(a, b)
+    assert frac is not None and 0.0 <= frac <= 1.0
+    # deltas: user 100, system 50, idle 600, iowait 50 -> 150/800 busy
+    assert abs(frac - (1 - 650 / 800)) < 1e-4
+    assert bench._busy_frac({}, b) is None
+    assert bench._busy_frac(a, a) is None  # zero elapsed jiffies
