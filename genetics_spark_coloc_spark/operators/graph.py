@@ -35,6 +35,7 @@ def connected_components(
     check_every: int = 1,
     stats_out: "dict | None" = None,
     unroll: int = 1,
+    checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
     """Label every vertex with the MINIMUM vertex id reachable from it.
 
@@ -73,7 +74,25 @@ def connected_components(
     Pass a dict as ``stats_out`` to receive ``{"rounds": executed,
     "converged": bool}`` — the scale probes record the round count
     this way without re-implementing the loop.
+
+    ``checkpoint_dir`` swaps the per-round localCheckpoint (blocks
+    pinned in executor/driver storage memory) for a RELIABLE disk
+    checkpoint rooted there. On a cluster the local blocks spread
+    over executor heaps and this is unnecessary; in local mode every
+    round's label table lands in the ONE driver-side block manager,
+    and past ~50M edges that exhausts the default heap (BASELINE.md
+    r9 probe needed SPARK_GRAFT_DRIVER_MEM=48g) — pointing
+    ``checkpoint_dir`` at any scratch path removes that requirement
+    at the cost of per-round parquet-ish disk writes.
     """
+    if checkpoint_dir is not None:
+        vertices.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame, eager: bool) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
+
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .unionByName(
@@ -82,11 +101,11 @@ def connected_components(
             )
         )
         .distinct()
-        # every round joins against the edge table; without this the
-        # upstream pair-generation pipeline (e.g. MinHash-LSH) would
-        # re-execute once per round
-        .localCheckpoint(eager=False)
     )
+    # every round joins against the edge table; without this the
+    # upstream pair-generation pipeline (e.g. MinHash-LSH) would
+    # re-execute once per round
+    sym = _ckpt(sym, eager=False)
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     )
@@ -119,7 +138,7 @@ def connected_components(
                     ).alias("label"),
                 )
             )
-        labels = labels.localCheckpoint(eager=until_converged)
+        labels = _ckpt(labels, eager=until_converged)
         if until_converged and _ % max(1, check_every) == max(1, check_every) - 1:
             changed = (
                 labels.alias("n")
@@ -171,6 +190,7 @@ def duplicate_clusters(
     dst_col: str = "rightId",
     num_rounds: int = 16,
     until_converged: bool = True,
+    checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
     """Resolve candidate duplicate pairs into clusters with a keeper.
 
@@ -181,7 +201,9 @@ def duplicate_clusters(
     Convergence is CHECKED by default: an unconverged labeling would
     silently split true clusters (extra keepers ⇒ surviving
     duplicates). Near-dup graphs converge in a few rounds; the check
-    costs one small count() per round.
+    costs one small count() per round. ``checkpoint_dir`` forwards to
+    :func:`connected_components` (disk checkpoints for giant local
+    runs).
     """
     comp = connected_components(
         docs.select(F.col(id_col)),
@@ -196,6 +218,7 @@ def duplicate_clusters(
         # eager checkpoints + convergence checks for the same join
         # work (measured 8.3 -> 5.9 s on the sf0.1 LSH graph)
         unroll=2,
+        checkpoint_dir=checkpoint_dir,
     )
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("clusterSize")

@@ -3339,3 +3339,51 @@ def test_curation_funnel_stage_verdicts(spark):
     assert out[2]["passQuality"]
     assert not out[3]["isKeeper"] and not out[3]["kept"]
     assert out[3]["passQuality"] and out[3]["passRepetition"] and out[3]["passPii"]
+
+
+def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir swaps the per-round localCheckpoint for a
+    RELIABLE disk checkpoint: identical components, and the round
+    tables actually land under the given directory — the local-mode
+    escape hatch for giant graphs where in-memory blocks exhaust the
+    single driver-side block manager (BASELINE.md r9 100M-edge note)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.operators.graph import connected_components
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    verts = spark.range(30).select(F.col("id").cast("long").alias("doc_id"))
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 28, 2)] + [(1, 2)],
+        "leftId: long, rightId: long",
+    )
+    stats: dict = {}
+    plain = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            verts, edges, "doc_id", until_converged=True, num_rounds=10
+        ).collect()
+    }
+    disk = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            verts,
+            edges,
+            "doc_id",
+            until_converged=True,
+            num_rounds=10,
+            checkpoint_dir=ckpt,
+            stats_out=stats,
+        ).collect()
+    }
+    assert disk == plain
+    assert stats["converged"]
+    # the reliable checkpoints were actually written to disk
+    written = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(ckpt)
+        for f in files
+    ]
+    assert written, "no checkpoint files under checkpoint_dir"

@@ -20,7 +20,15 @@ Graph shapes (generated as pure Column expressions, no driver data):
   near-dup clusters.
 
 Usage: python tools/cc_scale_probe.py [edges_millions ...]
+           [--checkpoint-dir PATH]
        (default: 10 40)
+
+``--checkpoint-dir`` forwards to connected_components(checkpoint_dir=)
+so each round's label table lands on DISK instead of the single
+local-mode driver-side block manager — the r10 escape hatch that lets
+the 100M-edge run complete at the default 8g heap (without it, r9
+measured an OOM during the round-5 sort and needed
+SPARK_GRAFT_DRIVER_MEM=48g).
 """
 
 from __future__ import annotations
@@ -71,7 +79,9 @@ def path_edges(spark, path_n: int):
     return verts, edges
 
 
-def probe(name: str, verts, edges, num_rounds: int) -> None:
+def probe(
+    name: str, verts, edges, num_rounds: int, checkpoint_dir: str | None = None
+) -> None:
     stats: dict = {}
     n_edges = edges.count()
     n_verts = verts.count()
@@ -83,6 +93,7 @@ def probe(name: str, verts, edges, num_rounds: int) -> None:
         until_converged=True,
         check_every=2,
         stats_out=stats,
+        checkpoint_dir=checkpoint_dir,
     )
     n_components = out.select("component").distinct().count()
     sec = round(time.perf_counter() - t0, 2)
@@ -97,6 +108,8 @@ def probe(name: str, verts, edges, num_rounds: int) -> None:
                 "converged": stats.get("converged"),
                 "sec": sec,
                 "edges_per_sec": int(n_edges / sec) if sec else None,
+                "checkpoint": "disk" if checkpoint_dir else "local",
+                "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
             }
         ),
         flush=True,
@@ -104,7 +117,13 @@ def probe(name: str, verts, edges, num_rounds: int) -> None:
 
 
 def main() -> None:
-    sizes = [int(float(a) * 1e6) for a in sys.argv[1:]] or [10_000_000, 40_000_000]
+    argv = list(sys.argv[1:])
+    checkpoint_dir = None
+    if "--checkpoint-dir" in argv:
+        i = argv.index("--checkpoint-dir")
+        checkpoint_dir = argv[i + 1]
+        del argv[i : i + 2]
+    sizes = [int(float(a) * 1e6) for a in argv] or [10_000_000, 40_000_000]
     spark = get_session(
         app_name="cc_scale_probe",
         master="local[32]",
@@ -114,11 +133,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     for n in sizes:
         verts, edges = chained_clique_edges(spark, n)
-        probe(f"cc_chained_cliques_{n // 1_000_000}m", verts, edges, num_rounds=24)
-    # one pathological 100k-vertex path: diameter 100k, the adversarial
-    # shape for label propagation (rounds, not volume, dominate)
-    verts, edges = path_edges(spark, 100_000)
-    probe("cc_path_100k", verts, edges, num_rounds=64)
+        probe(
+            f"cc_chained_cliques_{n // 1_000_000}m",
+            verts,
+            edges,
+            num_rounds=24,
+            checkpoint_dir=checkpoint_dir,
+        )
+    if checkpoint_dir is None:
+        # one pathological 100k-vertex path: diameter 100k, the
+        # adversarial shape for label propagation (rounds, not
+        # volume, dominate); skipped on checkpoint-dir runs, which
+        # target the volume/heap question only
+        verts, edges = path_edges(spark, 100_000)
+        probe("cc_path_100k", verts, edges, num_rounds=64)
     spark.stop()
 
 
