@@ -706,6 +706,7 @@ def streaming_kmv_sketch(
     tokens,
     group_col: str = "lang",
     k: int = 256,
+    emit: str = "snapshot",
 ) -> DataFrame:
     """KMV sketch maintained over a STREAM: per group, the k smallest
     distinct portable hashes seen so far. Unlike CMS/HLL (whose merge
@@ -718,15 +719,34 @@ def streaming_kmv_sketch(
     Hashing is the batch operator's own 60-bit portable scheme
     (``operators.sketches._md5_long`` expressions), so replaying a
     corpus reproduces the batch ``kmv_sketch`` value for value
-    (certified in tests). Each trigger emits the group's FULL current
-    sketch under an incrementing ``version`` — downstream consumers
-    (and the parity test) keep the max version per group; feed that
-    snapshot to the batch ``kmv_distinct_estimate`` /
-    ``kmv_overlap_estimate`` readers unchanged.
+    (certified in tests).
+
+    ``emit`` picks the sink volume trade:
+
+    - ``"snapshot"``: each trigger with a change emits the group's
+      FULL current sketch (≤ k rows: g, version, rank, hashValue)
+      under an incrementing ``version`` — consumers keep the max
+      version per group and feed it to the batch
+      ``kmv_distinct_estimate`` / ``kmv_overlap_estimate`` readers
+      unchanged. Simple, but a high-cardinality stream re-emits ~k
+      rows per trigger while the sketch is still churning.
+    - ``"delta"``: emit each hash ONCE, when it first enters the
+      sketch (g, version, hashValue — no rank: ranks shift as smaller
+      hashes arrive). Reconstruction is exact and order-free: the
+      live sketch per group is the k SMALLEST of all delta rows ever
+      emitted, because a value above the (monotonically decreasing)
+      k-th bound at arrival can never enter later, and an evicted
+      value ranks above the current k-th so the k-smallest cut drops
+      it. Total sink volume is bounded by distinct-hashes-that-ever-
+      entered (≤ k + evictions) instead of k × churn-triggers.
 
     ``group_col`` must be a string column (the streaming surface's
     usual key restriction — cast upstream).
     """
+    if emit not in ("snapshot", "delta"):
+        raise ValueError(
+            f"streaming_kmv_sketch: emit must be 'snapshot' or 'delta', got {emit!r}"
+        )
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from genetics_spark_coloc_spark.operators.sketches import _md5_long
@@ -735,7 +755,10 @@ def streaming_kmv_sketch(
         F.col(group_col).cast("string").alias("g"),
         F.explode(tokens).alias("_tok"),
     ).select("g", _md5_long(F.col("_tok")).alias("hashValue"))
-    out_schema = "g string, version long, rank int, hashValue long"
+    if emit == "snapshot":
+        out_schema = "g string, version long, rank int, hashValue long"
+    else:
+        out_schema = "g string, version long, hashValue long"
     state_schema = "vals array<long>, version long"
 
     def update(key, pdfs, state: GroupState):
@@ -756,9 +779,15 @@ def streaming_kmv_sketch(
             # sketch is unchanged, emit nothing (KMV's k-th bound only
             # decreases, so truncated values can never re-enter)
             return
+        entered = sorted(set(new_vals) - set(vals))
         vals = new_vals
         version += 1
         state.update((vals, version))
+        if emit == "delta":
+            yield pd.DataFrame(
+                {"g": key[0], "version": version, "hashValue": entered}
+            )
+            return
         yield pd.DataFrame(
             {
                 "g": key[0],

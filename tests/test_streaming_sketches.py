@@ -276,3 +276,70 @@ def test_kmv_sketch_plan_has_window_group_limit(spark):
     plan = physical_plan(kmv_sketch(df, F.col("keys"), ["g"], k=16))
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan and "Final" in plan
+
+
+def test_streaming_kmv_delta_emission_reconstructs_and_shrinks(spark, tmp_path):
+    """Delta emission (emit each hash once, when it enters the
+    sketch): the k-smallest cut over ALL emitted delta rows per group
+    reconstructs the batch sketch exactly, and the total emitted row
+    count is strictly below the snapshot mode's on the same replay —
+    the sink-volume bound for high-cardinality streams."""
+    from genetics_spark_coloc_spark.operators.sketches import kmv_sketch
+    from genetics_spark_coloc_spark.streaming.pipelines import (
+        streaming_kmv_sketch,
+    )
+
+    k = 32
+    batch = {
+        (r.lang, r.rank): r.hashValue
+        for r in kmv_sketch(_docs(spark), F.col("tokens"), ["lang"], k=k).collect()
+    }
+    src = str(tmp_path / "kmv_delta_src")
+    _docs(spark).repartition(3).write.mode("overwrite").parquet(src)
+
+    def replay(mode, name):
+        stream = (
+            spark.readStream.schema(_docs(spark).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_kmv_sketch(stream, F.col("tokens"), "lang", k=k, emit=mode)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None
+        return spark.sql(f"select * from {name}").collect()
+
+    delta_rows = replay("delta", "kmv_delta_stream")
+    snap_rows = replay("snapshot", "kmv_snap_stream")
+
+    # reconstruction: k smallest emitted hashes per group == batch
+    per_group: dict = {}
+    for r in delta_rows:
+        per_group.setdefault(r.g, []).append(r.hashValue)
+    rebuilt = {
+        (g, i + 1): h
+        for g, hs in per_group.items()
+        for i, h in enumerate(sorted(set(hs))[:k])
+    }
+    assert rebuilt == batch
+    # measurable reduction (each hash rides the sink once)
+    assert len(delta_rows) < len(snap_rows)
+    # each (g, hashValue) emitted exactly once in delta mode
+    assert len(delta_rows) == len({(r.g, r.hashValue) for r in delta_rows})
+
+    import pytest
+
+    with pytest.raises(ValueError, match="snapshot.*delta"):
+        streaming_kmv_sketch(
+            spark.readStream.schema(_docs(spark).schema).parquet(src),
+            F.col("tokens"),
+            "lang",
+            k=k,
+            emit="bogus",
+        )

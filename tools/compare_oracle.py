@@ -11,6 +11,21 @@ artifact is written in the same shape as the driver's CORRECTNESS files:
 ``{"<query>": {"rows_match": ..., "schema_match": ..., "hash_match": ...,
 "spark_rows": N, "oracle_rows": N, "err": null}}``. Queries without an
 ``oracle_sql()`` entry are recorded as ``err: "no_oracle"`` rows-only checks.
+
+ORACLE DETERMINISM CONTRACT (round-10 memo; see MEMORY.md
+"DuckDB recursive CTE flakiness"): DuckDB recursive CTEs that carry
+LIST state (e.g. an accepted-leads array) have been observed to
+silently mis-execute under DuckDB's threaded execution — wrong rows,
+no error. This script runs a single connection, which has been
+sufficient for the one legacy recursive oracle (window_clump_greedy),
+but NO NEW ``oracle_sql()`` entry should use a recursive CTE: express
+iterative algorithms (connected components, ontology closure, greedy
+walks) through a closed-form SQL equivalent instead — bounded-depth
+geometry arguments (tests/test_lifecycle_e2e.py's <=2-leads clump),
+path-doubling unrolled to a fixed depth, or a reduced query whose
+fixed point is directly computable. If no closed form exists, omit
+the oracle and accept the driver's weaker rows-only check rather
+than gamble on list-state recursion.
 """
 
 from __future__ import annotations
