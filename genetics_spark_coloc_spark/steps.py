@@ -593,6 +593,24 @@ def _run_lsh_band_index(spark, inputs, output, p):
     return None
 
 
+def _run_ivf_index(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.similarity import ivf_members
+
+    members = ivf_members(
+        _parquet(spark, inputs["corpus"]),
+        _parquet(spark, inputs["centroids"]),
+        id_col=p["id_col"],
+        vec_col=p["vec_col"],
+    )
+    # at-rest layout IS the point: one directory per inverted list, so
+    # an ivf_topk search over the read-back table dynamic-partition-
+    # prunes to exactly its nprobe probed lists (plan-pinned in
+    # tests/test_plan_quality.py) — each query batch reads nprobe
+    # lists, never the corpus
+    members.write.mode("overwrite").partitionBy("centroidId").parquet(output)
+    return None
+
+
 def _run_corpus_overlap(spark, inputs, output, p):
     from pyspark.sql import functions as F
 
@@ -932,6 +950,23 @@ STEPS: dict[str, StepSpec] = {
                 "m_bits": Param(int, 1 << 20, "bloom filter size in bits"),
                 "k": Param(int, 3, "hash count"),
             },
+        ),
+        StepSpec(
+            "ivf_index",
+            "Build the IVF inverted lists once (every corpus vector tagged "
+            "with its nearest centroid) and persist them PARTITIONED BY "
+            "centroidId — the at-rest ANN index: repeated ivf_topk query "
+            "batches pass the read-back table as members= and dynamic "
+            "partition pruning confines each batch's scan to its nprobe "
+            "probed lists (additive layer beyond the reference's genetics "
+            "surface)",
+            ("corpus", "centroids"),
+            _run_ivf_index,
+            {
+                "id_col": Param(str, "vec_id", "vector id column"),
+                "vec_col": Param(str, "embedding", "vector column"),
+            },
+            sink=True,
         ),
         StepSpec(
             "lsh_band_index",

@@ -350,3 +350,41 @@ def test_persisted_band_index_no_exchange_on_index_side(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
         spark.sql("DROP TABLE IF EXISTS band_index_plan_test")
+
+
+def test_persisted_ivf_index_dynamic_partition_pruning(spark, tmp_path):
+    """The persisted IVF index (ivf_members written partitionBy
+    centroidId — the ivf_index step's layout) is the ANN twin of the
+    bucketed band index: a search that passes the read-back table as
+    members= must show DYNAMIC PARTITION PRUNING on the members scan,
+    i.e. each query batch physically reads only its nprobe probed
+    inverted lists, never the whole corpus. Results must equal the
+    inline-members path exactly."""
+    from genetics_spark_coloc_spark.operators.similarity import (
+        ivf_members,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = emb.limit(8)
+    queries = emb.limit(4)
+    idx = str(tmp_path / "ivf_index")
+    ivf_members(emb, centroids).write.mode("overwrite").partitionBy(
+        "centroidId"
+    ).parquet(idx)
+    persisted = spark.read.parquet(idx)
+
+    fast = ivf_topk(emb, queries, centroids, k=3, nprobe=2, members=persisted)
+    plan = physical_plan(fast)
+    assert "dynamicpruningexpression(cast(centroidId" in plan or (
+        "dynamicpruningexpression(centroidId" in plan
+    ), plan[:4000]
+
+    slow = ivf_topk(emb, queries, centroids, k=3, nprobe=2)
+    key = lambda df: {  # noqa: E731
+        (r["queryId"], r["rank"]): (r["neighborId"], r["cosineSim"])
+        for r in df.collect()
+    }
+    got = key(fast)
+    assert got == key(slow)
+    assert got, "probe produced no neighbours"

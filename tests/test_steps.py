@@ -665,3 +665,45 @@ def test_run_lsh_band_index_step(spark, tmp_path):
             incremental_lsh_candidates(delta, corpus, index_bands=persisted)
     finally:
         spark.sql("DROP TABLE IF EXISTS band_index_step_test")
+
+
+def test_run_ivf_index_step(spark, tmp_path):
+    """The ivf_index sink step persists the inverted lists partitioned
+    by centroidId (one directory per list) and the read-back table
+    drives ivf_topk to the same neighbours as inline assignment."""
+    import os
+
+    from genetics_spark_coloc_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus_path = str(tmp_path / "corpus.parquet")
+    cent_path = str(tmp_path / "centroids.parquet")
+    emb.write.mode("overwrite").parquet(corpus_path)
+    emb.limit(8).write.mode("overwrite").parquet(cent_path)
+    out = str(tmp_path / "ivf_index")
+    assert (
+        run_step(
+            spark,
+            "ivf_index",
+            {"corpus": corpus_path, "centroids": cent_path},
+            out,
+        )
+        is None
+    )
+    # hive-style layout: one directory per inverted list
+    list_dirs = [d for d in os.listdir(out) if d.startswith("centroidId=")]
+    assert 1 <= len(list_dirs) <= 8
+    persisted = spark.read.parquet(out)
+    centroids = spark.read.parquet(cent_path)
+    queries = emb.limit(4)
+    fast = {
+        (r["queryId"], r["rank"]): r["neighborId"]
+        for r in ivf_topk(
+            emb, queries, centroids, k=3, nprobe=2, members=persisted
+        ).collect()
+    }
+    slow = {
+        (r["queryId"], r["rank"]): r["neighborId"]
+        for r in ivf_topk(emb, queries, centroids, k=3, nprobe=2).collect()
+    }
+    assert fast == slow and fast
