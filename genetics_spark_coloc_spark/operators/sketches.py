@@ -412,6 +412,36 @@ def kmv_sketch(
     )
 
 
+def kmv_merge(
+    sketches: DataFrame,
+    group_cols: "list[str]",
+    k: int = 256,
+) -> DataFrame:
+    """Merge per-shard KMV sketches RELATIONALLY (Beyer et al. 2007
+    multiset union): pool the shards' values per group, distinct,
+    re-rank, keep the k smallest. EXACT — any value in the global k
+    smallest necessarily ranked within its own shard's k smallest, so
+    merging per-shard sketches equals sketching the union (the merge
+    law kmv_shard_rollup certifies). ``sketches`` must carry the
+    shard key OUTSIDE ``group_cols`` (it is simply not selected);
+    input is ≤ |groups × shards| × k rows, output ≤ |groups| × k —
+    the rollup never touches raw data.
+
+    Same rank-and-truncate plan shape as :func:`kmv_sketch` (Partial +
+    Final WindowGroupLimit), so map partitions ship ≤ k rows per
+    group into the rank exchange.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    pooled = sketches.select(*group_cols, "hashValue").distinct()
+    w = Window.partitionBy(*group_cols).orderBy("hashValue")
+    return (
+        pooled.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*group_cols, "rank", "hashValue")
+    )
+
+
 def kmv_distinct_estimate(
     sketch: DataFrame,
     group_cols: "list[str]",

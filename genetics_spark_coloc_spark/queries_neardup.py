@@ -3381,3 +3381,243 @@ FROM truth t JOIN fin_m m USING (lang) JOIN fin_d d USING (lang)
 
 NEARDUP_QUERIES["hll_shard_rollup"] = q_hll_shard_rollup
 NEARDUP_ORACLES["hll_shard_rollup"] = SQL_HLL_SHARD_ROLLUP
+
+
+def q_delta_lsh_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup candidates through the PERSISTED-INDEX
+    code path (operators/dedup.lsh_band_index +
+    incremental_lsh_candidates(index_bands=...)): the corpus band
+    table is built once by the index builder and the delta joins into
+    it — in production the table is written bucketed by (bandIdx,
+    bandHash) via the lsh_band_index step, making the whole index
+    side of this join exchange-free (plan-pinned in
+    tests/test_plan_quality.py). Same semantics and oracle as
+    delta_lsh_pairs, certifying the two paths are interchangeable."""
+    from genetics_spark_coloc_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        lsh_band_index,
+    )
+
+    delta, index = _planted_delta_corpus(spark, sf_dir)
+    bands = lsh_band_index(index, text_col="content", num_perm=8, band_size=2)
+    return incremental_lsh_candidates(
+        delta,
+        text_col="content",
+        num_perm=8,
+        band_size=2,
+        index_bands=bands,
+    )
+
+
+NEARDUP_QUERIES["delta_lsh_index_pairs"] = q_delta_lsh_index_pairs
+NEARDUP_ORACLES["delta_lsh_index_pairs"] = SQL_DELTA_LSH_PAIRS
+
+
+def q_kmv_shard_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational KMV rollup (operators/sketches.py kmv_merge): sketch
+    each ingest SHARD (doc_id % 4) independently, then merge the
+    per-shard sketches by pooling values and re-ranking — never
+    touching raw documents again. The merge law is EXACT for KMV (any
+    globally k-smallest value is k-smallest within its shard), which
+    this query certifies by comparing the merged and direct sketch
+    TABLES on exact integers, alongside both distinct estimates and
+    the true count."""
+    from genetics_spark_coloc_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+    from genetics_spark_coloc_spark.operators.text import tokens
+
+    k = 128
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "shard", (F.col("doc_id") % 4).cast("int")
+    )
+    toks = tokens(F.lower(F.col("text")))
+    sharded = kmv_sketch(docs, toks, ["lang", "shard"], k=k)
+    rolled_sk = kmv_merge(sharded, ["lang"], k=k)
+    direct_sk = kmv_sketch(docs, toks, ["lang"], k=k)
+    rolled = kmv_distinct_estimate(rolled_sk, ["lang"], k=k).withColumnRenamed(
+        "estDistinct", "rolledUpEst"
+    )
+    direct = kmv_distinct_estimate(direct_sk, ["lang"], k=k).withColumnRenamed(
+        "estDistinct", "directEst"
+    )
+    # merge law on the integer sketch tables (same device as
+    # hll_shard_rollup: float-estimate equality can flip at a
+    # rounding boundary; the (rank, hashValue) tables cannot)
+    regcmp = (
+        rolled_sk.withColumnRenamed("hashValue", "mh")
+        .join(
+            direct_sk.withColumnRenamed("hashValue", "dh"),
+            on=["lang", "rank"],
+            how="full",
+        )
+        .groupBy("lang")
+        .agg(
+            F.min(
+                F.coalesce(F.col("mh") == F.col("dh"), F.lit(False))
+            ).alias("mergeLawHolds")
+        )
+    )
+    truth = (
+        docs.select("lang", F.explode(toks).alias("token"))
+        .groupBy("lang")
+        .agg(F.count_distinct("token").cast("long").alias("trueDistinct"))
+    )
+    return (
+        truth.join(rolled, on="lang")
+        .join(direct, on="lang")
+        .join(regcmp, on="lang")
+        .select(
+            "lang", "trueDistinct", "rolledUpEst", "directEst", "mergeLawHolds"
+        )
+    )
+
+
+SQL_KMV_SHARD_ROLLUP = r"""
+WITH toks AS (
+  SELECT lang, CAST(doc_id % 4 AS INT) AS shard,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+  FROM documents
+),
+occ AS (SELECT lang, shard, UNNEST(t) AS token FROM toks),
+hashed AS (
+  SELECT DISTINCT lang, shard,
+         ('0x' || substr(md5(token), 1, 15))::UBIGINT AS h
+  FROM occ
+),
+shard_sk AS (
+  SELECT lang, shard, h FROM (
+    SELECT lang, shard, h,
+           ROW_NUMBER() OVER (PARTITION BY lang, shard ORDER BY h) AS r
+    FROM hashed
+  ) WHERE r <= 128
+),
+rolled_sk AS (
+  SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rank
+  FROM (SELECT DISTINCT lang, h FROM shard_sk)
+  QUALIFY rank <= 128
+),
+direct_sk AS (
+  SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rank
+  FROM (SELECT DISTINCT lang, h FROM hashed)
+  QUALIFY rank <= 128
+),
+est_m AS (
+  SELECT lang, COUNT(*) AS n, MAX(CASE WHEN rank = 128 THEN h END) AS kth
+  FROM rolled_sk GROUP BY lang
+),
+est_d AS (
+  SELECT lang, COUNT(*) AS n, MAX(CASE WHEN rank = 128 THEN h END) AS kth
+  FROM direct_sk GROUP BY lang
+),
+fin_m AS (
+  SELECT lang,
+         ROUND(CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+                    ELSE 127.0 * POWER(2.0, 60) / CAST(kth AS DOUBLE) END, 4)
+           AS rolledUpEst
+  FROM est_m
+),
+fin_d AS (
+  SELECT lang,
+         ROUND(CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+                    ELSE 127.0 * POWER(2.0, 60) / CAST(kth AS DOUBLE) END, 4)
+           AS directEst
+  FROM est_d
+),
+regcmp AS (
+  SELECT COALESCE(m.lang, d.lang) AS lang,
+         BOOL_AND(COALESCE(m.h = d.h, FALSE)) AS mergeLawHolds
+  FROM rolled_sk m FULL JOIN direct_sk d
+    ON m.lang = d.lang AND m.rank = d.rank
+  GROUP BY 1
+),
+truth AS (
+  SELECT lang, CAST(COUNT(DISTINCT token) AS BIGINT) AS trueDistinct
+  FROM occ GROUP BY lang
+)
+SELECT t.lang, t.trueDistinct, m.rolledUpEst, d.directEst, r.mergeLawHolds
+FROM truth t JOIN fin_m m USING (lang) JOIN fin_d d USING (lang)
+     JOIN regcmp r USING (lang)
+"""
+
+NEARDUP_QUERIES["kmv_shard_rollup"] = q_kmv_shard_rollup
+NEARDUP_ORACLES["kmv_shard_rollup"] = SQL_KMV_SHARD_ROLLUP
+
+
+def q_cms_shard_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational Count-Min rollup: CMS tables built independently per
+    ingest shard (doc_id % 4) merge to the whole-corpus sketch with a
+    plain groupBy SUM over (row, bucket) — counters are additive, so
+    the law is exact on integers. Emits per hash row: bucket count,
+    total mass (rolled and direct), and the table-equality flag."""
+    from genetics_spark_coloc_spark.operators.sketches import cms_sketch
+    from genetics_spark_coloc_spark.operators.text import tokens
+
+    depth, width = 4, 1024
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    sharded = None
+    for shard in range(4):
+        part = cms_sketch(
+            docs.filter(F.col("doc_id") % 4 == shard), toks, depth, width
+        )
+        sharded = part if sharded is None else sharded.unionByName(part)
+    merged = sharded.groupBy("row", "bucket").agg(F.sum("cnt").alias("mcnt"))
+    direct = cms_sketch(docs, toks, depth, width)
+    cmp_ = merged.join(
+        direct.withColumnRenamed("cnt", "dcnt"), on=["row", "bucket"], how="full"
+    )
+    return (
+        cmp_.groupBy("row")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nBuckets"),
+            F.sum(F.coalesce("mcnt", F.lit(0))).cast("long").alias("rolledTotal"),
+            F.sum(F.coalesce("dcnt", F.lit(0))).cast("long").alias("directTotal"),
+            F.min(
+                F.coalesce(F.col("mcnt") == F.col("dcnt"), F.lit(False))
+            ).alias("mergeLawHolds"),
+        )
+        .select("row", "nBuckets", "rolledTotal", "directTotal", "mergeLawHolds")
+    )
+
+
+SQL_CMS_SHARD_ROLLUP = r"""
+WITH toks AS (
+  SELECT CAST(doc_id % 4 AS INT) AS shard,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+  FROM documents
+),
+occ AS (SELECT shard, UNNEST(t) AS token FROM toks),
+rows_ AS (SELECT UNNEST([0,1,2,3]) AS row),
+sharded AS (
+  SELECT o.shard, r.row,
+         ('0x' || substr(md5(CAST(r.row AS VARCHAR) || '|' || o.token), 1, 15))::UBIGINT % 1024 AS bucket,
+         COUNT(*) AS cnt
+  FROM occ o CROSS JOIN rows_ r
+  GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT row, bucket, SUM(cnt) AS mcnt FROM sharded GROUP BY 1, 2
+),
+direct AS (
+  SELECT r.row,
+         ('0x' || substr(md5(CAST(r.row AS VARCHAR) || '|' || o.token), 1, 15))::UBIGINT % 1024 AS bucket,
+         COUNT(*) AS dcnt
+  FROM occ o CROSS JOIN rows_ r
+  GROUP BY 1, 2
+)
+SELECT COALESCE(m.row, d.row) AS row,
+       CAST(COUNT(*) AS BIGINT) AS nBuckets,
+       CAST(SUM(COALESCE(m.mcnt, 0)) AS BIGINT) AS rolledTotal,
+       CAST(SUM(COALESCE(d.dcnt, 0)) AS BIGINT) AS directTotal,
+       BOOL_AND(COALESCE(m.mcnt = d.dcnt, FALSE)) AS mergeLawHolds
+FROM merged m FULL JOIN direct d ON m.row = d.row AND m.bucket = d.bucket
+GROUP BY 1
+"""
+
+NEARDUP_QUERIES["cms_shard_rollup"] = q_cms_shard_rollup
+NEARDUP_ORACLES["cms_shard_rollup"] = SQL_CMS_SHARD_ROLLUP

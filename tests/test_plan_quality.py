@@ -274,6 +274,9 @@ TOPK_QUERIES = [
     "top1_per_group",
     "ivf_topk",
     "kmv_overlap",
+    # the shard rollup re-ranks pooled sketch values (kmv_merge) —
+    # same rank<=k shape, same pushdown contract
+    "kmv_shard_rollup",
 ]
 
 
