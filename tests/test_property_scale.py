@@ -532,3 +532,41 @@ def test_grid_quantile_rank_error_within_bin_width(spark, values, q):
     rank = max(1, math.ceil(q * total))
     true_q = sorted(values)[rank - 1]
     assert abs(est - true_q) <= span + 1e-6, (est, true_q, span)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # shard
+            st.integers(min_value=0, max_value=2000),  # value
+        ),
+        min_size=1,
+        max_size=150,
+    )
+)
+def test_kmv_merge_equals_direct_sketch(spark, rows):
+    """Merging per-shard KMV sketches (kmv_merge: pool + re-rank)
+    equals sketching the union directly, for ANY shard split — the
+    exactness argument is that a globally k-smallest value is
+    k-smallest within its own shard, so no shard truncation can drop
+    it. Verified on exact integer tables."""
+    from genetics_spark_coloc_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    k = 16
+    df = spark.createDataFrame(
+        [("g", s, f"v{v}") for s, v in rows], "g string, shard int, key string"
+    ).select("g", "shard", F.array("key").alias("keys"))
+    sharded = kmv_sketch(df, F.col("keys"), ["g", "shard"], k=k)
+    merged = {
+        (r["rank"]): r["hashValue"]
+        for r in kmv_merge(sharded, ["g"], k=k).collect()
+    }
+    direct = {
+        (r["rank"]): r["hashValue"]
+        for r in kmv_sketch(df, F.col("keys"), ["g"], k=k).collect()
+    }
+    assert merged == direct
