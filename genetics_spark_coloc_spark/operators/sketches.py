@@ -79,6 +79,45 @@ def cms_sketch(
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def cms_sketch_grouped(
+    df: DataFrame,
+    tokens: Column,
+    group_cols: "list[str]",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Per-group Count-Min sketches in ONE corpus scan — the shard/
+    per-day ingest shape: group by (group…, row, bucket) so every
+    shard's sketch comes out of the same pass (vs one filtered pass
+    per shard). Output ≤ |groups| × depth × width rows; sketches
+    merge to the whole-corpus sketch with a plain groupBy SUM over
+    (row, bucket) — counters are additive (certified by the
+    cms_shard_rollup query). ``group_cols=[]`` degenerates to
+    :func:`cms_sketch`'s shape.
+    """
+    tok = df.select(*group_cols, F.explode(tokens).alias("token"))
+    rows = tok.select(
+        *group_cols,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("row"),
+                    (
+                        _md5_long(F.concat_ws("|", F.lit(str(d)), F.col("token")))
+                        % width
+                    ).alias("bucket"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("rb"),
+    )
+    return rows.groupBy(
+        *group_cols,
+        F.col("rb.row").alias("row"),
+        F.col("rb.bucket").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def cms_estimate(
     sketch: DataFrame,
     candidates: DataFrame,

@@ -3548,23 +3548,24 @@ NEARDUP_ORACLES["kmv_shard_rollup"] = SQL_KMV_SHARD_ROLLUP
 
 
 def q_cms_shard_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relational Count-Min rollup: CMS tables built independently per
-    ingest shard (doc_id % 4) merge to the whole-corpus sketch with a
-    plain groupBy SUM over (row, bucket) — counters are additive, so
-    the law is exact on integers. Emits per hash row: bucket count,
-    total mass (rolled and direct), and the table-equality flag."""
-    from genetics_spark_coloc_spark.operators.sketches import cms_sketch
+    """Relational Count-Min rollup: per-shard CMS tables (doc_id % 4,
+    all shards sketched in ONE corpus scan via cms_sketch_grouped)
+    merge to the whole-corpus sketch with a plain groupBy SUM over
+    (row, bucket) — counters are additive, so the law is exact on
+    integers. Emits per hash row: bucket count, total mass (rolled
+    and direct), and the table-equality flag."""
+    from genetics_spark_coloc_spark.operators.sketches import (
+        cms_sketch,
+        cms_sketch_grouped,
+    )
     from genetics_spark_coloc_spark.operators.text import tokens
 
     depth, width = 4, 1024
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "shard", (F.col("doc_id") % 4).cast("int")
+    )
     toks = tokens(F.lower(F.col("text")))
-    sharded = None
-    for shard in range(4):
-        part = cms_sketch(
-            docs.filter(F.col("doc_id") % 4 == shard), toks, depth, width
-        )
-        sharded = part if sharded is None else sharded.unionByName(part)
+    sharded = cms_sketch_grouped(docs, toks, ["shard"], depth, width)
     merged = sharded.groupBy("row", "bucket").agg(F.sum("cnt").alias("mcnt"))
     direct = cms_sketch(docs, toks, depth, width)
     cmp_ = merged.join(
