@@ -426,6 +426,42 @@ def lsh_band_index(
     return _band_hashes(df, text_col, id_col, num_perm, band_size)
 
 
+def load_lsh_band_index(
+    spark,
+    table_name: str,
+    num_perm: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Load a persisted band-index table (written by the
+    ``lsh_band_index`` step) with its band parameters VALIDATED
+    against the table properties the step pinned. Band parameters are
+    the index's identity — a delta banded with different ``num_perm``
+    or ``band_size`` produces hashes that never match the index, so a
+    mismatch silently yields zero candidates; this loader turns that
+    silent wrong answer into a loud error at plan time.
+
+    Tables written by other means (no properties) load with a pass —
+    the caller asserted the parameters by choosing them.
+    """
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
+    }
+    for prop, expected in [
+        ("genetics_spark_coloc.num_perm", num_perm),
+        ("genetics_spark_coloc.band_size", band_size),
+    ]:
+        if prop in props and props[prop] != str(int(expected)):
+            raise ValueError(
+                f"load_lsh_band_index: {table_name} was built with "
+                f"{prop.rsplit('.', 1)[1]}={props[prop]} but the caller "
+                f"expects {expected}; a banding mismatch never matches any "
+                "delta hash and silently yields zero candidates. Re-band "
+                "the index or pass the table's own parameters."
+            )
+    return spark.table(table_name)
+
+
 def incremental_exact_dedup(
     delta: DataFrame,
     index: DataFrame,

@@ -707,3 +707,33 @@ def test_run_ivf_index_step(spark, tmp_path):
         for r in ivf_topk(emb, queries, centroids, k=3, nprobe=2).collect()
     }
     assert fast == slow and fast
+
+
+def test_load_lsh_band_index_validates_band_params(spark, tmp_path):
+    """The guarded loader rejects a band-parameter mismatch loudly —
+    mismatched banding never matches any delta hash and would
+    otherwise return zero candidates silently."""
+    from genetics_spark_coloc_spark.operators.dedup import (
+        load_lsh_band_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    corpus_path = str(tmp_path / "c.parquet")
+    docs.limit(50).write.mode("overwrite").parquet(corpus_path)
+    spark.sql("DROP TABLE IF EXISTS band_index_loader_test")
+    try:
+        run_step(
+            spark,
+            "lsh_band_index",
+            {"corpus": corpus_path},
+            "band_index_loader_test",
+            params={"num_buckets": 2, "num_perm": 8, "band_size": 2},
+        )
+        ok = load_lsh_band_index(spark, "band_index_loader_test", 8, 2)
+        assert ok.columns == ["docId", "bandIdx", "bandHash"]
+        with pytest.raises(ValueError, match="num_perm=8"):
+            load_lsh_band_index(spark, "band_index_loader_test", 16, 2)
+        with pytest.raises(ValueError, match="band_size=2"):
+            load_lsh_band_index(spark, "band_index_loader_test", 8, 4)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_index_loader_test")
