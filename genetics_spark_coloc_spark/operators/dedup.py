@@ -431,17 +431,28 @@ def load_lsh_band_index(
     table_name: str,
     num_perm: int = 8,
     band_size: int = 2,
+    hot_bucket_ceiling: "int | None" = None,
 ) -> DataFrame:
     """Load a persisted band-index table (written by the
     ``lsh_band_index`` step) with its band parameters VALIDATED
     against the table properties the step pinned. Band parameters are
     the index's identity — a delta banded with different ``num_perm``
-    or ``band_size`` produces hashes that never match the index, so a
+    or ``band_size`` produces hashes that never matches the index, so a
     mismatch silently yields zero candidates; this loader turns that
     silent wrong answer into a loud error at plan time.
 
-    Tables written by other means (no properties) load with a pass —
-    the caller asserted the parameters by choosing them.
+    With ``hot_bucket_ceiling`` set, the step-certified
+    ``max_bucket_count`` property is checked against it too — passing
+    means the whole table is certified under the ceiling, so
+    ``incremental_lsh_candidates(..., index_guard=False)`` can skip
+    its per-batch index-side guard scan (the production pairing; the
+    certification was paid once at build time). A table over the
+    ceiling, or one missing the property while a ceiling was
+    requested, raises.
+
+    Tables written by other means (no properties) load with a pass
+    when no ceiling is requested — the caller asserted the parameters
+    by choosing them.
     """
     props = {
         r["key"]: r["value"]
@@ -458,6 +469,24 @@ def load_lsh_band_index(
                 f"expects {expected}; a banding mismatch never matches any "
                 "delta hash and silently yields zero candidates. Re-band "
                 "the index or pass the table's own parameters."
+            )
+    if hot_bucket_ceiling is not None:
+        recorded = props.get("genetics_spark_coloc.max_bucket_count")
+        if recorded is None:
+            raise ValueError(
+                f"load_lsh_band_index: {table_name} carries no certified "
+                "max_bucket_count property (not written by the "
+                "lsh_band_index step?); cannot certify "
+                f"hot_bucket_ceiling={hot_bucket_ceiling} — load without a "
+                "ceiling and keep index_guard=True instead"
+            )
+        if int(recorded) > hot_bucket_ceiling:
+            raise ValueError(
+                f"load_lsh_band_index: {table_name} certifies "
+                f"max_bucket_count={recorded} > requested ceiling "
+                f"{hot_bucket_ceiling}; the pair join is quadratic per "
+                "bucket. Strip boilerplate and rebuild the index, or raise "
+                "the ceiling."
             )
     return spark.table(table_name)
 
@@ -519,6 +548,7 @@ def incremental_lsh_candidates(
     hot_bucket_ceiling: "int | None" = 10_000,
     on_hot_bucket: str = "raise",
     index_bands: DataFrame | None = None,
+    index_guard: bool = True,
 ) -> DataFrame:
     """Near-dup candidates of a NEW batch against an EXISTING corpus:
     band the delta, join it against the INDEX's band table — never
@@ -547,6 +577,15 @@ def incremental_lsh_candidates(
     ``hot_bucket_ceiling`` occurrences (bit-identical output when
     nothing is hot), ``cap`` excludes hot buckets, ``None`` disables.
 
+    ``index_guard=False`` skips the INDEX side's per-batch guard scan
+    — pass it ONLY when the index is already certified under the
+    ceiling, i.e. loaded via ``load_lsh_band_index(...,
+    hot_bucket_ceiling=...)`` from a table the ``lsh_band_index`` step
+    built (the step certifies max bucket occupancy once at build
+    time and pins it as a table property). The certification replaces
+    a full index scan per delta batch with a table-property check at
+    load time; the delta side stays guarded regardless.
+
     Emits distinct (deltaId, indexId) candidate pairs; feed them to
     ngram_jaccard for exact verification, exactly like the batch
     pipeline.
@@ -556,6 +595,13 @@ def incremental_lsh_candidates(
             "incremental_lsh_candidates: pass exactly one of index (raw "
             "corpus, banded inline) or index_bands (persisted band table "
             "from lsh_band_index)"
+        )
+    if not index_guard and index_bands is None:
+        raise ValueError(
+            "incremental_lsh_candidates: index_guard=False requires "
+            "index_bands — only a persisted index certified by "
+            "load_lsh_band_index(hot_bucket_ceiling=...) may skip the "
+            "per-batch guard; an inline-banded corpus is never certified"
         )
     # checkpoint the delta band table: the guard (counts + semi
     # probe) and the join each re-derive it otherwise — three corpus
@@ -574,12 +620,16 @@ def incremental_lsh_candidates(
         # materialize to the driver-local store and DESTROY the
         # bucketed scan's HashPartitioning, reintroducing the very
         # exchange the persisted layout exists to avoid
-        ibands = guard_hot_buckets(
-            index_bands,
-            ["bandIdx", "bandHash"],
-            hot_bucket_ceiling,
-            on_hot_bucket,
-            "incremental_lsh_candidates(index)",
+        ibands = (
+            index_bands
+            if not index_guard
+            else guard_hot_buckets(
+                index_bands,
+                ["bandIdx", "bandHash"],
+                hot_bucket_ceiling,
+                on_hot_bucket,
+                "incremental_lsh_candidates(index)",
+            )
         )
     else:
         ibands = guard_hot_buckets(

@@ -584,11 +584,25 @@ def _run_lsh_band_index(spark, inputs, output, p):
         sort_cols=["bandIdx", "bandHash"],
     )
     # band parameters are part of the index identity — a delta banded
-    # differently never matches — so pin them to the table
+    # differently never matches — so pin them to the table; the max
+    # per-bucket occupancy is CERTIFIED once here (one aggregation
+    # over the freshly-written table, amortized across every future
+    # delta batch) so incremental_lsh_candidates(index_guard=False)
+    # can skip its per-batch index-side guard scan
+    from pyspark.sql import functions as F
+
+    max_bucket = (
+        spark.table(output)
+        .groupBy("bandIdx", "bandHash")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c"))
+        .collect()[0][0]
+    )
     spark.sql(
         f"ALTER TABLE {output} SET TBLPROPERTIES ("
         f"'genetics_spark_coloc.num_perm' = '{int(p['num_perm'])}', "
-        f"'genetics_spark_coloc.band_size' = '{int(p['band_size'])}')"
+        f"'genetics_spark_coloc.band_size' = '{int(p['band_size'])}', "
+        f"'genetics_spark_coloc.max_bucket_count' = '{int(max_bucket or 0)}')"
     )
     return None
 

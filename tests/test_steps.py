@@ -735,5 +735,39 @@ def test_load_lsh_band_index_validates_band_params(spark, tmp_path):
             load_lsh_band_index(spark, "band_index_loader_test", 16, 2)
         with pytest.raises(ValueError, match="band_size=2"):
             load_lsh_band_index(spark, "band_index_loader_test", 8, 4)
+        # ceiling certification: the step recorded max bucket
+        # occupancy at build time; a generous ceiling passes, one
+        # below the recorded occupancy refuses to certify
+        recorded = int(
+            {
+                r["key"]: r["value"]
+                for r in spark.sql(
+                    "SHOW TBLPROPERTIES band_index_loader_test"
+                ).collect()
+            }["genetics_spark_coloc.max_bucket_count"]
+        )
+        assert recorded >= 1
+        certified = load_lsh_band_index(
+            spark, "band_index_loader_test", hot_bucket_ceiling=recorded
+        )
+        from genetics_spark_coloc_spark.operators.dedup import (
+            incremental_lsh_candidates,
+        )
+
+        delta = docs.filter(F.col("doc_id") % 2 == 1).limit(20)
+        guard_free = incremental_lsh_candidates(
+            delta, index_bands=certified, index_guard=False
+        )
+        guarded = incremental_lsh_candidates(delta, index_bands=certified)
+        key = lambda df: {  # noqa: E731
+            (r["deltaId"], r["indexId"]) for r in df.collect()
+        }
+        assert key(guard_free) == key(guarded)
+        with pytest.raises(ValueError, match="max_bucket_count"):
+            load_lsh_band_index(
+                spark, "band_index_loader_test", hot_bucket_ceiling=recorded - 1
+            )
+        with pytest.raises(ValueError, match="index_guard=False requires"):
+            incremental_lsh_candidates(delta, docs, index_guard=False)
     finally:
         spark.sql("DROP TABLE IF EXISTS band_index_loader_test")

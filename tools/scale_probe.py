@@ -1080,3 +1080,105 @@ def sketch_probes(n_docs: int = 2_000_000, n_fact: int = 20_000_000) -> None:
         flush=True,
     )
     spark.stop()
+
+
+def band_index_probes(n_index: int = 2_000_000, n_delta: int = 50_000) -> None:
+    """Round-10 probe: the persisted bucketed LSH band index vs
+    inline re-banding for incremental dedup. The production claim
+    (operators/dedup.lsh_band_index) is that per-delta-batch cost
+    should scale with |delta| once the corpus band table is at rest
+    bucketed by (bandIdx, bandHash) — this measures the claim at 40×
+    the sf0.1 corpus volume: (a) the one-time index build + bucketed
+    write, (b) a delta batch joined against the persisted index,
+    (c) the same batch with the corpus re-banded inline (what every
+    batch pays without the index).
+    Run via: python -c "import tools.scale_probe as sp; sp.band_index_probes()"
+    """
+    spark = get_session(
+        app_name="scale_probe_band_index",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        load_lsh_band_index,
+    )
+
+    def docs(n, salt):
+        # 1-in-200 docs carry a dup-group body (md5-derived, unique
+        # PER GROUP — a literal shared run across all dup docs would
+        # be corpus-wide boilerplate and correctly trip the
+        # hot-bucket guard, which is not what this probe measures);
+        # delta dup docs share their group's body with the index
+        dup_body = F.concat(
+            F.md5(F.concat(F.lit("dup"), (F.col("id") % 10_000).cast("string"))),
+            F.md5(F.concat(F.lit("dup2"), (F.col("id") % 10_000).cast("string"))),
+        )
+        normal = F.concat(
+            F.md5(F.concat(F.lit(salt), F.col("id").cast("string"))),
+            F.lit(" "),
+            F.md5((F.col("id") * 13).cast("string")),
+        )
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 200 == 0, dup_body).otherwise(normal).alias("text"),
+        )
+
+    index, delta = docs(n_index, "i"), docs(n_delta, "d")
+    spark.sql("DROP TABLE IF EXISTS band_index_probe")
+    # the derby metastore is per-session: a prior run's managed-table
+    # LOCATION survives its catalog entry, and saveAsTable refuses to
+    # reuse it — clear the orphaned directory too
+    import shutil
+    import tempfile
+
+    from genetics_spark_coloc_spark.steps import run_step
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(wh, "band_index_probe"), ignore_errors=True)
+    tmp = tempfile.mkdtemp(prefix="band_index_probe_")
+    corpus_path = os.path.join(tmp, "corpus.parquet")
+    index.write.mode("overwrite").parquet(corpus_path)
+    # the REAL step: bucketed write + band-parameter + max-bucket
+    # certification properties
+    start = time.perf_counter()
+    run_step(
+        spark,
+        "lsh_band_index",
+        {"corpus": corpus_path},
+        "band_index_probe",
+        params={"num_buckets": 64},
+    )
+    build_sec = round(time.perf_counter() - start, 2)
+    print(
+        json.dumps(
+            {"probe": "band_index_build_2m_docs", "rows": n_index, "sec": build_sec}
+        ),
+        flush=True,
+    )
+    # ceiling-certified load: the step recorded max bucket occupancy
+    # at build time, so the guard-free path below is sound
+    persisted = load_lsh_band_index(
+        spark, "band_index_probe", hot_bucket_ceiling=10_000
+    )
+    probe(
+        f"delta_vs_persisted_index_{n_delta // 1000}k_delta",
+        n_delta,
+        lambda: incremental_lsh_candidates(delta, index_bands=persisted),
+    )
+    probe(
+        f"delta_vs_certified_index_noguard_{n_delta // 1000}k_delta",
+        n_delta,
+        lambda: incremental_lsh_candidates(
+            delta, index_bands=persisted, index_guard=False
+        ),
+    )
+    probe(
+        f"delta_vs_inline_rebanding_{n_delta // 1000}k_delta",
+        n_delta,
+        lambda: incremental_lsh_candidates(delta, index),
+    )
+    spark.sql("DROP TABLE IF EXISTS band_index_probe")
+    spark.stop()
