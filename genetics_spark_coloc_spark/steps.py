@@ -563,7 +563,10 @@ def _run_bloom_prune(spark, inputs, output, p):
 
 
 def _run_lsh_band_index(spark, inputs, output, p):
-    from genetics_spark_coloc_spark.operators.dedup import lsh_band_index
+    from genetics_spark_coloc_spark.operators.dedup import (
+        load_lsh_band_index,
+        lsh_band_index,
+    )
     from genetics_spark_coloc_spark.session import write_bucketed
 
     bands = lsh_band_index(
@@ -576,13 +579,24 @@ def _run_lsh_band_index(spark, inputs, output, p):
     # output is a CATALOG TABLE name, not a path: bucketing lives in
     # the table catalog (session.write_bucketed), and the bucketed
     # layout is the entire point of this step
-    write_bucketed(
-        bands,
-        output,
-        ["bandIdx", "bandHash"],
-        num_buckets=p["num_buckets"],
-        sort_cols=["bandIdx", "bandHash"],
-    )
+    if p["mode"] == "append":
+        # the daily-crawl loop: band ONLY the new corpus and insert
+        # into the existing bucketed table (Spark appends new files
+        # per bucket — history is never re-banded or rewritten).
+        # load_lsh_band_index validates the band parameters first: an
+        # append banded differently would silently poison the index.
+        load_lsh_band_index(
+            spark, output, num_perm=p["num_perm"], band_size=p["band_size"]
+        )
+        bands.write.mode("append").insertInto(output)
+    else:
+        write_bucketed(
+            bands,
+            output,
+            ["bandIdx", "bandHash"],
+            num_buckets=p["num_buckets"],
+            sort_cols=["bandIdx", "bandHash"],
+        )
     # band parameters are part of the index identity — a delta banded
     # differently never matches — so pin them to the table; the max
     # per-bucket occupancy is CERTIFIED once here (one aggregation
@@ -999,6 +1013,15 @@ STEPS: dict[str, StepSpec] = {
                 "num_perm": Param(int, 8, "minhash permutations"),
                 "band_size": Param(int, 2, "hashes per band"),
                 "num_buckets": Param(int, 64, "bucket count of the table"),
+                "mode": Param(
+                    str,
+                    "overwrite",
+                    "overwrite = rebuild; append = band ONLY the given "
+                    "corpus and insert into the existing table (the "
+                    "daily-crawl loop — history is never re-banded); "
+                    "band params are validated and the bucket-ceiling "
+                    "certification is recomputed either way",
+                ),
             },
             sink=True,
         ),

@@ -771,3 +771,61 @@ def test_load_lsh_band_index_validates_band_params(spark, tmp_path):
             incremental_lsh_candidates(delta, docs, index_guard=False)
     finally:
         spark.sql("DROP TABLE IF EXISTS band_index_loader_test")
+
+
+def test_lsh_band_index_append_mode_grows_index_incrementally(spark, tmp_path):
+    """The daily-crawl loop: build the index on half the corpus,
+    APPEND the other half's bands (history never re-banded), and the
+    grown index drives incremental_lsh_candidates to exactly the
+    pairs of an index built on the full corpus in one shot; the
+    bucket-ceiling certification is recomputed over the grown table."""
+    from genetics_spark_coloc_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        load_lsh_band_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    day1 = docs.filter(F.col("doc_id") % 4 == 0)
+    day2 = docs.filter(F.col("doc_id") % 4 == 2)
+    full = day1.unionByName(day2)
+    delta = docs.filter(F.col("doc_id") % 2 == 1).limit(40)
+    p1, p2, pf = (str(tmp_path / n) for n in ("d1.parquet", "d2.parquet", "full.parquet"))
+    day1.write.mode("overwrite").parquet(p1)
+    day2.write.mode("overwrite").parquet(p2)
+    full.write.mode("overwrite").parquet(pf)
+    for t in ("band_index_grown", "band_index_oneshot"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        run_step(spark, "lsh_band_index", {"corpus": p1}, "band_index_grown",
+                 params={"num_buckets": 4})
+        run_step(spark, "lsh_band_index", {"corpus": p2}, "band_index_grown",
+                 params={"num_buckets": 4, "mode": "append"})
+        run_step(spark, "lsh_band_index", {"corpus": pf}, "band_index_oneshot",
+                 params={"num_buckets": 4})
+        grown_rows = spark.table("band_index_grown")
+        oneshot_rows = spark.table("band_index_oneshot")
+        assert grown_rows.count() == oneshot_rows.count()
+        # certification recomputed over the grown table == one-shot's
+        props = lambda t: {  # noqa: E731
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {t}").collect()
+        }
+        assert (
+            props("band_index_grown")["genetics_spark_coloc.max_bucket_count"]
+            == props("band_index_oneshot")["genetics_spark_coloc.max_bucket_count"]
+        )
+        key = lambda df: {  # noqa: E731
+            (r["deltaId"], r["indexId"]) for r in df.collect()
+        }
+        grown = load_lsh_band_index(spark, "band_index_grown", hot_bucket_ceiling=10_000)
+        oneshot = load_lsh_band_index(spark, "band_index_oneshot")
+        got = key(incremental_lsh_candidates(delta, index_bands=grown, index_guard=False))
+        assert got == key(incremental_lsh_candidates(delta, index_bands=oneshot))
+        assert got, "probe produced no candidates"
+        # appending with mismatched band params is refused before any write
+        with pytest.raises(ValueError, match="num_perm"):
+            run_step(spark, "lsh_band_index", {"corpus": p2}, "band_index_grown",
+                     params={"mode": "append", "num_perm": 16})
+    finally:
+        for t in ("band_index_grown", "band_index_oneshot"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
