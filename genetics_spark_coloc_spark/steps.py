@@ -621,6 +621,22 @@ def _run_lsh_band_index(spark, inputs, output, p):
     return None
 
 
+def _run_bucket_layout(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.session import write_bucketed
+
+    df = _parquet(spark, inputs["table"])
+    cols = [c.strip() for c in p["bucket_columns"].split(",") if c.strip()]
+    if not cols:
+        raise ValueError("bucket_layout: bucket_columns must name >=1 column")
+    sort_cols = [
+        c.strip() for c in p["sort_columns"].split(",") if c.strip()
+    ] or None
+    write_bucketed(
+        df, output, cols, num_buckets=p["num_buckets"], sort_cols=sort_cols
+    )
+    return None
+
+
 def _run_ivf_index(spark, inputs, output, p):
     from genetics_spark_coloc_spark.operators.similarity import ivf_members
 
@@ -978,6 +994,27 @@ STEPS: dict[str, StepSpec] = {
                 "m_bits": Param(int, 1 << 20, "bloom filter size in bits"),
                 "k": Param(int, 3, "hash count"),
             },
+        ),
+        StepSpec(
+            "bucket_layout",
+            "Persist any table as a catalog table bucketed (and optionally "
+            "sorted) by the given columns — the generic at-rest co-location "
+            "layout: equi-joins and aggregations on the bucket columns "
+            "between tables bucketed the same way run with NO shuffle "
+            "exchange (the device behind the lsh_band_index step, exposed "
+            "for arbitrary keys, e.g. sumstats by (studyId, chromosome) or "
+            "an LD index by variantId; complements zorder_layout, which "
+            "targets scan pruning rather than join co-location). --out is "
+            "the catalog TABLE name (additive layer beyond the reference's "
+            "genetics surface)",
+            ("table",),
+            _run_bucket_layout,
+            {
+                "bucket_columns": Param(str, "", "comma-separated bucket key columns"),
+                "sort_columns": Param(str, "", "optional comma-separated sort columns"),
+                "num_buckets": Param(int, 64, "bucket count"),
+            },
+            sink=True,
         ),
         StepSpec(
             "ivf_index",

@@ -829,3 +829,42 @@ def test_lsh_band_index_append_mode_grows_index_incrementally(spark, tmp_path):
     finally:
         for t in ("band_index_grown", "band_index_oneshot"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_run_bucket_layout_step_joins_without_shuffle(spark, tmp_path):
+    """Two tables laid out by the bucket_layout step on the same key
+    join with zero hash-partitioned exchanges — the generic at-rest
+    co-location device, verified on the physical plan."""
+    left = spark.range(5_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(5_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    lp, rp = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    left.write.mode("overwrite").parquet(lp)
+    right.write.mode("overwrite").parquet(rp)
+    for t in ("bl_left", "bl_right"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        for path, t in ((lp, "bl_left"), (rp, "bl_right")):
+            assert (
+                run_step(
+                    spark,
+                    "bucket_layout",
+                    {"table": path},
+                    t,
+                    params={"bucket_columns": "k", "sort_columns": "k",
+                            "num_buckets": 8},
+                )
+                is None
+            )
+        joined = spark.table("bl_left").join(spark.table("bl_right"), on="k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert joined.count() == 5_000
+        with pytest.raises(ValueError, match="bucket_columns"):
+            run_step(spark, "bucket_layout", {"table": lp}, "bl_bad")
+    finally:
+        for t in ("bl_left", "bl_right", "bl_bad"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
