@@ -243,6 +243,53 @@ def streaming_band_hashes(
     ).select("docId", F.col("bh.bandIdx").alias("bandIdx"), F.col("bh.bandHash").alias("bandHash"))
 
 
+def streaming_delta_lsh_candidates(
+    docs: DataFrame,
+    index_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Continuous incremental dedup: arriving documents band
+    STATELESSLY (``streaming_band_hashes``) and probe the PERSISTED
+    corpus band index via a stream-static inner join — the streaming
+    twin of ``dedup.incremental_lsh_candidates(index_bands=...)``.
+
+    No state store at all: the index is the static side (read it with
+    ``load_lsh_band_index`` from the ``lsh_band_index`` step's
+    bucketed, ceiling-certified table — certification replaces the
+    batch guard here, since a stateless stream cannot count bucket
+    occupancy), so arbitrary stream volume costs |micro-batch| banding
+    plus a bucket-local join per trigger. Spark re-plans the static
+    side per micro-batch, picking up index appends (the step's
+    ``mode=append`` daily-crawl loop) without restarting the query.
+
+    Emits (deltaId, indexId, bandIdx) — one row PER MATCHING BAND
+    (max num_perm/band_size per pair): a global distinct is illegal
+    without state, and the downstream exact verifier (ngram_jaccard)
+    deduplicates pairs anyway. Replaying a corpus and distinct-ing
+    the emissions reproduces the batch candidate set exactly
+    (tested).
+    """
+    banded = streaming_band_hashes(docs, text_col, id_col, num_perm, band_size)
+    return (
+        banded.alias("d")
+        .join(
+            index_bands.alias("i"),
+            on=[
+                F.col("d.bandIdx") == F.col("i.bandIdx"),
+                F.col("d.bandHash") == F.col("i.bandHash"),
+            ],
+        )
+        .select(
+            F.col("d.docId").alias("deltaId"),
+            F.col("i.docId").alias("indexId"),
+            F.col("d.bandIdx").alias("bandIdx"),
+        )
+    )
+
+
 def streaming_near_dup_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -3387,3 +3387,79 @@ def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
         for f in files
     ]
     assert written, "no checkpoint files under checkpoint_dir"
+
+
+def test_streaming_delta_lsh_candidates_matches_batch(spark, tmp_path):
+    """Continuous incremental dedup: arriving docs probe the PERSISTED
+    band index via a stream-static join (no state store); replaying a
+    delta corpus and distinct-ing the emissions reproduces the batch
+    incremental_lsh_candidates candidate set exactly, against the
+    same ceiling-certified bucketed table."""
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        load_lsh_band_index,
+        lsh_band_index,
+    )
+    from genetics_spark_coloc_spark.session import write_bucketed
+    from genetics_spark_coloc_spark.streaming.pipelines import (
+        streaming_delta_lsh_candidates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    index = docs.filter(F.col("doc_id") % 2 == 0)
+    # null-text docs must vanish on both paths
+    delta = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .limit(60)
+        .unionByName(
+            spark.createDataFrame(
+                [(98_001, None)], "doc_id long, text string"
+            )
+        )
+    )
+    spark.sql("DROP TABLE IF EXISTS band_index_stream_test")
+    try:
+        write_bucketed(
+            lsh_band_index(index),
+            "band_index_stream_test",
+            ["bandIdx", "bandHash"],
+            num_buckets=4,
+            sort_cols=["bandIdx", "bandHash"],
+        )
+        persisted = load_lsh_band_index(spark, "band_index_stream_test")
+        batch = {
+            (r["deltaId"], r["indexId"])
+            for r in incremental_lsh_candidates(
+                delta, index_bands=persisted
+            ).collect()
+        }
+        assert batch, "fixture produced no candidates"
+
+        src = str(tmp_path / "delta_stream")
+        delta.repartition(2).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_delta_lsh_candidates(stream, persisted)
+            .writeStream.format("memory")
+            .queryName("delta_stream_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None
+        rows = spark.sql("select * from delta_stream_out").collect()
+        got = {(r["deltaId"], r["indexId"]) for r in rows}
+        assert got == batch
+        # per-band emissions are bounded by the band count per pair
+        assert len(rows) <= 4 * len(batch)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_index_stream_test")
