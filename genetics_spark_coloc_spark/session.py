@@ -113,7 +113,23 @@ def write_bucketed(
 
     Bucketing requires the table catalog (``saveAsTable``); read the
     result back with ``spark.table(table_name)``.
+
+    Overwrite mode also clears an ORPHANED location: with an
+    ephemeral metastore (local derby, fresh per session) a prior
+    session's managed-table directory survives its catalog entry, and
+    ``saveAsTable`` refuses to reuse the location
+    (LOCATION_ALREADY_EXISTS) even though no table exists. Only the
+    default warehouse location of an unqualified name is cleaned —
+    a qualified or externally-located table fails loudly as before.
     """
+    spark = df.sparkSession
+    if mode == "overwrite" and "." not in table_name and not spark.catalog.tableExists(table_name):
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        orphan = os.path.join(wh, table_name.lower())
+        if os.path.isdir(orphan):
+            shutil.rmtree(orphan, ignore_errors=True)
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

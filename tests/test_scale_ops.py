@@ -3463,3 +3463,30 @@ def test_streaming_delta_lsh_candidates_matches_batch(spark, tmp_path):
         assert len(rows) <= 4 * len(batch)
     finally:
         spark.sql("DROP TABLE IF EXISTS band_index_stream_test")
+
+
+def test_write_bucketed_overwrite_clears_orphaned_location(spark):
+    """With an ephemeral metastore, a prior session's managed-table
+    directory can survive its catalog entry; overwrite-mode
+    write_bucketed must reclaim the location instead of failing with
+    LOCATION_ALREADY_EXISTS."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.session import write_bucketed
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    orphan = os.path.join(wh, "bt_orphan_test")
+    spark.sql("DROP TABLE IF EXISTS bt_orphan_test")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "leftover.parquet"), "w") as fh:
+        fh.write("stale")
+    try:
+        df = spark.range(100).select(F.col("id").alias("k"))
+        write_bucketed(df, "bt_orphan_test", ["k"], num_buckets=2)
+        assert spark.table("bt_orphan_test").count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_orphan_test")
+        shutil.rmtree(orphan, ignore_errors=True)
