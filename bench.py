@@ -167,24 +167,29 @@ def main() -> None:
                 best, best_load = t, load1
         return name, (best if best is not None else err), best_load
 
-    # prior committed per-query latencies (this file is rewritten at
-    # the end of every run, so what's on disk now is last round's) —
-    # the regression-tripwire baseline
-    artifact = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
+    # prior per-query latencies — the regression-tripwire baseline.
+    # Kept PER SCALE FACTOR in a sidecar (BENCH_BASELINE_sf*.json):
+    # BENCH_FULL.json alone is rewritten by every run at any sf, so a
+    # small-sf smoke run used to silently neuter the next sf0.1
+    # tripwire (no same-sf prior). BENCH_FULL.json remains the primary
+    # artifact and the fallback baseline for pre-sidecar checkouts.
+    here = os.path.dirname(os.path.abspath(__file__))
+    artifact = os.path.join(here, "BENCH_FULL.json")
+    baseline_artifact = os.path.join(here, f"BENCH_BASELINE_sf{sf}.json")
     prior_queries: dict = {}
-    try:
-        with open(artifact) as fh:
-            prior = json.load(fh)
+    for candidate in (baseline_artifact, artifact):
+        try:
+            with open(candidate) as fh:
+                prior = json.load(fh)
+        except (OSError, ValueError):
+            continue
         if prior.get("sf") == sf:
             prior_queries = {
                 k: v
                 for k, v in prior.get("queries", {}).items()
                 if isinstance(v, (int, float))
             }
-    except (OSError, ValueError):
-        pass
+            break
 
     # power pass: clean single-stream per-query latencies
     power_before = _cpu_snapshot()
@@ -272,6 +277,11 @@ def main() -> None:
     # a 165-query suite exceeds it) can always json-parse the result.
     try:
         with open(artifact, "w") as fh:
+            json.dump(result, fh)
+    except OSError:
+        pass
+    try:
+        with open(baseline_artifact, "w") as fh:
             json.dump(result, fh)
     except OSError:
         pass
