@@ -468,7 +468,7 @@ def ivf_members(
 
 
 def ivf_topk(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     queries: DataFrame,
     centroids: DataFrame,
     k: int = 3,
@@ -492,12 +492,22 @@ def ivf_topk(
 
     Pass ``members`` (a persisted :func:`ivf_members` result) to skip
     rebuilding the inverted lists — the index-build/search split for
-    repeated query batches.
+    repeated query batches; ``corpus`` may then be None (it is only
+    consumed to build the lists). The centroids MUST be the ones the
+    lists were built with — different centroids probe lists that do
+    not correspond and silently return wrong neighbours; the
+    ``ivf_index`` step ships its build-time centroids inside the
+    index and :func:`load_ivf_index` returns them together.
     """
     cids, cmat, cnorm, id_sql_type = _collect_centroid_matrix(
         centroids, id_col, vec_col
     )
     if members is None:
+        if corpus is None:
+            raise ValueError(
+                "ivf_topk: pass corpus (to build the inverted lists) or "
+                "members (a persisted ivf_members/ivf_index result)"
+            )
         members = _assign_with_matrix(
             corpus, cids, cmat, cnorm, id_sql_type, id_col, vec_col
         )
@@ -563,6 +573,40 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("queryId", "centroidId", "neighborId", "cosineSim", "rank")
     )
+
+
+def load_ivf_index(spark, path: str):
+    """Load a persisted IVF index (written by the ``ivf_index`` step):
+    returns ``(members, centroids, meta)`` — the partitioned inverted
+    lists, the BUILD-TIME centroids shipped inside the index (under
+    ``_centroids``, invisible to parquet readers of the root), and the
+    column-contract dict ``{id_col, vec_col, n_centroids}``.
+
+    Always search with the returned centroids: an index probed with
+    different centroids reads lists that do not correspond to the
+    query assignment and silently returns wrong neighbours — the ANN
+    twin of the band-parameter identity of the LSH index.
+
+        members, cents, meta = load_ivf_index(spark, path)
+        ivf_topk(None, queries, cents, members=members,
+                 id_col=meta["id_col"], vec_col=meta["vec_col"])
+    """
+    import json
+    import os
+
+    meta_path = os.path.join(path, "_ivf_meta.json")
+    try:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+    except OSError as exc:
+        raise ValueError(
+            f"load_ivf_index: {meta_path} missing — not an ivf_index step "
+            "output? Load the members parquet directly and supply the "
+            "build-time centroids yourself."
+        ) from exc
+    members = spark.read.parquet(path)
+    centroids = spark.read.parquet(os.path.join(path, "_centroids"))
+    return members, centroids, meta
 
 
 def lsh_cosine_candidates(

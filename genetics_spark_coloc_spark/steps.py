@@ -638,11 +638,15 @@ def _run_bucket_layout(spark, inputs, output, p):
 
 
 def _run_ivf_index(spark, inputs, output, p):
+    import json as _json
+    import os as _os
+
     from genetics_spark_coloc_spark.operators.similarity import ivf_members
 
+    centroids = _parquet(spark, inputs["centroids"])
     members = ivf_members(
         _parquet(spark, inputs["corpus"]),
-        _parquet(spark, inputs["centroids"]),
+        centroids,
         id_col=p["id_col"],
         vec_col=p["vec_col"],
     )
@@ -652,6 +656,24 @@ def _run_ivf_index(spark, inputs, output, p):
     # tests/test_plan_quality.py) — each query batch reads nprobe
     # lists, never the corpus
     members.write.mode("overwrite").partitionBy("centroidId").parquet(output)
+    # the centroids ARE part of the index identity: searching these
+    # lists with different centroids probes lists that do not
+    # correspond and silently returns wrong neighbours — so the step
+    # ships the build-time centroids (and the column contract) INSIDE
+    # the index; underscore-prefixed paths are invisible to parquet
+    # readers of the root. load_ivf_index returns both together.
+    centroids.write.mode("overwrite").parquet(
+        _os.path.join(output, "_centroids")
+    )
+    with open(_os.path.join(output, "_ivf_meta.json"), "w") as fh:
+        _json.dump(
+            {
+                "id_col": p["id_col"],
+                "vec_col": p["vec_col"],
+                "n_centroids": centroids.count(),
+            },
+            fh,
+        )
     return None
 
 

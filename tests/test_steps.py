@@ -868,3 +868,45 @@ def test_run_bucket_layout_step_joins_without_shuffle(spark, tmp_path):
     finally:
         for t in ("bl_left", "bl_right", "bl_bad"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_load_ivf_index_roundtrip(spark, tmp_path):
+    """The ivf_index step ships its build-time centroids and column
+    contract inside the index; load_ivf_index returns all three, and
+    searching with them (corpus=None) equals the inline path."""
+    from genetics_spark_coloc_spark.operators.similarity import (
+        ivf_topk,
+        load_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus_path = str(tmp_path / "corpus.parquet")
+    cent_path = str(tmp_path / "centroids.parquet")
+    emb.write.mode("overwrite").parquet(corpus_path)
+    emb.limit(8).write.mode("overwrite").parquet(cent_path)
+    out = str(tmp_path / "ivf_index")
+    run_step(spark, "ivf_index", {"corpus": corpus_path, "centroids": cent_path}, out)
+    members, cents, meta = load_ivf_index(spark, out)
+    assert meta == {"id_col": "vec_id", "vec_col": "embedding", "n_centroids": 8}
+    assert cents.count() == 8
+    # the shipped centroids are invisible to a plain read of the root
+    assert "centroidId" in members.columns
+    queries = emb.limit(4)
+    loaded = {
+        (r["queryId"], r["rank"]): r["neighborId"]
+        for r in ivf_topk(
+            None, queries, cents, k=3, nprobe=2, members=members,
+            id_col=meta["id_col"], vec_col=meta["vec_col"],
+        ).collect()
+    }
+    inline = {
+        (r["queryId"], r["rank"]): r["neighborId"]
+        for r in ivf_topk(
+            emb, queries, spark.read.parquet(cent_path), k=3, nprobe=2
+        ).collect()
+    }
+    assert loaded == inline and loaded
+    with pytest.raises(ValueError, match="corpus.*or.*members"):
+        ivf_topk(None, queries, cents, k=3)
+    with pytest.raises(ValueError, match="_ivf_meta.json missing"):
+        load_ivf_index(spark, corpus_path)
