@@ -437,8 +437,8 @@ def load_lsh_band_index(
     ``lsh_band_index`` step) with its band parameters VALIDATED
     against the table properties the step pinned. Band parameters are
     the index's identity — a delta banded with different ``num_perm``
-    or ``band_size`` produces hashes that never matches the index, so a
-    mismatch silently yields zero candidates; this loader turns that
+    or ``band_size`` produces hashes that never match the index, so a
+    mismatch silently yields zero candidates — this loader turns that
     silent wrong answer into a loud error at plan time.
 
     With ``hot_bucket_ceiling`` set, the step-certified
