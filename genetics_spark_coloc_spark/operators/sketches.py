@@ -363,6 +363,73 @@ def grid_quantile_estimate(
     )
 
 
+def distribution_drift_psi(
+    reference: DataFrame,
+    current: DataFrame,
+    value: Column,
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+    alert_threshold: float = 0.2,
+) -> DataFrame:
+    """Population Stability Index between two corpus snapshots'
+    distributions of ``value`` — the standard drift monitor a
+    production ingest pipeline runs per batch (PSI < 0.1 stable,
+    0.1–0.2 moderate, > 0.2 action): both sides bin on the SHARED
+    fixed grid of :func:`grid_quantile_sketch` (so per-snapshot
+    sketches can be persisted and compared later without raw data),
+    then PSI = Σ (p_i − q_i)·ln(p_i / q_i) over the bins.
+
+    Empty bins get the standard 1/(2·total) pseudo-mass on BOTH
+    sides (PSI is undefined at zero mass; the correction is
+    deterministic, so the DuckDB oracle replays it exactly). One
+    map-side-combined aggregation per snapshot bounded by ``n_bins``
+    rows — never corpus-sized — then a tiny bin join. Emits ONE row:
+    (psi, nBins, refTotal, curTotal, driftAlert).
+    """
+    ref_sk = grid_quantile_sketch(
+        reference.select(value.alias("_v")), F.col("_v"), [], lo, hi, n_bins
+    ).withColumnRenamed("cnt", "refCnt")
+    cur_sk = grid_quantile_sketch(
+        current.select(value.alias("_v")), F.col("_v"), [], lo, hi, n_bins
+    ).withColumnRenamed("cnt", "curCnt")
+    joined = ref_sk.join(cur_sk, on="bin", how="full").select(
+        "bin",
+        F.coalesce("refCnt", F.lit(0)).alias("refCnt"),
+        F.coalesce("curCnt", F.lit(0)).alias("curCnt"),
+    )
+    tot = joined.groupBy().agg(
+        F.sum("refCnt").alias("_rt"), F.sum("curCnt").alias("_ct")
+    )
+    p = (
+        F.when(F.col("refCnt") > 0, F.col("refCnt").cast("double"))
+        .otherwise(F.lit(0.5))
+        / F.col("_rt").cast("double")
+    )
+    q = (
+        F.when(F.col("curCnt") > 0, F.col("curCnt").cast("double"))
+        .otherwise(F.lit(0.5))
+        / F.col("_ct").cast("double")
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(((p - q) * F.log(p / q)).alias("_term"))
+        .groupBy()
+        .agg(
+            F.round(F.sum("_term"), 6).alias("psi"),
+            F.count(F.lit(1)).cast("long").alias("nBins"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "psi",
+            "nBins",
+            F.col("_rt").cast("long").alias("refTotal"),
+            F.col("_ct").cast("long").alias("curTotal"),
+            (F.col("psi") > alert_threshold).alias("driftAlert"),
+        )
+    )
+
+
 def bloom_prune(
     bloom: DataFrame,
     fact: DataFrame,

@@ -3622,3 +3622,168 @@ GROUP BY 1
 
 NEARDUP_QUERIES["cms_shard_rollup"] = q_cms_shard_rollup
 NEARDUP_ORACLES["cms_shard_rollup"] = SQL_CMS_SHARD_ROLLUP
+
+
+def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (operators/sketches.py
+    distribution_drift_psi): Population Stability Index of the
+    document-length distribution between two corpus snapshots —
+    the per-ingest-batch drift gate a production pipeline runs from
+    persisted grid sketches, never re-reading raw data. The "current"
+    snapshot plants a deterministic shift (every 3rd document's text
+    doubled) so the PSI is meaningfully nonzero and both engines
+    replay the identical pseudo-mass correction."""
+    from genetics_spark_coloc_spark.operators.sketches import (
+        distribution_drift_psi,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    reference = docs.filter(F.col("doc_id") % 2 == 0)
+    current = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat("text", F.lit(" "), "text")
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return distribution_drift_psi(
+        reference, current, F.length("text"), lo=0.0, hi=1024.0, n_bins=32
+    )
+
+
+SQL_CORPUS_DRIFT_PSI = r"""
+WITH base AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents
+),
+ref AS (
+  SELECT LEAST(31, GREATEST(0, CAST(FLOOR(length(text) / 1024.0 * 32) AS INT))) AS bin,
+         COUNT(*) AS refCnt
+  FROM base WHERE doc_id % 2 = 0 GROUP BY 1
+),
+cur AS (
+  SELECT LEAST(31, GREATEST(0, CAST(FLOOR(length(t) / 1024.0 * 32) AS INT))) AS bin,
+         COUNT(*) AS curCnt
+  FROM (
+    SELECT CASE WHEN doc_id % 3 = 0 THEN text || ' ' || text ELSE text END AS t
+    FROM base WHERE doc_id % 2 = 1
+  ) GROUP BY 1
+),
+joined AS (
+  SELECT COALESCE(r.bin, c.bin) AS bin,
+         COALESCE(refCnt, 0) AS refCnt,
+         COALESCE(curCnt, 0) AS curCnt
+  FROM ref r FULL JOIN cur c ON r.bin = c.bin
+),
+tot AS (SELECT SUM(refCnt) AS rt, SUM(curCnt) AS ct FROM joined)
+SELECT ROUND(SUM((p - q) * LN(p / q)), 6) AS psi,
+       CAST(COUNT(*) AS BIGINT) AS nBins,
+       CAST(MAX(rt) AS BIGINT) AS refTotal,
+       CAST(MAX(ct) AS BIGINT) AS curTotal,
+       ROUND(SUM((p - q) * LN(p / q)), 6) > 0.2 AS driftAlert
+FROM (
+  SELECT j.bin,
+         CASE WHEN refCnt > 0 THEN CAST(refCnt AS DOUBLE) ELSE 0.5 END / rt AS p,
+         CASE WHEN curCnt > 0 THEN CAST(curCnt AS DOUBLE) ELSE 0.5 END / ct AS q,
+         rt, ct
+  FROM joined j CROSS JOIN tot
+)
+"""
+
+NEARDUP_QUERIES["corpus_drift_psi"] = q_corpus_drift_psi
+NEARDUP_ORACLES["corpus_drift_psi"] = SQL_CORPUS_DRIFT_PSI
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary — the
+    corpus-health diagnostic (natural text follows freq ∝ rank^s with
+    s ≈ −1; template/boilerplate-heavy or synthetic corpora deviate):
+    least-squares slope and intercept of ln(freq) on ln(rank) over
+    the top-200 tokens, plus R². The top-N cut is a
+    TakeOrderedAndProject (no global sort materialization) and the
+    rank window runs single-partition over those N rows only,
+    declared via declared_single_partition (the repo's bounded-input
+    window contract)."""
+    from pyspark.sql.window import Window
+
+    from genetics_spark_coloc_spark.functions.reshape import (
+        declared_single_partition,
+    )
+    from genetics_spark_coloc_spark.operators.text import tokens
+
+    n_top = 200
+    docs = load_table(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = freqs.orderBy(F.desc("cnt"), F.asc("token")).limit(n_top)
+    w = Window.partitionBy(declared_single_partition(F.col("token"))).orderBy(
+        F.desc("cnt"), F.asc("token")
+    )
+    pts = top.withColumn("rank", F.row_number().over(w)).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    agg = pts.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r_den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("nTokens"),
+        F.round(slope, 6).alias("zipfSlope"),
+        F.round(intercept, 6).alias("zipfIntercept"),
+        F.round(F.pow(r_num / r_den, 2), 6).alias("r2"),
+    )
+
+
+SQL_ZIPF_SLOPE = r"""
+WITH toks AS (
+  SELECT CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+  FROM documents
+),
+freqs AS (
+  SELECT token, COUNT(*) AS cnt
+  FROM (SELECT UNNEST(t) AS token FROM toks)
+  GROUP BY token
+),
+top AS (
+  SELECT token, cnt FROM freqs ORDER BY cnt DESC, token ASC LIMIT 200
+),
+pts AS (
+  SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS DOUBLE)) AS x,
+         LN(CAST(cnt AS DOUBLE)) AS y
+  FROM top
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS nTokens,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipfSlope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS zipfIntercept,
+       ROUND(POWER((n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 2), 6) AS r2
+FROM agg
+"""
+
+NEARDUP_QUERIES["zipf_slope"] = q_zipf_slope
+NEARDUP_ORACLES["zipf_slope"] = SQL_ZIPF_SLOPE

@@ -3490,3 +3490,31 @@ def test_write_bucketed_overwrite_clears_orphaned_location(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_orphan_test")
         shutil.rmtree(orphan, ignore_errors=True)
+
+
+def test_distribution_drift_psi_properties(spark):
+    """PSI invariants: identical snapshots score exactly 0 (no
+    alert); a planted shift scores > 0; empty bins on one side take
+    the deterministic 1/(2·total) pseudo-mass instead of blowing up
+    the logarithm."""
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.operators.sketches import (
+        distribution_drift_psi,
+    )
+
+    base = spark.range(2_000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = distribution_drift_psi(
+        base, base, F.col("v"), lo=0.0, hi=100.0, n_bins=10
+    ).collect()[0]
+    assert same["psi"] == 0.0 and not same["driftAlert"]
+    assert same["refTotal"] == same["curTotal"] == 2_000
+
+    # shift the current snapshot entirely out of the reference's bins:
+    # every bin is empty on one side, exercising the pseudo-mass path
+    shifted = base.select((F.col("v") + 50.0).alias("v"))
+    drift = distribution_drift_psi(
+        base, shifted, F.col("v"), lo=0.0, hi=100.0, n_bins=10
+    ).collect()[0]
+    assert drift["psi"] > 0.2 and drift["driftAlert"]
+    assert drift["nBins"] == 10
