@@ -198,3 +198,91 @@ def sketch_stream_probes(n_docs: int = 500_000) -> None:
     run("kmv", lambda s: streaming_kmv_sketch(s, F.col("tokens"), "lang", k=256), "update")
     shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
+
+
+def delta_index_stream_probe(n_index: int = 2_000_000, n_stream: int = 100_000) -> None:
+    """Round-10 probe: STATELESS streaming incremental dedup
+    (streaming_delta_lsh_candidates — stream-static join against the
+    persisted bucketed band index) vs the stateful bucket-state LSH.
+    The stateless path has no state store to shuffle per trigger, so
+    its per-trigger tax should be the micro-batch banding plus a
+    bucket-local join only.
+    Run via: python -c "import tools.stream_probe as sp; sp.delta_index_stream_probe()"
+    """
+    spark = get_session(
+        app_name="delta_index_stream_probe",
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.steps import run_step
+    from genetics_spark_coloc_spark.operators.dedup import load_lsh_band_index
+    from genetics_spark_coloc_spark.streaming.pipelines import (
+        streaming_delta_lsh_candidates,
+    )
+
+    def corpus(n, salt):
+        dup_body = F.concat(
+            F.md5(F.concat(F.lit("dup"), (F.col("id") % 10_000).cast("string"))),
+            F.md5(F.concat(F.lit("dup2"), (F.col("id") % 10_000).cast("string"))),
+        )
+        normal = F.concat(
+            F.md5(F.concat(F.lit(salt), F.col("id").cast("string"))),
+            F.lit(" "),
+            F.md5((F.col("id") * 13).cast("string")),
+        )
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 200 == 0, dup_body).otherwise(normal).alias("text"),
+        )
+
+    tmp = tempfile.mkdtemp(prefix="delta_stream_probe_")
+    idx_path = os.path.join(tmp, "index.parquet")
+    corpus(n_index, "i").write.mode("overwrite").parquet(idx_path)
+    spark.sql("DROP TABLE IF EXISTS band_index_stream_probe")
+    run_step(
+        spark,
+        "lsh_band_index",
+        {"corpus": idx_path},
+        "band_index_stream_probe",
+        params={"num_buckets": 64},
+    )
+    persisted = load_lsh_band_index(
+        spark, "band_index_stream_probe", hot_bucket_ceiling=10_000
+    )
+    src = os.path.join(tmp, "stream")
+    corpus(n_stream, "d").repartition(8).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    t0 = time.perf_counter()
+    q = (
+        streaming_delta_lsh_candidates(stream, persisted)
+        .writeStream.format("memory")
+        .queryName("delta_idx_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(1800)
+    sec = round(time.perf_counter() - t0, 2)
+    n_out = spark.sql("select count(*) from delta_idx_probe").collect()[0][0]
+    print(
+        json.dumps(
+            {
+                "probe": "streaming_delta_vs_2m_index_8_triggers",
+                "index_docs": n_index,
+                "stream_docs": n_stream,
+                "sec": sec,
+                "stream_docs_per_sec": int(n_stream / sec),
+                "emitted_rows": n_out,
+            }
+        ),
+        flush=True,
+    )
+    spark.sql("DROP TABLE IF EXISTS band_index_stream_probe")
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
