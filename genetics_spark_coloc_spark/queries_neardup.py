@@ -3787,3 +3787,188 @@ FROM agg
 
 NEARDUP_QUERIES["zipf_slope"] = q_zipf_slope
 NEARDUP_ORACLES["zipf_slope"] = SQL_ZIPF_SLOPE
+
+
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram diversity (distinct/total trigram ratio) per language —
+    the standard self-repetition check run on synthetic/augmented
+    corpora before training (low diversity = template collapse).
+    One explode + one map-side-combined aggregate per group; the
+    count-distinct is the only corpus-cardinality shuffle."""
+    from genetics_spark_coloc_spark.operators.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = word_ngrams(F.lower(F.coalesce(F.col("text"), F.lit(""))), 3)
+    occ = docs.select("lang", F.explode(grams).alias("gram"))
+    return (
+        occ.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("totalNgrams"),
+            F.count_distinct("gram").cast("long").alias("distinctNgrams"),
+        )
+        .select(
+            "lang",
+            "totalNgrams",
+            "distinctNgrams",
+            F.round(
+                F.col("distinctNgrams") / F.col("totalNgrams").cast("double"), 6
+            ).alias("diversity"),
+        )
+    )
+
+
+SQL_NGRAM_DIVERSITY = r"""
+WITH toks AS (
+  SELECT lang,
+         CASE WHEN length(trim(lower(COALESCE(text, '')))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(COALESCE(text, ''))), '\s+') END AS t
+  FROM documents
+),
+grams AS (
+  SELECT lang,
+         array_to_string(t[CAST(i AS INT) + 1 : CAST(i AS INT) + 3], ' ') AS gram
+  FROM toks CROSS JOIN range(0, 4096) AS r(i)
+  WHERE CAST(i AS INT) <= len(t) - 3
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS totalNgrams,
+       CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinctNgrams,
+       ROUND(COUNT(DISTINCT gram) / CAST(COUNT(*) AS DOUBLE), 6) AS diversity
+FROM grams
+GROUP BY lang
+"""
+
+NEARDUP_QUERIES["ngram_diversity"] = q_ngram_diversity
+NEARDUP_ORACLES["ngram_diversity"] = SQL_NGRAM_DIVERSITY
+
+
+def q_kmv_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment estimate from KMV sketches alone (Beyer et al.
+    2007 §4): what fraction of the EVAL corpus's token set also
+    appears in the TRAIN corpus — the directional decontamination
+    metric (Jaccard understates containment when the eval set is much
+    smaller). On the pooled K smallest hashes: containment(eval ⊆
+    train) ≈ nBoth / nEval, where nEval counts pool members from the
+    eval sketch. True containment emitted alongside. All shuffles are
+    sketch-bounded except the two corpus sketch passes."""
+    from pyspark.sql.window import Window
+
+    from genetics_spark_coloc_spark.functions.reshape import (
+        declared_single_partition,
+    )
+    from genetics_spark_coloc_spark.operators.sketches import kmv_sketch
+    from genetics_spark_coloc_spark.operators.text import tokens
+
+    k = 128
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "corpus", F.when(F.col("doc_id") % 20 == 0, "eval").otherwise("train")
+    )
+    toks = tokens(F.lower(F.col("text")))
+    sk = kmv_sketch(docs, toks, ["corpus"], k=k)
+    pool = (
+        sk.select(
+            "hashValue",
+            F.when(F.col("corpus") == "train", 1).otherwise(0).alias("_inT"),
+            F.when(F.col("corpus") == "eval", 1).otherwise(0).alias("_inE"),
+        )
+        .groupBy("hashValue")
+        .agg(F.max("_inT").alias("_inT"), F.max("_inE").alias("_inE"))
+    )
+    w = Window.partitionBy(declared_single_partition(F.col("hashValue"))).orderBy(
+        "hashValue"
+    )
+    kept = pool.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
+    est = kept.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("nPool"),
+        F.sum("_inE").cast("long").alias("nEval"),
+        F.sum(F.col("_inT") * F.col("_inE")).cast("long").alias("nBoth"),
+    )
+    membership = (
+        docs.select("corpus", F.explode(toks).alias("token"))
+        .distinct()
+        .groupBy("token")
+        .agg(
+            F.max(F.when(F.col("corpus") == "train", 1).otherwise(0)).alias("t"),
+            F.max(F.when(F.col("corpus") == "eval", 1).otherwise(0)).alias("e"),
+        )
+    )
+    truth = membership.groupBy().agg(
+        F.count_if(F.col("e") == 1).cast("long").alias("trueEvalDistinct"),
+        F.count_if((F.col("e") == 1) & (F.col("t") == 1))
+        .cast("long")
+        .alias("trueContained"),
+    )
+    return (
+        est.crossJoin(truth)
+        .select(
+            "nPool",
+            "nEval",
+            "nBoth",
+            F.round(
+                F.col("nBoth").cast("double") / F.col("nEval").cast("double"), 6
+            ).alias("estContainment"),
+            "trueEvalDistinct",
+            "trueContained",
+            F.round(
+                F.col("trueContained").cast("double")
+                / F.col("trueEvalDistinct").cast("double"),
+                6,
+            ).alias("trueContainment"),
+        )
+    )
+
+
+SQL_KMV_CONTAINMENT = r"""
+WITH toks AS (
+  SELECT CASE WHEN doc_id % 20 = 0 THEN 'eval' ELSE 'train' END AS corpus,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+  FROM documents
+),
+occ AS (SELECT DISTINCT corpus, UNNEST(t) AS token FROM toks),
+hashed AS (
+  SELECT DISTINCT corpus,
+         ('0x' || substr(md5(token), 1, 15))::UBIGINT AS h
+  FROM occ
+),
+sk AS (
+  SELECT corpus, h FROM (
+    SELECT corpus, h, ROW_NUMBER() OVER (PARTITION BY corpus ORDER BY h) AS r
+    FROM hashed
+  ) WHERE r <= 128
+),
+pool AS (
+  SELECT h,
+         MAX(CASE WHEN corpus = 'train' THEN 1 ELSE 0 END) AS inT,
+         MAX(CASE WHEN corpus = 'eval' THEN 1 ELSE 0 END) AS inE
+  FROM sk GROUP BY h
+),
+kept AS (
+  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY h) AS r FROM pool)
+  WHERE r <= 128
+),
+est AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nPool,
+         CAST(SUM(inE) AS BIGINT) AS nEval,
+         CAST(SUM(inT * inE) AS BIGINT) AS nBoth
+  FROM kept
+),
+truth AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE e = 1) AS BIGINT) AS trueEvalDistinct,
+         CAST(COUNT(*) FILTER (WHERE e = 1 AND t = 1) AS BIGINT) AS trueContained
+  FROM (
+    SELECT token,
+           MAX(CASE WHEN corpus = 'train' THEN 1 ELSE 0 END) AS t,
+           MAX(CASE WHEN corpus = 'eval' THEN 1 ELSE 0 END) AS e
+    FROM occ GROUP BY token
+  )
+)
+SELECT e.nPool, e.nEval, e.nBoth,
+       ROUND(CAST(e.nBoth AS DOUBLE) / CAST(e.nEval AS DOUBLE), 6) AS estContainment,
+       t.trueEvalDistinct, t.trueContained,
+       ROUND(CAST(t.trueContained AS DOUBLE) / CAST(t.trueEvalDistinct AS DOUBLE), 6) AS trueContainment
+FROM est e CROSS JOIN truth t
+"""
+
+NEARDUP_QUERIES["kmv_containment"] = q_kmv_containment
+NEARDUP_ORACLES["kmv_containment"] = SQL_KMV_CONTAINMENT

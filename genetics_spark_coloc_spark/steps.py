@@ -677,6 +677,30 @@ def _run_ivf_index(spark, inputs, output, p):
     return None
 
 
+def _run_corpus_drift(spark, inputs, output, p):
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.operators.sketches import (
+        distribution_drift_psi,
+    )
+
+    metric = {
+        "chars": F.length(F.coalesce(F.col(p["text_col"]), F.lit(""))),
+        "tokens": F.size(
+            F.split(F.trim(F.coalesce(F.col(p["text_col"]), F.lit(""))), r"\s+")
+        ),
+    }[p["metric"]]
+    return distribution_drift_psi(
+        _parquet(spark, inputs["reference"]),
+        _parquet(spark, inputs["current"]),
+        metric,
+        lo=p["lo"],
+        hi=p["hi"],
+        n_bins=p["n_bins"],
+        alert_threshold=p["alert_threshold"],
+    )
+
+
 def _run_corpus_overlap(spark, inputs, output, p):
     from pyspark.sql import functions as F
 
@@ -1083,6 +1107,25 @@ STEPS: dict[str, StepSpec] = {
                 ),
             },
             sink=True,
+        ),
+        StepSpec(
+            "corpus_drift",
+            "Population Stability Index of a document-length metric "
+            "between a reference corpus snapshot and the current one — "
+            "the per-ingest-batch drift gate: both sides reduce to "
+            "n_bins-row grid sketches, PSI = sum((p-q)*ln(p/q)), alert "
+            "above the standard 0.2 threshold (additive layer beyond the "
+            "reference's genetics surface)",
+            ("reference", "current"),
+            _run_corpus_drift,
+            {
+                "text_col": Param(str, "text", "document text column"),
+                "metric": Param(str, "chars", "chars | tokens"),
+                "lo": Param(float, 0.0, "grid lower bound"),
+                "hi": Param(float, 4096.0, "grid upper bound"),
+                "n_bins": Param(int, 32, "grid bins"),
+                "alert_threshold": Param(float, 0.2, "PSI alert level"),
+            },
         ),
         StepSpec(
             "corpus_overlap",

@@ -910,3 +910,28 @@ def test_load_ivf_index_roundtrip(spark, tmp_path):
         ivf_topk(None, queries, cents, k=3)
     with pytest.raises(ValueError, match="_ivf_meta.json missing"):
         load_ivf_index(spark, corpus_path)
+
+
+def test_run_corpus_drift_step(spark, tmp_path):
+    """The corpus_drift step gates an ingest batch on length-
+    distribution PSI: identical snapshots score 0, a doubled-text
+    current snapshot alerts."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    ref = str(tmp_path / "ref.parquet")
+    cur = str(tmp_path / "cur.parquet")
+    docs.write.mode("overwrite").parquet(ref)
+    docs.select(
+        "doc_id", F.concat("text", F.lit(" "), "text").alias("text")
+    ).write.mode("overwrite").parquet(cur)
+    same = run_step(
+        spark, "corpus_drift", {"reference": ref, "current": ref},
+        str(tmp_path / "same.parquet"),
+    ).collect()[0]
+    assert same["psi"] == 0.0 and not same["driftAlert"]
+    moved = run_step(
+        spark, "corpus_drift", {"reference": ref, "current": cur},
+        str(tmp_path / "moved.parquet"), params={"metric": "tokens", "hi": 256.0},
+    ).collect()[0]
+    assert moved["psi"] > 0.2 and moved["driftAlert"]
