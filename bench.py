@@ -46,6 +46,7 @@ def find_regressions(
     ratio: float = 1.5,
     min_sec: float = 1.0,
     loads: "dict[str, float] | None" = None,
+    speed_ratio: float = 1.0,
 ) -> "dict[str, dict]":
     """Per-query regression tripwire: entries of ``current`` that are
     more than ``ratio``× slower than ``prior`` AND over ``min_sec``
@@ -53,25 +54,109 @@ def find_regressions(
     documents a ±35% band), so the floor keeps the tripwire naming
     only changes big enough to be real.
 
+    ``speed_ratio`` is current_host_speed_index / baseline_host_speed
+    _index (>1 means this host is running SLOWER now than when the
+    baseline was recorded, as measured by the fixed single-thread CPU
+    kernel — see _host_speed_index). Each current latency is divided
+    by it before comparison, so the two-state single-thread host-speed
+    oscillation BASELINE.md documents (±22% wall at identical loadavg)
+    becomes arithmetic instead of a judgement call. Both the raw and
+    the speed-adjusted latency land in the flag record.
+
     Each flagged entry carries the 1-minute loadavg sampled when its
     best repeat STARTED (``loads``), so the artifact itself
     distinguishes "the plan regressed" from "another process was
     hammering the box" — a load far above this bench's own footprint
     at flag time adjudicates the flag without cross-round archaeology.
     """
-    return {
-        k: {
-            "prior_sec": prior[k],
-            "now_sec": v,
-            **(
-                {"load1_at_measure": loads[k]}
-                if loads is not None and k in loads
-                else {}
-            ),
-        }
-        for k, v in current.items()
-        if k in prior and v > min_sec and prior[k] > 0 and v > ratio * prior[k]
-    }
+    if not speed_ratio or speed_ratio <= 0:
+        speed_ratio = 1.0
+    out: "dict[str, dict]" = {}
+    for k, v in current.items():
+        adj = v / speed_ratio
+        if k in prior and v > min_sec and prior[k] > 0 and adj > ratio * prior[k]:
+            out[k] = {
+                "prior_sec": prior[k],
+                "now_sec": v,
+                "now_sec_speed_adjusted": round(adj, 3),
+                **(
+                    {"load1_at_measure": loads[k]}
+                    if loads is not None and k in loads
+                    else {}
+                ),
+            }
+    return out
+
+
+def merge_baseline(
+    old: "dict | None",
+    sf: float,
+    new_queries: "dict[str, float]",
+    host_speed_index: "float | None" = None,
+    rebaseline: bool = False,
+) -> dict:
+    """Best-known-clean tripwire baseline: per-query ``min(old, new)``.
+
+    The previous design overwrote the sidecar with every run's values,
+    so the baseline ratcheted toward whatever ran last — a real
+    regression was flagged once, then absorbed; a slow contended run
+    replaced the clean values the tripwire exists to defend. A single
+    run can only be SLOWED by external load, never sped up, so the
+    per-query minimum over history is the contention-free estimate
+    (same argument as best-of-N inside one run). ``rebaseline=True``
+    (the explicit ``--rebaseline`` flag / SPARK_GRAFT_BENCH_REBASELINE
+    env) replaces the sidecar outright — the only path by which a
+    deliberate slowdown (e.g. a correctness fix that costs latency)
+    becomes the new reference.
+
+    Queries that vanished from the suite are dropped (a renamed query
+    must earn a fresh baseline); new queries enter at their first
+    measured value. ``host_speed_index`` keeps the MINIMUM kernel time
+    seen (the fastest host state), matching the per-query minima.
+    """
+    old_q = (old or {}).get("queries", {}) if not rebaseline else {}
+    old_hsi = (old or {}).get("host_speed_index") if not rebaseline else None
+    queries = {}
+    for k, v in new_queries.items():
+        if not isinstance(v, (int, float)):
+            continue
+        prev = old_q.get(k)
+        queries[k] = min(prev, v) if isinstance(prev, (int, float)) else v
+    hsi = None
+    candidates = [x for x in (old_hsi, host_speed_index) if isinstance(x, (int, float))]
+    if candidates:
+        hsi = min(candidates)
+    out = {"sf": sf, "queries": queries}
+    if hsi is not None:
+        out["host_speed_index"] = hsi
+    return out
+
+
+def _host_speed_index(iters: int = 3_000_000) -> float:
+    """Seconds to run a fixed single-thread CPU kernel (crc32 chain).
+
+    BASELINE.md documents the shared host oscillating between two
+    single-thread speed states (218 s vs 181 s suite wall at identical
+    loadavg — frequency scaling or a noisy neighbour pinning the
+    package). loadavg can't see that; a fixed deterministic kernel
+    timed immediately before the pass can. The value rides in the
+    BENCH artifact as ``host_speed_index`` (bigger = slower host) and
+    the tripwire divides current latencies by
+    current_index / baseline_index before comparing.
+    """
+    import zlib
+
+    payload = b"spark-graft-host-speed-kernel" * 4
+    best = None
+    for _ in range(3):  # best-of-3: the kernel itself can be preempted
+        h = 0
+        start = time.perf_counter()
+        for _ in range(iters):
+            h = zlib.crc32(payload, h)
+        elapsed = time.perf_counter() - start
+        if best is None or elapsed < best:
+            best = elapsed
+    return round(best, 4)
 
 
 def _cpu_snapshot() -> dict:
@@ -168,14 +253,19 @@ def main() -> None:
         return name, (best if best is not None else err), best_load
 
     # prior per-query latencies — the regression-tripwire baseline.
-    # Kept PER SCALE FACTOR in a sidecar (BENCH_BASELINE_sf*.json):
-    # BENCH_FULL.json alone is rewritten by every run at any sf, so a
-    # small-sf smoke run used to silently neuter the next sf0.1
-    # tripwire (no same-sf prior). BENCH_FULL.json remains the primary
-    # artifact and the fallback baseline for pre-sidecar checkouts.
+    # Kept PER SCALE FACTOR in a sidecar (BENCH_BASELINE_sf*.json)
+    # holding best-known-clean minima (see merge_baseline): BENCH_FULL
+    # .json alone is rewritten by every run at any sf, so a small-sf
+    # smoke run used to silently neuter the next sf0.1 tripwire (no
+    # same-sf prior). BENCH_FULL.json remains the primary artifact and
+    # the fallback baseline for pre-sidecar checkouts.
     here = os.path.dirname(os.path.abspath(__file__))
     artifact = os.path.join(here, "BENCH_FULL.json")
     baseline_artifact = os.path.join(here, f"BENCH_BASELINE_sf{sf}.json")
+    rebaseline = "--rebaseline" in sys.argv[1:] or os.environ.get(
+        "SPARK_GRAFT_BENCH_REBASELINE", ""
+    ) in ("1", "true", "yes")
+    prior_baseline: dict = {}
     prior_queries: dict = {}
     for candidate in (baseline_artifact, artifact):
         try:
@@ -184,12 +274,24 @@ def main() -> None:
         except (OSError, ValueError):
             continue
         if prior.get("sf") == sf:
+            prior_baseline = prior
             prior_queries = {
                 k: v
                 for k, v in prior.get("queries", {}).items()
                 if isinstance(v, (int, float))
             }
             break
+
+    # fixed single-thread kernel timed before the pass: the host-speed
+    # index that turns the documented two-state host oscillation into
+    # arithmetic (see _host_speed_index)
+    host_speed = _host_speed_index()
+    prior_speed = prior_baseline.get("host_speed_index")
+    speed_ratio = (
+        round(host_speed / prior_speed, 4)
+        if isinstance(prior_speed, (int, float)) and prior_speed > 0
+        else 1.0
+    )
 
     # power pass: clean single-stream per-query latencies
     power_before = _cpu_snapshot()
@@ -201,7 +303,9 @@ def main() -> None:
     ok = {k: v for k, v in timings.items() if not isinstance(v, dict)}
     sequential_sum = round(sum(ok.values()), 3)
 
-    regressions = find_regressions(prior_queries, ok, loads=query_load1)
+    regressions = find_regressions(
+        prior_queries, ok, loads=query_load1, speed_ratio=speed_ratio
+    )
 
     result = {
         "metric": "contract_query_suite_wall_sec",
@@ -215,6 +319,12 @@ def main() -> None:
         "n_ok": len(ok),
         "n_err": len(errors),
         "regressions_over_1p5x": regressions,
+        # host-speed evidence: seconds for the fixed single-thread
+        # kernel now, at baseline time, and their ratio (>1 = host
+        # slower now); the tripwire above already divided by it
+        "host_speed_index": host_speed,
+        "host_speed_index_baseline": prior_speed,
+        "host_speed_ratio": speed_ratio,
         # contention evidence: loadavg + /proc/stat around the pass,
         # per-query load at each best repeat's start — a wall swing
         # with high ambient load is host contention, not a plan change
@@ -280,9 +390,19 @@ def main() -> None:
             json.dump(result, fh)
     except OSError:
         pass
+    # Tripwire sidecar: best-known-clean per-query minima (merge, not
+    # overwrite — a slow run must never silently raise the baseline;
+    # --rebaseline replaces outright, the only deliberate-reset path).
     try:
         with open(baseline_artifact, "w") as fh:
-            json.dump(result, fh)
+            json.dump(
+                merge_baseline(
+                    prior_baseline, sf, ok, host_speed, rebaseline=rebaseline
+                ),
+                fh,
+                indent=0,
+                sort_keys=True,
+            )
     except OSError:
         pass
     print(json.dumps(result))
@@ -314,6 +434,8 @@ def main() -> None:
         result["power_pass_load"]["after"]["loadavg"][0],
     ]
     compact["power_busy_frac"] = result["power_pass_load"]["host_busy_frac"]
+    compact["host_speed_index"] = host_speed
+    compact["host_speed_ratio"] = speed_ratio
     if "throughput_pass_load" in result and result["throughput_pass_load"]:
         tpl = result["throughput_pass_load"]
         compact["throughput_load1"] = [

@@ -1,0 +1,123 @@
+"""Tripwire-baseline semantics (bench.py): a slow run must never
+silently raise the baseline, and host-speed normalization must turn
+the documented two-state host oscillation into arithmetic.
+
+These are pure-function tests — no SparkSession. They pin the fix for
+the r10 verdict's #1 finding: bench.py used to overwrite the
+BENCH_BASELINE_sf*.json sidecar with every run's values, so a real
+regression was flagged once and then absorbed (commit 0b40f17 is the
+hand-revert that proved the flaw).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import find_regressions, merge_baseline
+
+
+class TestMergeBaseline:
+    def test_slow_run_cannot_raise_baseline(self):
+        """THE ratchet fix: a synthetic slow run (every query 2×
+        slower) merged into a fast baseline keeps the fast values."""
+        old = {
+            "sf": 0.1,
+            "queries": {"q1": 1.0, "q2": 0.5},
+            "host_speed_index": 0.65,
+        }
+        slow_run = {"q1": 2.0, "q2": 1.0}
+        merged = merge_baseline(old, 0.1, slow_run, host_speed_index=0.9)
+        assert merged["queries"] == {"q1": 1.0, "q2": 0.5}
+        # host_speed_index also keeps its minimum (fastest host state)
+        assert merged["host_speed_index"] == 0.65
+
+    def test_fast_run_lowers_baseline(self):
+        old = {"sf": 0.1, "queries": {"q1": 1.0, "q2": 0.5}}
+        fast_run = {"q1": 0.8, "q2": 0.6}
+        merged = merge_baseline(old, 0.1, fast_run, host_speed_index=0.6)
+        assert merged["queries"] == {"q1": 0.8, "q2": 0.5}
+        assert merged["host_speed_index"] == 0.6
+
+    def test_new_query_enters_dropped_query_leaves(self):
+        old = {"sf": 0.1, "queries": {"gone": 1.0, "kept": 2.0}}
+        run = {"kept": 2.5, "new": 3.0}
+        merged = merge_baseline(old, 0.1, run)
+        assert merged["queries"] == {"kept": 2.0, "new": 3.0}
+        assert "gone" not in merged["queries"]
+
+    def test_rebaseline_replaces_outright(self):
+        """--rebaseline is the one deliberate path to a slower
+        baseline (e.g. a correctness fix that costs latency)."""
+        old = {"sf": 0.1, "queries": {"q1": 1.0}, "host_speed_index": 0.5}
+        merged = merge_baseline(
+            old, 0.1, {"q1": 2.0}, host_speed_index=0.9, rebaseline=True
+        )
+        assert merged["queries"] == {"q1": 2.0}
+        assert merged["host_speed_index"] == 0.9
+
+    def test_error_entries_excluded(self):
+        """A query that errored (dict value) must not poison the
+        sidecar with a non-numeric entry."""
+        merged = merge_baseline(None, 0.1, {"ok": 1.0, "bad": {"err": "x"}})
+        assert merged["queries"] == {"ok": 1.0}
+
+    def test_no_prior_baseline(self):
+        merged = merge_baseline(None, 0.01, {"q": 1.5}, host_speed_index=0.7)
+        assert merged == {
+            "sf": 0.01,
+            "queries": {"q": 1.5},
+            "host_speed_index": 0.7,
+        }
+
+    def test_round_trips_through_json(self):
+        merged = merge_baseline(None, 0.1, {"q": 1.5}, host_speed_index=0.7)
+        assert json.loads(json.dumps(merged)) == merged
+
+
+class TestSpeedNormalizedTripwire:
+    def test_slow_host_does_not_flag(self):
+        """Host running 1.6× slower (speed_ratio 1.6): an unchanged
+        query appears 1.6× slower but must not trip at ratio=1.5."""
+        prior = {"q": 2.0}
+        current = {"q": 3.2}  # 1.6x raw, 1.0x speed-adjusted
+        assert find_regressions(prior, current, speed_ratio=1.6) == {}
+
+    def test_real_regression_still_flags_on_slow_host(self):
+        """A genuine 3× regression on a 1.6×-slow host is still 1.9×
+        adjusted — flagged, with both raw and adjusted values."""
+        prior = {"q": 2.0}
+        current = {"q": 6.0}
+        flags = find_regressions(prior, current, speed_ratio=1.6)
+        assert "q" in flags
+        assert flags["q"]["now_sec"] == 6.0
+        assert flags["q"]["now_sec_speed_adjusted"] == 3.75
+
+    def test_default_speed_ratio_is_identity(self):
+        prior = {"q": 1.0}
+        current = {"q": 1.6}
+        assert "q" in find_regressions(prior, current)
+        assert "q" in find_regressions(prior, current, speed_ratio=0)  # guard
+
+    def test_min_sec_floor_uses_raw_latency(self):
+        # sub-second now_sec never flags regardless of ratio
+        assert find_regressions({"q": 0.1}, {"q": 0.9}) == {}
+
+    def test_committed_sidecars_are_minimal_format(self):
+        """The committed sidecars must be the minimal merge_baseline
+        shape (sf / queries / host_speed_index), not a full result
+        dump — full dumps were the ratchet's delivery vehicle."""
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for name in ("BENCH_BASELINE_sf0.1.json", "BENCH_BASELINE_sf0.001.json"):
+            path = os.path.join(here, name)
+            if not os.path.exists(path):
+                continue
+            with open(path) as fh:
+                side = json.load(fh)
+            assert set(side) <= {"sf", "queries", "host_speed_index"}, name
+            assert all(
+                isinstance(v, (int, float)) for v in side["queries"].values()
+            ), name
