@@ -59,6 +59,26 @@ def char_shingles(text: Column, k: int = 8, stride: int = 4, max_shingles: int =
     )
 
 
+def perm_window_hash(shingle_col, num_perm: int):
+    """Hex digest wide enough for ``num_perm`` 8-hex-char windows at
+    stride 3 (the one-hash/k-windows MinHash family). One md5 (32 hex
+    chars) covers num_perm<=9; beyond that, extra SALTED digests are
+    chained (md5(shingle || '#w<d>')) so every window keeps its full
+    32-bit width. Without the chaining, num_perm>9 silently produced
+    truncated-to-empty windows — every document shared the same
+    degenerate high-band minhash and the LSH buckets went quadratic.
+    The num_perm<=9 output is bit-identical to the original
+    single-digest form (the oracle-certified default path)."""
+    if num_perm < 1:
+        raise ValueError(f"num_perm must be >= 1, got {num_perm}")
+    n_digests = ((num_perm - 1) * 3 + 8 + 31) // 32
+    parts = [F.md5(shingle_col)] + [
+        F.md5(F.concat(shingle_col, F.lit(f"#w{d}")))
+        for d in range(1, n_digests)
+    ]
+    return parts[0] if n_digests == 1 else F.concat(*parts)
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_perm: int = 8
 ) -> DataFrame:
@@ -90,7 +110,9 @@ def minhash_signatures(
         # all bucketing together via md5('') of an empty minhash list
         # — matching the SQL oracle and the streaming band hashes
         .filter(F.col("shingle").isNotNull())
-        .select("docId", F.md5(F.col("shingle")).alias("h"))
+        .select(
+            "docId", perm_window_hash(F.col("shingle"), num_perm).alias("h")
+        )
     )
     # one min-aggregation per permutation in a single groupBy instead
     # of exploding shingles ×num_perm: the shuffle carries |docs|

@@ -77,21 +77,80 @@ def connected_components(
 
     ``checkpoint_dir`` swaps the per-round localCheckpoint (blocks
     pinned in executor/driver storage memory) for a RELIABLE disk
-    checkpoint rooted there. On a cluster the local blocks spread
-    over executor heaps and this is unnecessary; in local mode every
-    round's label table lands in the ONE driver-side block manager,
-    and past ~50M edges that exhausts the default heap (BASELINE.md
-    r9 probe needed SPARK_GRAFT_DRIVER_MEM=48g) — pointing
-    ``checkpoint_dir`` at any scratch path removes that requirement
-    at the cost of per-round parquet-ish disk writes.
+    checkpoint rooted in a PER-RUN subdirectory of it
+    (``<checkpoint_dir>/cc_<hex>``). On a cluster the local blocks
+    spread over executor heaps and this is unnecessary; in local mode
+    every round's label table lands in the ONE driver-side block
+    manager, and past ~50M edges that exhausts the default heap
+    (BASELINE.md r9 probe needed SPARK_GRAFT_DRIVER_MEM=48g) —
+    pointing ``checkpoint_dir`` at any scratch path removes that
+    requirement at the cost of per-round parquet-ish disk writes.
+
+    Two lifecycle contracts when ``checkpoint_dir`` is set:
+
+    - GLOBAL side effect: Spark has exactly one checkpoint directory
+      per SparkContext, so this call re-points
+      ``sparkContext.setCheckpointDir`` at the per-run subdirectory —
+      any later ``df.checkpoint()`` elsewhere in the session lands
+      there too until someone sets it again.
+    - Disk lifecycle: with ``until_converged=True`` (eager rounds),
+      SUPERSEDED round checkpoints are deleted as the loop advances
+      and only the FINAL round's files remain at return — the
+      returned DataFrame reads them, so they must outlive it (Spark
+      itself deletes them at context shutdown only under
+      ``spark.cleaner.referenceTracking.cleanCheckpoints=true``,
+      recommended for long-lived sessions). With
+      ``until_converged=False`` the checkpoints are lazy (they
+      materialize on the first downstream action), so nothing can be
+      safely deleted here and the whole per-run subdirectory persists
+      — prefer eager mode for big local-mode runs.
     """
+    spark = vertices.sparkSession
+    ckpt_root = None
     if checkpoint_dir is not None:
-        vertices.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        import uuid
+
+        ckpt_root = f"{checkpoint_dir.rstrip('/')}/cc_{uuid.uuid4().hex[:12]}"
+        spark.sparkContext.setCheckpointDir(ckpt_root)
 
     def _ckpt(df: DataFrame, eager: bool) -> DataFrame:
         if checkpoint_dir is not None:
             return df.checkpoint(eager=eager)
         return df.localCheckpoint(eager=eager)
+
+    def _rdd_dirs() -> "dict[int, object]":
+        # reliable checkpoints live at <root>/<uuid>/rdd-<id>; the id
+        # rises monotonically, so "newest" = max id
+        jvm = spark._jvm
+        glob = jvm.org.apache.hadoop.fs.Path(f"{ckpt_root}/*/rdd-*")
+        fs = jvm.org.apache.hadoop.fs.Path(ckpt_root).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        out = {}
+        for st in fs.globStatus(glob) or []:
+            p = st.getPath()
+            try:
+                out[int(str(p.getName()).rsplit("-", 1)[1])] = p
+            except (ValueError, IndexError):
+                continue
+        return out
+
+    def _drop_superseded(keep_ids: "set[int]") -> None:
+        # delete every materialized round checkpoint except the
+        # NEWEST (the current labels — the only one later rounds and
+        # the returned DataFrame read) and the pinned keep set (sym)
+        if ckpt_root is None:
+            return
+        dirs = _rdd_dirs()
+        if not dirs:
+            return
+        newest = max(dirs)
+        fs = spark._jvm.org.apache.hadoop.fs.Path(ckpt_root).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        for rid, p in dirs.items():
+            if rid != newest and rid not in keep_ids:
+                fs.delete(p, True)
 
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -104,8 +163,12 @@ def connected_components(
     )
     # every round joins against the edge table; without this the
     # upstream pair-generation pipeline (e.g. MinHash-LSH) would
-    # re-execute once per round
-    sym = _ckpt(sym, eager=False)
+    # re-execute once per round. In eager reliable-checkpoint mode
+    # sym is materialized NOW so its rdd dirs can be pinned out of
+    # the per-round superseded-checkpoint cleanup.
+    cleanup = ckpt_root is not None and until_converged
+    sym = _ckpt(sym, eager=cleanup)
+    pinned_ids = set(_rdd_dirs()) if cleanup else set()
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     )
@@ -149,7 +212,14 @@ def connected_components(
             )
             if changed == 0:
                 converged = True
+                if cleanup:
+                    _drop_superseded(pinned_ids)
                 break
+        # the superseded-round sweep runs AFTER the convergence check:
+        # `prev` (last round's checkpoint) feeds that join and only
+        # becomes garbage once the check has consumed it
+        if cleanup:
+            _drop_superseded(pinned_ids)
     else:
         converged = False
     if not converged and raise_on_unconverged:
@@ -175,6 +245,12 @@ def connected_components(
                 "num_rounds or set until_converged=True"
             )
         converged = True
+    if cleanup:
+        # sym's pinned checkpoints are garbage once the bridging check
+        # (their last consumer) is behind us: the returned DataFrame's
+        # lineage is truncated at the final labels checkpoint, which
+        # is the one rdd dir this sweep leaves on disk
+        _drop_superseded(set())
     if stats_out is not None:
         stats_out["rounds"] = executed
         stats_out["propagations"] = executed * max(1, unroll)

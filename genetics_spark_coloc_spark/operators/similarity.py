@@ -594,11 +594,14 @@ def load_ivf_index(spark, path: str):
     import json
     import os
 
+    from genetics_spark_coloc_spark.session import hadoop_read_text
+
+    # Hadoop FS read, not driver-local open(): the sidecar lives on
+    # the SAME filesystem as the parquet parts (hdfs://, s3a://, ...)
     meta_path = os.path.join(path, "_ivf_meta.json")
     try:
-        with open(meta_path) as fh:
-            meta = json.load(fh)
-    except OSError as exc:
+        meta = json.loads(hadoop_read_text(spark, meta_path))
+    except (OSError, ValueError) as exc:
         raise ValueError(
             f"load_ivf_index: {meta_path} missing — not an ivf_index step "
             "output? Load the members parquet directly and supply the "

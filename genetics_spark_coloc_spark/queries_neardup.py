@@ -3825,10 +3825,16 @@ WITH toks AS (
   FROM documents
 ),
 grams AS (
+  -- per-document offset enumeration (scalar range + unnest), not a
+  -- fixed CROSS JOIN range(0, 4096): the literal cap silently
+  -- dropped grams for any doc beyond ~4098 tokens while the Spark
+  -- side is unbounded
   SELECT lang,
          array_to_string(t[CAST(i AS INT) + 1 : CAST(i AS INT) + 3], ' ') AS gram
-  FROM toks CROSS JOIN range(0, 4096) AS r(i)
-  WHERE CAST(i AS INT) <= len(t) - 3
+  FROM (
+    SELECT lang, t, unnest(range(0, greatest(len(t) - 2, 0))) AS i
+    FROM toks
+  )
 )
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS totalNgrams,

@@ -119,18 +119,62 @@ def write_bucketed(
     session's managed-table directory survives its catalog entry, and
     ``saveAsTable`` refuses to reuse the location
     (LOCATION_ALREADY_EXISTS) even though no table exists. Only the
-    default warehouse location of an unqualified name is cleaned —
-    a qualified or externally-located table fails loudly as before.
+    CURRENT database's warehouse location of an unqualified name is
+    cleaned (``<warehouse>/<name>`` for the default database,
+    ``<warehouse>/<db>.db/<name>`` otherwise — both checks resolve in
+    the same database, so a live ``default.<name>`` can never be
+    deleted while the session sits in another database); a qualified
+    or externally-located table fails loudly as before.
     """
     spark = df.sparkSession
     if mode == "overwrite" and "." not in table_name and not spark.catalog.tableExists(table_name):
         import shutil
 
         wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-        orphan = os.path.join(wh, table_name.lower())
+        db = spark.catalog.currentDatabase()
+        orphan = os.path.join(
+            wh,
+            *([] if db == "default" else [f"{db.lower()}.db"]),
+            table_name.lower(),
+        )
         if os.path.isdir(orphan):
             shutil.rmtree(orphan, ignore_errors=True)
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def hadoop_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file THROUGH the Hadoop FileSystem API, so
+    index sidecars (e.g. the IVF `_ivf_meta.json`) land next to their
+    parquet parts on whatever filesystem the output path names —
+    local, hdfs://, s3a://. Driver-local ``open()`` silently writes a
+    bogus local path for remote URIs; this is the at-rest-index twin
+    of letting Spark's writers resolve the scheme."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def hadoop_read_text(spark: SparkSession, path: str) -> str:
+    """Read a small text file through the Hadoop FileSystem API
+    (counterpart of ``hadoop_write_text``). Raises FileNotFoundError
+    if the path does not exist on its filesystem."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        raise FileNotFoundError(path)
+    stream = fs.open(jpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()

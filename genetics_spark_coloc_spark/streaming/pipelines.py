@@ -206,10 +206,16 @@ def streaming_band_hashes(
     Output: (id, bandIdx, bandHash) — one row per band per document,
     no shuffle.
     """
-    from genetics_spark_coloc_spark.operators.dedup import char_shingles
+    from genetics_spark_coloc_spark.operators.dedup import (
+        char_shingles,
+        perm_window_hash,
+    )
 
     num_bands = num_perm // band_size
-    hashes = F.transform(char_shingles(F.col(text_col)), lambda s: F.md5(s))
+    hashes = F.transform(
+        char_shingles(F.col(text_col)),
+        lambda s: perm_window_hash(s, num_perm),
+    )
     min_hash = [
         F.array_min(
             F.transform(hashes, lambda h: F.substring(h, p * 3 + 1, 8))

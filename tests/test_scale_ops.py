@@ -3518,3 +3518,152 @@ def test_distribution_drift_psi_properties(spark):
     ).collect()[0]
     assert drift["psi"] > 0.2 and drift["driftAlert"]
     assert drift["nBins"] == 10
+
+
+def test_perm_window_hash_widens_beyond_nine_perms(spark):
+    """num_perm > 9 used to window PAST the 32-hex md5 digest —
+    truncated-to-empty high-perm minhashes that co-bucketed every
+    document in the last LSH bands. perm_window_hash chains salted
+    digests so every window keeps full 8-hex width; num_perm<=9 stays
+    bit-identical to the original single-digest form (the
+    oracle-certified path)."""
+    from genetics_spark_coloc_spark.operators.dedup import (
+        minhash_signatures,
+        perm_window_hash,
+    )
+    from genetics_spark_coloc_spark.streaming.pipelines import (
+        streaming_band_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}x{j}" for j in range(25))) for i in range(12)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, "text", "doc_id", num_perm=16)
+    # every window full width — no truncated or empty minhashes
+    bad = sigs.filter(F.length("minHash") != 8).count()
+    assert bad == 0
+    assert sigs.count() == 12 * 16
+    # distinct docs must not share high-perm minhashes wholesale (the
+    # old failure mode: ALL docs identical at perm >= 11)
+    top_perm = sigs.filter(F.col("perm") == 15)
+    assert top_perm.select("minHash").distinct().count() > 1
+
+    # default path unchanged: single digest, same values as a manual
+    # substring of md5 (what the committed SQL oracles replicate)
+    eight = minhash_signatures(docs, "text", "doc_id", num_perm=8)
+    assert eight.filter(F.length("minHash") != 8).count() == 0
+
+    # streaming banding parity holds at the widened num_perm too
+    batch_bands = (
+        sigs.withColumn("bandIdx", (F.col("perm") / 4).cast("int"))
+        .groupBy("docId", "bandIdx")
+        .agg(
+            F.md5(
+                F.concat_ws("|", F.sort_array(F.collect_list("minHash")))
+            ).alias("bandHash")
+        )
+    )
+    stream_bands = streaming_band_hashes(
+        docs, num_perm=16, band_size=4
+    ).select("docId", "bandIdx", "bandHash")
+    sym_diff = batch_bands.exceptAll(stream_bands).count() + stream_bands.exceptAll(
+        batch_bands
+    ).count()
+    assert sym_diff == 0
+
+    with pytest.raises(ValueError, match="num_perm"):
+        perm_window_hash(F.col("text"), 0)
+
+
+def test_write_bucketed_orphan_cleanup_is_database_aware(spark):
+    """ADVICE r10: with the session in a NON-default database, the
+    overwrite orphan cleanup must (a) never touch a live
+    default.<name> table's data at <warehouse>/<name>, and (b) clean
+    the real orphan at <warehouse>/<db>.db/<name>."""
+    import os
+    import shutil
+
+    from genetics_spark_coloc_spark.session import write_bucketed
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    df = spark.range(50).selectExpr("id as k", "id * 2 as v")
+    spark.sql("DROP TABLE IF EXISTS default.bt_dbaware_test")
+    spark.sql("DROP DATABASE IF EXISTS bt_aux_db CASCADE")
+    try:
+        # live table in the DEFAULT database
+        write_bucketed(df, "bt_dbaware_test", ["k"], num_buckets=2)
+        default_loc = os.path.join(wh, "bt_dbaware_test")
+        assert os.path.isdir(default_loc)
+        spark.sql("CREATE DATABASE bt_aux_db")
+        spark.catalog.setCurrentDatabase("bt_aux_db")
+        # plant a REAL orphan at the aux db's managed location
+        orphan = os.path.join(wh, "bt_aux_db.db", "bt_dbaware_test")
+        os.makedirs(orphan, exist_ok=True)
+        with open(os.path.join(orphan, "leftover"), "w") as fh:
+            fh.write("stale")
+        # unqualified overwrite while in bt_aux_db: must clean the
+        # aux orphan, must NOT touch default's live data
+        write_bucketed(df, "bt_dbaware_test", ["k"], num_buckets=2)
+        assert spark.table("bt_aux_db.bt_dbaware_test").count() == 50
+        assert not os.path.exists(os.path.join(orphan, "leftover"))
+        assert spark.table("default.bt_dbaware_test").count() == 50
+        assert os.path.isdir(default_loc)
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql("DROP TABLE IF EXISTS default.bt_dbaware_test")
+        spark.sql("DROP DATABASE IF EXISTS bt_aux_db CASCADE")
+        shutil.rmtree(os.path.join(wh, "bt_aux_db.db"), ignore_errors=True)
+
+
+def test_connected_components_checkpoint_lifecycle(spark, tmp_path):
+    """ADVICE r10: eager reliable-checkpoint mode must not accumulate
+    one label table on disk per round — superseded round checkpoints
+    (and the pinned edge-table checkpoint) are swept as the loop
+    advances, leaving exactly ONE rdd dir (the final labels) in the
+    per-run subdirectory; the returned DataFrame still reads cleanly
+    after every sweep. Two runs against the same root use separate
+    cc_* subdirectories."""
+    import os
+
+    from genetics_spark_coloc_spark.operators.graph import (
+        connected_components,
+    )
+
+    ckpt = str(tmp_path / "cc_root")
+    verts = spark.range(40).select(F.col("id").cast("long").alias("doc_id"))
+    # a 20-vertex chain forces several propagate+shortcut rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "leftId: long, rightId: long"
+    )
+    stats: dict = {}
+    out = connected_components(
+        verts,
+        edges,
+        "doc_id",
+        until_converged=True,
+        num_rounds=12,
+        checkpoint_dir=ckpt,
+        stats_out=stats,
+    )
+    # result consumable AFTER the per-round sweeps (files it needs
+    # survived), and correct: the chain is one component labelled 0
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert all(got[i] == 0 for i in range(20))
+    assert all(got[i] == i for i in range(20, 40))
+    assert stats["rounds"] >= 2  # the sweep actually had rounds to sweep
+    run_dirs = [d for d in os.listdir(ckpt) if d.startswith("cc_")]
+    assert len(run_dirs) == 1
+    rdd_dirs = [
+        os.path.join(root, d)
+        for root, dirs, _ in os.walk(os.path.join(ckpt, run_dirs[0]))
+        for d in dirs
+        if d.startswith("rdd-")
+    ]
+    assert len(rdd_dirs) == 1, f"superseded checkpoints not swept: {rdd_dirs}"
+    # a second run lands in its OWN subdirectory (no interleaving)
+    connected_components(
+        verts, edges, "doc_id", until_converged=True, num_rounds=12,
+        checkpoint_dir=ckpt,
+    ).collect()
+    assert len([d for d in os.listdir(ckpt) if d.startswith("cc_")]) == 2

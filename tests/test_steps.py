@@ -665,6 +665,7 @@ def test_run_lsh_band_index_step(spark, tmp_path):
             incremental_lsh_candidates(delta, corpus, index_bands=persisted)
     finally:
         spark.sql("DROP TABLE IF EXISTS band_index_step_test")
+        spark.sql("DROP TABLE IF EXISTS band_index_step_test_bucket_counts")
 
 
 def test_run_ivf_index_step(spark, tmp_path):
@@ -771,6 +772,151 @@ def test_load_lsh_band_index_validates_band_params(spark, tmp_path):
             incremental_lsh_candidates(delta, docs, index_guard=False)
     finally:
         spark.sql("DROP TABLE IF EXISTS band_index_loader_test")
+        spark.sql("DROP TABLE IF EXISTS band_index_loader_test_bucket_counts")
+
+
+def test_lsh_band_index_hot_bucket_across_appends_trips_certification(
+    spark, tmp_path
+):
+    """O(delta) append re-certification must count touched buckets
+    AGAINST HISTORY, not just within the delta: a hot bucket formed
+    across the build + two appends (no single batch over the ceiling
+    alone) must still raise the certified max_bucket_count and make a
+    ceiling-gated load refuse the table. Also cross-checks that the
+    ledger-derived certification equals a direct full scan of the
+    band table — the exactness claim that lets the append path skip
+    that scan."""
+    from genetics_spark_coloc_spark.operators.dedup import (
+        load_lsh_band_index,
+    )
+
+    # identical texts share every band hash, so each batch adds its
+    # copy-count to the SAME buckets; unique filler docs keep the
+    # batches non-degenerate
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+
+    def batch(start_id, n_copies, n_unique):
+        rows = [(start_id + i, shared) for i in range(n_copies)]
+        # filler docs need enough distinct tokens that every minhash
+        # permutation sees a real shingle population (very short docs
+        # degenerate to shared sentinel hashes in the high bands)
+        rows += [
+            (
+                start_id + n_copies + i,
+                " ".join(
+                    f"w{start_id}x{i}t{j}v{(i * 7 + j * 13) % 97}"
+                    for j in range(30)
+                ),
+            )
+            for i in range(n_unique)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    paths = []
+    for i, b in enumerate(
+        [batch(0, 3, 10), batch(100, 3, 10), batch(200, 3, 10)]
+    ):
+        pth = str(tmp_path / f"day{i}.parquet")
+        b.write.mode("overwrite").parquet(pth)
+        paths.append(pth)
+    tbl = "band_index_hot_across"
+    # band_size=4 (16 perms / 4 bands): cross-filler band-hash
+    # collisions are vanishingly rare, so bucket occupancy is driven
+    # by the planted identical docs alone
+    band_params = {"num_perm": 16, "band_size": 4}
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}_bucket_counts")
+    try:
+        run_step(spark, "lsh_band_index", {"corpus": paths[0]}, tbl,
+                 params={"num_buckets": 4, **band_params})
+        props = lambda: {  # noqa: E731
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {tbl}").collect()
+        }
+        after_build = int(props()["genetics_spark_coloc.max_bucket_count"])
+        assert after_build == 3  # 3 identical docs in one batch
+        run_step(spark, "lsh_band_index", {"corpus": paths[1]}, tbl,
+                 params={"mode": "append", **band_params})
+        assert int(props()["genetics_spark_coloc.max_bucket_count"]) == 6
+        run_step(spark, "lsh_band_index", {"corpus": paths[2]}, tbl,
+                 params={"mode": "append", **band_params})
+        certified = int(props()["genetics_spark_coloc.max_bucket_count"])
+        assert certified == 9  # 3 batches x 3 copies, no batch alone > 3
+        # the certification is exact: ledger math == full band scan
+        direct = (
+            spark.table(tbl)
+            .groupBy("bandIdx", "bandHash")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert certified == direct
+        # a ceiling below the cross-append occupancy refuses the table
+        with pytest.raises(ValueError, match="max_bucket_count"):
+            load_lsh_band_index(
+                spark, tbl, hot_bucket_ceiling=5, **band_params
+            )
+        load_lsh_band_index(  # at-bound ok
+            spark, tbl, hot_bucket_ceiling=9, **band_params
+        )
+        # the ledger itself is consistent: per-bucket sums equal the
+        # band table's true per-bucket counts
+        ledger = (
+            spark.table(f"{tbl}_bucket_counts")
+            .groupBy("bandIdx", "bandHash")
+            .agg(F.sum("c").alias("total"))
+        )
+        true_counts = (
+            spark.table(tbl)
+            .groupBy("bandIdx", "bandHash")
+            .agg(F.count(F.lit(1)).alias("total"))
+        )
+        assert ledger.exceptAll(true_counts).count() == 0
+        assert true_counts.exceptAll(ledger).count() == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_bucket_counts")
+
+
+def test_lsh_band_index_append_seeds_missing_ledger(spark, tmp_path):
+    """Appending to a PRE-SIDECAR index (no counts ledger — e.g.
+    built by an older checkout) falls back to one full recompute that
+    also seeds the ledger, so the next append is O(delta) again."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    day1 = docs.filter(F.col("doc_id") % 4 == 0)
+    day2 = docs.filter(F.col("doc_id") % 4 == 2)
+    p1, p2 = str(tmp_path / "d1.parquet"), str(tmp_path / "d2.parquet")
+    day1.write.mode("overwrite").parquet(p1)
+    day2.write.mode("overwrite").parquet(p2)
+    tbl = "band_index_preledger"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}_bucket_counts")
+    try:
+        run_step(spark, "lsh_band_index", {"corpus": p1}, tbl,
+                 params={"num_buckets": 4})
+        # simulate the pre-sidecar world
+        spark.sql(f"DROP TABLE {tbl}_bucket_counts")
+        run_step(spark, "lsh_band_index", {"corpus": p2}, tbl,
+                 params={"mode": "append"})
+        assert spark.catalog.tableExists(f"{tbl}_bucket_counts")
+        # certification still equals the direct full-scan max
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {tbl}").collect()
+        }
+        direct = (
+            spark.table(tbl)
+            .groupBy("bandIdx", "bandHash")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert int(props["genetics_spark_coloc.max_bucket_count"]) == direct
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_bucket_counts")
 
 
 def test_lsh_band_index_append_mode_grows_index_incrementally(spark, tmp_path):
@@ -829,6 +975,7 @@ def test_lsh_band_index_append_mode_grows_index_incrementally(spark, tmp_path):
     finally:
         for t in ("band_index_grown", "band_index_oneshot"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.sql(f"DROP TABLE IF EXISTS {t}_bucket_counts")
 
 
 def test_run_bucket_layout_step_joins_without_shuffle(spark, tmp_path):

@@ -1182,3 +1182,77 @@ def band_index_probes(n_index: int = 2_000_000, n_delta: int = 50_000) -> None:
     )
     spark.sql("DROP TABLE IF EXISTS band_index_probe")
     spark.stop()
+
+
+def band_index_append_probes(
+    n_delta: int = 50_000, index_sizes: "tuple[int, ...]" = (1_000_000, 4_000_000)
+) -> None:
+    """Round-11 probe (VERDICT r10 #2): append-mode cost must be
+    O(delta), FLAT as the index grows. The r10 shape re-certified the
+    hot-bucket ceiling by aggregating the ENTIRE band table per
+    append — the one O(corpus) term left in the incremental path; the
+    r11 counts-ledger sidecar totals only the delta's touched buckets
+    against history. This measures the full `lsh_band_index
+    mode=append` step (delta banding + bucketed insert + O(delta)
+    re-certification) with the SAME delta against indexes of
+    different sizes: a flat wall is the amortization claim, a wall
+    growing with index size is the bug.
+    Run: python -c "import tools.scale_probe as sp; sp.band_index_append_probes()"
+    """
+    spark = get_session(
+        app_name="scale_probe_band_append",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import shutil
+    import tempfile
+
+    from genetics_spark_coloc_spark.steps import run_step
+
+    def docs(n, salt):
+        normal = F.concat(
+            F.md5(F.concat(F.lit(salt), F.col("id").cast("string"))),
+            F.lit(" "),
+            F.md5((F.col("id") * 13).cast("string")),
+        )
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"), normal.alias("text")
+        )
+
+    tmp = tempfile.mkdtemp(prefix="band_append_probe_")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    delta_path = os.path.join(tmp, "delta.parquet")
+    docs(n_delta, "d").write.mode("overwrite").parquet(delta_path)
+    for n_index in index_sizes:
+        tbl = f"band_append_probe_{n_index // 1_000_000}m"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_bucket_counts")
+        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+        shutil.rmtree(os.path.join(wh, f"{tbl}_bucket_counts"), ignore_errors=True)
+        corpus_path = os.path.join(tmp, f"corpus_{n_index}.parquet")
+        docs(n_index, "i").write.mode("overwrite").parquet(corpus_path)
+        start = time.perf_counter()
+        run_step(spark, "lsh_band_index", {"corpus": corpus_path}, tbl,
+                 params={"num_buckets": 64})
+        build_sec = round(time.perf_counter() - start, 2)
+        start = time.perf_counter()
+        run_step(spark, "lsh_band_index", {"corpus": delta_path}, tbl,
+                 params={"mode": "append"})
+        append_sec = round(time.perf_counter() - start, 2)
+        print(
+            json.dumps(
+                {
+                    "probe": f"band_index_append_{n_delta // 1000}k_delta_vs_{n_index // 1_000_000}m_index",
+                    "index_rows": n_index,
+                    "delta_rows": n_delta,
+                    "build_sec": build_sec,
+                    "append_sec": append_sec,
+                }
+            ),
+            flush=True,
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_bucket_counts")
+    spark.stop()
