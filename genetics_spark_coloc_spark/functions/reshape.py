@@ -94,3 +94,36 @@ def declared_single_partition(col: Column) -> Column:
     noise on the bounded inputs this is for.
     """
     return F.pmod(F.xxhash64(col), F.lit(1))
+
+
+def bounded_single_partition_rank(
+    key_col: Column,
+    order_by: "list[Column]",
+    bound: int,
+    context: str,
+) -> Column:
+    """``row_number`` over a declared-single-partition window WITH a
+    loud runtime size guard: consumers of
+    ``declared_single_partition`` rely on a docstring contract that
+    their input is bounded (a sketch pool of ≤2k rows, a top-N cut) —
+    if that contract is ever violated, the window silently serializes
+    an unbounded row set through one task. This wraps the rank in a
+    CASE on a same-partition ``count(*)`` window (same partitioning →
+    no extra exchange) that ``raise_error``s the standard loud-guard
+    message when the partition exceeds ``bound``. Cost: one count
+    window over rows that are ≤``bound`` by construction.
+    """
+    key = declared_single_partition(key_col)
+    rn = F.row_number().over(Window.partitionBy(key).orderBy(*order_by))
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(key))
+    msg = F.concat(
+        F.lit(f"{context}: declared-single-partition window received "),
+        cnt.cast("string"),
+        F.lit(
+            f" rows > documented bound {bound}; this operator serializes "
+            "its window through ONE task by design and its input was "
+            "declared bounded by construction — shrink the input "
+            "(limit/k) or restructure the operator before scaling up"
+        ),
+    )
+    return F.when(cnt > F.lit(int(bound)), F.raise_error(msg)).otherwise(rn)

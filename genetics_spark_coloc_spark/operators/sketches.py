@@ -588,10 +588,8 @@ def kmv_overlap_estimate(
     and the whole estimate runs without touching either corpus.
     Emits one row (nPool, estUnion, estIntersection, estJaccard).
     """
-    from pyspark.sql.window import Window  # noqa: PLC0415
-
     from genetics_spark_coloc_spark.functions.reshape import (
-        declared_single_partition,
+        bounded_single_partition_rank,
     )
 
     a = sketch_a.select("hashValue", F.lit(1).alias("_inA"), F.lit(0).alias("_inB"))
@@ -601,10 +599,17 @@ def kmv_overlap_estimate(
         .groupBy("hashValue")
         .agg(F.max("_inA").alias("_inA"), F.max("_inB").alias("_inB"))
     )
-    w = Window.partitionBy(declared_single_partition(F.col("hashValue"))).orderBy(
-        "hashValue"
-    )
-    ranked = pool.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
+    # rank carries the loud ≤2k size guard: the pool is two k-sketches
+    # deduped, so >2k rows means a caller handed in non-sketch tables
+    ranked = pool.withColumn(
+        "_r",
+        bounded_single_partition_rank(
+            F.col("hashValue"),
+            [F.col("hashValue")],
+            2 * k,
+            "kmv_overlap_estimate",
+        ),
+    ).filter(F.col("_r") <= k)
     agg = ranked.groupBy().agg(
         F.count(F.lit(1)).alias("nPool"),
         F.max("hashValue").alias("_kth"),

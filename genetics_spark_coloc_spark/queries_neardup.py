@@ -3706,10 +3706,8 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window runs single-partition over those N rows only,
     declared via declared_single_partition (the repo's bounded-input
     window contract)."""
-    from pyspark.sql.window import Window
-
     from genetics_spark_coloc_spark.functions.reshape import (
-        declared_single_partition,
+        bounded_single_partition_rank,
     )
     from genetics_spark_coloc_spark.operators.text import tokens
 
@@ -3721,10 +3719,16 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     top = freqs.orderBy(F.desc("cnt"), F.asc("token")).limit(n_top)
-    w = Window.partitionBy(declared_single_partition(F.col("token"))).orderBy(
-        F.desc("cnt"), F.asc("token")
+    # rank carries the loud ≤n_top size guard (the limit upstream is
+    # the contract; the guard makes a future edit that drops it fail
+    # loudly instead of serializing the vocabulary through one task)
+    rank = bounded_single_partition_rank(
+        F.col("token"),
+        [F.desc("cnt"), F.asc("token")],
+        n_top,
+        "zipf_slope",
     )
-    pts = top.withColumn("rank", F.row_number().over(w)).select(
+    pts = top.withColumn("rank", rank).select(
         F.log(F.col("rank").cast("double")).alias("x"),
         F.log(F.col("cnt").cast("double")).alias("y"),
     )
@@ -3857,10 +3861,8 @@ def q_kmv_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     train) ≈ nBoth / nEval, where nEval counts pool members from the
     eval sketch. True containment emitted alongside. All shuffles are
     sketch-bounded except the two corpus sketch passes."""
-    from pyspark.sql.window import Window
-
     from genetics_spark_coloc_spark.functions.reshape import (
-        declared_single_partition,
+        bounded_single_partition_rank,
     )
     from genetics_spark_coloc_spark.operators.sketches import kmv_sketch
     from genetics_spark_coloc_spark.operators.text import tokens
@@ -3880,10 +3882,12 @@ def q_kmv_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hashValue")
         .agg(F.max("_inT").alias("_inT"), F.max("_inE").alias("_inE"))
     )
-    w = Window.partitionBy(declared_single_partition(F.col("hashValue"))).orderBy(
-        "hashValue"
-    )
-    kept = pool.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
+    kept = pool.withColumn(
+        "_r",
+        bounded_single_partition_rank(
+            F.col("hashValue"), [F.col("hashValue")], 2 * k, "kmv_containment"
+        ),
+    ).filter(F.col("_r") <= k)
     est = kept.groupBy().agg(
         F.count(F.lit(1)).cast("long").alias("nPool"),
         F.sum("_inE").cast("long").alias("nEval"),

@@ -351,3 +351,50 @@ def test_bench_cpu_snapshot_and_busy_frac():
     assert abs(frac - (1 - 650 / 800)) < 1e-4
     assert bench._busy_frac({}, b) is None
     assert bench._busy_frac(a, a) is None  # zero elapsed jiffies
+
+
+def test_bounded_single_partition_rank_raises_on_violation(spark):
+    """VERDICT r10 #6: the declared-single-partition consumers
+    (kmv_overlap_estimate's ≤2k pool rank, zipf_slope's top-200
+    window) relied on a docstring contract; the rank column now
+    carries a loud in-plan size guard. Planted violation: a
+    partition over the bound raises the standard loud-guard error
+    instead of silently serializing through one task; at or under
+    the bound the rank values are unchanged."""
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.functions.reshape import (
+        bounded_single_partition_rank,
+    )
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    over = df.withColumn(
+        "r",
+        bounded_single_partition_rank(
+            F.col("k"), [F.col("k")], 5, "planted_violation_test"
+        ),
+    )
+    with pytest.raises(Exception, match="documented bound 5"):
+        over.collect()
+    under = df.withColumn(
+        "r",
+        bounded_single_partition_rank(
+            F.col("k"), [F.col("k")], 10, "at_bound_test"
+        ),
+    )
+    rows = {r["k"]: r["r"] for r in under.collect()}
+    assert rows == {i: i + 1 for i in range(10)}
+
+
+def test_kmv_overlap_estimate_guard_trips_on_oversized_pool(spark):
+    """The real call site: feeding kmv_overlap_estimate tables larger
+    than k-sketches (violating its ≤2k pool contract) raises loudly."""
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.operators.sketches import (
+        kmv_overlap_estimate,
+    )
+
+    big = spark.range(5000).select(F.col("id").alias("hashValue"))
+    with pytest.raises(Exception, match="kmv_overlap_estimate"):
+        kmv_overlap_estimate(big, big, k=64).collect()
