@@ -618,7 +618,7 @@ def _run_lsh_band_index(spark, inputs, output, p):
             # their summed ledger rows). Untouched buckets are
             # unchanged and already <= old_max, so this equals the
             # true full-table max without scanning the band table.
-            delta_counts.write.mode("append").saveAsTable(counts_table)
+            delta_counts.write.mode("append").insertInto(counts_table)
             touched = delta_counts.select("bandIdx", "bandHash").distinct()
             touched_max = (
                 spark.table(counts_table)
@@ -638,7 +638,10 @@ def _run_lsh_band_index(spark, inputs, output, p):
                 .groupBy("bandIdx", "bandHash")
                 .agg(F.count(F.lit(1)).alias("c"))
             )
-            full_counts.write.mode("overwrite").saveAsTable(counts_table)
+            write_bucketed(
+                full_counts, counts_table, ["bandIdx", "bandHash"],
+                num_buckets=16,
+            )
             max_bucket = int(
                 spark.table(counts_table).agg(F.max("c")).collect()[0][0] or 0
             )
@@ -658,7 +661,12 @@ def _run_lsh_band_index(spark, inputs, output, p):
             .groupBy("bandIdx", "bandHash")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        full_counts.write.mode("overwrite").saveAsTable(counts_table)
+        # the ledger goes through write_bucketed too: same orphaned-
+        # location reclaim as the index itself, plus a (bandIdx,
+        # bandHash)-bucketed at-rest layout
+        write_bucketed(
+            full_counts, counts_table, ["bandIdx", "bandHash"], num_buckets=16
+        )
         max_bucket = int(
             spark.table(counts_table).agg(F.max("c")).collect()[0][0] or 0
         )
