@@ -387,12 +387,33 @@ def distribution_drift_psi(
     rows — never corpus-sized — then a tiny bin join. Emits ONE row:
     (psi, nBins, refTotal, curTotal, driftAlert).
     """
-    ref_sk = grid_quantile_sketch(
-        reference.select(value.alias("_v")), F.col("_v"), [], lo, hi, n_bins
-    ).withColumnRenamed("cnt", "refCnt")
-    cur_sk = grid_quantile_sketch(
-        current.select(value.alias("_v")), F.col("_v"), [], lo, hi, n_bins
-    ).withColumnRenamed("cnt", "curCnt")
+    return psi_from_sketches(
+        grid_quantile_sketch(
+            reference.select(value.alias("_v")), F.col("_v"), [], lo, hi, n_bins
+        ),
+        grid_quantile_sketch(
+            current.select(value.alias("_v")), F.col("_v"), [], lo, hi, n_bins
+        ),
+        alert_threshold=alert_threshold,
+    )
+
+
+def psi_from_sketches(
+    ref_sketch: DataFrame,
+    cur_sketch: DataFrame,
+    alert_threshold: float = 0.2,
+) -> DataFrame:
+    """PSI straight from two PERSISTED grid sketches (bin, cnt) —
+    the sketch-level half of :func:`distribution_drift_psi`, split
+    out so a persisted reference sketch (or a streaming sketch
+    snapshot — ``streaming.pipelines.streaming_drift_gate``) can be
+    compared without re-reading raw data. Both sketches must come
+    from the SAME (lo, hi, n_bins) grid — bin indices are the join
+    key, so mismatched grids compare apples to oranges silently;
+    persist the grid parameters next to the sketch.
+    """
+    ref_sk = ref_sketch.withColumnRenamed("cnt", "refCnt")
+    cur_sk = cur_sketch.withColumnRenamed("cnt", "curCnt")
     joined = ref_sk.join(cur_sk, on="bin", how="full").select(
         "bin",
         F.coalesce("refCnt", F.lit(0)).alias("refCnt"),

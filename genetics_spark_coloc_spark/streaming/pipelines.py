@@ -857,3 +857,79 @@ def streaming_kmv_sketch(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_grid_sketch(
+    docs: DataFrame,
+    value,
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+) -> DataFrame:
+    """Fixed-grid histogram sketch maintained over a STREAM: each
+    micro-batch's values bin into the shared grid and the per-bin
+    counts fold into streaming-aggregation state — like the CMS/HLL
+    twins, the state store IS the sketch (≤ ``n_bins`` rows forever,
+    counts only grow, no watermark). The binning expressions are the
+    batch ``operators.sketches.grid_quantile_sketch``'s own, so
+    replaying a corpus reproduces the batch sketch bit for bit
+    (certified in tests). Emit with ``outputMode("complete")`` (the
+    whole ≤ n_bins bin table per changed trigger) for the drift gate
+    below, or ``"update"`` for changed bins only.
+    """
+    from genetics_spark_coloc_spark.operators.sketches import (
+        grid_quantile_sketch,
+    )
+
+    return grid_quantile_sketch(docs.select(value.alias("_v")), F.col("_v"), [], lo, hi, n_bins)
+
+
+def streaming_drift_gate(
+    docs: DataFrame,
+    value,
+    reference_sketch_path: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+    alert_threshold: float = 0.2,
+    on_alert=None,
+):
+    """Continuous distribution-drift monitor: the streaming twin of
+    the ``corpus_drift`` step, pairing :func:`streaming_grid_sketch`
+    (state = the live corpus's bin counts) with a per-trigger
+    ``foreachBatch`` gate that compares the CURRENT sketch snapshot
+    against the PERSISTED reference sketch
+    (``operators.sketches.psi_from_sketches`` — sketch vs sketch, raw
+    data never re-read; the reference side is a ≤ n_bins-row parquet
+    written once by ``grid_quantile_sketch``). Mirrors the
+    stream-static incremental-dedup twin: per-trigger cost is one
+    ≤ n_bins-row join, independent of stream volume.
+
+    Returns a DataStreamWriter ready to ``.start()``; the caller owns
+    trigger/checkpoint configuration. Each trigger appends one PSI
+    row (trigger epoch id + the psi_from_sketches columns) via
+    ``on_alert(batch_df, epoch_id, psi_row)`` — ``on_alert`` is
+    called on EVERY trigger with the computed row (a Row with
+    ``psi``/``driftAlert``); alerting policy (log, page, abort the
+    query) stays with the caller. The grid parameters must match the
+    reference sketch's build — persist them next to it (the
+    ``corpus_drift`` step records lo/hi/n_bins in its output).
+    """
+    sketched = streaming_grid_sketch(docs, value, lo, hi, n_bins)
+
+    def _gate(batch_df, epoch_id):
+        from genetics_spark_coloc_spark.operators.sketches import (
+            psi_from_sketches,
+        )
+
+        spark = batch_df.sparkSession
+        ref = spark.read.parquet(reference_sketch_path)
+        row = psi_from_sketches(
+            ref.select("bin", "cnt"),
+            batch_df.select("bin", "cnt"),
+            alert_threshold=alert_threshold,
+        ).collect()[0]
+        if on_alert is not None:
+            on_alert(batch_df, epoch_id, row)
+
+    return sketched.writeStream.outputMode("complete").foreachBatch(_gate)

@@ -343,3 +343,105 @@ def test_streaming_kmv_delta_emission_reconstructs_and_shrinks(spark, tmp_path):
             k=k,
             emit="bogus",
         )
+
+
+def test_streaming_grid_sketch_matches_batch(spark, tmp_path):
+    """Replay parity for the grid-histogram sketch: streaming bin
+    counts after a 3-trigger replay equal the batch sketch bit for
+    bit, and state never exceeds n_bins rows."""
+    from genetics_spark_coloc_spark.operators.sketches import (
+        grid_quantile_sketch,
+    )
+    from genetics_spark_coloc_spark.streaming.pipelines import (
+        streaming_grid_sketch,
+    )
+
+    n_bins = 16
+    metric = F.size("tokens") + F.length("lang")
+    batch = {
+        r.bin: r.cnt
+        for r in grid_quantile_sketch(
+            _docs(spark).select(metric.alias("_v")),
+            F.col("_v"), [], 0.0, 10.0, n_bins,
+        ).collect()
+    }
+    got = _replay(
+        spark,
+        tmp_path,
+        "grid_stream",
+        lambda s: streaming_grid_sketch(s, metric, 0.0, 10.0, n_bins),
+    )
+    stream = {r.bin: r.cnt for r in got}
+    assert stream == batch
+    assert len(stream) <= n_bins
+
+
+def test_streaming_drift_gate_batch_parity_and_alert(spark, tmp_path):
+    """VERDICT r10 #7: the streaming drift gate. A reference grid
+    sketch is persisted once; a SHIFTED stream replays through
+    streaming_drift_gate (stream-static via foreachBatch over the
+    sketch snapshot). Certification: the FINAL trigger's PSI row
+    equals the batch distribution_drift_psi of the same raw corpora
+    exactly, and the planted shift raises driftAlert; an unshifted
+    replay stays quiet."""
+    from genetics_spark_coloc_spark.operators.sketches import (
+        distribution_drift_psi,
+        grid_quantile_sketch,
+    )
+    from genetics_spark_coloc_spark.streaming.pipelines import (
+        streaming_drift_gate,
+    )
+
+    n_bins, lo, hi = 16, 0.0, 100.0
+    base = spark.range(2000).select((F.col("id") % 40).cast("double").alias("v"))
+    shifted = spark.range(2000).select(
+        (F.col("id") % 40 + 45).cast("double").alias("v")
+    )
+    ref_path = str(tmp_path / "ref_sketch.parquet")
+    grid_quantile_sketch(base, F.col("v"), [], lo, hi, n_bins).write.mode(
+        "overwrite"
+    ).parquet(ref_path)
+
+    def run_gate(df, name):
+        src = str(tmp_path / f"{name}_src")
+        df.repartition(3).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        rows = []
+        writer = streaming_drift_gate(
+            stream,
+            F.col("v"),
+            ref_path,
+            lo,
+            hi,
+            n_bins,
+            on_alert=lambda _b, epoch, row: rows.append((epoch, row)),
+        )
+        q = (
+            writer.option(
+                "checkpointLocation", str(tmp_path / f"{name}_ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None
+        assert rows, "gate never fired"
+        return rows[-1][1]  # the full-corpus snapshot's PSI row
+
+    drift_row = run_gate(shifted, "drift_gate_shifted")
+    assert drift_row["driftAlert"]
+    # batch parity: same psi as the raw-data batch operator
+    batch_row = distribution_drift_psi(
+        base, shifted, F.col("v"), lo=lo, hi=hi, n_bins=n_bins
+    ).collect()[0]
+    assert drift_row["psi"] == batch_row["psi"]
+    assert drift_row["refTotal"] == batch_row["refTotal"]
+    assert drift_row["curTotal"] == batch_row["curTotal"]
+
+    quiet_row = run_gate(base, "drift_gate_quiet")
+    assert not quiet_row["driftAlert"]
+    assert quiet_row["psi"] == 0.0

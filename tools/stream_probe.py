@@ -286,3 +286,78 @@ def delta_index_stream_probe(n_index: int = 2_000_000, n_stream: int = 100_000) 
     spark.sql("DROP TABLE IF EXISTS band_index_stream_probe")
     shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
+
+
+def drift_gate_stream_probe(n_docs: int = 2_000_000, n_triggers: int = 8) -> None:
+    """Round-11 probe: the streaming drift gate's throughput. State is
+    one <=n_bins-row bin table and the per-trigger gate is a
+    sketch-vs-sketch join, so throughput should track raw scan+bin
+    speed, independent of corpus history.
+    Run via: python -c "import tools.stream_probe as sp; sp.drift_gate_stream_probe()"
+    """
+    spark = get_session(
+        app_name="drift_gate_stream_probe",
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.operators.sketches import (
+        grid_quantile_sketch,
+    )
+    from genetics_spark_coloc_spark.streaming.pipelines import (
+        streaming_drift_gate,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="drift_gate_probe_")
+    base = spark.range(n_docs).select(
+        (F.pmod(F.hash("id"), F.lit(1000)).cast("double")).alias("v")
+    )
+    shifted = spark.range(n_docs).select(
+        (F.pmod(F.hash("id", "id"), F.lit(1000)).cast("double") + 300).alias("v")
+    )
+    ref_path = os.path.join(tmp, "ref_sketch.parquet")
+    grid_quantile_sketch(base, F.col("v"), [], 0.0, 1500.0, 64).write.mode(
+        "overwrite"
+    ).parquet(ref_path)
+    src = os.path.join(tmp, "stream")
+    shifted.repartition(n_triggers).write.mode("overwrite").parquet(src)
+    alerts = []
+    stream = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    t0 = time.perf_counter()
+    q = (
+        streaming_drift_gate(
+            stream,
+            F.col("v"),
+            ref_path,
+            0.0,
+            1500.0,
+            64,
+            on_alert=lambda _b, e, row: alerts.append((e, row["psi"], row["driftAlert"])),
+        )
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(1800)
+    sec = round(time.perf_counter() - t0, 2)
+    print(
+        json.dumps(
+            {
+                "probe": f"drift_gate_stream_{n_docs // 1_000_000}m_docs",
+                "rows": n_docs,
+                "sec": sec,
+                "docs_per_sec": int(n_docs / sec),
+                "triggers": len(alerts),
+                "final_psi": alerts[-1][1] if alerts else None,
+                "alerted": bool(alerts and alerts[-1][2]),
+            }
+        ),
+        flush=True,
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
