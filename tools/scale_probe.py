@@ -1256,3 +1256,131 @@ def band_index_append_probes(
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}_bucket_counts")
     spark.stop()
+
+
+def genetics_skew_probes(sizes: "tuple[int, ...]" = (10_000_000, 40_000_000)) -> None:
+    """Round-11 probe (VERDICT r10 #5): the genetics self-join family
+    under PLANTED chromosome skew — one chromosome holds 30% of all
+    tags/sumstat rows (the human chr1/chr2 shape, exaggerated) at
+    10-40M rows. Measures (a) overlapping_peaks + align_overlapping_
+    tags (the credible-set self theta-join: equi keys are (chromosome,
+    tagVariantId), so hash partitioning spreads the hot chromosome
+    across its variants — skew should NOT concentrate) and (b)
+    annotate_locus_statistics (broadcast range join: the sumstats side
+    never shuffles, so the hot chromosome is irrelevant by
+    construction). A no-quadratic-term verdict = wall scales ~linearly
+    between the two sizes and the skewed chromosome adds no cliff.
+    Run: python -c "import tools.scale_probe as sp; sp.genetics_skew_probes()"
+    """
+    spark = get_session(
+        app_name="genetics_skew_probe",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.operators.locus_statistics import (
+        annotate_locus_statistics,
+    )
+    from genetics_spark_coloc_spark.operators.overlaps import (
+        align_overlapping_tags,
+        overlapping_peaks,
+    )
+
+    for n in sizes:
+        # --- planted-skew tag table: chr '1' holds 30% of the rows;
+        # each tagVariantId is shared by ~4 loci so the pair join is
+        # linear in |tags| (realistic credible-set sharing), and the
+        # gwas/qtl split gives the asymmetric join condition work
+        h = F.pmod(F.hash("id"), F.lit(100))
+        chrom = F.when(h < 30, F.lit("1")).otherwise(
+            (F.pmod(F.hash("id", "id"), F.lit(21)) + 2).cast("string")
+        )
+        tags = spark.range(n).select(
+            F.col("id").alias("_id"),
+            chrom.alias("chromosome"),
+            F.concat(chrom, F.lit("_v"), F.floor(F.col("id") / 4).cast("string")).alias(
+                "tagVariantId"
+            ),
+            (F.col("id") % 5_000).cast("string").alias("studyId"),
+            F.col("id").cast("string").alias("studyLocusId"),
+            F.when(F.col("id") % 2 == 0, F.lit("gwas")).otherwise(F.lit("eqtl")).alias(
+                "studyType"
+            ),
+            F.lit("r").alias("region"),
+            F.rand(7).alias("logBF"),
+            F.rand(11).alias("posteriorProbability"),
+            F.rand(13).alias("beta"),
+            F.lit(1.0).alias("pValueMantissa"),
+            F.lit(-8.0).alias("pValueExponent"),
+        ).drop("_id")
+        tags = tags.localCheckpoint(eager=True)
+        hot_frac = tags.filter(F.col("chromosome") == "1").count() / n
+        start = time.perf_counter()
+        peaks = overlapping_peaks(tags)
+        n_pairs = align_overlapping_tags(tags, peaks).count()
+        overlap_sec = round(time.perf_counter() - start, 2)
+        peaks.unpersist()
+        print(
+            json.dumps(
+                {
+                    "probe": f"overlaps_skew_{n // 1_000_000}m_tags",
+                    "rows": n,
+                    "hot_chrom_frac": round(hot_frac, 3),
+                    "aligned_rows": n_pairs,
+                    "sec": overlap_sec,
+                }
+            ),
+            flush=True,
+        )
+        # --- locus statistics: same skewed distribution on the
+        # sumstats side, 10k broadcast leads
+        sumstats = tags.select(
+            "chromosome",
+            (F.pmod(F.hash("studyLocusId"), F.lit(50_000_000)) + 50_000_000).alias(
+                "position"
+            ),
+            F.col("studyId"),
+            F.col("beta"),
+            F.col("pValueMantissa"),
+            F.col("pValueExponent"),
+            F.col("tagVariantId").alias("variantId"),
+        )
+        leads = (
+            tags.limit(10_000)
+            .select(
+                "studyLocusId",
+                "studyId",
+                "chromosome",
+                (F.pmod(F.hash("studyLocusId"), F.lit(50_000_000)) + 50_000_000).alias(
+                    "position"
+                ),
+            )
+        )
+        locus_sec = None
+        for _ in range(2):  # best-of-2: JVM/broadcast warmup asymmetry
+            start = time.perf_counter()
+            # sum(size(locus)) forces the collect_list itself — a bare
+            # count() lets Catalyst prune the aggregation away
+            forced = (
+                annotate_locus_statistics(leads, sumstats, distance=250_000)
+                .agg(F.sum(F.size("locus")).alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()[0]
+            )
+            t = round(time.perf_counter() - start, 2)
+            locus_sec = t if locus_sec is None else min(locus_sec, t)
+        print(
+            json.dumps(
+                {
+                    "probe": f"locus_stats_skew_{n // 1_000_000}m_sumstats",
+                    "rows": n,
+                    "hot_chrom_frac": round(hot_frac, 3),
+                    "annotated_loci": forced["n"],
+                    "locus_rows_collected": forced["s"],
+                    "sec": locus_sec,
+                }
+            ),
+            flush=True,
+        )
+        tags.unpersist()
+    spark.stop()
