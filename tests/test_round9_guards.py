@@ -324,7 +324,13 @@ def test_bench_find_regressions():
     # a: 1.6x and >1s -> flagged; b: 1.1x -> no; c: 4.5x but sub-second
     # floor -> no; d: 2x -> flagged; new: no prior -> no
     assert set(got) == {"a", "d"}
-    assert got["d"] == {"prior_sec": 4.0, "now_sec": 8.0}
+    assert got["d"] == {
+        "prior_sec": 4.0,
+        "now_sec": 8.0,
+        # r11: flags also carry the host-speed-adjusted latency
+        # (identity here — no speed_ratio passed)
+        "now_sec_speed_adjusted": 8.0,
+    }
     # contention annotation: each flag carries the loadavg sampled at
     # its best repeat's start, so the artifact adjudicates itself
     annotated = bench.find_regressions(
