@@ -629,6 +629,32 @@ def _run_lsh_band_index(spark, inputs, output, p):
                 .collect()[0][0]
             )
             max_bucket = max(old_max, int(touched_max or 0))
+            # self-compaction: the ledger gains one row per (append ×
+            # touched bucket), so a long daily-append history bloats
+            # it well past |distinct buckets|. When rows exceed 4× the
+            # distinct buckets, re-aggregate to one row per bucket —
+            # O(ledger) ≪ O(band table), keeps every later append's
+            # read O(buckets) instead of O(appends × buckets)
+            stats = (
+                spark.table(counts_table)
+                .groupBy()
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.count_distinct("bandIdx", "bandHash").alias("buckets"),
+                )
+                .collect()[0]
+            )
+            if stats["rows"] > 4 * stats["buckets"]:
+                compacted = (
+                    spark.table(counts_table)
+                    .groupBy("bandIdx", "bandHash")
+                    .agg(F.sum("c").alias("c"))
+                    .localCheckpoint(eager=True)  # sever the self-read
+                )
+                write_bucketed(
+                    compacted, counts_table, ["bandIdx", "bandHash"],
+                    num_buckets=16,
+                )
         else:
             # pre-sidecar index (built before the ledger existed):
             # one full recompute — which also SEEDS the ledger, so

@@ -1082,3 +1082,69 @@ def test_run_corpus_drift_step(spark, tmp_path):
         str(tmp_path / "moved.parquet"), params={"metric": "tokens", "hi": 256.0},
     ).collect()[0]
     assert moved["psi"] > 0.2 and moved["driftAlert"]
+
+
+def test_lsh_band_index_ledger_self_compacts(spark, tmp_path):
+    """The counts ledger gains one row per (append x touched bucket);
+    past 4x the distinct-bucket count it re-aggregates to one row per
+    bucket, so a long daily-append history keeps the O(delta)
+    re-certification read at O(buckets). Certification stays exact
+    through compaction."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i}a{j} " * 3 + " ".join(f"t{i}x{j}k{j2}" for j2 in range(20)))
+         for i in range(5) for j in [i]],
+        "doc_id long, text string",
+    )
+    tbl = "band_index_compact_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}_bucket_counts")
+    base = str(tmp_path / "base.parquet")
+    docs.write.mode("overwrite").parquet(base)
+    try:
+        run_step(spark, "lsh_band_index", {"corpus": base}, tbl,
+                 params={"num_buckets": 4})
+        # six appends of the SAME docs (new ids): every append touches
+        # the same buckets, so ledger rows grow ~7x distinct buckets
+        # without compaction
+        for a in range(1, 7):
+            delta = docs.select(
+                (F.col("doc_id") + 1000 * a).alias("doc_id"), "text"
+            )
+            p = str(tmp_path / f"a{a}.parquet")
+            delta.write.mode("overwrite").parquet(p)
+            run_step(spark, "lsh_band_index", {"corpus": p}, tbl,
+                     params={"mode": "append"})
+        ledger = spark.table(f"{tbl}_bucket_counts")
+        n_rows = ledger.count()
+        n_buckets = ledger.select("bandIdx", "bandHash").distinct().count()
+        assert n_rows <= 4 * n_buckets + n_buckets, (
+            f"ledger never compacted: {n_rows} rows for {n_buckets} buckets"
+        )
+        # certification stayed exact through compaction: 7 copies of
+        # each identical doc across build + 6 appends
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {tbl}").collect()
+        }
+        direct = (
+            spark.table(tbl)
+            .groupBy("bandIdx", "bandHash")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert int(props["genetics_spark_coloc.max_bucket_count"]) == direct
+        # ledger still sums to truth
+        sums = (
+            ledger.groupBy("bandIdx", "bandHash").agg(F.sum("c").alias("t"))
+        )
+        true_c = (
+            spark.table(tbl)
+            .groupBy("bandIdx", "bandHash")
+            .agg(F.count(F.lit(1)).alias("t"))
+        )
+        assert sums.exceptAll(true_c).count() == 0
+        assert true_c.exceptAll(sums).count() == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_bucket_counts")
