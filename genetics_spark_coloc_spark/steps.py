@@ -731,10 +731,56 @@ def _run_ivf_index(spark, inputs, output, p):
     import json as _json
     import os as _os
 
-    from genetics_spark_coloc_spark.operators.similarity import ivf_members
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.operators.similarity import (
+        ivf_members,
+        load_ivf_index,
+    )
     from genetics_spark_coloc_spark.session import hadoop_write_text
 
     centroids = _parquet(spark, inputs["centroids"])
+    if p["mode"] == "append":
+        # the daily-crawl loop, ANN edition: assign ONLY the new
+        # vectors and append their list files (history never
+        # re-assigned or rewritten). The centroids are the index's
+        # identity — a delta assigned with foreign centroids lands in
+        # lists that do not correspond — so the supplied centroids
+        # must BE the shipped build-time ones, verified exactly (they
+        # round-trip bit-identical through parquet).
+        _members_old, shipped, meta = load_ivf_index(spark, output)
+        if meta["id_col"] != p["id_col"] or meta["vec_col"] != p["vec_col"]:
+            raise ValueError(
+                f"ivf_index append: {output} was built with columns "
+                f"({meta['id_col']}, {meta['vec_col']}) but the caller "
+                f"passed ({p['id_col']}, {p['vec_col']})"
+            )
+
+        def _norm(df):
+            return df.select(
+                F.col(p["id_col"]).cast("string").alias("i"),
+                F.col(p["vec_col"]).cast("array<double>").alias("v"),
+            )
+
+        a, b = _norm(centroids), _norm(shipped)
+        if a.exceptAll(b).count() or b.exceptAll(a).count():
+            raise ValueError(
+                f"ivf_index append: supplied centroids differ from "
+                f"{output}'s build-time centroids; appending would file "
+                "the delta into non-corresponding lists and silently "
+                "return wrong neighbours. Pass the index's own centroids "
+                "(load_ivf_index) or rebuild with mode=overwrite."
+            )
+        delta_members = ivf_members(
+            _parquet(spark, inputs["corpus"]),
+            shipped,
+            id_col=p["id_col"],
+            vec_col=p["vec_col"],
+        )
+        delta_members.write.mode("append").partitionBy("centroidId").parquet(
+            output
+        )
+        return None
     members = ivf_members(
         _parquet(spark, inputs["corpus"]),
         centroids,
@@ -1172,6 +1218,14 @@ STEPS: dict[str, StepSpec] = {
             {
                 "id_col": Param(str, "vec_id", "vector id column"),
                 "vec_col": Param(str, "embedding", "vector column"),
+                "mode": Param(
+                    str,
+                    "overwrite",
+                    "overwrite = full rebuild; append = assign only the "
+                    "new corpus with the index's OWN build-time centroids "
+                    "(supplied centroids verified identical) and append "
+                    "its list files — history never re-assigned",
+                ),
             },
             sink=True,
         ),

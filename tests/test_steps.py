@@ -1148,3 +1148,59 @@ def test_lsh_band_index_ledger_self_compacts(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}_bucket_counts")
+
+
+def test_ivf_index_append_mode(spark, tmp_path):
+    """ANN twin of the band-index daily-append: build the inverted
+    lists on half the corpus, append the other half (assigned with
+    the index's OWN shipped centroids), and the grown index equals a
+    one-shot build — identical member assignments and identical
+    ivf_topk neighbours. Foreign centroids are refused before any
+    write; so is a column-contract mismatch."""
+    from genetics_spark_coloc_spark.operators.similarity import (
+        ivf_topk,
+        load_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    half1 = emb.filter(F.col("vec_id") % 2 == 0)
+    half2 = emb.filter(F.col("vec_id") % 2 == 1)
+    p1, p2, pf, pc = (
+        str(tmp_path / n)
+        for n in ("h1.parquet", "h2.parquet", "full.parquet", "cent.parquet")
+    )
+    half1.write.mode("overwrite").parquet(p1)
+    half2.write.mode("overwrite").parquet(p2)
+    emb.write.mode("overwrite").parquet(pf)
+    emb.limit(8).write.mode("overwrite").parquet(pc)
+    grown, oneshot = str(tmp_path / "ivf_grown"), str(tmp_path / "ivf_oneshot")
+    run_step(spark, "ivf_index", {"corpus": p1, "centroids": pc}, grown)
+    run_step(spark, "ivf_index", {"corpus": p2, "centroids": pc}, grown,
+             params={"mode": "append"})
+    run_step(spark, "ivf_index", {"corpus": pf, "centroids": pc}, oneshot)
+    g_members, g_cents, g_meta = load_ivf_index(spark, grown)
+    o_members, _, _ = load_ivf_index(spark, oneshot)
+    key = lambda df: {  # noqa: E731
+        r["vid"]: r["centroidId"]
+        for r in df.select("vid", "centroidId").collect()
+    }
+    assert key(g_members) == key(o_members)
+    # search parity over the grown index
+    queries = emb.limit(4)
+    nn = lambda m: {  # noqa: E731
+        (r["queryId"], r["rank"]): r["neighborId"]
+        for r in ivf_topk(
+            None, queries, g_cents, members=m, id_col=g_meta["id_col"],
+            vec_col=g_meta["vec_col"],
+        ).collect()
+    }
+    assert nn(g_members) == nn(o_members)
+    # foreign centroids refused before any write
+    bad_c = str(tmp_path / "bad_cent.parquet")
+    emb.limit(9).write.mode("overwrite").parquet(bad_c)
+    with pytest.raises(ValueError, match="build-time centroids"):
+        run_step(spark, "ivf_index", {"corpus": p2, "centroids": bad_c},
+                 grown, params={"mode": "append"})
+    with pytest.raises(ValueError, match="built with columns"):
+        run_step(spark, "ivf_index", {"corpus": p2, "centroids": pc},
+                 grown, params={"mode": "append", "id_col": "other"})
