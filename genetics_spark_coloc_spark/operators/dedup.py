@@ -248,6 +248,57 @@ def ngram_jaccard(
     )
 
 
+def edit_distance_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    ratio_threshold: float = 0.8,
+    max_len: int = 2_000,
+) -> DataFrame:
+    """Exact edit-distance verification of near-dup CANDIDATE pairs —
+    the character-level second stage after LSH banding (complement of
+    the shingle-set :func:`ngram_jaccard` verifier; edit ratio is the
+    dedup literature's other standard accept criterion, sensitive to
+    in-place edits that leave shingle sets mostly intact).
+
+    Per (leftId, rightId) pair: Levenshtein distance between the two
+    texts TRUNCATED to ``max_len`` chars (the documented cost bound —
+    the kernel is O(len²) per pair, so unbounded 100 MB outliers
+    would own the stage; truncation is the same contract MinHashLSH
+    verifiers ship with), ``editRatio`` = 1 − dist / max(len_l,
+    len_r) over the truncated lengths (1 = identical, 0 = disjoint;
+    two empty texts are identical → ratio 1), ``isDup`` = ratio ≥
+    ``ratio_threshold``.
+
+    Scale shape: the pair table comes from a GUARDED candidate
+    generator (bounded by construction), the two text joins are plain
+    hash joins on the id, and ``levenshtein`` runs JVM-side inside
+    codegen — no Python in the loop.
+    """
+    trunc = F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, max_len)
+    texts = df.select(F.col(id_col).alias("docId"), trunc.alias("t"))
+    joined = pairs.join(
+        texts.select(F.col("docId").alias("leftId"), F.col("t").alias("lt")),
+        on="leftId",
+    ).join(
+        texts.select(F.col("docId").alias("rightId"), F.col("t").alias("rt")),
+        on="rightId",
+    )
+    dist = F.levenshtein("lt", "rt")
+    max_side = F.greatest(F.length("lt"), F.length("rt"))
+    ratio = F.when(max_side == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - dist.cast("double") / max_side.cast("double")
+    )
+    return joined.select(
+        "leftId",
+        "rightId",
+        dist.cast("long").alias("editDistance"),
+        F.round(ratio, 6).alias("editRatio"),
+        (F.round(ratio, 6) >= F.lit(ratio_threshold)).alias("isDup"),
+    )
+
+
 def simhash(text: Column, bits: int = 32) -> Column:
     """SimHash signature (long) from token md5s.
 

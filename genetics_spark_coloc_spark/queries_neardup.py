@@ -3982,3 +3982,72 @@ FROM est e CROSS JOIN truth t
 
 NEARDUP_QUERIES["kmv_containment"] = q_kmv_containment
 NEARDUP_ORACLES["kmv_containment"] = SQL_KMV_CONTAINMENT
+
+
+def q_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of MinHash-LSH candidate pairs —
+    the character-level second stage (complement of the shingle-set
+    ngram_jaccard verifier): per candidate pair, Levenshtein distance
+    on max_len-truncated texts, editRatio = 1 − dist/max(len), and
+    the isDup accept flag. Pairs come from the guarded banded
+    generator; texts join in via two hash joins; the Levenshtein
+    kernel runs JVM-side inside codegen."""
+    from genetics_spark_coloc_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "text", "doc_id", num_perm=8, band_size=2
+    )
+    return dedup.edit_distance_verify(
+        docs, pairs, "text", "doc_id", ratio_threshold=0.8, max_len=2000
+    )
+
+
+SQL_EDIT_DISTANCE_DEDUP = """
+WITH sh AS (
+  SELECT DISTINCT doc_id AS docId,
+         substr(lower(text), CAST(i AS INT) * 4 + 1, 8) AS shingle
+  FROM documents CROSS JOIN range(0, 64) AS t(i)
+  WHERE CAST(i AS INT) < CAST(FLOOR(LEAST(GREATEST((length(lower(text)) - 8) / 4 + 1, 1), 64)) AS INT)
+),
+hashed AS (
+  SELECT docId, CAST(p AS INT) AS perm,
+         substr(md5(shingle), CAST(p AS INT) * 3 + 1, 8) AS h
+  FROM sh, range(0, 8) AS pt(p)
+),
+sig AS (
+  SELECT docId, perm, MIN(h) AS minHash
+  FROM hashed GROUP BY docId, perm
+),
+bands AS (
+  SELECT docId, CAST(FLOOR(perm / 2) AS INT) AS bandIdx,
+         md5(string_agg(minHash, '|' ORDER BY minHash)) AS bandHash
+  FROM sig
+  GROUP BY docId, CAST(FLOOR(perm / 2) AS INT)
+),
+cand AS (
+  SELECT DISTINCT l.docId AS leftId, r.docId AS rightId
+  FROM bands l
+  JOIN bands r ON l.bandIdx = r.bandIdx AND l.bandHash = r.bandHash
+             AND l.docId < r.docId
+),
+tx AS (
+  SELECT doc_id, substr(COALESCE(text, ''), 1, 2000) AS t FROM documents
+)
+SELECT c.leftId, c.rightId,
+       CAST(levenshtein(lt.t, rt.t) AS BIGINT) AS editDistance,
+       ROUND(CASE WHEN GREATEST(length(lt.t), length(rt.t)) = 0 THEN 1.0
+             ELSE 1.0 - levenshtein(lt.t, rt.t)
+                        / CAST(GREATEST(length(lt.t), length(rt.t)) AS DOUBLE)
+             END, 6) AS editRatio,
+       ROUND(CASE WHEN GREATEST(length(lt.t), length(rt.t)) = 0 THEN 1.0
+             ELSE 1.0 - levenshtein(lt.t, rt.t)
+                        / CAST(GREATEST(length(lt.t), length(rt.t)) AS DOUBLE)
+             END, 6) >= 0.8 AS isDup
+FROM cand c
+JOIN tx lt ON lt.doc_id = c.leftId
+JOIN tx rt ON rt.doc_id = c.rightId
+"""
+
+NEARDUP_QUERIES["edit_distance_dedup"] = q_edit_distance_dedup
+NEARDUP_ORACLES["edit_distance_dedup"] = SQL_EDIT_DISTANCE_DEDUP

@@ -3667,3 +3667,50 @@ def test_connected_components_checkpoint_lifecycle(spark, tmp_path):
         checkpoint_dir=ckpt,
     ).collect()
     assert len([d for d in os.listdir(ckpt) if d.startswith("cc_")]) == 2
+
+
+def test_edit_distance_verify_planted_cases(spark):
+    """Planted edit-distance verification: identical → ratio 1 / dup;
+    single-char edit → exact Levenshtein ratio; disjoint → low ratio;
+    both-empty → ratio 1 (identical by convention); one-empty →
+    ratio 0; edits PAST max_len are invisible (the documented
+    truncation cost bound)."""
+    from genetics_spark_coloc_spark.operators.dedup import (
+        edit_distance_verify,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefgh"),
+            (2, "abcdefgh"),
+            (3, "abcdefgX"),
+            (4, "zzzzzzzz"),
+            (5, ""),
+            (6, ""),
+            (7, "x" * 30 + "TAIL_A"),
+            (8, "x" * 30 + "TAIL_B"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (5, 6), (1, 5), (7, 8)],
+        "leftId long, rightId long",
+    )
+    out = {
+        (r["leftId"], r["rightId"]): (
+            r["editDistance"],
+            r["editRatio"],
+            r["isDup"],
+        )
+        for r in edit_distance_verify(
+            docs, pairs, "text", "doc_id", ratio_threshold=0.8, max_len=30
+        ).collect()
+    }
+    assert out[(1, 2)] == (0, 1.0, True)
+    assert out[(1, 3)] == (1, round(1 - 1 / 8, 6), True)
+    assert out[(1, 4)][2] is False and out[(1, 4)][1] == 0.0
+    assert out[(5, 6)] == (0, 1.0, True)  # both empty: identical
+    assert out[(1, 5)] == (8, 0.0, False)  # one empty: fully distant
+    # the differing tails sit past max_len=30 — truncation makes the
+    # pair identical, the documented O(len^2) cost bound
+    assert out[(7, 8)] == (0, 1.0, True)
