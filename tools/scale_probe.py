@@ -1384,3 +1384,59 @@ def genetics_skew_probes(sizes: "tuple[int, ...]" = (10_000_000, 40_000_000)) ->
         )
         tags.unpersist()
     spark.stop()
+
+
+def edit_distance_probe(n_docs: int = 2_000_000) -> None:
+    """Round-11 probe: edit-distance verification of LSH candidate
+    pairs at 2M docs (1-in-200 planted dup groups, same corpus shape
+    as band_index_probes). Cost = |pairs| x O(len^2) on truncated
+    texts, JVM-side levenshtein — the stage should be pair-bound, not
+    corpus-bound.
+    Run: python -c "import tools.scale_probe as sp; sp.edit_distance_probe()"
+    """
+    spark = get_session(
+        app_name="edit_distance_probe",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.operators.dedup import (
+        edit_distance_verify,
+        minhash_dedup_pairs,
+    )
+
+    dup_body = F.concat(
+        F.md5(F.concat(F.lit("dup"), (F.col("id") % 10_000).cast("string"))),
+        F.md5(F.concat(F.lit("dup2"), (F.col("id") % 10_000).cast("string"))),
+    )
+    normal = F.concat(
+        F.md5(F.concat(F.lit("e"), F.col("id").cast("string"))),
+        F.lit(" "),
+        F.md5((F.col("id") * 13).cast("string")),
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 200 == 0, dup_body).otherwise(normal).alias("text"),
+    ).localCheckpoint(eager=True)
+    pairs = minhash_dedup_pairs(docs, "text", "doc_id", num_perm=8, band_size=2)
+    start = time.perf_counter()
+    out = edit_distance_verify(docs, pairs, "text", "doc_id")
+    agg = out.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("isDup").cast("int")).alias("dups")
+    ).collect()[0]
+    sec = round(time.perf_counter() - start, 2)
+    print(
+        json.dumps(
+            {
+                "probe": f"edit_distance_verify_{n_docs // 1_000_000}m_docs",
+                "rows": n_docs,
+                "pairs": agg["n"],
+                "dups": agg["dups"],
+                "sec": sec,
+                "pairs_per_sec": int(agg["n"] / sec) if sec else None,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
