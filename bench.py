@@ -94,6 +94,7 @@ def merge_baseline(
     new_queries: "dict[str, float]",
     host_speed_index: "float | None" = None,
     rebaseline: bool = False,
+    host_membw_index: "float | None" = None,
 ) -> dict:
     """Best-known-clean tripwire baseline: per-query ``min(old, new)``.
 
@@ -115,20 +116,21 @@ def merge_baseline(
     seen (the fastest host state), matching the per-query minima.
     """
     old_q = (old or {}).get("queries", {}) if not rebaseline else {}
-    old_hsi = (old or {}).get("host_speed_index") if not rebaseline else None
     queries = {}
     for k, v in new_queries.items():
         if not isinstance(v, (int, float)):
             continue
         prev = old_q.get(k)
         queries[k] = min(prev, v) if isinstance(prev, (int, float)) else v
-    hsi = None
-    candidates = [x for x in (old_hsi, host_speed_index) if isinstance(x, (int, float))]
-    if candidates:
-        hsi = min(candidates)
     out = {"sf": sf, "queries": queries}
-    if hsi is not None:
-        out["host_speed_index"] = hsi
+    for key, new_val in (
+        ("host_speed_index", host_speed_index),
+        ("host_membw_index", host_membw_index),
+    ):
+        old_val = (old or {}).get(key) if not rebaseline else None
+        candidates = [x for x in (old_val, new_val) if isinstance(x, (int, float))]
+        if candidates:
+            out[key] = min(candidates)
     return out
 
 
@@ -141,8 +143,11 @@ def _host_speed_index(iters: int = 3_000_000) -> float:
     package). loadavg can't see that; a fixed deterministic kernel
     timed immediately before the pass can. The value rides in the
     BENCH artifact as ``host_speed_index`` (bigger = slower host) and
-    the tripwire divides current latencies by
-    current_index / baseline_index before comparing.
+    the tripwire divides current latencies by the WORSE of this
+    ratio and the memory-bandwidth kernel's (see _host_membw_index:
+    the r11 slow-state run measured suite +33% while this L1-resident
+    kernel moved only +2% — the oscillation is bandwidth contention,
+    invisible to a hot-loop CPU probe).
     """
     import zlib
 
@@ -156,6 +161,33 @@ def _host_speed_index(iters: int = 3_000_000) -> float:
         elapsed = time.perf_counter() - start
         if best is None or elapsed < best:
             best = elapsed
+    return round(best, 4)
+
+
+def _host_membw_index(mb: int = 64, passes: int = 24) -> "float | None":
+    """Seconds to stream a fixed ``mb``-MiB buffer ``passes`` times
+    (numpy sum — a single-thread memory-BANDWIDTH probe). The shared
+    host's slow state turned out to be bandwidth contention, not CPU
+    frequency: the r11 confirming pass ran the suite 33% slower while
+    the crc32 kernel (L1-resident) moved 2%. Best-of-3; bigger =
+    slower memory. None if numpy is unavailable (the tripwire then
+    normalizes by the CPU kernel alone).
+    """
+    try:
+        import numpy as np
+    except ImportError:
+        return None
+    arr = np.ones(mb * 1024 * 1024 // 8, dtype=np.float64)
+    best = None
+    for _ in range(3):
+        start = time.perf_counter()
+        acc = 0.0
+        for _ in range(passes):
+            acc += float(arr.sum())
+        elapsed = time.perf_counter() - start
+        if best is None or elapsed < best:
+            best = elapsed
+    assert acc != 0.0  # keep the loop un-elidable
     return round(best, 4)
 
 
@@ -282,16 +314,30 @@ def main() -> None:
             }
             break
 
-    # fixed single-thread kernel timed before the pass: the host-speed
-    # index that turns the documented two-state host oscillation into
-    # arithmetic (see _host_speed_index)
+    # fixed single-thread kernels timed before the pass: the host-
+    # speed indices that turn the documented two-state host
+    # oscillation into arithmetic. The tripwire normalizes by the
+    # WORSE of the CPU and memory-bandwidth ratios — the r11 slow
+    # state was bandwidth contention the CPU kernel couldn't see —
+    # bounded at 2.0 so a pathological kernel reading can never fully
+    # blind the tripwire.
     host_speed = _host_speed_index()
+    host_membw = _host_membw_index()
     prior_speed = prior_baseline.get("host_speed_index")
-    speed_ratio = (
+    prior_membw = prior_baseline.get("host_membw_index")
+    cpu_ratio = (
         round(host_speed / prior_speed, 4)
         if isinstance(prior_speed, (int, float)) and prior_speed > 0
         else 1.0
     )
+    membw_ratio = (
+        round(host_membw / prior_membw, 4)
+        if isinstance(prior_membw, (int, float))
+        and isinstance(host_membw, (int, float))
+        and prior_membw > 0
+        else 1.0
+    )
+    speed_ratio = min(2.0, max(cpu_ratio, membw_ratio))
 
     # power pass: clean single-stream per-query latencies
     power_before = _cpu_snapshot()
@@ -320,10 +366,15 @@ def main() -> None:
         "n_err": len(errors),
         "regressions_over_1p5x": regressions,
         # host-speed evidence: seconds for the fixed single-thread
-        # kernel now, at baseline time, and their ratio (>1 = host
-        # slower now); the tripwire above already divided by it
+        # CPU and memory-bandwidth kernels now, at baseline time, and
+        # the normalization ratio actually applied (max of the two,
+        # capped at 2; >1 = host slower now)
         "host_speed_index": host_speed,
         "host_speed_index_baseline": prior_speed,
+        "host_membw_index": host_membw,
+        "host_membw_index_baseline": prior_membw,
+        "host_cpu_ratio": cpu_ratio,
+        "host_membw_ratio": membw_ratio,
         "host_speed_ratio": speed_ratio,
         # contention evidence: loadavg + /proc/stat around the pass,
         # per-query load at each best repeat's start — a wall swing
@@ -397,7 +448,8 @@ def main() -> None:
         with open(baseline_artifact, "w") as fh:
             json.dump(
                 merge_baseline(
-                    prior_baseline, sf, ok, host_speed, rebaseline=rebaseline
+                    prior_baseline, sf, ok, host_speed,
+                    rebaseline=rebaseline, host_membw_index=host_membw,
                 ),
                 fh,
                 indent=0,
@@ -435,6 +487,7 @@ def main() -> None:
     ]
     compact["power_busy_frac"] = result["power_pass_load"]["host_busy_frac"]
     compact["host_speed_index"] = host_speed
+    compact["host_membw_index"] = host_membw
     compact["host_speed_ratio"] = speed_ratio
     if "throughput_pass_load" in result and result["throughput_pass_load"]:
         tpl = result["throughput_pass_load"]

@@ -30,10 +30,13 @@ class TestMergeBaseline:
             "host_speed_index": 0.65,
         }
         slow_run = {"q1": 2.0, "q2": 1.0}
-        merged = merge_baseline(old, 0.1, slow_run, host_speed_index=0.9)
+        merged = merge_baseline(
+            old, 0.1, slow_run, host_speed_index=0.9, host_membw_index=0.08
+        )
         assert merged["queries"] == {"q1": 1.0, "q2": 0.5}
         # host_speed_index also keeps its minimum (fastest host state)
         assert merged["host_speed_index"] == 0.65
+        assert merged["host_membw_index"] == 0.08
 
     def test_fast_run_lowers_baseline(self):
         old = {"sf": 0.1, "queries": {"q1": 1.0, "q2": 0.5}}
@@ -117,7 +120,9 @@ class TestSpeedNormalizedTripwire:
                 continue
             with open(path) as fh:
                 side = json.load(fh)
-            assert set(side) <= {"sf", "queries", "host_speed_index"}, name
+            assert set(side) <= {
+                "sf", "queries", "host_speed_index", "host_membw_index"
+            }, name
             assert all(
                 isinstance(v, (int, float)) for v in side["queries"].values()
             ), name
