@@ -2719,3 +2719,69 @@ def curation_funnel(
         & F.col("passPii")
         & F.col("isKeeper"),
     )
+
+
+def line_dedup(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    max_count: int = 1,
+    min_segment_chars: int = 10,
+) -> "DataFrame":
+    """Corpus-frequency segment removal — C4-style LINE deduplication
+    generalized over the separator: split every document on ``sep``,
+    count each (trimmed) segment's frequency ACROSS THE CORPUS, and
+    rebuild documents dropping segments that occur more than
+    ``max_count`` times — the standard boilerplate-line scrub
+    (headers, footers, cookie banners) run before training. Segments
+    shorter than ``min_segment_chars`` after trimming are protected
+    (never dropped): trivially-short lines are common by nature, not
+    boilerplate evidence.
+
+    Emits (docId, nSegments, nDropped, cleanText) with cleanText the
+    surviving segments re-joined by ``sep`` in original order (empty
+    string when everything drops).
+
+    Scale shape: one posexplode; frequencies via a map-side-combined
+    count on md5(trim(segment)) (16-byte keys on the shuffle, never
+    the segment text — the dup_ngram_coverage device); one hash join
+    of segments against their own frequency table; per-doc rebuild as
+    an array_sort(collect_list(struct(pos, seg))) fold — order
+    restored without a window. No Python anywhere.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    segs = df.select(
+        F.col(id_col).alias("docId"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), F.lit(sep), -1)
+        ).alias("pos", "seg"),
+    ).withColumn("segHash", F.md5(F.trim(F.col("seg"))))
+    freq = segs.groupBy("segHash").agg(F.count(F.lit(1)).alias("segCount"))
+    marked = segs.join(freq, on="segHash").withColumn(
+        "_drop",
+        (F.col("segCount") > max_count)
+        & (F.length(F.trim(F.col("seg"))) >= min_segment_chars),
+    )
+    kept_struct = F.when(
+        ~F.col("_drop"), F.struct(F.col("pos"), F.col("seg"))
+    )
+    return (
+        marked.groupBy("docId")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nSegments"),
+            F.sum(F.col("_drop").cast("int")).cast("long").alias("nDropped"),
+            F.array_sort(
+                F.collect_list(kept_struct)
+            ).alias("_kept"),
+        )
+        .select(
+            "docId",
+            "nSegments",
+            "nDropped",
+            F.array_join(
+                F.transform(F.col("_kept"), lambda s: s["seg"]), sep
+            ).alias("cleanText"),
+        )
+    )

@@ -4051,3 +4051,50 @@ JOIN tx rt ON rt.doc_id = c.rightId
 
 NEARDUP_QUERIES["edit_distance_dedup"] = q_edit_distance_dedup
 NEARDUP_ORACLES["edit_distance_dedup"] = SQL_EDIT_DISTANCE_DEDUP
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency segment removal (C4-style line dedup,
+    separator-generic). The synthetic documents carry no newlines, so
+    this query exercises the operator at TOKEN granularity (sep=' ',
+    tokens occurring >40 times corpus-wide dropped) — the full
+    posexplode → hashed frequency → rebuild path with real
+    frequencies; the '\\n' production form is pinned by the planted
+    multi-line unit test."""
+    from genetics_spark_coloc_spark.operators.text import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return line_dedup(
+        docs, "text", "doc_id", sep=" ", max_count=40, min_segment_chars=1
+    )
+
+
+SQL_LINE_DEDUP = """
+WITH segs AS (
+  SELECT docId, CAST(i AS INT) AS pos, parts[CAST(i AS INT) + 1] AS seg
+  FROM (
+    SELECT doc_id AS docId,
+           string_split(COALESCE(text, ''), ' ') AS parts,
+           unnest(range(len(string_split(COALESCE(text, ''), ' ')))) AS i
+    FROM documents
+  )
+),
+freq AS (
+  SELECT md5(trim(seg)) AS h, COUNT(*) AS c FROM segs GROUP BY 1
+),
+marked AS (
+  SELECT s.docId, s.pos, s.seg,
+         (f.c > 40 AND length(trim(s.seg)) >= 1) AS dropped
+  FROM segs s JOIN freq f ON f.h = md5(trim(s.seg))
+)
+SELECT docId,
+       CAST(COUNT(*) AS BIGINT) AS nSegments,
+       CAST(COUNT(*) FILTER (WHERE dropped) AS BIGINT) AS nDropped,
+       COALESCE(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE NOT dropped),
+                '') AS cleanText
+FROM marked
+GROUP BY docId
+"""
+
+NEARDUP_QUERIES["line_dedup"] = q_line_dedup
+NEARDUP_ORACLES["line_dedup"] = SQL_LINE_DEDUP

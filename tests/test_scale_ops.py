@@ -3714,3 +3714,38 @@ def test_edit_distance_verify_planted_cases(spark):
     # the differing tails sit past max_len=30 — truncation makes the
     # pair identical, the documented O(len^2) cost bound
     assert out[(7, 8)] == (0, 1.0, True)
+
+
+def test_line_dedup_planted_boilerplate(spark):
+    """The production '\\n' form of corpus-frequency line removal:
+    a boilerplate footer shared by many docs is dropped everywhere,
+    unique content lines survive in order, short common lines are
+    protected by min_segment_chars, and a doc that is ALL boilerplate
+    rebuilds to the empty string."""
+    from genetics_spark_coloc_spark.operators.text import line_dedup
+
+    footer = "subscribe to our newsletter for updates"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique first line one\n{footer}\nunique last line one"),
+            (2, f"{footer}\nunique middle two\n--"),
+            (3, f"unique alpha three\n--\n{footer}"),
+            (4, footer),  # all boilerplate
+            (5, "entirely unique document five"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["docId"]: (r["nSegments"], r["nDropped"], r["cleanText"])
+        for r in line_dedup(
+            docs, "text", "doc_id", sep="\n", max_count=1,
+            min_segment_chars=10,
+        ).collect()
+    }
+    assert out[1] == (3, 1, "unique first line one\nunique last line one")
+    # '--' occurs twice corpus-wide but is SHORTER than
+    # min_segment_chars -> protected
+    assert out[2] == (3, 1, "unique middle two\n--")
+    assert out[3] == (3, 1, "unique alpha three\n--")
+    assert out[4] == (1, 1, "")
+    assert out[5] == (1, 0, "entirely unique document five")
