@@ -176,18 +176,40 @@ def _sign_bit_fold(
             f"num_planes={num_planes} exceeds 63: bit weights 2^r overflow "
             "a 64-bit bucket id; use more bands instead of wider bands"
         )
-    bucket = F.lit(0).cast("bigint")
-    for r in range(num_planes):
-        p = plane_offset + r
-        signs = F.array(*[F.lit(_plane_sign(p, d)) for d in range(dim)])
-        projection = F.aggregate(
-            F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(
-            projection > 0, F.lit(1 << r).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
+    import json  # noqa: PLC0415
+
+    # The sign matrix rides as ONE string literal decoded by a
+    # constant-folded from_json, and the per-plane loop is a single
+    # aggregate over sequence(hi..0) (Horner: acc·2 + bit_r), so the
+    # expression tree is ~10 nodes instead of num_planes·dim — the
+    # unrolled form cost 2-3 s of DRIVER analysis/codegen per fresh
+    # plan at 32×64, a fixed per-query tax that dwarfed the actual
+    # 500-row scan. Per-plane projection folds (zip_with + aggregate,
+    # d ascending) are unchanged, so signatures are bit-identical;
+    # plane visit order doesn't matter because the bucket id is an
+    # exact integer sum.
+    mat = [
+        [_plane_sign(plane_offset + r, d) for d in range(dim)]
+        for r in range(num_planes)
+    ]
+    signs = F.from_json(F.lit(json.dumps(mat)), "array<array<double>>")
+    two = F.lit(2).cast("bigint")
+    bucket = F.aggregate(
+        F.sequence(F.lit(num_planes - 1), F.lit(0), F.lit(-1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, r: acc * two
+        + F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec, F.element_at(signs, r + 1), lambda x, s: x.cast("double") * s
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            > 0,
+            F.lit(1).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
     # keep the historical int schema where it cannot overflow; only
     # widen for >=32 planes (bit weights past 2^30 no longer fit int)
     return bucket.cast("int") if num_planes <= 31 else bucket.cast("bigint")
@@ -678,11 +700,17 @@ def hyperplane_signature_bits_expr(
     vectors, vs microseconds/row for the BLAS matmul in
     :func:`hyperplane_signature_bits`.
     """
-    signs_by_dim = F.array(
-        *[
-            F.array(*[F.lit(_plane_sign(p, d)) for p in range(num_planes)])
-            for d in range(dim)
-        ]
+    import json  # noqa: PLC0415
+
+    # one constant-folded string literal, not dim·num_planes literal
+    # nodes — same driver-side compile-cost fix as _sign_bit_fold
+    signs_by_dim = F.from_json(
+        F.lit(
+            json.dumps(
+                [[_plane_sign(p, d) for p in range(num_planes)] for d in range(dim)]
+            )
+        ),
+        "array<array<double>>",
     )
     projections = F.aggregate(
         F.zip_with(
