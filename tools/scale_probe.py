@@ -1440,3 +1440,61 @@ def edit_distance_probe(n_docs: int = 2_000_000) -> None:
         flush=True,
     )
     spark.stop()
+
+
+def line_dedup_probe(n_docs: int = 2_000_000) -> None:
+    """Round-11 probe: corpus-frequency line dedup (the C4 boilerplate
+    scrub) at 2M multi-line docs. Each doc has 6 lines; one line in
+    three is drawn from a 100-banner boilerplate pool (~40k occurrences
+    each), the rest are unique. The stage is one posexplode + one
+    16-byte-key count + one hash join + per-doc rebuild — cost should
+    be segment-bound (n_docs x lines), with the frequency shuffle
+    bounded by distinct segment hashes.
+    Run: python -c "import tools.scale_probe as sp; sp.line_dedup_probe()"
+    """
+    spark = get_session(
+        app_name="line_dedup_probe",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.operators.text import line_dedup
+
+    banner = F.concat(
+        F.lit("subscribe to our newsletter variant "),
+        (F.col("id") % 100).cast("string"),
+    )
+    uniq = lambda salt: F.md5(  # noqa: E731
+        F.concat(F.lit(salt), F.col("id").cast("string"))
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            "\n", uniq("a"), banner, uniq("b"), uniq("c"),
+            F.concat(F.lit("copyright footer "), (F.col("id") % 50).cast("string")),
+            uniq("d"),
+        ).alias("text"),
+    ).localCheckpoint(eager=True)
+    start = time.perf_counter()
+    out = line_dedup(docs, "text", "doc_id", sep="\n", max_count=5)
+    agg = out.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("nDropped").alias("dropped"),
+        F.sum("nSegments").alias("segments"),
+    ).collect()[0]
+    sec = round(time.perf_counter() - start, 2)
+    print(
+        json.dumps(
+            {
+                "probe": f"line_dedup_{n_docs // 1_000_000}m_docs",
+                "rows": n_docs,
+                "segments": agg["segments"],
+                "dropped": agg["dropped"],
+                "sec": sec,
+                "docs_per_sec": int(n_docs / sec) if sec else None,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
