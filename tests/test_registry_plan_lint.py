@@ -1,0 +1,106 @@
+"""Registry-wide physical-plan lint: EVERY query the driver contract
+registers is compiled and its executed plan checked for the two
+never-acceptable shapes — CartesianProduct (an unkeyed pair blow-up
+that cannot survive a 100x scale-up) and BatchEvalPython (a
+row-at-a-time Python UDF in a data path; vectorized Arrow forms —
+ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas — are the
+sanctioned exceptions and do not trip this).
+
+The hand-written pins in test_plan_quality.py assert specific GOOD
+shapes (broadcasts, zero-exchange bucketed scans, WindowGroupLimit)
+on chosen queries; this module is the complementary blanket ban, so
+a NEW query can never silently introduce a scale-killer the curated
+pins don't know about.
+
+BroadcastNestedLoopJoin is fine exactly when one side is a tiny
+broadcast (per-corpus stats rows, non-equi self-pair conditions like
+``vid != queryId``, 1-row thresholds); those sites are whitelisted BY
+NAME below and the whitelist is itself pinned two-sided — an entry
+whose plan stops using BNLJ must be removed, and a query outside the
+list that starts using one fails loudly with instructions.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+# a broadcast side that is O(stats) / O(queries) / O(1) rows by
+# construction (corpus-level aggregates, tiny query sets, threshold
+# rows), joined under a non-equi or trivially-true condition. Adding
+# a name here requires the broadcast side to be provably tiny at ANY
+# corpus size — if it grows with the data, restructure the join
+# instead.
+BNLJ_WHITELIST = {
+    "bigram_lm",
+    "bm25_retrieval",
+    "bpe_apply_merge",
+    "bpe_train_merges",
+    "corpus_drift_psi",
+    "cosine_topk",
+    "dsir_weights",
+    "finemap_simulation",
+    "grid_quantiles",
+    "hamming_topk",
+    "hybrid_retrieval",
+    "impute_raiss",
+    "kmv_containment",
+    "kmv_overlap",
+    "l2g_registry_matrix",
+    "liftover_chain",
+    "mrl_funnel",
+    "mrl_topk",
+    "nb_language_model",
+    "nb_language_predict",
+    "temperature_mixture",
+    "tfidf_top_terms",
+    "token_budget",
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    import __spark_entry__ as entrymod
+
+    out = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, SF_DIR)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_cartesian_product_anywhere(plans):
+    offenders = sorted(n for n, p in plans.items() if "CartesianProduct" in p)
+    assert not offenders, (
+        f"CartesianProduct in registry plans: {offenders} — an unkeyed "
+        "pair join cannot survive scale-up; key the join (bucket, band, "
+        "bin) or broadcast the provably-small side"
+    )
+
+
+def test_no_row_at_a_time_python_udf_anywhere(plans):
+    offenders = sorted(n for n, p in plans.items() if "BatchEvalPython" in p)
+    assert not offenders, (
+        f"Row-at-a-time Python UDF (BatchEvalPython) in registry plans: "
+        f"{offenders} — use built-in Column functions, or a vectorized "
+        "pandas_udf / mapInPandas kernel if Python is genuinely needed"
+    )
+
+
+def test_bnlj_only_where_whitelisted(plans):
+    have = {n for n, p in plans.items() if "BroadcastNestedLoopJoin" in p}
+    new = sorted(have - BNLJ_WHITELIST)
+    assert not new, (
+        f"NEW BroadcastNestedLoopJoin in: {new} — legitimate only when "
+        "the broadcast side is O(1)/O(stats) rows at ANY corpus size; "
+        "if so, add the query to BNLJ_WHITELIST with that argument, "
+        "otherwise restructure the join"
+    )
+    stale = sorted(BNLJ_WHITELIST - have)
+    assert not stale, (
+        f"BNLJ_WHITELIST entries whose plans no longer use a "
+        f"BroadcastNestedLoopJoin: {stale} — remove them so the "
+        "whitelist stays exact"
+    )
