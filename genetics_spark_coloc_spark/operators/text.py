@@ -2721,6 +2721,33 @@ def curation_funnel(
     )
 
 
+def line_frequency_table(
+    df: "DataFrame",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> "DataFrame":
+    """Corpus-wide segment-frequency table for :func:`line_dedup`'s
+    incremental mode: (segHash = md5(trim(segment)), segCount). Built
+    once over the corpus (one posexplode + one map-side-combined
+    count on 16-byte keys), persisted, then every new crawl is
+    scrubbed against CORPUS frequencies at O(delta) — the daily-loop
+    twin of the band-index builder. Frequencies count every segment
+    (the ``min_segment_chars`` protection applies at scrub time, not
+    build time, so one table serves any protection threshold)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    return (
+        df.select(
+            F.explode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), F.lit(sep), -1)
+            ).alias("seg")
+        )
+        .select(F.md5(F.trim(F.col("seg"))).alias("segHash"))
+        .groupBy("segHash")
+        .agg(F.count(F.lit(1)).alias("segCount"))
+    )
+
+
 def line_dedup(
     df: "DataFrame",
     text_col: str = "text",
@@ -2728,6 +2755,7 @@ def line_dedup(
     sep: str = "\n",
     max_count: int = 1,
     min_segment_chars: int = 10,
+    freq_table: "DataFrame | None" = None,
 ) -> "DataFrame":
     """Corpus-frequency segment removal — C4-style LINE deduplication
     generalized over the separator: split every document on ``sep``,
@@ -2749,6 +2777,14 @@ def line_dedup(
     of segments against their own frequency table; per-doc rebuild as
     an array_sort(collect_list(struct(pos, seg))) fold — order
     restored without a window. No Python anywhere.
+
+    ``freq_table`` switches to INCREMENTAL mode: segment frequencies
+    come from a persisted :func:`line_frequency_table` (left join,
+    unseen segments count 0 and are kept) instead of being recomputed
+    from ``df`` — scrub a daily delta against corpus-level boilerplate
+    evidence at O(delta). The streaming twin
+    (``streaming.pipelines.streaming_line_dedup``) applies exactly
+    this mode per micro-batch.
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
 
@@ -2758,8 +2794,20 @@ def line_dedup(
             F.split(F.coalesce(F.col(text_col), F.lit("")), F.lit(sep), -1)
         ).alias("pos", "seg"),
     ).withColumn("segHash", F.md5(F.trim(F.col("seg"))))
-    freq = segs.groupBy("segHash").agg(F.count(F.lit(1)).alias("segCount"))
-    marked = segs.join(freq, on="segHash").withColumn(
+    if freq_table is None:
+        # self-counting mode: frequencies from this corpus itself
+        freq = segs.groupBy("segHash").agg(F.count(F.lit(1)).alias("segCount"))
+        joined = segs.join(freq, on="segHash")
+    else:
+        # incremental mode: frequencies from a persisted
+        # line_frequency_table — a segment the table has never seen
+        # is unique in the reference corpus (count 0, kept). LEFT
+        # join: the delta never re-counts itself, so the scrub is
+        # O(delta) against an at-rest corpus artifact.
+        joined = segs.join(
+            freq_table.select("segHash", "segCount"), on="segHash", how="left"
+        ).withColumn("segCount", F.coalesce(F.col("segCount"), F.lit(0)))
+    marked = joined.withColumn(
         "_drop",
         (F.col("segCount") > max_count)
         & (F.length(F.trim(F.col("seg"))) >= min_segment_chars),

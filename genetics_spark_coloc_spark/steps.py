@@ -843,6 +843,29 @@ def _run_corpus_drift(spark, inputs, output, p):
     )
 
 
+def _run_line_freq(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.text import line_frequency_table
+
+    return line_frequency_table(
+        _parquet(spark, inputs["corpus"]), p["text_col"], sep=p["sep"]
+    )
+
+
+def _run_line_scrub(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.text import line_dedup
+
+    freq = _parquet(spark, p["freq"]) if p["freq"] else None
+    return line_dedup(
+        _parquet(spark, inputs["docs"]),
+        p["text_col"],
+        p["id_col"],
+        sep=p["sep"],
+        max_count=p["max_count"],
+        min_segment_chars=p["min_segment_chars"],
+        freq_table=freq,
+    )
+
+
 def _run_corpus_overlap(spark, inputs, output, p):
     from pyspark.sql import functions as F
 
@@ -1275,6 +1298,47 @@ STEPS: dict[str, StepSpec] = {
                 "hi": Param(float, 4096.0, "grid upper bound"),
                 "n_bins": Param(int, 32, "grid bins"),
                 "alert_threshold": Param(float, 0.2, "PSI alert level"),
+            },
+        ),
+        StepSpec(
+            "line_freq",
+            "Materialize the corpus segment-frequency table for the C4 "
+            "boilerplate scrub: (md5(trim(line)), count) over every line "
+            "of every document — built once per corpus snapshot, then "
+            "line_scrub cleans any delta against it at O(delta) (additive "
+            "layer beyond the reference's genetics surface)",
+            ("corpus",),
+            _run_line_freq,
+            {
+                "text_col": Param(str, "text", "document text column"),
+                "sep": Param(str, "\n", "segment separator"),
+            },
+        ),
+        StepSpec(
+            "line_scrub",
+            "Corpus-frequency line dedup (the C4 boilerplate scrub): drop "
+            "every line occurring more than max_count times and rebuild "
+            "documents in order. With --freq pointing at a line_freq "
+            "table, frequencies come from that persisted corpus evidence "
+            "(the daily-delta loop; streaming twin: "
+            "streaming_line_dedup); without it the input self-counts "
+            "(additive layer beyond the reference's genetics surface)",
+            ("docs",),
+            _run_line_scrub,
+            {
+                "text_col": Param(str, "text", "document text column"),
+                "id_col": Param(str, "doc_id", "document id column"),
+                "sep": Param(str, "\n", "segment separator"),
+                "max_count": Param(int, 1, "max allowed corpus frequency"),
+                "min_segment_chars": Param(
+                    int, 10, "segments shorter than this are never dropped"
+                ),
+                "freq": Param(
+                    str,
+                    "",
+                    "path to a persisted line_freq table; empty = "
+                    "self-counting over the input itself",
+                ),
             },
         ),
         StepSpec(

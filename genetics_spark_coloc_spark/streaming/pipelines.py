@@ -933,3 +933,59 @@ def streaming_drift_gate(
             on_alert(batch_df, epoch_id, row)
 
     return sketched.writeStream.outputMode("complete").foreachBatch(_gate)
+
+
+def streaming_line_dedup(
+    docs: DataFrame,
+    freq_table_path: str,
+    on_batch,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    max_count: int = 1,
+    min_segment_chars: int = 10,
+):
+    """Continuous C4-style boilerplate scrub: each arriving micro-batch
+    of documents is line-deduplicated against the PERSISTED corpus
+    segment-frequency table (``operators.text.line_frequency_table``)
+    — the streaming twin of ``line_dedup(freq_table=...)``, completing
+    the incremental-curation trio (band-index dedup, drift gate, line
+    scrub) that all follow the same shape: heavy corpus evidence at
+    rest, O(delta) per trigger.
+
+    NO state store: boilerplate membership is a property of the
+    REFERENCE corpus, not of the stream, so each trigger is one
+    posexplode + one hash join of the batch's segments against the
+    frequency table (re-read per trigger — appends from a nightly
+    rebuild are picked up without restarting the query) + the
+    windowless per-doc rebuild. Runs under ``foreachBatch`` because
+    the rebuild regroups exploded segments, which a pure stream-static
+    plan would refuse without watermark state the operator doesn't
+    need.
+
+    Returns a DataStreamWriter ready to ``.start()``; every trigger
+    calls ``on_batch(cleaned_df, epoch_id)`` with the scrubbed batch
+    (docId, nSegments, nDropped, cleanText) — sink policy (append to
+    the curated table, route to a verifier) stays with the caller.
+    Replaying a corpus through any trigger slicing reproduces the
+    batch operator's output exactly: per-doc rebuilds never cross
+    documents and frequencies come from the static table (tested).
+    """
+
+    def _scrub(batch_df, epoch_id):
+        from genetics_spark_coloc_spark.operators.text import line_dedup
+
+        spark = batch_df.sparkSession
+        freq = spark.read.parquet(freq_table_path)
+        cleaned = line_dedup(
+            batch_df,
+            text_col,
+            id_col,
+            sep=sep,
+            max_count=max_count,
+            min_segment_chars=min_segment_chars,
+            freq_table=freq,
+        )
+        on_batch(cleaned, epoch_id)
+
+    return docs.writeStream.outputMode("append").foreachBatch(_scrub)

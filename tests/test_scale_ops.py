@@ -3749,3 +3749,121 @@ def test_line_dedup_planted_boilerplate(spark):
     assert out[3] == (3, 1, "unique alpha three\n--")
     assert out[4] == (1, 1, "")
     assert out[5] == (1, 0, "entirely unique document five")
+
+
+def test_line_dedup_incremental_against_persisted_frequency_table(spark, tmp_path):
+    """Incremental mode: a delta is scrubbed against CORPUS frequency
+    evidence, not its own — (a) a line that is boilerplate in the
+    reference corpus is dropped from a delta doc even though it
+    appears once in the delta; (b) a line repeated WITHIN the delta
+    but absent from the table is kept (corpus evidence only); (c)
+    freq_table=line_frequency_table(df) reproduces self-counting mode
+    exactly."""
+    from genetics_spark_coloc_spark.operators.text import (
+        line_dedup,
+        line_frequency_table,
+    )
+
+    footer = "subscribe to our newsletter for updates"
+    corpus = spark.createDataFrame(
+        [(i, f"corpus unique line {i}\n{footer}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    freq_path = str(tmp_path / "line_freq.parquet")
+    line_frequency_table(corpus, "text", sep="\n").write.mode(
+        "overwrite"
+    ).parquet(freq_path)
+    freq = spark.read.parquet(freq_path)
+
+    delta_repeat = "a delta-only line repeated in the delta"
+    delta = spark.createDataFrame(
+        [
+            (100, f"fresh delta content\n{footer}"),
+            (101, f"{delta_repeat}\nmore fresh content"),
+            (102, f"{delta_repeat}\nother fresh content"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["docId"]: (r["nDropped"], r["cleanText"])
+        for r in line_dedup(
+            delta, "text", "doc_id", sep="\n", max_count=1, freq_table=freq
+        ).collect()
+    }
+    # (a) corpus boilerplate dropped from the delta
+    assert out[100] == (1, "fresh delta content")
+    # (b) intra-delta repetition is NOT corpus evidence — kept
+    assert out[101] == (0, f"{delta_repeat}\nmore fresh content")
+    assert out[102] == (0, f"{delta_repeat}\nother fresh content")
+
+    # (c) self-parity: external table built from the same df ==
+    # self-counting mode
+    self_mode = line_dedup(corpus, "text", "doc_id", sep="\n").collect()
+    table_mode = line_dedup(
+        corpus, "text", "doc_id", sep="\n",
+        freq_table=line_frequency_table(corpus, "text", sep="\n"),
+    ).collect()
+    assert sorted(map(tuple, self_mode)) == sorted(map(tuple, table_mode))
+
+
+def test_streaming_line_dedup_replay_parity(spark, tmp_path):
+    """The streaming C4 scrub: replaying a delta corpus through
+    streaming_line_dedup in multiple triggers reproduces the batch
+    incremental operator exactly — per-doc rebuilds never cross
+    documents and frequencies come from the persisted table, so
+    trigger slicing cannot change the result."""
+    from genetics_spark_coloc_spark.operators.text import (
+        line_dedup,
+        line_frequency_table,
+    )
+    from genetics_spark_coloc_spark.streaming.pipelines import (
+        streaming_line_dedup,
+    )
+
+    footer = "all rights reserved worldwide footer"
+    corpus = spark.createDataFrame(
+        [(i, f"reference line {i}\n{footer}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    freq_path = str(tmp_path / "stream_line_freq.parquet")
+    line_frequency_table(corpus, "text", sep="\n").write.mode(
+        "overwrite"
+    ).parquet(freq_path)
+
+    delta = spark.createDataFrame(
+        [
+            (200 + i, f"delta body {i}\n{footer}\ndelta tail {i}")
+            for i in range(12)
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "stream_line_src")
+    delta.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = []
+    writer = streaming_line_dedup(
+        stream,
+        freq_path,
+        on_batch=lambda cleaned, epoch: got.extend(cleaned.collect()),
+        sep="\n",
+    )
+    q = (
+        writer.option("checkpointLocation", str(tmp_path / "stream_line_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    batch = line_dedup(
+        delta, "text", "doc_id", sep="\n",
+        freq_table=spark.read.parquet(freq_path),
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    # every delta doc kept its unique lines and lost exactly the footer
+    assert all(r["nDropped"] == 1 for r in got)

@@ -1204,3 +1204,31 @@ def test_ivf_index_append_mode(spark, tmp_path):
     with pytest.raises(ValueError, match="built with columns"):
         run_step(spark, "ivf_index", {"corpus": p2, "centroids": pc},
                  grown, params={"mode": "append", "id_col": "other"})
+
+
+def test_line_freq_and_line_scrub_steps(spark, tmp_path):
+    """The C4-scrub production loop as CLI steps: line_freq persists
+    corpus segment frequencies once; line_scrub cleans a DELTA against
+    that table (corpus evidence, not delta self-counts)."""
+    footer = "subscribe to our newsletter for updates"
+    corpus_path = str(tmp_path / "scrub_corpus.parquet")
+    spark.createDataFrame(
+        [(i, f"corpus unique line {i}\n{footer}") for i in range(15)],
+        "doc_id long, text string",
+    ).write.parquet(corpus_path)
+    freq_out = str(tmp_path / "line_freq.parquet")
+    freq = run_step(spark, "line_freq", {"corpus": corpus_path}, freq_out)
+    # every corpus line hashed once; footer counted 15x
+    assert freq.filter("segCount = 15").count() == 1
+
+    delta_path = str(tmp_path / "scrub_delta.parquet")
+    spark.createDataFrame(
+        [(100, f"fresh delta content\n{footer}")],
+        "doc_id long, text string",
+    ).write.parquet(delta_path)
+    out = str(tmp_path / "scrubbed.parquet")
+    cleaned = run_step(
+        spark, "line_scrub", {"docs": delta_path}, out, {"freq": freq_out}
+    )
+    row = cleaned.collect()[0]
+    assert (row["nDropped"], row["cleanText"]) == (1, "fresh delta content")
