@@ -361,3 +361,88 @@ def drift_gate_stream_probe(n_docs: int = 2_000_000, n_triggers: int = 8) -> Non
     )
     shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
+
+
+def line_scrub_stream_probe(n_docs: int = 1_000_000, n_triggers: int = 8) -> None:
+    """Round-11 probe: streaming C4 line scrub throughput. The
+    frequency table is at-rest corpus evidence (here built from a 2M
+    doc reference corpus), each trigger is one posexplode + hash join
+    + per-doc rebuild — cost should track batch line_dedup on the
+    same volume, with zero state.
+    Run via: python -c "import tools.stream_probe as sp; sp.line_scrub_stream_probe()"
+    """
+    spark = get_session(
+        app_name="line_scrub_stream_probe",
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.operators.text import line_frequency_table
+    from genetics_spark_coloc_spark.streaming.pipelines import (
+        streaming_line_dedup,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="line_scrub_probe_")
+    banner = F.concat(
+        F.lit("subscribe to our newsletter variant "),
+        (F.col("id") % 100).cast("string"),
+    )
+    uniq = lambda salt: F.md5(  # noqa: E731
+        F.concat(F.lit(salt), F.col("id").cast("string"))
+    )
+    corpus = spark.range(2_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws("\n", uniq("a"), banner, uniq("b")).alias("text"),
+    )
+    freq_path = os.path.join(tmp, "line_freq.parquet")
+    line_frequency_table(corpus, "text", sep="\n").write.mode(
+        "overwrite"
+    ).parquet(freq_path)
+
+    delta = spark.range(n_docs).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.concat_ws("\n", uniq("d1"), banner, uniq("d2")).alias("text"),
+    )
+    src = os.path.join(tmp, "stream")
+    delta.repartition(n_triggers).write.mode("overwrite").parquet(src)
+
+    totals = {"docs": 0, "dropped": 0, "triggers": 0}
+
+    def on_batch(cleaned, epoch_id):
+        row = cleaned.groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.sum("nDropped").alias("d")
+        ).collect()[0]
+        totals["docs"] += row["n"]
+        totals["dropped"] += row["d"]
+        totals["triggers"] += 1
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    t0 = time.perf_counter()
+    q = (
+        streaming_line_dedup(stream, freq_path, on_batch, sep="\n")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(1800)
+    sec = round(time.perf_counter() - t0, 2)
+    print(
+        json.dumps(
+            {
+                "probe": f"line_scrub_stream_{n_docs // 1_000_000}m_docs",
+                "rows": n_docs,
+                "sec": sec,
+                "docs_per_sec": int(n_docs / sec),
+                "triggers": totals["triggers"],
+                "docs_seen": totals["docs"],
+                "dropped": totals["dropped"],
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
