@@ -4098,3 +4098,64 @@ GROUP BY docId
 
 NEARDUP_QUERIES["line_dedup"] = q_line_dedup
 NEARDUP_ORACLES["line_dedup"] = SQL_LINE_DEDUP
+
+
+def q_delta_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental C4 scrub: the corpus (doc_id % 10 != 0) persists
+    its token-frequency table logically (line_frequency_table), and
+    the DELTA (doc_id % 10 == 0) is scrubbed against THAT — corpus
+    evidence only, the delta never self-counts (a token unique in the
+    corpus survives in the delta however often the delta repeats it).
+    Same token granularity as the ``line_dedup`` query; the '\\n'
+    production form and the streaming twin are pinned by unit tests."""
+    from genetics_spark_coloc_spark.operators.text import (
+        line_dedup,
+        line_frequency_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    freq = line_frequency_table(corpus, "text", sep=" ")
+    return line_dedup(
+        delta, "text", "doc_id", sep=" ", max_count=40,
+        min_segment_chars=1, freq_table=freq,
+    )
+
+
+SQL_DELTA_LINE_DEDUP = """
+WITH segs AS (
+  SELECT docId, CAST(i AS INT) AS pos, parts[CAST(i AS INT) + 1] AS seg
+  FROM (
+    SELECT doc_id AS docId,
+           string_split(COALESCE(text, ''), ' ') AS parts,
+           unnest(range(len(string_split(COALESCE(text, ''), ' ')))) AS i
+    FROM documents
+    WHERE doc_id % 10 = 0
+  )
+),
+freq AS (
+  SELECT md5(trim(seg)) AS h, COUNT(*) AS c
+  FROM (
+    SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS seg
+    FROM documents
+    WHERE doc_id % 10 != 0
+  )
+  GROUP BY 1
+),
+marked AS (
+  SELECT s.docId, s.pos, s.seg,
+         (COALESCE(f.c, 0) > 40 AND length(trim(s.seg)) >= 1) AS dropped
+  FROM segs s LEFT JOIN freq f ON f.h = md5(trim(s.seg))
+)
+SELECT docId,
+       CAST(COUNT(*) AS BIGINT) AS nSegments,
+       CAST(COUNT(*) FILTER (WHERE dropped) AS BIGINT) AS nDropped,
+       COALESCE(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE NOT dropped),
+                '') AS cleanText
+FROM marked
+GROUP BY docId
+"""
+
+NEARDUP_QUERIES["delta_line_dedup"] = q_delta_line_dedup
+NEARDUP_ORACLES["delta_line_dedup"] = SQL_DELTA_LINE_DEDUP
