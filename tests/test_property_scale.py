@@ -570,3 +570,123 @@ def test_kmv_merge_equals_direct_sketch(spark, rows):
         for r in kmv_sketch(df, F.col("keys"), ["g"], k=k).collect()
     }
     assert merged == direct
+
+
+@settings(deadline=None, max_examples=8)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-4.0, max_value=4.0,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=8, max_size=8,
+        ),
+        min_size=1, max_size=12,
+    ),
+    num_planes=st.sampled_from([3, 8, 31, 32, 40]),
+)
+def test_sign_bit_fold_matches_pure_python_reference(spark, vecs, num_planes):
+    """The r11 Horner/from_json rewrite of _sign_bit_fold against an
+    independent pure-Python implementation of the public contract:
+    bit r = sign of the SEQUENTIAL (d ascending) fold of
+    vec[d]·sign(plane_offset+r, d), bucket = Σ bit·2^r — int schema
+    below 32 planes, bigint from 32 (where the legacy unrolled form
+    paid 2-3 s of driver compile per fresh plan)."""
+    from genetics_spark_coloc_spark.operators.similarity import (
+        _plane_sign,
+        _sign_bit_fold,
+    )
+
+    dim, offset = 8, 5
+
+    def reference(vec):
+        bucket = 0
+        for r in range(num_planes):
+            proj = 0.0
+            for d in range(dim):
+                # float32 storage then float64 math, like the engine
+                import struct as _s
+
+                x = _s.unpack("f", _s.pack("f", vec[d]))[0]
+                proj += x * _plane_sign(offset + r, d)
+            if proj > 0:
+                bucket += 1 << r
+        return bucket
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vid long, embedding array<float>",
+    )
+    got = {
+        r["vid"]: r["sig"]
+        for r in df.select(
+            "vid",
+            _sign_bit_fold(
+                F.col("embedding"), num_planes, dim, plane_offset=offset
+            ).alias("sig"),
+        ).collect()
+    }
+    want = {i: reference(v) for i, v in enumerate(vecs)}
+    assert got == want
+
+
+@settings(deadline=None, max_examples=8)
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from(["alphatoken", "betatoken", "gammatoken",
+                                  "deltatoken", "x"]),
+                 min_size=1, max_size=6),
+        min_size=1, max_size=10,
+    ),
+    delta=st.lists(
+        st.lists(st.sampled_from(["alphatoken", "betatoken", "freshtoken",
+                                  "novel-line", "x"]),
+                 min_size=1, max_size=6),
+        min_size=1, max_size=8,
+    ),
+    max_count=st.sampled_from([1, 2, 4]),
+)
+def test_line_dedup_incremental_matches_pure_python(spark, corpus, delta, max_count):
+    """Incremental line_dedup against a pure-Python replay of the
+    contract: corpus frequencies only (the delta never self-counts),
+    segments >= min_segment_chars dropped iff corpus count >
+    max_count, order preserved, empty rebuild = ''."""
+    from collections import Counter
+
+    from genetics_spark_coloc_spark.operators.text import (
+        line_dedup,
+        line_frequency_table,
+    )
+
+    min_chars = 2  # "x" (1 char) is protected; real tokens are not
+    corpus_docs = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    delta_docs = [(100 + i, " ".join(toks)) for i, toks in enumerate(delta)]
+    freqs = Counter(
+        seg.strip() for _i, text in corpus_docs for seg in text.split(" ")
+    )
+
+    def reference(text):
+        segs = text.split(" ")
+        dropped = [
+            s for s in segs
+            if freqs.get(s.strip(), 0) > max_count and len(s.strip()) >= min_chars
+        ]
+        kept = [
+            s for s in segs
+            if not (freqs.get(s.strip(), 0) > max_count and len(s.strip()) >= min_chars)
+        ]
+        return (len(segs), len(dropped), " ".join(kept))
+
+    cdf = spark.createDataFrame(corpus_docs, "doc_id long, text string")
+    ddf = spark.createDataFrame(delta_docs, "doc_id long, text string")
+    got = {
+        r["docId"]: (r["nSegments"], r["nDropped"], r["cleanText"])
+        for r in line_dedup(
+            ddf, "text", "doc_id", sep=" ", max_count=max_count,
+            min_segment_chars=min_chars,
+            freq_table=line_frequency_table(cdf, "text", sep=" "),
+        ).collect()
+    }
+    want = {i: reference(t) for i, t in delta_docs}
+    assert got == want
