@@ -1498,3 +1498,62 @@ def line_dedup_probe(n_docs: int = 2_000_000) -> None:
         flush=True,
     )
     spark.stop()
+
+
+def line_scrub_skew_probe(n_corpus: int = 2_000_000, n_delta: int = 2_000_000) -> None:
+    """Round-11 probe: incremental line scrub under a planted HOT
+    segment — every delta doc carries the same boilerplate line, so
+    its segHash is one key holding n_delta of the join's probe rows,
+    and the corpus frequency table (~6M distinct hashes) is too big to
+    broadcast. The shape must absorb the skew (AQE skew-join split /
+    per-partition stripe), not stall on one straggler task.
+    Run: python -c "import tools.scale_probe as sp; sp.line_scrub_skew_probe()"
+    """
+    spark = get_session(
+        app_name="line_scrub_skew_probe",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.operators.text import (
+        line_dedup,
+        line_frequency_table,
+    )
+
+    hot = "exactly the same cookie banner on every single page"
+    uniq = lambda salt: F.md5(  # noqa: E731
+        F.concat(F.lit(salt), F.col("id").cast("string"))
+    )
+    corpus = spark.range(n_corpus).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws("\n", uniq("c1"), F.lit(hot), uniq("c2")).alias("text"),
+    )
+    freq = line_frequency_table(corpus, "text", sep="\n").localCheckpoint(
+        eager=True
+    )
+    n_freq = freq.count()
+    delta = spark.range(n_delta).select(
+        (F.col("id") + 50_000_000).alias("doc_id"),
+        F.concat_ws("\n", uniq("d1"), F.lit(hot), uniq("d2")).alias("text"),
+    ).localCheckpoint(eager=True)
+    start = time.perf_counter()
+    out = line_dedup(delta, "text", "doc_id", sep="\n", freq_table=freq)
+    agg = out.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("nDropped").alias("dropped")
+    ).collect()[0]
+    sec = round(time.perf_counter() - start, 2)
+    print(
+        json.dumps(
+            {
+                "probe": f"line_scrub_skew_{n_delta // 1_000_000}m_delta",
+                "rows": n_delta,
+                "freq_rows": n_freq,
+                "dropped": agg["dropped"],
+                "sec": sec,
+                "docs_per_sec": int(n_delta / sec) if sec else None,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
