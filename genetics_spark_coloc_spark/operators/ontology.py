@@ -44,6 +44,14 @@ def transitive_closure(
     round count becomes max depth over the graphs instead of the sum,
     and each round is one driver action instead of one per graph.
 
+    MEASURED DEAD END (r11, do not retry): fusing TWO doubling steps
+    into one lazily-built plan per checkpoint+count (to halve the
+    driver-synchronous rounds) made biosample_index 43 jobs/3.8 s →
+    52 jobs/9.3 s — the fused plan references the unmaterialized
+    first double twice, duplicating its join+distinct STAGES, and on
+    small graphs per-stage fixed cost dominates, so the duplicated
+    stages cost more than the saved rounds.
+
     OUTPUT-SIZE BOUND: the closure MATERIALIZES the full reachability
     set — O(V · depth) pairs on tree-like DAGs, O(V²) worst case. An
     ontology (10⁵ nodes, depth ~20) is a few million rows; a social or
