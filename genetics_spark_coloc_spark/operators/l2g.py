@@ -203,10 +203,11 @@ def local_features(
     credible-set join five times and twice.
 
     Long format output: studyLocusId, geneId, featureName,
-    featureValue (NULL-valued features omitted — the matrix assembly
-    0.0-fills, and neighbourhood max ignores NULLs, so the final
-    registry matrix is identical to the split form's; pinned by the
-    ``l2g_registry_matrix`` oracle).
+    featureValue. NULL handling matches the split pipelines
+    family-by-family (see the unpivot NULL-policy comment), so the
+    final registry matrix — including all-zero candidate rows from
+    groups whose only evidence is NULL severities — is identical to
+    the split form's; pinned by the ``l2g_registry_matrix`` oracle.
     """
     w_lit = F.lit(genomic_window)
     log_denom = F.log10(F.lit(float(genomic_window + 1)))
@@ -287,26 +288,37 @@ def local_features(
         )
     )
 
-    def unpivot(df: DataFrame, names: list[str]) -> DataFrame:
+    def unpivot(
+        df: DataFrame, names: list[str], drop_null: bool
+    ) -> DataFrame:
         stack = ", ".join(f"'{n}', `{n}`" for n in names)
-        return df.select(
+        out = df.select(
             "studyLocusId",
             "geneId",
             F.expr(f"stack({len(names)}, {stack})").alias(
                 "featureName", "featureValue"
             ),
-        ).select(
-            "studyLocusId",
-            "geneId",
-            F.col("featureName"),
-            F.col("featureValue"),
-        ).filter(F.col("featureValue").isNotNull())
+        )
+        return out.filter(F.col("featureValue").isNotNull()) if drop_null else out
 
-    return unpivot(
-        tag_agg,
-        ["distanceTssMean", "distanceFootprintMean", "vepMaximum", "vepMean"],
-    ).unionByName(
-        unpivot(sent_agg, ["distanceSentinelTss", "distanceSentinelFootprint"])
+    # NULL policy mirrors the split pipelines exactly: the distance
+    # families inner-joined on the window filter, so a group with no
+    # qualifying row emitted NO long row (drop_null=True); vep_features
+    # emitted its two rows for every joined (locus, gene) group EVEN
+    # when the aggregate was NULL (all-NULL severities), and those
+    # groups must survive to the matrix as all-zero candidate rows
+    # after fillna — dropping them would shrink the candidate-gene row
+    # set on real data with missing VEP scores.
+    return (
+        unpivot(tag_agg, ["distanceTssMean", "distanceFootprintMean"], True)
+        .unionByName(unpivot(tag_agg, ["vepMaximum", "vepMean"], False))
+        .unionByName(
+            unpivot(
+                sent_agg,
+                ["distanceSentinelTss", "distanceSentinelFootprint"],
+                True,
+            )
+        )
     )
 
 

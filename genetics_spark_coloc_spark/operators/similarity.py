@@ -176,6 +176,11 @@ def _sign_bit_fold(
             f"num_planes={num_planes} exceeds 63: bit weights 2^r overflow "
             "a 64-bit bucket id; use more bands instead of wider bands"
         )
+    if num_planes <= 0:
+        # degenerate but accepted historically: zero planes = bucket 0
+        # for every row (the Horner sequence(hi..0) would error on an
+        # empty range, where the old unrolled loop just ran 0 times)
+        return F.lit(0).cast("int")
     import json  # noqa: PLC0415
 
     # The sign matrix rides as ONE string literal decoded by a

@@ -2733,7 +2733,11 @@ def line_frequency_table(
     scrubbed against CORPUS frequencies at O(delta) — the daily-loop
     twin of the band-index builder. Frequencies count every segment
     (the ``min_segment_chars`` protection applies at scrub time, not
-    build time, so one table serves any protection threshold)."""
+    build time, so one table serves any protection threshold). A
+    nightly refresh may either rebuild (mode overwrite) or APPEND new
+    count shards: consumers re-aggregate per hash with SUM, so
+    duplicate segHash rows across shards are additive, never a
+    fan-out."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     return (
@@ -2794,19 +2798,25 @@ def line_dedup(
             F.split(F.coalesce(F.col(text_col), F.lit("")), F.lit(sep), -1)
         ).alias("pos", "seg"),
     ).withColumn("segHash", F.md5(F.trim(F.col("seg"))))
-    if freq_table is None:
-        # self-counting mode: frequencies from this corpus itself
-        freq = segs.groupBy("segHash").agg(F.count(F.lit(1)).alias("segCount"))
-        joined = segs.join(freq, on="segHash")
-    else:
-        # incremental mode: frequencies from a persisted
-        # line_frequency_table — a segment the table has never seen
-        # is unique in the reference corpus (count 0, kept). LEFT
-        # join: the delta never re-counts itself, so the scrub is
-        # O(delta) against an at-rest corpus artifact.
-        joined = segs.join(
-            freq_table.select("segHash", "segCount"), on="segHash", how="left"
-        ).withColumn("segCount", F.coalesce(F.col("segCount"), F.lit(0)))
+    # one join path for both modes: self-counting derives the table
+    # from the input itself (every segment then matches, count >= 1);
+    # incremental mode uses the persisted line_frequency_table — a
+    # segment the table has never seen is unique in the reference
+    # corpus (count 0, kept), and the delta never re-counts itself,
+    # so the scrub is O(delta) against an at-rest corpus artifact.
+    # The defensive per-hash SUM makes count-shard tables safe: a
+    # nightly job appending new shards to the table (write
+    # mode('append')) yields multiple rows per segHash, and counts
+    # are additive — without the re-aggregation a duplicate key would
+    # silently fan out every matching segment row into cleanText.
+    freq = (
+        freq_table.select("segHash", "segCount")
+        if freq_table is not None
+        else line_frequency_table(df, text_col, sep=sep)
+    ).groupBy("segHash").agg(F.sum("segCount").alias("segCount"))
+    joined = segs.join(freq, on="segHash", how="left").withColumn(
+        "segCount", F.coalesce(F.col("segCount"), F.lit(0))
+    )
     marked = joined.withColumn(
         "_drop",
         (F.col("segCount") > max_count)

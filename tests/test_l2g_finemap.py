@@ -551,3 +551,35 @@ class TestRegistryFeatures:
         assert row["isProteinCoding"] == 1.0
         # single gene at locus -> its neighbourhood ratio is 1
         assert row["distanceTssMeanNeighbourhood"] == pytest.approx(1.0)
+
+
+def test_registry_matrix_keeps_all_null_severity_groups(spark):
+    """A (locus, gene) pair whose ONLY evidence is transcript rows
+    with NULL consequenceScore and out-of-window distances must still
+    appear in the registry matrix as an all-zero candidate row — the
+    split vep_features emitted its group rows even when the aggregate
+    was NULL, and the merged local_features must not shrink the
+    candidate-gene row set."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from genetics_spark_coloc_spark.operators.l2g import local_features
+
+    study_locus = spark.createDataFrame(
+        [("L1", "V1", [("V1", 1.0)])],
+        "studyLocusId string, variantId string, "
+        "locus array<struct<variantId string, posteriorProbability double>>",
+    )
+    variant_index = spark.createDataFrame(
+        [("V1", [("GNULL", 9_000_000, 9_000_000, None)])],
+        "variantId string, transcriptConsequences array<struct<"
+        "targetId string, distanceFromTss long, distanceFromFootprint long, "
+        "consequenceScore double>>",
+    )
+    long = local_features(study_locus, variant_index, genomic_window=500_000)
+    rows = long.filter(F.col("geneId") == "GNULL").collect()
+    names = sorted(r["featureName"] for r in rows)
+    # the vep family rows survive with NULL values (pivot + fillna
+    # turns them into the all-zero candidate row); the distance
+    # families correctly drop (no in-window evidence)
+    assert names == ["vepMaximum", "vepMean"]
+    assert all(r["featureValue"] is None for r in rows)

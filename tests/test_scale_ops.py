@@ -3867,3 +3867,37 @@ def test_streaming_line_dedup_replay_parity(spark, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
     # every delta doc kept its unique lines and lost exactly the footer
     assert all(r["nDropped"] == 1 for r in got)
+
+
+def test_line_dedup_freq_table_with_appended_count_shards(spark):
+    """A nightly line_freq refresh may APPEND count shards, producing
+    several rows per segHash; the scrub must SUM them (counts are
+    additive), never fan out matching segment rows into cleanText."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from genetics_spark_coloc_spark.operators.text import line_dedup
+
+    footer = "subscribe to our newsletter for updates"
+    # the same footer hash counted in two shards: 1 + 1 = 2 > max_count
+    base = spark.createDataFrame(
+        [(footer,), (footer,), ("a perfectly unique line",)],
+        "seg string",
+    ).select(F.md5(F.trim("seg")).alias("segHash"))
+    sharded = base.groupBy("segHash").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("segCount")
+    ).unionByName(
+        base.groupBy("segHash").agg(
+            (F.count(F.lit(1)) - F.count(F.lit(1)) / 2).cast("long").alias("segCount")
+        )
+    )
+    delta = spark.createDataFrame(
+        [(1, f"keep this line\n{footer}\nand this line")],
+        "doc_id long, text string",
+    )
+    out = line_dedup(
+        delta, "text", "doc_id", sep="\n", max_count=1, freq_table=sharded
+    ).collect()[0]
+    # footer dropped ONCE (2 summed > 1); the kept lines appear exactly
+    # once each — no fan-out from the duplicate-key table
+    assert (out["nSegments"], out["nDropped"]) == (3, 1)
+    assert out["cleanText"] == "keep this line\nand this line"
