@@ -2429,14 +2429,31 @@ def token_budget_allocation(
             .cast("long")
             .alias("targetTokens"),
         )
+        # a source can legitimately hold ZERO tokens (e.g. every doc
+        # fully boilerplate-scrubbed upstream): its weight and target
+        # are 0, and samplingRate/epochs are undefined — NULL, not an
+        # ANSI divide-by-zero crash (surfaced by the lifecycle test's
+        # scrub stage)
         .withColumn(
             "samplingRate",
-            F.round(
-                F.col("targetTokens") / F.col("availableTokens").cast("double"), 6
+            F.when(
+                F.col("availableTokens") > 0,
+                F.round(
+                    F.col("targetTokens")
+                    / F.col("availableTokens").cast("double"),
+                    6,
+                ),
             ),
         )
         .withColumn(
-            "epochs", F.ceil(F.col("targetTokens") / F.col("availableTokens").cast("double")).cast("int")
+            "epochs",
+            F.when(
+                F.col("availableTokens") > 0,
+                F.ceil(
+                    F.col("targetTokens")
+                    / F.col("availableTokens").cast("double")
+                ).cast("int"),
+            ),
         )
     )
 

@@ -5,6 +5,7 @@ r10 task #3) — the corpus-side twin of tests/test_lifecycle_e2e.py:
     index near-dup (via the REAL `lsh_band_index` step + certified
     guard-free incremental join) → exact-hash decontamination against
     an eval set (with a KMV overlap gate as the monitoring estimate)
+    → C4 boilerplate scrub through the PERSISTED line-frequency table
     → token-budget allocation → pack_sequences
 
 all in ONE Spark session at sf0.001, with every stage asserted
@@ -33,6 +34,7 @@ SF = "/root/testdata/sf0.001"
 QUALITY_MIN_TOKENS = 5
 SEQ_LEN = 128
 BUDGET = 1_000_000
+SCRUB_MAX_COUNT = 40
 
 # DuckDB token count identical to operators.text.tokens/token_count
 _TOKS = (
@@ -216,11 +218,31 @@ def lifecycle(spark, tmp_path_factory):
     final_path = str(tmp / "final.parquet")
     final.write.mode("overwrite").parquet(final_path)
     final = spark.read.parquet(final_path)
-    # 5. token budget  6. packing
-    budget = token_budget_allocation(
-        final, BUDGET, temperature=2.0, source_col="source"
+    # 5. boilerplate scrub (C4 line dedup at token granularity — the
+    #    testdata has no newlines) through the PERSISTED frequency
+    #    table, i.e. the incremental production path: build the
+    #    corpus evidence once, scrub against the at-rest artifact
+    from genetics_spark_coloc_spark.operators.text import (  # noqa: PLC0415
+        line_dedup,
+        line_frequency_table,
     )
-    packed = pack_sequences(final, seq_len=SEQ_LEN)
+
+    freq_path = str(tmp / "line_freq.parquet")
+    line_frequency_table(final, "text", sep=" ").write.mode(
+        "overwrite"
+    ).parquet(freq_path)
+    scrub = line_dedup(
+        final, "text", "doc_id", sep=" ", max_count=SCRUB_MAX_COUNT,
+        min_segment_chars=1, freq_table=spark.read.parquet(freq_path),
+    )
+    scrubbed = scrub.select(
+        F.col("docId").alias("doc_id"), F.col("cleanText").alias("text")
+    ).join(final.select("doc_id", "source"), "doc_id")
+    # 6. token budget  7. packing — both consume the SCRUBBED text
+    budget = token_budget_allocation(
+        scrubbed, BUDGET, temperature=2.0, source_col="source"
+    )
+    packed = pack_sequences(scrubbed, seq_len=SEQ_LEN)
 
     con = duckdb.connect()
     for name, p in paths.items():
@@ -264,6 +286,33 @@ def lifecycle(spark, tmp_path_factory):
           WHERE md5(text) NOT IN (SELECT md5(text) FROM evalset);
         """
     )
+    con.execute(
+        f"""
+        CREATE VIEW o_scrubbed AS
+        WITH segs AS (
+          SELECT doc_id, source, CAST(i AS INT) AS pos,
+                 parts[CAST(i AS INT) + 1] AS seg
+          FROM (
+            SELECT doc_id, source,
+                   string_split(COALESCE(text, ''), ' ') AS parts,
+                   unnest(range(len(string_split(COALESCE(text, ''), ' ')))) AS i
+            FROM o_final
+          )
+        ),
+        freq AS (
+          SELECT md5(trim(seg)) AS h, COUNT(*) AS c FROM segs GROUP BY 1
+        ),
+        marked AS (
+          SELECT s.doc_id, s.source, s.pos, s.seg,
+                 (f.c > {SCRUB_MAX_COUNT} AND length(trim(s.seg)) >= 1) AS dropped
+          FROM segs s JOIN freq f ON f.h = md5(trim(s.seg))
+        )
+        SELECT doc_id, source,
+               COALESCE(string_agg(seg, ' ' ORDER BY pos)
+                        FILTER (WHERE NOT dropped), '') AS text
+        FROM marked GROUP BY doc_id, source
+        """
+    )
     try:
         yield {
             "spark": spark,
@@ -276,6 +325,7 @@ def lifecycle(spark, tmp_path_factory):
             "delta_kept": delta_kept,
             "train": train,
             "final": final,
+            "scrubbed": scrubbed,
             "budget": budget,
             "packed": packed,
             "pre_kmv": pre_kmv,
@@ -333,6 +383,31 @@ class TestCorpusLifecycle:
         assert lifecycle["pre_kmv"]["estJaccard"] > 0
         assert lifecycle["post_kmv"]["estJaccard"] == 0.0
 
+    def test_line_scrub(self, lifecycle):
+        con = lifecycle["con"]
+        got = {
+            (r["doc_id"], r["source"]): r["text"]
+            for r in lifecycle["scrubbed"].collect()
+        }
+        want = {
+            (r[0], r[1]): r[2]
+            for r in con.execute(
+                "SELECT doc_id, source, text FROM o_scrubbed"
+            ).fetchall()
+        }
+        assert got == want
+        # the scrub never drops DOCUMENTS, only lines: id conservation
+        assert {k[0] for k in got} == _oracle_ids(con, "o_final")
+        # and it actually bit: common tokens occur > SCRUB_MAX_COUNT
+        # times across the ~500-doc final corpus
+        n_shorter = con.execute(
+            f"""
+            SELECT COUNT(*) FROM o_scrubbed s JOIN o_final f USING (doc_id)
+            WHERE length(s.text) < length(f.text)
+            """
+        ).fetchone()[0]
+        assert n_shorter > 0
+
     def test_token_budget(self, lifecycle):
         con = lifecycle["con"]
         oracle = {
@@ -341,7 +416,7 @@ class TestCorpusLifecycle:
                 f"""
                 WITH cnt AS (
                   SELECT source, CAST(SUM({_TOKS}) AS BIGINT) AS availableTokens
-                  FROM o_final GROUP BY source
+                  FROM o_scrubbed GROUP BY source
                 ),
                 p AS (SELECT source, availableTokens,
                              CAST(ROUND(POWER(availableTokens, 0.5), 6)
@@ -374,7 +449,7 @@ class TestCorpusLifecycle:
                 f"""
                 WITH toks AS (
                   SELECT doc_id AS docId, CAST({_TOKS} AS BIGINT) AS nTokens
-                  FROM o_final
+                  FROM o_scrubbed
                 ),
                 laid AS (
                   SELECT docId, nTokens,
