@@ -196,9 +196,12 @@ def local_features(
     transcriptConsequences`` pair and join on variantId, differing
     only in the aggregate, so one tags⋈csq shuffle computes every
     credible-set aggregate (the per-type ``d <= window`` filters move
-    inside conditional sums; groups with no qualifying row yield NULL
-    and are dropped, matching the split pipelines' inner-join row
-    sets) and one sentinel⋈csq shuffle computes both sentinel scores.
+    inside conditional sums; groups are kept or dropped by a
+    has-qualifying-row count per family, reproducing the split
+    pipelines' inner-join row sets exactly — including the edge where
+    every in-window tag has posteriorProbability 0.0 and the mean is
+    a NULL-valued row) and one sentinel⋈csq shuffle computes both
+    sentinel scores.
     At 100 TB this is the difference between shuffling the exploded
     credible-set join five times and twice.
 
@@ -256,6 +259,15 @@ def local_features(
             ).alias("distanceFootprintMean"),
             F.max("severityScore").alias("vepMaximum"),
             F.mean(F.col("severityScore") * F.col("pp")).alias("vepMean"),
+            # qualifying-row counts, NOT value-IS-NOT-NULL: when every
+            # in-window tag has posteriorProbability exactly 0.0 the
+            # weighted sum is 0 and log10(0) is NULL, yet the split
+            # distance_features pipelines (inner join on the window
+            # filter, no value filter) still emitted that NULL row —
+            # filtering the unpivot on the VALUE would drop it and
+            # diverge from the split form on this edge
+            F.count(F.when(F.col("dTss") <= w_lit, 1)).alias("_nTss"),
+            F.count(F.when(F.col("dFp") <= w_lit, 1)).alias("_nFp"),
         )
     )
     sent_agg = (
@@ -303,15 +315,37 @@ def local_features(
 
     # NULL policy mirrors the split pipelines exactly: the distance
     # families inner-joined on the window filter, so a group with no
-    # qualifying row emitted NO long row (drop_null=True); vep_features
-    # emitted its two rows for every joined (locus, gene) group EVEN
-    # when the aggregate was NULL (all-NULL severities), and those
-    # groups must survive to the matrix as all-zero candidate rows
-    # after fillna — dropping them would shrink the candidate-gene row
-    # set on real data with missing VEP scores.
+    # qualifying row emitted NO long row — but a group WITH a
+    # qualifying row kept its row even when the aggregate itself is
+    # NULL (all in-window pp == 0.0 → sum 0 → log10 NULL), hence the
+    # per-family _nTss/_nFp flag filter rather than a value filter;
+    # vep_features emitted its two rows for every joined (locus, gene)
+    # group EVEN when the aggregate was NULL (all-NULL severities),
+    # and those groups must survive to the matrix as all-zero
+    # candidate rows after fillna — dropping them would shrink the
+    # candidate-gene row set on real data with missing VEP scores.
+    dist_long = (
+        tag_agg.select(
+            "studyLocusId",
+            "geneId",
+            "_nTss",
+            "_nFp",
+            F.expr(
+                "stack(2, 'distanceTssMean', `distanceTssMean`, "
+                "'distanceFootprintMean', `distanceFootprintMean`)"
+            ).alias("featureName", "featureValue"),
+        )
+        .filter(
+            F.when(
+                F.col("featureName") == "distanceTssMean", F.col("_nTss") > 0
+            ).otherwise(F.col("_nFp") > 0)
+        )
+        .drop("_nTss", "_nFp")
+    )
     return (
-        unpivot(tag_agg, ["distanceTssMean", "distanceFootprintMean"], True)
-        .unionByName(unpivot(tag_agg, ["vepMaximum", "vepMean"], False))
+        dist_long.unionByName(
+            unpivot(tag_agg, ["vepMaximum", "vepMean"], False)
+        )
         .unionByName(
             unpivot(
                 sent_agg,

@@ -2418,7 +2418,14 @@ def token_budget_allocation(
         ).cast("decimal(28,6)"),
     )
     total = powered.agg(F.sum("_p").alias("_tot"))
-    frac = F.col("_p").cast("double") / F.col("_tot").cast("double")
+    # the whole corpus can be empty (every source fully scrubbed
+    # upstream): _tot is then 0 and the share is undefined — NULL
+    # weight/target rather than an ANSI divide-by-zero one expression
+    # before the per-source guard below catches it
+    frac = F.when(
+        F.col("_tot") > 0,
+        F.col("_p").cast("double") / F.col("_tot").cast("double"),
+    )
     return (
         powered.crossJoin(F.broadcast(total))
         .select(

