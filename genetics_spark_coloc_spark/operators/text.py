@@ -2784,6 +2784,7 @@ def line_dedup(
     max_count: int = 1,
     min_segment_chars: int = 10,
     freq_table: "DataFrame | None" = None,
+    max_doc_segments: int = 1_000_000,
 ) -> "DataFrame":
     """Corpus-frequency segment removal — C4-style LINE deduplication
     generalized over the separator: split every document on ``sep``,
@@ -2805,6 +2806,18 @@ def line_dedup(
     of segments against their own frequency table; per-doc rebuild as
     an array_sort(collect_list(struct(pos, seg))) fold — order
     restored without a window. No Python anywhere.
+
+    The per-doc rebuild gathers every surviving segment of ONE
+    document into one aggregation buffer — segment-bound per doc, not
+    corpus-bound, but a pathological single multi-million-line
+    document would serialize through one task. ``max_doc_segments``
+    is the loud-guard bound on that contract (house style, like the
+    hot-gram / hot-bucket / single-partition-window guards): a
+    document whose segment count exceeds it fails the job with an
+    actionable message instead of silently grinding one task. C4-
+    shaped corpora sit around 10^1–10^4 lines/doc; the default bound
+    (1M segments ≈ tens of MB of buffered text) is two orders above
+    any real document while still far below an executor heap.
 
     ``freq_table`` switches to INCREMENTAL mode: segment frequencies
     come from a persisted :func:`line_frequency_table` (left join,
@@ -2849,6 +2862,22 @@ def line_dedup(
     kept_struct = F.when(
         ~F.col("_drop"), F.struct(F.col("pos"), F.col("seg"))
     )
+    # loud guard on the rebuild contract — the count it checks is
+    # computed in the SAME aggregate as the buffer it bounds, so the
+    # check is free (no extra pass, no extra shuffle)
+    guard_msg = F.concat(
+        F.lit("line_dedup: document "),
+        F.col("docId").cast("string"),
+        F.lit(" has "),
+        F.col("nSegments").cast("string"),
+        F.lit(
+            f" segments > documented bound {int(max_doc_segments)}; the "
+            "per-doc rebuild buffers every surviving segment of one "
+            "document in one aggregation buffer by design — split the "
+            "document upstream or raise max_doc_segments before "
+            "scaling up"
+        ),
+    )
     return (
         marked.groupBy("docId")
         .agg(
@@ -2860,7 +2889,12 @@ def line_dedup(
         )
         .select(
             "docId",
-            "nSegments",
+            F.when(
+                F.col("nSegments") > F.lit(int(max_doc_segments)),
+                F.raise_error(guard_msg),
+            )
+            .otherwise(F.col("nSegments"))
+            .alias("nSegments"),
             "nDropped",
             F.array_join(
                 F.transform(F.col("_kept"), lambda s: s["seg"]), sep

@@ -139,3 +139,34 @@ class TestTokenBudgetEmptyCorpus:
         assert rows["web"]["targetTokens"] == 100
         assert rows["code"]["targetWeight"] == pytest.approx(0.0)
         assert rows["code"]["samplingRate"] is None
+
+
+class TestLineDedupSegmentGuard:
+    """VERDICT r11 task #5: line_dedup's per-doc rebuild buffers every
+    surviving segment of one document in one aggregation buffer; a
+    pathological multi-million-line document must fail LOUDLY at the
+    documented bound, house-guard style, not grind one task."""
+
+    def test_planted_violation_raises(self, spark):
+        from pyspark.errors import PySparkException
+
+        from genetics_spark_coloc_spark.operators.text import line_dedup
+
+        monster = "\n".join(f"unique line number {i} of the monster" for i in range(10))
+        docs = spark.createDataFrame(
+            [("d1", monster), ("d2", "short doc\nwith two lines")],
+            "doc_id string, text string",
+        )
+        with pytest.raises(PySparkException, match="documented bound 5"):
+            line_dedup(docs, max_doc_segments=5).collect()
+
+    def test_within_bound_unchanged(self, spark):
+        from genetics_spark_coloc_spark.operators.text import line_dedup
+
+        docs = spark.createDataFrame(
+            [("d1", "\n".join(f"unique line number {i}" for i in range(10)))],
+            "doc_id string, text string",
+        )
+        row = line_dedup(docs, max_doc_segments=10).collect()[0]
+        assert row["nSegments"] == 10
+        assert row["nDropped"] == 0
