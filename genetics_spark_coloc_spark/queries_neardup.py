@@ -4053,6 +4053,89 @@ NEARDUP_QUERIES["edit_distance_dedup"] = q_edit_distance_dedup
 NEARDUP_ORACLES["edit_distance_dedup"] = SQL_EDIT_DISTANCE_DEDUP
 
 
+def q_edit_distance_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production accept/reject twin of edit_distance_dedup:
+    banded Levenshtein (Ukkonen diagonal band, O(k·len) per pair vs
+    O(len²)) at the decision-exact k = ceil((1−θ)·max_len)+1 = 401.
+    Pairs banded away (true distance > k) report NULL distance/ratio
+    and isDup=false — provably the same accept/reject decision as the
+    exact kernel on every pair, at a fraction of the cost."""
+    from genetics_spark_coloc_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "text", "doc_id", num_perm=8, band_size=2
+    )
+    return dedup.edit_distance_verify(
+        docs,
+        pairs,
+        "text",
+        "doc_id",
+        ratio_threshold=0.8,
+        max_len=2000,
+        threshold=dedup.edit_distance_band(0.8, 2000),
+    )
+
+
+# same candidate CTEs as SQL_EDIT_DISTANCE_DEDUP; the banded contract
+# (NULL past k=401, isDup needs dist <= k) expressed over DuckDB's
+# exact levenshtein
+SQL_EDIT_DISTANCE_BANDED = """
+WITH sh AS (
+  SELECT DISTINCT doc_id AS docId,
+         substr(lower(text), CAST(i AS INT) * 4 + 1, 8) AS shingle
+  FROM documents CROSS JOIN range(0, 64) AS t(i)
+  WHERE CAST(i AS INT) < CAST(FLOOR(LEAST(GREATEST((length(lower(text)) - 8) / 4 + 1, 1), 64)) AS INT)
+),
+hashed AS (
+  SELECT docId, CAST(p AS INT) AS perm,
+         substr(md5(shingle), CAST(p AS INT) * 3 + 1, 8) AS h
+  FROM sh, range(0, 8) AS pt(p)
+),
+sig AS (
+  SELECT docId, perm, MIN(h) AS minHash
+  FROM hashed GROUP BY docId, perm
+),
+bands AS (
+  SELECT docId, CAST(FLOOR(perm / 2) AS INT) AS bandIdx,
+         md5(string_agg(minHash, '|' ORDER BY minHash)) AS bandHash
+  FROM sig
+  GROUP BY docId, CAST(FLOOR(perm / 2) AS INT)
+),
+cand AS (
+  SELECT DISTINCT l.docId AS leftId, r.docId AS rightId
+  FROM bands l
+  JOIN bands r ON l.bandIdx = r.bandIdx AND l.bandHash = r.bandHash
+             AND l.docId < r.docId
+),
+tx AS (
+  SELECT doc_id, substr(COALESCE(text, ''), 1, 2000) AS t FROM documents
+),
+scored AS (
+  SELECT c.leftId, c.rightId,
+         levenshtein(lt.t, rt.t) AS d,
+         GREATEST(length(lt.t), length(rt.t)) AS maxSide
+  FROM cand c
+  JOIN tx lt ON lt.doc_id = c.leftId
+  JOIN tx rt ON rt.doc_id = c.rightId
+)
+SELECT leftId, rightId,
+       CAST(CASE WHEN d <= 401 THEN d END AS BIGINT) AS editDistance,
+       CASE WHEN d <= 401 THEN
+         ROUND(CASE WHEN maxSide = 0 THEN 1.0
+               ELSE 1.0 - d / CAST(maxSide AS DOUBLE) END, 6)
+       END AS editRatio,
+       COALESCE(d <= 401 AND
+         ROUND(CASE WHEN maxSide = 0 THEN 1.0
+               ELSE 1.0 - d / CAST(maxSide AS DOUBLE) END, 6) >= 0.8,
+         FALSE) AS isDup
+FROM scored
+"""
+
+NEARDUP_QUERIES["edit_distance_banded"] = q_edit_distance_banded
+NEARDUP_ORACLES["edit_distance_banded"] = SQL_EDIT_DISTANCE_BANDED
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency segment removal (C4-style line dedup,
     separator-generic). The synthetic documents carry no newlines, so

@@ -170,3 +170,74 @@ class TestLineDedupSegmentGuard:
         row = line_dedup(docs, max_doc_segments=10).collect()[0]
         assert row["nSegments"] == 10
         assert row["nDropped"] == 0
+
+
+class TestBandedEditDistance:
+    """VERDICT r11 task #3: banded levenshtein(l, r, k) fast path.
+
+    Decision-exactness contract: at k = edit_distance_band(θ, max_len)
+    the banded mode returns the SAME isDup as the exact kernel on
+    every pair, reporting NULL distance/ratio for banded-away pairs."""
+
+    def _docs_pairs(self, spark):
+        docs = spark.createDataFrame(
+            [
+                ("a", "the quick brown fox jumps over the lazy dog"),
+                ("b", "the quick brown fox jumped over the lazy dog"),
+                ("c", "a completely different document about spark plans"),
+                ("d", ""),
+                ("e", ""),
+            ],
+            "doc_id string, text string",
+        )
+        pairs = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("d", "e"), ("b", "c")],
+            "leftId string, rightId string",
+        )
+        return docs, pairs
+
+    def test_decision_parity_and_null_contract(self, spark):
+        from genetics_spark_coloc_spark.operators import dedup
+
+        docs, pairs = self._docs_pairs(spark)
+        k = dedup.edit_distance_band(0.8, 2000)
+        assert k == 401
+        exact = {
+            (r["leftId"], r["rightId"]): r
+            for r in dedup.edit_distance_verify(
+                docs, pairs, "text", "doc_id", ratio_threshold=0.8
+            ).collect()
+        }
+        banded = {
+            (r["leftId"], r["rightId"]): r
+            for r in dedup.edit_distance_verify(
+                docs, pairs, "text", "doc_id", ratio_threshold=0.8, threshold=k
+            ).collect()
+        }
+        assert exact.keys() == banded.keys()
+        for key, er in exact.items():
+            br = banded[key]
+            assert br["isDup"] == er["isDup"], key
+            if er["editDistance"] <= k:
+                assert br["editDistance"] == er["editDistance"]
+                assert br["editRatio"] == er["editRatio"]
+            else:
+                assert br["editDistance"] is None
+                assert br["editRatio"] is None
+                assert br["isDup"] is False
+        # the dissimilar pairs genuinely exceeded the band at this
+        # text length? No — 2000-char budget, short texts: verify the
+        # NULL contract explicitly with a tight band instead
+        tight = {
+            (r["leftId"], r["rightId"]): r
+            for r in dedup.edit_distance_verify(
+                docs, pairs, "text", "doc_id", ratio_threshold=0.8, threshold=2
+            ).collect()
+        }
+        far = tight[("a", "c")]
+        assert far["editDistance"] is None
+        assert far["editRatio"] is None
+        assert far["isDup"] is False
+        # empty-empty pair: distance 0 is inside any band, ratio 1
+        assert tight[("d", "e")]["editRatio"] == 1.0
+        assert tight[("d", "e")]["isDup"] is True
