@@ -126,3 +126,84 @@ class TestSpeedNormalizedTripwire:
             assert all(
                 isinstance(v, (int, float)) for v in side["queries"].values()
             ), name
+
+
+class TestAdjudicateFlags:
+    """VERDICT r11 task #1: the tripwire's flags self-adjudicate via a
+    solo best-of-4 re-measure — planted in-pass slowdown with a clean
+    solo re-measure reads "contention"; a planted real slowdown reads
+    "real"; a query that errors on every solo repeat reads "error"."""
+
+    def _flag(self, prior, now):
+        from bench import find_regressions
+
+        flags = find_regressions({"q": prior}, {"q": now})
+        assert "q" in flags
+        return flags
+
+    def test_in_pass_contention_clears(self):
+        from bench import adjudicate_flags
+
+        flags = self._flag(2.0, 6.0)  # 3x in-pass: flagged
+        # solo re-measure is back at baseline -> the slowdown was load
+        # that arrived during the pass
+        out = adjudicate_flags(
+            flags, {"q": 2.0}, lambda name: (2.1, 5.0), solo_repeats=4
+        )
+        assert out["q"]["verdict"] == "contention"
+        assert out["q"]["solo_sec"] == 2.1
+        assert out["q"]["in_pass_sec"] == 6.0
+
+    def test_real_regression_confirmed(self):
+        from bench import adjudicate_flags
+
+        flags = self._flag(2.0, 6.0)
+        out = adjudicate_flags(flags, {"q": 2.0}, lambda name: (5.9, 1.0))
+        assert out["q"]["verdict"] == "real"
+
+    def test_best_of_n_takes_minimum(self):
+        """One clean repeat among contended ones decides the verdict:
+        the minimum is the contention-free estimate."""
+        from bench import adjudicate_flags
+
+        flags = self._flag(2.0, 6.0)
+        seq = iter([(6.2, 9.0), (5.8, 9.0), (2.0, 3.0), (6.1, 9.0)])
+        out = adjudicate_flags(flags, {"q": 2.0}, lambda name: next(seq))
+        assert out["q"]["verdict"] == "contention"
+        assert out["q"]["solo_sec"] == 2.0
+        assert out["q"]["solo_load1"] == 3.0
+
+    def test_adjudication_speed_ratio_normalizes(self):
+        """Contention STILL present at adjudication time: the freshly
+        sampled host kernels see it and the division absorbs it —
+        solo 4.5s on a 1.6x-slow host is 2.8s adjusted, under
+        1.5 x 2.0."""
+        from bench import adjudicate_flags
+
+        flags = self._flag(2.0, 6.0)
+        out = adjudicate_flags(
+            flags, {"q": 2.0}, lambda name: (4.5, 12.0), speed_ratio=1.6
+        )
+        assert out["q"]["verdict"] == "contention"
+        assert out["q"]["solo_sec_speed_adjusted"] == 2.812
+
+    def test_all_repeats_error_is_loud(self):
+        from bench import adjudicate_flags
+
+        flags = self._flag(2.0, 6.0)
+        out = adjudicate_flags(flags, {"q": 2.0}, lambda name: (None, 9.0))
+        assert out["q"]["verdict"] == "error"
+        assert out["q"]["solo_sec"] is None
+
+    def test_flag_records_carry_load_delta_fields(self):
+        """Task #6: a flag raised with loads carries load1_at_measure;
+        main() augments it with the delta vs pass start (pinned here
+        by reproducing the arithmetic)."""
+        from bench import find_regressions
+
+        flags = find_regressions(
+            {"q": 2.0}, {"q": 6.0}, loads={"q": 11.5}
+        )
+        assert flags["q"]["load1_at_measure"] == 11.5
+        # the delta main() records: measure-time load minus pass-start
+        assert round(flags["q"]["load1_at_measure"] - 9.7, 2) == 1.8
