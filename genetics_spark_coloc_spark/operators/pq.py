@@ -532,6 +532,18 @@ def ivfpq_topk(
     # ints, string ids stay strings) — int() would crash non-numeric
     # centroid ids at plan build
     pos_by_cid = {cid_arr[p].item(): int(p) for p in range(len(cids))}
+    # static probed-list pruning: the union of probed centroids is
+    # known at PLAN time (queries are collected above), so the scan
+    # is filtered to exactly those lists BEFORE the kernel — on an
+    # index persisted partitionBy(centroidId) (the ivfpq_index step's
+    # layout) this is partition pruning at the parquet source: each
+    # search reads its probed list directories, never the corpus
+    # (plan-pinned in tests/test_plan_quality.py). A pure prune: the
+    # kernel only ever emits rows from probed lists anyway.
+    probed_cids = sorted(
+        {cid_arr[int(p)].item() for row in probe_pos for p in row}
+    )
+    index = index.filter(F.col("centroidId").isin(probed_cids))
 
     def _scan(batches):
         for pdf in batches:
@@ -603,6 +615,45 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("queryId", "centroidId", "neighborId", "adcDist", "rank")
     )
+
+
+def load_ivfpq_index(spark, path: str):
+    """Load a persisted IVF-PQ index (written by the ``ivfpq_index``
+    step): returns ``(index, centroids, codebooks, meta)`` — the
+    partitioned residual-code lists, the BUILD-TIME coarse centroids
+    and PQ codebooks shipped inside the index (under ``_centroids`` /
+    ``_codebooks``, invisible to parquet readers of the root), and
+    the contract dict ``{id_col, vec_col, n_centroids, m, sub_dim}``.
+
+    Always search with the returned centroids AND codebooks: the
+    codes are residuals against *these* centroids quantized by
+    *these* codebooks — probing with foreign ones decodes distances
+    against tables the codes were never written in and silently
+    returns wrong neighbours (the IVF-PQ twin of the IVF centroid
+    identity and the LSH band-parameter identity).
+
+        index, cents, cbs, meta = load_ivfpq_index(spark, path)
+        ivfpq_topk(index, cents, cbs, queries,
+                   id_col=meta["id_col"], vec_col=meta["vec_col"])
+    """
+    import json
+    import os
+
+    from genetics_spark_coloc_spark.session import hadoop_read_text
+
+    meta_path = os.path.join(path, "_ivfpq_meta.json")
+    try:
+        meta = json.loads(hadoop_read_text(spark, meta_path))
+    except (OSError, ValueError) as exc:
+        raise ValueError(
+            f"load_ivfpq_index: {meta_path} missing — not an ivfpq_index "
+            "step output? Load the codes parquet directly and supply the "
+            "build-time centroids and codebooks yourself."
+        ) from exc
+    index = spark.read.parquet(path)
+    centroids = spark.read.parquet(os.path.join(path, "_centroids"))
+    codebooks = spark.read.parquet(os.path.join(path, "_codebooks"))
+    return index, centroids, codebooks, meta
 
 
 def ivfpq_residuals(

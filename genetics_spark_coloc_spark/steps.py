@@ -819,6 +819,123 @@ def _run_ivf_index(spark, inputs, output, p):
     return None
 
 
+def _run_ivfpq_index(spark, inputs, output, p):
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.operators.pq import (
+        _collect_pq_codebooks,
+        ivfpq_index,
+        load_ivfpq_index,
+    )
+    from genetics_spark_coloc_spark.session import hadoop_write_text
+
+    centroids = _parquet(spark, inputs["centroids"])
+    codebooks = _parquet(spark, inputs["codebooks"])
+
+    def _norm_vecs(df, idc, vecc):
+        return df.select(
+            F.col(idc).cast("string").alias("i"),
+            F.col(vecc).cast("array<double>").alias("v"),
+        )
+
+    def _norm_cbs(df):
+        return df.select(
+            F.col("subspace").cast("int").alias("s"),
+            F.col("code").cast("int").alias("c"),
+            F.col("centroid").cast("array<double>").alias("v"),
+        )
+
+    if p["mode"] == "append":
+        # the daily-crawl loop, IVF-PQ edition: encode ONLY the new
+        # vectors against the FROZEN build-time centroids AND
+        # codebooks and append their list files — history is never
+        # re-encoded. Both artifacts are the index's identity: codes
+        # are residuals against these centroids quantized by these
+        # codebooks, so a delta encoded with foreign ones produces
+        # codes the search decodes against the wrong tables and
+        # silently returns wrong neighbours. Supplied artifacts are
+        # verified exactly (doubles round-trip parquet bit-identical).
+        _idx, shipped_cents, shipped_cbs, meta = load_ivfpq_index(
+            spark, output
+        )
+        if meta["id_col"] != p["id_col"] or meta["vec_col"] != p["vec_col"]:
+            raise ValueError(
+                f"ivfpq_index append: {output} was built with columns "
+                f"({meta['id_col']}, {meta['vec_col']}) but the caller "
+                f"passed ({p['id_col']}, {p['vec_col']})"
+            )
+        a = _norm_vecs(centroids, p["id_col"], p["vec_col"])
+        b = _norm_vecs(shipped_cents, p["id_col"], p["vec_col"])
+        if a.exceptAll(b).count() or b.exceptAll(a).count():
+            raise ValueError(
+                f"ivfpq_index append: supplied centroids differ from "
+                f"{output}'s build-time centroids; appending would file "
+                "residual codes into non-corresponding lists. Pass the "
+                "index's own artifacts (load_ivfpq_index) or rebuild "
+                "with mode=overwrite."
+            )
+        ca, cb_ = _norm_cbs(codebooks), _norm_cbs(shipped_cbs)
+        if ca.exceptAll(cb_).count() or cb_.exceptAll(ca).count():
+            raise ValueError(
+                f"ivfpq_index append: supplied codebooks differ from "
+                f"{output}'s build-time codebooks; the stored codes were "
+                "quantized in the shipped tables and a delta encoded in "
+                "different ones is unsearchable alongside them. Pass the "
+                "index's own artifacts (load_ivfpq_index) or rebuild "
+                "with mode=overwrite."
+            )
+        delta = ivfpq_index(
+            _parquet(spark, inputs["corpus"]),
+            shipped_cents,
+            shipped_cbs,
+            id_col=p["id_col"],
+            vec_col=p["vec_col"],
+        )
+        delta.write.mode("append").partitionBy("centroidId").parquet(output)
+        return None
+    # validate the codebooks up front (contiguous subspaces, one
+    # sub_dim) and derive the meta geometry from them
+    codes_by_s, mats = _collect_pq_codebooks(codebooks)
+    index = ivfpq_index(
+        _parquet(spark, inputs["corpus"]),
+        centroids,
+        codebooks,
+        id_col=p["id_col"],
+        vec_col=p["vec_col"],
+    )
+    # one directory per inverted list: ivfpq_topk's static probed-
+    # list filter becomes partition pruning at the parquet source —
+    # each search reads nprobe list directories, never the corpus
+    index.write.mode("overwrite").partitionBy("centroidId").parquet(output)
+    # both build-time artifacts ship INSIDE the index (underscore
+    # paths are invisible to parquet readers of the root); meta goes
+    # through the Hadoop FS API so the index round-trips on hdfs://
+    # and s3a://, not just local disk
+    centroids.write.mode("overwrite").parquet(
+        _os.path.join(output, "_centroids")
+    )
+    codebooks.write.mode("overwrite").parquet(
+        _os.path.join(output, "_codebooks")
+    )
+    hadoop_write_text(
+        spark,
+        _os.path.join(output, "_ivfpq_meta.json"),
+        _json.dumps(
+            {
+                "id_col": p["id_col"],
+                "vec_col": p["vec_col"],
+                "n_centroids": centroids.count(),
+                "m": len(mats),
+                "sub_dim": int(mats[0].shape[1]),
+            }
+        ),
+    )
+    return None
+
+
 def _run_corpus_drift(spark, inputs, output, p):
     from pyspark.sql import functions as F
 
@@ -1248,6 +1365,34 @@ STEPS: dict[str, StepSpec] = {
                     "new corpus with the index's OWN build-time centroids "
                     "(supplied centroids verified identical) and append "
                     "its list files — history never re-assigned",
+                ),
+            },
+            sink=True,
+        ),
+        StepSpec(
+            "ivfpq_index",
+            "Build the IVF-PQ index once (coarse assignment + PQ encoding "
+            "of the residuals, the FAISS coarse+fine layout) and persist "
+            "the code lists PARTITIONED BY centroidId with the build-time "
+            "centroids and codebooks shipped inside — the at-rest "
+            "compressed-ANN index: repeated ivfpq_topk batches load it "
+            "back (load_ivfpq_index) and partition-prune to their probed "
+            "lists; append mode re-encodes only the delta against the "
+            "FROZEN artifacts (supplied centroids AND codebooks verified "
+            "identical, wrong ones rejected) (additive layer beyond the "
+            "reference's genetics surface)",
+            ("corpus", "centroids", "codebooks"),
+            _run_ivfpq_index,
+            {
+                "id_col": Param(str, "vec_id", "vector id column"),
+                "vec_col": Param(str, "embedding", "vector column"),
+                "mode": Param(
+                    str,
+                    "overwrite",
+                    "overwrite = full rebuild; append = encode only the "
+                    "new corpus against the index's OWN frozen centroids "
+                    "and codebooks and append its list files — history "
+                    "never re-encoded",
                 ),
             },
             sink=True,

@@ -391,3 +391,52 @@ def test_persisted_ivf_index_dynamic_partition_pruning(spark, tmp_path):
     got = key(fast)
     assert got == key(slow)
     assert got, "probe produced no neighbours"
+
+
+def test_persisted_ivfpq_index_partition_pruning(spark, tmp_path):
+    """The persisted IVF-PQ index (ivfpq_index step layout:
+    partitionBy centroidId) must be partition-pruned by the search:
+    ivfpq_topk knows the union of probed centroids at PLAN time (the
+    query batch is collected to build the ADC tables anyway), so the
+    scan carries a STATIC centroidId IN (...) partition filter — each
+    search reads its probed list directories, never the corpus.
+    Results must equal the unpersisted path exactly."""
+    from genetics_spark_coloc_spark.operators.pq import (
+        codebooks_from_first_k,
+        ivfpq_index,
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    codebooks = codebooks_from_first_k(emb, m=4, k=16, dim=64)
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    idx = str(tmp_path / "ivfpq_index")
+    ivfpq_index(emb, centroids, codebooks).write.mode(
+        "overwrite"
+    ).partitionBy("centroidId").parquet(idx)
+    persisted = spark.read.parquet(idx)
+
+    fast = ivfpq_topk(persisted, centroids, codebooks, queries, k=3, nprobe=2)
+    plan = physical_plan(fast)
+    # the static probed-set filter must reach the scan as a PARTITION
+    # filter (hive layout), not a post-scan row filter
+    assert "PartitionFilters" in plan and "centroidId" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200], plan[:4000]
+
+    slow = ivfpq_topk(
+        ivfpq_index(emb, centroids, codebooks),
+        centroids,
+        codebooks,
+        queries,
+        k=3,
+        nprobe=2,
+    )
+    key = lambda df: {  # noqa: E731
+        (r["queryId"], r["rank"]): (r["neighborId"], r["adcDist"])
+        for r in df.collect()
+    }
+    got = key(fast)
+    assert got == key(slow)
+    assert got, "probe produced no neighbours"

@@ -1232,3 +1232,147 @@ def test_line_freq_and_line_scrub_steps(spark, tmp_path):
     )
     row = cleaned.collect()[0]
     assert (row["nDropped"], row["cleanText"]) == (1, "fresh delta content")
+
+
+def test_run_ivfpq_index_step(spark, tmp_path):
+    """The ivfpq_index sink step (r11 task #2) persists the residual
+    code lists partitioned by centroidId with the build-time coarse
+    centroids AND PQ codebooks shipped inside; the read-back index +
+    shipped artifacts drive ivfpq_topk to exactly the inline result."""
+    import os
+
+    from genetics_spark_coloc_spark.operators.pq import (
+        codebooks_from_first_k,
+        ivfpq_index,
+        ivfpq_topk,
+        load_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus_path = str(tmp_path / "corpus.parquet")
+    cent_path = str(tmp_path / "centroids.parquet")
+    cb_path = str(tmp_path / "codebooks.parquet")
+    emb.write.mode("overwrite").parquet(corpus_path)
+    emb.filter(F.col("vec_id") < 4).write.mode("overwrite").parquet(cent_path)
+    codebooks_from_first_k(emb, m=4, k=16, dim=64).write.mode(
+        "overwrite"
+    ).parquet(cb_path)
+    out = str(tmp_path / "ivfpq_index")
+    assert (
+        run_step(
+            spark,
+            "ivfpq_index",
+            {"corpus": corpus_path, "centroids": cent_path, "codebooks": cb_path},
+            out,
+        )
+        is None
+    )
+    # hive-style layout: one directory per inverted code list
+    list_dirs = [d for d in os.listdir(out) if d.startswith("centroidId=")]
+    assert 1 <= len(list_dirs) <= 4
+    index, cents, cbs, meta = load_ivfpq_index(spark, out)
+    assert meta["m"] == 4 and meta["sub_dim"] == 16
+    assert meta["id_col"] == "vec_id" and meta["n_centroids"] == 4
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    key = lambda df: {  # noqa: E731
+        (r["queryId"], r["rank"]): (r["neighborId"], r["adcDist"])
+        for r in df.collect()
+    }
+    persisted = key(ivfpq_topk(index, cents, cbs, queries, k=3, nprobe=2))
+    centroids = spark.read.parquet(cent_path)
+    codebooks = spark.read.parquet(cb_path)
+    inline = key(
+        ivfpq_topk(
+            ivfpq_index(emb, centroids, codebooks),
+            centroids,
+            codebooks,
+            queries,
+            k=3,
+            nprobe=2,
+        )
+    )
+    assert persisted == inline and persisted
+
+
+def test_run_ivfpq_index_append(spark, tmp_path):
+    """Append mode encodes ONLY the delta against the FROZEN shipped
+    artifacts; the appended index searches identically to a full
+    rebuild over the union corpus. Wrong centroids and wrong
+    codebooks are both rejected before any write."""
+    import pytest as _pytest
+
+    from genetics_spark_coloc_spark.operators.pq import (
+        codebooks_from_first_k,
+        ivfpq_index,
+        ivfpq_topk,
+        load_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    delta = emb.filter(F.col("vec_id") % 2 == 1)
+    paths = {n: str(tmp_path / f"{n}.parquet") for n in
+             ("base", "delta", "cent", "cb", "badcent", "badcb")}
+    base.write.parquet(paths["base"])
+    delta.write.parquet(paths["delta"])
+    emb.filter(F.col("vec_id") < 4).write.parquet(paths["cent"])
+    codebooks_from_first_k(emb, m=4, k=16, dim=64).write.parquet(paths["cb"])
+    # foreign artifacts: different centroid set / k=8 codebooks
+    emb.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 8)).write.parquet(
+        paths["badcent"]
+    )
+    codebooks_from_first_k(emb, m=4, k=8, dim=64).write.parquet(paths["badcb"])
+    out = str(tmp_path / "idx")
+    run_step(
+        spark,
+        "ivfpq_index",
+        {"corpus": paths["base"], "centroids": paths["cent"],
+         "codebooks": paths["cb"]},
+        out,
+    )
+    with _pytest.raises(ValueError, match="centroids differ"):
+        run_step(
+            spark,
+            "ivfpq_index",
+            {"corpus": paths["delta"], "centroids": paths["badcent"],
+             "codebooks": paths["cb"]},
+            out,
+            params={"mode": "append"},
+        )
+    with _pytest.raises(ValueError, match="codebooks differ"):
+        run_step(
+            spark,
+            "ivfpq_index",
+            {"corpus": paths["delta"], "centroids": paths["cent"],
+             "codebooks": paths["badcb"]},
+            out,
+            params={"mode": "append"},
+        )
+    run_step(
+        spark,
+        "ivfpq_index",
+        {"corpus": paths["delta"], "centroids": paths["cent"],
+         "codebooks": paths["cb"]},
+        out,
+        params={"mode": "append"},
+    )
+    index, cents, cbs, _meta = load_ivfpq_index(spark, out)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    key = lambda df: {  # noqa: E731
+        (r["queryId"], r["rank"]): (r["neighborId"], r["adcDist"])
+        for r in df.collect()
+    }
+    appended = key(ivfpq_topk(index, cents, cbs, queries, k=3, nprobe=2))
+    centroids = spark.read.parquet(paths["cent"])
+    codebooks = spark.read.parquet(paths["cb"])
+    rebuilt = key(
+        ivfpq_topk(
+            ivfpq_index(emb, centroids, codebooks),
+            centroids,
+            codebooks,
+            queries,
+            k=3,
+            nprobe=2,
+        )
+    )
+    assert appended == rebuilt and appended

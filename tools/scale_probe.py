@@ -1557,3 +1557,88 @@ def line_scrub_skew_probe(n_corpus: int = 2_000_000, n_delta: int = 2_000_000) -
         flush=True,
     )
     spark.stop()
+
+
+def ivfpq_append_probes(
+    n_delta: int = 50_000,
+    index_sizes: "tuple[int, ...]" = (1_000_000, 4_000_000),
+    dim: int = 64,
+) -> None:
+    """Round-12 probe (VERDICT r11 #2): ivfpq_index append-mode cost
+    must be O(delta), FLAT as the index grows — the daily-crawl loop
+    for the compressed-ANN index. Appends encode ONLY the delta
+    against the frozen shipped centroids+codebooks (plus two tiny
+    exceptAll verifications of those artifacts); nothing in the path
+    reads the existing code lists, so a wall growing with index size
+    is the bug. Measures the full `ivfpq_index mode=append` step with
+    the SAME 50k-vector delta against indexes of different sizes.
+    Run: python -c "import tools.scale_probe as sp; sp.ivfpq_append_probes()"
+    """
+    spark = get_session(
+        app_name="scale_probe_ivfpq_append",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import shutil
+    import tempfile
+
+    from genetics_spark_coloc_spark.operators.pq import codebooks_from_first_k
+    from genetics_spark_coloc_spark.steps import run_step
+
+    def vecs(n, offset):
+        # deterministic dense vectors in [-1, 1), derived per (id, j)
+        return spark.range(n).select(
+            (F.col("id") + F.lit(offset)).alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: F.pmod(
+                    F.hash(F.col("id").cast("string"), j), F.lit(1000)
+                ).cast("double")
+                / F.lit(500.0)
+                - F.lit(1.0),
+            ).alias("embedding"),
+        )
+
+    tmp = tempfile.mkdtemp(prefix="ivfpq_append_probe_")
+    delta_path = os.path.join(tmp, "delta.parquet")
+    cent_path = os.path.join(tmp, "centroids.parquet")
+    cb_path = os.path.join(tmp, "codebooks.parquet")
+    vecs(n_delta, 900_000_000).write.mode("overwrite").parquet(delta_path)
+    vecs(64, 0).write.mode("overwrite").parquet(cent_path)
+    codebooks_from_first_k(vecs(4096, 0), m=4, k=16, dim=dim).write.mode(
+        "overwrite"
+    ).parquet(cb_path)
+    for n_index in index_sizes:
+        corpus_path = os.path.join(tmp, f"corpus_{n_index}.parquet")
+        vecs(n_index, 0).write.mode("overwrite").parquet(corpus_path)
+        out = os.path.join(tmp, f"idx_{n_index}")
+        inputs = {"centroids": cent_path, "codebooks": cb_path}
+        start = time.perf_counter()
+        run_step(spark, "ivfpq_index", {**inputs, "corpus": corpus_path}, out)
+        build_sec = round(time.perf_counter() - start, 2)
+        start = time.perf_counter()
+        run_step(
+            spark,
+            "ivfpq_index",
+            {**inputs, "corpus": delta_path},
+            out,
+            params={"mode": "append"},
+        )
+        append_sec = round(time.perf_counter() - start, 2)
+        print(
+            json.dumps(
+                {
+                    "probe": f"ivfpq_append_{n_delta // 1000}k_delta_vs_{n_index // 1_000_000}m_index",
+                    "index_rows": n_index,
+                    "delta_rows": n_delta,
+                    "build_sec": build_sec,
+                    "append_sec": append_sec,
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
