@@ -961,11 +961,42 @@ def _run_corpus_drift(spark, inputs, output, p):
 
 
 def _run_line_freq(spark, inputs, output, p):
+    from pyspark.sql import functions as F
+
     from genetics_spark_coloc_spark.operators.text import line_frequency_table
 
-    return line_frequency_table(
+    if p["mode"] in ("append", "compact") and output is None:
+        raise ValueError(f"line_freq mode={p['mode']} writes to --out, which was not given")
+    if p["mode"] == "compact":
+        # the nightly-append loop accumulates one count shard per
+        # crawl, so the table grows as O(appends × distinct segments)
+        # while holding only O(distinct segments) of information —
+        # the line-scrub twin of the band-index ledger's
+        # self-compaction. Re-aggregate to one row per segHash, IN
+        # PLACE: counts are additive by the table's documented
+        # contract (consumers SUM per hash), so compaction preserves
+        # every scrub's output bit-exactly while restoring the read
+        # cost of later scrubs. ``corpus`` names the table to compact
+        # (pass the same path as --out for in-place; the eager
+        # checkpoint severs the self-read before the overwrite).
+        compacted = (
+            _parquet(spark, inputs["corpus"])
+            .groupBy("segHash")
+            .agg(F.sum("segCount").alias("segCount"))
+            .localCheckpoint(eager=True)
+        )
+        compacted.write.mode("overwrite").parquet(output)
+        return None
+    freq = line_frequency_table(
         _parquet(spark, inputs["corpus"]), p["text_col"], sep=p["sep"]
     )
+    if p["mode"] == "append":
+        # nightly shard: counts for the new crawl land as ADDITIONAL
+        # rows (duplicate segHash across shards is the documented
+        # additive contract — consumers re-aggregate with SUM)
+        freq.write.mode("append").parquet(output)
+        return None
+    return freq
 
 
 def _run_line_scrub(spark, inputs, output, p):
@@ -1457,6 +1488,17 @@ STEPS: dict[str, StepSpec] = {
             {
                 "text_col": Param(str, "text", "document text column"),
                 "sep": Param(str, "\n", "segment separator"),
+                "mode": Param(
+                    str,
+                    "overwrite",
+                    "overwrite = (re)build to --out; append = write the "
+                    "corpus's counts as an ADDITIONAL shard of --out (the "
+                    "nightly-crawl loop; duplicate segHash rows are "
+                    "additive by contract); compact = re-aggregate the "
+                    "table named by --corpus to one row per segHash and "
+                    "overwrite --out (same path for in-place) — "
+                    "scrub-output-preserving by the additive contract",
+                ),
             },
         ),
         StepSpec(

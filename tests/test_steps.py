@@ -1376,3 +1376,46 @@ def test_run_ivfpq_index_append(spark, tmp_path):
         )
     )
     assert appended == rebuilt and appended
+
+
+def test_line_freq_append_and_compact_preserve_scrub(spark, tmp_path):
+    """VERDICT r11 task #7: the nightly line_freq loop — build, append
+    a crawl shard, then COMPACT in place. Compaction re-aggregates to
+    one row per segHash; by the table's additive contract (consumers
+    SUM per hash) the scrub output must be BIT-EXACT before and after."""
+    boiler = "this cookie banner line appears everywhere"
+    docs1 = spark.createDataFrame(
+        [("a", f"{boiler}\nunique alpha content line"),
+         ("b", f"{boiler}\nunique beta content line")],
+        "doc_id string, text string",
+    )
+    docs2 = spark.createDataFrame(
+        [("c", f"{boiler}\nunique gamma content line")],
+        "doc_id string, text string",
+    )
+    p1, p2 = str(tmp_path / "d1.parquet"), str(tmp_path / "d2.parquet")
+    docs1.write.parquet(p1)
+    docs2.write.parquet(p2)
+    freq = str(tmp_path / "line_freq")
+    run_step(spark, "line_freq", {"corpus": p1}, freq)
+    run_step(spark, "line_freq", {"corpus": p2}, freq, params={"mode": "append"})
+    # appended shards: duplicate segHash rows present
+    tbl = spark.read.parquet(freq)
+    assert tbl.count() > tbl.select("segHash").distinct().count()
+    scrub = lambda: sorted(  # noqa: E731
+        run_step(
+            spark,
+            "line_scrub",
+            {"docs": p1},
+            str(tmp_path / "scrubbed"),
+            params={"freq": freq, "max_count": 2},
+        ).collect()
+    )
+    before = scrub()
+    # the boilerplate line (freq 3 > max_count 2) dropped, uniques kept
+    assert all(boiler not in r["cleanText"] for r in before)
+    assert all(r["nDropped"] == 1 for r in before)
+    run_step(spark, "line_freq", {"corpus": freq}, freq, params={"mode": "compact"})
+    tbl2 = spark.read.parquet(freq)
+    assert tbl2.count() == tbl2.select("segHash").distinct().count()
+    assert scrub() == before
