@@ -136,6 +136,17 @@ def main(argv: list[str] | None = None) -> int:
     kwargs = {"app_name": f"step:{step}", "master": master}
     if shuffle is not None:
         kwargs["shuffle_partitions"] = int(shuffle)
+    # the production loop is ONE STEP PER PROCESS (the README
+    # quickstart: build index today, append tomorrow), so catalog
+    # tables written by one CLI invocation must be visible to the
+    # next — persist the catalog in a derby metastore under the
+    # working directory (alongside spark-warehouse/) instead of the
+    # default in-memory catalog that dies with the session. Spark's
+    # datasource bucketing metadata rides the metastore table
+    # properties, so bucketed tables keep their no-shuffle join
+    # layout across invocations. Library/test sessions keep the
+    # in-memory catalog (parallel derby access would lock).
+    kwargs["extra_conf"] = {"spark.sql.catalogImplementation": "hive"}
     spark = get_session(**kwargs)
     df = run_step(spark, step, inputs, output, params)
     if df is not None:

@@ -1,0 +1,103 @@
+"""The README production-loop quickstart, pinned as CI (VERDICT r11
+task #4): the commands are PARSED OUT OF README.md and executed, so
+the copy-paste path rots with the docs, not alongside them — a step
+rename, a param change, or a flag removal fails this test by name
+instead of surfacing when a user pastes the block.
+
+Each command runs as its own `python -m` subprocess (the exact
+surface the README documents) in a scratch cwd, so catalog tables
+land in a throwaway spark-warehouse; `$D` and the `/tmp/quickstart_`
+output prefix are substituted with test paths, nothing else is
+rewritten.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shlex
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
+
+
+def _quickstart_commands() -> list[str]:
+    """Extract the `python -m ...` commands from the production-loop
+    quickstart's bash block, backslash-continuations joined."""
+    with open(os.path.join(REPO, "README.md")) as fh:
+        text = fh.read()
+    m = re.search(
+        r"### Production loop quickstart.*?```bash\n(.*?)```", text, re.S
+    )
+    assert m, "README production-loop quickstart bash block not found"
+    block = m.group(1).replace("\\\n", " ")
+    cmds = [
+        line.strip()
+        for line in block.splitlines()
+        if line.strip().startswith("python -m")
+    ]
+    assert len(cmds) >= 6, cmds
+    return cmds
+
+
+def test_readme_production_loop_runs(tmp_path):
+    cmds = _quickstart_commands()
+    env = {
+        **os.environ,
+        "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    }
+    outputs = set()
+    for cmd in cmds:
+        cmd = cmd.replace("$D", SF).replace(
+            "/tmp/quickstart_", f"{tmp_path}/quickstart_"
+        )
+        argv = [
+            sys.executable if a == "python" else a for a in shlex.split(cmd)
+        ]
+        # keep the subprocess sessions small: the quickstart documents
+        # the surface, not a perf claim
+        argv += ["--master", "local[4]", "--shuffle-partitions", "4"]
+        r = subprocess.run(
+            argv, capture_output=True, text=True, cwd=str(tmp_path), env=env,
+            timeout=600,
+        )
+        assert r.returncode == 0, f"{cmd}\n--- stderr ---\n{r.stderr[-3000:]}"
+        for a in argv:
+            if a.startswith(str(tmp_path)):
+                outputs.add(a)
+    # every documented output materialized
+    for out in outputs:
+        assert os.path.exists(out), out
+    # the loop's end products are well-formed: overlap/drift emit one
+    # row, the scrub rebuilt every document, the compacted freq table
+    # holds one row per segment hash
+    import duckdb
+
+    con = duckdb.connect()
+    n_docs = con.execute(
+        f"SELECT count(*) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    scrubbed = f"{tmp_path}/quickstart_scrubbed.parquet"
+    assert (
+        con.execute(f"SELECT count(*) FROM '{scrubbed}/*.parquet'").fetchone()[0]
+        == n_docs
+    )
+    overlap = f"{tmp_path}/quickstart_overlap.parquet"
+    row = con.execute(
+        f"SELECT estJaccard FROM '{overlap}/*.parquet'"
+    ).fetchall()
+    assert len(row) == 1 and row[0][0] == pytest.approx(1.0)
+    drift = f"{tmp_path}/quickstart_drift.parquet"
+    rows = con.execute(
+        f"SELECT psi, driftAlert FROM '{drift}/*.parquet'"
+    ).fetchall()
+    assert len(rows) == 1 and rows[0][0] == pytest.approx(0.0)
+    freq = f"{tmp_path}/quickstart_linefreq.parquet"
+    n, nd = con.execute(
+        f"SELECT count(*), count(DISTINCT segHash) FROM '{freq}/*.parquet'"
+    ).fetchone()
+    assert n == nd > 0
