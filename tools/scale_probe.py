@@ -1642,3 +1642,108 @@ def ivfpq_append_probes(
         shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
+
+
+def l2g_skew_probes(sizes: "tuple[int, ...]" = (10_000_000, 40_000_000)) -> None:
+    """Round-12 probe (VERDICT r11 #8): the merged two-pass L2G
+    tag-level aggregation (operators/l2g.local_features — one
+    tags⋈csq shuffle for all four credible-set families, one
+    sentinel⋈csq shuffle for both sentinel families) under a PLANTED
+    hot locus: ONE studyLocusId holds 30% of all exploded tag rows at
+    10-40M tags. Every aggregate in both passes is algebraic
+    (conditional sums, max, mean, qualifying-row counts), so map-side
+    partial aggregation must absorb the hot key before the shuffle —
+    the verdict is near-linear wall between the two sizes with no
+    hot-key cliff.
+    Run: python -c "import tools.scale_probe as sp; sp.l2g_skew_probes()"
+    """
+    spark = get_session(
+        app_name="l2g_skew_probe",
+        master="local[32]",
+        shuffle_partitions=64,
+        # the at-scale plan shape is what's being measured: at 100 TB
+        # neither join side broadcasts (variant_index is TB-scale), so
+        # disable auto-broadcast — with it on, AQE sees the exploded
+        # 4M-row csq side compress under the 64 MB threshold and
+        # builds an 8g-driver-killing hash relation at 40M tags
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.operators.l2g import local_features
+
+    n_variants = 1_000_000
+    # variant index: 4 consequences per variant -> 4M csq rows, genes
+    # shared per variant block so hot-locus groups stay realistic
+    variant_index = spark.range(n_variants).select(
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("variantId"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda g: F.struct(
+                F.concat(
+                    F.lit("g"), (F.floor(F.col("id") / 1000) * 4 + g).cast("string")
+                ).alias("targetId"),
+                F.pmod(F.hash(F.col("id").cast("string"), g), F.lit(1_000_000)).cast(
+                    "long"
+                ).alias("distanceFromTss"),
+                F.pmod(F.hash(g, F.col("id").cast("string")), F.lit(1_000_000)).cast(
+                    "long"
+                ).alias("distanceFromFootprint"),
+                (F.pmod(F.hash("id"), F.lit(100)).cast("double") / 100.0).alias(
+                    "consequenceScore"
+                ),
+            ),
+        ).alias("transcriptConsequences"),
+    ).localCheckpoint(eager=True)
+    for n in sizes:
+        n_rows = n // 100  # 100 tags per study_locus row
+        hot = F.pmod(F.hash("id"), F.lit(100)) < 30
+        # the hot locus draws its tags from a 10k-variant pool (dense
+        # credible-set sharing); cold loci sweep the full index
+        vid = F.when(
+            hot, F.pmod(F.hash("id", "id"), F.lit(10_000))
+        ).otherwise(F.pmod(F.hash("id"), F.lit(n_variants)))
+        study_locus = spark.range(n_rows).select(
+            F.when(hot, F.lit("HOT"))
+            .otherwise(F.concat(F.lit("L"), F.col("id").cast("string")))
+            .alias("studyLocusId"),
+            F.concat(F.lit("v"), vid.cast("string")).alias("variantId"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(99)),
+                lambda t: F.struct(
+                    F.concat(
+                        F.lit("v"),
+                        F.pmod(F.hash(F.col("id").cast("string"), t), F.lit(n_variants))
+                        .alias("x")
+                        .cast("string"),
+                    ).alias("variantId"),
+                    (F.pmod(F.hash(t, F.col("id").cast("string")), F.lit(1000))
+                     .cast("double") / 1000.0).alias("posteriorProbability"),
+                ),
+            ).alias("locus"),
+        ).localCheckpoint(eager=True)
+        hot_frac = (
+            study_locus.filter(F.col("studyLocusId") == "HOT").count()
+            * 100.0
+            / n
+        )
+        start = time.perf_counter()
+        n_out = local_features(study_locus, variant_index).count()
+        sec = round(time.perf_counter() - start, 2)
+        print(
+            json.dumps(
+                {
+                    "probe": f"l2g_local_features_skew_{n // 1_000_000}m_tags",
+                    "tag_rows": n,
+                    "hot_locus_frac": round(hot_frac, 3),
+                    "feature_rows": n_out,
+                    "sec": sec,
+                    "tags_per_sec": int(n / sec) if sec else None,
+                }
+            ),
+            flush=True,
+        )
+        study_locus.unpersist()
+    spark.stop()
