@@ -690,3 +690,58 @@ def test_line_dedup_incremental_matches_pure_python(spark, corpus, delta, max_co
     }
     want = {i: reference(t) for i, t in delta_docs}
     assert got == want
+
+
+# --- banded edit distance: decision-exactness at the computed k ---
+
+_texts_strategy = st.lists(
+    st.text(alphabet="ab \n", min_size=0, max_size=60),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_texts_strategy)
+def test_banded_edit_distance_decision_exact(spark, texts):
+    """Property (r12): at k = edit_distance_band(θ, max_len) the
+    banded mode returns the SAME isDup as the exact kernel on every
+    pair of random texts, and agrees exactly on distance/ratio for
+    every pair inside the band — the docstring's decision-exactness
+    claim under adversarial short strings (tiny max_len keeps the
+    band genuinely narrow so both branches are exercised)."""
+    from genetics_spark_coloc_spark.operators.dedup import (
+        edit_distance_band,
+        edit_distance_verify,
+    )
+
+    theta, max_len = 0.7, 40
+    k = edit_distance_band(theta, max_len)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(len(texts)) for j in range(i + 1, len(texts))],
+        "leftId int, rightId int",
+    )
+    kw = {"ratio_threshold": theta, "max_len": max_len}
+    exact = {
+        (r["leftId"], r["rightId"]): r
+        for r in edit_distance_verify(docs, pairs, "text", "doc_id", **kw).collect()
+    }
+    banded = {
+        (r["leftId"], r["rightId"]): r
+        for r in edit_distance_verify(
+            docs, pairs, "text", "doc_id", threshold=k, **kw
+        ).collect()
+    }
+    assert exact.keys() == banded.keys() and exact
+    for key, er in exact.items():
+        br = banded[key]
+        assert br["isDup"] == er["isDup"], (key, er, br)
+        if er["editDistance"] <= k:
+            assert br["editDistance"] == er["editDistance"], key
+            assert br["editRatio"] == er["editRatio"], key
+        else:
+            assert br["editDistance"] is None and br["editRatio"] is None
+            assert br["isDup"] is False
