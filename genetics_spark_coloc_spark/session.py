@@ -41,6 +41,21 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # asymmetric runtime threshold: AQE's broadcast conversion
+        # compares COMPRESSED shuffle bytes, so "64 MB at runtime" can
+        # be a multi-GB in-memory hash relation — the l2g_skew_probes
+        # run measured an exploded 4M-row join side compressing under
+        # the 64 MB threshold and the resulting runtime broadcast
+        # killing an 8g driver (BASELINE.md r12 row). 16 MB compressed
+        # ≈ the same actual data volume the 64 MB UNCOMPRESSED static
+        # estimate admits, so deliberate small-dim broadcasts keep
+        # their plan while deceptively-compressible wide sides fall
+        # back to the shuffle join (which that probe measured 2x
+        # faster anyway).
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(16 * 1024 * 1024),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # driver testdata writes events.ts as TIMESTAMP(NANOS); Spark
         # has no nanos type — read as long and convert explicitly
