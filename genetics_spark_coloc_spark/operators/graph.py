@@ -308,3 +308,120 @@ def duplicate_clusters(
             (F.col("id") == F.col("component")).alias("isKeeper"),
         )
     )
+
+
+def incremental_connected_components(
+    labels: DataFrame,
+    delta_edges: DataFrame,
+    delta_vertices: DataFrame | None = None,
+    id_col: str = "id",
+    src_col: str = "leftId",
+    dst_col: str = "rightId",
+    remap_out: "dict | None" = None,
+    **cc_kwargs,
+) -> DataFrame:
+    """Incremental duplicate-cluster maintenance: fold a DELTA batch's
+    edges into an existing CONVERGED labeling without re-running
+    connected components over history — the cluster-resolution member
+    of the O(delta) daily-crawl loop (band-index append, O(delta)
+    ceiling re-certification, delta candidate pairs, incremental C4
+    scrub... and previously a full-graph CC recompute every day).
+
+    ``labels`` is a prior :func:`connected_components` result
+    (id, component) — the CONTRACT is that it is converged (component
+    = min reachable id; every component id labels itself). New edges
+    can only MERGE whole existing components, never split them, so
+    the union graph contracts exactly to:
+
+    - nodes: the delta edges' endpoints mapped through ``labels``
+      (an endpoint's component if known, itself if new),
+    - edges: those canonical pairs (self-loops dropped).
+
+    That reduced graph is O(delta); the existing pointer-doubling
+    kernel resolves it, and because old component ids ARE the minima
+    of their vertex sets, the reduced labeling's minima equal the
+    full recompute's minima — the output is IDENTICAL to
+    ``connected_components`` over the union graph (pinned by oracle
+    and property tests).
+
+    Returns the FULL updated labeling: history relabelled through the
+    (tiny, broadcast) old→new component remap — a map-only scan of
+    ``labels`` with zero shuffle on the history side — plus one row
+    per delta vertex (singletons keep their own id). Pass
+    ``remap_out`` (a dict) to also receive ``{"remap": DataFrame}``
+    of only the CHANGED (oldComponent, newComponent) rows — the
+    alias-table maintenance path for consumers that defer the
+    history rewrite. Never-seen edge endpoints always get rows;
+    ``delta_vertices`` additionally rosters edgeless newcomers (as
+    singleton clusters) and may overlap history — known ids are
+    ignored (their rows come from the history side). ``cc_kwargs``
+    forward to :func:`connected_components` for the reduced solve.
+    """
+    lab = labels.select(
+        F.col(id_col).alias("_lid"), F.col("component").alias("_lcomp")
+    )
+    edges = delta_edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    )
+    canon = (
+        edges.join(lab.withColumnRenamed("_lid", "_src"), on="_src", how="left")
+        .withColumnRenamed("_lcomp", "_csrc")
+        .join(lab.withColumnRenamed("_lid", "_dst"), on="_dst", how="left")
+        .withColumnRenamed("_lcomp", "_cdst")
+        .select(
+            F.coalesce(F.col("_csrc"), F.col("_src")).alias("src"),
+            F.coalesce(F.col("_cdst"), F.col("_dst")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        canon.select(F.col("src").alias("id"))
+        .unionByName(canon.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    reduced = connected_components(
+        nodes, canon, "id", "src", "dst", **cc_kwargs
+    )
+    # only the canonical ids whose label actually moved — O(changed
+    # components), broadcastable by construction
+    remap = reduced.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("_oldComp"), F.col("component").alias("_newComp")
+    )
+    if remap_out is not None:
+        remap_out["remap"] = remap
+    updated_history = (
+        labels.select(F.col(id_col).alias("id"), "component")
+        .join(
+            F.broadcast(remap),
+            F.col("component") == F.col("_oldComp"),
+            "left",
+        )
+        .select(
+            "id",
+            F.coalesce(F.col("_newComp"), F.col("component")).alias(
+                "component"
+            ),
+        )
+    )
+    # every never-seen vertex gets a row: edge endpoints always, plus
+    # the optional delta_vertices roster (edgeless newcomers land as
+    # singletons) — so the output's vertex set equals the full
+    # recompute's regardless of how the caller supplies the delta
+    incoming = (
+        edges.select(F.col("_src").alias("id"))
+        .unionByName(edges.select(F.col("_dst").alias("id")))
+    )
+    if delta_vertices is not None:
+        incoming = incoming.unionByName(
+            delta_vertices.select(F.col(id_col).alias("id"))
+        )
+    new_ids = incoming.distinct().join(
+        lab.withColumnRenamed("_lid", "id"), on="id", how="left_anti"
+    )
+    new_rows = new_ids.join(
+        F.broadcast(remap), F.col("id") == F.col("_oldComp"), "left"
+    ).select(
+        "id", F.coalesce(F.col("_newComp"), F.col("id")).alias("component")
+    )
+    return updated_history.unionByName(new_rows)

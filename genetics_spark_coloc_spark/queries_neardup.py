@@ -4242,3 +4242,116 @@ GROUP BY docId
 
 NEARDUP_QUERIES["delta_line_dedup"] = q_delta_line_dedup
 NEARDUP_ORACLES["delta_line_dedup"] = SQL_DELTA_LINE_DEDUP
+
+
+def q_delta_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental duplicate-cluster maintenance
+    (operators/graph.incremental_connected_components): history is
+    clustered ONCE (converged CC over the index split's pairs); the
+    delta folds in through its O(delta) edge set only — delta-vs-index
+    candidates from the incremental LSH path plus intra-delta pairs —
+    contracted onto existing component labels, solved by the same
+    pointer-doubling kernel on the TINY reduced graph, and applied to
+    history as a broadcast remap (zero shuffle on the history side).
+    The oracle is the FULL-corpus recursive-CTE components over the
+    planted union graph: the certificate that incremental maintenance
+    equals the full recompute."""
+    from genetics_spark_coloc_spark.operators import dedup
+    from genetics_spark_coloc_spark.operators.graph import (
+        connected_components,
+        incremental_connected_components,
+    )
+
+    delta, hist = _planted_delta_corpus(spark, sf_dir)
+    hist_pairs = dedup.minhash_dedup_pairs(
+        hist, "content", "doc_id", num_perm=8, band_size=2
+    )
+    labels_hist = connected_components(
+        hist.select(F.col("doc_id").alias("id")),
+        hist_pairs,
+        num_rounds=16,
+        until_converged=True,
+        check_every=2,
+        unroll=2,
+    )
+    delta_cross = dedup.incremental_lsh_candidates(
+        delta, index=hist, text_col="content", num_perm=8, band_size=2
+    ).select(
+        F.col("deltaId").alias("leftId"), F.col("indexId").alias("rightId")
+    )
+    delta_self = dedup.minhash_dedup_pairs(
+        delta, "content", "doc_id", num_perm=8, band_size=2
+    ).select("leftId", "rightId")
+    comp = incremental_connected_components(
+        labels_hist,
+        delta_cross.unionByName(delta_self),
+        delta_vertices=delta.select(F.col("doc_id").alias("id")),
+        num_rounds=16,
+        until_converged=True,
+        check_every=2,
+        unroll=2,
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("clusterSize")
+    )
+    return comp.join(sizes, on="component").select(
+        F.col("id").alias("docId"),
+        F.col("component").alias("clusterId"),
+        F.col("clusterSize").cast("long").alias("clusterSize"),
+        (F.col("id") == F.col("component")).alias("isKeeper"),
+    )
+
+
+SQL_DELTA_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_PLANTED_DELTA_SQL.strip()},
+sh AS (
+  SELECT DISTINCT doc_id AS docId,
+         substr(lower(content), CAST(i AS INT) * 4 + 1, 8) AS shingle
+  FROM planted CROSS JOIN range(0, 64) AS t(i)
+  WHERE CAST(i AS INT) < CAST(FLOOR(LEAST(GREATEST((length(lower(content)) - 8) / 4 + 1, 1), 64)) AS INT)
+),
+hashed AS (
+  SELECT docId, CAST(p AS INT) AS perm,
+         substr(md5(shingle), CAST(p AS INT) * 3 + 1, 8) AS h
+  FROM sh, range(0, 8) AS pt(p)
+),
+sig AS (
+  SELECT docId, perm, MIN(h) AS minHash
+  FROM hashed GROUP BY docId, perm
+),
+bands AS (
+  SELECT docId, CAST(FLOOR(perm / 2) AS INT) AS bandIdx,
+         md5(string_agg(minHash, '|' ORDER BY minHash)) AS bandHash
+  FROM sig
+  GROUP BY docId, CAST(FLOOR(perm / 2) AS INT)
+),
+pairs AS (
+  SELECT DISTINCT l.docId AS leftId, r.docId AS rightId
+  FROM bands l
+  JOIN bands r ON l.bandIdx = r.bandIdx AND l.bandHash = r.bandHash
+             AND l.docId < r.docId
+),
+edges AS (
+  SELECT leftId AS src, rightId AS dst FROM pairs
+  UNION
+  SELECT rightId, leftId FROM pairs
+),
+comp(id, lab) AS (
+  SELECT doc_id, doc_id FROM planted
+  UNION
+  SELECT e.dst, c.lab FROM comp c JOIN edges e ON e.src = c.id
+),
+final AS (
+  SELECT id, MIN(lab) AS clusterId FROM comp GROUP BY id
+),
+sizes AS (
+  SELECT clusterId, CAST(COUNT(*) AS BIGINT) AS clusterSize
+  FROM final GROUP BY clusterId
+)
+SELECT f.id AS docId, f.clusterId, s.clusterSize,
+       f.id = f.clusterId AS isKeeper
+FROM final f JOIN sizes s USING (clusterId)
+"""
+
+NEARDUP_QUERIES["delta_dedup_clusters"] = q_delta_dedup_clusters
+NEARDUP_ORACLES["delta_dedup_clusters"] = SQL_DELTA_DEDUP_CLUSTERS

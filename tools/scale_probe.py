@@ -1747,3 +1747,83 @@ def l2g_skew_probes(sizes: "tuple[int, ...]" = (10_000_000, 40_000_000)) -> None
         )
         study_locus.unpersist()
     spark.stop()
+
+
+def incremental_cc_probes(
+    n_delta: int = 50_000, hist_sizes: "tuple[int, ...]" = (1_000_000, 4_000_000)
+) -> None:
+    """Round-12 probe: incremental connected components vs the full
+    recompute as history grows. The daily loop folds a 50k-edge delta
+    into an existing converged labeling: the reduced solve is O(delta)
+    (canonical contraction), and the history side is ONE broadcast-
+    remap map scan — no CC rounds over history. The full recompute
+    pays propagate+shortcut rounds over the whole union graph every
+    day. Half the delta's edges touch history vertices, half connect
+    brand-new ones.
+    Run: python -c "import tools.scale_probe as sp; sp.incremental_cc_probes()"
+    """
+    spark = get_session(
+        app_name="incremental_cc_probe",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.operators.graph import (
+        connected_components,
+        incremental_connected_components,
+    )
+
+    for n_hist in hist_sizes:
+        n_vert = 2 * n_hist
+        # chains of ~8 vertices: realistic near-dup cluster shapes
+        hist_edges = spark.range(n_hist).select(
+            F.col("id").alias("leftId"),
+            F.when(F.pmod("id", F.lit(8)) != 7, F.col("id") + 1)
+            .otherwise(F.col("id"))
+            .alias("rightId"),
+        ).filter(F.col("leftId") != F.col("rightId")).localCheckpoint(eager=True)
+        verts = spark.range(n_vert).select(F.col("id")).localCheckpoint(eager=True)
+        start = time.perf_counter()
+        labels = connected_components(
+            verts, hist_edges, until_converged=True, check_every=2, unroll=2
+        ).localCheckpoint(eager=True)
+        build_sec = round(time.perf_counter() - start, 2)
+        delta_edges = spark.range(n_delta).select(
+            F.when(F.pmod("id", F.lit(2)) == 0, F.pmod(F.hash("id"), F.lit(n_hist)))
+            .otherwise(F.lit(n_vert) + F.col("id"))
+            .alias("leftId"),
+            (F.lit(n_vert) + F.lit(n_delta) + F.col("id")).alias("rightId"),
+        ).localCheckpoint(eager=True)
+        start = time.perf_counter()
+        n_rows = incremental_connected_components(
+            labels, delta_edges, until_converged=True, check_every=2, unroll=2
+        ).count()
+        inc_sec = round(time.perf_counter() - start, 2)
+        start = time.perf_counter()
+        full_edges = hist_edges.unionByName(delta_edges)
+        full_verts = verts.unionByName(
+            delta_edges.select(F.col("leftId").alias("id"))
+        ).unionByName(delta_edges.select(F.col("rightId").alias("id"))).distinct()
+        n_full = connected_components(
+            full_verts, full_edges, until_converged=True, check_every=2, unroll=2
+        ).count()
+        full_sec = round(time.perf_counter() - start, 2)
+        print(
+            json.dumps(
+                {
+                    "probe": f"incremental_cc_{n_delta // 1000}k_delta_vs_{n_hist // 1_000_000}m_edges",
+                    "hist_edges": n_hist,
+                    "delta_edges": n_delta,
+                    "build_sec": build_sec,
+                    "incremental_sec": inc_sec,
+                    "full_recompute_sec": full_sec,
+                    "rows": n_rows,
+                    "rows_full": n_full,
+                }
+            ),
+            flush=True,
+        )
+        for df in (hist_edges, verts, labels, delta_edges):
+            df.unpersist()
+    spark.stop()
