@@ -424,4 +424,44 @@ def incremental_connected_components(
     ).select(
         "id", F.coalesce(F.col("_newComp"), F.col("id")).alias("component")
     )
+    if remap_out is not None:
+        # the at-rest maintenance pieces (cc_labels step): appending
+        # new_rows + folding remap into an alias sidecar updates the
+        # persisted labeling WITHOUT the O(history) rewrite below
+        remap_out["new_rows"] = new_rows
     return updated_history.unionByName(new_rows)
+
+
+def load_cc_labels(spark, path: str) -> DataFrame:
+    """Load a persisted component labeling (written by the
+    ``cc_labels`` step) RESOLVED through its alias sidecar: label
+    shards at the root hold (id, component) as of their write time;
+    ``_aliases`` (underscore path, invisible to parquet readers of
+    the root) maps every superseded component id to its CURRENT
+    canonical in ONE hop — append-mode folds keep it composed, so
+    resolution is a single broadcast join, never a chain walk.
+
+    Contract: the table covers EDGED vertices (plus any rostered
+    newcomers); an id absent from it is its own singleton component.
+    """
+    import os
+
+    labels = spark.read.parquet(path)
+    alias_path = os.path.join(path, "_aliases")
+    try:
+        aliases = spark.read.parquet(alias_path)
+    except Exception:  # noqa: BLE001 — no sidecar yet: nothing superseded
+        return labels.select("id", "component")
+    return (
+        labels.join(
+            F.broadcast(aliases),
+            labels.component == aliases.oldComp,
+            "left",
+        )
+        .select(
+            "id",
+            F.coalesce(F.col("newComp"), F.col("component")).alias(
+                "component"
+            ),
+        )
+    )

@@ -936,6 +936,104 @@ def _run_ivfpq_index(spark, inputs, output, p):
     return None
 
 
+def _run_cc_labels(spark, inputs, output, p):
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.operators.graph import (
+        connected_components,
+        incremental_connected_components,
+        load_cc_labels,
+    )
+
+    src, dst = p["src_col"], p["dst_col"]
+    alias_path = _os.path.join(output, "_aliases")
+
+    if p["mode"] == "compact":
+        # fold the alias sidecar into the label shards: one resolved
+        # scan, checkpointed to sever the self-read, then the root
+        # overwrite drops the (now redundant) _aliases with it —
+        # the ledger / line_freq compaction twin for the labeling
+        resolved = load_cc_labels(spark, output).localCheckpoint(eager=True)
+        resolved.write.mode("overwrite").parquet(output)
+        return None
+    if p["mode"] == "append":
+        # the daily fold: resolve the at-rest labeling ONCE (one
+        # broadcast alias hop), contract the delta onto it, then
+        # update the index as two O(delta) writes — new-vertex rows
+        # appended as a label shard, the changed-component remap
+        # COMPOSED into the alias sidecar (existing aliases re-target
+        # through the remap, so resolution stays ONE hop, never a
+        # chain walk). History shards are never rewritten.
+        resolved = load_cc_labels(spark, output)
+        edges = _parquet(spark, inputs["edges"])
+        parts: dict = {}
+        incremental_connected_components(
+            resolved,
+            edges,
+            src_col=src,
+            dst_col=dst,
+            remap_out=parts,
+            num_rounds=p["num_rounds"],
+            until_converged=True,
+            check_every=2,
+            unroll=2,
+        )
+        remap = parts["remap"].localCheckpoint(eager=True)
+        new_rows = parts["new_rows"].localCheckpoint(eager=True)
+        try:
+            old_aliases = spark.read.parquet(alias_path)
+        except Exception:  # noqa: BLE001 — first append: no sidecar yet
+            old_aliases = None
+        r = remap.select(
+            F.col("_oldComp").alias("oldComp"),
+            F.col("_newComp").alias("newComp"),
+        )
+        if old_aliases is not None:
+            # A' = {x -> R(y) if y moved else y} ∪ R: A's keys are
+            # historical components, R's keys are CURRENT canonicals
+            # (a superseded id can't be current), so the union is
+            # key-disjoint by construction
+            retargeted = (
+                old_aliases.join(
+                    F.broadcast(remap),
+                    old_aliases.newComp == F.col("_oldComp"),
+                    "left",
+                )
+                .select(
+                    "oldComp",
+                    F.coalesce(F.col("_newComp"), F.col("newComp")).alias(
+                        "newComp"
+                    ),
+                )
+            )
+            r = retargeted.unionByName(r).localCheckpoint(eager=True)
+        new_rows.write.mode("append").parquet(output)
+        r.write.mode("overwrite").parquet(alias_path)
+        return None
+    edges = _parquet(spark, inputs["edges"])
+    vertices = (
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    labels = connected_components(
+        vertices,
+        edges,
+        src_col=src,
+        dst_col=dst,
+        num_rounds=p["num_rounds"],
+        until_converged=True,
+        check_every=2,
+        unroll=2,
+    )
+    # the root overwrite deletes the whole directory first, so a
+    # prior build's _aliases sidecar cannot survive a rebuild
+    labels.write.mode("overwrite").parquet(output)
+    return None
+
+
 def _run_corpus_drift(spark, inputs, output, p):
     from pyspark.sql import functions as F
 
@@ -1396,6 +1494,34 @@ STEPS: dict[str, StepSpec] = {
                     "new corpus with the index's OWN build-time centroids "
                     "(supplied centroids verified identical) and append "
                     "its list files — history never re-assigned",
+                ),
+            },
+            sink=True,
+        ),
+        StepSpec(
+            "cc_labels",
+            "Persist the duplicate-cluster labeling (connected components "
+            "over candidate-pair edges) as an at-rest index with O(delta) "
+            "daily maintenance: append folds a delta's edges into the "
+            "existing CONVERGED labeling — new-vertex rows land as an "
+            "appended shard and the changed-component remap composes into "
+            "the _aliases sidecar (one-hop resolution via load_cc_labels; "
+            "history shards never rewritten, no CC rounds over history); "
+            "compact folds the sidecar back into the shards. An id absent "
+            "from the table is its own singleton component (additive "
+            "layer beyond the reference's genetics surface)",
+            ("edges",),
+            _run_cc_labels,
+            {
+                "src_col": Param(str, "leftId", "edge source id column"),
+                "dst_col": Param(str, "rightId", "edge destination id column"),
+                "num_rounds": Param(int, 16, "CC round budget"),
+                "mode": Param(
+                    str,
+                    "overwrite",
+                    "overwrite = full build from edges; append = fold the "
+                    "delta's edges in at O(delta); compact = fold the "
+                    "alias sidecar into the label shards in place",
                 ),
             },
             sink=True,

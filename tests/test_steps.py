@@ -1419,3 +1419,79 @@ def test_line_freq_append_and_compact_preserve_scrub(spark, tmp_path):
     tbl2 = spark.read.parquet(freq)
     assert tbl2.count() == tbl2.select("segHash").distinct().count()
     assert scrub() == before
+
+
+def test_run_cc_labels_build_append_compact(spark, tmp_path):
+    """The cc_labels at-rest lifecycle (r12): build once, fold two
+    delta batches at O(delta), compact. After EVERY stage the resolved
+    labeling equals a full CC recompute over all edges so far, the
+    alias sidecar stays one-hop, and compaction is bit-exact."""
+    import os
+
+    from genetics_spark_coloc_spark.operators.graph import (
+        connected_components,
+        load_cc_labels,
+    )
+
+    def edges_df(rows):
+        return spark.createDataFrame(rows, "leftId long, rightId long")
+
+    def write(rows, name):
+        path = str(tmp_path / f"{name}.parquet")
+        edges_df(rows).write.parquet(path)
+        return path
+
+    def full(rows):
+        ids = sorted({v for e in rows for v in e})
+        v = spark.createDataFrame([(i,) for i in ids], "id long")
+        return {
+            r["id"]: r["component"]
+            for r in connected_components(
+                v, edges_df(rows), until_converged=True
+            ).collect()
+        }
+
+    def resolved(out):
+        return {
+            r["id"]: r["component"]
+            for r in load_cc_labels(spark, out).collect()
+        }
+
+    # build: two chains {1,2,3} and {10,11}
+    e0 = [(1, 2), (2, 3), (10, 11)]
+    # day 1: merge the chains through a new vertex 30
+    e1 = [(3, 30), (30, 11)]
+    # day 2: a new vertex 0 (smaller than everything) grabs the merged
+    # cluster AND its own newcomer 40 — exercises alias RE-TARGETING
+    # (day 1 aliased 10 -> 1; day 2 must re-point it at 0, one hop)
+    e2 = [(0, 30), (0, 40)]
+    out = str(tmp_path / "cc_labels")
+    run_step(spark, "cc_labels", {"edges": write(e0, "e0")}, out)
+    assert resolved(out) == full(e0)
+    run_step(
+        spark, "cc_labels", {"edges": write(e1, "e1")}, out,
+        params={"mode": "append"},
+    )
+    assert resolved(out) == full(e0 + e1)
+    run_step(
+        spark, "cc_labels", {"edges": write(e2, "e2")}, out,
+        params={"mode": "append"},
+    )
+    want = full(e0 + e1 + e2)
+    assert resolved(out) == want
+    # one-hop contract: every alias target is itself canonical
+    aliases = {
+        r["oldComp"]: r["newComp"]
+        for r in spark.read.parquet(os.path.join(out, "_aliases")).collect()
+    }
+    assert aliases and all(t not in aliases for t in aliases.values())
+    # day-1's 10 -> 1 alias must have re-targeted to 0 on day 2
+    assert aliases[10] == 0
+    # compact: sidecar folds into the shards, labeling bit-exact
+    # compact ignores the edges input; any valid path satisfies the spec
+    run_step(
+        spark, "cc_labels", {"edges": str(tmp_path / "e0.parquet")}, out,
+        params={"mode": "compact"},
+    )
+    assert not os.path.exists(os.path.join(out, "_aliases"))
+    assert resolved(out) == want
