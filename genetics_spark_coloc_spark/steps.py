@@ -936,6 +936,50 @@ def _run_ivfpq_index(spark, inputs, output, p):
     return None
 
 
+def _run_lsh_pairs(spark, inputs, output, p):
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        load_lsh_band_index,
+        minhash_dedup_pairs,
+    )
+
+    corpus = _parquet(spark, inputs["corpus"])
+    kw = {
+        "text_col": p["text_col"],
+        "id_col": p["id_col"],
+        "num_perm": p["num_perm"],
+        "band_size": p["band_size"],
+    }
+    self_pairs = minhash_dedup_pairs(
+        corpus, hot_bucket_ceiling=p["hot_bucket_ceiling"], **kw
+    ).select("leftId", "rightId")
+    if not p["index"]:
+        return self_pairs
+    # daily mode: the corpus is a DELTA — cross pairs against the
+    # certified index (guard paid once at build time) plus the
+    # intra-delta self pairs; together exactly the union graph's
+    # delta-incident edge set, which is all cc_labels append needs
+    bands = load_lsh_band_index(
+        spark,
+        p["index"],
+        num_perm=p["num_perm"],
+        band_size=p["band_size"],
+        hot_bucket_ceiling=p["hot_bucket_ceiling"],
+    )
+    cross = incremental_lsh_candidates(
+        corpus,
+        index_bands=bands,
+        index_guard=False,
+        hot_bucket_ceiling=p["hot_bucket_ceiling"],
+        **kw,
+    ).select(
+        F.col("deltaId").alias("leftId"), F.col("indexId").alias("rightId")
+    )
+    return cross.unionByName(self_pairs)
+
+
 def _run_cc_labels(spark, inputs, output, p):
     import os as _os
 
@@ -1497,6 +1541,35 @@ STEPS: dict[str, StepSpec] = {
                 ),
             },
             sink=True,
+        ),
+        StepSpec(
+            "lsh_pairs",
+            "Emit MinHash-LSH near-dup candidate pairs (leftId, rightId) "
+            "as a parquet edge list — the input cc_labels resolves into "
+            "clusters. Without --param index: banded self-join over the "
+            "corpus (the one-shot path). With index naming a persisted "
+            "lsh_band_index table: the corpus is treated as a DELTA and "
+            "pairs are delta-vs-index (via the validated, certified-"
+            "ceiling incremental path) PLUS intra-delta — exactly the "
+            "edge set the daily cc_labels append folds in (additive "
+            "layer beyond the reference's genetics surface)",
+            ("corpus",),
+            _run_lsh_pairs,
+            {
+                "text_col": Param(str, "text", "document text column"),
+                "id_col": Param(str, "doc_id", "document id column"),
+                "num_perm": Param(int, 8, "MinHash permutations"),
+                "band_size": Param(int, 2, "hashes per LSH band"),
+                "index": Param(
+                    str,
+                    "",
+                    "persisted lsh_band_index TABLE name; empty = "
+                    "self-join over the corpus",
+                ),
+                "hot_bucket_ceiling": Param(
+                    int, 10_000, "per-bucket occupancy guard"
+                ),
+            },
         ),
         StepSpec(
             "cc_labels",

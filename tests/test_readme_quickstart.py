@@ -101,3 +101,15 @@ def test_readme_production_loop_runs(tmp_path):
         f"SELECT count(*), count(DISTINCT segHash) FROM '{freq}/*.parquet'"
     ).fetchone()
     assert n == nd > 0
+    # the compacted cluster labeling: one row per edged document, and
+    # every component labels itself (min-id canonical invariant)
+    cc = f"{tmp_path}/quickstart_cc_labels"
+    n, nid = con.execute(
+        f"SELECT count(*), count(DISTINCT id) FROM '{cc}/*.parquet'"
+    ).fetchone()
+    assert n == nid > 0
+    dangling = con.execute(
+        f"SELECT count(*) FROM '{cc}/*.parquet' l WHERE component NOT IN "
+        f"(SELECT id FROM '{cc}/*.parquet')"
+    ).fetchone()[0]
+    assert dangling == 0
