@@ -1495,3 +1495,74 @@ def test_run_cc_labels_build_append_compact(spark, tmp_path):
     )
     assert not os.path.exists(os.path.join(out, "_aliases"))
     assert resolved(out) == want
+
+
+@pytest.mark.parametrize("seed", [3, 17, 41])
+def test_cc_labels_random_multi_append_equals_full(spark, tmp_path, seed):
+    """Randomized lifecycle pin for the alias composition: FOUR
+    successive folds of random edge batches (mixing old, recent, and
+    brand-new vertices) must keep the resolved labeling equal to the
+    full recompute after every fold, with the sidecar one-hop
+    throughout — the invariant that makes load_cc_labels a single
+    broadcast join no matter how long the append history grows."""
+    import os
+    import random
+
+    from genetics_spark_coloc_spark.operators.graph import (
+        connected_components,
+        load_cc_labels,
+    )
+
+    rng = random.Random(seed)
+
+    def edges_df(rows):
+        return spark.createDataFrame(rows, "leftId long, rightId long")
+
+    def full(rows):
+        ids = sorted({v for e in rows for v in e})
+        v = spark.createDataFrame([(i,) for i in ids], "id long")
+        return {
+            r["id"]: r["component"]
+            for r in connected_components(
+                v, edges_df(rows), until_converged=True
+            ).collect()
+        }
+
+    out = str(tmp_path / "cc")
+    seen: list = []
+    hi = 30
+    batch = [
+        (rng.randrange(hi), rng.randrange(hi)) for _ in range(20)
+    ]
+    batch = [(a, b) for a, b in batch if a != b]
+    p0 = str(tmp_path / "b0.parquet")
+    edges_df(batch).write.parquet(p0)
+    run_step(spark, "cc_labels", {"edges": p0}, out)
+    seen += batch
+    for day in range(1, 5):
+        lo, hi = hi, hi + 15
+        batch = [
+            (rng.randrange(hi), rng.randrange(lo, hi)) for _ in range(12)
+        ]
+        batch = [(a, b) for a, b in batch if a != b]
+        path = str(tmp_path / f"b{day}.parquet")
+        edges_df(batch).write.parquet(path)
+        run_step(
+            spark, "cc_labels", {"edges": path}, out,
+            params={"mode": "append"},
+        )
+        seen += batch
+        got = {
+            r["id"]: r["component"]
+            for r in load_cc_labels(spark, out).collect()
+        }
+        assert got == full(seen), f"day {day} diverged"
+        alias_dir = os.path.join(out, "_aliases")
+        if os.path.exists(alias_dir):
+            aliases = {
+                r["oldComp"]: r["newComp"]
+                for r in spark.read.parquet(alias_dir).collect()
+            }
+            assert all(t not in aliases for t in aliases.values()), (
+                f"day {day}: alias chain formed"
+            )
