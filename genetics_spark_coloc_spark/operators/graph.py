@@ -465,3 +465,68 @@ def load_cc_labels(spark, path: str) -> DataFrame:
             ),
         )
     )
+
+
+def fold_cc_labels(
+    edges: DataFrame,
+    labels_path: str,
+    src_col: str = "leftId",
+    dst_col: str = "rightId",
+    num_rounds: int = 16,
+) -> None:
+    """Fold a delta edge batch into a persisted ``cc_labels`` index —
+    the shared kernel behind the ``cc_labels mode=append`` step and
+    ``streaming_cc_maintenance``: resolve the at-rest labeling once
+    (one broadcast alias hop), contract the delta onto it, then update
+    the index as two O(delta) writes. New-vertex rows land as an
+    appended label shard; the changed-component remap COMPOSES into
+    the ``_aliases`` sidecar (existing aliases re-target through the
+    remap — A's keys are historical components, the remap's keys are
+    CURRENT canonicals, so the union is key-disjoint and resolution
+    stays ONE hop). History shards are never rewritten.
+    """
+    import os
+
+    spark = edges.sparkSession
+    resolved = load_cc_labels(spark, labels_path)
+    parts: dict = {}
+    incremental_connected_components(
+        resolved,
+        edges,
+        src_col=src_col,
+        dst_col=dst_col,
+        remap_out=parts,
+        num_rounds=num_rounds,
+        until_converged=True,
+        check_every=2,
+        unroll=2,
+    )
+    remap = parts["remap"].localCheckpoint(eager=True)
+    new_rows = parts["new_rows"].localCheckpoint(eager=True)
+    alias_path = os.path.join(labels_path, "_aliases")
+    try:
+        old_aliases = spark.read.parquet(alias_path)
+    except Exception:  # noqa: BLE001 — first fold: no sidecar yet
+        old_aliases = None
+    r = remap.select(
+        F.col("_oldComp").alias("oldComp"),
+        F.col("_newComp").alias("newComp"),
+    )
+    if old_aliases is not None:
+        r = (
+            old_aliases.join(
+                F.broadcast(remap),
+                old_aliases.newComp == F.col("_oldComp"),
+                "left",
+            )
+            .select(
+                "oldComp",
+                F.coalesce(F.col("_newComp"), F.col("newComp")).alias(
+                    "newComp"
+                ),
+            )
+            .unionByName(r)
+            .localCheckpoint(eager=True)
+        )
+    new_rows.write.mode("append").parquet(labels_path)
+    r.write.mode("overwrite").parquet(alias_path)

@@ -981,18 +981,15 @@ def _run_lsh_pairs(spark, inputs, output, p):
 
 
 def _run_cc_labels(spark, inputs, output, p):
-    import os as _os
-
     from pyspark.sql import functions as F
 
     from genetics_spark_coloc_spark.operators.graph import (
         connected_components,
-        incremental_connected_components,
+        fold_cc_labels,
         load_cc_labels,
     )
 
     src, dst = p["src_col"], p["dst_col"]
-    alias_path = _os.path.join(output, "_aliases")
 
     if p["mode"] == "compact":
         # fold the alias sidecar into the label shards: one resolved
@@ -1003,58 +1000,16 @@ def _run_cc_labels(spark, inputs, output, p):
         resolved.write.mode("overwrite").parquet(output)
         return None
     if p["mode"] == "append":
-        # the daily fold: resolve the at-rest labeling ONCE (one
-        # broadcast alias hop), contract the delta onto it, then
-        # update the index as two O(delta) writes — new-vertex rows
-        # appended as a label shard, the changed-component remap
-        # COMPOSED into the alias sidecar (existing aliases re-target
-        # through the remap, so resolution stays ONE hop, never a
-        # chain walk). History shards are never rewritten.
-        resolved = load_cc_labels(spark, output)
-        edges = _parquet(spark, inputs["edges"])
-        parts: dict = {}
-        incremental_connected_components(
-            resolved,
-            edges,
+        # the daily fold — shared kernel with streaming_cc_maintenance:
+        # two O(delta) writes, history shards never rewritten, alias
+        # sidecar composed so resolution stays ONE hop
+        fold_cc_labels(
+            _parquet(spark, inputs["edges"]),
+            output,
             src_col=src,
             dst_col=dst,
-            remap_out=parts,
             num_rounds=p["num_rounds"],
-            until_converged=True,
-            check_every=2,
-            unroll=2,
         )
-        remap = parts["remap"].localCheckpoint(eager=True)
-        new_rows = parts["new_rows"].localCheckpoint(eager=True)
-        try:
-            old_aliases = spark.read.parquet(alias_path)
-        except Exception:  # noqa: BLE001 — first append: no sidecar yet
-            old_aliases = None
-        r = remap.select(
-            F.col("_oldComp").alias("oldComp"),
-            F.col("_newComp").alias("newComp"),
-        )
-        if old_aliases is not None:
-            # A' = {x -> R(y) if y moved else y} ∪ R: A's keys are
-            # historical components, R's keys are CURRENT canonicals
-            # (a superseded id can't be current), so the union is
-            # key-disjoint by construction
-            retargeted = (
-                old_aliases.join(
-                    F.broadcast(remap),
-                    old_aliases.newComp == F.col("_oldComp"),
-                    "left",
-                )
-                .select(
-                    "oldComp",
-                    F.coalesce(F.col("_newComp"), F.col("newComp")).alias(
-                        "newComp"
-                    ),
-                )
-            )
-            r = retargeted.unionByName(r).localCheckpoint(eager=True)
-        new_rows.write.mode("append").parquet(output)
-        r.write.mode("overwrite").parquet(alias_path)
         return None
     edges = _parquet(spark, inputs["edges"])
     vertices = (

@@ -989,3 +989,58 @@ def streaming_line_dedup(
         on_batch(cleaned, epoch_id)
 
     return docs.writeStream.outputMode("append").foreachBatch(_scrub)
+
+
+def streaming_cc_maintenance(
+    pairs: DataFrame,
+    labels_path: str,
+    on_batch=None,
+    src_col: str = "leftId",
+    dst_col: str = "rightId",
+    num_rounds: int = 16,
+):
+    """Continuous duplicate-cluster maintenance: each arriving
+    micro-batch of candidate pairs folds into the PERSISTED cc_labels
+    index via :func:`operators.graph.incremental_connected_components`
+    — the streaming twin of ``cc_labels mode=append``, completing the
+    incremental-curation family (band-index dedup, drift gate, line
+    scrub, cluster resolution) that all share one shape: heavy corpus
+    evidence at rest, O(delta) per trigger.
+
+    NO state store: cluster membership lives in the at-rest index
+    (label shards + one-hop ``_aliases`` sidecar), so each trigger is
+    the O(batch) canonical contraction + reduced solve + the same two
+    O(batch) index writes the batch step performs — new-vertex rows
+    appended as a label shard, the changed-component remap COMPOSED
+    into the sidecar. Runs under ``foreachBatch`` because the fold is
+    iterative (pointer doubling) and writes two sinks atomically-ish
+    per trigger; replaying the same pairs through any trigger slicing
+    converges to the same labeling as one batch fold (min-label
+    merges are order-insensitive; tested).
+
+    ``on_batch(resolved_reader, epoch_id)`` (optional) is called
+    after each fold with a zero-arg callable returning the freshly
+    RESOLVED labeling — readers pull it only if they need it, so the
+    per-trigger cost stays at the two delta writes.
+    """
+
+    def _fold(batch_df, epoch_id):
+        from genetics_spark_coloc_spark.operators.graph import (
+            fold_cc_labels,
+            load_cc_labels,
+        )
+
+        if not batch_df.take(1):
+            return
+        fold_cc_labels(
+            batch_df,
+            labels_path,
+            src_col=src_col,
+            dst_col=dst_col,
+            num_rounds=num_rounds,
+        )
+        if on_batch is not None:
+            spark = batch_df.sparkSession
+            on_batch(lambda: load_cc_labels(spark, labels_path), epoch_id)
+
+    return pairs.writeStream.outputMode("append").foreachBatch(_fold)

@@ -372,3 +372,68 @@ class TestIncrementalConnectedComponents:
             spark, range(n_hist + n_new), hist_edges + delta_edges
         )
         assert got == want
+
+
+def test_streaming_cc_maintenance_replay_parity(spark, tmp_path):
+    """The streaming cluster fold: replaying delta pairs through
+    streaming_cc_maintenance in multiple triggers leaves the persisted
+    cc_labels index equal to the full CC recompute over every edge —
+    min-label merges are order-insensitive and each trigger re-
+    establishes the converged-labeling invariant, so trigger slicing
+    cannot change the fixpoint."""
+    from genetics_spark_coloc_spark.operators.graph import (
+        connected_components,
+        load_cc_labels,
+    )
+    from genetics_spark_coloc_spark.steps import run_step
+    from genetics_spark_coloc_spark.streaming.pipelines import (
+        streaming_cc_maintenance,
+    )
+
+    hist_edges = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    # three slices: a chain merge across triggers (3-10 then 11-20),
+    # plus brand-new vertices (30, 31) and a minimum-stealing 0
+    delta_edges = [(3, 10), (11, 20), (30, 31), (0, 21), (30, 0)]
+    hist_df = spark.createDataFrame(hist_edges, "leftId long, rightId long")
+    hist_path = str(tmp_path / "hist.parquet")
+    hist_df.write.parquet(hist_path)
+    out = str(tmp_path / "cc_stream_labels")
+    run_step(spark, "cc_labels", {"edges": hist_path}, out)
+
+    delta_df = spark.createDataFrame(delta_edges, "leftId long, rightId long")
+    src = str(tmp_path / "cc_stream_src")
+    delta_df.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(delta_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    epochs = []
+    writer = streaming_cc_maintenance(
+        stream, out, on_batch=lambda reader, epoch: epochs.append(epoch)
+    )
+    q = (
+        writer.option("checkpointLocation", str(tmp_path / "cc_stream_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert q.exception() is None
+    assert len(epochs) >= 2, "expected multiple triggers"
+
+    all_edges = hist_edges + delta_edges
+    ids = sorted({v for e in all_edges for v in e})
+    want = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame([(i,) for i in ids], "id long"),
+            spark.createDataFrame(all_edges, "leftId long, rightId long"),
+            until_converged=True,
+        ).collect()
+    }
+    got = {
+        r["id"]: r["component"] for r in load_cc_labels(spark, out).collect()
+    }
+    assert got == want
+    # everything collapsed into 0's cluster
+    assert set(want.values()) == {0}
