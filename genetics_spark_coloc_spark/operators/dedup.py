@@ -172,12 +172,32 @@ def lsh_candidate_pairs(
         # ONE corpus scan; lazy, so no extra job
         .localCheckpoint(eager=False)
     )
+    return band_self_pairs(
+        bands,
+        hot_bucket_ceiling=hot_bucket_ceiling,
+        on_hot_bucket=on_hot_bucket,
+        context="lsh_candidate_pairs",
+    )
+
+
+def band_self_pairs(
+    bands: DataFrame,
+    hot_bucket_ceiling: "int | None" = 10_000,
+    on_hot_bucket: str = "raise",
+    context: str = "band_self_pairs",
+) -> DataFrame:
+    """Guarded bucket self-join of a band table (docId, bandIdx,
+    bandHash) → distinct (leftId < rightId) candidate pairs — the
+    back half of :func:`lsh_candidate_pairs`, exposed so a band table
+    derived ONCE (:func:`lsh_band_index`, or read back from the
+    persisted index) can feed self-pairs and the incremental delta
+    join without re-banding the corpus per consumer."""
     bands = guard_hot_buckets(
         bands,
         ["bandIdx", "bandHash"],
         hot_bucket_ceiling,
         on_hot_bucket,
-        "lsh_candidate_pairs",
+        context,
     )
     left = bands.alias("l")
     right = bands.alias("r")

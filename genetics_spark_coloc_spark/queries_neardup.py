@@ -4263,19 +4263,35 @@ def q_delta_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     delta, hist = _planted_delta_corpus(spark, sf_dir)
-    hist_pairs = dedup.minhash_dedup_pairs(
-        hist, "content", "doc_id", num_perm=8, band_size=2
-    )
+    # band history ONCE: the same band table feeds the history
+    # self-pairs and the delta-vs-index join (the step persists
+    # exactly this table; re-banding per consumer doubles the corpus
+    # scans). Lazy checkpoint so the executed plan derives it once.
+    bands_hist = dedup.lsh_band_index(
+        hist, text_col="content", num_perm=8, band_size=2
+    ).localCheckpoint(eager=False)
+    hist_pairs = dedup.band_self_pairs(bands_hist)
+    # converge-checked CC at the measured sweet spot (unroll=2,
+    # check_every=2 — see connected_components' docstring); deeper
+    # unrolls and fixed-round mode both measured SLOWER here (extra
+    # propagations past convergence cost more than the saved actions,
+    # and the sf0.1 LSH graph's ~10-propagation chains make a fixed
+    # budget unsafe across scales)
+    cc_kw = {
+        "num_rounds": 16,
+        "until_converged": True,
+        "check_every": 2,
+        "unroll": 2,
+    }
     labels_hist = connected_components(
-        hist.select(F.col("doc_id").alias("id")),
-        hist_pairs,
-        num_rounds=16,
-        until_converged=True,
-        check_every=2,
-        unroll=2,
+        hist.select(F.col("doc_id").alias("id")), hist_pairs, **cc_kw
     )
     delta_cross = dedup.incremental_lsh_candidates(
-        delta, index=hist, text_col="content", num_perm=8, band_size=2
+        delta,
+        index_bands=bands_hist,
+        text_col="content",
+        num_perm=8,
+        band_size=2,
     ).select(
         F.col("deltaId").alias("leftId"), F.col("indexId").alias("rightId")
     )
@@ -4286,10 +4302,7 @@ def q_delta_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels_hist,
         delta_cross.unionByName(delta_self),
         delta_vertices=delta.select(F.col("doc_id").alias("id")),
-        num_rounds=16,
-        until_converged=True,
-        check_every=2,
-        unroll=2,
+        **cc_kw,
     )
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("clusterSize")
