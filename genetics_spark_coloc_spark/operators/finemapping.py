@@ -450,6 +450,7 @@ def finemap_grouped(
     locus_col: str = "studyLocusId",
     num_partitions: int | None = None,
     schema: str | None = None,
+    max_locus_variants: int = 25_000,
 ) -> DataFrame:
     """Distributed per-locus fine-mapping via applyInPandas.
 
@@ -465,6 +466,19 @@ def finemap_grouped(
     An explicit numPartitions is exempt from AQE coalescing, and
     groupBy over the same key reuses the partitioning (no second
     exchange).
+
+    ``max_locus_variants`` is the loud-guard bound on the harness's
+    one-locus-per-worker contract (house style: the line_dedup
+    ``max_doc_segments`` / hot-bucket twins): the LD-aware kernels
+    materialize a p×p float64 matrix inside ONE Python worker, so a
+    pathological unclumped locus (p = 100k → 80 GB) would OOM or
+    grind a single task where every other group finished. The check
+    runs in the wrapper, before the kernel allocates anything — zero
+    plan cost (no extra shuffle, no pre-count) — and fails the job
+    with the actionable bound. The default (25k variants ≈ 5 GB of
+    LD) is an order of magnitude above any post-clumping locus;
+    LD-free kernels (ABF, the independence-approximation CARMA) are
+    O(p) and may raise it explicitly.
     """
     chosen = kernel or susie_kernel
     if num_partitions is None:
@@ -475,8 +489,19 @@ def finemap_grouped(
         except Exception:  # noqa: BLE001
             num_partitions = 64
     sumstats = sumstats.repartition(num_partitions, locus_col)
+    bound = int(max_locus_variants)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > bound:
+            raise ValueError(
+                f"finemap_grouped: locus "
+                f"{pdf[locus_col].iloc[0]!r} has {len(pdf)} variants > "
+                f"max_locus_variants={bound}; one locus is fitted inside "
+                "one Python worker (LD-aware kernels materialize a p×p "
+                "matrix there) — split or re-clump the locus upstream, or "
+                "raise max_locus_variants for an O(p) kernel before "
+                "scaling up"
+            )
         return chosen(pdf)
 
     return sumstats.groupBy(locus_col).applyInPandas(

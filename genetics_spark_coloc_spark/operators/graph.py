@@ -432,25 +432,77 @@ def incremental_connected_components(
     return updated_history.unionByName(new_rows)
 
 
-def load_cc_labels(spark, path: str) -> DataFrame:
-    """Load a persisted component labeling (written by the
-    ``cc_labels`` step) RESOLVED through its alias sidecar: label
-    shards at the root hold (id, component) as of their write time;
-    ``_aliases`` (underscore path, invisible to parquet readers of
-    the root) maps every superseded component id to its CURRENT
-    canonical in ONE hop — append-mode folds keep it composed, so
-    resolution is a single broadcast join, never a chain walk.
+_ALIAS_EPOCH_PREFIX = "_aliases_e"
 
-    Contract: the table covers EDGED vertices (plus any rostered
-    newcomers); an id absent from it is its own singleton component.
+
+def _compact_tmp_path(path: str) -> str:
+    return path.rstrip("/") + "__compacting"
+
+
+def _recover_compact(spark, path: str) -> None:
+    """Finish an interrupted ``compact_cc_labels``: if the label root
+    is MISSING but a committed compaction result sits at the sibling
+    tmp path, rename it into place. Called at the top of every
+    loader/fold/compact entry, so a crash in compaction's
+    delete→rename window self-heals on the next touch; a no-op
+    (one existence check) in normal operation."""
+    from genetics_spark_coloc_spark.session import (  # noqa: PLC0415
+        hadoop_path_exists,
+        hadoop_rename,
+    )
+
+    if hadoop_path_exists(spark, path):
+        return
+    tmp = _compact_tmp_path(path)
+    if hadoop_path_exists(spark, tmp + "/_SUCCESS"):
+        hadoop_rename(spark, tmp, path)
+
+
+def _alias_state(spark, path: str):
+    """Discover the CURRENT alias sidecar of a ``cc_labels`` index:
+    returns ``(aliases DataFrame | None, committed epoch int)``.
+
+    Protocol: alias epochs live at ``{root}/_aliases_e{N}`` and are
+    COMMITTED by the ``_SUCCESS`` marker Spark's job commit writes
+    last — a crashed epoch write leaves a marker-less directory that
+    is ignored (and overwritten by the next fold, which reuses the
+    epoch number). The highest committed epoch wins; the legacy
+    un-versioned ``{root}/_aliases`` directory is honoured as epoch 0
+    when no committed epoch exists (pre-protocol indexes keep
+    loading; their first fold migrates them).
+
+    Loud-read discipline (the r12 finding this replaces): path
+    ABSENCE is checked through the Hadoop FS API and is the ONLY
+    condition that means "no sidecar". A present-but-unreadable
+    sidecar (corrupt footer, permission failure, transient FS error)
+    RAISES — the old blanket ``except Exception`` silently returned
+    stale component ids as current, and a subsequent fold would
+    contract the next delta against an unresolved labeling.
     """
-    import os
+    import re  # noqa: PLC0415
 
-    labels = spark.read.parquet(path)
-    alias_path = os.path.join(path, "_aliases")
-    try:
-        aliases = spark.read.parquet(alias_path)
-    except Exception:  # noqa: BLE001 — no sidecar yet: nothing superseded
+    from genetics_spark_coloc_spark.session import (  # noqa: PLC0415
+        hadoop_list_names,
+        hadoop_path_exists,
+    )
+
+    epochs = []
+    pat = re.compile(re.escape(_ALIAS_EPOCH_PREFIX) + r"(\d+)$")
+    for name in hadoop_list_names(spark, path):
+        m = pat.match(name)
+        if m and hadoop_path_exists(spark, f"{path}/{name}/_SUCCESS"):
+            epochs.append(int(m.group(1)))
+    if epochs:
+        e = max(epochs)
+        return spark.read.parquet(f"{path}/{_ALIAS_EPOCH_PREFIX}{e}"), e
+    legacy = f"{path}/_aliases"
+    if hadoop_path_exists(spark, legacy):
+        return spark.read.parquet(legacy), 0
+    return None, 0
+
+
+def _resolve_labels(labels: DataFrame, aliases: "DataFrame | None") -> DataFrame:
+    if aliases is None:
         return labels.select("id", "component")
     return (
         labels.join(
@@ -467,12 +519,118 @@ def load_cc_labels(spark, path: str) -> DataFrame:
     )
 
 
+def assert_labels_converged(
+    labels: DataFrame, sample: int = 64, context: str = "labels"
+) -> None:
+    """Sampled runtime guard on the converged-labeling contract that
+    :func:`incremental_connected_components` builds on (component =
+    min reachable id, so every component id labels ITSELF): take up
+    to ``sample`` distinct component ids and require each to have an
+    (id=c, component=c) row. Unconverged input silently yields wrong
+    clusters downstream (the contraction assumes one hop resolves
+    membership); this turns it into the house-style loud failure.
+    O(sample) driver rows + one pushed-down isin scan — cheap enough
+    to run per fold, not a full-table validation."""
+    comps = [
+        r[0]
+        for r in labels.select("component")
+        .limit(sample * 8)
+        .distinct()
+        .limit(sample)
+        .collect()
+    ]
+    if not comps:
+        return
+    self_labeled = {
+        r[0]
+        for r in labels.filter(F.col("id").isin(comps))
+        .filter(F.col("id") == F.col("component"))
+        .select("id")
+        .collect()
+    }
+    bad = [c for c in comps if c not in self_labeled]
+    if bad:
+        raise ValueError(
+            f"cc_labels: {context} is not a converged labeling — sampled "
+            f"component id(s) {bad[:5]} do not label themselves (no "
+            "(id=c, component=c) row). incremental_connected_components "
+            "requires component = min reachable id; feed it a "
+            "connected_components result (or a cc_labels index resolved "
+            "through load_cc_labels), or re-run the full build "
+            "(cc_labels mode=overwrite)."
+        )
+
+
+def load_cc_labels(spark, path: str) -> DataFrame:
+    """Load a persisted component labeling (written by the
+    ``cc_labels`` step) RESOLVED through its alias sidecar: label
+    shards at the root hold (id, component) as of their write time;
+    the committed alias epoch (``_aliases_e{N}``, underscore path —
+    invisible to parquet readers of the root) maps every superseded
+    component id to its CURRENT canonical in ONE hop — append-mode
+    folds keep it composed, so resolution is a single broadcast
+    join, never a chain walk.
+
+    Sidecar absence is decided by a Hadoop-FS existence check; a
+    present-but-unreadable sidecar raises instead of silently
+    serving stale labels. An interrupted compaction (committed
+    result at the sibling tmp path, root deleted) is finished here
+    before reading.
+
+    Contract: the table covers EDGED vertices (plus any rostered
+    newcomers); an id absent from it is its own singleton component.
+    """
+    _recover_compact(spark, path)
+    labels = spark.read.parquet(path)
+    aliases, _ = _alias_state(spark, path)
+    return _resolve_labels(labels, aliases)
+
+
+def compact_cc_labels(spark, path: str) -> None:
+    """Fold the alias sidecar back into the label shards — crash-safe:
+
+    1. write the RESOLVED labeling to the sibling ``{root}__compacting``
+       directory (committed by its ``_SUCCESS`` marker);
+    2. delete the root (shards + every alias epoch die with it);
+    3. rename the tmp directory into place.
+
+    A crash before (2) leaves the root untouched (the stale tmp is
+    cleared on the next attempt); a crash between (2) and (3) leaves
+    the committed result at the tmp path, and every entry point
+    (:func:`load_cc_labels`, :func:`fold_cc_labels`, this function)
+    finishes the rename via :func:`_recover_compact` — so at ANY
+    crash point the index is either the pre-compact state or the
+    complete post-compact state, never a torn mix.
+    """
+    from genetics_spark_coloc_spark.session import (  # noqa: PLC0415
+        hadoop_delete,
+        hadoop_path_exists,
+        hadoop_rename,
+    )
+
+    _recover_compact(spark, path)
+    tmp = _compact_tmp_path(path)
+    if hadoop_path_exists(spark, tmp):
+        # stale tmp from a crash BEFORE the root delete: the root is
+        # still authoritative — discard and recompute
+        hadoop_delete(spark, tmp)
+    labels = spark.read.parquet(path)
+    aliases, epoch = _alias_state(spark, path)
+    if aliases is None and epoch == 0:
+        return  # nothing to fold — avoid a pointless O(history) rewrite
+    _resolve_labels(labels, aliases).write.mode("overwrite").parquet(tmp)
+    hadoop_delete(spark, path)
+    hadoop_rename(spark, tmp, path)
+
+
 def fold_cc_labels(
     edges: DataFrame,
     labels_path: str,
     src_col: str = "leftId",
     dst_col: str = "rightId",
     num_rounds: int = 16,
+    verify_converged: int = 64,
+    alias_compact_rows: int = 1_000_000,
 ) -> None:
     """Fold a delta edge batch into a persisted ``cc_labels`` index —
     the shared kernel behind the ``cc_labels mode=append`` step and
@@ -480,15 +638,49 @@ def fold_cc_labels(
     (one broadcast alias hop), contract the delta onto it, then update
     the index as two O(delta) writes. New-vertex rows land as an
     appended label shard; the changed-component remap COMPOSES into
-    the ``_aliases`` sidecar (existing aliases re-target through the
-    remap — A's keys are historical components, the remap's keys are
+    a NEW alias epoch (existing aliases re-target through the remap —
+    their keys are historical components, the remap's keys are
     CURRENT canonicals, so the union is key-disjoint and resolution
     stays ONE hop). History shards are never rewritten.
+
+    **Crash contract** (tested with planted mid-fold failures): the
+    two writes are ordered shard-append THEN alias-epoch commit (the
+    epoch's ``_SUCCESS`` marker is the commit point; a marker-less
+    epoch directory is ignored and overwritten on retry). A crash at
+    any point leaves one of three states — pre-fold, appended-rows-
+    only (a CONVERGED labeling in which the delta's new vertices
+    carry post-fold canonicals while history still resolves through
+    the previous epoch: clusters split but never torn), or complete
+    post-fold — and **re-running the same fold repairs all of them**:
+    the new-vertex append is idempotent (vertices already present are
+    excluded by the contraction's left_anti) and the remap re-derives
+    from the same delta edges against whichever state survived.
+
+    ``verify_converged`` (rows; 0 disables) runs the sampled
+    :func:`assert_labels_converged` guard on the resolved input —
+    a hand-built or corrupted index fails loudly instead of silently
+    producing wrong clusters. ``alias_compact_rows`` bounds the
+    sidecar (it is broadcast on every resolution and otherwise grows
+    by |changed components| per fold forever): when the composed
+    epoch would exceed the bound, the fold finishes with an inline
+    crash-safe :func:`compact_cc_labels` — the counts-ledger
+    self-compaction rule applied to the labeling (O(history) paid
+    once per ~``alias_compact_rows`` superseded components).
     """
-    import os
+    from genetics_spark_coloc_spark.session import (  # noqa: PLC0415
+        hadoop_delete,
+        hadoop_list_names,
+    )
 
     spark = edges.sparkSession
-    resolved = load_cc_labels(spark, labels_path)
+    _recover_compact(spark, labels_path)
+    labels = spark.read.parquet(labels_path)
+    aliases, epoch = _alias_state(spark, labels_path)
+    resolved = _resolve_labels(labels, aliases)
+    if verify_converged:
+        assert_labels_converged(
+            resolved, verify_converged, context=labels_path
+        )
     parts: dict = {}
     incremental_connected_components(
         resolved,
@@ -503,20 +695,23 @@ def fold_cc_labels(
     )
     remap = parts["remap"].localCheckpoint(eager=True)
     new_rows = parts["new_rows"].localCheckpoint(eager=True)
-    alias_path = os.path.join(labels_path, "_aliases")
-    try:
-        old_aliases = spark.read.parquet(alias_path)
-    except Exception:  # noqa: BLE001 — first fold: no sidecar yet
-        old_aliases = None
+    # (1) new-vertex shard append — idempotent under refold (left_anti
+    # against the resolved labels excludes already-appended vertices)
+    if new_rows.take(1):
+        new_rows.write.mode("append").parquet(labels_path)
+    # (2) alias-epoch commit — only when something actually merged;
+    # an all-new or all-disjoint delta leaves the sidecar untouched
+    if not remap.take(1):
+        return
     r = remap.select(
         F.col("_oldComp").alias("oldComp"),
         F.col("_newComp").alias("newComp"),
     )
-    if old_aliases is not None:
+    if aliases is not None:
         r = (
-            old_aliases.join(
+            aliases.join(
                 F.broadcast(remap),
-                old_aliases.newComp == F.col("_oldComp"),
+                aliases.newComp == F.col("_oldComp"),
                 "left",
             )
             .select(
@@ -528,5 +723,18 @@ def fold_cc_labels(
             .unionByName(r)
             .localCheckpoint(eager=True)
         )
-    new_rows.write.mode("append").parquet(labels_path)
-    r.write.mode("overwrite").parquet(alias_path)
+    n_alias = r.count()
+    r.write.mode("overwrite").parquet(
+        f"{labels_path}/{_ALIAS_EPOCH_PREFIX}{epoch + 1}"
+    )
+    # best-effort cleanup of superseded epochs (and the legacy
+    # un-versioned sidecar) — a crash here just leaves garbage the
+    # loader ignores, retried on the next fold
+    for name in hadoop_list_names(spark, labels_path):
+        if name == "_aliases" or (
+            name.startswith(_ALIAS_EPOCH_PREFIX)
+            and name != f"{_ALIAS_EPOCH_PREFIX}{epoch + 1}"
+        ):
+            hadoop_delete(spark, f"{labels_path}/{name}")
+    if n_alias > alias_compact_rows:
+        compact_cc_labels(spark, labels_path)

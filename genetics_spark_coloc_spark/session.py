@@ -177,6 +177,54 @@ def hadoop_write_text(spark: SparkSession, path: str, text: str) -> None:
         out.close()
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """Resolve ``path`` to its (Hadoop Path, FileSystem) pair — every
+    FS-protocol helper below goes through this so index maintenance
+    (sidecar existence checks, epoch listing, compaction renames)
+    works on whatever filesystem the path names, not just local disk."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists on its filesystem. The loud-read
+    discipline for at-rest index sidecars: distinguish GENUINE
+    absence (fine — e.g. no alias sidecar yet) from a failed read of
+    a present path (must raise, never be treated as absence — a
+    transient FS error swallowed as 'no sidecar' silently serves
+    stale index state)."""
+    jpath, fs = _hadoop_fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def hadoop_list_names(spark: SparkSession, path: str) -> list[str]:
+    """Child basenames of ``path`` (empty list if the path does not
+    exist) — directory-protocol discovery for versioned sidecars."""
+    jpath, fs = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(jpath)]
+
+
+def hadoop_delete(spark: SparkSession, path: str) -> bool:
+    """Recursively delete ``path``; False if it did not exist."""
+    jpath, fs = _hadoop_fs(spark, path)
+    return bool(fs.delete(jpath, True))
+
+
+def hadoop_rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Rename ``src`` to ``dst`` through the Hadoop FS API — the
+    near-atomic commit primitive of the crash-safe index protocols
+    (HDFS directory rename is atomic; object stores degrade to a
+    copy, which the callers tolerate by keeping the source complete
+    until the rename returns). Raises on failure instead of the
+    boolean-False Hadoop contract: a failed commit must be loud."""
+    jsrc, fs = _hadoop_fs(spark, src)
+    jdst = spark._jvm.org.apache.hadoop.fs.Path(dst)
+    if not fs.rename(jsrc, jdst):
+        raise OSError(f"hadoop rename failed: {src} -> {dst}")
+
+
 def hadoop_read_text(spark: SparkSession, path: str) -> str:
     """Read a small text file through the Hadoop FileSystem API
     (counterpart of ``hadoop_write_text``). Raises FileNotFoundError

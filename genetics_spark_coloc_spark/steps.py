@@ -984,31 +984,33 @@ def _run_cc_labels(spark, inputs, output, p):
     from pyspark.sql import functions as F
 
     from genetics_spark_coloc_spark.operators.graph import (
+        compact_cc_labels,
         connected_components,
         fold_cc_labels,
-        load_cc_labels,
     )
 
     src, dst = p["src_col"], p["dst_col"]
 
     if p["mode"] == "compact":
-        # fold the alias sidecar into the label shards: one resolved
-        # scan, checkpointed to sever the self-read, then the root
-        # overwrite drops the (now redundant) _aliases with it —
-        # the ledger / line_freq compaction twin for the labeling
-        resolved = load_cc_labels(spark, output).localCheckpoint(eager=True)
-        resolved.write.mode("overwrite").parquet(output)
+        # fold the alias sidecar into the label shards — the ledger /
+        # line_freq compaction twin for the labeling, via the
+        # crash-safe tmp-write → delete → rename protocol (a crash at
+        # any point leaves pre-compact or complete post-compact state;
+        # an interrupted run resumes here or in any loader)
+        compact_cc_labels(spark, output)
         return None
     if p["mode"] == "append":
         # the daily fold — shared kernel with streaming_cc_maintenance:
         # two O(delta) writes, history shards never rewritten, alias
-        # sidecar composed so resolution stays ONE hop
+        # sidecar composed so resolution stays ONE hop; converged-input
+        # guard + sidecar self-compaction bound ride on the kernel
         fold_cc_labels(
             _parquet(spark, inputs["edges"]),
             output,
             src_col=src,
             dst_col=dst,
             num_rounds=p["num_rounds"],
+            alias_compact_rows=p["alias_compact_rows"],
         )
         return None
     edges = _parquet(spark, inputs["edges"])
@@ -1544,12 +1546,23 @@ STEPS: dict[str, StepSpec] = {
                 "src_col": Param(str, "leftId", "edge source id column"),
                 "dst_col": Param(str, "rightId", "edge destination id column"),
                 "num_rounds": Param(int, 16, "CC round budget"),
+                "alias_compact_rows": Param(
+                    int,
+                    1_000_000,
+                    "sidecar self-compaction bound: an append whose "
+                    "composed alias epoch exceeds this many rows finishes "
+                    "with an inline crash-safe compact (the sidecar is "
+                    "broadcast on every resolution, so it must stay "
+                    "bounded)",
+                ),
                 "mode": Param(
                     str,
                     "overwrite",
                     "overwrite = full build from edges; append = fold the "
-                    "delta's edges in at O(delta); compact = fold the "
-                    "alias sidecar into the label shards in place",
+                    "delta's edges in at O(delta) (converged-input guard, "
+                    "idempotent refold crash contract); compact = fold the "
+                    "alias sidecar into the label shards crash-safely "
+                    "(tmp-write, delete, rename — interrupted runs resume)",
                 ),
             },
             sink=True,

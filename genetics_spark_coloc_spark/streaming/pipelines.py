@@ -1012,11 +1012,16 @@ def streaming_cc_maintenance(
     the O(batch) canonical contraction + reduced solve + the same two
     O(batch) index writes the batch step performs — new-vertex rows
     appended as a label shard, the changed-component remap COMPOSED
-    into the sidecar. Runs under ``foreachBatch`` because the fold is
-    iterative (pointer doubling) and writes two sinks atomically-ish
-    per trigger; replaying the same pairs through any trigger slicing
-    converges to the same labeling as one batch fold (min-label
-    merges are order-insensitive; tested).
+    into a new committed alias epoch. Runs under ``foreachBatch``
+    because the fold is iterative (pointer doubling) and writes two
+    sinks per trigger — under the shared kernel's crash contract
+    (``fold_cc_labels``): a crash at any point leaves pre-fold,
+    appended-rows-only (converged, clusters split but never torn),
+    or complete post-fold state, and foreachBatch's replay of the
+    interrupted epoch IS the documented repair (the shard append is
+    idempotent, the remap re-derives). Replaying the same pairs
+    through any trigger slicing converges to the same labeling as
+    one batch fold (min-label merges are order-insensitive; tested).
 
     ``on_batch(resolved_reader, epoch_id)`` (optional) is called
     after each fold with a zero-arg callable returning the freshly

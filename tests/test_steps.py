@@ -1480,20 +1480,25 @@ def test_run_cc_labels_build_append_compact(spark, tmp_path):
     want = full(e0 + e1 + e2)
     assert resolved(out) == want
     # one-hop contract: every alias target is itself canonical
-    aliases = {
-        r["oldComp"]: r["newComp"]
-        for r in spark.read.parquet(os.path.join(out, "_aliases")).collect()
-    }
+    from genetics_spark_coloc_spark.operators.graph import _alias_state
+
+    alias_df, epoch = _alias_state(spark, out)
+    assert alias_df is not None and epoch >= 1
+    aliases = {r["oldComp"]: r["newComp"] for r in alias_df.collect()}
     assert aliases and all(t not in aliases for t in aliases.values())
     # day-1's 10 -> 1 alias must have re-targeted to 0 on day 2
     assert aliases[10] == 0
+    # superseded epochs (and the legacy path) are cleaned as folds land
+    assert [
+        n for n in os.listdir(out) if n.startswith("_aliases")
+    ] == [f"_aliases_e{epoch}"]
     # compact: sidecar folds into the shards, labeling bit-exact
     # compact ignores the edges input; any valid path satisfies the spec
     run_step(
         spark, "cc_labels", {"edges": str(tmp_path / "e0.parquet")}, out,
         params={"mode": "compact"},
     )
-    assert not os.path.exists(os.path.join(out, "_aliases"))
+    assert not [n for n in os.listdir(out) if n.startswith("_aliases")]
     assert resolved(out) == want
 
 
@@ -1557,11 +1562,12 @@ def test_cc_labels_random_multi_append_equals_full(spark, tmp_path, seed):
             for r in load_cc_labels(spark, out).collect()
         }
         assert got == full(seen), f"day {day} diverged"
-        alias_dir = os.path.join(out, "_aliases")
-        if os.path.exists(alias_dir):
+        from genetics_spark_coloc_spark.operators.graph import _alias_state
+
+        alias_df, _ = _alias_state(spark, out)
+        if alias_df is not None:
             aliases = {
-                r["oldComp"]: r["newComp"]
-                for r in spark.read.parquet(alias_dir).collect()
+                r["oldComp"]: r["newComp"] for r in alias_df.collect()
             }
             assert all(t not in aliases for t in aliases.values()), (
                 f"day {day}: alias chain formed"
