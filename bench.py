@@ -159,6 +159,30 @@ def adjudicate_flags(
     return out
 
 
+def solo_baseline_entries(
+    flags_adjudicated: "dict[str, dict]",
+    ok: "dict[str, float]",
+    speed_ratio: float,
+) -> "dict[str, float]":
+    """Convert adjudication solo minima into PRE-PASS-host terms for
+    the baseline min-merge. The solo repeats run at adjudication time
+    — on a host that recovered mid-run they are faster than anything
+    measured in the pass, and merging them raw writes an overly tight
+    baseline that flags future clean passes (ADVICE r12).
+    ``solo_sec_speed_adjusted`` is the solo minimum normalized to the
+    STORED baseline host state; multiplying by the pre-pass
+    ``speed_ratio`` (current-host / stored-baseline, capped at 2.0
+    upstream) expresses it in the same host state as the rest of the
+    pass's measurements."""
+    out: "dict[str, float]" = {}
+    for k, v in flags_adjudicated.items():
+        adj = v.get("solo_sec_speed_adjusted", v.get("solo_sec"))
+        if isinstance(adj, (int, float)):
+            rescaled = adj * speed_ratio
+            out[k] = min(ok.get(k, rescaled), rescaled)
+    return out
+
+
 def merge_baseline(
     old: "dict | None",
     sf: float,
@@ -565,19 +589,20 @@ def main() -> None:
         with open(baseline_artifact, "w") as fh:
             # solo adjudication minima join the min-merge: they are
             # single-query clean measurements, exactly the evidence
-            # class the sidecar keeps
+            # class the sidecar keeps — but the solo repeats ran under
+            # the ADJUDICATION-time host (possibly recovered and
+            # faster than the pre-pass host every other entry was
+            # measured under), so raw solo_sec would write an overly
+            # tight baseline that flags future clean passes. Rescale
+            # to the pre-pass host state (see solo_baseline_entries).
+            solo_in_pass_terms = solo_baseline_entries(
+                result["flags_adjudicated"], ok, speed_ratio
+            )
             json.dump(
                 merge_baseline(
                     prior_baseline,
                     sf,
-                    {
-                        **ok,
-                        **{
-                            k: min(ok.get(k, v["solo_sec"]), v["solo_sec"])
-                            for k, v in result["flags_adjudicated"].items()
-                            if isinstance(v.get("solo_sec"), (int, float))
-                        },
-                    },
+                    {**ok, **solo_in_pass_terms},
                     host_speed,
                     rebaseline=rebaseline, host_membw_index=host_membw,
                 ),

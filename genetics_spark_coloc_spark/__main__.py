@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from genetics_spark_coloc_spark.steps import STEPS, coerce_param, run_step
@@ -144,9 +145,26 @@ def main(argv: list[str] | None = None) -> int:
     # default in-memory catalog that dies with the session. Spark's
     # datasource bucketing metadata rides the metastore table
     # properties, so bucketed tables keep their no-shuffle join
-    # layout across invocations. Library/test sessions keep the
-    # in-memory catalog (parallel derby access would lock).
-    kwargs["extra_conf"] = {"spark.sql.catalogImplementation": "hive"}
+    # layout across invocations. BUT Derby's metastore lock is
+    # single-process and every hive session drops metastore_db/ +
+    # derby.log into cwd, so the persistent catalog is enabled ONLY
+    # for the invocations that actually use it (StepSpec.needs_catalog
+    # — lsh_band_index / bucket_layout always, lsh_pairs only with
+    # --param index); every other step keeps the in-memory catalog
+    # and can run concurrently. Catalog-using steps must NOT run
+    # concurrently in the same working directory (Derby's lock will
+    # reject the second); SPARK_GRAFT_CLI_CATALOG=hive|in-memory
+    # overrides the choice either way. Library/test sessions keep
+    # the in-memory catalog (parallel derby access would lock).
+    catalog_impl = os.environ.get("SPARK_GRAFT_CLI_CATALOG") or (
+        "hive"
+        if spec.needs_catalog is not None and spec.needs_catalog(params)
+        else None
+    )
+    if catalog_impl:
+        kwargs["extra_conf"] = {
+            "spark.sql.catalogImplementation": catalog_impl
+        }
     spark = get_session(**kwargs)
     df = run_step(spark, step, inputs, output, params)
     if df is not None:

@@ -718,6 +718,60 @@ def ivfpq_residuals(
     return corpus.select(id_col, vec_col).mapInPandas(_resid, out_schema)
 
 
+def exact_l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact squared-L2 top-k per query — the brute-force ground
+    truth the ``ivfpq_index mode=certify`` step scores recall
+    against (IVF-PQ's ADC metric is L2, so its exact counterpart is
+    this, not cosine). Broadcast query side, one zip_with fold per
+    pair, distances 6dp-rounded before ranking, ties toward the
+    smaller neighborId, self-matches excluded — the L2 twin of
+    ``similarity.cosine_topk``. Output: (queryId, neighborId, l2Dist,
+    rank). Scale shape: one broadcast nested-loop over the corpus
+    scan (|Q| is a certification sample, not a workload), one
+    window top-k."""
+    q = queries.select(
+        F.col(id_col).alias("queryId"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighborId"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on=F.col("neighborId") != F.col("queryId"))
+        .withColumn(
+            "l2Dist",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qvec"),
+                        F.col("cvec"),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+        .drop("qvec", "cvec")
+    )
+    w = Window.partitionBy("queryId").orderBy(
+        F.col("l2Dist").asc(), F.col("neighborId").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("queryId", "neighborId", "l2Dist", "rank")
+    )
+
+
 def sq8_encode(
     df: DataFrame,
     id_col: str = "vec_id",

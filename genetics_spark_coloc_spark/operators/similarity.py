@@ -150,6 +150,41 @@ def cosine_topk(
     )
 
 
+def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one —
+    the ANN staleness metric behind the ``ivf_index``/``ivfpq_index``
+    ``mode=certify`` step: both inputs are (queryId, neighborId, ...)
+    top-k tables (any score column; only the ID sets matter), recall
+    per query = |approx ∩ exact| / |exact| (the exact list is already
+    capped at k, and may be shorter on tiny corpora), averaged over
+    the EXACT side's query set — a query the approximate search
+    returned nothing for counts as recall 0, not a dropped row.
+
+    One row: (nQueries, avgRecall, minRecall). Scale shape: two
+    grouped counts + one join on (queryId, neighborId) — bounded by
+    the top-k tables (n_queries × k rows), never the corpus.
+    """
+    e = exact.select("queryId", "neighborId")
+    a = approx.select("queryId", "neighborId")
+    n_exact = e.groupBy("queryId").agg(F.count(F.lit(1)).alias("nExact"))
+    n_hit = (
+        a.join(e, ["queryId", "neighborId"])
+        .groupBy("queryId")
+        .agg(F.count(F.lit(1)).alias("nHit"))
+    )
+    per_q = n_exact.join(n_hit, "queryId", "left").select(
+        "queryId",
+        (
+            F.coalesce(F.col("nHit"), F.lit(0)) / F.col("nExact")
+        ).alias("recall"),
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("nQueries"),
+        F.round(F.avg("recall"), 6).alias("avgRecall"),
+        F.round(F.min("recall"), 6).alias("minRecall"),
+    )
+
+
 def _plane_sign(p: int, d: int) -> float:
     """+1.0 if md5("p|d") starts with an even hex digit else -1.0 —
     identical to the SQL oracle's per-element md5 derivation, but

@@ -56,6 +56,12 @@ class StepSpec:
     runner: Callable[[SparkSession, Mapping[str, str], str | None, dict], DataFrame | None]
     params: Mapping[str, Param] = field(default_factory=dict)
     sink: bool = False
+    # does this invocation need the PERSISTENT catalog (derby
+    # metastore under cwd)? Called with the merged params so steps
+    # that only touch the catalog conditionally (lsh_pairs with
+    # --param index) stay metastore-free otherwise — the CLI enables
+    # the hive catalog only when this returns True (see __main__).
+    needs_catalog: "Callable[[dict], bool] | None" = None
 
 
 def _parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -727,6 +733,70 @@ def _run_bucket_layout(spark, inputs, output, p):
     return None
 
 
+def _sample_queries(corpus, id_col, n):
+    """Deterministic certification-query sample: the first ``n`` rows
+    by md5(id) — stable across runs and engines, and spread across
+    the corpus (including appended deltas, which is the point: recall
+    is certified against the distribution the index NOW holds, not
+    the one it was trained on)."""
+    from pyspark.sql import functions as F
+
+    return (
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(int(n))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _certify_ann_recall(spark, output, meta_name, approx, exact, p):
+    """Shared recall-certification recorder for the ANN index steps:
+    score recall@k of the index search against the exact ground
+    truth, APPEND the result to the ``_recall_cert.json`` ledger
+    shipped inside the index (the per-append staleness history the
+    r12 verdict asked for — frozen build-time artifacts decay
+    silently as the appended distribution drifts; this makes the
+    decay a recorded, gateable number), and fail loudly when recall
+    falls below ``recall_floor`` (0 = record-only)."""
+    import json as _json
+
+    from genetics_spark_coloc_spark.operators.similarity import topk_recall
+    from genetics_spark_coloc_spark.session import (
+        hadoop_read_text,
+        hadoop_write_text,
+    )
+
+    row = topk_recall(approx, exact).collect()[0]
+    entry = {
+        "recall_at_k": row["avgRecall"],
+        "min_query_recall": row["minRecall"],
+        "n_queries": row["nQueries"],
+        "k": p["certify_k"],
+        "nprobe": p["certify_nprobe"],
+        "recall_floor": p["recall_floor"],
+        "passed": not (
+            p["recall_floor"] > 0 and row["avgRecall"] < p["recall_floor"]
+        ),
+    }
+    cert_path = f"{output.rstrip('/')}/{meta_name}"
+    try:
+        history = _json.loads(hadoop_read_text(spark, cert_path))
+    except FileNotFoundError:
+        history = []
+    history.append(entry)
+    hadoop_write_text(spark, cert_path, _json.dumps(history))
+    if not entry["passed"]:
+        raise ValueError(
+            f"ANN recall certification FAILED for {output}: "
+            f"recall@{p['certify_k']} = {row['avgRecall']} < floor "
+            f"{p['recall_floor']} over {row['nQueries']} sampled queries "
+            f"(nprobe={p['certify_nprobe']}). The appended corpus has "
+            "drifted from the frozen build-time artifacts (centroids"
+            "/codebooks) — rebuild the index with mode=overwrite (and "
+            "retrain the artifacts on a current sample), or raise nprobe. "
+            f"The full certification history is in {cert_path}."
+        )
+
+
 def _run_ivf_index(spark, inputs, output, p):
     import json as _json
     import os as _os
@@ -734,12 +804,42 @@ def _run_ivf_index(spark, inputs, output, p):
     from pyspark.sql import functions as F
 
     from genetics_spark_coloc_spark.operators.similarity import (
+        cosine_topk,
         ivf_members,
+        ivf_topk,
         load_ivf_index,
     )
     from genetics_spark_coloc_spark.session import hadoop_write_text
 
     centroids = _parquet(spark, inputs["centroids"])
+    if p["mode"] == "certify":
+        # recall staleness gate: the index answers a deterministic
+        # query sample with its own frozen centroids; exact cosine
+        # brute force over the CURRENT corpus is the ground truth
+        members, shipped, meta = load_ivf_index(spark, output)
+        corpus = _parquet(spark, inputs["corpus"])
+        queries = _sample_queries(corpus, p["id_col"], p["certify_queries"])
+        approx = ivf_topk(
+            None,
+            queries,
+            shipped,
+            k=p["certify_k"],
+            nprobe=p["certify_nprobe"],
+            id_col=p["id_col"],
+            vec_col=p["vec_col"],
+            members=members,
+        )
+        exact = cosine_topk(
+            corpus,
+            queries,
+            k=p["certify_k"],
+            id_col=p["id_col"],
+            vec_col=p["vec_col"],
+        )
+        _certify_ann_recall(
+            spark, output, "_recall_cert.json", approx, exact, p
+        )
+        return None
     if p["mode"] == "append":
         # the daily-crawl loop, ANN edition: assign ONLY the new
         # vectors and append their list files (history never
@@ -827,13 +927,48 @@ def _run_ivfpq_index(spark, inputs, output, p):
 
     from genetics_spark_coloc_spark.operators.pq import (
         _collect_pq_codebooks,
+        exact_l2_topk,
         ivfpq_index,
+        ivfpq_topk,
         load_ivfpq_index,
     )
     from genetics_spark_coloc_spark.session import hadoop_write_text
 
     centroids = _parquet(spark, inputs["centroids"])
     codebooks = _parquet(spark, inputs["codebooks"])
+    if p["mode"] == "certify":
+        # recall staleness gate, IVF-PQ edition: the compressed index
+        # answers with its frozen centroids AND codebooks; exact L2
+        # over the CURRENT raw corpus is the ground truth (ADC's
+        # metric is squared-L2, so the exact counterpart is L2 —
+        # certification measures coarse-quantizer AND codebook decay
+        # together, which is what a drifted append actually degrades)
+        index, shipped_cents, shipped_cbs, meta = load_ivfpq_index(
+            spark, output
+        )
+        corpus = _parquet(spark, inputs["corpus"])
+        queries = _sample_queries(corpus, p["id_col"], p["certify_queries"])
+        approx = ivfpq_topk(
+            index,
+            shipped_cents,
+            shipped_cbs,
+            queries,
+            k=p["certify_k"],
+            nprobe=p["certify_nprobe"],
+            id_col=p["id_col"],
+            vec_col=p["vec_col"],
+        )
+        exact = exact_l2_topk(
+            corpus,
+            queries,
+            k=p["certify_k"],
+            id_col=p["id_col"],
+            vec_col=p["vec_col"],
+        )
+        _certify_ann_recall(
+            spark, output, "_recall_cert.json", approx, exact, p
+        )
+        return None
 
     def _norm_vecs(df, idc, vecc):
         return df.select(
@@ -1473,6 +1608,7 @@ STEPS: dict[str, StepSpec] = {
                 "num_buckets": Param(int, 64, "bucket count"),
             },
             sink=True,
+            needs_catalog=lambda p: True,
         ),
         StepSpec(
             "ivf_index",
@@ -1494,7 +1630,27 @@ STEPS: dict[str, StepSpec] = {
                     "overwrite = full rebuild; append = assign only the "
                     "new corpus with the index's OWN build-time centroids "
                     "(supplied centroids verified identical) and append "
-                    "its list files — history never re-assigned",
+                    "its list files — history never re-assigned; certify "
+                    "= score recall@k of the index against exact cosine "
+                    "over the CURRENT corpus on a deterministic query "
+                    "sample, append the result to the _recall_cert.json "
+                    "ledger inside the index, and fail below recall_floor "
+                    "— the staleness gate for an append-forever index "
+                    "whose frozen centroids silently decay as the corpus "
+                    "drifts",
+                ),
+                "certify_queries": Param(
+                    int, 64, "certify: query sample size"
+                ),
+                "certify_k": Param(int, 10, "certify: recall@k depth"),
+                "certify_nprobe": Param(
+                    int, 1, "certify: probed lists per query"
+                ),
+                "recall_floor": Param(
+                    float,
+                    0.0,
+                    "certify: fail when avg recall@k drops below this "
+                    "(0 = record-only)",
                 ),
             },
             sink=True,
@@ -1527,6 +1683,7 @@ STEPS: dict[str, StepSpec] = {
                     int, 10_000, "per-bucket occupancy guard"
                 ),
             },
+            needs_catalog=lambda p: bool(p.get("index")),
         ),
         StepSpec(
             "cc_labels",
@@ -1590,7 +1747,26 @@ STEPS: dict[str, StepSpec] = {
                     "overwrite = full rebuild; append = encode only the "
                     "new corpus against the index's OWN frozen centroids "
                     "and codebooks and append its list files — history "
-                    "never re-encoded",
+                    "never re-encoded; certify = score recall@k of the "
+                    "compressed search against exact L2 over the CURRENT "
+                    "raw corpus on a deterministic query sample, append "
+                    "to the _recall_cert.json ledger inside the index, "
+                    "and fail below recall_floor — measures coarse-"
+                    "quantizer and codebook decay together as the "
+                    "appended distribution drifts",
+                ),
+                "certify_queries": Param(
+                    int, 64, "certify: query sample size"
+                ),
+                "certify_k": Param(int, 10, "certify: recall@k depth"),
+                "certify_nprobe": Param(
+                    int, 1, "certify: probed lists per query"
+                ),
+                "recall_floor": Param(
+                    float,
+                    0.0,
+                    "certify: fail when avg recall@k drops below this "
+                    "(0 = record-only)",
                 ),
             },
             sink=True,
@@ -1623,6 +1799,7 @@ STEPS: dict[str, StepSpec] = {
                 ),
             },
             sink=True,
+            needs_catalog=lambda p: True,
         ),
         StepSpec(
             "corpus_drift",

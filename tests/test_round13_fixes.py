@@ -28,3 +28,218 @@ def test_finemap_grouped_locus_size_guard(spark):
     # under the bound the same input fits normally
     out = finemap_grouped(ss, max_locus_variants=30)
     assert out.count() == 30
+
+
+def test_solo_baseline_entries_rescaled_to_prepass_host():
+    """ADVICE r12 (bench.py): adjudication solo minima enter the
+    baseline min-merge rescaled to the PRE-PASS host state — a host
+    that recovered mid-run must not write an overly tight baseline."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import solo_baseline_entries
+
+    flags = {
+        # solo measured on a recovered (faster) host: speed-adjusted
+        # value is normalized to the stored-baseline host state
+        "q1": {"solo_sec": 1.0, "solo_sec_speed_adjusted": 1.2},
+        # no speed adjustment recorded -> falls back to raw solo
+        "q2": {"solo_sec": 2.0},
+        # error verdict -> contributes nothing
+        "q3": {"solo_sec": None},
+    }
+    ok = {"q1": 5.0, "q2": 1.5}
+    # pre-pass host ran 1.25x slower than the stored baseline
+    got = solo_baseline_entries(flags, ok, speed_ratio=1.25)
+    assert got["q1"] == pytest.approx(1.5)  # 1.2 * 1.25, < in-pass 5.0
+    assert got["q2"] == pytest.approx(1.5)  # min(in-pass 1.5, 2.0*1.25)
+    assert "q3" not in got
+    # raw solo (1.0) would have been tighter than the rescaled 1.5 —
+    # exactly the over-tight entry the fix prevents
+    assert got["q1"] > flags["q1"]["solo_sec"]
+
+
+def _write(df, tmp_path, name):
+    p = str(tmp_path / name)
+    df.write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_ivf_certify_detects_planted_drift(spark, tmp_path):
+    """VERDICT r12 next #5: the ANN staleness monitor. Build an IVF
+    index on a clean two-cluster corpus (certify: recall ~1), append
+    a batch that straddles the frozen Voronoi boundary (each vector's
+    true neighbours split across two lists, invisible to nprobe=1),
+    re-certify: recall drops, the drop is RECORDED in the
+    _recall_cert.json ledger inside the index, and a recall_floor
+    between the two certifications fails the step loudly."""
+    import json
+    import os
+
+    from genetics_spark_coloc_spark.steps import run_step
+
+    def vecs(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    # two tight angular clusters around the frozen centroid directions
+    # (0.01 steps: cosine gaps survive the kernels' 6dp rounding)
+    train = [
+        (i, [1.0, 0.01 * i, 0.0, 0.0]) for i in range(30)
+    ] + [
+        (100 + i, [0.01 * i, 1.0, 0.0, 0.0]) for i in range(30)
+    ]
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    # drifted batch: TWIN PAIRS straddling the bisector of the two
+    # frozen centroids — each pair shares a third coordinate (which
+    # carries the neighbour distance) while a tiny ±0.01 second-coord
+    # nudge flips the coarse assignment, so every drifted vector's
+    # nearest true neighbour sits in the OTHER inverted list —
+    # invisible to nprobe=1 by construction (in 1-D a sign split
+    # keeps each side contiguous; the z-pairing is what interleaves)
+    drift = [
+        (
+            200 + i,
+            [
+                1.0,
+                1.0 + (0.01 if i % 2 else -0.01),
+                0.1 * (1 + i // 2),
+                0.0,
+            ],
+        )
+        for i in range(40)
+    ]
+
+    corpus_p = _write(vecs(train), tmp_path, "corpus.parquet")
+    cents_p = _write(vecs(cents), tmp_path, "cents.parquet")
+    out = str(tmp_path / "ivf")
+    run_step(
+        spark, "ivf_index", {"corpus": corpus_p, "centroids": cents_p}, out
+    )
+    run_step(
+        spark, "ivf_index", {"corpus": corpus_p, "centroids": cents_p}, out,
+        params={"mode": "certify", "certify_queries": 40, "certify_k": 5},
+    )
+    cert_path = os.path.join(out, "_recall_cert.json")
+    hist = json.load(open(cert_path))
+    assert len(hist) == 1 and hist[0]["passed"]
+    clean_recall = hist[0]["recall_at_k"]
+    assert clean_recall > 0.95
+
+    # the daily append, with a drifted crawl
+    delta_p = _write(vecs(drift), tmp_path, "delta.parquet")
+    run_step(
+        spark, "ivf_index", {"corpus": delta_p, "centroids": cents_p}, out,
+        params={"mode": "append"},
+    )
+    union_p = _write(vecs(train + drift), tmp_path, "union.parquet")
+    run_step(
+        spark, "ivf_index", {"corpus": union_p, "centroids": cents_p}, out,
+        params={"mode": "certify", "certify_queries": 40, "certify_k": 5},
+    )
+    hist = json.load(open(cert_path))
+    assert len(hist) == 2
+    drifted_recall = hist[1]["recall_at_k"]
+    assert drifted_recall < clean_recall - 0.05, (
+        f"planted drift not detected: {clean_recall} -> {drifted_recall}"
+    )
+    # a floor between the two certifications gates the pipeline loudly
+    floor = (clean_recall + drifted_recall) / 2
+    with pytest.raises(ValueError, match="recall certification FAILED"):
+        run_step(
+            spark, "ivf_index",
+            {"corpus": union_p, "centroids": cents_p}, out,
+            params={
+                "mode": "certify", "certify_queries": 40,
+                "certify_k": 5, "recall_floor": floor,
+            },
+        )
+    # the failing certification is still recorded (history = evidence)
+    hist = json.load(open(cert_path))
+    assert len(hist) == 3 and hist[2]["passed"] is False
+
+
+def test_ivfpq_certify_records_and_gates(spark, tmp_path):
+    """The IVF-PQ twin: certify scores the compressed search against
+    exact L2 over the raw corpus, appends to the ledger, and an
+    unreachable recall_floor fails loudly."""
+    import json
+    import os
+
+    from genetics_spark_coloc_spark.operators.pq import codebooks_from_first_k
+    from genetics_spark_coloc_spark.steps import run_step
+
+    def vecs(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    corpus = [
+        (i, [float(10 * (i % 2)) + 0.01 * i, 0.02 * i, 1.0, 0.0])
+        for i in range(40)
+    ]
+    cents = [(0, [0.0, 0.0, 1.0, 0.0]), (1, [10.0, 0.0, 1.0, 0.0])]
+    corpus_p = _write(vecs(corpus), tmp_path, "pq_corpus.parquet")
+    cents_p = _write(vecs(cents), tmp_path, "pq_cents.parquet")
+    cbs_p = _write(
+        codebooks_from_first_k(vecs(corpus), m=2, k=8, dim=4),
+        tmp_path,
+        "pq_cbs.parquet",
+    )
+    out = str(tmp_path / "ivfpq")
+    ins = {"corpus": corpus_p, "centroids": cents_p, "codebooks": cbs_p}
+    run_step(spark, "ivfpq_index", ins, out)
+    run_step(
+        spark, "ivfpq_index", ins, out,
+        params={
+            "mode": "certify", "certify_queries": 16,
+            "certify_k": 3, "certify_nprobe": 2,
+        },
+    )
+    hist = json.load(open(os.path.join(out, "_recall_cert.json")))
+    assert len(hist) == 1 and 0.0 <= hist[0]["recall_at_k"] <= 1.0
+    assert hist[0]["n_queries"] == 16
+    with pytest.raises(ValueError, match="recall certification FAILED"):
+        run_step(
+            spark, "ivfpq_index", ins, out,
+            params={
+                "mode": "certify", "certify_queries": 16,
+                "certify_k": 3, "certify_nprobe": 2,
+                "recall_floor": 1.01,
+            },
+        )
+
+
+def test_cli_catalog_scoped_to_catalog_steps(tmp_path):
+    """ADVICE r12 (__main__.py): a non-catalog CLI step must not open
+    the Derby metastore — no metastore_db/ or derby.log side effects
+    in cwd, so concurrent non-catalog runs cannot collide on Derby's
+    single-process lock. (Catalog steps — lsh_band_index,
+    bucket_layout, lsh_pairs with index= — still opt in via
+    StepSpec.needs_catalog; the README quickstart test covers them.)"""
+    import os
+    import subprocess
+
+    corpus = "/root/testdata/sf0.001/documents.parquet"
+    r = subprocess.run(
+        [
+            "python", "-m", "genetics_spark_coloc_spark", "run",
+            "corpus_overlap",
+            "--in", f"left={corpus}", "--in", f"right={corpus}",
+            "--out", str(tmp_path / "overlap.parquet"),
+            "--param", "k=32",
+            "--master", "local[2]", "--shuffle-partitions", "2",
+        ],
+        cwd=str(tmp_path),
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={**os.environ, "PYTHONPATH": "/root/repo"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    leftovers = {
+        n for n in os.listdir(tmp_path)
+        if n in ("metastore_db", "derby.log")
+    }
+    assert not leftovers, f"non-catalog step leaked {leftovers} into cwd"
