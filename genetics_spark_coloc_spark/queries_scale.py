@@ -411,6 +411,125 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact squared-L2 top-5 per query (pq.exact_l2_topk) — the
+    ground-truth kernel behind the ``ivfpq_index mode=certify``
+    staleness gate (r13), oracle-certified on its own: broadcast
+    query side, one zip_with fold per pair, 6dp-rounded before
+    ranking, ties toward the smaller neighborId."""
+    from genetics_spark_coloc_spark.operators.pq import exact_l2_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return exact_l2_topk(emb, queries, k=5)
+
+
+SQL_L2_TOPK = """
+WITH vec AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT vec_id AS queryId, v AS qv FROM vec WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.queryId, w.vec_id AS neighborId,
+         ROUND(list_sum(list_transform(range(len(qv)), d ->
+           (qv[CAST(d AS INT) + 1] - w.v[CAST(d AS INT) + 1])
+           * (qv[CAST(d AS INT) + 1] - w.v[CAST(d AS INT) + 1]))), 6)
+           AS l2Dist
+  FROM q JOIN vec w ON w.vec_id != q.queryId
+),
+ranked AS (
+  SELECT queryId, neighborId, l2Dist,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY queryId ORDER BY l2Dist ASC, neighborId ASC
+         ) AS INT) AS rank
+  FROM scored
+)
+SELECT queryId, neighborId, l2Dist, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of IVF ANN (nprobe=1, vec_id < 4 centroids) against
+    exact cosine top-5 — the metric behind the ``ivf_index``/
+    ``ivfpq_index`` ``mode=certify`` staleness gate (r13), as a
+    registry query with a full DuckDB oracle: per query |approx ∩
+    exact| / |exact|, averaged over the query sample. One row
+    (nQueries, avgRecall, minRecall); the join work is bounded by
+    the top-k tables, never the corpus."""
+    from genetics_spark_coloc_spark.operators.similarity import (
+        cosine_topk,
+        topk_recall,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 4)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    approx = ivf_topk(emb, queries, centroids, k=5, nprobe=1)
+    exact = cosine_topk(emb, queries, k=5)
+    return topk_recall(approx, exact)
+
+
+SQL_ANN_RECALL = f"""
+WITH vec AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS centroidId, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 4
+),
+assign AS (
+  SELECT vec_id, v, centroidId,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY {_COS_SQL.format(a="v", b="cv")} DESC, centroidId ASC
+         ) AS rnk
+  FROM vec CROSS JOIN cent
+),
+members AS (SELECT vec_id, v, centroidId FROM assign WHERE rnk = 1),
+q AS (
+  SELECT vec_id AS queryId, v AS qv, centroidId
+  FROM members WHERE vec_id % 50 = 0
+),
+approx AS (
+  SELECT queryId, neighborId FROM (
+    SELECT q.queryId, m.vec_id AS neighborId,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.queryId
+             ORDER BY {_COS_SQL.format(a="qv", b="m.v")} DESC, m.vec_id ASC
+           ) AS rank
+    FROM q JOIN members m
+      ON q.centroidId = m.centroidId AND m.vec_id != q.queryId
+  ) WHERE rank <= 5
+),
+exact AS (
+  SELECT queryId, neighborId FROM (
+    SELECT q.queryId, w.vec_id AS neighborId,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.queryId
+             ORDER BY {_COS_SQL.format(a="qv", b="w.v")} DESC, w.vec_id ASC
+           ) AS rank
+    FROM q JOIN vec w ON w.vec_id != q.queryId
+  ) WHERE rank <= 5
+),
+nx AS (SELECT queryId, COUNT(*) AS nExact FROM exact GROUP BY queryId),
+nh AS (
+  SELECT a.queryId, COUNT(*) AS nHit
+  FROM approx a JOIN exact e
+    ON a.queryId = e.queryId AND a.neighborId = e.neighborId
+  GROUP BY a.queryId
+),
+perq AS (
+  SELECT nx.queryId,
+         COALESCE(nh.nHit, 0) / CAST(nx.nExact AS DOUBLE) AS recall
+  FROM nx LEFT JOIN nh ON nx.queryId = nh.queryId
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS nQueries,
+       ROUND(AVG(recall), 6) AS avgRecall,
+       ROUND(MIN(recall), 6) AS minRecall
+FROM perq
+"""
+
+
 # ----------------------------------------------------------------------------
 # relational semi / anti joins (reference §2.3: "semi" locus-breaker
 # join, left_anti neighbourhood-gene join — generic relational form)
@@ -871,6 +990,8 @@ SCALE_QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "frame_sample": q_frame_sample,
     "ivf_topk": q_ivf_topk,
+    "l2_topk": q_l2_topk,
+    "ann_recall": q_ann_recall,
     "late_order_priority": q_late_order_priority,
     "parts_never_ordered": q_parts_never_ordered,
     "asof_attribution": q_asof_attribution,
@@ -890,6 +1011,8 @@ SCALE_ORACLES = {
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "frame_sample": SQL_FRAME_SAMPLE,
     "ivf_topk": SQL_IVF_TOPK,
+    "l2_topk": SQL_L2_TOPK,
+    "ann_recall": SQL_ANN_RECALL,
     "late_order_priority": SQL_LATE_ORDER_PRIORITY,
     "parts_never_ordered": SQL_PARTS_NEVER_ORDERED,
     "asof_attribution": SQL_ASOF_ATTRIBUTION,

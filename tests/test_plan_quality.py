@@ -33,6 +33,8 @@ PYTHON_ALLOWED = {
     "embedding_near_dup",
     # BLAS centroid quantizer (similarity.py assign_to_centroids)
     "ivf_topk",
+    # recall@k certification composes ivf_topk (same BLAS kernel)
+    "ann_recall",
     # Lloyd k-means trains through the same BLAS assignment kernel
     "kmeans_centroids",
     # SemDeDup composes k-means training + BLAS assignment

@@ -34,7 +34,10 @@ SF_DIR = "/root/testdata/sf0.001"
 # corpus size — if it grows with the data, restructure the join
 # instead.
 BNLJ_WHITELIST = {
+    "ann_recall",  # exact-cosine ground truth: broadcast side is the
+    #                O(1) certification query sample (vec_id % 50)
     "bigram_lm",
+    "l2_topk",  # same tiny certification query sample, != condition
     "bm25_retrieval",
     "bpe_apply_merge",
     "bpe_train_merges",

@@ -1749,6 +1749,82 @@ def l2g_skew_probes(sizes: "tuple[int, ...]" = (10_000_000, 40_000_000)) -> None
     spark.stop()
 
 
+def cc_labels_fold_probes(
+    n_delta: int = 50_000,
+    hist_sizes: "tuple[int, ...]" = (1_000_000, 4_000_000),
+) -> None:
+    """Round-13 probe: the AT-REST daily fold (`fold_cc_labels`) with
+    the full crash contract — loud Hadoop-FS sidecar discovery,
+    sampled converged-input guard, shard append, committed alias
+    epoch, superseded-epoch cleanup — timed end-to-end against the
+    same delta/history geometry as ``incremental_cc_probes`` (which
+    measures the in-memory kernel alone). The difference is the price
+    of durability + the guard; it must stay O(delta)-flat as history
+    grows. Also times the one-hop resolved read (`load_cc_labels`).
+    Run: python -c "import tools.scale_probe as sp; sp.cc_labels_fold_probes()"
+    """
+    import shutil
+    import tempfile
+
+    spark = get_session(
+        app_name="cc_labels_fold_probe",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.operators.graph import (
+        connected_components,
+        fold_cc_labels,
+        load_cc_labels,
+    )
+
+    for n_hist in hist_sizes:
+        n_vert = 2 * n_hist
+        hist_edges = spark.range(n_hist).select(
+            F.col("id").alias("leftId"),
+            F.when(F.pmod("id", F.lit(8)) != 7, F.col("id") + 1)
+            .otherwise(F.col("id"))
+            .alias("rightId"),
+        ).filter(F.col("leftId") != F.col("rightId")).localCheckpoint(eager=True)
+        verts = spark.range(n_vert).select(F.col("id")).localCheckpoint(eager=True)
+        labels = connected_components(
+            verts, hist_edges, until_converged=True, check_every=2, unroll=2
+        )
+        root = tempfile.mkdtemp(prefix="cc_fold_probe_")
+        path = os.path.join(root, "cc_labels")
+        labels.write.parquet(path)
+        delta_edges = spark.range(n_delta).select(
+            F.when(F.pmod("id", F.lit(2)) == 0, F.pmod(F.hash("id"), F.lit(n_hist)))
+            .otherwise(F.lit(n_vert) + F.col("id"))
+            .alias("leftId"),
+            (F.lit(n_vert) + F.lit(n_delta) + F.col("id")).alias("rightId"),
+        ).localCheckpoint(eager=True)
+        start = time.perf_counter()
+        fold_cc_labels(delta_edges, path)
+        fold_sec = round(time.perf_counter() - start, 2)
+        start = time.perf_counter()
+        n_resolved = load_cc_labels(spark, path).count()
+        resolve_sec = round(time.perf_counter() - start, 2)
+        print(
+            json.dumps(
+                {
+                    "probe": f"cc_labels_fold_{n_delta // 1000}k_delta_vs_{n_hist // 1_000_000}m_edges",
+                    "hist_edges": n_hist,
+                    "delta_edges": n_delta,
+                    "fold_sec": fold_sec,
+                    "resolved_read_sec": resolve_sec,
+                    "rows_resolved": n_resolved,
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        for df in (hist_edges, verts, delta_edges):
+            df.unpersist()
+    spark.stop()
+
+
 def incremental_cc_probes(
     n_delta: int = 50_000, hist_sizes: "tuple[int, ...]" = (1_000_000, 4_000_000)
 ) -> None:
