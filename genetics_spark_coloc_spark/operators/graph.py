@@ -579,6 +579,10 @@ def load_cc_labels(spark, path: str) -> DataFrame:
 
     Contract: the table covers EDGED vertices (plus any rostered
     newcomers); an id absent from it is its own singleton component.
+    Single-writer: folds/compactions of one index must not run
+    concurrently with each other; a reader racing a fold may fail
+    loudly when the superseded epoch is cleaned up mid-plan — never
+    silently stale (the loud-read discipline holds either way).
     """
     _recover_compact(spark, path)
     labels = spark.read.parquet(path)

@@ -998,6 +998,8 @@ def streaming_cc_maintenance(
     src_col: str = "leftId",
     dst_col: str = "rightId",
     num_rounds: int = 16,
+    verify_converged: int = 64,
+    alias_compact_rows: int = 1_000_000,
 ):
     """Continuous duplicate-cluster maintenance: each arriving
     micro-batch of candidate pairs folds into the PERSISTED cc_labels
@@ -1027,6 +1029,11 @@ def streaming_cc_maintenance(
     after each fold with a zero-arg callable returning the freshly
     RESOLVED labeling — readers pull it only if they need it, so the
     per-trigger cost stays at the two delta writes.
+
+    ``verify_converged`` / ``alias_compact_rows`` forward to the
+    kernel: the sampled converged-input guard (two small actions per
+    trigger — set 0 for high-frequency triggers on a trusted index)
+    and the sidecar self-compaction bound.
     """
 
     def _fold(batch_df, epoch_id):
@@ -1043,6 +1050,8 @@ def streaming_cc_maintenance(
             src_col=src_col,
             dst_col=dst_col,
             num_rounds=num_rounds,
+            verify_converged=verify_converged,
+            alias_compact_rows=alias_compact_rows,
         )
         if on_batch is not None:
             spark = batch_df.sparkSession
