@@ -447,15 +447,10 @@ def _recover_compact(spark, path: str) -> None:
     delete→rename window self-heals on the next touch; a no-op
     (one existence check) in normal operation."""
     from genetics_spark_coloc_spark.session import (  # noqa: PLC0415
-        hadoop_path_exists,
-        hadoop_rename,
+        recover_interrupted_overwrite,
     )
 
-    if hadoop_path_exists(spark, path):
-        return
-    tmp = _compact_tmp_path(path)
-    if hadoop_path_exists(spark, tmp + "/_SUCCESS"):
-        hadoop_rename(spark, tmp, path)
+    recover_interrupted_overwrite(spark, path)
 
 
 def _alias_state(spark, path: str):
@@ -607,24 +602,17 @@ def compact_cc_labels(spark, path: str) -> None:
     complete post-compact state, never a torn mix.
     """
     from genetics_spark_coloc_spark.session import (  # noqa: PLC0415
-        hadoop_delete,
-        hadoop_path_exists,
-        hadoop_rename,
+        crash_safe_overwrite_parquet,
     )
 
     _recover_compact(spark, path)
-    tmp = _compact_tmp_path(path)
-    if hadoop_path_exists(spark, tmp):
-        # stale tmp from a crash BEFORE the root delete: the root is
-        # still authoritative — discard and recompute
-        hadoop_delete(spark, tmp)
     labels = spark.read.parquet(path)
     aliases, epoch = _alias_state(spark, path)
     if aliases is None and epoch == 0:
         return  # nothing to fold — avoid a pointless O(history) rewrite
-    _resolve_labels(labels, aliases).write.mode("overwrite").parquet(tmp)
-    hadoop_delete(spark, path)
-    hadoop_rename(spark, tmp, path)
+    # stale-tmp cleanup (crash BEFORE the root delete: root is still
+    # authoritative) is handled inside the shared protocol helper
+    crash_safe_overwrite_parquet(_resolve_labels(labels, aliases), path)
 
 
 def fold_cc_labels(

@@ -225,6 +225,45 @@ def hadoop_rename(spark: SparkSession, src: str, dst: str) -> None:
         raise OSError(f"hadoop rename failed: {src} -> {dst}")
 
 
+def crash_safe_overwrite_parquet(df: DataFrame, path: str) -> None:
+    """Overwrite a parquet directory that IS the system's evidence
+    (a counts table, an index labeling) without the torn-state window
+    of ``mode("overwrite")`` (which deletes the directory and then
+    writes — a crash mid-write loses the table): write to the sibling
+    ``{path}__compacting`` directory (committed by Spark's _SUCCESS
+    marker), delete the target, rename into place. A crash before the
+    delete leaves the target untouched (the stale tmp is cleared on
+    the next attempt); a crash between delete and rename leaves the
+    committed result at the tmp path, finished by
+    :func:`recover_interrupted_overwrite` — so every observable state
+    is pre-overwrite or complete post-overwrite. Also avoids the
+    self-read problem of in-place compaction (the plan may read
+    ``path`` itself; the tmp write materializes it before the
+    delete), so callers no longer need an eager checkpoint."""
+    spark = df.sparkSession
+    tmp = path.rstrip("/") + "__compacting"
+    if hadoop_path_exists(spark, tmp):
+        hadoop_delete(spark, tmp)
+    df.write.parquet(tmp)
+    hadoop_delete(spark, path)
+    hadoop_rename(spark, tmp, path)
+
+
+def recover_interrupted_overwrite(spark: SparkSession, path: str) -> bool:
+    """Finish an interrupted :func:`crash_safe_overwrite_parquet`:
+    when ``path`` is missing but a COMMITTED result sits at the
+    sibling tmp path, rename it into place (returns True). A no-op
+    (one existence check) in normal operation — call it before
+    reading any table maintained through the crash-safe protocol."""
+    if hadoop_path_exists(spark, path):
+        return False
+    tmp = path.rstrip("/") + "__compacting"
+    if hadoop_path_exists(spark, tmp + "/_SUCCESS"):
+        hadoop_rename(spark, tmp, path)
+        return True
+    return False
+
+
 def hadoop_read_text(spark: SparkSession, path: str) -> str:
     """Read a small text file through the Hadoop FileSystem API
     (counterpart of ``hadoop_write_text``). Raises FileNotFoundError

@@ -1198,6 +1198,10 @@ def _run_line_freq(spark, inputs, output, p):
     from pyspark.sql import functions as F
 
     from genetics_spark_coloc_spark.operators.text import line_frequency_table
+    from genetics_spark_coloc_spark.session import (
+        crash_safe_overwrite_parquet,
+        recover_interrupted_overwrite,
+    )
 
     if p["mode"] in ("append", "compact") and output is None:
         raise ValueError(f"line_freq mode={p['mode']} writes to --out, which was not given")
@@ -1206,20 +1210,26 @@ def _run_line_freq(spark, inputs, output, p):
         # crawl, so the table grows as O(appends × distinct segments)
         # while holding only O(distinct segments) of information —
         # the line-scrub twin of the band-index ledger's
-        # self-compaction. Re-aggregate to one row per segHash, IN
-        # PLACE: counts are additive by the table's documented
-        # contract (consumers SUM per hash), so compaction preserves
-        # every scrub's output bit-exactly while restoring the read
-        # cost of later scrubs. ``corpus`` names the table to compact
-        # (pass the same path as --out for in-place; the eager
-        # checkpoint severs the self-read before the overwrite).
+        # self-compaction. Re-aggregate to one row per segHash:
+        # counts are additive by the table's documented contract
+        # (consumers SUM per hash), so compaction preserves every
+        # scrub's output bit-exactly while restoring the read cost of
+        # later scrubs. ``corpus`` names the table to compact (pass
+        # the same path as --out for in-place). The table IS the
+        # corpus-frequency evidence — the original crawls are gone —
+        # so the rewrite goes through the crash-safe tmp→delete→
+        # rename protocol (r13): a crash at any point leaves the
+        # pre-compact table or the complete post-compact one, and an
+        # interrupted rename is finished by any later step touching
+        # the path. (The tmp write also materializes the self-read,
+        # replacing the old eager-checkpoint device.)
+        recover_interrupted_overwrite(spark, inputs["corpus"])
         compacted = (
             _parquet(spark, inputs["corpus"])
             .groupBy("segHash")
             .agg(F.sum("segCount").alias("segCount"))
-            .localCheckpoint(eager=True)
         )
-        compacted.write.mode("overwrite").parquet(output)
+        crash_safe_overwrite_parquet(compacted, output)
         return None
     freq = line_frequency_table(
         _parquet(spark, inputs["corpus"]), p["text_col"], sep=p["sep"]
@@ -1227,7 +1237,10 @@ def _run_line_freq(spark, inputs, output, p):
     if p["mode"] == "append":
         # nightly shard: counts for the new crawl land as ADDITIONAL
         # rows (duplicate segHash across shards is the documented
-        # additive contract — consumers re-aggregate with SUM)
+        # additive contract — consumers re-aggregate with SUM); an
+        # interrupted compact on this table is finished first so the
+        # shard never lands next to a half-renamed state
+        recover_interrupted_overwrite(spark, output)
         freq.write.mode("append").parquet(output)
         return None
     return freq
@@ -1235,7 +1248,14 @@ def _run_line_freq(spark, inputs, output, p):
 
 def _run_line_scrub(spark, inputs, output, p):
     from genetics_spark_coloc_spark.operators.text import line_dedup
+    from genetics_spark_coloc_spark.session import (
+        recover_interrupted_overwrite,
+    )
 
+    if p["freq"]:
+        # the frequency table may carry an interrupted compaction —
+        # finish it instead of failing on the missing path
+        recover_interrupted_overwrite(spark, p["freq"])
     freq = _parquet(spark, p["freq"]) if p["freq"] else None
     return line_dedup(
         _parquet(spark, inputs["docs"]),

@@ -5,6 +5,8 @@ and the bench baseline min-merge normalization."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -209,6 +211,93 @@ def test_ivfpq_certify_records_and_gates(spark, tmp_path):
                 "recall_floor": 1.01,
             },
         )
+
+
+def test_line_freq_compact_crash_windows_self_heal(spark, tmp_path):
+    """The line-frequency table IS the corpus evidence (the original
+    crawls are gone), so its in-place compaction gets the same r13
+    crash contract as cc_labels: tmp-write → delete → rename, with
+    every consumer finishing an interrupted rename. Plant both crash
+    windows and assert no state is ever torn."""
+    import shutil
+
+    from genetics_spark_coloc_spark.steps import run_step
+
+    docs = spark.createDataFrame(
+        [(i, "the same line " + ("x" if i % 2 else "y")) for i in range(20)],
+        "doc_id long, text string",
+    )
+    docs_p = str(tmp_path / "docs.parquet")
+    docs.write.parquet(docs_p)
+    freq_p = str(tmp_path / "freq.parquet")
+    run_step(spark, "line_freq", {"corpus": docs_p}, freq_p, params={"sep": " "})
+    run_step(
+        spark, "line_freq", {"corpus": docs_p}, freq_p,
+        params={"sep": " ", "mode": "append"},
+    )
+    want = {
+        r["segHash"]: r["segCount"]
+        for r in spark.read.parquet(freq_p)
+        .groupBy("segHash").sum("segCount")
+        .withColumnRenamed("sum(segCount)", "segCount").collect()
+    }
+
+    # window (b): committed tmp, table deleted (crash between delete
+    # and rename) — the next append self-heals before writing
+    from pyspark.sql import functions as F
+
+    compacted = (
+        spark.read.parquet(freq_p)
+        .groupBy("segHash").agg(F.sum("segCount").alias("segCount"))
+    )
+    tmp = freq_p + "__compacting"
+    compacted.write.parquet(tmp)
+    shutil.rmtree(freq_p)
+    run_step(
+        spark, "line_freq", {"corpus": docs_p}, freq_p,
+        params={"sep": " ", "mode": "append"},
+    )
+    got = {
+        r["segHash"]: r["segCount"]
+        for r in spark.read.parquet(freq_p)
+        .groupBy("segHash").sum("segCount")
+        .withColumnRenamed("sum(segCount)", "segCount").collect()
+    }
+    # recovered table + one more shard of the same corpus = 1.5x counts
+    assert got == {k: v + v // 2 for k, v in want.items()}
+    assert not os.path.exists(tmp)
+
+    # window (a): stale tmp with the table intact (crash before the
+    # delete) — compact discards the tmp and completes normally
+    compacted2 = (
+        spark.read.parquet(freq_p)
+        .groupBy("segHash").agg(F.sum("segCount").alias("segCount"))
+    )
+    compacted2.limit(1).write.parquet(tmp)  # junk tmp (wrong content)
+    run_step(
+        spark, "line_freq", {"corpus": freq_p}, freq_p,
+        params={"mode": "compact"},
+    )
+    got2 = {
+        r["segHash"]: r["segCount"]
+        for r in spark.read.parquet(freq_p).collect()
+    }
+    assert got2 == got  # compacted to one row per hash, counts intact
+    assert not os.path.exists(tmp)
+
+    # the scrub CONSUMER also self-heals an interrupted rename: plant
+    # window (b) again and read through line_scrub's freq= path
+    spark.read.parquet(freq_p).write.parquet(tmp)
+    shutil.rmtree(freq_p)
+    out = run_step(
+        spark, "line_scrub", {"docs": docs_p}, None,
+        params={
+            "sep": " ", "max_count": 1, "min_segment_chars": 1,
+            "freq": freq_p,
+        },
+        write=False,
+    )
+    assert out.count() == 20 and os.path.exists(freq_p)
 
 
 def test_cli_catalog_scoped_to_catalog_steps(tmp_path):
