@@ -615,7 +615,20 @@ def _run_lsh_band_index(spark, inputs, output, p):
             for r in spark.sql(f"SHOW TBLPROPERTIES {output}").collect()
         }
         old_max = int(old_props.get("genetics_spark_coloc.max_bucket_count", 0))
-        if spark.catalog.tableExists(counts_table):
+        # the ledger is certification EVIDENCE: a crashed compaction
+        # (saveAsTable overwrite = drop + rewrite) can leave it
+        # registered but EMPTY, and totalling touched buckets against
+        # an empty history would silently under-certify — a hot
+        # bucket forming across appends would slip past the ceiling.
+        # An empty-but-existing ledger therefore reseeds through the
+        # same full-recompute branch as a pre-sidecar index (the band
+        # table itself is never lost, so the reseed is always exact;
+        # a PARTIAL ledger — driver crash inside the commit window —
+        # is narrower and also heals at the next compaction reseed).
+        ledger_live = spark.catalog.tableExists(counts_table) and bool(
+            spark.table(counts_table).take(1)
+        )
+        if ledger_live:
             # O(delta) re-certification. A delta-only max is NOT
             # sufficient — a hot bucket can form ACROSS appends with
             # neither append alone over the ceiling — so total the

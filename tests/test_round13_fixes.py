@@ -300,6 +300,83 @@ def test_line_freq_compact_crash_windows_self_heal(spark, tmp_path):
     assert out.count() == 20 and os.path.exists(freq_p)
 
 
+def test_empty_ledger_reseeds_instead_of_undercertifying(spark, tmp_path):
+    """A crashed ledger compaction (saveAsTable overwrite = drop +
+    rewrite) can leave the counts ledger registered but EMPTY; the
+    next append must NOT total touched buckets against that empty
+    history (it would certify a too-low max and let a cross-append
+    hot bucket slip past the ceiling) — it reseeds via the full
+    recompute branch, exactly like a pre-sidecar index."""
+    from genetics_spark_coloc_spark.session import write_bucketed
+    from genetics_spark_coloc_spark.steps import run_step
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+
+    def batch(start_id):
+        rows = [(start_id + i, shared) for i in range(3)]
+        rows += [
+            (
+                start_id + 3 + i,
+                " ".join(
+                    f"w{start_id}x{i}t{j}v{(i * 7 + j * 13) % 97}"
+                    for j in range(30)
+                ),
+            )
+            for i in range(10)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    p0, p1 = str(tmp_path / "b0.parquet"), str(tmp_path / "b1.parquet")
+    batch(0).write.parquet(p0)
+    batch(100).write.parquet(p1)
+    tbl = "band_index_empty_ledger"
+    bp = {"num_perm": 16, "band_size": 4}
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}_bucket_counts")
+    try:
+        run_step(spark, "lsh_band_index", {"corpus": p0}, tbl,
+                 params={"num_buckets": 4, **bp})
+        # planted crash outcome: ledger exists but holds zero rows
+        # (checkpoint severs the self-read before the overwrite)
+        write_bucketed(
+            spark.table(f"{tbl}_bucket_counts")
+            .limit(0)
+            .localCheckpoint(eager=True),
+            f"{tbl}_bucket_counts",
+            ["bandIdx", "bandHash"],
+            num_buckets=16,
+        )
+        run_step(spark, "lsh_band_index", {"corpus": p1}, tbl,
+                 params={"mode": "append", **bp})
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {tbl}").collect()
+        }
+        certified = int(props["genetics_spark_coloc.max_bucket_count"])
+        direct = (
+            spark.table(tbl)
+            .groupBy("bandIdx", "bandHash")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert certified == direct == 6, (
+            f"empty ledger under-certified: {certified} vs true {direct}"
+        )
+        # and the reseed left the ledger consistent again
+        ledger_max = (
+            spark.table(f"{tbl}_bucket_counts")
+            .groupBy("bandIdx", "bandHash")
+            .agg(F.sum("c").alias("t"))
+            .agg(F.max("t"))
+            .collect()[0][0]
+        )
+        assert int(ledger_max) == 6
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_bucket_counts")
+
+
 def test_cli_catalog_scoped_to_catalog_steps(tmp_path):
     """ADVICE r12 (__main__.py): a non-catalog CLI step must not open
     the Derby metastore — no metastore_db/ or derby.log side effects
