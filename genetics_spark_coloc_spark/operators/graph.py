@@ -329,7 +329,11 @@ def incremental_connected_components(
 
     ``labels`` is a prior :func:`connected_components` result
     (id, component) — the CONTRACT is that it is converged (component
-    = min reachable id; every component id labels itself). New edges
+    = min reachable id; every component id labels itself); callers
+    holding labels they did not just compute should run the sampled
+    :func:`assert_labels_converged` guard first (the at-rest fold
+    path, :func:`fold_cc_labels`, does so by default — this function
+    stays lazy/action-free by design). New edges
     can only MERGE whole existing components, never split them, so
     the union graph contracts exactly to:
 
