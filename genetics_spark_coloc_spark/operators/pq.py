@@ -735,11 +735,17 @@ def exact_l2_topk(
     rank). Scale shape: one broadcast nested-loop over the corpus
     scan (|Q| is a certification sample, not a workload), one
     window top-k."""
-    q = queries.select(
+    # null/mismatched-dim vectors yield a NULL fold (zip_with pads the
+    # shorter array with nulls) — under ASC ordering Spark sorts nulls
+    # FIRST, which would rank a junk row as everyone's nearest
+    # neighbour; drop invalid rows up front and order nulls last as
+    # belt-and-braces (cosine_topk is safe only by accident: its DESC
+    # ordering happens to put nulls last)
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("queryId"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
     )
-    c = corpus.select(
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighborId"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )
@@ -763,7 +769,7 @@ def exact_l2_topk(
         .drop("qvec", "cvec")
     )
     w = Window.partitionBy("queryId").orderBy(
-        F.col("l2Dist").asc(), F.col("neighborId").asc()
+        F.col("l2Dist").asc_nulls_last(), F.col("neighborId").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))

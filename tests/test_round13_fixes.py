@@ -213,6 +213,49 @@ def test_ivfpq_certify_records_and_gates(spark, tmp_path):
         )
 
 
+def test_exact_l2_topk_ignores_junk_vectors(spark):
+    """A null or dimension-mismatched embedding must never rank as a
+    nearest neighbour: zip_with pads the shorter array with nulls, the
+    fold goes NULL, and ASC ordering sorts nulls FIRST — the junk row
+    would beat every real neighbour. Invalid rows are dropped up
+    front (+ nulls-last ordering as belt-and-braces)."""
+    from genetics_spark_coloc_spark.operators.pq import exact_l2_topk
+
+    rows = [
+        (1, [0.0, 0.0]),
+        (2, [1.0, 0.0]),
+        (3, [2.0, 0.0]),
+        (4, None),          # null embedding
+        (5, [9.0]),         # wrong dimension
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = exact_l2_topk(df, df.filter(F.col("vec_id") == 1), k=2).collect()
+    assert [(r["neighborId"], r["l2Dist"]) for r in out] == [
+        (2, 1.0),
+        (3, 4.0),
+    ]
+
+
+def test_topk_recall_counts_silent_queries_as_zero(spark):
+    """A query the approximate search returned NOTHING for is recall
+    0, not a dropped row — otherwise an index that loses whole queries
+    would look perfect on the ones it kept."""
+    from genetics_spark_coloc_spark.operators.similarity import topk_recall
+
+    exact = spark.createDataFrame(
+        [("q1", "a"), ("q1", "b"), ("q2", "c"), ("q2", "d")],
+        "queryId string, neighborId string",
+    )
+    approx = spark.createDataFrame(
+        [("q1", "a"), ("q1", "x")],  # q2 entirely absent
+        "queryId string, neighborId string",
+    )
+    row = topk_recall(approx, exact).collect()[0]
+    assert row["nQueries"] == 2
+    assert row["avgRecall"] == pytest.approx(0.25)  # (0.5 + 0.0) / 2
+    assert row["minRecall"] == 0.0
+
+
 def test_line_freq_compact_crash_windows_self_heal(spark, tmp_path):
     """The line-frequency table IS the corpus evidence (the original
     crawls are gone), so its in-place compaction gets the same r13
