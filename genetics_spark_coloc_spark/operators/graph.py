@@ -589,7 +589,7 @@ def load_cc_labels(spark, path: str) -> DataFrame:
     return _resolve_labels(labels, aliases)
 
 
-def compact_cc_labels(spark, path: str) -> None:
+def compact_cc_labels(spark, path: str, force: bool = False) -> None:
     """Fold the alias sidecar back into the label shards — crash-safe:
 
     1. write the RESOLVED labeling to the sibling ``{root}__compacting``
@@ -612,10 +612,13 @@ def compact_cc_labels(spark, path: str) -> None:
     _recover_compact(spark, path)
     labels = spark.read.parquet(path)
     aliases, epoch = _alias_state(spark, path)
-    if aliases is None and epoch == 0:
-        return  # nothing to fold — avoid a pointless O(history) rewrite
-    # stale-tmp cleanup (crash BEFORE the root delete: root is still
-    # authoritative) is handled inside the shared protocol helper
+    if aliases is None and epoch == 0 and not force:
+        # nothing to fold — skip the O(history) rewrite. The inline
+        # auto-compaction trigger takes this path; the explicit step
+        # passes force=True so a user-invoked compact also
+        # consolidates the per-fold appended shards into one clean
+        # resolved table (the file-count cleanup compact always did).
+        return
     crash_safe_overwrite_parquet(_resolve_labels(labels, aliases), path)
 
 

@@ -1144,8 +1144,10 @@ def _run_cc_labels(spark, inputs, output, p):
         # line_freq compaction twin for the labeling, via the
         # crash-safe tmp-write → delete → rename protocol (a crash at
         # any point leaves pre-compact or complete post-compact state;
-        # an interrupted run resumes here or in any loader)
-        compact_cc_labels(spark, output)
+        # an interrupted run resumes here or in any loader); force=True:
+        # the explicit step also consolidates appended shards even when
+        # no sidecar exists
+        compact_cc_labels(spark, output, force=True)
         return None
     if p["mode"] == "append":
         # the daily fold — shared kernel with streaming_cc_maintenance:
