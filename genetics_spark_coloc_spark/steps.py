@@ -779,6 +779,13 @@ def _certify_ann_recall(spark, output, meta_name, approx, exact, p):
     )
 
     row = topk_recall(approx, exact).collect()[0]
+    if not row["nQueries"]:
+        raise ValueError(
+            f"ANN recall certification for {output}: the deterministic "
+            "query sample produced no ground-truth rows (empty or "
+            "single-vector corpus?) — a certification that measured "
+            "nothing must not be recorded as evidence."
+        )
     entry = {
         "recall_at_k": row["avgRecall"],
         "min_query_recall": row["minRecall"],
@@ -795,6 +802,12 @@ def _certify_ann_recall(spark, output, meta_name, approx, exact, p):
         history = _json.loads(hadoop_read_text(spark, cert_path))
     except FileNotFoundError:
         history = []
+    except ValueError as exc:  # corrupt ledger (e.g. crashed write)
+        raise ValueError(
+            f"ANN recall certification ledger at {cert_path} is not "
+            "valid JSON — refusing to silently discard the history; "
+            "inspect/delete the file to start a fresh ledger."
+        ) from exc
     history.append(entry)
     hadoop_write_text(spark, cert_path, _json.dumps(history))
     if not entry["passed"]:
