@@ -778,6 +778,93 @@ def exact_l2_topk(
     )
 
 
+def exact_l2_topk_blas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact squared-L2 top-k, BLAS edition — same contract as
+    :func:`exact_l2_topk` (6dp half-away rounding before ranking,
+    ties toward the smaller neighborId, self-matches and junk vectors
+    excluded) built for the ``ivfpq_index mode=certify`` ground-truth
+    scan: queries collect to a driver matrix, each Arrow batch is one
+    expanded-form distance product (``_sq_dist``), only the per-batch
+    top-k per query is emitted (the pq_adc_topk device), a closing
+    window ranks exactly. The column twin remains the oracle-checked
+    registry form (`l2_topk`)."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).collect()
+    dim = next(
+        (len(r["qv"]) for r in qrows if r["qv"] is not None and len(r["qv"])),
+        None,
+    )
+    qrows = [r for r in qrows if r["qv"] is not None and len(r["qv"]) == dim]
+    qid_type = queries.schema[id_col].dataType.simpleString()
+    vid_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"queryId {qid_type}, neighborId {vid_type}, l2Dist double"
+    src = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vv"),
+    )
+    if not qrows:
+        return src.limit(0).select(
+            F.col("vid").cast(qid_type).alias("queryId"),
+            F.col("vid").alias("neighborId"),
+            F.lit(None).cast("double").alias("l2Dist"),
+            F.lit(None).cast("int").alias("rank"),
+        )
+    qrows.sort(key=lambda r: r["qid"])
+    qids = [r["qid"] for r in qrows]
+    qmat = np.array([list(r["qv"]) for r in qrows], dtype=np.float64)
+    n_q = len(qids)
+
+    def _scan(batches):
+        for pdf in batches:
+            vids = pdf["vid"].to_numpy()
+            vals = pdf["vv"].tolist()
+            ok = _valid_rows(vals, dim)
+            if not ok:
+                continue
+            mat = np.array([vals[i] for i in ok], dtype=np.float64)
+            bvids = vids[ok]
+            dists = _sq_dist_rounded(mat, qmat)  # (batch × |Q|)
+            chunks = []
+            for qi in range(n_q):
+                keep = bvids != qids[qi]
+                if not keep.any():
+                    continue
+                d, v = dists[keep, qi], bvids[keep]
+                order = np.lexsort((v, d))[:k]
+                chunks.append(
+                    pd.DataFrame(
+                        {
+                            "queryId": [qids[qi]] * len(order),
+                            "neighborId": v[order],
+                            "l2Dist": d[order],
+                        }
+                    )
+                )
+            if chunks:
+                yield pd.concat(chunks, ignore_index=True)
+
+    pruned = src.mapInPandas(_scan, out_schema)
+    w = Window.partitionBy("queryId").orderBy(
+        F.col("l2Dist").asc(), F.col("neighborId").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("queryId", "neighborId", "l2Dist", "rank")
+    )
+
+
 def sq8_encode(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -150,6 +150,111 @@ def cosine_topk(
     )
 
 
+def cosine_topk_blas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k, BLAS edition — same contract as
+    :func:`cosine_topk` (6dp half-away rounding BEFORE ranking, ties
+    toward the smaller neighborId, self-matches excluded) but built
+    for the certification path where |queries| is a small sample: the
+    queries collect to a driver matrix that rides the task closure,
+    and each Arrow batch of the corpus is ONE (batch × dim) @
+    (dim × |Q|) product emitting only the per-batch top-k per query —
+    a correct prefix of the final total order, so the closing exact
+    rank shuffles O(k·batches·|Q|) rows, never corpus×|Q| (the
+    pq_adc_topk device). ~50× the zip_with column fold's throughput
+    on the dominant exact-ground-truth scan of ``mode=certify``
+    (measured in BASELINE.md). Zero-norm/junk vectors are dropped by
+    the kernel's validity check; the column twin remains the
+    oracle-checked registry form."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).collect()
+    dim = next(
+        (len(r["qv"]) for r in qrows if r["qv"] is not None and len(r["qv"])),
+        None,
+    )
+    qrows = [r for r in qrows if r["qv"] is not None and len(r["qv"]) == dim]
+    qid_type = queries.schema[id_col].dataType.simpleString()
+    vid_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"queryId {qid_type}, neighborId {vid_type}, cosineSim double"
+    )
+    src = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vv"),
+    )
+    if not qrows:
+        return src.limit(0).select(
+            F.col("vid").cast(qid_type).alias("queryId"),
+            F.col("vid").alias("neighborId"),
+            F.lit(None).cast("double").alias("cosineSim"),
+            F.lit(None).cast("int").alias("rank"),
+        )
+    qrows.sort(key=lambda r: r["qid"])
+    qids = [r["qid"] for r in qrows]
+    qmat = np.array([list(r["qv"]) for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    nzq = qnorm > 0.0
+    qids = [q for q, keep in zip(qids, nzq) if keep]
+    qmat, qnorm = qmat[nzq], qnorm[nzq]
+    n_q = len(qids)
+
+    def _scan(batches):
+        for pdf in batches:
+            vids = pdf["vid"].to_numpy()
+            vals = pdf["vv"].tolist()
+            ok = _valid_rows(vals, dim)
+            if not ok:
+                continue
+            mat = np.array([vals[i] for i in ok], dtype=np.float64)
+            bvids = vids[ok]
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            nz = nrm > 0.0
+            if not nz.any():
+                continue
+            mat, bvids, nrm = mat[nz], bvids[nz], nrm[nz]
+            sims = _round_half_away(
+                (mat @ qmat.T) / np.outer(nrm, qnorm)
+            )  # (batch × |Q|)
+            chunks = []
+            for qi in range(n_q):
+                keep = bvids != qids[qi]
+                if not keep.any():
+                    continue
+                s, v = sims[keep, qi], bvids[keep]
+                order = np.lexsort((v, -s))[:k]
+                chunks.append(
+                    pd.DataFrame(
+                        {
+                            "queryId": [qids[qi]] * len(order),
+                            "neighborId": v[order],
+                            "cosineSim": s[order],
+                        }
+                    )
+                )
+            if chunks:
+                yield pd.concat(chunks, ignore_index=True)
+
+    pruned = src.mapInPandas(_scan, out_schema)
+    w = Window.partitionBy("queryId").orderBy(
+        F.col("cosineSim").desc(), F.col("neighborId").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("queryId", "neighborId", "cosineSim", "rank")
+    )
+
+
 def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
     """Recall@k of an approximate top-k result against the exact one —
     the ANN staleness metric behind the ``ivf_index``/``ivfpq_index``

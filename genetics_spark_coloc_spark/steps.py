@@ -830,7 +830,7 @@ def _run_ivf_index(spark, inputs, output, p):
     from pyspark.sql import functions as F
 
     from genetics_spark_coloc_spark.operators.similarity import (
-        cosine_topk,
+        cosine_topk_blas,
         ivf_members,
         ivf_topk,
         load_ivf_index,
@@ -855,7 +855,10 @@ def _run_ivf_index(spark, inputs, output, p):
             vec_col=p["vec_col"],
             members=members,
         )
-        exact = cosine_topk(
+        # BLAS exact ground truth: one corpus scan, per-batch matmul
+        # against the (tiny) query matrix — the certify wall is one
+        # extra corpus scan, not a corpus×sample column fold
+        exact = cosine_topk_blas(
             corpus,
             queries,
             k=p["certify_k"],
@@ -953,7 +956,7 @@ def _run_ivfpq_index(spark, inputs, output, p):
 
     from genetics_spark_coloc_spark.operators.pq import (
         _collect_pq_codebooks,
-        exact_l2_topk,
+        exact_l2_topk_blas,
         ivfpq_index,
         ivfpq_topk,
         load_ivfpq_index,
@@ -984,7 +987,7 @@ def _run_ivfpq_index(spark, inputs, output, p):
             id_col=p["id_col"],
             vec_col=p["vec_col"],
         )
-        exact = exact_l2_topk(
+        exact = exact_l2_topk_blas(
             corpus,
             queries,
             k=p["certify_k"],

@@ -236,6 +236,42 @@ def test_exact_l2_topk_ignores_junk_vectors(spark):
     ]
 
 
+def test_blas_topk_twins_match_column_forms(spark):
+    """The certify path's BLAS ground-truth kernels must return
+    exactly what the oracle-checked column forms return (same 6dp
+    rounding, same id tiebreak, self-matches excluded) — on the real
+    embeddings table, full tuple equality."""
+    from genetics_spark_coloc_spark.operators.pq import (
+        exact_l2_topk,
+        exact_l2_topk_blas,
+    )
+    from genetics_spark_coloc_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_blas,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    key = lambda df: sorted(  # noqa: E731
+        tuple(r) for r in df.collect()
+    )
+    assert key(cosine_topk_blas(emb, queries, k=5)) == key(
+        cosine_topk(emb, queries, k=5)
+    )
+    assert key(exact_l2_topk_blas(emb, queries, k=5)) == key(
+        exact_l2_topk(emb, queries, k=5)
+    )
+    # junk rows never surface from the BLAS kernels either
+    junk = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [1.0, 0.0]), (3, None), (4, [9.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = cosine_topk_blas(junk, junk.filter("vec_id = 1"), k=3).collect()
+    assert {r["neighborId"] for r in got} == {2}
+    got = exact_l2_topk_blas(junk, junk.filter("vec_id = 1"), k=3).collect()
+    assert {r["neighborId"] for r in got} == {2}
+
+
 def test_topk_recall_counts_silent_queries_as_zero(spark):
     """A query the approximate search returned NOTHING for is recall
     0, not a dropped row — otherwise an index that loses whole queries

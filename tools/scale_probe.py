@@ -1749,6 +1749,100 @@ def l2g_skew_probes(sizes: "tuple[int, ...]" = (10_000_000, 40_000_000)) -> None
     spark.stop()
 
 
+def ann_certify_probes(
+    corpus_sizes: "tuple[int, ...]" = (200_000, 800_000),
+    dim: int = 64,
+    n_centroids: int = 64,
+    certify_queries: int = 64,
+) -> None:
+    """Round-13 probe: the `ivf_index mode=certify` staleness gate's
+    cost as the indexed corpus grows. The gate is one deterministic
+    query sample answered twice — by the index (partition-pruned to
+    nprobe lists) and by the exact brute force (ONE corpus scan ×
+    |sample| JVM-side cosine folds) — so the wall should be linear in
+    corpus with a small constant, i.e. priceable as 'one extra corpus
+    scan per certification', not a second dedup pass.
+    Run: python -c "import tools.scale_probe as sp; sp.ann_certify_probes()"
+    """
+    import shutil
+    import tempfile
+
+    spark = get_session(
+        app_name="ann_certify_probe",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.steps import run_step
+
+    for n in corpus_sizes:
+        # clustered gaussian-ish geometry via hash-derived offsets:
+        # vectors sit near one of n_centroids anchor points (uniform
+        # random vectors make ANY inverted-list index look bad for
+        # reasons that say nothing about the step)
+        base = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda d: (
+                    F.pmod(F.hash(F.pmod(F.col("id"), F.lit(n_centroids)), d), F.lit(1000))
+                    / 100.0
+                    + F.pmod(F.hash(F.col("id"), d), F.lit(100)) / 1000.0
+                ),
+            ).alias("embedding"),
+        )
+        root = tempfile.mkdtemp(prefix="ann_certify_probe_")
+        corpus_p = os.path.join(root, "corpus.parquet")
+        cents_p = os.path.join(root, "cents.parquet")
+        base.write.parquet(corpus_p)
+        spark.read.parquet(corpus_p).filter(
+            F.col("vec_id") < n_centroids
+        ).write.parquet(cents_p)
+        out = os.path.join(root, "ivf")
+        start = time.perf_counter()
+        run_step(
+            spark, "ivf_index",
+            {"corpus": corpus_p, "centroids": cents_p}, out,
+        )
+        build_sec = round(time.perf_counter() - start, 2)
+        start = time.perf_counter()
+        run_step(
+            spark, "ivf_index",
+            {"corpus": corpus_p, "centroids": cents_p}, out,
+            params={
+                "mode": "certify",
+                "certify_queries": certify_queries,
+                "certify_k": 10,
+            },
+        )
+        certify_sec = round(time.perf_counter() - start, 2)
+        import json as _json
+
+        from genetics_spark_coloc_spark.session import hadoop_read_text
+
+        cert = _json.loads(
+            hadoop_read_text(spark, os.path.join(out, "_recall_cert.json"))
+        )[-1]
+        print(
+            json.dumps(
+                {
+                    "probe": f"ann_certify_{n // 1000}k_corpus",
+                    "corpus": n,
+                    "dim": dim,
+                    "n_centroids": n_centroids,
+                    "certify_queries": certify_queries,
+                    "build_sec": build_sec,
+                    "certify_sec": certify_sec,
+                    "recall_at_10": cert["recall_at_k"],
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
 def cc_labels_fold_probes(
     n_delta: int = 50_000,
     hist_sizes: "tuple[int, ...]" = (1_000_000, 4_000_000),
