@@ -1397,9 +1397,10 @@ def choose_nprobe(
     tools/ann_recall_probe.py (VERDICT r5 task #8).
 
     Method: a deterministic hash-spread sample of ~``n_queries``
-    corpus vectors becomes the query set; exact :func:`cosine_topk`
-    on that sample is the ground truth (|sample| × corpus work — the
-    tuning cost, same trade FAISS makes training on a sample); then
+    corpus vectors becomes the query set; exact cosine on that sample
+    (the BLAS kernel :func:`cosine_topk_blas`, tuple-identical to
+    :func:`cosine_topk`) is the ground truth — one corpus scan, the
+    same trade FAISS makes training on a sample; then
     :func:`ivf_topk` recall is measured at doubling nprobe values
     (1, 2, 4, ...) until the target is met or ``max_nprobe``
     (default: the centroid count) is reached. The inverted lists are
@@ -1426,8 +1427,11 @@ def choose_nprobe(
     queries = corpus.filter(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(rate)) == 0
     ).localCheckpoint(eager=False)
+    # BLAS ground truth (r13): tuple-identical to cosine_topk (pinned
+    # by test) at ~50x the exact-scan throughput — the tuning cost is
+    # one corpus scan, not a corpus×sample column fold
     truth = (
-        cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+        cosine_topk_blas(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
         .select("queryId", "neighborId")
         .localCheckpoint(eager=False)
     )

@@ -761,7 +761,7 @@ def _sample_queries(corpus, id_col, n):
     )
 
 
-def _certify_ann_recall(spark, output, meta_name, approx, exact, p):
+def _certify_ann_recall(spark, output, meta_name, approx, exact, p, tune=None):
     """Shared recall-certification recorder for the ANN index steps:
     score recall@k of the index search against the exact ground
     truth, APPEND the result to the ``_recall_cert.json`` ledger
@@ -769,7 +769,10 @@ def _certify_ann_recall(spark, output, meta_name, approx, exact, p):
     r12 verdict asked for — frozen build-time artifacts decay
     silently as the appended distribution drifts; this makes the
     decay a recorded, gateable number), and fail loudly when recall
-    falls below ``recall_floor`` (0 = record-only)."""
+    falls below ``recall_floor`` (0 = record-only). ``tune`` (optional
+    zero-arg callable → str) runs only on FAILURE and appends an
+    operator-specific remediation line (e.g. the smallest nprobe that
+    restores the floor) to the error."""
     import json as _json
 
     from genetics_spark_coloc_spark.operators.similarity import topk_recall
@@ -811,6 +814,14 @@ def _certify_ann_recall(spark, output, meta_name, approx, exact, p):
     history.append(entry)
     hadoop_write_text(spark, cert_path, _json.dumps(history))
     if not entry["passed"]:
+        hint = ""
+        if tune is not None:
+            try:
+                hint = " " + tune()
+            except Exception as exc:  # noqa: BLE001 — the hint is
+                # best-effort diagnostics; the certification failure
+                # below is the real signal and must not be masked
+                hint = f" (remediation probe itself failed: {exc})"
         raise ValueError(
             f"ANN recall certification FAILED for {output}: "
             f"recall@{p['certify_k']} = {row['avgRecall']} < floor "
@@ -819,7 +830,7 @@ def _certify_ann_recall(spark, output, meta_name, approx, exact, p):
             "drifted from the frozen build-time artifacts (centroids"
             "/codebooks) — rebuild the index with mode=overwrite (and "
             "retrain the artifacts on a current sample), or raise nprobe. "
-            f"The full certification history is in {cert_path}."
+            f"The full certification history is in {cert_path}.{hint}"
         )
 
 
@@ -865,8 +876,41 @@ def _run_ivf_index(spark, inputs, output, p):
             id_col=p["id_col"],
             vec_col=p["vec_col"],
         )
+
+        def _nprobe_hint():
+            # remediation probe, run only on failure: the smallest
+            # nprobe whose recall meets the floor (doubling curve,
+            # reuses the already-loaded inverted lists — each step is
+            # one sampled search, never a corpus re-assignment)
+            from genetics_spark_coloc_spark.operators.similarity import (
+                choose_nprobe,
+            )
+
+            best, curve = choose_nprobe(
+                corpus,
+                shipped,
+                target_recall=p["recall_floor"],
+                k=p["certify_k"],
+                n_queries=p["certify_queries"],
+                id_col=p["id_col"],
+                vec_col=p["vec_col"],
+                members=members,
+            )
+            last = curve[-1]["recall_at_k"]
+            if last >= p["recall_floor"]:
+                return (
+                    f"Remediation: nprobe={best} restores recall to "
+                    f"{last} on the same sample (measured curve: {curve})."
+                )
+            return (
+                f"Remediation: NO nprobe up to {best} reaches the floor "
+                f"(best {last}; curve {curve}) — the coarse quantizer "
+                "itself is stale; rebuild with retrained centroids."
+            )
+
         _certify_ann_recall(
-            spark, output, "_recall_cert.json", approx, exact, p
+            spark, output, "_recall_cert.json", approx, exact, p,
+            tune=_nprobe_hint,
         )
         return None
     if p["mode"] == "append":

@@ -146,9 +146,14 @@ def test_ivf_certify_detects_planted_drift(spark, tmp_path):
     assert drifted_recall < clean_recall - 0.05, (
         f"planted drift not detected: {clean_recall} -> {drifted_recall}"
     )
-    # a floor between the two certifications gates the pipeline loudly
+    # a floor between the two certifications gates the pipeline loudly,
+    # and the failure message carries the measured remediation: with 2
+    # centroids, nprobe=2 is exhaustive, so the hint must name it
     floor = (clean_recall + drifted_recall) / 2
-    with pytest.raises(ValueError, match="recall certification FAILED"):
+    with pytest.raises(
+        ValueError,
+        match=r"(?s)recall certification FAILED.*Remediation: nprobe=2",
+    ):
         run_step(
             spark, "ivf_index",
             {"corpus": union_p, "centroids": cents_p}, out,
