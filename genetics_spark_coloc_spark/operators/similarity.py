@@ -116,20 +116,26 @@ def cosine_topk(
     excluded; ties broken by neighborId (deterministic). The
     similarity is rounded to 6dp BEFORE ranking so rank order is
     reproducible across engines.
+
+    Null and zero-norm vectors are excluded on BOTH sides: a
+    zero-norm corpus row divides 0/0 into NaN, and Spark orders NaN
+    ABOVE every number — under the DESC rank a single junk row would
+    silently become every query's top-1 neighbour (r13; the L2 twin
+    had the mirror-image bug with nulls-first ASC ordering).
     """
     # norms are computed ONCE per row before the pair join — the pair
     # expression is a single dot-product fold, not three (same float
     # result: sqrt(dot(v,v)) is the identical expression either way)
-    q = queries.select(
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("queryId"),
         F.col(vec_col).alias("qvec"),
         norm(F.col(vec_col)).alias("qnorm"),
-    )
-    c = corpus.select(
+    ).filter(F.col("qnorm") > 0.0)
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighborId"),
         F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("cnorm"),
-    )
+    ).filter(F.col("cnorm") > 0.0)
     scored = (
         c.join(F.broadcast(q), on=F.col("neighborId") != F.col("queryId"))
         .withColumn(
@@ -139,6 +145,9 @@ def cosine_topk(
             ),
         )
         .drop("qvec", "cvec", "qnorm", "cnorm")
+        # dimension-mismatched pairs fold to NULL (zip_with pads with
+        # nulls) — drop them instead of emitting null-sim rows
+        .filter(F.col("cosineSim").isNotNull())
     )
     w = Window.partitionBy("queryId").orderBy(
         F.col("cosineSim").desc(), F.col("neighborId").asc()

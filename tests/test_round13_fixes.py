@@ -266,15 +266,25 @@ def test_blas_topk_twins_match_column_forms(spark):
     assert key(exact_l2_topk_blas(emb, queries, k=5)) == key(
         exact_l2_topk(emb, queries, k=5)
     )
-    # junk rows never surface from the BLAS kernels either
+    # junk rows never surface from the BLAS kernels either — and the
+    # column cosine form excludes zero-norm rows too (0/0 = NaN, and
+    # Spark orders NaN above every number: one junk row used to
+    # become every query's top-1 under the DESC rank)
     junk = spark.createDataFrame(
-        [(1, [0.0, 1.0]), (2, [1.0, 0.0]), (3, None), (4, [9.0])],
+        [
+            (1, [0.0, 1.0]),
+            (2, [1.0, 0.0]),
+            (3, None),
+            (4, [9.0]),
+            (5, [0.0, 0.0]),  # zero norm -> NaN cosine
+        ],
         "vec_id long, embedding array<double>",
     )
-    got = cosine_topk_blas(junk, junk.filter("vec_id = 1"), k=3).collect()
-    assert {r["neighborId"] for r in got} == {2}
+    for fn in (cosine_topk_blas, cosine_topk):
+        got = fn(junk, junk.filter("vec_id = 1"), k=4).collect()
+        assert {r["neighborId"] for r in got} == {2}, fn.__name__
     got = exact_l2_topk_blas(junk, junk.filter("vec_id = 1"), k=3).collect()
-    assert {r["neighborId"] for r in got} == {2}
+    assert {r["neighborId"] for r in got} == {2, 5}  # zero-norm fine in L2
 
 
 def test_topk_recall_counts_silent_queries_as_zero(spark):
