@@ -740,6 +740,14 @@ def ivf_topk(
                 dot(F.col("qv"), F.col("nv")) / (F.col("qnorm") * F.col("nnorm")), 6
             ),
         )
+        # a zero-norm member divides 0/0 into NaN, and Spark orders
+        # NaN ABOVE every number — one junk row in a probed list
+        # would become the top-1 of every query probing it (r13, the
+        # cosine_topk fix's IVF twin); dimension mismatches fold to
+        # NULL — drop both at the ranking boundary
+        .filter(
+            F.col("cosineSim").isNotNull() & ~F.isnan(F.col("cosineSim"))
+        )
     )
     w = Window.partitionBy("queryId").orderBy(
         F.col("cosineSim").desc(), F.col("neighborId").asc()

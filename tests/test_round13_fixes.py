@@ -286,6 +286,23 @@ def test_blas_topk_twins_match_column_forms(spark):
     got = exact_l2_topk_blas(junk, junk.filter("vec_id = 1"), k=3).collect()
     assert {r["neighborId"] for r in got} == {2, 5}  # zero-norm fine in L2
 
+    # IVF twin of the cosine fix: a zero-norm member in a probed list
+    # must never rank (it used to NaN-sort above every real neighbor)
+    from genetics_spark_coloc_spark.operators.similarity import ivf_topk
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = ivf_topk(
+        junk.filter("vec_id in (1, 2, 5)"),
+        junk.filter("vec_id = 1"),
+        cents,
+        k=3,
+        nprobe=2,
+    ).collect()
+    assert {r["neighborId"] for r in got} == {2}
+
 
 def test_topk_recall_counts_silent_queries_as_zero(spark):
     """A query the approximate search returned NOTHING for is recall
