@@ -216,6 +216,60 @@ def test_legacy_sidecar_migrates_on_first_fold(spark, tmp_path):
     assert epoch == 1
 
 
+@pytest.mark.parametrize("seed", [7, 23])
+def test_random_crash_interleaving_always_repairs(spark, tmp_path, seed):
+    """Property form of the crash contract: a random sequence of edge
+    batches where each fold randomly (a) completes, (b) crashes after
+    the shard append (the two-write gap), or (c) crashes mid-epoch
+    write (marker-less garbage dir) — ALWAYS refolding the same batch
+    after a crash — must end every step equal to the full recompute
+    over all edges so far. The hand-planted tests pin each state once;
+    this pins the contract under composition."""
+    import random
+
+    rng = random.Random(seed)
+    out = _build(spark, tmp_path, BASE, name=f"ccr{seed}")
+    seen = list(BASE)
+    hi = 40
+    for _day in range(5):
+        lo, hi = hi, hi + 12
+        batch = [
+            (rng.randrange(hi), rng.randrange(lo, hi)) for _ in range(8)
+        ]
+        batch = [(a, b) for a, b in batch if a != b]
+        if not batch:
+            continue
+        seen += batch
+        crash = rng.choice(["none", "after_shard", "mid_epoch"])
+        if crash == "after_shard":
+            parts: dict = {}
+            incremental_connected_components(
+                load_cc_labels(spark, out),
+                _edges(spark, batch),
+                remap_out=parts,
+                until_converged=True,
+            )
+            parts["new_rows"].write.mode("append").parquet(out)
+            # intermediate must itself be converged (never torn)
+            assert_labels_converged(
+                load_cc_labels(spark, out), context="interleaved"
+            )
+        elif crash == "mid_epoch":
+            _, epoch = _alias_state(spark, out)
+            junk = os.path.join(out, f"_aliases_e{epoch + 1}")
+            os.makedirs(junk, exist_ok=True)
+            with open(os.path.join(junk, "part-0.parquet"), "wb") as fh:
+                fh.write(b"crashed epoch write")
+        # the documented repair: (re)fold the same batch
+        fold_cc_labels(_edges(spark, batch), out)
+        assert _resolved(spark, out) == _full(spark, seen), (
+            f"diverged after {crash} crash"
+        )
+    # no duplicate vertex rows accumulated across any interleaving
+    dups = spark.read.parquet(out).groupBy("id").count().filter("count > 1")
+    assert dups.count() == 0
+
+
 def test_multi_fold_keeps_single_epoch_dir(spark, tmp_path):
     """Superseded epochs are cleaned as folds land — the root never
     accumulates alias directories (a crash mid-cleanup only defers
