@@ -1,6 +1,6 @@
 """ANN recall probe: measure IVF recall@k against exact brute force,
 end-to-end through the engine's own operators — kmeans_lloyd trains
-the coarse quantizer, ivf_topk searches it, cosine_topk provides the
+the coarse quantizer, ivf_topk searches it, exact cosine (BLAS kernel) provides the
 exact ground truth. Prints one JSON line per configuration:
 {probe, corpus, dim, k, nprobe, recall_at_k, sec}.
 
@@ -40,7 +40,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from genetics_spark_coloc_spark.operators.similarity import (
-        cosine_topk,
+        cosine_topk_blas as cosine_topk,
         ivf_topk,
         kmeans_lloyd,
     )
@@ -145,7 +145,9 @@ def sq8_recall(n_corpus: int = 200_000) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     from genetics_spark_coloc_spark.operators.pq import sq8_encode, sq8_topk
-    from genetics_spark_coloc_spark.operators.similarity import cosine_topk
+    from genetics_spark_coloc_spark.operators.similarity import (
+        cosine_topk_blas as cosine_topk,
+    )
 
     def gen(batches):
         import numpy as np
