@@ -772,7 +772,13 @@ def exact_l2_topk(
         F.col("l2Dist").asc_nulls_last(), F.col("neighborId").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        # dimension-mismatched corpus rows survive the isNotNull vector
+        # filter but fold to a NULL distance; nulls-last only hides
+        # them while a query has >= k valid neighbours — when it has
+        # fewer, the junk row would still surface with a null l2Dist.
+        # Drop them outright (the BLAS twin and cosine_topk already do).
+        scored.filter(F.col("l2Dist").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("queryId", "neighborId", "l2Dist", "rank")
     )

@@ -239,6 +239,14 @@ def test_exact_l2_topk_ignores_junk_vectors(spark):
         (2, 1.0),
         (3, 4.0),
     ]
+    # r14: with k > the valid-neighbour count, the dim-mismatched row
+    # used to surface anyway with a NULL l2Dist (nulls-last only hides
+    # it while enough valid neighbours exist) — it must be DROPPED
+    out = exact_l2_topk(df, df.filter(F.col("vec_id") == 1), k=4).collect()
+    assert [(r["neighborId"], r["l2Dist"]) for r in out] == [
+        (2, 1.0),
+        (3, 4.0),
+    ]
 
 
 def test_blas_topk_twins_match_column_forms(spark):
