@@ -156,9 +156,15 @@ def main(argv: list[str] | None = None) -> int:
     # reject the second); SPARK_GRAFT_CLI_CATALOG=hive|in-memory
     # overrides the choice either way. Library/test sessions keep
     # the in-memory catalog (parallel derby access would lock).
+    # needs_catalog sees the params MERGED over the spec defaults
+    # (same dict shape run_step hands the runner) — a predicate that
+    # consults a defaulted param must not silently mis-scope the
+    # metastore just because the user left the param off the CLI
+    merged_params = {k: prm.default for k, prm in spec.params.items()}
+    merged_params.update(params)
     catalog_impl = os.environ.get("SPARK_GRAFT_CLI_CATALOG") or (
         "hive"
-        if spec.needs_catalog is not None and spec.needs_catalog(params)
+        if spec.needs_catalog is not None and spec.needs_catalog(merged_params)
         else None
     )
     if catalog_impl:

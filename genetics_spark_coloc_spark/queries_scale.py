@@ -416,7 +416,15 @@ def q_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground-truth kernel behind the ``ivfpq_index mode=certify``
     staleness gate (r13), oracle-certified on its own: broadcast
     query side, one zip_with fold per pair, 6dp-rounded before
-    ranking, ties toward the smaller neighborId."""
+    ranking, ties toward the smaller neighborId.
+
+    ORACLE-FIXTURE SHAPE, not the production certify path: the
+    ``vec_id % 50 == 0`` query sample grows proportionally with the
+    corpus, so the exact side is O(n^2/50) — fine on the driver
+    testdata, wrong in a pipeline. At scale use
+    ``steps._sample_queries`` (fixed ``certify_queries`` sample) +
+    the BLAS kernel (``pq.exact_l2_topk_blas``), as
+    ``steps._certify_ann_recall`` does."""
     from genetics_spark_coloc_spark.operators.pq import exact_l2_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -455,7 +463,13 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry query with a full DuckDB oracle: per query |approx ∩
     exact| / |exact|, averaged over the query sample. One row
     (nQueries, avgRecall, minRecall); the join work is bounded by
-    the top-k tables, never the corpus."""
+    the top-k tables, never the corpus.
+
+    ORACLE-FIXTURE SHAPE, not the production certify path: the
+    ``vec_id % 50 == 0`` sample is proportional, so the exact side
+    grows O(n^2/50) with the corpus. The production gate uses a FIXED
+    ``certify_queries`` sample and BLAS ground truth — see
+    ``steps._sample_queries`` / ``steps._certify_ann_recall``."""
     from genetics_spark_coloc_spark.operators.similarity import (
         cosine_topk,
         topk_recall,
