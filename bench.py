@@ -47,6 +47,74 @@ from genetics_spark_coloc_spark.contract import QUERIES
 from genetics_spark_coloc_spark.session import get_session
 
 
+#: when the CPU and memory-bandwidth host kernels disagree by more
+#: than this factor, no SINGLE scalar can normalize a mixed workload:
+#: a CPU-bound query normalized by the (larger, capped) membw ratio is
+#: over-normalized by up to cap/cpu_ratio, hiding real regressions of
+#: that size (the r13 driver pass: cpu 1.38 vs membw 4.40 — a genuine
+#: ~2.2x regression on a CPU-bound query would have slid under the
+#: 1.5x threshold). Such a pass is declared tripwire-non-adjudicable
+#: and the near-threshold band is solo-adjudicated too.
+KERNEL_DIVERGENCE_BOUND = 1.5
+
+
+def kernel_divergence(
+    cpu_ratio: "float | None", membw_ratio: "float | None"
+) -> "float | None":
+    """How much the two host-state kernels disagree: max/min of the
+    CPU and membw ratios (>=1.0; None when either kernel is missing
+    or nonpositive). 1.0 = the host degraded uniformly (a scalar
+    normalization is exact); above KERNEL_DIVERGENCE_BOUND the true
+    per-query host factor is only known to lie somewhere in
+    [min_ratio, max_ratio]."""
+    if not isinstance(cpu_ratio, (int, float)) or not isinstance(
+        membw_ratio, (int, float)
+    ):
+        return None
+    lo, hi = sorted([float(cpu_ratio), float(membw_ratio)])
+    if lo <= 0:
+        return None
+    return round(hi / lo, 4)
+
+
+def find_near_threshold(
+    prior: "dict[str, float]",
+    current: "dict[str, float]",
+    band_lo: float = 1.2,
+    ratio: float = 1.5,
+    min_sec: float = 1.0,
+    loads: "dict[str, float] | None" = None,
+    speed_ratio: float = 1.0,
+) -> "dict[str, dict]":
+    """Queries whose speed-adjusted ratio lands in the near-threshold
+    band [band_lo, ratio) — candidates a DIVERGENT host may be hiding
+    (see KERNEL_DIVERGENCE_BOUND): on such a pass these are solo
+    re-measured alongside the real flags, because the capped scalar
+    normalization may have over-normalized a CPU-bound regression
+    into this band. Same record shape as find_regressions, tagged
+    with ``band`` so the artifact shows why they were adjudicated."""
+    if not speed_ratio or speed_ratio <= 0:
+        speed_ratio = 1.0
+    out: "dict[str, dict]" = {}
+    for k, v in current.items():
+        if k not in prior or v <= min_sec or prior[k] <= 0:
+            continue
+        adj = v / speed_ratio
+        if band_lo * prior[k] <= adj <= ratio * prior[k]:
+            out[k] = {
+                "prior_sec": prior[k],
+                "now_sec": v,
+                "now_sec_speed_adjusted": round(adj, 3),
+                "band": "near_threshold_divergent_host",
+                **(
+                    {"load1_at_measure": loads[k]}
+                    if loads is not None and k in loads
+                    else {}
+                ),
+            }
+    return out
+
+
 def find_regressions(
     prior: "dict[str, float]",
     current: "dict[str, float]",
@@ -102,6 +170,7 @@ def adjudicate_flags(
     ratio: float = 1.5,
     speed_ratio: float = 1.0,
     solo_repeats: int = 4,
+    ratio_bounds: "tuple[float, float] | None" = None,
 ) -> "dict[str, dict]":
     """Auto-adjudicate tripwire flags: re-measure each flagged query
     SOLO, best-of-``solo_repeats``, and record a verdict in the
@@ -124,6 +193,22 @@ def adjudicate_flags(
       a freshly-normalized host: the plan actually regressed.
     - ``"error"`` — every solo repeat failed (kept loud, never
       silently dropped).
+
+    ``ratio_bounds`` — (min_ratio, max_ratio), UNCAPPED, from the
+    adjudication-time kernels when they DIVERGE past
+    KERNEL_DIVERGENCE_BOUND: the true per-query host factor is only
+    known to lie in that interval, so a scalar verdict would be
+    guesswork. The verdict becomes interval arithmetic instead:
+
+    - ``"real"`` — over ``ratio``x prior even under the most
+      FORGIVING normalization (divide by max_ratio): regressed no
+      matter which resource bounds the query.
+    - ``"contention"`` — back under ``ratio``x prior even under the
+      most CONSERVATIVE normalization (divide by min_ratio): clean
+      no matter which resource bounds the query.
+    - ``"indeterminate_divergent_host"`` — the interval straddles the
+      threshold; kept LOUD (this is the case the r13 capped scalar
+      silently cleared) — re-run on a host whose kernels agree.
     """
     if not speed_ratio or speed_ratio <= 0:
         speed_ratio = 1.0
@@ -140,6 +225,30 @@ def adjudicate_flags(
         entry["in_pass_sec"] = rec.get("now_sec")
         if solo is None:
             entry.update({"solo_sec": None, "verdict": "error"})
+        elif ratio_bounds is not None:
+            lo_r = max(min(ratio_bounds), 1e-9)
+            hi_r = max(max(ratio_bounds), 1e-9)
+            adj_forgiving = solo / hi_r
+            adj_conservative = solo / lo_r
+            if name in prior and adj_forgiving > ratio * prior[name]:
+                verdict = "real"
+            elif name not in prior or adj_conservative <= ratio * prior[name]:
+                verdict = "contention"
+            else:
+                verdict = "indeterminate_divergent_host"
+            entry.update(
+                {
+                    "solo_sec": solo,
+                    "solo_sec_adj_forgiving": round(adj_forgiving, 3),
+                    "solo_sec_adj_conservative": round(adj_conservative, 3),
+                    "solo_load1": solo_load,
+                    "adjudication_ratio_bounds": [
+                        round(lo_r, 4),
+                        round(hi_r, 4),
+                    ],
+                    "verdict": verdict,
+                }
+            )
         else:
             adj = solo / speed_ratio
             entry.update(
@@ -447,6 +556,23 @@ def main() -> None:
     regressions = find_regressions(
         prior_queries, ok, loads=query_load1, speed_ratio=speed_ratio
     )
+    # divergent-kernel blind spot (VERDICT r13 #2): when the CPU and
+    # membw kernels disagree past the bound, the capped scalar can
+    # over-normalize CPU-bound queries by up to cap/cpu_ratio — a real
+    # regression of that size lands in the near-threshold band instead
+    # of over it. Declare the pass non-adjudicable for scalar tripwire
+    # purposes and widen the solo adjudication to the band.
+    divergence = kernel_divergence(cpu_ratio, membw_ratio)
+    divergent = (
+        divergence is not None and divergence > KERNEL_DIVERGENCE_BOUND
+    )
+    near_band = (
+        find_near_threshold(
+            prior_queries, ok, loads=query_load1, speed_ratio=speed_ratio
+        )
+        if divergent
+        else {}
+    )
     # per-query ambient-load DELTA vs pass start: contention that
     # arrives mid-pass shows up as a rising loadavg the pre-pass host
     # kernels never saw — making the delta row-local arithmetic means
@@ -482,6 +608,21 @@ def main() -> None:
         "host_cpu_ratio": cpu_ratio,
         "host_membw_ratio": membw_ratio,
         "host_speed_ratio": speed_ratio,
+        "kernel_divergence": divergence,
+        # set when the kernels diverge: this pass's scalar-normalized
+        # green CANNOT clear near-threshold queries — they are solo
+        # re-measured below and verdicts use interval arithmetic
+        "tripwire_non_adjudicable": (
+            {
+                "kernel_divergence": divergence,
+                "bound": KERNEL_DIVERGENCE_BOUND,
+                "cpu_ratio": cpu_ratio,
+                "membw_ratio": membw_ratio,
+                "near_threshold_adjudicated": sorted(near_band),
+            }
+            if divergent
+            else None
+        ),
         # contention evidence: loadavg + /proc/stat around the pass,
         # per-query load at each best repeat's start — a wall swing
         # with high ambient load is host contention, not a plan change
@@ -539,8 +680,11 @@ def main() -> None:
             }
         )
 
-    if regressions:
-        # auto-adjudication: solo best-of-4 re-measure of every flag,
+    adj_divergent = False
+    to_adjudicate = {**near_band, **regressions}
+    if to_adjudicate:
+        # auto-adjudication: solo best-of-4 re-measure of every flag
+        # (plus, on a divergent-kernel pass, the near-threshold band),
         # normalized by host kernels RE-SAMPLED now (the pre-pass
         # kernels can't see contention that arrived during the suite;
         # these can see whether it is still here)
@@ -559,16 +703,37 @@ def main() -> None:
             else 1.0
         )
         adj_ratio = min(2.0, max(adj_cpu_ratio, adj_membw_ratio))
+        # when the adjudication-time kernels ALSO diverge, verdicts
+        # switch to interval arithmetic on the UNCAPPED bounds — a
+        # scalar "contention" under divergence is exactly the r13
+        # blind spot
+        adj_div = kernel_divergence(adj_cpu_ratio, adj_membw_ratio)
+        adj_divergent = (
+            adj_div is not None and adj_div > KERNEL_DIVERGENCE_BOUND
+        )
+        bounds = (
+            (
+                min(adj_cpu_ratio, adj_membw_ratio),
+                max(adj_cpu_ratio, adj_membw_ratio),
+            )
+            if adj_divergent
+            else None
+        )
 
         def _remeasure(name: str) -> tuple:
             _, t, load1 = run_one((name, QUERIES[name]))
             return (None if isinstance(t, dict) else t), load1
 
         result["flags_adjudicated"] = adjudicate_flags(
-            regressions, prior_queries, _remeasure, speed_ratio=adj_ratio
+            to_adjudicate,
+            prior_queries,
+            _remeasure,
+            speed_ratio=adj_ratio,
+            ratio_bounds=bounds,
         )
         result["adjudication_host_speed_index"] = adj_speed
         result["adjudication_host_membw_index"] = adj_membw
+        result["adjudication_kernel_divergence"] = adj_div
     else:
         result["flags_adjudicated"] = {}
 
@@ -595,8 +760,19 @@ def main() -> None:
             # measured under), so raw solo_sec would write an overly
             # tight baseline that flags future clean passes. Rescale
             # to the pre-pass host state (see solo_baseline_entries).
-            solo_in_pass_terms = solo_baseline_entries(
-                result["flags_adjudicated"], ok, speed_ratio
+            # On a divergent-kernel adjudication the solo minima carry
+            # interval normalizations, not a scalar — no single
+            # rescale is correct, and an over-normalized entry would
+            # TIGHTEN the min-merge baseline wrongly. The pass is
+            # non-adjudicable; its solos stay out of the baseline
+            # (the raw ok values still min-merge: a degraded host only
+            # ever makes them slower, which min() ignores).
+            solo_in_pass_terms = (
+                {}
+                if adj_divergent
+                else solo_baseline_entries(
+                    result["flags_adjudicated"], ok, speed_ratio
+                )
             )
             json.dump(
                 merge_baseline(
@@ -650,6 +826,9 @@ def main() -> None:
     compact["host_speed_index"] = host_speed
     compact["host_membw_index"] = host_membw
     compact["host_speed_ratio"] = speed_ratio
+    compact["kernel_divergence"] = divergence
+    if divergent:
+        compact["tripwire_non_adjudicable"] = True
     if "throughput_pass_load" in result and result["throughput_pass_load"]:
         tpl = result["throughput_pass_load"]
         compact["throughput_load1"] = [

@@ -207,3 +207,131 @@ class TestAdjudicateFlags:
         assert flags["q"]["load1_at_measure"] == 11.5
         # the delta main() records: measure-time load minus pass-start
         assert round(flags["q"]["load1_at_measure"] - 9.7, 2) == 1.8
+
+
+class TestDivergentKernels:
+    """r14 (VERDICT r13 #2): when the CPU and membw host kernels
+    diverge, a single capped scalar can over-normalize CPU-bound
+    queries and silently clear real regressions. The pass is declared
+    non-adjudicable, the near-threshold band is solo re-measured, and
+    verdicts use interval arithmetic on the UNCAPPED kernel bounds."""
+
+    # the r13 driver-pass host state: cpu 1.38, membw 4.40 -> the
+    # scalar tripwire divides everything by the 2.0 cap
+    CPU, MEMBW = 1.38, 4.40
+    CAP = 2.0
+
+    def test_kernel_divergence_arithmetic(self):
+        from bench import KERNEL_DIVERGENCE_BOUND, kernel_divergence
+
+        assert kernel_divergence(1.38, 4.40) == round(4.40 / 1.38, 4)
+        assert kernel_divergence(1.0, 1.0) == 1.0
+        assert kernel_divergence(4.4, 1.38) == kernel_divergence(1.38, 4.4)
+        assert kernel_divergence(None, 4.4) is None
+        assert kernel_divergence(0.0, 4.4) is None
+        assert KERNEL_DIVERGENCE_BOUND == 1.5
+        # uniform degradation (the common case) stays adjudicable
+        assert kernel_divergence(1.9, 2.1) < 1.5
+
+    def test_planted_2x_regression_on_cpu_bound_query_is_caught(self):
+        """THE r13 blind-spot case, end to end at the function level:
+        a genuine 2x code regression on a CPU-bound query, measured on
+        the membw-degraded host (true host factor for this query is
+        the CPU ratio 1.38, but the scalar normalizes by the 2.0 cap).
+        The scalar tripwire misses it; the near-threshold band catches
+        it; interval adjudication refuses to call it contention."""
+        from bench import (
+            adjudicate_flags,
+            find_near_threshold,
+            find_regressions,
+        )
+
+        prior = {"q_cpu": 2.0}
+        # wall = prior x host(1.38) x regression(2.0)
+        now = {"q_cpu": 2.0 * self.CPU * 2.0}
+        speed_ratio = self.CAP  # min(2.0, max(1.38, 4.40))
+
+        # the scalar tripwire slides it under: 5.52/2.0 = 2.76 < 3.0
+        assert find_regressions(prior, now, speed_ratio=speed_ratio) == {}
+        # ...but it lands in the near-threshold band (1.38x prior)
+        band = find_near_threshold(prior, now, speed_ratio=speed_ratio)
+        assert "q_cpu" in band
+        assert band["q_cpu"]["band"] == "near_threshold_divergent_host"
+
+        # solo re-measure on the still-degraded host; interval
+        # verdict: conservative (/1.38) says 4.0x prior -> NOT
+        # contention; forgiving (/4.40) says 1.25x -> NOT provably
+        # real -> kept LOUD as indeterminate, never silently cleared
+        out = adjudicate_flags(
+            band,
+            prior,
+            lambda name: (now["q_cpu"], 1.0),
+            ratio_bounds=(self.CPU, self.MEMBW),
+        )
+        assert out["q_cpu"]["verdict"] == "indeterminate_divergent_host"
+
+    def test_clean_cpu_bound_query_never_enters_the_band(self):
+        """A CLEAN CPU-bound query on the same host (wall = prior x
+        1.38) is over-normalized BELOW prior by the capped scalar
+        (2.76/2.0 = 0.69x) — it never enters the band, so divergence
+        handling adds zero adjudication cost for clean queries."""
+        from bench import find_near_threshold
+
+        prior = {"q_cpu": 2.0}
+        now = {"q_cpu": 2.0 * self.CPU}
+        assert find_near_threshold(prior, now, speed_ratio=self.CAP) == {}
+
+    def test_in_pass_contention_still_clears_under_divergence(self):
+        """A flag whose solo re-measure comes back near baseline is
+        contention even at the most conservative normalization —
+        interval verdicts still CLEAR what deserves clearing."""
+        from bench import adjudicate_flags, find_regressions
+
+        prior = {"q": 2.0}
+        flags = find_regressions(prior, {"q": 6.0}, speed_ratio=1.0)
+        assert "q" in flags
+        out = adjudicate_flags(
+            flags,
+            prior,
+            lambda name: (2.1, 1.0),  # solo: back at baseline
+            ratio_bounds=(self.CPU, self.MEMBW),
+        )
+        assert out["q"]["verdict"] == "contention"
+        assert out["q"]["adjudication_ratio_bounds"] == [1.38, 4.4]
+
+    def test_huge_regression_is_real_even_under_divergence(self):
+        """Over threshold even at the most forgiving normalization
+        (solo / max_ratio > 1.5x prior) -> definitely real."""
+        from bench import adjudicate_flags, find_regressions
+
+        prior = {"q": 2.0}
+        now = {"q": 2.0 * self.MEMBW * 4.0}  # 4x regression, membw query
+        flags = find_regressions(prior, now, speed_ratio=self.CAP)
+        assert "q" in flags
+        out = adjudicate_flags(
+            flags,
+            prior,
+            lambda name: (now["q"], 1.0),
+            ratio_bounds=(self.CPU, self.MEMBW),
+        )
+        assert out["q"]["verdict"] == "real"
+
+    def test_band_respects_min_sec_floor(self):
+        from bench import find_near_threshold
+
+        # sub-second latencies swing with contention; keep the floor
+        assert (
+            find_near_threshold({"q": 0.4}, {"q": 0.56}, speed_ratio=1.0)
+            == {}
+        )
+
+    def test_scalar_path_unchanged_without_bounds(self):
+        """No ratio_bounds -> the pre-r14 scalar verdict logic, byte
+        for byte (regression guard for the 186-query green history)."""
+        from bench import adjudicate_flags, find_regressions
+
+        flags = find_regressions({"q": 2.0}, {"q": 6.0})
+        out = adjudicate_flags(flags, {"q": 2.0}, lambda name: (2.1, 5.0))
+        assert out["q"]["verdict"] == "contention"
+        assert "solo_sec_speed_adjusted" in out["q"]
+        assert "adjudication_ratio_bounds" not in out["q"]
