@@ -439,10 +439,6 @@ def incremental_connected_components(
 _ALIAS_EPOCH_PREFIX = "_aliases_e"
 
 
-def _compact_tmp_path(path: str) -> str:
-    return path.rstrip("/") + "__compacting"
-
-
 def _recover_compact(spark, path: str) -> None:
     """Finish an interrupted ``compact_cc_labels``: if the label root
     is MISSING but a committed compaction result sits at the sibling
@@ -519,7 +515,10 @@ def _resolve_labels(labels: DataFrame, aliases: "DataFrame | None") -> DataFrame
 
 
 def assert_labels_converged(
-    labels: DataFrame, sample: int = 64, context: str = "labels"
+    labels: DataFrame,
+    sample: int = 64,
+    context: str = "labels",
+    exempt_ids: "DataFrame | None" = None,
 ) -> None:
     """Sampled runtime guard on the converged-labeling contract that
     :func:`incremental_connected_components` builds on (component =
@@ -529,7 +528,17 @@ def assert_labels_converged(
     clusters downstream (the contraction assumes one hop resolves
     membership); this turns it into the house-style loud failure.
     O(sample) driver rows + one pushed-down isin scan — cheap enough
-    to run per fold, not a full-table validation."""
+    to run per fold, not a full-table validation.
+
+    ``exempt_ids`` (a single-column DataFrame of vertex ids) relaxes
+    the self-labeling requirement for those ids only: a fold crash
+    mid job-commit of the new-rows append can leave a PARTIAL append
+    — the fourth crash state — where an appended row's post-fold
+    canonical (itself a new vertex) is missing its own row. The
+    documented repair is refolding the same delta, so the refold's
+    guard must not block on component ids the CURRENT delta itself
+    introduces; genuine corruption of the history still fails loudly.
+    """
     comps = [
         r[0]
         for r in labels.select("component")
@@ -548,6 +557,16 @@ def assert_labels_converged(
         .collect()
     }
     bad = [c for c in comps if c not in self_labeled]
+    if bad and exempt_ids is not None:
+        ex_col = exempt_ids.columns[0]
+        exempt = {
+            r[0]
+            for r in exempt_ids.filter(F.col(ex_col).isin(bad))
+            .select(ex_col)
+            .distinct()
+            .collect()
+        }
+        bad = [c for c in bad if c not in exempt]
     if bad:
         raise ValueError(
             f"cc_labels: {context} is not a converged labeling — sampled "
@@ -579,9 +598,13 @@ def load_cc_labels(spark, path: str) -> DataFrame:
     Contract: the table covers EDGED vertices (plus any rostered
     newcomers); an id absent from it is its own singleton component.
     Single-writer: folds/compactions of one index must not run
-    concurrently with each other; a reader racing a fold may fail
-    loudly when the superseded epoch is cleaned up mid-plan — never
-    silently stale (the loud-read discipline holds either way).
+    concurrently with each other — ENFORCED since r14 by the
+    exclusive writer lease at ``{root}__lease`` (see
+    ``session.acquire_writer_lease``; the second writer fails loudly
+    naming the holder). Readers take no lease: a reader racing a fold
+    may fail loudly when the superseded epoch is cleaned up mid-plan
+    — never silently stale (the loud-read discipline holds either
+    way).
     """
     _recover_compact(spark, path)
     labels = spark.read.parquet(path)
@@ -590,6 +613,20 @@ def load_cc_labels(spark, path: str) -> DataFrame:
 
 
 def compact_cc_labels(spark, path: str, force: bool = False) -> None:
+    """Public entry of :func:`_compact_cc_labels_unlocked` under the
+    index's exclusive writer lease (r14 — the single-writer contract
+    is enforced, not prose: two concurrent compactions interleave
+    their delete→rename windows into unrepairable corruption). Fails
+    loudly naming the holder when another writer owns the index; a
+    crashed holder's lease is taken over after
+    ``session.WRITER_LEASE_STALE_S``."""
+    from genetics_spark_coloc_spark.session import writer_lease  # noqa: PLC0415
+
+    with writer_lease(spark, path, "compact_cc_labels"):
+        _compact_cc_labels_unlocked(spark, path, force)
+
+
+def _compact_cc_labels_unlocked(spark, path: str, force: bool = False) -> None:
     """Fold the alias sidecar back into the label shards — crash-safe:
 
     1. write the RESOLVED labeling to the sibling ``{root}__compacting``
@@ -631,6 +668,37 @@ def fold_cc_labels(
     verify_converged: int = 64,
     alias_compact_rows: int = 1_000_000,
 ) -> None:
+    """Public entry of :func:`_fold_cc_labels_unlocked` under the
+    index's exclusive writer lease (r14): concurrent folds of one
+    ``cc_labels`` root — a cron-driven daily loop racing a manual
+    backfill is the production shape — can interleave their shard
+    appends and epoch commits into states no refold repairs. The
+    second writer fails loudly naming the holder; a crashed holder's
+    lease is taken over after ``session.WRITER_LEASE_STALE_S``. The
+    inline auto-compaction runs under the SAME lease (no re-acquire)."""
+    from genetics_spark_coloc_spark.session import writer_lease  # noqa: PLC0415
+
+    with writer_lease(edges.sparkSession, labels_path, "fold_cc_labels"):
+        _fold_cc_labels_unlocked(
+            edges,
+            labels_path,
+            src_col=src_col,
+            dst_col=dst_col,
+            num_rounds=num_rounds,
+            verify_converged=verify_converged,
+            alias_compact_rows=alias_compact_rows,
+        )
+
+
+def _fold_cc_labels_unlocked(
+    edges: DataFrame,
+    labels_path: str,
+    src_col: str = "leftId",
+    dst_col: str = "rightId",
+    num_rounds: int = 16,
+    verify_converged: int = 64,
+    alias_compact_rows: int = 1_000_000,
+) -> None:
     """Fold a delta edge batch into a persisted ``cc_labels`` index —
     the shared kernel behind the ``cc_labels mode=append`` step and
     ``streaming_cc_maintenance``: resolve the at-rest labeling once
@@ -646,10 +714,14 @@ def fold_cc_labels(
     two writes are ordered shard-append THEN alias-epoch commit (the
     epoch's ``_SUCCESS`` marker is the commit point; a marker-less
     epoch directory is ignored and overwritten on retry). A crash at
-    any point leaves one of three states — pre-fold, appended-rows-
+    any point leaves one of four states — pre-fold, appended-rows-
     only (a CONVERGED labeling in which the delta's new vertices
     carry post-fold canonicals while history still resolves through
-    the previous epoch: clusters split but never torn), or complete
+    the previous epoch: clusters split but never torn), PARTIALLY
+    appended (a crash mid job-commit of the append leaves some new
+    rows whose canonical — itself a new vertex — is missing its own
+    row; the converged-input guard exempts the current delta's
+    vertex ids so the refold below is not blocked), or complete
     post-fold — and **re-running the same fold repairs all of them**:
     the new-vertex append is idempotent (vertices already present are
     excluded by the contraction's left_anti) and the remap re-derives
@@ -677,8 +749,22 @@ def fold_cc_labels(
     aliases, epoch = _alias_state(spark, labels_path)
     resolved = _resolve_labels(labels, aliases)
     if verify_converged:
+        # exempt the delta's own vertices from the self-labeling
+        # requirement: a crash mid job-commit of a previous fold's
+        # new-rows append (partial append — see the crash contract
+        # below) leaves rows whose canonical is a missing NEW vertex;
+        # refolding the same delta is the documented repair and must
+        # not be blocked by the guard it is about to fix
+        delta_vertices = (
+            edges.select(F.col(src_col).alias("v"))
+            .unionByName(edges.select(F.col(dst_col).alias("v")))
+            .distinct()
+        )
         assert_labels_converged(
-            resolved, verify_converged, context=labels_path
+            resolved,
+            verify_converged,
+            context=labels_path,
+            exempt_ids=delta_vertices,
         )
     parts: dict = {}
     incremental_connected_components(
@@ -736,4 +822,5 @@ def fold_cc_labels(
         ):
             hadoop_delete(spark, f"{labels_path}/{name}")
     if n_alias > alias_compact_rows:
-        compact_cc_labels(spark, labels_path)
+        # already under the fold's writer lease — no re-acquire
+        _compact_cc_labels_unlocked(spark, labels_path)

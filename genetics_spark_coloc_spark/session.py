@@ -264,6 +264,209 @@ def recover_interrupted_overwrite(spark: SparkSession, path: str) -> bool:
     return False
 
 
+class WriterLeaseHeld(RuntimeError):
+    """Raised when a second writer tries to acquire the exclusive
+    writer lease of an at-rest index that another (live) holder owns.
+    The message names the holder so the operator can find the other
+    process instead of guessing."""
+
+
+#: default age after which a lease is considered abandoned (the
+#: holder crashed without releasing) and may be taken over. Holders
+#: of legitimately longer maintenance jobs should pass a larger
+#: ``stale_after_s`` — a takeover of a LIVE long-running writer is
+#: exactly the corruption the lease exists to prevent.
+WRITER_LEASE_STALE_S = float(
+    os.environ.get("SPARK_GRAFT_LEASE_STALE_S", "7200")
+)
+
+
+def writer_lease_path(root: str) -> str:
+    """The lease marker lives at the SIBLING path ``{root}__lease`` —
+    never inside the index root, because the crash-safe maintenance
+    protocols delete and rename the root itself (a lease stored
+    inside would vanish mid-operation, reopening the race it
+    guards)."""
+    return root.rstrip("/") + "__lease"
+
+
+def acquire_writer_lease(
+    spark: SparkSession,
+    root: str,
+    operation: str = "write",
+    stale_after_s: float | None = None,
+) -> str:
+    """Acquire the exclusive writer lease of an at-rest index rooted
+    at ``root`` (cc_labels labeling, line_freq counts table, LSH band
+    table warehouse location, IVF/IVF-PQ index directory). Returns an
+    opaque token to pass to :func:`release_writer_lease`.
+
+    The single-writer contract of the crash-safe index protocols was
+    prose only until r14: two concurrent folds/compactions interleave
+    their delete→rename windows into REAL corruption that no recovery
+    path can repair. This enforces it mechanically: the lease is a
+    marker file created with the Hadoop FS exclusive-create primitive
+    (``FileSystem.create(path, overwrite=false)`` — atomic on HDFS
+    and local disk; object stores degrade to best-effort, documented
+    below) holding the holder id, operation, and acquisition time.
+
+    **Stale-lease takeover rule:** a holder that crashes without
+    releasing leaves its lease behind; rather than wedging the index
+    forever, a later acquirer that finds a lease OLDER than
+    ``stale_after_s`` (default :data:`WRITER_LEASE_STALE_S`, env
+    ``SPARK_GRAFT_LEASE_STALE_S``) deletes it and retries the
+    exclusive create once. A live holder whose job outlasts the
+    threshold can therefore be usurped — size ``stale_after_s`` above
+    the longest legitimate maintenance run. On object stores (no
+    atomic exclusive create) two simultaneous takeovers can both
+    believe they won; the window is the single create call, far
+    narrower than the unprotected protocol, and HDFS/local are exact.
+    """
+    import json
+    import socket
+    import time
+    import uuid
+
+    path = writer_lease_path(root)
+    stale = WRITER_LEASE_STALE_S if stale_after_s is None else stale_after_s
+    holder = f"{socket.gethostname()}:pid{os.getpid()}"
+    token = uuid.uuid4().hex
+    payload = json.dumps(
+        {
+            "holder": holder,
+            "operation": operation,
+            "token": token,
+            "acquired_unix": time.time(),
+            "stale_after_s": stale,
+        }
+    )
+    for attempt in (0, 1):
+        jpath, fs = _hadoop_fs(spark, path)
+        try:
+            out = fs.create(jpath, False)  # overwrite=False: exclusive
+        except Exception as exc:
+            if not fs.exists(jpath):
+                # not a lease conflict — a genuine FS failure must
+                # surface as itself, not as "someone holds the lease"
+                raise
+            try:
+                info = json.loads(hadoop_read_text(spark, path))
+            except FileNotFoundError:
+                continue  # released between create and read — retry
+            except ValueError:
+                info = {}  # torn lease write (holder crashed mid-create)
+            age = time.time() - float(info.get("acquired_unix") or 0)
+            declared = info.get("stale_after_s")
+            threshold = float(declared) if declared is not None else stale
+            if attempt == 0 and age > threshold:
+                hadoop_delete(spark, path)
+                continue
+            raise WriterLeaseHeld(
+                f"writer lease for {root} is held by "
+                f"{info.get('holder', '<unreadable lease>')} "
+                f"(operation={info.get('operation', '?')}, "
+                f"age={age:.0f}s, lease file {path}). Concurrent "
+                "maintenance of one at-rest index corrupts it — wait "
+                "for the holder to finish, or delete the lease file "
+                "if the holder is known dead."
+            ) from exc
+        try:
+            out.write(bytearray(payload.encode("utf-8")))
+        finally:
+            out.close()
+        return token
+    raise WriterLeaseHeld(
+        f"writer lease for {root} could not be acquired (lease file "
+        f"{path} kept reappearing — another writer is actively "
+        "cycling it)."
+    )
+
+
+def release_writer_lease(spark: SparkSession, root: str, token: str) -> None:
+    """Release a lease acquired by :func:`acquire_writer_lease`. The
+    token is verified first: if a later writer declared this holder
+    stale and took over, the lease on disk is THEIRS and must not be
+    deleted (the usurped holder just returns — its own work already
+    raced, and the protocol's crash states cover it)."""
+    import json
+
+    path = writer_lease_path(root)
+    try:
+        info = json.loads(hadoop_read_text(spark, path))
+    except FileNotFoundError:
+        return
+    except ValueError:
+        info = {}
+    if info.get("token") not in (None, token):
+        return
+    hadoop_delete(spark, path)
+
+
+class writer_lease:  # noqa: N801 — context-manager, used like a function
+    """``with writer_lease(spark, root, "fold_cc_labels"): ...`` —
+    acquire on entry, release on exit (including on error: a FAILED
+    maintenance run must not wedge the index; its crash states are
+    repaired by the protocols, not by holding the lock)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        operation: str = "write",
+        stale_after_s: float | None = None,
+    ) -> None:
+        self._spark = spark
+        self._root = root
+        self._operation = operation
+        self._stale = stale_after_s
+        self._token: str | None = None
+
+    def __enter__(self) -> "writer_lease":
+        self._token = acquire_writer_lease(
+            self._spark, self._root, self._operation, self._stale
+        )
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._token is not None:
+            release_writer_lease(self._spark, self._root, self._token)
+
+
+def crash_safe_overwrite_text(spark: SparkSession, path: str, text: str) -> None:
+    """Text-sidecar twin of :func:`crash_safe_overwrite_parquet` for
+    small ledgers that ARE the evidence (e.g. the ANN index's
+    ``_recall_cert.json`` certification history): write the new
+    content to the sibling ``{path}__txn`` file, delete the target,
+    rename into place. A crash mid-write of the tmp leaves the target
+    untouched (the torn tmp is overwritten on the next attempt); a
+    crash between delete and rename leaves the COMPLETE new content
+    at the tmp path, finished by
+    :func:`recover_interrupted_text_overwrite` — the in-place
+    ``hadoop_write_text`` this replaces could tear the ledger and
+    force the operator to discard the whole history."""
+    tmp = path.rstrip("/") + "__txn"
+    hadoop_write_text(spark, tmp, text)
+    if hadoop_path_exists(spark, path):
+        hadoop_delete(spark, path)
+    hadoop_rename(spark, tmp, path)
+
+
+def recover_interrupted_text_overwrite(spark: SparkSession, path: str) -> bool:
+    """Finish an interrupted :func:`crash_safe_overwrite_text`: when
+    ``path`` is missing but the sibling tmp file exists, it holds the
+    COMPLETE new content (the delete only runs after the tmp write
+    returns) — rename it into place (returns True). One existence
+    check in normal operation; call before reading any text sidecar
+    maintained through the protocol."""
+    if hadoop_path_exists(spark, path):
+        return False
+    tmp = path.rstrip("/") + "__txn"
+    if hadoop_path_exists(spark, tmp):
+        hadoop_rename(spark, tmp, path)
+        return True
+    return False
+
+
 def hadoop_read_text(spark: SparkSession, path: str) -> str:
     """Read a small text file through the Hadoop FileSystem API
     (counterpart of ``hadoop_write_text``). Raises FileNotFoundError

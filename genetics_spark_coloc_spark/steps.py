@@ -57,7 +57,8 @@ class StepSpec:
     params: Mapping[str, Param] = field(default_factory=dict)
     sink: bool = False
     # does this invocation need the PERSISTENT catalog (derby
-    # metastore under cwd)? Called with the merged params so steps
+    # metastore under cwd)? Called with user params merged OVER the
+    # Param defaults (the CLI builds that dict itself) so steps
     # that only touch the catalog conditionally (lsh_pairs with
     # --param index) stay metastore-free otherwise — the CLI enables
     # the hive catalog only when this returns True (see __main__).
@@ -568,7 +569,42 @@ def _run_bloom_prune(spark, inputs, output, p):
     )
 
 
+def _catalog_table_lease_root(spark, table_name: str) -> str:
+    """Filesystem anchor for the writer lease of a CATALOG-table
+    index (the LSH band index): the table's managed warehouse
+    location — same resolution as ``write_bucketed``'s orphan
+    reclaim, so the lease survives the drop+rewrite a bucketed
+    overwrite performs. Unqualified names only (the band-index step
+    takes the table name from --out verbatim)."""
+    import os as _os
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    db = spark.catalog.currentDatabase()
+    return _os.path.join(
+        wh,
+        *([] if db == "default" else [f"{db.lower()}.db"]),
+        table_name.lower(),
+    )
+
+
 def _run_lsh_band_index(spark, inputs, output, p):
+    """Writer-lease wrapper (r14): every mode writes the band table
+    and/or its occupancy ledger — two concurrent appends would
+    double-insert delta bands and corrupt the certified max-bucket
+    count, and an append racing a rebuild can insert into a table
+    being dropped. One lease covers the table AND its
+    ``{table}_bucket_counts`` ledger (they commit together)."""
+    from genetics_spark_coloc_spark.session import writer_lease
+
+    with writer_lease(
+        spark,
+        _catalog_table_lease_root(spark, output),
+        f"lsh_band_index:{p['mode']}",
+    ):
+        return _run_lsh_band_index_unlocked(spark, inputs, output, p)
+
+
+def _run_lsh_band_index_unlocked(spark, inputs, output, p):
     from pyspark.sql import functions as F
 
     from genetics_spark_coloc_spark.operators.dedup import (
@@ -777,8 +813,9 @@ def _certify_ann_recall(spark, output, meta_name, approx, exact, p, tune=None):
 
     from genetics_spark_coloc_spark.operators.similarity import topk_recall
     from genetics_spark_coloc_spark.session import (
+        crash_safe_overwrite_text,
         hadoop_read_text,
-        hadoop_write_text,
+        recover_interrupted_text_overwrite,
     )
 
     row = topk_recall(approx, exact).collect()[0]
@@ -801,6 +838,9 @@ def _certify_ann_recall(spark, output, meta_name, approx, exact, p, tune=None):
         ),
     }
     cert_path = f"{output.rstrip('/')}/{meta_name}"
+    # an interrupted crash-safe overwrite (complete new ledger at the
+    # sibling tmp, target deleted) is finished before reading
+    recover_interrupted_text_overwrite(spark, cert_path)
     try:
         history = _json.loads(hadoop_read_text(spark, cert_path))
     except FileNotFoundError:
@@ -812,7 +852,9 @@ def _certify_ann_recall(spark, output, meta_name, approx, exact, p, tune=None):
             "inspect/delete the file to start a fresh ledger."
         ) from exc
     history.append(entry)
-    hadoop_write_text(spark, cert_path, _json.dumps(history))
+    # the ledger is append-only EVIDENCE: a torn in-place write would
+    # force discarding the whole history, so commit via tmp + rename
+    crash_safe_overwrite_text(spark, cert_path, _json.dumps(history))
     if not entry["passed"]:
         hint = ""
         if tune is not None:
@@ -835,6 +877,17 @@ def _certify_ann_recall(spark, output, meta_name, approx, exact, p, tune=None):
 
 
 def _run_ivf_index(spark, inputs, output, p):
+    """Writer-lease wrapper (r14): build/overwrite rewrites the index
+    root, append adds member shards + rewrites `_ivf_meta.json`, and
+    certify appends to the `_recall_cert.json` evidence ledger — all
+    mutually exclusive per index root."""
+    from genetics_spark_coloc_spark.session import writer_lease
+
+    with writer_lease(spark, output, f"ivf_index:{p['mode']}"):
+        return _run_ivf_index_unlocked(spark, inputs, output, p)
+
+
+def _run_ivf_index_unlocked(spark, inputs, output, p):
     import json as _json
     import os as _os
 
@@ -993,6 +1046,16 @@ def _run_ivf_index(spark, inputs, output, p):
 
 
 def _run_ivfpq_index(spark, inputs, output, p):
+    """Writer-lease wrapper (r14) — same exclusivity contract as
+    ``_run_ivf_index``: one writer per index root across
+    build/append/certify."""
+    from genetics_spark_coloc_spark.session import writer_lease
+
+    with writer_lease(spark, output, f"ivfpq_index:{p['mode']}"):
+        return _run_ivfpq_index_unlocked(spark, inputs, output, p)
+
+
+def _run_ivfpq_index_unlocked(spark, inputs, output, p):
     import json as _json
     import os as _os
 
@@ -1240,8 +1303,13 @@ def _run_cc_labels(spark, inputs, output, p):
         unroll=2,
     )
     # the root overwrite deletes the whole directory first, so a
-    # prior build's _aliases sidecar cannot survive a rebuild
-    labels.write.mode("overwrite").parquet(output)
+    # prior build's _aliases sidecar cannot survive a rebuild; the
+    # rebuild takes the same writer lease the fold/compact paths hold
+    # (r14) so a manual backfill can never race the daily fold
+    from genetics_spark_coloc_spark.session import writer_lease
+
+    with writer_lease(spark, output, "cc_labels:overwrite"):
+        labels.write.mode("overwrite").parquet(output)
     return None
 
 
@@ -1276,6 +1344,7 @@ def _run_line_freq(spark, inputs, output, p):
     from genetics_spark_coloc_spark.session import (
         crash_safe_overwrite_parquet,
         recover_interrupted_overwrite,
+        writer_lease,
     )
 
     if p["mode"] in ("append", "compact") and output is None:
@@ -1298,13 +1367,18 @@ def _run_line_freq(spark, inputs, output, p):
         # interrupted rename is finished by any later step touching
         # the path. (The tmp write also materializes the self-read,
         # replacing the old eager-checkpoint device.)
-        recover_interrupted_overwrite(spark, inputs["corpus"])
-        compacted = (
-            _parquet(spark, inputs["corpus"])
-            .groupBy("segHash")
-            .agg(F.sum("segCount").alias("segCount"))
-        )
-        crash_safe_overwrite_parquet(compacted, output)
+        # r14: the counts table is the corpus-frequency EVIDENCE and
+        # shares the delete→rename commit protocol — two concurrent
+        # compactions (or a compact racing a nightly append) can
+        # interleave into real loss, so maintenance is single-writer
+        with writer_lease(spark, output, "line_freq:compact"):
+            recover_interrupted_overwrite(spark, inputs["corpus"])
+            compacted = (
+                _parquet(spark, inputs["corpus"])
+                .groupBy("segHash")
+                .agg(F.sum("segCount").alias("segCount"))
+            )
+            crash_safe_overwrite_parquet(compacted, output)
         return None
     freq = line_frequency_table(
         _parquet(spark, inputs["corpus"]), p["text_col"], sep=p["sep"]
@@ -1314,9 +1388,12 @@ def _run_line_freq(spark, inputs, output, p):
         # rows (duplicate segHash across shards is the documented
         # additive contract — consumers re-aggregate with SUM); an
         # interrupted compact on this table is finished first so the
-        # shard never lands next to a half-renamed state
-        recover_interrupted_overwrite(spark, output)
-        freq.write.mode("append").parquet(output)
+        # shard never lands next to a half-renamed state; the append
+        # itself runs under the table's writer lease (r14) so it can
+        # never land inside a concurrent compact's delete window
+        with writer_lease(spark, output, "line_freq:append"):
+            recover_interrupted_overwrite(spark, output)
+            freq.write.mode("append").parquet(output)
         return None
     return freq
 
@@ -1363,6 +1440,368 @@ def _run_corpus_overlap(spark, inputs, output, p):
         )
 
     return kmv_overlap_estimate(sketch(inputs["left"]), sketch(inputs["right"]), k=k)
+
+
+def _run_table_filter(spark, inputs, output, p):
+    """Materialize a filtered (and optionally projected) snapshot of a
+    parquet table. The predicate is a SQL boolean expression handed to
+    Catalyst verbatim, so it PUSHES DOWN to the scan (the snapshot
+    read never materializes dropped rows/columns) — the CLI twin of
+    ``df.filter(...).select(...)``. The quickstart uses it to carve a
+    daily delta out of the bundled testdata; in production the delta
+    IS the new crawl and this step is the generic slice/projection
+    utility."""
+    from pyspark.sql import functions as F
+
+    df = _parquet(spark, inputs["table"]).filter(F.expr(p["predicate"]))
+    if p["columns"]:
+        df = df.select(*[c.strip() for c in p["columns"].split(",")])
+    return df
+
+
+def _run_kmeans_centroids(spark, inputs, output, p):
+    """Train the IVF/SemDeDup coarse quantizer: deterministic
+    distributed Lloyd k-means (``similarity.kmeans_lloyd`` — smallest-
+    id init, BLAS assignment per Arrow batch, 6dp-rounded iteration
+    state, no RNG) over the corpus embedding column, emitted in the
+    (id_col, vec_col) shape the ``ivf_index``/``ivfpq_index`` steps
+    take as their ``centroids`` input. Train on a corpus SAMPLE at
+    scale (pass a table_filter snapshot), as FAISS does."""
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.operators.similarity import kmeans_lloyd
+
+    cents = kmeans_lloyd(
+        _parquet(spark, inputs["corpus"]),
+        k=p["k"],
+        n_iter=p["n_iter"],
+        id_col=p["id_col"],
+        vec_col=p["vec_col"],
+        dim=p["dim"],
+    )
+    return cents.select(
+        F.col("centroidId").alias(p["id_col"]),
+        F.col("embedding").alias(p["vec_col"]),
+    )
+
+
+def _run_doctor(spark, inputs, output, p):
+    """One-command index fsck (VERDICT r13 next #4): given any
+    at-rest index root and its kind, run the matching recovery entry
+    points + invariant checks and return a (check, status, detail)
+    report frame. Statuses: ``ok`` (invariant holds), ``repaired``
+    (a documented crash state was finished by the protocol's own
+    recovery), ``warning`` (needs operator attention but the index
+    is servable), ``failed`` (invariant broken — rebuild or
+    investigate). Recovery here is strictly the set every
+    loader/maintainer already performs on touch — doctor never
+    invents a new repair, it just runs them all up front and reports.
+    """
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.session import (
+        WRITER_LEASE_STALE_S,
+        hadoop_delete,
+        hadoop_list_names,
+        hadoop_path_exists,
+        hadoop_read_text,
+        recover_interrupted_overwrite,
+        recover_interrupted_text_overwrite,
+        writer_lease_path,
+    )
+
+    kind = p["kind"]
+    root = inputs["index"]
+    rows: list[tuple[str, str, str]] = []
+
+    def check(name, fn):
+        """Run one invariant; any exception becomes a loud ``failed``
+        row instead of aborting the remaining checks."""
+        try:
+            status, detail = fn()
+        except Exception as exc:  # noqa: BLE001 — fsck must report,
+            # not die on, a broken invariant
+            status, detail = "failed", f"{type(exc).__name__}: {exc}"
+        rows.append((name, status, detail))
+
+    def lease_check(lease_root=None):
+        lp = writer_lease_path(lease_root or root)
+        if not hadoop_path_exists(spark, lp):
+            return "ok", "no writer lease held"
+        try:
+            info = _json.loads(hadoop_read_text(spark, lp))
+        except ValueError:
+            info = {}
+        age = _time.time() - float(info.get("acquired_unix") or 0)
+        declared = info.get("stale_after_s")
+        stale = float(declared) if declared is not None else WRITER_LEASE_STALE_S
+        holder = info.get("holder", "<unreadable lease>")
+        if age > stale:
+            if p["clear_stale_lease"]:
+                hadoop_delete(spark, lp)
+                return (
+                    "repaired",
+                    f"cleared STALE lease of {holder} (age {age:.0f}s > "
+                    f"{stale:.0f}s — holder presumed dead)",
+                )
+            return "warning", f"STALE lease of {holder} (age {age:.0f}s)"
+        return (
+            "warning",
+            f"LIVE lease held by {holder} (age {age:.0f}s) — another "
+            "writer is maintaining this index right now",
+        )
+
+    if kind == "cc_labels":
+        from genetics_spark_coloc_spark.operators.graph import (
+            _ALIAS_EPOCH_PREFIX,
+            _alias_state,
+            assert_labels_converged,
+            load_cc_labels,
+        )
+
+        check(
+            "interrupted_compaction",
+            lambda: (
+                ("repaired", "finished an interrupted compaction rename")
+                if recover_interrupted_overwrite(spark, root)
+                else ("ok", "no interrupted compaction")
+            ),
+        )
+
+        def epochs():
+            names = [
+                n
+                for n in hadoop_list_names(spark, root)
+                if n.startswith(_ALIAS_EPOCH_PREFIX) or n == "_aliases"
+            ]
+            garbage = [
+                n
+                for n in names
+                if n != "_aliases"
+                and not hadoop_path_exists(spark, f"{root}/{n}/_SUCCESS")
+            ]
+            for n in garbage:  # marker-less crashed epoch writes: the
+                hadoop_delete(spark, f"{root}/{n}")  # loader ignores them
+            _, epoch = _alias_state(spark, root)
+            detail = f"committed epoch {epoch}"
+            if garbage:
+                return "repaired", (
+                    f"{detail}; removed {len(garbage)} marker-less "
+                    f"crashed epoch dir(s) {sorted(garbage)}"
+                )
+            return "ok", detail
+
+        check("alias_epochs", epochs)
+
+        def one_hop():
+            aliases, _ = _alias_state(spark, root)
+            if aliases is None:
+                return "ok", "no alias sidecar (fully compacted)"
+            a, b = aliases.alias("a"), aliases.alias("b")
+            # one-hop invariant: no alias's target is itself re-targeted
+            # by another alias (identity rows o->o are harmless and can
+            # legitimately appear in a fold's composed epoch)
+            chained = a.join(
+                b,
+                (F.col("a.newComp") == F.col("b.oldComp"))
+                & (F.col("b.oldComp") != F.col("b.newComp"))
+                & (F.col("a.oldComp") != F.col("a.newComp")),
+            ).count()
+            if chained:
+                return "failed", (
+                    f"{chained} alias entr(ies) chain through another "
+                    "alias — resolution is no longer one hop; run "
+                    "cc_labels mode=compact"
+                )
+            return "ok", f"{aliases.count()} aliases, all one-hop"
+
+        check("alias_one_hop", one_hop)
+
+        def converged():
+            assert_labels_converged(
+                load_cc_labels(spark, root),
+                sample=p["convergence_sample"],
+                context=root,
+            )
+            return "ok", "sampled labeling is converged"
+
+        check("labels_converged", converged)
+        check("writer_lease", lease_check)
+
+    elif kind == "line_freq":
+        check(
+            "interrupted_compaction",
+            lambda: (
+                ("repaired", "finished an interrupted compaction rename")
+                if recover_interrupted_overwrite(spark, root)
+                else ("ok", "no interrupted compaction")
+            ),
+        )
+
+        def counts_valid():
+            df = spark.read.parquet(root)
+            cols = set(df.columns)
+            if not {"segHash", "segCount"} <= cols:
+                return "failed", f"unexpected schema {sorted(cols)}"
+            bad = df.filter(
+                F.col("segHash").isNull() | (F.col("segCount") <= 0)
+            ).count()
+            if bad:
+                return "failed", f"{bad} null-hash/nonpositive-count rows"
+            return "ok", f"{df.count()} count rows, all positive"
+
+        check("counts_table", counts_valid)
+        check("writer_lease", lease_check)
+
+    elif kind == "lsh_band_index":
+        table, ledger = root, f"{root}_bucket_counts"
+
+        def table_props():
+            if not spark.catalog.tableExists(table):
+                return "failed", f"catalog table {table} does not exist"
+            props = {
+                r["key"]: r["value"]
+                for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+            }
+            missing = [
+                k
+                for k in (
+                    "genetics_spark_coloc.num_perm",
+                    "genetics_spark_coloc.band_size",
+                    "genetics_spark_coloc.max_bucket_count",
+                )
+                if k not in props
+            ]
+            if missing:
+                return "failed", f"missing band-identity properties {missing}"
+            return "ok", (
+                f"num_perm={props['genetics_spark_coloc.num_perm']} "
+                f"band_size={props['genetics_spark_coloc.band_size']} "
+                f"max_bucket_count="
+                f"{props['genetics_spark_coloc.max_bucket_count']}"
+            )
+
+        check("band_identity", table_props)
+
+        def ledger_sums():
+            if not spark.catalog.tableExists(ledger):
+                return "warning", (
+                    f"no ledger table {ledger} (pre-sidecar index — the "
+                    "next append reseeds it with a full recompute)"
+                )
+            truth = (
+                spark.table(table)
+                .groupBy("bandIdx", "bandHash")
+                .agg(F.count(F.lit(1)).alias("trueCount"))
+            )
+            led = (
+                spark.table(ledger)
+                .groupBy("bandIdx", "bandHash")
+                .agg(F.sum("c").alias("ledgerCount"))
+            )
+            mismatched = (
+                truth.join(led, ["bandIdx", "bandHash"], "full_outer")
+                .filter(
+                    F.coalesce(F.col("trueCount"), F.lit(0))
+                    != F.coalesce(F.col("ledgerCount"), F.lit(0))
+                )
+                .count()
+            )
+            if mismatched:
+                return "failed", (
+                    f"{mismatched} bucket(s) where ledger sum != band-table "
+                    "count — the certified max_bucket_count cannot be "
+                    "trusted; re-run lsh_band_index (rebuild reseeds)"
+                )
+            props = {
+                r["key"]: r["value"]
+                for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+            }
+            certified = int(
+                props.get("genetics_spark_coloc.max_bucket_count", 0)
+            )
+            actual = truth.agg(F.max("trueCount")).collect()[0][0] or 0
+            if actual > certified:
+                return "failed", (
+                    f"actual max bucket {actual} exceeds certified "
+                    f"{certified}"
+                )
+            return "ok", (
+                f"ledger sums match the band table; max bucket {actual} "
+                f"<= certified {certified}"
+            )
+
+        check("ledger_matches_index", ledger_sums)
+        check(
+            "writer_lease",
+            lambda: lease_check(_catalog_table_lease_root(spark, table)),
+        )
+
+    elif kind in ("ivf", "ivfpq"):
+        meta_name = "_ivf_meta.json" if kind == "ivf" else "_ivfpq_meta.json"
+
+        def meta_readable():
+            meta = _json.loads(
+                hadoop_read_text(spark, f"{root.rstrip('/')}/{meta_name}")
+            )
+            need = {"id_col", "vec_col", "n_centroids"}
+            missing = sorted(need - set(meta))
+            if missing:
+                return "failed", f"meta missing keys {missing}"
+            return "ok", f"meta parses: {sorted(meta)}"
+
+        check("meta_readable", meta_readable)
+
+        def artifacts():
+            parts = ["_centroids"] + (["_codebooks"] if kind == "ivfpq" else [])
+            absent = [
+                d
+                for d in parts
+                if not hadoop_path_exists(spark, f"{root.rstrip('/')}/{d}")
+            ]
+            if absent:
+                return "failed", f"frozen artifact dir(s) missing: {absent}"
+            n = spark.read.parquet(root).count()
+            return "ok", f"{n} indexed rows; artifacts present: {parts}"
+
+        check("frozen_artifacts", artifacts)
+
+        def recall_ledger():
+            cert = f"{root.rstrip('/')}/_recall_cert.json"
+            recovered = recover_interrupted_text_overwrite(spark, cert)
+            if not hadoop_path_exists(spark, cert):
+                return "warning", (
+                    "no recall certification ledger — run mode=certify "
+                    "before trusting appended-corpus recall"
+                )
+            history = _json.loads(hadoop_read_text(spark, cert))
+            status = "repaired" if recovered else "ok"
+            last = history[-1] if history else {}
+            return status, (
+                f"{len(history)} certification(s); last: "
+                f"recall_at_k={last.get('recall_at_k')} "
+                f"passed={last.get('passed')}"
+                + (" (finished an interrupted ledger write)" if recovered else "")
+            )
+
+        check("recall_ledger", recall_ledger)
+        check("writer_lease", lease_check)
+
+    else:
+        raise ValueError(
+            f"doctor: unknown kind {kind!r}; expected one of "
+            "cc_labels | line_freq | lsh_band_index | ivf | ivfpq"
+        )
+
+    report = spark.createDataFrame(
+        rows, "check string, status string, detail string"
+    )
+    for r in rows:
+        print(f"doctor[{kind}] {r[0]}: {r[1]} — {r[2]}")
+    return report
 
 
 # --------------------------------------------------------------- registry
@@ -1818,6 +2257,71 @@ STEPS: dict[str, StepSpec] = {
                 ),
             },
             sink=True,
+        ),
+        StepSpec(
+            "table_filter",
+            "Materialize a filtered/projected snapshot of a parquet table "
+            "(SQL predicate pushed down to the scan; optional column "
+            "projection) — the generic slice utility for carving deltas "
+            "and samples",
+            ("table",),
+            _run_table_filter,
+            {
+                "predicate": Param(
+                    str, "true", "SQL boolean expression (pushed down)"
+                ),
+                "columns": Param(
+                    str, "", "comma-separated projection (empty = all)"
+                ),
+            },
+        ),
+        StepSpec(
+            "kmeans_centroids",
+            "Train the IVF coarse quantizer: deterministic distributed "
+            "Lloyd k-means over the embedding column (smallest-id init, "
+            "no RNG, 6dp-rounded iteration state), emitted in the shape "
+            "ivf_index/ivfpq_index take as --in centroids",
+            ("corpus",),
+            _run_kmeans_centroids,
+            {
+                "k": Param(int, 4, "number of centroids"),
+                "n_iter": Param(int, 2, "Lloyd iterations"),
+                "id_col": Param(str, "vec_id", "vector id column"),
+                "vec_col": Param(str, "embedding", "vector column"),
+                "dim": Param(int, 64, "embedding dimensionality"),
+            },
+        ),
+        StepSpec(
+            "doctor",
+            "Index fsck: run every recovery entry point + invariant check "
+            "for ONE at-rest index root and report (check, status, detail) "
+            "rows — interrupted compaction/ledger renames finished, "
+            "marker-less crashed epoch dirs removed, one-hop alias and "
+            "converged-labeling invariants, ledger-sum == band-table "
+            "counts, frozen-artifact and meta/recall-ledger parses, stale "
+            "writer leases cleared (live ones reported with their holder). "
+            "Statuses: ok | repaired | warning | failed",
+            ("index",),
+            _run_doctor,
+            {
+                "kind": Param(
+                    str,
+                    "cc_labels",
+                    "index kind: cc_labels | line_freq | lsh_band_index "
+                    "| ivf | ivfpq (lsh takes the catalog TABLE name as "
+                    "--in index=...)",
+                ),
+                "clear_stale_lease": Param(
+                    bool,
+                    True,
+                    "delete writer leases older than their declared stale "
+                    "threshold (a live lease is only ever reported)",
+                ),
+                "convergence_sample": Param(
+                    int, 64, "cc_labels: sampled converged-check size"
+                ),
+            },
+            needs_catalog=lambda p: p.get("kind") == "lsh_band_index",
         ),
         StepSpec(
             "ivfpq_index",

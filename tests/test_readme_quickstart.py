@@ -113,3 +113,41 @@ def test_readme_production_loop_runs(tmp_path):
         f"(SELECT id FROM '{cc}/*.parquet')"
     ).fetchone()[0]
     assert dangling == 0
+    # r14 (VERDICT r13 next #5): the ANN staleness gate ran on the
+    # copy-paste path — the certification ledger exists inside the
+    # index, records the quickstart's certify, and PASSED its floor
+    import json
+
+    cert_path = f"{tmp_path}/quickstart_ivf/_recall_cert.json"
+    assert os.path.exists(cert_path)
+    hist = json.load(open(cert_path))
+    assert len(hist) == 1
+    assert hist[0]["passed"] and hist[0]["recall_floor"] == 0.5
+    assert hist[0]["recall_at_k"] >= 0.5
+    # the doctor fsck reported a servable index: no failed invariants
+    doctor = f"{tmp_path}/quickstart_doctor.parquet"
+    statuses = dict(
+        con.execute(f"SELECT check, status FROM '{doctor}/*.parquet'").fetchall()
+    )
+    assert statuses and all(s in ("ok", "repaired") for s in statuses.values()), statuses
+    assert statuses.get("recall_ledger") == "ok"
+    # ...and the gate GATES: the same certify with an unreachable
+    # floor fails loudly (and still RECORDS the failed certification)
+    certify_cmd = next(
+        c for c in cmds if "mode=certify" in c and "ivf_index" in c
+    )
+    certify_cmd = certify_cmd.replace("$D", SF).replace(
+        "/tmp/quickstart_", f"{tmp_path}/quickstart_"
+    ).replace("recall_floor=0.5", "recall_floor=1.01")
+    argv = [
+        sys.executable if a == "python" else a
+        for a in shlex.split(certify_cmd)
+    ] + ["--master", "local[4]", "--shuffle-partitions", "4"]
+    r = subprocess.run(
+        argv, capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=600,
+    )
+    assert r.returncode != 0
+    assert "recall certification FAILED" in r.stderr
+    hist = json.load(open(cert_path))
+    assert len(hist) == 2 and hist[1]["passed"] is False
