@@ -1034,6 +1034,13 @@ def streaming_cc_maintenance(
     kernel: the sampled converged-input guard (two small actions per
     trigger — set 0 for high-frequency triggers on a trusted index)
     and the sidecar self-compaction bound.
+
+    Single-writer (r14): each trigger's fold acquires the index's
+    exclusive writer lease (two FS calls) and releases it at trigger
+    end — a cron fold or manual backfill racing the stream makes the
+    LOSING trigger raise ``WriterLeaseHeld`` naming the holder (the
+    stream fails loudly; restart replays the batch), never an
+    interleaved corruption.
     """
 
     def _fold(batch_df, epoch_id):
