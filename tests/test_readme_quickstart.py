@@ -127,7 +127,9 @@ def test_readme_production_loop_runs(tmp_path):
     # the doctor fsck reported a servable index: no failed invariants
     doctor = f"{tmp_path}/quickstart_doctor.parquet"
     statuses = dict(
-        con.execute(f"SELECT check, status FROM '{doctor}/*.parquet'").fetchall()
+        con.execute(
+            f"""SELECT "check", status FROM '{doctor}/*.parquet'"""
+        ).fetchall()
     )
     assert statuses and all(s in ("ok", "repaired") for s in statuses.values()), statuses
     assert statuses.get("recall_ledger") == "ok"

@@ -259,3 +259,45 @@ def test_ivf_index_is_leased(spark, tmp_path):
         params={"mode": "certify", "certify_queries": 4, "certify_k": 2},
     )
     assert os.path.exists(os.path.join(out, "_recall_cert.json"))
+
+
+def test_cli_fold_fails_loudly_across_processes(spark, tmp_path):
+    """The production collision shape is two PROCESSES (a cron fold
+    racing a manual backfill), not two threads: with the lease held by
+    this process, a separate `python -m ... cc_labels mode=append`
+    exits nonzero naming the holder; after release the same command
+    succeeds."""
+    import subprocess
+    import sys
+
+    out = _build_cc(spark, tmp_path, BASE)
+    edges_p = str(tmp_path / "delta_edges.parquet")
+    _edges(spark, DELTA).write.parquet(edges_p)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        **os.environ,
+        "PYTHONPATH": repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    }
+    argv = [
+        sys.executable, "-m", "genetics_spark_coloc_spark", "run",
+        "cc_labels", "--in", f"edges={edges_p}", "--out", out,
+        "--param", "mode=append",
+        "--master", "local[2]", "--shuffle-partitions", "2",
+    ]
+    token = acquire_writer_lease(spark, out, "cron-fold")
+    try:
+        r = subprocess.run(
+            argv, capture_output=True, text=True, cwd=str(tmp_path),
+            env=env, timeout=600,
+        )
+        assert r.returncode != 0
+        assert "WriterLeaseHeld" in r.stderr
+        assert "cron-fold" in r.stderr
+    finally:
+        release_writer_lease(spark, out, token)
+    r = subprocess.run(
+        argv, capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert not os.path.exists(writer_lease_path(out))
