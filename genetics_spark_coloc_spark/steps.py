@@ -2263,7 +2263,8 @@ STEPS: dict[str, StepSpec] = {
             "Materialize a filtered/projected snapshot of a parquet table "
             "(SQL predicate pushed down to the scan; optional column "
             "projection) — the generic slice utility for carving deltas "
-            "and samples",
+            "and samples (additive layer beyond the reference's genetics "
+            "surface)",
             ("table",),
             _run_table_filter,
             {
@@ -2280,7 +2281,8 @@ STEPS: dict[str, StepSpec] = {
             "Train the IVF coarse quantizer: deterministic distributed "
             "Lloyd k-means over the embedding column (smallest-id init, "
             "no RNG, 6dp-rounded iteration state), emitted in the shape "
-            "ivf_index/ivfpq_index take as --in centroids",
+            "ivf_index/ivfpq_index take as --in centroids (additive "
+            "layer beyond the reference's genetics surface)",
             ("corpus",),
             _run_kmeans_centroids,
             {
@@ -2300,7 +2302,8 @@ STEPS: dict[str, StepSpec] = {
             "converged-labeling invariants, ledger-sum == band-table "
             "counts, frozen-artifact and meta/recall-ledger parses, stale "
             "writer leases cleared (live ones reported with their holder). "
-            "Statuses: ok | repaired | warning | failed",
+            "Statuses: ok | repaired | warning | failed (additive layer "
+            "beyond the reference's genetics surface)",
             ("index",),
             _run_doctor,
             {
