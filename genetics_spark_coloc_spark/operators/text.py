@@ -2901,3 +2901,221 @@ def line_dedup(
             ).alias("cleanText"),
         )
     )
+
+
+def ngram_lm_table(
+    df: "DataFrame",
+    text_col: str = "text",
+    order: int = 3,
+    min_count: int = 1,
+) -> "DataFrame":
+    """Corpus n-gram count table for :func:`lm_stupid_backoff_score` —
+    the persisted language MODEL of the Stupid-Backoff scheme (Brants
+    et al. 2007, "Large Language Models in Machine Translation"),
+    which replaces discounted smoothing with raw relative frequencies
+    plus a fixed backoff factor EXACTLY so that the model reduces to
+    count tables buildable with distributed aggregation.
+
+    Rows: ``(gram, n, cnt)`` for every word 1..``order``-gram of the
+    corpus (lowercased whitespace tokens, document-internal grams in
+    :func:`word_ngrams` form). Counts are ADDITIVE per gram — the
+    same contract as :func:`line_frequency_table`: a nightly refresh
+    may append a new crawl's count shards and consumers re-aggregate
+    with SUM per (gram, n), so duplicate gram rows across shards are
+    never a fan-out. Scale shape: the three gram arrays ride one
+    scan, one explode, ONE map-side-combined count on the gram key.
+
+    ``min_count`` prunes rare grams from the emitted table (the
+    standard KenLM-style size control; pruned grams score through
+    backoff as unseen). Pruning BREAKS the additive append contract —
+    a gram below threshold in each of two shards may exceed it
+    jointly — so prune only at build/compact time over full counts,
+    never on an append shard (the ``lm_table`` step enforces this).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    if not 1 <= int(order) <= 3:
+        raise ValueError(f"ngram_lm_table: order must be 1..3, got {order}")
+    col = F.col(text_col)
+    grams = tokens(F.lower(col))
+    for k in range(2, int(order) + 1):
+        grams = F.concat(grams, word_ngrams(col, k))
+    counts = (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "gram",
+            (F.size(F.split(F.col("gram"), F.lit(" "), -1))).cast("int").alias("n"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )
+    if int(min_count) > 1:
+        counts = counts.filter(F.col("cnt") >= int(min_count))
+    return counts
+
+
+def lm_stupid_backoff_score(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lm: "DataFrame | None" = None,
+    order: int = 3,
+    alpha: float = 0.4,
+) -> "DataFrame":
+    """Per-document Stupid-Backoff n-gram LM score — the production
+    form of the CCNet perplexity filter (Wenzek et al. 2020 train a
+    KenLM ONCE on a reference corpus and score every new crawl
+    against the frozen model; :func:`bigram_lm_score` is the
+    closed-over-its-input special case). Scoring scheme per Brants
+    et al. 2007: S(w|u v) = cnt(u v w)/cnt(u v) when the full n-gram
+    was seen, else ``alpha`` · S(w|v), recursing to the unigram base,
+    with every quantity a RAW corpus count — no discounting, which is
+    what makes the model a plain additive count table maintainable by
+    the ``lm_table`` step.
+
+    ``lm`` is a ``(gram, n, cnt)`` table from :func:`ngram_lm_table`
+    (duplicate gram rows re-aggregated here, honouring the additive
+    shard contract); None trains on ``df`` itself. The unigram base
+    is add-one smoothed over the MODEL vocabulary, S1(w) =
+    (cnt(w)+1)/(N+V) — the OOV floor that keeps frozen-model scoring
+    of unseen tokens finite (raw Stupid Backoff leaves S(OOV) = 0,
+    which has no log). Position i scores with its longest in-document
+    context: the first token at unigram level WITHOUT backoff penalty
+    (nothing was backed off from), the second at bigram level, the
+    rest at full order.
+
+    Emits ``(docId, nTokens, avgLogScore, pseudoPerplexity)`` with
+    avgLogScore the mean natural-log S over token positions and
+    pseudoPerplexity = exp(−avgLogScore); documents with no tokens
+    report 0 / null / null. An EMPTY model scores every position
+    null (guarded division, no ANSI error).
+
+    Scale shape (the :func:`bigram_lm_score` design one order up):
+    the score is a pure function of the position's scoring KEY (the
+    ≤order-gram ending at the position), so it is computed once per
+    DISTINCT key — each key explodes into ≤5 count lookups (self,
+    context, backoff suffix, suffix context, last word) satisfied by
+    ONE join against the counts table and pivoted back by role — and
+    only then joins back to the occurrence table: two gram-keyed
+    shuffles bounded by distinct-key and occurrence cardinality, the
+    1-row (N, V) aggregate rides a broadcast crossJoin, no UDFs, no
+    driver state. The model side stays O(distinct grams); at corpus
+    scale prune with ``min_count`` at build/compact time.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    if int(order) not in (2, 3):
+        raise ValueError(
+            f"lm_stupid_backoff_score: order must be 2 or 3, got {order}"
+        )
+    a = float(alpha)
+    if lm is None:
+        lm = ngram_lm_table(df, text_col, order=int(order))
+    # re-aggregate per gram FIRST (the additive shard contract: a
+    # multi-shard table carries duplicate gram rows) — computing V as
+    # a row count before this would overcount sharded vocabularies
+    counts = lm.groupBy("gram").agg(F.sum("cnt").alias("_c"))
+    uni = lm.filter(F.col("n") == 1).groupBy("gram").agg(
+        F.sum("cnt").alias("_cu")
+    )
+    totals = uni.agg(
+        F.sum("_cu").alias("_N"), F.count(F.lit(1)).alias("_V")
+    )
+
+    col = F.col(text_col)
+    t1 = tokens(F.lower(col))
+    if int(order) == 2:
+        keys = F.concat(F.slice(t1, 1, 1), word_ngrams(col, 2))
+    else:
+        keys = F.concat(
+            F.slice(t1, 1, 1),
+            F.slice(word_ngrams(col, 2), 1, 1),
+            word_ngrams(col, 3),
+        )
+    occ = df.select(
+        F.col(id_col).alias("docId"), F.explode(keys).alias("key")
+    ).localCheckpoint(eager=False)
+
+    w = F.split(F.col("key"), F.lit(" "), -1)
+    k = F.size(w)
+    lookups = F.filter(
+        F.array(
+            F.struct(F.lit("c1").alias("role"), F.element_at(w, -1).alias("g")),
+            F.struct(
+                F.lit("c2").alias("role"),
+                F.when(
+                    k >= 2, F.array_join(F.slice(w, -2, 2), " ")
+                ).alias("g"),
+            ),
+            F.struct(
+                F.lit("cX2").alias("role"),
+                F.when(k >= 2, F.element_at(w, -2)).alias("g"),
+            ),
+            F.struct(
+                F.lit("c3").alias("role"),
+                F.when(k == 3, F.col("key")).alias("g"),
+            ),
+            F.struct(
+                F.lit("cX3").alias("role"),
+                F.when(
+                    k == 3, F.array_join(F.slice(w, 1, 2), " ")
+                ).alias("g"),
+            ),
+        ),
+        lambda s: s["g"].isNotNull(),
+    )
+    pivoted = (
+        occ.select("key")
+        .distinct()
+        .select("key", F.explode(lookups).alias("_lk"))
+        .join(
+            counts, on=F.col("_lk.g") == F.col("gram"), how="left"
+        )
+        .groupBy("key")
+        .agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("_lk.role") == r, F.col("_c"))),
+                    F.lit(0),
+                ).alias(r)
+                for r in ("c1", "c2", "cX2", "c3", "cX3")
+            ]
+        )
+    )
+    kk = F.size(F.split(F.col("key"), F.lit(" "), -1))
+    denom = F.col("_N") + F.col("_V")
+    s1 = F.when(denom > 0, (F.col("c1") + 1.0) / denom)
+    s2 = F.when(
+        (F.col("c2") > 0) & (F.col("cX2") > 0),
+        F.col("c2") / F.col("cX2"),
+    ).otherwise(F.lit(a) * s1)
+    s3 = F.when(
+        (F.col("c3") > 0) & (F.col("cX3") > 0),
+        F.col("c3") / F.col("cX3"),
+    ).otherwise(F.lit(a) * s2)
+    score = (
+        F.when(kk == 3, s3).when(kk == 2, s2).otherwise(s1)
+    )
+    score_tab = pivoted.crossJoin(F.broadcast(totals)).select(
+        "key", F.log(score).alias("_ls")
+    )
+    scored = (
+        occ.join(score_tab, on="key")
+        .groupBy("docId")
+        .agg(
+            F.count(F.lit(1)).alias("nTokens"),
+            F.avg("_ls").alias("_als"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("docId"))
+        .distinct()
+        .join(scored, on="docId", how="left")
+        .select(
+            "docId",
+            F.coalesce("nTokens", F.lit(0)).cast("long").alias("nTokens"),
+            F.round("_als", 6).alias("avgLogScore"),
+            F.round(F.exp(-F.col("_als")), 6).alias("pseudoPerplexity"),
+        )
+    )

@@ -4397,3 +4397,137 @@ FROM final f JOIN sizes s USING (clusterId)
 
 NEARDUP_QUERIES["delta_dedup_clusters"] = q_delta_dedup_clusters
 NEARDUP_ORACLES["delta_dedup_clusters"] = SQL_DELTA_DEDUP_CLUSTERS
+
+
+def q_lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff trigram LM document scores, self-trained
+    (operators/text.lm_stupid_backoff_score) — the CCNet perplexity
+    filter at its production order: S(w|u v) = cnt(u v w)/cnt(u v)
+    when seen else 0.4·S(w|v), add-one unigram OOV floor (Brants et
+    al. 2007; Wenzek et al. 2020)."""
+    from genetics_spark_coloc_spark.operators.text import (
+        lm_stupid_backoff_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_stupid_backoff_score(docs, "text", "doc_id")
+
+
+def q_delta_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROZEN-model Stupid-Backoff scoring — the production CCNet
+    shape (train the LM once on the reference corpus, score every
+    new crawl against it): model = ngram_lm_table over doc_id%10!=0,
+    scored set = the doc_id%10==0 delta, whose OOV tokens exercise
+    the add-one unigram floor. The at-rest twin is the ``lm_table``
+    step (build/append/compact under the writer lease)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from genetics_spark_coloc_spark.operators.text import (
+        lm_stupid_backoff_score,
+        ngram_lm_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = ngram_lm_table(docs.filter(F.col("doc_id") % 10 != 0))
+    return lm_stupid_backoff_score(
+        docs.filter(F.col("doc_id") % 10 == 0), "text", "doc_id", lm=model
+    )
+
+
+_SQL_LM_BODY = r"""
+WITH toks AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+  FROM documents {train_where}
+),
+allg AS (
+  SELECT UNNEST(
+    t ||
+    CASE WHEN len(t) - 1 >= 1
+         THEN list_transform(range(0, len(t) - 1),
+                             i -> array_to_string(list_slice(t, i + 1, i + 2), ' '))
+         ELSE [] END ||
+    CASE WHEN len(t) - 2 >= 1
+         THEN list_transform(range(0, len(t) - 2),
+                             i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
+         ELSE [] END
+  ) AS gram
+  FROM toks
+),
+cnt AS (SELECT gram, COUNT(*) AS c FROM allg GROUP BY gram),
+tot AS (SELECT SUM(c) AS N, COUNT(*) AS V FROM cnt WHERE NOT contains(gram, ' ')),
+stoks AS (
+  SELECT doc_id AS docId,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+  FROM documents {score_where}
+),
+keys AS (
+  SELECT docId, UNNEST(
+    list_slice(t, 1, 1) ||
+    CASE WHEN len(t) >= 2
+         THEN [array_to_string(list_slice(t, 1, 2), ' ')] ELSE [] END ||
+    CASE WHEN len(t) - 2 >= 1
+         THEN list_transform(range(0, len(t) - 2),
+                             i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
+         ELSE [] END
+  ) AS key
+  FROM stoks
+),
+parts AS (
+  SELECT docId, key, string_split(key, ' ') AS w,
+         len(string_split(key, ' ')) AS k
+  FROM keys
+),
+looked AS (
+  SELECT p.docId, p.k,
+         COALESCE(u1.c, 0) AS c1,
+         COALESCE(b2.c, 0) AS c2,
+         COALESCE(u2.c, 0) AS cx2,
+         COALESCE(t3.c, 0) AS c3,
+         COALESCE(b3.c, 0) AS cx3
+  FROM parts p
+  LEFT JOIN cnt u1 ON u1.gram = p.w[p.k]
+  LEFT JOIN cnt b2 ON p.k >= 2
+       AND b2.gram = array_to_string(list_slice(p.w, p.k - 1, p.k), ' ')
+  LEFT JOIN cnt u2 ON p.k >= 2 AND u2.gram = p.w[p.k - 1]
+  LEFT JOIN cnt t3 ON p.k = 3 AND t3.gram = p.key
+  LEFT JOIN cnt b3 ON p.k = 3
+       AND b3.gram = array_to_string(list_slice(p.w, 1, 2), ' ')
+),
+scored AS (
+  SELECT docId, COUNT(*) AS nTokens,
+         AVG(LN(
+           CASE WHEN k = 3 THEN
+             CASE WHEN c3 > 0 AND cx3 > 0 THEN c3 * 1.0 / cx3
+                  ELSE 0.4 * (CASE WHEN c2 > 0 AND cx2 > 0
+                                   THEN c2 * 1.0 / cx2
+                                   ELSE 0.4 * ((c1 + 1.0) / (tot.N + tot.V))
+                              END)
+             END
+           WHEN k = 2 THEN
+             CASE WHEN c2 > 0 AND cx2 > 0 THEN c2 * 1.0 / cx2
+                  ELSE 0.4 * ((c1 + 1.0) / (tot.N + tot.V)) END
+           ELSE (c1 + 1.0) / (tot.N + tot.V) END
+         )) AS alp
+  FROM looked CROSS JOIN tot
+  GROUP BY docId
+)
+SELECT d.docId,
+       COALESCE(s.nTokens, 0) AS nTokens,
+       ROUND(s.alp, 6) AS avgLogScore,
+       ROUND(EXP(-s.alp), 6) AS pseudoPerplexity
+FROM (SELECT DISTINCT doc_id AS docId FROM documents {score_where}) d
+LEFT JOIN scored s USING (docId)
+"""
+
+SQL_LM_STUPID_BACKOFF = _SQL_LM_BODY.format(train_where="", score_where="")
+SQL_DELTA_LM_SCORE = _SQL_LM_BODY.format(
+    train_where="WHERE doc_id % 10 != 0", score_where="WHERE doc_id % 10 = 0"
+)
+
+NEARDUP_QUERIES["lm_stupid_backoff"] = q_lm_stupid_backoff
+NEARDUP_ORACLES["lm_stupid_backoff"] = SQL_LM_STUPID_BACKOFF
+NEARDUP_QUERIES["delta_lm_score"] = q_delta_lm_score
+NEARDUP_ORACLES["delta_lm_score"] = SQL_DELTA_LM_SCORE

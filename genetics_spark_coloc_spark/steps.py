@@ -1420,6 +1420,95 @@ def _run_line_scrub(spark, inputs, output, p):
     )
 
 
+def _run_lm_table(spark, inputs, output, p):
+    from pyspark.sql import functions as F
+
+    from genetics_spark_coloc_spark.operators.text import ngram_lm_table
+    from genetics_spark_coloc_spark.session import (
+        crash_safe_overwrite_parquet,
+        recover_interrupted_overwrite,
+        writer_lease,
+    )
+
+    if p["mode"] in ("append", "compact") and output is None:
+        raise ValueError(
+            f"lm_table mode={p['mode']} writes to --out, which was not given"
+        )
+    if p["mode"] == "append" and int(p["min_count"]) > 1:
+        # pruning an append shard breaks the additive contract: a gram
+        # below threshold in each of two shards may exceed it jointly,
+        # silently under-counting the model. Prune only over FULL
+        # counts (overwrite/compact).
+        raise ValueError(
+            "lm_table: min_count > 1 is not allowed with mode=append — "
+            "per-shard pruning under-counts grams that cross the "
+            "threshold only across shards; prune at mode=overwrite or "
+            "mode=compact, which see full counts"
+        )
+    if p["mode"] == "compact":
+        # nightly appends accumulate one count shard per crawl; the
+        # model holds O(distinct grams) of information. Re-aggregate
+        # to one row per gram (counts additive by contract); the
+        # table is the MODEL artifact — the crawls that produced it
+        # may be gone — so the rewrite goes through the crash-safe
+        # tmp→delete→rename protocol under the writer lease, exactly
+        # like line_freq compaction. min_count pruning is legal here
+        # because compaction sees the full aggregated counts.
+        with writer_lease(spark, output, "lm_table:compact"):
+            recover_interrupted_overwrite(spark, inputs["corpus"])
+            compacted = (
+                _parquet(spark, inputs["corpus"])
+                .groupBy("gram", "n")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+            if int(p["min_count"]) > 1:
+                compacted = compacted.filter(
+                    F.col("cnt") >= int(p["min_count"])
+                )
+            crash_safe_overwrite_parquet(compacted, output)
+        return None
+    counts = ngram_lm_table(
+        _parquet(spark, inputs["corpus"]),
+        p["text_col"],
+        order=p["order"],
+        min_count=p["min_count"],
+    )
+    if p["mode"] == "append":
+        # nightly shard: the crawl's counts land as ADDITIONAL rows
+        # (duplicate gram rows are additive by contract — consumers
+        # re-aggregate with SUM); an interrupted compact is finished
+        # first, and the append runs under the writer lease so it can
+        # never land inside a concurrent compact's delete window
+        with writer_lease(spark, output, "lm_table:append"):
+            recover_interrupted_overwrite(spark, output)
+            counts.write.mode("append").parquet(output)
+        return None
+    return counts
+
+
+def _run_lm_score(spark, inputs, output, p):
+    from genetics_spark_coloc_spark.operators.text import (
+        lm_stupid_backoff_score,
+    )
+    from genetics_spark_coloc_spark.session import (
+        recover_interrupted_overwrite,
+    )
+
+    if p["model"]:
+        # the model table may carry an interrupted compaction —
+        # finish it instead of failing on the missing path
+        recover_interrupted_overwrite(spark, p["model"])
+    lm = _parquet(spark, p["model"]) if p["model"] else None
+    return lm_stupid_backoff_score(
+        _parquet(spark, inputs["docs"]),
+        p["text_col"],
+        p["id_col"],
+        lm=lm,
+        order=p["order"],
+        alpha=p["alpha"],
+    )
+
+
 def _run_corpus_overlap(spark, inputs, output, p):
     from pyspark.sql import functions as F
 
@@ -1790,10 +1879,81 @@ def _run_doctor(spark, inputs, output, p):
         check("recall_ledger", recall_ledger)
         check("writer_lease", lease_check)
 
+    elif kind == "lm_table":
+        check(
+            "interrupted_compaction",
+            lambda: (
+                ("repaired", "finished an interrupted compaction rename")
+                if recover_interrupted_overwrite(spark, root)
+                else ("ok", "no interrupted compaction")
+            ),
+        )
+
+        def counts_valid():
+            df = spark.read.parquet(root)
+            cols = set(df.columns)
+            if not {"gram", "n", "cnt"} <= cols:
+                return "failed", f"unexpected schema {sorted(cols)}"
+            bad = df.filter(
+                F.col("gram").isNull()
+                | (F.col("cnt") <= 0)
+                | (F.col("n") != F.size(F.split(F.col("gram"), " ", -1)))
+            ).count()
+            if bad:
+                return "failed", (
+                    f"{bad} row(s) with null gram, nonpositive count, or "
+                    "order inconsistent with the gram's word count"
+                )
+            return "ok", f"{df.count()} count rows, all consistent"
+
+        check("counts_table", counts_valid)
+
+        def prefix_consistency():
+            # count-monotonicity invariant of any honestly-built model:
+            # a context can occur at most as often as its own unigram
+            # prefix, i.e. total cnt("v ...") summed over continuations
+            # <= total cnt("v"). Checked on the heaviest 1000 left
+            # contexts so the check stays bounded on any model size.
+            agg = (
+                spark.read.parquet(root)
+                .groupBy("gram", "n")
+                .agg(F.sum("cnt").alias("c"))
+            )
+            uni = agg.filter(F.col("n") == 1).select(
+                F.col("gram").alias("lft"), F.col("c").alias("cUni")
+            )
+            ctx = (
+                agg.filter(F.col("n") == 2)
+                .groupBy(F.substring_index("gram", " ", 1).alias("lft"))
+                .agg(F.sum("c").alias("cCont"))
+                .orderBy(F.desc("cCont"), "lft")
+                .limit(1000)
+            )
+            bad = (
+                ctx.join(uni, on="lft", how="left")
+                .filter(
+                    F.coalesce(F.col("cUni"), F.lit(0)) < F.col("cCont")
+                )
+                .count()
+            )
+            if bad:
+                return "failed", (
+                    f"{bad} left context(s) whose bigram continuations "
+                    "outnumber the context's own unigram count — the "
+                    "shards were not built from the same corpus snapshots"
+                )
+            return "ok", (
+                "heaviest 1000 contexts satisfy unigram >= continuation "
+                "counts"
+            )
+
+        check("prefix_consistency", prefix_consistency)
+        check("writer_lease", lease_check)
+
     else:
         raise ValueError(
             f"doctor: unknown kind {kind!r}; expected one of "
-            "cc_labels | line_freq | lsh_band_index | ivf | ivfpq"
+            "cc_labels | line_freq | lm_table | lsh_band_index | ivf | ivfpq"
         )
 
     report = spark.createDataFrame(
@@ -2310,9 +2470,9 @@ STEPS: dict[str, StepSpec] = {
                 "kind": Param(
                     str,
                     "cc_labels",
-                    "index kind: cc_labels | line_freq | lsh_band_index "
-                    "| ivf | ivfpq (lsh takes the catalog TABLE name as "
-                    "--in index=...)",
+                    "index kind: cc_labels | line_freq | lm_table | "
+                    "lsh_band_index | ivf | ivfpq (lsh takes the catalog "
+                    "TABLE name as --in index=...)",
                 ),
                 "clear_stale_lease": Param(
                     bool,
@@ -2471,6 +2631,66 @@ STEPS: dict[str, StepSpec] = {
                     "",
                     "path to a persisted line_freq table; empty = "
                     "self-counting over the input itself",
+                ),
+            },
+        ),
+        StepSpec(
+            "lm_table",
+            "Materialize the Stupid-Backoff n-gram LM count table "
+            "(gram, n, cnt over every word 1..order-gram; Brants et al. "
+            "2007) — trained once per reference-corpus snapshot, then "
+            "lm_score rates any crawl against the frozen model at "
+            "O(delta) (the CCNet perplexity-filter loop). mode=append "
+            "adds a crawl's counts as an additive shard; mode=compact "
+            "re-aggregates to one row per gram via the crash-safe "
+            "overwrite under the writer lease (additive layer beyond "
+            "the reference's genetics surface)",
+            ("corpus",),
+            _run_lm_table,
+            {
+                "text_col": Param(str, "text", "document text column"),
+                "order": Param(int, 3, "max n-gram order (1..3)"),
+                "min_count": Param(
+                    int,
+                    1,
+                    "prune grams below this count (overwrite/compact "
+                    "only — per-shard pruning would break the additive "
+                    "append contract)",
+                ),
+                "mode": Param(
+                    str,
+                    "overwrite",
+                    "overwrite = (re)build to --out; append = write the "
+                    "corpus's counts as an ADDITIONAL shard of --out "
+                    "(duplicate gram rows are additive by contract); "
+                    "compact = re-aggregate the table named by --corpus "
+                    "to one row per gram and overwrite --out (same path "
+                    "for in-place)",
+                ),
+            },
+        ),
+        StepSpec(
+            "lm_score",
+            "Stupid-Backoff LM document scoring (the CCNet perplexity "
+            "filter, Wenzek et al. 2020): mean log S(w|context) and "
+            "pseudo-perplexity per document. With --param model= "
+            "pointing at an lm_table, scores come from that FROZEN "
+            "model (the production train-once/score-many loop; OOV "
+            "tokens hit the add-one unigram floor); without it the "
+            "input corpus self-trains (additive layer beyond the "
+            "reference's genetics surface)",
+            ("docs",),
+            _run_lm_score,
+            {
+                "text_col": Param(str, "text", "document text column"),
+                "id_col": Param(str, "doc_id", "document id column"),
+                "order": Param(int, 3, "scoring order (2 or 3)"),
+                "alpha": Param(float, 0.4, "backoff factor"),
+                "model": Param(
+                    str,
+                    "",
+                    "path to a persisted lm_table; empty = self-train "
+                    "on the input corpus",
                 ),
             },
         ),

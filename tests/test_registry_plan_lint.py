@@ -37,7 +37,9 @@ BNLJ_WHITELIST = {
     "ann_recall",  # exact-cosine ground truth: broadcast side is the
     #                O(1) certification query sample (vec_id % 50)
     "bigram_lm",
+    "delta_lm_score",  # 1-row broadcast (N, V) model totals
     "l2_topk",  # same tiny certification query sample, != condition
+    "lm_stupid_backoff",  # 1-row broadcast (N, V) model totals
     "bm25_retrieval",
     "bpe_apply_merge",
     "bpe_train_merges",
