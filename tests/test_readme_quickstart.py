@@ -133,6 +133,29 @@ def test_readme_production_loop_runs(tmp_path):
     )
     assert statuses and all(s in ("ok", "repaired") for s in statuses.values()), statuses
     assert statuses.get("recall_ledger") == "ok"
+    # r14: the LM perplexity-filter loop ran on the copy-paste path —
+    # the compacted model holds one row per gram, every document got
+    # a finite frozen-model score, and the lm_table doctor kind
+    # reports a servable model
+    lm = f"{tmp_path}/quickstart_lm.parquet"
+    n, ng = con.execute(
+        f"SELECT count(*), count(DISTINCT gram) FROM '{lm}/*.parquet'"
+    ).fetchone()
+    assert n == ng > 0
+    scores = f"{tmp_path}/quickstart_lm_scores.parquet"
+    n_scored, n_null = con.execute(
+        f"SELECT count(*), count(*) FILTER (avgLogScore IS NULL) "
+        f"FROM '{scores}/*.parquet'"
+    ).fetchone()
+    assert n_scored == n_docs and n_null == 0
+    lm_statuses = dict(
+        con.execute(
+            f"""SELECT "check", status
+                FROM '{tmp_path}/quickstart_lm_doctor.parquet/*.parquet'"""
+        ).fetchall()
+    )
+    assert lm_statuses and set(lm_statuses.values()) == {"ok"}, lm_statuses
+    assert "prefix_consistency" in lm_statuses
     # ...and the gate GATES: the same certify with an unreachable
     # floor fails loudly (and still RECORDS the failed certification)
     certify_cmd = next(
