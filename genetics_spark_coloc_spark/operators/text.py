@@ -3119,3 +3119,138 @@ def lm_stupid_backoff_score(
             F.round(F.exp(-F.col("_als")), 6).alias("pseudoPerplexity"),
         )
     )
+
+
+def bm25_postings(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_pfx: int = 64,
+) -> "DataFrame":
+    """Inverted-index postings for :func:`bm25_search` — the at-rest
+    form of BM25 retrieval (:func:`bm25_scores` rescans the corpus
+    per query; at corpus scale you index ONCE and each query touches
+    only its own terms' postings).
+
+    Rows: ``(pfx, term, docId, tf, dl)`` — one row per (document,
+    distinct term), tf the in-document term frequency, dl the
+    document length denormalized onto every posting so scoring never
+    needs a doc-length side table. ``pfx = crc32(term) % n_pfx`` is
+    the partition key: persisting with ``partitionBy("pfx")`` lets a
+    query's scan statically prune to the partitions holding its own
+    terms (the ``ivfpq_topk`` static-prune device; Spark's crc32 is
+    the zlib CRC-32, so the Python side computes the same prefixes at
+    plan time). Token-less documents emit no postings — corpus counts
+    (n_docs, sum_dl) therefore live in the index META, not here.
+
+    Scale shape: one explode + one map-side-combined count keyed on
+    (term, doc); append = the new crawl's postings land as additional
+    partition files (doc ids must be new — the ``bm25_index`` step
+    documents that contract) plus a meta update.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    toks = tokens(F.lower(F.col(text_col)))
+    occ = df.select(
+        F.col(id_col).alias("docId"),
+        F.size(toks).cast("long").alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    return (
+        occ.groupBy("term", "docId", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .select(
+            (F.crc32(F.col("term")) % int(n_pfx)).alias("pfx"),
+            "term",
+            "docId",
+            "tf",
+            "dl",
+        )
+    )
+
+
+def bm25_corpus_stats(
+    df: "DataFrame", text_col: str = "text"
+) -> "DataFrame":
+    """The 1-row (_nDocs, _sumDl) corpus aggregate :func:`bm25_search`
+    broadcasts — counted over ALL documents (token-less ones included,
+    exactly like :func:`bm25_scores`'s N/avgdl)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    toks = tokens(F.lower(F.col(text_col)))
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("_nDocs"),
+        F.sum(F.coalesce(F.size(toks), F.lit(0))).cast("long").alias("_sumDl"),
+    )
+
+
+def bm25_search(
+    postings: "DataFrame",
+    query_terms: list[str],
+    stats: "DataFrame",
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_pfx: int = 64,
+) -> "DataFrame":
+    """Okapi BM25 over an inverted index — bit-identical scores to
+    :func:`bm25_scores` on the corpus the index reflects, but the
+    corpus is never rescanned: the query prunes the postings scan to
+    its own terms' ``pfx`` partitions (prefixes computed driver-side
+    with zlib crc32 == Spark crc32, so the IN-filter is STATIC and
+    reaches the parquet source as a partition filter), per-term
+    document frequencies fall out of the pruned postings themselves
+    (one row per (term, doc) by construction), and the 1-row
+    ``stats`` frame (from :func:`bm25_corpus_stats` or the index
+    meta) rides a broadcast crossJoin.
+
+    Emits ``(docId, dl, score)`` for documents matching at least one
+    query term, score rounded to 6dp — the :func:`bm25_scores`
+    output contract, so the two forms verify against each other.
+    """
+    import zlib  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    q = sorted({t.lower() for t in query_terms})
+    pfxs = sorted({zlib.crc32(t.encode("utf-8")) % int(n_pfx) for t in q})
+    pruned = postings.filter(
+        F.col("pfx").isin(pfxs) & F.col("term").isin(q)
+    )
+    dfreq = pruned.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    )
+    scored = (
+        pruned.join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "docId",
+            "dl",
+            (
+                F.log(
+                    1.0
+                    + (F.col("_nDocs") - F.col("_df") + 0.5)
+                    / (F.col("_df") + 0.5)
+                )
+                * F.col("tf").cast("double")
+                * (float(k1) + 1.0)
+                / (
+                    F.col("tf").cast("double")
+                    + float(k1)
+                    * (
+                        1.0
+                        - float(b)
+                        + float(b)
+                        * F.col("dl")
+                        / (F.col("_sumDl") / F.col("_nDocs"))
+                    )
+                )
+            ).alias("_part"),
+        )
+    )
+    return (
+        scored.groupBy("docId")
+        .agg(
+            F.first("dl").alias("dl"),
+            F.round(F.sum("_part"), 6).alias("score"),
+        )
+    )

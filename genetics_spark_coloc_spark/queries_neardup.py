@@ -4531,3 +4531,27 @@ NEARDUP_QUERIES["lm_stupid_backoff"] = q_lm_stupid_backoff
 NEARDUP_ORACLES["lm_stupid_backoff"] = SQL_LM_STUPID_BACKOFF
 NEARDUP_QUERIES["delta_lm_score"] = q_delta_lm_score
 NEARDUP_ORACLES["delta_lm_score"] = SQL_DELTA_LM_SCORE
+
+
+def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the INVERTED-INDEX form (operators/text.bm25_postings
+    + bm25_search) — same query terms and score contract as
+    `bm25_retrieval`, but the corpus is reduced to postings first and
+    the search touches only the query terms' rows (the at-rest twin is
+    the `bm25_index`/`bm25_query` steps, where the pfx partitioning
+    statically prunes the scan). Verifies the index path end-to-end
+    against the direct-BM25 oracle."""
+    from genetics_spark_coloc_spark.operators.text import (
+        bm25_corpus_stats,
+        bm25_postings,
+        bm25_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(
+        bm25_postings(docs), ["hash", "join", "vector"], bm25_corpus_stats(docs)
+    )
+
+
+NEARDUP_QUERIES["bm25_index_search"] = q_bm25_index_search
+NEARDUP_ORACLES["bm25_index_search"] = SQL_BM25_RETRIEVAL

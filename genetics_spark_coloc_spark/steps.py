@@ -1509,6 +1509,104 @@ def _run_lm_score(spark, inputs, output, p):
     )
 
 
+def _run_bm25_index(spark, inputs, output, p):
+    import json as _json
+
+    from genetics_spark_coloc_spark.operators.text import (
+        bm25_corpus_stats,
+        bm25_postings,
+    )
+    from genetics_spark_coloc_spark.session import (
+        crash_safe_overwrite_text,
+        hadoop_read_text,
+        recover_interrupted_text_overwrite,
+        writer_lease,
+    )
+
+    if output is None:
+        raise ValueError("bm25_index writes to --out, which was not given")
+    meta_path = output.rstrip("/") + "/_bm25_meta.json"
+    docs = _parquet(spark, inputs["corpus"])
+    n_docs, sum_dl = (
+        bm25_corpus_stats(docs, p["text_col"]).collect()[0]
+    )
+    if p["mode"] == "append":
+        # the delta's postings land as additional partition files and
+        # the meta counts advance — history postings are never
+        # rewritten. Contract: the delta's doc ids are NEW (a re-fed
+        # document would duplicate its (term, docId) postings and
+        # inflate df — the doctor's postings_unique check catches it).
+        with writer_lease(spark, output, "bm25_index:append"):
+            recover_interrupted_text_overwrite(spark, meta_path)
+            meta = _json.loads(hadoop_read_text(spark, meta_path))
+            posts = bm25_postings(
+                docs, p["text_col"], p["id_col"], n_pfx=meta["n_pfx"]
+            )
+            posts.write.partitionBy("pfx").mode("append").parquet(output)
+            meta["n_docs"] += int(n_docs)
+            meta["sum_dl"] += int(sum_dl)
+            crash_safe_overwrite_text(
+                spark, meta_path, _json.dumps(meta, indent=1)
+            )
+        return None
+    with writer_lease(spark, output, "bm25_index:build"):
+        posts = bm25_postings(
+            docs, p["text_col"], p["id_col"], n_pfx=p["n_pfx"]
+        )
+        posts.write.partitionBy("pfx").mode("overwrite").parquet(output)
+        crash_safe_overwrite_text(
+            spark,
+            meta_path,
+            _json.dumps(
+                {
+                    "n_docs": int(n_docs),
+                    "sum_dl": int(sum_dl),
+                    "n_pfx": int(p["n_pfx"]),
+                    "text_col": p["text_col"],
+                    "id_col": p["id_col"],
+                },
+                indent=1,
+            ),
+        )
+    return None
+
+
+def _run_bm25_query(spark, inputs, output, p):
+    import json as _json
+
+    from genetics_spark_coloc_spark.operators.text import bm25_search
+    from genetics_spark_coloc_spark.session import (
+        hadoop_read_text,
+        recover_interrupted_text_overwrite,
+    )
+
+    root = inputs["index"]
+    meta_path = root.rstrip("/") + "/_bm25_meta.json"
+    recover_interrupted_text_overwrite(spark, meta_path)
+    meta = _json.loads(hadoop_read_text(spark, meta_path))
+    terms = [t for t in p["query"].split() if t]
+    if not terms:
+        raise ValueError("bm25_query: --param query= must name at least one term")
+    stats = spark.createDataFrame(
+        [(meta["n_docs"], meta["sum_dl"])], "_nDocs long, _sumDl long"
+    )
+    result = bm25_search(
+        _parquet(spark, root),
+        terms,
+        stats,
+        k1=p["k1"],
+        b=p["b"],
+        n_pfx=meta["n_pfx"],
+    )
+    if int(p["top_k"]) > 0:
+        from pyspark.sql import functions as F
+
+        result = result.orderBy(
+            F.desc("score"), "docId"
+        ).limit(int(p["top_k"]))
+    return result
+
+
 def _run_corpus_overlap(spark, inputs, output, p):
     from pyspark.sql import functions as F
 
@@ -1950,10 +2048,78 @@ def _run_doctor(spark, inputs, output, p):
         check("prefix_consistency", prefix_consistency)
         check("writer_lease", lease_check)
 
+    elif kind == "bm25":
+        meta_path = root.rstrip("/") + "/_bm25_meta.json"
+
+        def meta_readable():
+            recovered = recover_interrupted_text_overwrite(spark, meta_path)
+            meta = _json.loads(hadoop_read_text(spark, meta_path))
+            missing = sorted({"n_docs", "sum_dl", "n_pfx"} - set(meta))
+            if missing:
+                return "failed", f"meta missing keys {missing}"
+            status = "repaired" if recovered else "ok"
+            return status, (
+                f"meta parses: n_docs={meta['n_docs']} "
+                f"sum_dl={meta['sum_dl']} n_pfx={meta['n_pfx']}"
+                + (" (finished an interrupted meta write)" if recovered else "")
+            )
+
+        check("meta_readable", meta_readable)
+
+        def postings_consistent():
+            meta = _json.loads(hadoop_read_text(spark, meta_path))
+            posts = spark.read.parquet(root)
+            agg = posts.agg(
+                F.count(F.lit(1)).alias("nRows"),
+                F.count_distinct(F.col("term"), F.col("docId")).alias("nTd"),
+                F.count_distinct("docId").alias("nDocs"),
+                F.sum("tf").alias("sumTf"),
+                F.sum(
+                    (
+                        F.col("pfx")
+                        != F.crc32(F.col("term")) % int(meta["n_pfx"])
+                    ).cast("long")
+                ).alias("badPfx"),
+            ).collect()[0]
+            problems = []
+            if agg["nRows"] != agg["nTd"]:
+                problems.append(
+                    f"{agg['nRows'] - agg['nTd']} duplicate (term, doc) "
+                    "posting row(s) — a delta re-fed an already-indexed "
+                    "document; document frequencies are inflated"
+                )
+            if agg["badPfx"]:
+                problems.append(
+                    f"{agg['badPfx']} posting(s) whose pfx != "
+                    "crc32(term) % n_pfx — partition pruning would MISS "
+                    "them"
+                )
+            if agg["nDocs"] > meta["n_docs"]:
+                problems.append(
+                    f"postings hold {agg['nDocs']} distinct docs but meta "
+                    f"counts only {meta['n_docs']}"
+                )
+            if agg["sumTf"] != meta["sum_dl"]:
+                problems.append(
+                    f"sum(tf)={agg['sumTf']} != meta sum_dl="
+                    f"{meta['sum_dl']} — meta and postings disagree on "
+                    "total token occurrences"
+                )
+            if problems:
+                return "failed", "; ".join(problems)
+            return "ok", (
+                f"{agg['nRows']} postings over {agg['nDocs']} docs agree "
+                "with meta (unique, pruning-safe, counts match)"
+            )
+
+        check("postings_consistent", postings_consistent)
+        check("writer_lease", lease_check)
+
     else:
         raise ValueError(
             f"doctor: unknown kind {kind!r}; expected one of "
-            "cc_labels | line_freq | lm_table | lsh_band_index | ivf | ivfpq"
+            "bm25 | cc_labels | line_freq | lm_table | lsh_band_index | "
+            "ivf | ivfpq"
         )
 
     report = spark.createDataFrame(
@@ -2470,9 +2636,9 @@ STEPS: dict[str, StepSpec] = {
                 "kind": Param(
                     str,
                     "cc_labels",
-                    "index kind: cc_labels | line_freq | lm_table | "
-                    "lsh_band_index | ivf | ivfpq (lsh takes the catalog "
-                    "TABLE name as --in index=...)",
+                    "index kind: bm25 | cc_labels | line_freq | lm_table "
+                    "| lsh_band_index | ivf | ivfpq (lsh takes the "
+                    "catalog TABLE name as --in index=...)",
                 ),
                 "clear_stale_lease": Param(
                     bool,
@@ -2632,6 +2798,55 @@ STEPS: dict[str, StepSpec] = {
                     "path to a persisted line_freq table; empty = "
                     "self-counting over the input itself",
                 ),
+            },
+        ),
+        StepSpec(
+            "bm25_index",
+            "Materialize the BM25 inverted index: postings (pfx, term, "
+            "docId, tf, dl) partitioned by pfx = crc32(term) % n_pfx so "
+            "every later query statically prunes its scan to its own "
+            "terms' partitions, with corpus counts (n_docs, sum_dl) in a "
+            "crash-safe _bm25_meta.json — index once, query many times "
+            "without rescanning the corpus. mode=append adds a NEW "
+            "crawl's postings + advances the meta counts under the "
+            "writer lease; history postings are never rewritten "
+            "(additive layer beyond the reference's genetics surface)",
+            ("corpus",),
+            _run_bm25_index,
+            {
+                "text_col": Param(str, "text", "document text column"),
+                "id_col": Param(str, "doc_id", "document id column"),
+                "n_pfx": Param(
+                    int, 64, "term-hash partition count (build only)"
+                ),
+                "mode": Param(
+                    str,
+                    "overwrite",
+                    "overwrite = (re)build to --out; append = add a new "
+                    "crawl's postings (doc ids must be NEW — the doctor's "
+                    "postings_consistent check catches re-fed documents)",
+                ),
+            },
+            sink=True,
+        ),
+        StepSpec(
+            "bm25_query",
+            "Okapi BM25 retrieval against a persisted bm25_index: the "
+            "postings scan prunes to the query terms' pfx partitions, "
+            "document frequencies fall out of the pruned postings, and "
+            "scores are bit-identical to the direct corpus-scanning "
+            "operator on the corpus the index reflects. top_k > 0 "
+            "returns the best k documents (additive layer beyond the "
+            "reference's genetics surface)",
+            ("index",),
+            _run_bm25_query,
+            {
+                "query": Param(
+                    str, "", "space-separated query terms (required)"
+                ),
+                "k1": Param(float, 1.2, "BM25 k1"),
+                "b": Param(float, 0.75, "BM25 b"),
+                "top_k": Param(int, 0, "0 = all matching docs"),
             },
         ),
         StepSpec(

@@ -156,6 +156,22 @@ def test_readme_production_loop_runs(tmp_path):
     )
     assert lm_statuses and set(lm_statuses.values()) == {"ok"}, lm_statuses
     assert "prefix_consistency" in lm_statuses
+    # r14: the BM25 retrieval loop ran on the copy-paste path — top-10
+    # hits materialized with positive scores, and the bm25 doctor kind
+    # reports a servable index (meta/postings counts agree)
+    hits = f"{tmp_path}/quickstart_bm25_hits.parquet"
+    n_hits, min_score = con.execute(
+        f"SELECT count(*), min(score) FROM '{hits}/*.parquet'"
+    ).fetchone()
+    assert 0 < n_hits <= 10 and min_score > 0
+    bm25_statuses = dict(
+        con.execute(
+            f"""SELECT "check", status
+                FROM '{tmp_path}/quickstart_bm25_doctor.parquet/*.parquet'"""
+        ).fetchall()
+    )
+    assert bm25_statuses and set(bm25_statuses.values()) == {"ok"}, bm25_statuses
+    assert "postings_consistent" in bm25_statuses
     # ...and the gate GATES: the same certify with an unreachable
     # floor fails loudly (and still RECORDS the failed certification)
     certify_cmd = next(

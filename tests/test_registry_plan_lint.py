@@ -40,6 +40,7 @@ BNLJ_WHITELIST = {
     "delta_lm_score",  # 1-row broadcast (N, V) model totals
     "l2_topk",  # same tiny certification query sample, != condition
     "lm_stupid_backoff",  # 1-row broadcast (N, V) model totals
+    "bm25_index_search",  # 1-row broadcast (_nDocs, _sumDl) corpus stats
     "bm25_retrieval",
     "bpe_apply_merge",
     "bpe_train_merges",

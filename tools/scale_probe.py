@@ -1997,3 +1997,84 @@ def incremental_cc_probes(
         for df in (hist_edges, verts, labels, delta_edges):
             df.unpersist()
     spark.stop()
+
+
+def lm_probe(n_corpus: int = 2_000_000, n_delta: int = 500_000) -> None:
+    """Round-14 probe: the Stupid-Backoff LM loop at corpus scale —
+    train the trigram count-table model on 2M docs x 20 tokens (40M
+    token occurrences, one explode + one map-side-combined count on
+    the gram key), then FROZEN-score a 500k-doc delta against it (the
+    CCNet production shape; a tenth of the delta's vocabulary is OOV
+    and exercises the add-one unigram floor). Build should be
+    occurrence-bound; scoring bounded by delta occurrences + distinct
+    scoring keys, with the model side never re-trained.
+    Run: python -c "import tools.scale_probe as sp; sp.lm_probe()"
+    """
+    spark = get_session(
+        app_name="lm_probe",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.operators.text import (
+        lm_stupid_backoff_score,
+        ngram_lm_table,
+    )
+
+    def corpus(n_docs: int, vocab: int, salt: int):
+        # deterministic skew: position-dependent arithmetic pattern
+        # mod a vocab — frequent grams repeat across docs, tails stay
+        # rare; salt shifts the delta's vocabulary so ~1/10 of its
+        # tokens are OOV to the model
+        toks = [
+            F.concat(
+                F.lit("w"),
+                (
+                    (F.col("id") * 7919 + pos * 104729 + salt)
+                    % (vocab if pos % 10 else vocab // 10)
+                ).cast("string"),
+            )
+            for pos in range(20)
+        ]
+        return spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *toks).alias("text"),
+        )
+
+    train = corpus(n_corpus, 20_000, 0).localCheckpoint(eager=True)
+    delta = corpus(n_delta, 22_000, 3).localCheckpoint(eager=True)
+
+    start = time.perf_counter()
+    model = ngram_lm_table(train).localCheckpoint(eager=True)
+    n_grams = model.count()
+    build_sec = round(time.perf_counter() - start, 2)
+
+    start = time.perf_counter()
+    agg = (
+        lm_stupid_backoff_score(delta, lm=model)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("avgLogScore").alias("meanLog"),
+        )
+        .collect()[0]
+    )
+    score_sec = round(time.perf_counter() - start, 2)
+    print(
+        json.dumps(
+            {
+                "probe": f"lm_stupid_backoff_{n_corpus // 1_000_000}m_train_{n_delta // 1000}k_score",
+                "train_docs": n_corpus,
+                "model_grams": n_grams,
+                "score_docs": agg["n"],
+                "mean_log_score": round(agg["meanLog"], 4),
+                "build_sec": build_sec,
+                "build_docs_per_sec": int(n_corpus / build_sec) if build_sec else None,
+                "score_sec": score_sec,
+                "score_docs_per_sec": int(n_delta / score_sec) if score_sec else None,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
