@@ -2078,3 +2078,88 @@ def lm_probe(n_corpus: int = 2_000_000, n_delta: int = 500_000) -> None:
         flush=True,
     )
     spark.stop()
+
+
+def bm25_index_probe(n_docs: int = 2_000_000) -> None:
+    """Round-14 probe: the BM25 inverted index at 2M docs x 20 tokens.
+    Measures (a) the one-time postings build, (b) a 3-term query
+    against the PERSISTED pfx-partitioned index (the scan statically
+    prunes to the query terms' partitions), vs (c) the direct
+    corpus-scanning bm25_scores — the win the at-rest shape buys is
+    (b) << (c) while returning bit-identical scores.
+    Run: python -c "import tools.scale_probe as sp; sp.bm25_index_probe()"
+    """
+    import shutil
+    import tempfile
+
+    spark = get_session(
+        app_name="bm25_index_probe",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from genetics_spark_coloc_spark.operators.text import (
+        bm25_corpus_stats,
+        bm25_postings,
+        bm25_scores,
+        bm25_search,
+    )
+
+    toks = [
+        F.concat(
+            F.lit("w"),
+            (
+                (F.col("id") * 7919 + pos * 104729)
+                % (20_000 if pos % 10 else 2_000)
+            ).cast("string"),
+        )
+        for pos in range(20)
+    ]
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *toks).alias("text"),
+    ).localCheckpoint(eager=True)
+    query = ["w7919", "w104729", "w42"]
+
+    tmp = tempfile.mkdtemp()
+    idx = f"{tmp}/bm25_idx"
+    try:
+        start = time.perf_counter()
+        bm25_postings(docs).write.partitionBy("pfx").parquet(idx)
+        stats_row = bm25_corpus_stats(docs).collect()[0]
+        build_sec = round(time.perf_counter() - start, 2)
+
+        stats = spark.createDataFrame(
+            [(stats_row["_nDocs"], stats_row["_sumDl"])],
+            "_nDocs long, _sumDl long",
+        )
+        start = time.perf_counter()
+        n_idx = bm25_search(
+            spark.read.parquet(idx), query, stats
+        ).count()
+        query_sec = round(time.perf_counter() - start, 2)
+
+        start = time.perf_counter()
+        n_direct = bm25_scores(docs, query).count()
+        direct_sec = round(time.perf_counter() - start, 2)
+        print(
+            json.dumps(
+                {
+                    "probe": f"bm25_index_{n_docs // 1_000_000}m_docs",
+                    "rows": n_docs,
+                    "build_sec": build_sec,
+                    "indexed_query_sec": query_sec,
+                    "direct_scan_sec": direct_sec,
+                    "hits_indexed": n_idx,
+                    "hits_direct": n_direct,
+                    "speedup_vs_scan": round(direct_sec / query_sec, 1)
+                    if query_sec
+                    else None,
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
