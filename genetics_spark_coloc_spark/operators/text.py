@@ -1894,10 +1894,14 @@ def bm25_scores(
 
     Emits (docId, dl, score) for documents matching at least one
     query term; score rounded to 6dp for engine-reproducible ranking.
+    The query is SET-semantic: terms are lowercased and deduplicated,
+    so a repeated (or case-variant) query term contributes once — the
+    same contract as :func:`bm25_search`, keeping the direct and
+    index-backed forms bit-identical on any query.
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    q = [t.lower() for t in query_terms]
+    q = sorted({t.lower() for t in query_terms})
     toks = tokens(F.lower(F.col(text_col)))
 
     def _tf(term: str) -> Column:

@@ -65,6 +65,23 @@ class TestOperator:
         for r in rows:
             assert r["pfx"] == zlib.crc32(r["term"].encode()) % 16
 
+    def test_duplicate_and_case_variant_query_terms_count_once(self, spark):
+        # both forms are SET-semantic over the query: "HASH hash" is
+        # the query {hash} — before r14 the direct form double-counted
+        # repeated terms and diverged from the index-backed form
+        docs = _df(spark, DOCS)
+        base_direct = bm25_scores(docs, QUERY).collect()
+        dup_direct = bm25_scores(
+            docs, QUERY + ["HASH", "hash", "Join"]
+        ).collect()
+        assert sorted(map(tuple, base_direct)) == sorted(map(tuple, dup_direct))
+        dup_idx = bm25_search(
+            bm25_postings(docs),
+            QUERY + ["HASH", "hash", "Join"],
+            bm25_corpus_stats(docs),
+        ).collect()
+        assert sorted(map(tuple, dup_idx)) == sorted(map(tuple, base_direct))
+
     def test_unknown_term_contributes_nothing(self, spark):
         docs = _df(spark, DOCS)
         base = bm25_search(
