@@ -1065,3 +1065,55 @@ def streaming_cc_maintenance(
             on_batch(lambda: load_cc_labels(spark, labels_path), epoch_id)
 
     return pairs.writeStream.outputMode("append").foreachBatch(_fold)
+
+
+def streaming_lm_score(
+    docs: DataFrame,
+    model_path: str,
+    on_batch,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order: int = 3,
+    alpha: float = 0.4,
+):
+    """Continuous perplexity filtering: each arriving micro-batch of
+    documents is scored against the PERSISTED Stupid-Backoff model
+    (``operators.text.ngram_lm_table`` / the ``lm_table`` step) — the
+    streaming twin of ``lm_stupid_backoff_score(lm=...)`` and the
+    fourth member of the incremental-curation family (band-index
+    dedup, drift gate, line scrub, LM score): heavy corpus evidence
+    at rest, O(delta) per trigger.
+
+    NO state store: the score is a property of the FROZEN model, not
+    of the stream, so each trigger joins the batch's scoring keys
+    against the model counts (re-read per trigger — a nightly
+    ``lm_table`` append/compact is picked up without restarting the
+    query; an interrupted compaction is finished before the read,
+    same as the batch consumer). Runs under ``foreachBatch`` because
+    the per-document aggregate regroups exploded keys.
+
+    Returns a DataStreamWriter ready to ``.start()``; every trigger
+    calls ``on_batch(scored_df, epoch_id)`` with (docId, nTokens,
+    avgLogScore, pseudoPerplexity) for the batch. Replaying a corpus
+    through any trigger slicing reproduces the batch operator's
+    output exactly: documents never interact and every count comes
+    from the static model (tested).
+    """
+
+    def _score(batch_df, epoch_id):
+        from genetics_spark_coloc_spark.operators.text import (
+            lm_stupid_backoff_score,
+        )
+        from genetics_spark_coloc_spark.session import (
+            recover_interrupted_overwrite,
+        )
+
+        spark = batch_df.sparkSession
+        recover_interrupted_overwrite(spark, model_path)
+        lm = spark.read.parquet(model_path)
+        scored = lm_stupid_backoff_score(
+            batch_df, text_col, id_col, lm=lm, order=order, alpha=alpha
+        )
+        on_batch(scored, epoch_id)
+
+    return docs.writeStream.outputMode("append").foreachBatch(_score)

@@ -356,3 +356,57 @@ class TestDoctor:
             ).collect()
         }
         assert rep["counts_table"] == "failed", rep
+
+
+def test_streaming_lm_score_replay_parity(spark, tmp_path):
+    """The streaming perplexity filter: replaying a delta corpus
+    through streaming_lm_score in multiple triggers reproduces the
+    frozen-model batch operator exactly — documents never interact
+    and every count comes from the persisted model, so trigger
+    slicing cannot change the result. A planted interrupted model
+    compaction is finished by the consumer before the first read."""
+    import shutil
+
+    from genetics_spark_coloc_spark.streaming.pipelines import (
+        streaming_lm_score,
+    )
+
+    corpus = _df(spark, DOCS)
+    model_path = str(tmp_path / "stream_lm_model.parquet")
+    ngram_lm_table(corpus).write.parquet(model_path)
+    # plant the committed-tmp-after-delete window of the crash-safe
+    # overwrite protocol: the stream must heal it, not fail
+    shutil.move(model_path, model_path + "__compacting")
+
+    delta = _df(
+        spark,
+        [(300 + i, f"the cat sat zebra{i} on quux the mat") for i in range(9)],
+    )
+    src = str(tmp_path / "stream_lm_src")
+    delta.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = []
+    writer = streaming_lm_score(
+        stream,
+        model_path,
+        on_batch=lambda scored, epoch: got.extend(scored.collect()),
+    )
+    q = (
+        writer.option("checkpointLocation", str(tmp_path / "stream_lm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    assert os.path.exists(model_path)
+
+    batch = lm_stupid_backoff_score(
+        delta, lm=spark.read.parquet(model_path)
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    assert len(got) == 9 and all(r["avgLogScore"] is not None for r in got)
