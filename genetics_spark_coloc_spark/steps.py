@@ -1509,8 +1509,36 @@ def _run_lm_score(spark, inputs, output, p):
     )
 
 
+def _bm25_sweep_uncommitted(spark, root: str, committed_epoch: int) -> list[str]:
+    """Remove postings partition dirs whose appendEpoch exceeds the
+    meta's committed epoch — the leftovers of an append that crashed
+    between its postings write and its meta commit. Readers never see
+    those rows (they filter appendEpoch <= committed), so the sweep
+    only reclaims space and makes the interrupted append exactly
+    re-runnable."""
+    from genetics_spark_coloc_spark.session import (  # noqa: PLC0415
+        hadoop_delete,
+        hadoop_list_names,
+    )
+
+    swept = []
+    for name in hadoop_list_names(spark, root):
+        if not name.startswith("appendEpoch="):
+            continue
+        try:
+            epoch = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if epoch > committed_epoch:
+            hadoop_delete(spark, f"{root.rstrip('/')}/{name}")
+            swept.append(name)
+    return swept
+
+
 def _run_bm25_index(spark, inputs, output, p):
     import json as _json
+
+    from pyspark.sql import functions as F
 
     from genetics_spark_coloc_spark.operators.text import (
         bm25_corpus_stats,
@@ -1531,20 +1559,31 @@ def _run_bm25_index(spark, inputs, output, p):
         bm25_corpus_stats(docs, p["text_col"]).collect()[0]
     )
     if p["mode"] == "append":
-        # the delta's postings land as additional partition files and
-        # the meta counts advance — history postings are never
-        # rewritten. Contract: the delta's doc ids are NEW (a re-fed
-        # document would duplicate its (term, docId) postings and
-        # inflate df — the doctor's postings_unique check catches it).
+        # epoch-committed append (the cc_labels device): the delta's
+        # postings land under appendEpoch=committed+1, and only the
+        # crash-safe meta update at the end COMMITS that epoch —
+        # readers filter appendEpoch <= committed, so a crash between
+        # the postings write and the meta commit leaves the index
+        # exactly at its pre-append state (the orphan epoch dir is
+        # invisible, swept here and by the doctor, and the append is
+        # re-runnable). History postings are never rewritten.
+        # Contract: the delta's doc ids are NEW (a re-fed document
+        # duplicates its (term, docId) postings and inflates df — the
+        # doctor's postings_consistent check catches it).
         with writer_lease(spark, output, "bm25_index:append"):
             recover_interrupted_text_overwrite(spark, meta_path)
             meta = _json.loads(hadoop_read_text(spark, meta_path))
+            _bm25_sweep_uncommitted(spark, output, meta["committed_epoch"])
+            epoch = int(meta["committed_epoch"]) + 1
             posts = bm25_postings(
                 docs, p["text_col"], p["id_col"], n_pfx=meta["n_pfx"]
-            )
-            posts.write.partitionBy("pfx").mode("append").parquet(output)
+            ).withColumn("appendEpoch", F.lit(epoch))
+            posts.write.partitionBy("appendEpoch", "pfx").mode(
+                "append"
+            ).parquet(output)
             meta["n_docs"] += int(n_docs)
             meta["sum_dl"] += int(sum_dl)
+            meta["committed_epoch"] = epoch
             crash_safe_overwrite_text(
                 spark, meta_path, _json.dumps(meta, indent=1)
             )
@@ -1552,8 +1591,10 @@ def _run_bm25_index(spark, inputs, output, p):
     with writer_lease(spark, output, "bm25_index:build"):
         posts = bm25_postings(
             docs, p["text_col"], p["id_col"], n_pfx=p["n_pfx"]
-        )
-        posts.write.partitionBy("pfx").mode("overwrite").parquet(output)
+        ).withColumn("appendEpoch", F.lit(0))
+        posts.write.partitionBy("appendEpoch", "pfx").mode(
+            "overwrite"
+        ).parquet(output)
         crash_safe_overwrite_text(
             spark,
             meta_path,
@@ -1562,6 +1603,7 @@ def _run_bm25_index(spark, inputs, output, p):
                     "n_docs": int(n_docs),
                     "sum_dl": int(sum_dl),
                     "n_pfx": int(p["n_pfx"]),
+                    "committed_epoch": 0,
                     "text_col": p["text_col"],
                     "id_col": p["id_col"],
                 },
@@ -1590,8 +1632,16 @@ def _run_bm25_query(spark, inputs, output, p):
     stats = spark.createDataFrame(
         [(meta["n_docs"], meta["sum_dl"])], "_nDocs long, _sumDl long"
     )
+    from pyspark.sql import functions as F
+
+    # only committed epochs are the index (a crashed append's orphan
+    # epoch dir must stay invisible); the predicate is a partition
+    # filter, so pruning handles it with the pfx filter in one scan
+    posts = _parquet(spark, root).filter(
+        F.col("appendEpoch") <= int(meta["committed_epoch"])
+    )
     result = bm25_search(
-        _parquet(spark, root),
+        posts,
         terms,
         stats,
         k1=p["k1"],
@@ -2054,7 +2104,9 @@ def _run_doctor(spark, inputs, output, p):
         def meta_readable():
             recovered = recover_interrupted_text_overwrite(spark, meta_path)
             meta = _json.loads(hadoop_read_text(spark, meta_path))
-            missing = sorted({"n_docs", "sum_dl", "n_pfx"} - set(meta))
+            missing = sorted(
+                {"n_docs", "sum_dl", "n_pfx", "committed_epoch"} - set(meta)
+            )
             if missing:
                 return "failed", f"meta missing keys {missing}"
             status = "repaired" if recovered else "ok"
@@ -2066,9 +2118,30 @@ def _run_doctor(spark, inputs, output, p):
 
         check("meta_readable", meta_readable)
 
+        def uncommitted_epochs():
+            meta = _json.loads(hadoop_read_text(spark, meta_path))
+            swept = _bm25_sweep_uncommitted(
+                spark, root, meta["committed_epoch"]
+            )
+            if swept:
+                return "repaired", (
+                    f"swept {len(swept)} uncommitted epoch dir(s) "
+                    f"{sorted(swept)} — an append crashed before its "
+                    "meta commit; readers never saw those rows and the "
+                    "append is re-runnable"
+                )
+            return "ok", (
+                f"no orphan epochs past committed "
+                f"{meta['committed_epoch']}"
+            )
+
+        check("uncommitted_epochs", uncommitted_epochs)
+
         def postings_consistent():
             meta = _json.loads(hadoop_read_text(spark, meta_path))
-            posts = spark.read.parquet(root)
+            posts = spark.read.parquet(root).filter(
+                F.col("appendEpoch") <= int(meta["committed_epoch"])
+            )
             agg = posts.agg(
                 F.count(F.lit(1)).alias("nRows"),
                 F.count_distinct(F.col("term"), F.col("docId")).alias("nTd"),
@@ -2807,9 +2880,11 @@ STEPS: dict[str, StepSpec] = {
             "every later query statically prunes its scan to its own "
             "terms' partitions, with corpus counts (n_docs, sum_dl) in a "
             "crash-safe _bm25_meta.json — index once, query many times "
-            "without rescanning the corpus. mode=append adds a NEW "
-            "crawl's postings + advances the meta counts under the "
-            "writer lease; history postings are never rewritten "
+            "without rescanning the corpus. mode=append lands a NEW "
+            "crawl's postings under the next appendEpoch partition and "
+            "COMMITS it with the meta update (readers filter to "
+            "committed epochs, so a crashed append is invisible and "
+            "re-runnable); history postings are never rewritten "
             "(additive layer beyond the reference's genetics surface)",
             ("corpus",),
             _run_bm25_index,

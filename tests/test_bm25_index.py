@@ -255,3 +255,111 @@ class TestDoctor:
         rep = self._doctor(spark, idx)
         assert rep["meta_readable"] == "repaired", rep
         assert rep["postings_consistent"] == "ok"
+
+
+class TestAppendCrashContract:
+    def test_orphan_epoch_invisible_swept_and_rerunnable(self, spark, tmp_path):
+        """The epoch-committed append: a crash between the postings
+        write and the meta commit leaves an orphan appendEpoch
+        partition. Queries must not see it, the doctor sweeps it, and
+        re-running the SAME append converges to the one-shot index."""
+        c1 = str(tmp_path / "c1")
+        c2 = str(tmp_path / "c2")
+        cu = str(tmp_path / "cu")
+        _df(spark, DOCS[:3]).write.parquet(c1)
+        _df(spark, DOCS[3:]).write.parquet(c2)
+        _df(spark, DOCS).write.parquet(cu)
+        idx = str(tmp_path / "idx")
+        run_step(spark, "bm25_index", {"corpus": c1}, idx)
+
+        def hits():
+            return sorted(
+                map(
+                    tuple,
+                    run_step(
+                        spark,
+                        "bm25_query",
+                        {"index": idx},
+                        None,
+                        params={"query": "hash join vector"},
+                        write=False,
+                    ).collect(),
+                )
+            )
+
+        before = hits()
+        # plant the crash: the delta's postings land under epoch 1 but
+        # the meta commit never happens
+        from genetics_spark_coloc_spark.operators.text import bm25_postings
+
+        bm25_postings(spark.read.parquet(c2)).withColumn(
+            "appendEpoch", F.lit(1)
+        ).write.partitionBy("appendEpoch", "pfx").mode("append").parquet(idx)
+        # 1) invisible to queries: the index serves its pre-append state
+        assert hits() == before
+        # 2) the doctor sweeps the orphan and everything else is ok
+        rep = {
+            r["check"]: r["status"]
+            for r in run_step(
+                spark,
+                "doctor",
+                {"index": idx},
+                write=False,
+                params={"kind": "bm25"},
+            ).collect()
+        }
+        assert rep["uncommitted_epochs"] == "repaired", rep
+        assert rep["postings_consistent"] == "ok", rep
+        assert not os.path.exists(os.path.join(idx, "appendEpoch=1"))
+        # 3) the interrupted append re-runs to the one-shot result
+        run_step(
+            spark, "bm25_index", {"corpus": c2}, idx, params={"mode": "append"}
+        )
+        oneshot = str(tmp_path / "oneshot")
+        run_step(spark, "bm25_index", {"corpus": cu}, oneshot)
+        got = hits()
+        want = sorted(
+            map(
+                tuple,
+                run_step(
+                    spark,
+                    "bm25_query",
+                    {"index": oneshot},
+                    None,
+                    params={"query": "hash join vector"},
+                    write=False,
+                ).collect(),
+            )
+        )
+        assert got == want
+
+    def test_append_start_sweeps_previous_orphan(self, spark, tmp_path):
+        """An interrupted append followed directly by another append
+        (no doctor in between) must not double the delta: the append
+        itself sweeps orphan epochs first."""
+        c1 = str(tmp_path / "c1")
+        c2 = str(tmp_path / "c2")
+        _df(spark, DOCS[:3]).write.parquet(c1)
+        _df(spark, DOCS[3:]).write.parquet(c2)
+        idx = str(tmp_path / "idx")
+        run_step(spark, "bm25_index", {"corpus": c1}, idx)
+        from genetics_spark_coloc_spark.operators.text import bm25_postings
+
+        bm25_postings(spark.read.parquet(c2)).withColumn(
+            "appendEpoch", F.lit(1)
+        ).write.partitionBy("appendEpoch", "pfx").mode("append").parquet(idx)
+        run_step(
+            spark, "bm25_index", {"corpus": c2}, idx, params={"mode": "append"}
+        )
+        rep = {
+            r["check"]: r["status"]
+            for r in run_step(
+                spark,
+                "doctor",
+                {"index": idx},
+                write=False,
+                params={"kind": "bm25"},
+            ).collect()
+        }
+        assert rep["postings_consistent"] == "ok", rep
+        assert rep["uncommitted_epochs"] == "ok", rep
