@@ -4476,9 +4476,22 @@ keys AS (
   FROM stoks
 ),
 parts AS (
-  SELECT docId, key, string_split(key, ' ') AS w,
-         len(string_split(key, ' ')) AS k
-  FROM keys
+  -- every lookup key is precomputed as a NULL-guarded COLUMN so the
+  -- five count joins below are pure hash equi-joins (a NULL key never
+  -- matches); folding the k-guards into the join conditions instead
+  -- makes DuckDB fall back to nested-loop joins against the full
+  -- gram-count table, which does not finish at sf0.1
+  SELECT docId, key, len(w) AS k,
+         w[len(w)] AS kg1,
+         CASE WHEN len(w) >= 2
+              THEN array_to_string(list_slice(w, len(w) - 1, len(w)), ' ')
+         END AS kg2,
+         CASE WHEN len(w) >= 2 THEN w[len(w) - 1] END AS kgx2,
+         CASE WHEN len(w) = 3 THEN key END AS kg3,
+         CASE WHEN len(w) = 3
+              THEN array_to_string(list_slice(w, 1, 2), ' ')
+         END AS kgx3
+  FROM (SELECT docId, key, string_split(key, ' ') AS w FROM keys)
 ),
 looked AS (
   SELECT p.docId, p.k,
@@ -4488,13 +4501,11 @@ looked AS (
          COALESCE(t3.c, 0) AS c3,
          COALESCE(b3.c, 0) AS cx3
   FROM parts p
-  LEFT JOIN cnt u1 ON u1.gram = p.w[p.k]
-  LEFT JOIN cnt b2 ON p.k >= 2
-       AND b2.gram = array_to_string(list_slice(p.w, p.k - 1, p.k), ' ')
-  LEFT JOIN cnt u2 ON p.k >= 2 AND u2.gram = p.w[p.k - 1]
-  LEFT JOIN cnt t3 ON p.k = 3 AND t3.gram = p.key
-  LEFT JOIN cnt b3 ON p.k = 3
-       AND b3.gram = array_to_string(list_slice(p.w, 1, 2), ' ')
+  LEFT JOIN cnt u1 ON u1.gram = p.kg1
+  LEFT JOIN cnt b2 ON b2.gram = p.kg2
+  LEFT JOIN cnt u2 ON u2.gram = p.kgx2
+  LEFT JOIN cnt t3 ON t3.gram = p.kg3
+  LEFT JOIN cnt b3 ON b3.gram = p.kgx3
 ),
 scored AS (
   SELECT docId, COUNT(*) AS nTokens,
