@@ -3215,16 +3215,22 @@ def bm25_search(
 
     from pyspark.sql import functions as F  # noqa: PLC0415
 
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
     q = sorted({t.lower() for t in query_terms})
     pfxs = sorted({zlib.crc32(t.encode("utf-8")) % int(n_pfx) for t in q})
     pruned = postings.filter(
         F.col("pfx").isin(pfxs) & F.col("term").isin(q)
     )
-    dfreq = pruned.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("_df")
-    )
+    # document frequency per term as a window over the pruned postings
+    # (one row per (term, doc) by construction): the pruned set is
+    # read ONCE and shuffled once by term — a separate count aggregate
+    # joined back would scan the partitions a second time, which at
+    # probe scale cost more than the whole direct corpus scan
     scored = (
-        pruned.join(F.broadcast(dfreq), on="term")
+        pruned.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(stats))
         .select(
             "docId",

@@ -2116,15 +2116,20 @@ def bm25_index_probe(n_docs: int = 2_000_000) -> None:
         )
         for pos in range(20)
     ]
-    docs = spark.range(n_docs).select(
-        F.col("id").alias("doc_id"),
-        F.concat_ws(" ", *toks).alias("text"),
-    ).localCheckpoint(eager=True)
     query = ["w7919", "w104729", "w42"]
 
     tmp = tempfile.mkdtemp()
     idx = f"{tmp}/bm25_idx"
     try:
+        # the corpus lives on DISK for both sides — at production
+        # scale nothing is cached, and the index's win is exactly
+        # "3/64 postings partitions read" vs "every document's full
+        # text read"; an in-memory corpus would bias the direct scan
+        spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *toks).alias("text"),
+        ).write.parquet(f"{tmp}/corpus")
+        docs = spark.read.parquet(f"{tmp}/corpus")
         start = time.perf_counter()
         bm25_postings(docs).write.partitionBy("pfx").parquet(idx)
         stats_row = bm25_corpus_stats(docs).collect()[0]
