@@ -72,3 +72,32 @@ def salted_aggregate(
         ]
     )
     return phase2
+
+
+def spread_for_compute(df: DataFrame, *cols: str) -> DataFrame:
+    """Restore task parallelism ahead of a compute-expensive per-row
+    kernel (Levenshtein DP, per-pair set intersection, per-pair
+    vector math).
+
+    AQE sizes post-shuffle partitions by BYTES
+    (advisoryPartitionSizeInBytes), which is right for I/O- and
+    shuffle-bound stages but wrong when the stage's cost per row
+    dwarfs its bytes: a candidate-pair table of a few hundred KB
+    coalesces to ONE partition and the kernel runs single-threaded
+    while the rest of the cluster idles (measured: the
+    edit-distance verifiers' 11.7k-pair kernel stage ran as one
+    task for ~13 s on local[32]).
+
+    This hash-repartitions on ``cols`` (deterministic — safe under
+    task retry, unlike rand/round-robin ordering concerns) to the
+    session's CONFIGURED ``spark.sql.shuffle.partitions``, which AQE
+    does not re-coalesce (user-specified repartitions are preserved).
+    The setting is the deployment's declared parallelism target, so
+    the spread scales with the cluster instead of a local constant.
+    Cost: one exchange of the (narrow — call it BEFORE attaching
+    payload columns) rows; at large scale, where AQE already yields
+    good parallelism by bytes, that one narrow exchange is noise
+    relative to the kernel it feeds.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *[F.col(c) for c in cols]) if cols else df.repartition(n)

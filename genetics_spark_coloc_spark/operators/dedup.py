@@ -21,7 +21,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql.window import Window
 from pyspark.sql import functions as F
 
-from genetics_spark_coloc_spark.functions.guards import guard_hot_buckets
+from genetics_spark_coloc_spark.functions.guards import (
+    guard_hot_buckets,
+    hot_count_filter,
+    validate_on_hot,
+)
+from genetics_spark_coloc_spark.functions.skew import spread_for_compute
 from genetics_spark_coloc_spark.operators.text import tokens
 
 
@@ -79,6 +84,87 @@ def perm_window_hash(shingle_col, num_perm: int):
     return parts[0] if n_digests == 1 else F.concat(*parts)
 
 
+def _minhash_mins(
+    df: DataFrame, text_col: str, id_col: str, num_perm: int
+) -> DataFrame:
+    """WIDE per-document MinHash row: (docId, h0..h{P-1}).
+
+    Shared subplan of :func:`minhash_signatures` (which explodes it to
+    the long contract format) and :func:`_minhash_band_table` (which
+    hashes bands directly off the wide row, skipping the long format
+    and its extra shuffle entirely).
+    """
+    shingled = (
+        df.select(
+            F.col(id_col).alias("docId"),
+            F.explode(char_shingles(F.col(text_col))).alias("shingle"),
+        )
+        # null text yields [null] (greatest(null,1)=1 keeps one slot):
+        # drop it so content-less docs have NO signature instead of
+        # all bucketing together via md5('') of an empty minhash list
+        # — matching the SQL oracle and the streaming band hashes
+        .filter(F.col("shingle").isNotNull())
+        .select(
+            "docId", perm_window_hash(F.col("shingle"), num_perm).alias("h")
+        )
+    )
+    # one min-aggregation per permutation in a single groupBy instead
+    # of exploding shingles ×num_perm: the shuffle carries |docs|
+    # rows × num_perm columns, not |docs×shingles×num_perm| rows
+    return shingled.groupBy("docId").agg(
+        *[
+            F.min(F.substring(F.col("h"), p * 3 + 1, 8)).alias(f"h{p}")
+            for p in range(num_perm)
+        ]
+    )
+
+
+def _minhash_band_table(
+    df: DataFrame, text_col: str, id_col: str, num_perm: int, band_size: int
+) -> DataFrame:
+    """(docId, bandIdx, bandHash) computed DIRECTLY from the wide
+    per-doc minhash row — one shuffle (the per-doc min groupBy) total.
+
+    Bit-identical to banding the long :func:`minhash_signatures`
+    output (``md5(concat_ws('|', sort_array(collect_list(minHash))))``
+    grouped by ``int(perm / band_size)``): each band's member hashes
+    are known per row, so ``sort_array(array(...))`` replaces the
+    explode → re-shuffle → ``collect_list`` round trip. The window
+    values are never NULL (min over ≥1 non-null md5 window), so
+    ``collect_list``'s null-dropping and ``sort_array``'s null
+    ordering cannot diverge.
+    """
+    mins = _minhash_mins(df, text_col, id_col, num_perm)
+    n_bands = (num_perm + band_size - 1) // band_size
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("bandIdx"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.sort_array(
+                        F.array(
+                            *[
+                                F.col(f"h{p}")
+                                for p in range(num_perm)
+                                if p // band_size == b
+                            ]
+                        )
+                    ),
+                )
+            ).alias("bandHash"),
+        )
+        for b in range(n_bands)
+    ]
+    return mins.select(
+        "docId", F.explode(F.array(*band_structs)).alias("kv")
+    ).select(
+        "docId",
+        F.col("kv.bandIdx").alias("bandIdx"),
+        F.col("kv.bandHash").alias("bandHash"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_perm: int = 8
 ) -> DataFrame:
@@ -100,29 +186,7 @@ def minhash_signatures(
     rather than paying O(m²) candidate pairs for them here; null text
     is dropped outright.
     """
-    shingled = (
-        df.select(
-            F.col(id_col).alias("docId"),
-            F.explode(char_shingles(F.col(text_col))).alias("shingle"),
-        )
-        # null text yields [null] (greatest(null,1)=1 keeps one slot):
-        # drop it so content-less docs have NO signature instead of
-        # all bucketing together via md5('') of an empty minhash list
-        # — matching the SQL oracle and the streaming band hashes
-        .filter(F.col("shingle").isNotNull())
-        .select(
-            "docId", perm_window_hash(F.col("shingle"), num_perm).alias("h")
-        )
-    )
-    # one min-aggregation per permutation in a single groupBy instead
-    # of exploding shingles ×num_perm: the shuffle carries |docs|
-    # rows × num_perm columns, not |docs×shingles×num_perm| rows
-    mins = shingled.groupBy("docId").agg(
-        *[
-            F.min(F.substring(F.col("h"), p * 3 + 1, 8)).alias(f"h{p}")
-            for p in range(num_perm)
-        ]
-    )
+    mins = _minhash_mins(df, text_col, id_col, num_perm)
     pairs = F.explode(
         F.array(
             *[
@@ -163,14 +227,13 @@ def lsh_candidate_pairs(
         signatures.withColumn("bandIdx", (F.col("perm") / band_size).cast("int"))
         .groupBy("docId", "bandIdx")
         .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minHash")))).alias("bandHash"))
-        # the band table feeds FOUR consumers (guard counts, guard
-        # semi-join probe, and both self-join sides); without a
-        # checkpoint the executed plan re-derives it — and re-scans
-        # the corpus + re-hashes every shingle — once per consumer
-        # (measured 7 source scans). Materializing the (docId, band)
-        # rows once costs O(docs × bands) storage and turns that into
-        # ONE corpus scan; lazy, so no extra job
-        .localCheckpoint(eager=False)
+        # NOTE r14: no checkpoint needed anymore — band_self_pairs now
+        # consumes the band table exactly ONCE (grouped-bucket form),
+        # so the plan has a single corpus scan by construction. The
+        # r12 lazy localCheckpoint here fixed a 7-scan plan but left a
+        # 3x materialization RACE: the guard's two broadcast-exchange
+        # jobs and the main job all started concurrently and each
+        # computed uncached partitions of this subtree.
     )
     return band_self_pairs(
         bands,
@@ -186,34 +249,53 @@ def band_self_pairs(
     on_hot_bucket: str = "raise",
     context: str = "band_self_pairs",
 ) -> DataFrame:
-    """Guarded bucket self-join of a band table (docId, bandIdx,
+    """Guarded bucket pairing of a band table (docId, bandIdx,
     bandHash) → distinct (leftId < rightId) candidate pairs — the
     back half of :func:`lsh_candidate_pairs`, exposed so a band table
     derived ONCE (:func:`lsh_band_index`, or read back from the
     persisted index) can feed self-pairs and the incremental delta
-    join without re-banding the corpus per consumer."""
-    bands = guard_hot_buckets(
-        bands,
-        ["bandIdx", "bandHash"],
-        hot_bucket_ceiling,
-        on_hot_bucket,
-        context,
+    join without re-banding the corpus per consumer.
+
+    Pairing is a GROUPED explode, not a self-join (r14): one
+    ``groupBy(bandIdx, bandHash)`` collects each bucket's (sorted,
+    null-free — ``collect_list`` drops null ids, which the old join's
+    ``l.docId < r.docId`` predicate also rejected) member list, the
+    hot-bucket guard rides the very same aggregate as a filter on the
+    row count, and pairs explode as (ids[i], ids[j]), i < j — sorted
+    ascending, so leftId < rightId exactly as the join produced. The
+    self-join form referenced the band subtree twice and its guard
+    twice more (4 consumers → repeated corpus scans or a checkpoint
+    race); this form consumes the band table once, shuffles it once
+    (the same band-key exchange the join needed anyway), and drops
+    the guard's two broadcast exchanges. Per-bucket memory is bounded
+    by the guard ceiling (the exploded slice rows are streamed, only
+    the id list itself — 8 bytes × ≤ceiling — is held per row).
+    """
+    validate_on_hot(on_hot_bucket, context)
+    grouped = bands.groupBy("bandIdx", "bandHash").agg(
+        F.sort_array(F.collect_list("docId")).alias("_ids"),
+        # exact guard parity with guard_hot_buckets: count ALL
+        # occurrence rows (including null ids that collect_list drops)
+        F.count(F.lit(1)).alias("_bucket_cnt"),
     )
-    left = bands.alias("l")
-    right = bands.alias("r")
+    ok = hot_count_filter(
+        grouped, "_bucket_cnt", hot_bucket_ceiling, on_hot_bucket, context
+    )
+    lefts = ok.select(
+        "_ids", F.posexplode("_ids").alias("_i", "leftId")
+    )
     return (
-        left.join(
-            right,
-            on=[
-                F.col("l.bandIdx") == F.col("r.bandIdx"),
-                F.col("l.bandHash") == F.col("r.bandHash"),
-                F.col("l.docId") < F.col("r.docId"),
-            ],
+        lefts.select(
+            "leftId",
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
+            ).alias("rightId"),
         )
-        .select(
-            F.col("l.docId").alias("leftId"),
-            F.col("r.docId").alias("rightId"),
-        )
+        # exact join parity when a bucket holds DUPLICATE doc ids (a
+        # re-appended doc in a persisted band index): the old strict
+        # `<` predicate never paired a doc with itself; the sorted
+        # slice would emit (x, x) for adjacent equal ids
+        .filter(F.col("leftId") != F.col("rightId"))
         .distinct()
     )
 
@@ -313,6 +395,13 @@ def edit_distance_verify(
     """
     trunc = F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, max_len)
     texts = df.select(F.col(id_col).alias("docId"), trunc.alias("t"))
+    # spread the NARROW pair rows before the text joins: the pair
+    # table is a few bytes per row, so AQE's byte-based coalescing
+    # collapses it to one partition and the O(len·k) kernel below ran
+    # as a single task (measured 13 s on one core for 11.7k pairs
+    # while 31 cores idled); repartitioning the ids costs one tiny
+    # exchange and the broadcast text joins preserve the spread
+    pairs = spread_for_compute(pairs, "leftId", "rightId")
     joined = pairs.join(
         texts.select(F.col("docId").alias("leftId"), F.col("t").alias("lt")),
         on="leftId",
