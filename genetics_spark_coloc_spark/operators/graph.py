@@ -36,11 +36,51 @@ def connected_components(
     stats_out: "dict | None" = None,
     unroll: int = 1,
     checkpoint_dir: "str | None" = None,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Label every vertex with the MINIMUM vertex id reachable from it.
 
     vertices: one row per vertex (``id_col``); edges: undirected
-    pairs (``src_col``, ``dst_col``). Returns (id, component).
+    pairs (``src_col``, ``dst_col``) whose endpoints appear in
+    ``vertices``. Returns (id, component).
+
+    r14 kernel shape (all three changes preserve the result bit-exactly
+    and were A/B-verified against the old kernel on the sf0.1 LSH
+    graph):
+
+    - **Only edge-incident vertices ride the loop.** An isolated vertex
+      is its own singleton component by definition; shuffling its label
+      through every propagate/shortcut round moves bytes that cannot
+      change (guide §2.3). The loop runs over the edge endpoints and
+      the isolated remainder unions in once at the end as (id, id).
+      At corpus scale docs ≫ pair endpoints, so this turns the
+      per-round shuffle from O(|V|) to O(|touched|).
+    - **Lazy local checkpoints, materialized by the convergence
+      check.** The old eager per-round checkpoint was its own job; with
+      ``checkpoint_dir`` unset the checkpoint is now lazy and the check
+      action executes (and caches) the accumulated rounds — one job per
+      checked round instead of two or three. Reliable-checkpoint mode
+      (``checkpoint_dir`` set) keeps eager rounds: the
+      superseded-checkpoint disk sweep needs materialization order.
+    - **The convergence witness is ``sum(label)``, not a self-join.**
+      Labels are monotone non-increasing (propagate takes a min;
+      shortcut takes a ``least``) over a FIXED vertex set, so the sum
+      strictly decreases until the fixed point and is EQUAL between two
+      checked rounds iff no label changed — one tiny aggregation
+      replaces the labels-vs-previous join. Sums are exact
+      ``decimal(38,0)``; an empty loop set (no edges) witnesses
+      convergence immediately. First check only baselines the sum, so
+      a budget that ends exactly at convergence falls through to the
+      bridging-edge check below, which verifies convergence exactly —
+      no spurious raise. The sum witness applies only to INTEGRAL id
+      types (byte/short/int/long); any other id type (string ids are
+      legal) keeps the exact labels-vs-previous join check, since a
+      failed cast would sum to NULL and falsely witness convergence.
+
+    ``dedup_edges=False`` skips the symmetric edge table's
+    ``distinct()``: duplicate edges cannot change any min, only inflate
+    the per-round join, so callers whose pair generator already emits
+    distinct oriented pairs (the LSH/banded family) save the exchange.
 
     ``num_rounds`` bounds the propagate+shortcut iterations; set
     ``until_converged`` to stop early when a round changes nothing
@@ -159,8 +199,9 @@ def connected_components(
                 F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
             )
         )
-        .distinct()
     )
+    if dedup_edges:
+        sym = sym.distinct()
     # every round joins against the edge table; without this the
     # upstream pair-generation pipeline (e.g. MinHash-LSH) would
     # re-execute once per round. In eager reliable-checkpoint mode
@@ -169,9 +210,29 @@ def connected_components(
     cleanup = ckpt_root is not None and until_converged
     sym = _ckpt(sym, eager=cleanup)
     pinned_ids = set(_rdd_dirs()) if cleanup else set()
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    # only vertices an edge can reach ride the loop; the isolated rest
+    # are singleton components appended after (sym is symmetric, so
+    # its src side covers every endpoint). No checkpoint of its own:
+    # the loop init consumes it once (off checkpointed sym), and the
+    # final anti-join reads the FINAL labels table instead — same id
+    # set, and already the one checkpoint the return must outlive.
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
     )
+    # labels are monotone non-increasing over the fixed active set, so
+    # sum(label) is an exact convergence witness (see docstring) — but
+    # ONLY for integral ids: any other type (strings, decimals with
+    # scale) would cast to NULL/rounded and the sum could falsely
+    # witness convergence. Non-integral ids keep the exact join check.
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral_ids = isinstance(
+        sym.schema["src"].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+    prev_sum = None
     executed = 0
     for _ in range(num_rounds):
         executed += 1
@@ -201,22 +262,37 @@ def connected_components(
                     ).alias("label"),
                 )
             )
-        labels = _ckpt(labels, eager=until_converged)
+        labels = _ckpt(labels, eager=cleanup)
         if until_converged and _ % max(1, check_every) == max(1, check_every) - 1:
-            changed = (
-                labels.alias("n")
-                .join(prev.alias("p"), on="id")
-                .filter(F.col("n.label") != F.col("p.label"))
-                .limit(1)
-                .count()
-            )
-            if changed == 0:
-                converged = True
-                if cleanup:
-                    _drop_superseded(pinned_ids)
-                break
+            if integral_ids:
+                # one aggregation: materializes the (lazy) checkpoint
+                # and reads back a single scalar — not a data collect.
+                # Exact: sum of long ids cannot overflow decimal(38,0)
+                # below ~1e19 rows.
+                s = labels.agg(
+                    F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+                ).collect()[0]["s"]
+                if s is None or (prev_sum is not None and s == prev_sum):
+                    converged = True
+                    if cleanup:
+                        _drop_superseded(pinned_ids)
+                    break
+                prev_sum = s
+            else:
+                changed = (
+                    labels.alias("n")
+                    .join(prev.alias("p"), on="id")
+                    .filter(F.col("n.label") != F.col("p.label"))
+                    .limit(1)
+                    .count()
+                )
+                if changed == 0:
+                    converged = True
+                    if cleanup:
+                        _drop_superseded(pinned_ids)
+                    break
         # the superseded-round sweep runs AFTER the convergence check:
-        # `prev` (last round's checkpoint) feeds that join and only
+        # `prev` (last round's checkpoint) can feed that join and only
         # becomes garbage once the check has consumed it
         if cleanup:
             _drop_superseded(pinned_ids)
@@ -255,7 +331,18 @@ def connected_components(
         stats_out["rounds"] = executed
         stats_out["propagations"] = executed * max(1, unroll)
         stats_out["converged"] = converged
-    return labels.select("id", F.col("label").alias("component"))
+    # isolated vertices (never touched by an edge) are their own
+    # singleton component; they skipped the loop entirely. The
+    # anti-join reads the final labels checkpoint (its id set == the
+    # edge-incident set), which is exactly the file the returned
+    # DataFrame must outlive anyway — the eager-mode final sweep can
+    # therefore drop every other checkpoint.
+    rest = vertices.select(F.col(id_col).alias("id")).join(
+        labels.select("id"), on="id", how="left_anti"
+    )
+    return labels.select("id", F.col("label").alias("component")).unionByName(
+        rest.select("id", F.col("id").alias("component"))
+    )
 
 
 def duplicate_clusters(
@@ -289,12 +376,17 @@ def duplicate_clusters(
         dst_col,
         num_rounds,
         until_converged=until_converged,
-        check_every=2,
-        # two propagate+shortcut steps per materialization: halves the
-        # eager checkpoints + convergence checks for the same join
-        # work (measured 8.3 -> 5.9 s on the sf0.1 LSH graph)
+        # the sum-witness check is one tiny aggregation, so checking
+        # every (2-propagation) round beats spacing the checks: the
+        # r14 sweep measured unroll=2/check_every=1 at 2.8-3.4 s vs
+        # 4.0-4.8 s for the old unroll=2/check_every=2 join-check on
+        # the sf0.1 LSH graph
+        check_every=1,
         unroll=2,
         checkpoint_dir=checkpoint_dir,
+        # LSH candidate pairs are distinct oriented (left < right):
+        # the symmetric union cannot contain duplicates
+        dedup_edges=False,
     )
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("clusterSize")
@@ -373,17 +465,31 @@ def incremental_connected_components(
         .join(lab.withColumnRenamed("_lid", "_dst"), on="_dst", how="left")
         .withColumnRenamed("_lcomp", "_cdst")
         .select(
-            F.coalesce(F.col("_csrc"), F.col("_src")).alias("src"),
-            F.coalesce(F.col("_cdst"), F.col("_dst")).alias("dst"),
+            # orient each canonical pair (min, max) BEFORE the
+            # distinct: components are orientation-insensitive, and
+            # orienting halves the distinct output when both
+            # directions occur (r14)
+            F.least(
+                F.coalesce(F.col("_csrc"), F.col("_src")),
+                F.coalesce(F.col("_cdst"), F.col("_dst")),
+            ).alias("src"),
+            F.greatest(
+                F.coalesce(F.col("_csrc"), F.col("_src")),
+                F.coalesce(F.col("_cdst"), F.col("_dst")),
+            ).alias("dst"),
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    nodes = (
-        canon.select(F.col("src").alias("id"))
-        .unionByName(canon.select(F.col("dst").alias("id")))
-        .distinct()
-    )
+    # every reduced-graph vertex is an edge endpoint, and the kernel
+    # derives its loop set from the edges itself (r14) — the vertex
+    # roster's only remaining role (isolated singletons) is empty
+    # here, so pass an empty frame rather than paying a distinct over
+    # canon's endpoints
+    nodes = canon.select(F.col("src").alias("id")).limit(0)
+    # canon is distinct oriented by construction: skip the kernel's
+    # symmetric-union dedup unless the caller overrides
+    cc_kwargs.setdefault("dedup_edges", False)
     reduced = connected_components(
         nodes, canon, "id", "src", "dst", **cc_kwargs
     )

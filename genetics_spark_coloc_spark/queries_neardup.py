@@ -4300,17 +4300,20 @@ def q_delta_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist, text_col="content", num_perm=8, band_size=2
     ).localCheckpoint(eager=False)
     hist_pairs = dedup.band_self_pairs(bands_hist)
-    # converge-checked CC at the measured sweet spot (unroll=2,
-    # check_every=2 — see connected_components' docstring); deeper
-    # unrolls and fixed-round mode both measured SLOWER here (extra
-    # propagations past convergence cost more than the saved actions,
-    # and the sf0.1 LSH graph's ~10-propagation chains make a fixed
-    # budget unsafe across scales)
+    # converge-checked CC at the r14-measured sweet spot (unroll=2,
+    # check_every=1 with the one-aggregation sum witness — see
+    # connected_components' docstring); deeper unrolls and fixed-round
+    # mode both measured SLOWER here (extra propagations past
+    # convergence cost more than the saved actions, and the sf0.1 LSH
+    # graph's ~10-propagation chains make a fixed budget unsafe across
+    # scales). hist_pairs/canon pairs are distinct oriented, so the
+    # kernel's symmetric-union dedup is skipped.
     cc_kw = {
         "num_rounds": 16,
         "until_converged": True,
-        "check_every": 2,
+        "check_every": 1,
         "unroll": 2,
+        "dedup_edges": False,
     }
     labels_hist = connected_components(
         hist.select(F.col("doc_id").alias("id")), hist_pairs, **cc_kw

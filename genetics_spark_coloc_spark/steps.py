@@ -1287,11 +1287,10 @@ def _run_cc_labels(spark, inputs, output, p):
         )
         return None
     edges = _parquet(spark, inputs["edges"])
-    vertices = (
-        edges.select(F.col(src).alias("id"))
-        .unionByName(edges.select(F.col(dst).alias("id")))
-        .distinct()
-    )
+    # the kernel derives its loop set from the edge endpoints itself
+    # (r14); the vertex roster's only role (isolated singletons) is
+    # empty when vertices == endpoints, so pass an empty frame
+    vertices = edges.select(F.col(src).alias("id")).limit(0)
     labels = connected_components(
         vertices,
         edges,
@@ -1299,7 +1298,7 @@ def _run_cc_labels(spark, inputs, output, p):
         dst_col=dst,
         num_rounds=p["num_rounds"],
         until_converged=True,
-        check_every=2,
+        check_every=1,
         unroll=2,
     )
     # the root overwrite deletes the whole directory first, so a
