@@ -541,35 +541,38 @@ def simhash_near_dup_pairs(
     recall is EXACT, not probabilistic; raising max_hamming beyond
     bands-1 trades recall for a wider radius.
 
-    Scale shape: the only wide operation is the per-block equi
-    self-join on (bandIdx, blockVal) — never all-pairs, exactly the
-    MinHash-LSH bucket-join device; verification is one JVM
-    ``bit_count(xor)`` on the pair, no text touched. The signature is
-    an ALIASED column in its own projection so the md5 vote fold runs
-    once per document, not once per block reference.
+    Scale shape (r14 grouped-explode form — the ``band_self_pairs``
+    device): the only wide operation is ONE ``groupBy(bandIdx,
+    blockVal)`` collecting each block bucket's sorted (docId, sig)
+    members; pairs explode as (ids[i], ids[j]), i < j, and
+    verification is one JVM ``bit_count(xor)`` on the pair, no text
+    touched. The old per-block equi self-join consumed the signature
+    subtree once per side (hence a localCheckpoint barrier) and its
+    guard added a counts aggregate + semi-join; this form computes
+    the md5-vote signature fold exactly once per document with no
+    barrier, pays the block-key exchange the join needed anyway, and
+    the guard rides the same aggregate as a count filter.
 
     The per-block buckets carry the same degenerate-family hazard as
     LSH bands; the shared hot-bucket guard (functions/guards.py)
     applies with the same ``hot_bucket_ceiling``/``on_hot_bucket``
-    contract — raise mode leaves the output bit-identical.
+    contract — raise mode leaves the output bit-identical. Per-bucket
+    memory is bounded by the guard ceiling.
 
     Output: (leftId, rightId, hammingDist), deduplicated across
     blocks.
     """
     if bits % bands != 0:
         raise ValueError(f"simhash_pairs: bits {bits} not divisible by bands {bands}")
+    validate_on_hot(on_hot_bucket, "simhash_near_dup_pairs")
     w = bits // bands
     mask = (1 << w) - 1
-    # lineage barrier: the self-join references blocks twice, and
-    # without it the md5-vote signature fold is computed once per
-    # SIDE (measured 6.9 s -> ~4 s at sf0.1)
     base = df.select(
         F.col(id_col).alias("docId"),
         simhash(F.col(text_col), bits).alias("sig"),
-    ).localCheckpoint(eager=False)
+    )
     blocks = base.select(
-        "docId",
-        "sig",
+        F.struct("docId", "sig").alias("_doc"),
         F.posexplode(
             F.array(
                 *[
@@ -579,33 +582,27 @@ def simhash_near_dup_pairs(
             )
         ).alias("bandIdx", "blockVal"),
     )
-    blocks = guard_hot_buckets(
-        blocks,
-        ["bandIdx", "blockVal"],
-        hot_bucket_ceiling,
-        on_hot_bucket,
-        "simhash_near_dup_pairs",
+    grouped = blocks.groupBy("bandIdx", "blockVal").agg(
+        F.sort_array(F.collect_list("_doc")).alias("_ids"),
+        F.count(F.lit(1)).alias("_cnt"),
     )
-    left = blocks.select(
-        "bandIdx",
-        "blockVal",
-        F.col("docId").alias("leftId"),
-        F.col("sig").alias("_sigL"),
+    ok = hot_count_filter(
+        grouped, "_cnt", hot_bucket_ceiling, on_hot_bucket, "simhash_near_dup_pairs"
     )
-    right = blocks.select(
-        "bandIdx",
-        "blockVal",
-        F.col("docId").alias("rightId"),
-        F.col("sig").alias("_sigR"),
+    lefts = ok.select("_ids", F.posexplode("_ids").alias("_i", "_l"))
+    pairs = lefts.select(
+        "_l",
+        F.explode(
+            F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
+        ).alias("_r"),
     )
     return (
-        left.join(right, on=["bandIdx", "blockVal"], how="inner")
-        .filter(F.col("leftId") < F.col("rightId"))
+        pairs.filter(F.col("_l.docId") != F.col("_r.docId"))
         .select(
-            "leftId",
-            "rightId",
+            F.col("_l.docId").alias("leftId"),
+            F.col("_r.docId").alias("rightId"),
             F.bit_count(
-                F.col("_sigL").bitwiseXOR(F.col("_sigR"))
+                F.col("_l.sig").bitwiseXOR(F.col("_r.sig"))
             ).cast("int").alias("hammingDist"),
         )
         .filter(F.col("hammingDist") <= max_hamming)

@@ -630,7 +630,17 @@ def build_registry_feature_matrix(
 
     # one merged pass over the exploded tags⋈consequences join for all
     # six tag-level families (2 shuffles, not 5 — see local_features)
-    local = local_features(study_locus, variant_index, genomic_window)
+    # r14: each family's long table fans out to multiple consumers
+    # (local → the union + its neighbourhood normalisation; coloc →
+    # the union + the neighbourhood extension + ITS normalisation),
+    # and without a lineage barrier every consumer re-executes the
+    # window-heavy family pipeline inside the one assembled plan
+    # (438-node plan, local/coloc subtrees executed 2-3x). The long
+    # tables are tiny (|loci × genes| rows), so a lazy localCheckpoint
+    # at each fan-out point trades nothing for single execution.
+    local = local_features(
+        study_locus, variant_index, genomic_window
+    ).localCheckpoint(eager=False)
     # the right-side (QTL) locus→study mapping defaults to the same
     # study-locus table; pass a dedicated one when QTL credible sets
     # live in their own table
@@ -638,12 +648,12 @@ def build_registry_feature_matrix(
         qtl_locus_to_study if qtl_locus_to_study is not None else study_locus,
         colocalisation,
         study_index,
-    )
+    ).localCheckpoint(eager=False)
     coloc_extended = coloc.unionByName(
         extend_coloc_to_neighbourhood_genes(
             coloc, study_locus, variant_index, target_index
         )
-    )
+    ).localCheckpoint(eager=False)
     counts = gene_count_features(study_locus, target_index, genomic_window)
     coding = is_protein_coding_features(study_locus, target_index, genomic_window)
     confidence = credible_set_confidence_features(study_locus, variant_index)

@@ -995,41 +995,48 @@ def lsh_cosine_candidates_banded(
             for b in range(num_bands)
         ]
     )
-    # checkpoint before the guard + self-join: four consumers would
-    # otherwise re-run the Arrow-batched BLAS signature kernel per
-    # consumer (see dedup.lsh_candidate_pairs — same shape, measured
-    # 7 re-derivations); one materialized (docId, band, hash) table
-    # is tiny next to the embedding corpus
-    bucketed = (
-        sig.select("docId", F.explode(bands).alias("bh"))
-        .select(
-            "docId",
-            F.col("bh.band").alias("band"),
-            F.col("bh.bandHash").alias("bandHash"),
-        )
-        .localCheckpoint(eager=False)
+    # r14 grouped-explode pairing (the band_self_pairs device): ONE
+    # groupBy(band, bandHash) collects each bucket's sorted member
+    # list, the guard rides that aggregate as a count filter, and
+    # pairs explode as (ids[i], ids[j]), i < j. The old self-join
+    # consumed the bucketed table twice (hence a localCheckpoint
+    # barrier against re-running the signature kernel) and its guard
+    # added a counts aggregate + semi-join; this form has a single
+    # consumer, so the barrier is gone and the band-key exchange is
+    # the one shuffle the join needed anyway.
+    from genetics_spark_coloc_spark.functions.guards import (
+        hot_count_filter,
+        validate_on_hot,
     )
-    bucketed = guard_hot_buckets(
-        bucketed,
-        ["band", "bandHash"],
-        hot_bucket_ceiling,
-        on_hot_bucket,
+
+    validate_on_hot(on_hot_bucket, "lsh_cosine_candidates_banded")
+    bucketed = sig.select("docId", F.explode(bands).alias("bh")).select(
+        "docId",
+        F.col("bh.band").alias("band"),
+        F.col("bh.bandHash").alias("bandHash"),
+    )
+    grouped = bucketed.groupBy("band", "bandHash").agg(
+        F.sort_array(F.collect_list("docId")).alias("_ids"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    ok = hot_count_filter(
+        grouped, "_cnt", hot_bucket_ceiling, on_hot_bucket,
         "lsh_cosine_candidates_banded",
     )
-    l, r = bucketed.alias("l"), bucketed.alias("r")
+    lefts = ok.select(
+        "band", "_ids", F.posexplode("_ids").alias("_i", "leftId")
+    )
     return (
-        l.join(
-            r,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.bandHash") == F.col("r.bandHash"),
-                F.col("l.docId") < F.col("r.docId"),
-            ],
+        lefts.select(
+            "band",
+            "leftId",
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
+            ).alias("rightId"),
         )
-        .groupBy(
-            F.col("l.docId").alias("leftId"), F.col("r.docId").alias("rightId")
-        )
-        .agg(F.min(F.col("l.band")).alias("matchBand"))
+        .filter(F.col("leftId") != F.col("rightId"))
+        .groupBy("leftId", "rightId")
+        .agg(F.min("band").alias("matchBand"))
     )
 
 

@@ -57,6 +57,25 @@ def get_session(
             str(16 * 1024 * 1024),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # r14: InferFiltersFromGenerate turns every explode(expr) into
+        # an inferred `size(expr) > 0` Filter that PushDownPredicates
+        # then substitutes through the projections down to the scan —
+        # for this engine's generator children (lambda-heavy gram/
+        # fingerprint/band arrays: interpreted HigherOrderFunctions,
+        # md5 per element) that re-evaluates the whole chain 2-3x per
+        # row as a row-level predicate. Measured on the winnow pair
+        # generator at sf0.1: 5.4 s -> 1.6 s with the rule excluded;
+        # plan-verified the duplicated chain disappears from
+        # FileScan DataFilters. Results are identical by construction
+        # (explode already drops empty/null arrays; the inferred
+        # filter is a pure pre-prune heuristic, worth it only when
+        # the generator child is a cheap attribute — which an
+        # attribute stays even without the rule, since scanning a
+        # stored array column costs nothing extra to explode).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # driver testdata writes events.ts as TIMESTAMP(NANOS); Spark
         # has no nanos type — read as long and convert explicitly
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -54,7 +54,9 @@ BNLJ_WHITELIST = {
     "impute_raiss",
     "kmv_containment",
     "kmv_overlap",
-    "l2g_registry_matrix",
+    # l2g_registry_matrix: REMOVED r14 — the fan-out localCheckpoints
+    # in build_registry_feature_matrix cut the re-planned subtree that
+    # had been degrading a stats-sized broadcast join to BNLJ
     "liftover_chain",
     "mrl_funnel",
     "mrl_topk",
