@@ -262,26 +262,32 @@ def duplicate_ngram_coverage(
     # runs once, not twice
     occ = grams.groupBy("docId", "gram").agg(
         F.count(F.lit(1)).alias("_occ")
-    ).localCheckpoint(eager=False)
+    )
     # rows are unique (doc, gram) pairs, so docs per gram >= 2
-    # <=> gram is shared across documents
-    shared = (
-        occ.filter(F.col("gram").isNotNull())
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") >= 2)
-        .select("gram", F.lit(True).alias("isShared"))
+    # <=> gram is shared across documents. r14: the document
+    # frequency rides a window over the SAME (doc, gram) relation
+    # instead of a separate aggregate joined back — one exchange of
+    # occ by gram replaces the old agg-exchange + join-exchange pair,
+    # occ has a single consumer again (checkpoint gone), and the
+    # shared-flag semantics are unchanged (null grams are guarded
+    # explicitly, exactly like the old left join's null isShared).
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    flagged = occ.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
     )
     per_doc = (
-        occ.join(shared, on="gram", how="left")
-        .groupBy("docId")
+        flagged.groupBy("docId")
         .agg(
             F.sum(
                 F.when(F.col("gram").isNotNull(), F.col("_occ")).otherwise(0)
             ).alias("nGrams"),
-            F.sum(F.when(F.col("isShared"), F.col("_occ")).otherwise(0)).alias(
-                "_dup"
-            ),
+            F.sum(
+                F.when(
+                    F.col("gram").isNotNull() & (F.col("_df") >= 2),
+                    F.col("_occ"),
+                ).otherwise(0)
+            ).alias("_dup"),
         )
         .select(
             "docId",
@@ -415,9 +421,18 @@ def tfidf_top_terms(
         .groupBy("docId", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # r14: document frequency rides a window over the single
+    # (doc, term) relation instead of a separate count aggregate
+    # joined back — the old two-consumer form re-executed the
+    # explode+groupBy subtree once per consumer (terms carried no
+    # barrier); the window pays one term-key exchange of rows the
+    # relation already owns. Same device as bm25_search/
+    # duplicate_spans; df semantics unchanged (rows are unique
+    # (doc, term), so the partition count IS the document frequency).
     scored = (
-        terms.join(dfreq, on="term")
+        terms.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(n_docs))
         .select(
             "docId",
@@ -1361,13 +1376,18 @@ def duplicate_spans(
         if windows is not None
         else _gram_windows(df, text_col, id_col, k, wide_keys)
     )
-    dup_grams = (
-        wins.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
+    # r14: duplicated-gram detection rides a window over the single
+    # gram-key exchange instead of a separate count aggregate joined
+    # back (which shuffled the windows relation twice and re-read the
+    # checkpoint per consumer) — same device as bm25_search's df
+    # rewrite; occurrence semantics identical.
+    dup = (
+        wins.withColumn(
+            "_cnt", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+        )
         .filter(F.col("_cnt") >= 2)
-        .select("gram")
+        .select("docId", "start")
     )
-    dup = wins.join(dup_grams, on="gram", how="inner").select("docId", "start")
     w = Window.partitionBy("docId").orderBy("start")
     run = Window.partitionBy("docId").orderBy("start").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -1509,13 +1529,30 @@ def verbatim_match_spans(
         if windows is not None
         else _gram_windows(df, text_col, id_col, k, wide_keys)
     )
-    counts = wins.groupBy("gram").agg(F.count(F.lit(1)).alias("_cnt"))
-    pairable = counts.filter(F.col("_cnt") >= 2)
+    # r14 grouped-explode pairing (the band_self_pairs device): ONE
+    # groupBy(gram) collects each duplicated gram's sorted occurrence
+    # list; the freq>=2 filter, the explicit max_gram_freq cap, and
+    # the hot-gram guard all ride that same aggregate as count
+    # filters; pairs explode as (occ[i], occ[j]) with i < j. The old
+    # form shuffled the windows relation for the counts aggregate,
+    # again for the join back, and the occurrence self-join consumed
+    # its input twice; this form pays exactly one gram-key exchange.
+    # sort_array on struct(docId, start) is the lexicographic
+    # (docId, start) order, so the exploded i<j pairs reproduce the
+    # old canonical (leftId, leftStart) < (rightId, rightStart)
+    # predicate; occurrences are unique per gram, so the order is
+    # strict. Per-gram memory is bounded by the guard ceiling (or
+    # max_gram_freq when given).
+    grouped = wins.groupBy("gram").agg(
+        F.sort_array(
+            F.collect_list(F.struct("docId", "start"))
+        ).alias("_occ"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    pairable = grouped.filter(F.col("_cnt") >= 2)
     if max_gram_freq is not None:
         pairable = pairable.filter(F.col("_cnt") <= max_gram_freq)
     else:
-        # rides the existing counts aggregate — the shared guard device
-        # (functions/guards.py) with zero extra scans or driver actions
         pairable = hot_count_filter(
             pairable,
             "_cnt",
@@ -1524,30 +1561,19 @@ def verbatim_match_spans(
             "verbatim_match_spans",
             param_hint="on_hot_gram",
         )
-    occ = wins.join(pairable.select("gram"), on="gram", how="inner")
-    left = occ.select(
-        "gram",
-        F.col("docId").alias("leftId"),
-        F.col("start").alias("leftStart"),
-    )
-    right = occ.select(
-        "gram",
-        F.col("docId").alias("rightId"),
-        F.col("start").alias("rightStart"),
-    )
-    pairs = left.join(right, on="gram", how="inner").filter(
-        (F.col("leftId") < F.col("rightId"))
-        | (
-            (F.col("leftId") == F.col("rightId"))
-            & (F.col("leftStart") < F.col("rightStart"))
-        )
+    lefts = pairable.select("_occ", F.posexplode("_occ").alias("_i", "_l"))
+    pairs = lefts.select(
+        "_l",
+        F.explode(
+            F.slice(F.col("_occ"), F.col("_i") + 2, F.size("_occ"))
+        ).alias("_r"),
     )
     diag = pairs.select(
-        "leftId",
-        "rightId",
-        (F.col("leftStart") - F.col("rightStart")).alias("_d"),
-        "leftStart",
-        "rightStart",
+        F.col("_l.docId").alias("leftId"),
+        F.col("_r.docId").alias("rightId"),
+        (F.col("_l.start") - F.col("_r.start")).alias("_d"),
+        F.col("_l.start").alias("leftStart"),
+        F.col("_r.start").alias("rightStart"),
     )
     w = Window.partitionBy("leftId", "rightId", "_d").orderBy("leftStart")
     run = (
@@ -1827,43 +1853,119 @@ def winnow_candidate_pairs(
     (2003) §4, and the third candidate generator of the dedup family
     (besides MinHash-LSH bands and hyperplane buckets).
 
-    Scale shape: explode each doc's DISTINCT selected fingerprints to
-    (fp, docId) postings — never all-pairs; the self-join is confined
-    to each fingerprint's posting list (bucket join, identical device
-    to ``lsh_candidate_pairs``). Pairs are (left < right); the count
-    aggregate reduces with map-side combine. A pathological
-    fingerprint shared by a large fraction of the corpus quadratically
-    inflates its bucket exactly like an LSH band does — so the shared
-    hot-bucket guard (functions/guards.py) now enforces the bound: a
+    Scale shape (r14 grouped-explode form, the same device as
+    ``band_self_pairs``): explode each doc's DISTINCT selected
+    fingerprints to (fp, docId) postings — never all-pairs; ONE
+    ``groupBy(fp)`` collects each posting list (sorted ascending, so
+    emitted pairs are left < right exactly as the old bucket
+    self-join's ``<`` predicate produced), the hot-bucket guard rides
+    that same aggregate as a count filter, and pairs explode as
+    (ids[i], ids[j]), i < j, reduced by a map-side-combined count.
+    The old self-join form referenced the fingerprint subtree (md5
+    per gram × frame mins — the expensive part) once per join side;
+    this form computes it once, and the fp exchange it pays is the
+    very shuffle the join needed anyway. A pathological fingerprint
+    shared by a large fraction of the corpus quadratically inflates
+    its bucket exactly like an LSH band does — the guard bounds it: a
     posting list over ``hot_bucket_ceiling`` docs aborts the job
     loudly (``on_hot_bucket="raise"``, default; output bit-identical
     when nothing is hot) or is excluded from pairing (``"cap"`` — the
     boilerplate stop-fingerprint trade; ``strip_boilerplate`` first
-    remains the documented pipeline order).
+    remains the documented pipeline order). Per-bucket memory is
+    bounded by the guard ceiling.
 
     Emits (leftId, rightId, nSharedFps >= min_shared).
     """
-    from genetics_spark_coloc_spark.functions.guards import guard_hot_buckets
+    return _winnow_pair_counts(
+        df,
+        text_col,
+        id_col,
+        k,
+        window,
+        min_shared,
+        hash_fn,
+        hot_bucket_ceiling,
+        on_hot_bucket,
+        with_counts=False,
+    )
 
+
+def _winnow_pair_counts(
+    df: "DataFrame",
+    text_col: str,
+    id_col: str,
+    k: int,
+    window: int,
+    min_shared: int,
+    hash_fn: str,
+    hot_bucket_ceiling: "int | None",
+    on_hot_bucket: str,
+    with_counts: bool,
+) -> "DataFrame":
+    """Shared grouped-explode pair generator for the winnow family.
+
+    ``with_counts=False``: (leftId, rightId, nSharedFps) — the
+    :func:`winnow_candidate_pairs` contract. ``with_counts=True``
+    additionally carries each side's per-doc fingerprint count
+    (``_nL``/``_nR``) THROUGH the posting rows, so
+    :func:`winnow_similarity` needs no count-table joins (which each
+    re-derived the whole fingerprint subtree)."""
+    from genetics_spark_coloc_spark.functions.guards import (
+        hot_count_filter,
+        validate_on_hot,
+    )
+
+    validate_on_hot(on_hot_bucket, "winnow_candidate_pairs")
     staged, sel, _m = _winnow_staged(df, text_col, id_col, k, window, hash_fn)
-    postings = staged.select(
-        "docId",
-        F.explode(F.array_distinct(sel)).alias("fp"),
-    )
-    postings = guard_hot_buckets(
-        postings, ["fp"], hot_bucket_ceiling, on_hot_bucket, "winnow_candidate_pairs"
-    )
-    left = postings.alias("l")
-    right = postings.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.fp") == F.col("r.fp"))
-            & (F.col("l.docId") < F.col("r.docId")),
+    # materialize the distinct-fp array once in its own aliased
+    # projection: both the explode and (optionally) the count consume
+    # it, and CollapseProject keeps a multi-referenced non-cheap
+    # alias in place rather than re-inlining the selection chain
+    fps_df = staged.select("docId", F.array_distinct(sel).alias("_fps"))
+    if with_counts:
+        postings = fps_df.select(
+            F.struct(
+                "docId", F.size("_fps").cast("long").alias("_n")
+            ).alias("_doc"),
+            F.explode("_fps").alias("fp"),
         )
+    else:
+        postings = fps_df.select(
+            F.col("docId").alias("_doc"), F.explode("_fps").alias("fp")
+        )
+    # sort_array on (docId, _n) structs orders by docId first — ids
+    # are unique per doc so the struct sort equals the id sort
+    grouped = postings.groupBy("fp").agg(
+        F.sort_array(F.collect_list("_doc")).alias("_ids"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    ok = hot_count_filter(
+        grouped, "_cnt", hot_bucket_ceiling, on_hot_bucket, "winnow_candidate_pairs"
+    )
+    lefts = ok.select("_ids", F.posexplode("_ids").alias("_i", "_l"))
+    pairs = lefts.select(
+        "_l",
+        F.explode(
+            F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
+        ).alias("_r"),
+    )
+    if with_counts:
+        return (
+            pairs.filter(F.col("_l.docId") != F.col("_r.docId"))
+            .groupBy(
+                F.col("_l.docId").alias("leftId"),
+                F.col("_r.docId").alias("rightId"),
+                F.col("_l._n").alias("_nL"),
+                F.col("_r._n").alias("_nR"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("nSharedFps"))
+            .filter(F.col("nSharedFps") >= F.lit(min_shared))
+        )
+    return (
+        pairs.filter(F.col("_l") != F.col("_r"))
         .groupBy(
-            F.col("l.docId").alias("leftId"),
-            F.col("r.docId").alias("rightId"),
+            F.col("_l").alias("leftId"),
+            F.col("_r").alias("rightId"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("nSharedFps"))
         .filter(F.col("nSharedFps") >= F.lit(min_shared))
@@ -2194,45 +2296,38 @@ def winnow_similarity(
 ) -> "DataFrame":
     """MOSS similarity scoring: fingerprint-set Jaccard for every
     candidate pair — shared / (|L| + |R| - shared) over the winnowed
-    fingerprint sets, the score MOSS reports per file pair. Composes
-    :func:`winnow_candidate_pairs` (bucket join, never all-pairs)
-    with two broadcast-sized joins against the per-doc fingerprint
-    counts; at corpus scale the pair relation dominates and the
-    count table is |docs| rows keyed by id.
+    fingerprint sets, the score MOSS reports per file pair.
+
+    r14 shape: the per-doc fingerprint counts ride the posting rows
+    through the grouped-explode pair generator
+    (:func:`_winnow_pair_counts` ``with_counts=True``), so the score
+    is a pure projection over the pair aggregate — the old form's two
+    count-table joins each re-derived the whole fingerprint subtree
+    (md5 per gram × frame mins), tripling the expensive pass.
 
     Emits (leftId, rightId, nSharedFps, fpJaccard) rounded to 6dp.
     """
-    pairs = winnow_candidate_pairs(
-        df, text_col, id_col, k, window, min_shared, hash_fn
+    pairs = _winnow_pair_counts(
+        df,
+        text_col,
+        id_col,
+        k,
+        window,
+        min_shared,
+        hash_fn,
+        hot_bucket_ceiling=10_000,
+        on_hot_bucket="raise",
+        with_counts=True,
     )
-    staged, sel, _m = _winnow_staged(df, text_col, id_col, k, window, hash_fn)
-    counts = staged.select(
-        "docId",
-        F.size(F.array_distinct(sel)).cast("long").alias("nFps"),
-    )
-    return (
-        pairs.join(
-            counts.select(
-                F.col("docId").alias("leftId"), F.col("nFps").alias("_nL")
-            ),
-            on="leftId",
-        )
-        .join(
-            counts.select(
-                F.col("docId").alias("rightId"), F.col("nFps").alias("_nR")
-            ),
-            on="rightId",
-        )
-        .select(
-            "leftId",
-            "rightId",
-            "nSharedFps",
-            F.round(
-                F.col("nSharedFps")
-                / (F.col("_nL") + F.col("_nR") - F.col("nSharedFps")),
-                6,
-            ).alias("fpJaccard"),
-        )
+    return pairs.select(
+        "leftId",
+        "rightId",
+        "nSharedFps",
+        F.round(
+            F.col("nSharedFps")
+            / (F.col("_nL") + F.col("_nR") - F.col("nSharedFps")),
+            6,
+        ).alias("fpJaccard"),
     )
 
 
@@ -3018,10 +3113,21 @@ def lm_stupid_backoff_score(
         lm = ngram_lm_table(df, text_col, order=int(order))
     # re-aggregate per gram FIRST (the additive shard contract: a
     # multi-shard table carries duplicate gram rows) — computing V as
-    # a row count before this would overcount sharded vocabularies
-    counts = lm.groupBy("gram").agg(F.sum("cnt").alias("_c"))
-    uni = lm.filter(F.col("n") == 1).groupBy("gram").agg(
-        F.sum("cnt").alias("_cu")
+    # a row count before this would overcount sharded vocabularies.
+    # r14: the model table has THREE consumers (the lookup join, the
+    # unigram table, the (N, V) totals); when the model is trained
+    # in-line (lm=None) each consumer re-executed the full corpus
+    # tokenize+explode+count — checkpoint the distinct-gram counts
+    # (O(model) rows, the same bound the join build side already
+    # pays) and derive unigrams from it (n == 1 ⟺ the gram string
+    # has no space, by ngram_lm_table's own n definition).
+    counts = (
+        lm.groupBy("gram")
+        .agg(F.sum("cnt").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    uni = counts.filter(~F.col("gram").contains(" ")).select(
+        "gram", F.col("_c").alias("_cu")
     )
     totals = uni.agg(
         F.sum("_cu").alias("_N"), F.count(F.lit(1)).alias("_V")

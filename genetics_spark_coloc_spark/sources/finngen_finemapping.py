@@ -126,14 +126,46 @@ def finngen_finemapping_to_study_locus(
     keys = ["studyId", "region", "credibleSetIndex"]
     joined = tags.join(cs, on=keys, how="inner")
 
-    lead_window = Window.partitionBy(*keys).orderBy(
+    # r14: lead selection and locus collection in ONE window pass over
+    # one execution of the join subtree. The former leads-window +
+    # loci-groupBy + inner-join form shuffled the tag table twice on
+    # the same keys, sorted twice, and — being two consumers of the
+    # same lineage — executed the snp normalisation + join subtree
+    # twice. row_number keeps the exact lead tie/NULL semantics
+    # (desc PIP nulls-last, asc variantId); collect_list over the
+    # unbounded same-partition frame is computed once per group and
+    # sort_array gives the same variantId-ordered locus the groupBy
+    # produced. Every group has >= 1 row, so filter(_rn == 1) keeps
+    # exactly the old inner join's key set.
+    part_w = Window.partitionBy(*keys)
+    lead_window = part_w.orderBy(
         F.desc("posteriorProbability"), F.asc("variantId")
     )
-    leads = (
+    span = F.split(F.split(F.col("region"), ":").getItem(1), "-")
+    return (
         joined.withColumn("_rn", F.row_number().over(lead_window))
+        .withColumn(
+            "locus",
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("variantId").cast("string").alias("variantId"),
+                        F.col("posteriorProbability").alias(
+                            "posteriorProbability"
+                        ),
+                        F.col("logBF").alias("logBF"),
+                        F.col("pValueMantissa").alias("pValueMantissa"),
+                        F.col("pValueExponent").alias("pValueExponent"),
+                        F.col("beta").alias("beta"),
+                        F.col("standardError").alias("standardError"),
+                    )
+                ).over(part_w)
+            ),
+        )
         .filter(F.col("_rn") == 1)
         .select(
             *keys,
+            "locus",
             "variantId",
             "chromosome",
             "position",
@@ -147,27 +179,6 @@ def finngen_finemapping_to_study_locus(
             "purityMeanR2",
             "purityMinR2",
         )
-    )
-
-    loci = joined.groupBy(*keys).agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col("variantId").cast("string").alias("variantId"),
-                    F.col("posteriorProbability").alias("posteriorProbability"),
-                    F.col("logBF").alias("logBF"),
-                    F.col("pValueMantissa").alias("pValueMantissa"),
-                    F.col("pValueExponent").alias("pValueExponent"),
-                    F.col("beta").alias("beta"),
-                    F.col("standardError").alias("standardError"),
-                )
-            )
-        ).alias("locus")
-    )
-
-    span = F.split(F.split(F.col("region"), ":").getItem(1), "-")
-    return (
-        loci.join(leads, on=keys, how="inner")
         .withColumn("locusStart", span.getItem(0).cast("int"))
         .withColumn("locusEnd", span.getItem(1).cast("int"))
         .withColumn(
