@@ -1529,51 +1529,57 @@ def verbatim_match_spans(
         if windows is not None
         else _gram_windows(df, text_col, id_col, k, wide_keys)
     )
-    # r14 grouped-explode pairing (the band_self_pairs device): ONE
-    # groupBy(gram) collects each duplicated gram's sorted occurrence
-    # list; the freq>=2 filter, the explicit max_gram_freq cap, and
-    # the hot-gram guard all ride that same aggregate as count
-    # filters; pairs explode as (occ[i], occ[j]) with i < j. The old
-    # form shuffled the windows relation for the counts aggregate,
-    # again for the join back, and the occurrence self-join consumed
-    # its input twice; this form pays exactly one gram-key exchange.
-    # sort_array on struct(docId, start) is the lexicographic
-    # (docId, start) order, so the exploded i<j pairs reproduce the
-    # old canonical (leftId, leftStart) < (rightId, rightStart)
-    # predicate; occurrences are unique per gram, so the order is
-    # strict. Per-gram memory is bounded by the guard ceiling (or
-    # max_gram_freq when given).
-    grouped = wins.groupBy("gram").agg(
-        F.sort_array(
-            F.collect_list(F.struct("docId", "start"))
-        ).alias("_occ"),
-        F.count(F.lit(1)).alias("_cnt"),
-    )
-    pairable = grouped.filter(F.col("_cnt") >= 2)
+    # r14: the duplicated-gram prefilter rides a window count over the
+    # single gram-key exchange instead of a separate counts aggregate
+    # joined back (two gram-keyed passes over the windows relation
+    # saved); the freq>=2 filter, the explicit max_gram_freq cap, and
+    # the hot-gram guard are all predicates on that same windowed
+    # count. Pairing stays a gram-keyed equi self-join — the grouped-
+    # explode device the LSH/winnow family uses was ALSO drilled here
+    # and rejected: with no expensive per-side subtree to save (wins
+    # is already a checkpoint barrier), collect_list pushes the
+    # aggregate into interpreted ObjectHashAggregate and the
+    # slice-per-position explode copies each posting list O(m) times
+    # (measured at sf0.1: join 1.42 s / grouped 1.32 s / this form
+    # 0.86 s at k=5; 1.17 / 0.67 / 0.49 at k=20).
+    occ = wins.withColumn(
+        "_cnt", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    ).filter(F.col("_cnt") >= 2)
     if max_gram_freq is not None:
-        pairable = pairable.filter(F.col("_cnt") <= max_gram_freq)
+        occ = occ.filter(F.col("_cnt") <= max_gram_freq)
     else:
-        pairable = hot_count_filter(
-            pairable,
+        occ = hot_count_filter(
+            occ,
             "_cnt",
             hot_gram_ceiling,
             on_hot_gram,
             "verbatim_match_spans",
             param_hint="on_hot_gram",
         )
-    lefts = pairable.select("_occ", F.posexplode("_occ").alias("_i", "_l"))
-    pairs = lefts.select(
-        "_l",
-        F.explode(
-            F.slice(F.col("_occ"), F.col("_i") + 2, F.size("_occ"))
-        ).alias("_r"),
+    occ = occ.select("gram", "docId", "start")
+    left = occ.select(
+        "gram",
+        F.col("docId").alias("leftId"),
+        F.col("start").alias("leftStart"),
+    )
+    right = occ.select(
+        "gram",
+        F.col("docId").alias("rightId"),
+        F.col("start").alias("rightStart"),
+    )
+    pairs = left.join(right, on="gram", how="inner").filter(
+        (F.col("leftId") < F.col("rightId"))
+        | (
+            (F.col("leftId") == F.col("rightId"))
+            & (F.col("leftStart") < F.col("rightStart"))
+        )
     )
     diag = pairs.select(
-        F.col("_l.docId").alias("leftId"),
-        F.col("_r.docId").alias("rightId"),
-        (F.col("_l.start") - F.col("_r.start")).alias("_d"),
-        F.col("_l.start").alias("leftStart"),
-        F.col("_r.start").alias("rightStart"),
+        "leftId",
+        "rightId",
+        (F.col("leftStart") - F.col("rightStart")).alias("_d"),
+        "leftStart",
+        "rightStart",
     )
     w = Window.partitionBy("leftId", "rightId", "_d").orderBy("leftStart")
     run = (
@@ -3114,20 +3120,14 @@ def lm_stupid_backoff_score(
     # re-aggregate per gram FIRST (the additive shard contract: a
     # multi-shard table carries duplicate gram rows) — computing V as
     # a row count before this would overcount sharded vocabularies.
-    # r14: the model table has THREE consumers (the lookup join, the
-    # unigram table, the (N, V) totals); when the model is trained
-    # in-line (lm=None) each consumer re-executed the full corpus
-    # tokenize+explode+count — checkpoint the distinct-gram counts
-    # (O(model) rows, the same bound the join build side already
-    # pays) and derive unigrams from it (n == 1 ⟺ the gram string
-    # has no space, by ngram_lm_table's own n definition).
-    counts = (
-        lm.groupBy("gram")
-        .agg(F.sum("cnt").alias("_c"))
-        .localCheckpoint(eager=False)
-    )
-    uni = counts.filter(~F.col("gram").contains(" ")).select(
-        "gram", F.col("_c").alias("_cu")
+    # (r14 note: a lazy localCheckpoint on `counts` was drilled and
+    # REJECTED — the ExistingRDD barrier hides the build-side size
+    # estimate, degrading the lookup broadcast join, and the model
+    # lineage only has two executions here; measured 3.8 -> 5.3 s
+    # WORSE at sf0.1. Deliberately left as-is.)
+    counts = lm.groupBy("gram").agg(F.sum("cnt").alias("_c"))
+    uni = lm.filter(F.col("n") == 1).groupBy("gram").agg(
+        F.sum("cnt").alias("_cu")
     )
     totals = uni.agg(
         F.sum("_cu").alias("_N"), F.count(F.lit(1)).alias("_V")

@@ -117,42 +117,48 @@ def eqtl_susie_to_study_locus(processed: DataFrame) -> DataFrame:
     from_susie_results, finemapping.py:202-262): max-PIP lead, locus
     array, whole-set log10 Bayes factor via a logsumexp fold."""
     keys = ["dataset_id", "molecular_trait_id", "region", "credibleSetIndex"]
-    # r14: lead selection and locus collection in ONE window pass (see
+    # r14: the lead comes from a min_by AGGREGATION instead of the old
+    # row_number window + filter(rn=1) (see
     # finngen_finemapping_to_study_locus — same device, same
-    # semantics-preservation argument): the former leads-window +
-    # loci-groupBy + inner-join form shuffled the per-tag frame twice
-    # on the same keys and executed the lbf×credible-set×metadata join
-    # subtree once per consumer. row_number keeps the exact lead
-    # tie/NULL ordering; collect_list over the unbounded frame is
-    # computed once per group; filter(_rn == 1) keeps exactly the old
-    # inner join's key set (every group has a rank-1 row).
-    part_w = Window.partitionBy(*keys)
-    lead_w = part_w.orderBy(
-        F.desc("posteriorProbability"), F.asc("variantId")
+    # semantics-preservation argument, and the same two drilled-and-
+    # rejected alternatives: unbounded-window collect_list is
+    # O(group²), and fusing min_by into the collect_list aggregation
+    # drops the whole aggregate out of codegen). min_by over
+    # (desc-PIP-nulls-last, asc variantId) reproduces the old
+    # row_number lead exactly; variantId is unique per group so the
+    # order is strict.
+    rest = [c for c in processed.columns if c not in keys]
+    lead_key = F.struct(
+        F.when(F.isnan(F.col("posteriorProbability")), F.lit(float("-inf")))
+        .otherwise(
+            F.coalesce(-F.col("posteriorProbability"), F.lit(float("inf")))
+        )
+        .alias("k1"),
+        F.col("variantId").alias("k2"),
+    )
+    leads = processed.groupBy(*keys).agg(
+        F.min_by(F.struct(*rest), lead_key).alias("_lead")
+    )
+    loci = processed.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "variantId",
+                    "posteriorProbability",
+                    "pValueMantissa",
+                    "pValueExponent",
+                    "logBF",
+                    "beta",
+                    "standardError",
+                )
+            )
+        ).alias("locus"),
     )
     # column order matches the old leads.join(loci, on=keys) output:
     # keys first, the remaining per-tag columns, then the locus
-    rest = [c for c in processed.columns if c not in keys]
     return (
-        processed.withColumn("_rn", F.row_number().over(lead_w))
-        .withColumn(
-            "locus",
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        "variantId",
-                        "posteriorProbability",
-                        "pValueMantissa",
-                        "pValueExponent",
-                        "logBF",
-                        "beta",
-                        "standardError",
-                    )
-                ).over(part_w)
-            ),
-        )
-        .filter(F.col("_rn") == 1)
-        .select(*keys, *rest, "locus")
+        leads.join(loci, on=keys, how="inner")
+        .select(*keys, "_lead.*", "locus")
         .withColumn(
             "studyLocusId",
             assign_study_locus_id(["studyId", "variantId", "finemappingMethod"]),

@@ -126,59 +126,67 @@ def finngen_finemapping_to_study_locus(
     keys = ["studyId", "region", "credibleSetIndex"]
     joined = tags.join(cs, on=keys, how="inner")
 
-    # r14: lead selection and locus collection in ONE window pass over
-    # one execution of the join subtree. The former leads-window +
-    # loci-groupBy + inner-join form shuffled the tag table twice on
-    # the same keys, sorted twice, and — being two consumers of the
-    # same lineage — executed the snp normalisation + join subtree
-    # twice. row_number keeps the exact lead tie/NULL semantics
-    # (desc PIP nulls-last, asc variantId); collect_list over the
-    # unbounded same-partition frame is computed once per group and
-    # sort_array gives the same variantId-ordered locus the groupBy
-    # produced. Every group has >= 1 row, so filter(_rn == 1) keeps
-    # exactly the old inner join's key set.
-    part_w = Window.partitionBy(*keys)
-    lead_window = part_w.orderBy(
-        F.desc("posteriorProbability"), F.asc("variantId")
+    # r14: the lead comes from a min_by AGGREGATION instead of the old
+    # row_number window + filter(rn=1) — a codegen'd HashAggregate
+    # with map-side partial aggregation, no full (keys, PIP, variant)
+    # sort. Two rejected alternatives, both drilled at sf0.1: (a) an
+    # unbounded-frame collect_list window projects the whole locus
+    # array onto EVERY row before rn=1 discards all but one — O(group²)
+    # copies, 4.5x slower; (b) fusing min_by and collect_list into ONE
+    # aggregation forces the whole aggregate into interpreted
+    # ObjectHashAggregate (TypedImperativeAggregate disables codegen),
+    # paying per-row interpreted wide-struct copies — 2x slower than
+    # keeping the two aggregations separate and joining on the keys
+    # (each stays column-pruned and codegen'd; 9.9 s vs 4.4 s).
+    # min_by uses the same total order the old window did: desc PIP
+    # nulls-LAST (coalesce to +inf; NaN pins first exactly as desc
+    # ranks NaN above every double), tie-broken asc variantId —
+    # variantId is unique per group, so the order is strict and the
+    # min_by deterministic.
+    lead_key = F.struct(
+        F.when(F.isnan(F.col("posteriorProbability")), F.lit(float("-inf")))
+        .otherwise(
+            F.coalesce(-F.col("posteriorProbability"), F.lit(float("inf")))
+        )
+        .alias("k1"),
+        F.col("variantId").alias("k2"),
+    )
+    lead_payload = F.struct(
+        "variantId",
+        "chromosome",
+        "position",
+        "beta",
+        "pValueMantissa",
+        "pValueExponent",
+        "effectAlleleFrequencyFromSource",
+        "standardError",
+        "finemappingMethod",
+        "credibleSetlog10BF",
+        "purityMeanR2",
+        "purityMinR2",
+    )
+    leads = joined.groupBy(*keys).agg(
+        F.min_by(lead_payload, lead_key).alias("_lead")
+    )
+    loci = joined.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("variantId").cast("string").alias("variantId"),
+                    F.col("posteriorProbability").alias("posteriorProbability"),
+                    F.col("logBF").alias("logBF"),
+                    F.col("pValueMantissa").alias("pValueMantissa"),
+                    F.col("pValueExponent").alias("pValueExponent"),
+                    F.col("beta").alias("beta"),
+                    F.col("standardError").alias("standardError"),
+                )
+            )
+        ).alias("locus"),
     )
     span = F.split(F.split(F.col("region"), ":").getItem(1), "-")
     return (
-        joined.withColumn("_rn", F.row_number().over(lead_window))
-        .withColumn(
-            "locus",
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("variantId").cast("string").alias("variantId"),
-                        F.col("posteriorProbability").alias(
-                            "posteriorProbability"
-                        ),
-                        F.col("logBF").alias("logBF"),
-                        F.col("pValueMantissa").alias("pValueMantissa"),
-                        F.col("pValueExponent").alias("pValueExponent"),
-                        F.col("beta").alias("beta"),
-                        F.col("standardError").alias("standardError"),
-                    )
-                ).over(part_w)
-            ),
-        )
-        .filter(F.col("_rn") == 1)
-        .select(
-            *keys,
-            "locus",
-            "variantId",
-            "chromosome",
-            "position",
-            "beta",
-            "pValueMantissa",
-            "pValueExponent",
-            "effectAlleleFrequencyFromSource",
-            "standardError",
-            "finemappingMethod",
-            "credibleSetlog10BF",
-            "purityMeanR2",
-            "purityMinR2",
-        )
+        loci.join(leads, on=keys, how="inner")
+        .select(*keys, "locus", "_lead.*")
         .withColumn("locusStart", span.getItem(0).cast("int"))
         .withColumn("locusEnd", span.getItem(1).cast("int"))
         .withColumn(
