@@ -88,16 +88,33 @@ def spread_for_compute(df: DataFrame, *cols: str) -> DataFrame:
     edit-distance verifiers' 11.7k-pair kernel stage ran as one
     task for ~13 s on local[32]).
 
-    This hash-repartitions on ``cols`` (deterministic — safe under
-    task retry, unlike rand/round-robin ordering concerns) to the
-    session's CONFIGURED ``spark.sql.shuffle.partitions``, which AQE
-    does not re-coalesce (user-specified repartitions are preserved).
-    The setting is the deployment's declared parallelism target, so
-    the spread scales with the cluster instead of a local constant.
-    Cost: one exchange of the (narrow — call it BEFORE attaching
-    payload columns) rows; at large scale, where AQE already yields
-    good parallelism by bytes, that one narrow exchange is noise
-    relative to the kernel it feeds.
+    This hash-repartitions on ``xxhash64(cols)`` (deterministic —
+    safe under task retry, unlike rand/round-robin ordering concerns)
+    to the session's CONFIGURED ``spark.sql.shuffle.partitions``,
+    which AQE does not re-coalesce (user-specified repartitions with
+    an explicit partition count are preserved). The setting is the
+    deployment's declared parallelism target, so the spread scales
+    with the cluster instead of a local constant. Cost: one exchange
+    of the (narrow — call it BEFORE attaching payload columns) rows;
+    at large scale, where AQE already yields good parallelism by
+    bytes, that one narrow exchange is noise relative to the kernel
+    it feeds.
+
+    The ``xxhash64`` wrapper is LOAD-BEARING, not decoration (r14,
+    found by re-measuring the r14 spread fix): candidate-pair
+    generators typically END with a distinct/groupBy on exactly the
+    same key columns, so ``repartition(n, *cols)`` produces a
+    partitioning IDENTICAL to the child's ENSURE_REQUIREMENTS
+    exchange and the optimizer removes it as redundant — leaving
+    only the coalescible exchange, which AQE folds back to one
+    task and silently re-serializes the kernel (plan-verified:
+    the banded verifier's pair exchange read ENSURE_REQUIREMENTS,
+    and its 11.7k-pair kernel stage cost ~12 core-seconds but ~13 s
+    of wall). Hashing the keys makes the partitioning expression
+    distinct from any natural grouping key, so the user repartition
+    survives as REPARTITION_BY_NUM.
     """
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(n, *[F.col(c) for c in cols]) if cols else df.repartition(n)
+    if not cols:
+        return df.repartition(n)
+    return df.repartition(n, F.xxhash64(*[F.col(c) for c in cols]))
