@@ -43,7 +43,10 @@ BNLJ_WHITELIST = {
     "bm25_index_search",  # 1-row broadcast (_nDocs, _sumDl) corpus stats
     "bm25_retrieval",
     "bpe_apply_merge",
-    "bpe_train_merges",
+    # bpe_train_merges: REMOVED r14 — with materialize_rounds=True the
+    # winner rides a checkpointed corpus and the 1-row cross join
+    # plans as a plain broadcast join, no BNLJ left
+    # (two-sided pin: re-add only with a tiny-broadcast argument)
     "corpus_drift_psi",
     "cosine_topk",
     "dsir_weights",
