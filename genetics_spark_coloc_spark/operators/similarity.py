@@ -1194,36 +1194,25 @@ def semantic_dedup(
         on_hot_bucket,
         "semantic_dedup",
     )
-    left = pairable.select(
-        F.col("vid").alias("vecId"),
-        F.col("vv").alias("lv"),
-        F.col("vnorm").alias("lnorm"),
-        "centroidId",
-    )
-    right = pairable.select(
-        F.col("vid").alias("otherId"),
-        F.col("vv").alias("rv"),
-        F.col("vnorm").alias("rnorm"),
-        "centroidId",
-    )
-    pairs = (
-        left.join(right, on="centroidId")
-        .filter(F.col("otherId") < F.col("vecId"))
-        .withColumn(
-            "sim",
-            F.round(
-                dot(F.col("lv"), F.col("rv")) / (F.col("lnorm") * F.col("rnorm")),
-                6,
-            ),
-        )
-        .filter(F.col("sim") >= threshold)
-    )
-    best = pairs.groupBy("vecId", "centroidId").agg(
-        F.min("otherId").alias("dupOf"), F.max("sim").alias("maxSim")
+    # Within-cluster scoring runs as ONE grouped BLAS kernel instead
+    # of the bucket self-join + interpreted zip_with dot fold it
+    # replaced (r14; guide §2.3/§4.2): the join form shuffled the
+    # member rows twice and evaluated the O(dim) fold per candidate
+    # PAIR (Σ cluster² interpreted evaluations); the kernel ships each
+    # member once on the same centroidId exchange and scores a whole
+    # cluster with matmul, emitting only the per-row (dupOf, maxSim)
+    # aggregate — the m² pair rows never exist as Spark rows. Same
+    # contract: sims 6dp half-away rounded BEFORE the threshold (the
+    # F.round tie direction), dupOf = smallest qualifying smaller id,
+    # maxSim = max rounded sim over qualifying pairs. Assignment gives
+    # invalid/zero-norm vectors a NULL centroidId, which the old equi
+    # self-join dropped; the kernel input filters them identically.
+    best = _within_cluster_best(
+        pairable.filter(F.col("centroidId").isNotNull()), threshold
     )
     return (
         members.select(F.col("vid").alias("vecId"), "centroidId")
-        .join(best.drop("centroidId"), on="vecId", how="left")
+        .join(best, on="vecId", how="left")
         .select(
             "vecId",
             "centroidId",
@@ -1231,6 +1220,72 @@ def semantic_dedup(
             "dupOf",
             "maxSim",
         )
+    )
+
+
+def _within_cluster_best(pairable: DataFrame, threshold: float) -> DataFrame:
+    """Grouped BLAS kernel behind :func:`semantic_dedup`: for every
+    cluster member, the smallest smaller-id member with 6dp-rounded
+    cosine >= ``threshold`` (``dupOf``) and the max qualifying rounded
+    sim (``maxSim``). Input must carry (vid, vv, vnorm, centroidId)
+    with non-null centroidId (assignment already validated dim and
+    norm for those rows). Emits only rows that HAVE a qualifying pair;
+    the caller left-joins everyone else back as non-duplicates.
+
+    Blockwise (block × m) matmul bounds kernel memory by
+    ``_SEM_BLOCK_CELLS`` sim cells regardless of cluster size (the
+    hot-bucket ceiling bounds m itself)."""
+    import numpy as np
+    import pandas as pd
+
+    vid_type = pairable.schema["vid"].dataType.simpleString()
+    out_schema = f"vecId {vid_type}, dupOf {vid_type}, maxSim double"
+    empty = pd.DataFrame({"vecId": [], "dupOf": [], "maxSim": []})
+
+    def _best(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return empty
+        order = np.argsort(pdf["vid"].to_numpy(), kind="stable")
+        ids = pdf["vid"].to_numpy()[order]
+        mat = np.array(pdf["vv"].to_numpy()[order].tolist(), dtype=np.float64)
+        nrm = pdf["vnorm"].to_numpy()[order].astype(np.float64)
+        # strictly-smaller-id bound per row (handles duplicate ids the
+        # way the old join's otherId < vecId did: equals never pair)
+        lo = np.searchsorted(ids, ids, side="left")
+        col = np.arange(m)
+        bs = max(1, min(4096, 8_000_000 // m))
+        out_id, out_dup, out_sim = [], [], []
+        for i0 in range(0, m, bs):
+            i1 = min(i0 + bs, m)
+            sims = _round_half_away(
+                (mat[i0:i1] @ mat.T) / np.outer(nrm[i0:i1], nrm)
+            )
+            qual = (sims >= threshold) & (col[None, :] < lo[i0:i1, None])
+            has = qual.any(axis=1)
+            if not has.any():
+                continue
+            rows = np.nonzero(has)[0]
+            first = qual[rows].argmax(axis=1)  # ids ascending => min id
+            best_sim = np.where(qual[rows], sims[rows], -np.inf).max(axis=1)
+            out_id.append(ids[i0:i1][rows])
+            out_dup.append(ids[first])
+            out_sim.append(best_sim)
+        if not out_id:
+            return empty
+        return pd.DataFrame(
+            {
+                "vecId": np.concatenate(out_id),
+                "dupOf": np.concatenate(out_dup),
+                "maxSim": np.concatenate(out_sim),
+            }
+        )
+
+    _best.__annotations__ = {"pdf": pd.DataFrame, "return": pd.DataFrame}
+    return (
+        pairable.select("vid", "vv", "vnorm", "centroidId")
+        .groupBy("centroidId")
+        .applyInPandas(_best, out_schema)
     )
 
 
