@@ -242,64 +242,53 @@ def duplicate_ngram_coverage(
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    grams = df.select(
-        F.col(id_col).alias("docId"),
-        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("gramStr"),
-    ).select(
-        "docId",
-        # xxhash64(NULL) yields the seed, not NULL — keep the
-        # short-doc marker rows null so count(gram) still skips them
-        F.when(
-            F.col("gramStr").isNotNull(),
-            gram_key(F.col("gramStr"), wide_keys),
-        ).alias("gram"),
-    )
-    # collapse to one row per (doc, gram) carrying the occurrence
-    # count — this single map-side-combining shuffle replaces the
-    # former raw-occurrence checkpoint AND the separate distinct()
-    # pass, and it is what both downstream consumers read; truncate
-    # the lineage so tokenize+n-gram+explode (the dominant scan)
-    # runs once, not twice
-    occ = grams.groupBy("docId", "gram").agg(
-        F.count(F.lit(1)).alias("_occ")
+    # r14: the gram source is the _gram_windows Arrow chain kernel —
+    # the gram STRINGS are never materialized at all (the old form
+    # built every space-joined 5-gram with k−1 interpreted zip_with
+    # concat passes just to hash it one expression later). The key is
+    # now the chained per-token hash instead of xxhash64(gramStr);
+    # key equality is still window equality modulo the same 64-bit
+    # birthday tail the docstring already budgets (wide_keys likewise
+    # upgrades to the two-salt 128-bit struct in both forms), and the
+    # oracle compares against true string grams either way. Collapse
+    # to one row per (doc, gram) with a map-side-combining count.
+    occ = (
+        _gram_windows(df, text_col, id_col, n, wide_keys, checkpoint=False)
+        .groupBy("docId", "gram")
+        .agg(F.count(F.lit(1)).alias("_occ"))
     )
     # rows are unique (doc, gram) pairs, so docs per gram >= 2
-    # <=> gram is shared across documents. r14: the document
-    # frequency rides a window over the SAME (doc, gram) relation
-    # instead of a separate aggregate joined back — one exchange of
-    # occ by gram replaces the old agg-exchange + join-exchange pair,
-    # occ has a single consumer again (checkpoint gone), and the
-    # shared-flag semantics are unchanged (null grams are guarded
-    # explicitly, exactly like the old left join's null isShared).
+    # <=> gram is shared across documents. The document frequency
+    # rides a window over the SAME (doc, gram) relation instead of a
+    # separate aggregate joined back (r14) — one exchange of occ by
+    # gram replaces the old agg-exchange + join-exchange pair.
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     flagged = occ.withColumn(
         "_df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
     )
-    per_doc = (
-        flagged.groupBy("docId")
-        .agg(
-            F.sum(
-                F.when(F.col("gram").isNotNull(), F.col("_occ")).otherwise(0)
-            ).alias("nGrams"),
-            F.sum(
-                F.when(
-                    F.col("gram").isNotNull() & (F.col("_df") >= 2),
-                    F.col("_occ"),
-                ).otherwise(0)
-            ).alias("_dup"),
-        )
+    per_doc = flagged.groupBy("docId").agg(
+        F.sum("_occ").alias("_n"),
+        F.sum(
+            F.when(F.col("_df") >= 2, F.col("_occ")).otherwise(0)
+        ).alias("_dup"),
+    )
+    # the kernel emits nothing for documents with fewer than n tokens
+    # (the old explode_outer kept them as null-gram marker rows) —
+    # the left join from the corpus id set restores them as
+    # (nGrams=0, coverage=0.0), exactly the old marker-row semantics
+    return (
+        df.select(F.col(id_col).alias("docId"))
+        .distinct()
+        .join(per_doc, on="docId", how="left")
         .select(
             "docId",
-            F.col("nGrams").cast("long").alias("nGrams"),
-            F.when(
-                F.col("nGrams") > 0, F.col("_dup") / F.col("nGrams")
-            )
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("nGrams"),
+            F.when(F.col("_n") > 0, F.col("_dup") / F.col("_n"))
             .otherwise(F.lit(0.0))
             .alias("dupGramCoverage"),
         )
     )
-    return per_doc
 
 
 # GPT-2-style pre-tokenizer, simplified to contraction suffixes /
@@ -1289,6 +1278,7 @@ def _gram_windows(
     id_col: str,
     k: int,
     wide_keys: bool,
+    checkpoint: bool = True,
 ) -> "DataFrame":
     """(docId, start, gram) — every k-token window of every document
     with its hashed shuffle key: the shared first stage of
@@ -1312,6 +1302,117 @@ def _gram_windows(
       occurrences), and without the barrier the whole tokenize+hash
       corpus scan runs once per reference.
     """
+    # The k−1 chained zip_with(xxhash64) passes are CodegenFallback —
+    # every element pays the interpreted HigherOrderFunction evaluator,
+    # and the chain dominated verbatim_removal's corpus scan (~2.8 s of
+    # its 3.6 s at sf0.1, k=20). The chain is pure uint64 arithmetic,
+    # so it now runs as a vectorized Arrow kernel (guide §4.2) over the
+    # SAME per-token JVM hashes — functions/xxh.py replicates
+    # XXH64.hashLong bit-for-bit, so the emitted gram keys are
+    # IDENTICAL to the column form's (parity pinned by
+    # tests/test_gram_kernel_parity.py against _gram_windows_column).
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from genetics_spark_coloc_spark.functions.xxh import (
+        _SEED,
+        xxh64_hash_long,
+    )
+
+    toks = tokens(F.lower(F.col(text_col)))
+    cols = [
+        F.col(id_col).alias("docId"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("th"),
+    ]
+    if wide_keys:
+        cols.append(
+            F.transform(toks, lambda t: F.xxhash64(t, F.lit(1))).alias("th1")
+        )
+    src = df.select(*cols)
+    did_type = src.schema["docId"].dataType.simpleString()
+    gram_type = "struct<h0:bigint,h1:bigint>" if wide_keys else "bigint"
+    out_schema = f"docId {did_type}, start int, gram {gram_type}"
+
+    def _chain(vals: "np.ndarray", idx: "np.ndarray") -> "np.ndarray":
+        g = vals[idx]
+        for j in range(1, k):
+            g = xxh64_hash_long(vals[idx + j], xxh64_hash_long(g, _SEED))
+        return g
+
+    def _windows(batches):
+        for batch in batches:
+            th = batch.column(1)
+            lens = (
+                pc.list_value_length(th)
+                .fill_null(0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            n_grams = np.maximum(lens - (k - 1), 0)
+            total = int(n_grams.sum())
+            if total == 0:
+                continue
+            vals = (
+                th.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .view(np.uint64)
+            )
+            doc_off = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=doc_off[1:])
+            gram_cum = np.zeros(len(n_grams), dtype=np.int64)
+            np.cumsum(n_grams[:-1], out=gram_cum[1:])
+            doc_idx = np.repeat(np.arange(len(lens)), n_grams)
+            within = np.arange(total) - np.repeat(gram_cum, n_grams)
+            idx = doc_off[doc_idx] + within
+            g0 = pa.array(_chain(vals, idx).view(np.int64), type=pa.int64())
+            if wide_keys:
+                v1 = (
+                    batch.column(2)
+                    .flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    .view(np.uint64)
+                )
+                gram = pa.StructArray.from_arrays(
+                    [
+                        g0,
+                        pa.array(
+                            _chain(v1, idx).view(np.int64), type=pa.int64()
+                        ),
+                    ],
+                    names=["h0", "h1"],
+                )
+            else:
+                gram = g0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.take(batch.column(0), pa.array(doc_idx)),
+                    pa.array(within.astype(np.int32), type=pa.int32()),
+                    gram,
+                ],
+                names=["docId", "start", "gram"],
+            )
+
+    out = src.mapInArrow(_windows, out_schema)
+    # single-consumer callers (duplicate_ngram_coverage) skip the
+    # barrier: the windows feed exactly one aggregate, so there is no
+    # recompute to bound and the checkpoint would only add a store
+    return out.localCheckpoint(eager=False) if checkpoint else out
+
+
+def _gram_windows_column(
+    df: "DataFrame",
+    text_col: str,
+    id_col: str,
+    k: int,
+    wide_keys: bool,
+) -> "DataFrame":
+    """The pre-r14 pure-Column form of :func:`_gram_windows` — k−1
+    interpreted ``zip_with(xxhash64)`` passes. Kept as the parity
+    reference for the Arrow kernel (tests/test_gram_kernel_parity.py
+    asserts bit-identical output); not used by any query path."""
     toks = tokens(F.lower(F.col(text_col)))
     tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
     n_grams = F.greatest(F.size(tok_hashes) - F.lit(k - 1), F.lit(0))
