@@ -924,40 +924,96 @@ def sq8_topk(
 
     Emits (queryId, neighborId, approxDot, rank <= k), excluding
     self-pairs.
+
+    r14: scoring runs as a batched BLAS kernel (the cosine_topk_blas
+    device; guide §4.2). The old form was a broadcast pair join whose
+    projection evaluated the interpreted zip_with/aggregate dot fold
+    per (corpus row × query) pair — |corpus|·|Q| interpreted O(dim)
+    folds. The queries (small by the same contract that let them
+    broadcast) now collect to a per-dimension matrix riding the task
+    closure; each Arrow batch of codes scores as ONE
+    scale·(codes @ Qᵀ) product, 6dp half-away rounded (the F.round
+    tie direction), emitting only the per-batch top-k per query — a
+    correct prefix of the total order, so the closing exact window
+    ranks O(k·batches·|Q|) rows, never |corpus|·|Q|. Self-pairs are
+    excluded in the kernel exactly as the old join condition did;
+    dimension-mismatched queries score only same-dim corpus rows
+    (the old size(qv) == dim filter).
     """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
     from pyspark.sql.window import Window  # noqa: PLC0415
 
-    q = queries.select(
-        F.col(id_col).alias("queryId"),
+    qrows = queries.select(
+        F.col(id_col).alias("qid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-    )
-    scored = (
-        corpus_codes.join(
-            F.broadcast(q), F.col("vid") != F.col("queryId"), "inner"
-        )
-        .filter(F.col("codes").isNotNull() & (F.size("qv") == F.col("dim")))
-        .select(
-            "queryId",
+    ).collect()
+    qrows = [r for r in qrows if r["qv"] is not None]
+    qid_type = queries.schema[id_col].dataType.simpleString()
+    vid_type = corpus_codes.schema["vid"].dataType.simpleString()
+    out_schema = f"queryId {qid_type}, neighborId {vid_type}, approxDot double"
+    src = corpus_codes.select("vid", "dim", "scale", "codes")
+    if not qrows:
+        return src.limit(0).select(
+            F.col("vid").cast(qid_type).alias("queryId"),
             F.col("vid").alias("neighborId"),
-            F.round(
-                F.col("scale")
-                * F.aggregate(
-                    F.zip_with(
-                        F.col("qv"),
-                        F.col("codes"),
-                        lambda a, b: a * b.cast("double"),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ).alias("approxDot"),
+            F.lit(None).cast("double").alias("approxDot"),
+            F.lit(None).cast("int").alias("rank"),
         )
-    )
+    qrows.sort(key=lambda r: r["qid"])
+    # queries grouped by dimension: each group is one dense matrix;
+    # a corpus row scores only against the group matching its dim
+    groups: "dict[int, tuple[list, object]]" = {}
+    for d in sorted({len(r["qv"]) for r in qrows}):
+        rows_d = [r for r in qrows if len(r["qv"]) == d]
+        groups[d] = (
+            [r["qid"] for r in rows_d],
+            np.array([list(r["qv"]) for r in rows_d], dtype=np.float64),
+        )
+
+    def _scan(batches):
+        for pdf in batches:
+            # scale is null exactly when codes is null (sq8_encode's
+            # contract); both are dropped, as the old join's filter did
+            sub = pdf[pdf["codes"].notna() & pdf["scale"].notna()]
+            if sub.empty:
+                continue
+            dims = sub["dim"].to_numpy()
+            chunks = []
+            for d, (qids_d, qmat_d) in groups.items():
+                sel = dims == d
+                if not sel.any():
+                    continue
+                rows = sub[sel]
+                mat = np.array(rows["codes"].tolist(), dtype=np.float64)
+                scales = rows["scale"].to_numpy(dtype=np.float64)
+                vids = rows["vid"].to_numpy()
+                scores = _round_half_away(
+                    scales[:, None] * (mat @ qmat_d.T)
+                )  # (batch × |Q_d|)
+                for qi, qid in enumerate(qids_d):
+                    keep = vids != qid
+                    if not keep.any():
+                        continue
+                    s, v = scores[keep, qi], vids[keep]
+                    order = np.lexsort((v, -s))[:k]
+                    chunks.append(
+                        pd.DataFrame(
+                            {
+                                "queryId": [qid] * len(order),
+                                "neighborId": v[order],
+                                "approxDot": s[order],
+                            }
+                        )
+                    )
+            if chunks:
+                yield pd.concat(chunks, ignore_index=True)
+
+    pruned = src.mapInPandas(_scan, out_schema)
     w = Window.partitionBy("queryId").orderBy(
         F.col("approxDot").desc(), F.col("neighborId").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        pruned.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
