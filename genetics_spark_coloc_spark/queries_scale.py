@@ -469,9 +469,17 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``vec_id % 50 == 0`` sample is proportional, so the exact side
     grows O(n^2/50) with the corpus. The production gate uses a FIXED
     ``certify_queries`` sample and BLAS ground truth — see
-    ``steps._sample_queries`` / ``steps._certify_ann_recall``."""
+    ``steps._sample_queries`` / ``steps._certify_ann_recall``.
+
+    r14: the exact side uses :func:`cosine_topk_blas` — tuple-
+    identical to the column form by its r13 contract (6dp half-away
+    rounding before ranking, smaller-id tie-break, junk-vector
+    drops), ~50× its per-pair throughput, and the same kernel the
+    production gate runs; the interpreted column form stays
+    exercised (and oracle-checked) by the dedicated ``cosine_topk``
+    registry query."""
     from genetics_spark_coloc_spark.operators.similarity import (
-        cosine_topk,
+        cosine_topk_blas,
         topk_recall,
     )
 
@@ -479,7 +487,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") < 4)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     approx = ivf_topk(emb, queries, centroids, k=5, nprobe=1)
-    exact = cosine_topk(emb, queries, k=5)
+    exact = cosine_topk_blas(emb, queries, k=5)
     return topk_recall(approx, exact)
 
 
