@@ -34,8 +34,8 @@ SF_DIR = "/root/testdata/sf0.001"
 # corpus size — if it grows with the data, restructure the join
 # instead.
 BNLJ_WHITELIST = {
-    "ann_recall",  # exact-cosine ground truth: broadcast side is the
-    #                O(1) certification query sample (vec_id % 50)
+    # ann_recall left this list in r14: its exact side now runs the
+    # cosine_topk_blas kernel (no pair join at all)
     "bigram_lm",
     "delta_lm_score",  # 1-row broadcast (N, V) model totals
     "l2_topk",  # same tiny certification query sample, != condition
