@@ -160,16 +160,21 @@ def test_bm25_corpus_pass_broadcasts_stats(spark):
 
 
 def test_retrieval_funnel_broadcasts_query_side(spark):
-    """hamming_topk / sq8_topk / mrl_funnel brute-force stages must
-    broadcast the query side — a SortMergeJoin would shuffle the whole
-    corpus per query batch."""
+    """Brute-force retrieval stages must never shuffle the corpus by
+    a query key: hamming_topk / mrl_funnel broadcast the query side
+    (a SortMergeJoin would shuffle the whole corpus per query batch);
+    sq8_topk (r14) goes further — the queries ride the task closure
+    into a MapInPandas BLAS kernel, so there is no pair join at all."""
     from genetics_spark_coloc_spark.plans.inspect import physical_plan
 
-    for name in ["hamming_topk", "sq8_topk", "mrl_funnel"]:
+    for name in ["hamming_topk", "mrl_funnel"]:
         plan = physical_plan(QUERIES[name](spark, SF_DIR))
         assert (
             "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
         ), name
+    plan = physical_plan(QUERIES["sq8_topk"](spark, SF_DIR))
+    assert "MapInPandas" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_weighted_sample_is_take_ordered(spark):
