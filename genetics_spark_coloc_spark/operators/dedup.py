@@ -12,7 +12,9 @@ Designed for trillion-document corpora:
 - **SimHash**: 32-bit signature from per-token md5 bits, hamming
   distance via bit ops.
 
-No UDFs anywhere — explode/groupBy/higher-order functions only.
+No row-at-a-time UDFs anywhere — explode/groupBy/codegen expressions,
+plus one grouped Arrow kernel (SimHash bucket scoring, r14) where the
+per-bucket work is a vectorized m×m Hamming matrix.
 """
 
 from __future__ import annotations
@@ -520,6 +522,83 @@ def simhash(text: Column, bits: int = 32) -> Column:
     )
 
 
+def simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """(docId, sig) SimHash signature table — the DataFrame twin of
+    :func:`simhash`, bit-identical per document but built the shape
+    codegen likes (r14, guide §4.2/§2.3): explode distinct tokens,
+    derive the 32-bit md5 value once per token row, and fold the
+    per-bit ±1 votes as ``bits`` plain ``SUM`` aggregates with
+    map-side partial aggregation. The column form's nested
+    ``aggregate``/``zip_with`` lambdas are interpreted per token ×
+    per bit; here every step is a WholeStageCodegen expression and
+    the only wide operation is one groupBy(docId) exchange.
+
+    Vote parity: bit b of ``conv(substr(md5(tok),1,8),16,10)`` is
+    exactly the hex-digit-map bit the column fold extracts, summed
+    over the same ``array_distinct`` token set; sign and packing
+    match term for term (A/B'd bit-exact on the sf0.1 corpus).
+
+    Null/empty contract (matches :func:`simhash`): null text → null
+    sig; tokenless text → all votes tie at 0 → sig 0. The
+    ``explode_outer`` keeps tokenless docs as a single null-token
+    row, so every input row survives into the aggregate.
+
+    Ids are assumed unique (the documented pipeline runs exact dedup
+    first): rows sharing an id merge into ONE signature here (votes
+    sum across rows), where the column form scored each row
+    independently — the DuckDB-oracle semantics, which also key by
+    id.
+    """
+    if bits > 32:
+        raise ValueError(
+            f"simhash_table: bits={bits} exceeds the 32 bits of hash "
+            "material derived per token (first 8 md5 hex digits)"
+        )
+    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    staged = df.select(
+        F.col(id_col).alias("docId"),
+        F.col(text_col).isNull().alias("_tnull"),
+        F.explode_outer(toks).alias("_tok"),
+    ).select(
+        "docId",
+        "_tnull",
+        F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("_v"),
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.col("_v").isNotNull(),
+                F.shiftright(F.col("_v"), b).bitwiseAND(F.lit(1)) * 2 - 1,
+            )
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    agg = staged.groupBy("docId").agg(F.max("_tnull").alias("_tnull"), *votes)
+    sig = None
+    for b in range(bits):
+        term = (
+            F.when(
+                F.col(f"_b{b}") > 0,
+                F.shiftleft(F.lit(1).cast("long"), b),
+            )
+            .otherwise(F.lit(0).cast("long"))
+        )
+        sig = term if sig is None else sig + term
+    return agg.select(
+        "docId",
+        F.when(F.col("_tnull"), F.lit(None).cast("long"))
+        .otherwise(sig)
+        .alias("sig"),
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -541,38 +620,52 @@ def simhash_near_dup_pairs(
     recall is EXACT, not probabilistic; raising max_hamming beyond
     bands-1 trades recall for a wider radius.
 
-    Scale shape (r14 grouped-explode form — the ``band_self_pairs``
-    device): the only wide operation is ONE ``groupBy(bandIdx,
-    blockVal)`` collecting each block bucket's sorted (docId, sig)
-    members; pairs explode as (ids[i], ids[j]), i < j, and
-    verification is one JVM ``bit_count(xor)`` on the pair, no text
-    touched. The old per-block equi self-join consumed the signature
-    subtree once per side (hence a localCheckpoint barrier) and its
-    guard added a counts aggregate + semi-join; this form computes
-    the md5-vote signature fold exactly once per document with no
-    barrier, pays the block-key exchange the join needed anyway, and
-    the guard rides the same aggregate as a count filter.
+    Scale shape (r14 grouped Arrow kernel — the semantic_dedup
+    device, guide §4.2): the signature fold is ONE codegen'd
+    explode+sum pass (:func:`simhash_table`), then one exchange on
+    (bandIdx, blockVal) feeds a grouped kernel that scores each
+    bucket's m×m Hamming matrix blockwise in numpy (16-bit popcount
+    lookups on the XOR) and emits ONLY surviving pairs. The former
+    slice-explode form materialized Σm² candidate ROWS per band —
+    measured 9.5M rows filtering to 1.57M at sf0.1, and at scale
+    every bucket is |corpus|/2^w — where the kernel's candidate
+    checks are ~1ns array cells that never exist as Spark rows.
+
+    Cross-band dedup is free (min-band emission): the kernel sees
+    both full signatures, so a pair is emitted only from the FIRST
+    band whose blocks match — globally unique with no distinct()
+    exchange over the pair stream. Buckets are hash-spread with an
+    explicit REPARTITION_BY_NUM to the session's configured shuffle
+    partitions (skew.py rationale: AQE sizes this tiny-bytes,
+    compute-heavy stage to one task otherwise).
 
     The per-block buckets carry the same degenerate-family hazard as
-    LSH bands; the shared hot-bucket guard (functions/guards.py)
-    applies with the same ``hot_bucket_ceiling``/``on_hot_bucket``
-    contract — raise mode leaves the output bit-identical. Per-bucket
-    memory is bounded by the guard ceiling.
+    LSH bands; the ``hot_bucket_ceiling``/``on_hot_bucket`` contract
+    moves INTO the kernel (it sees each bucket's row count directly):
+    raise mode aborts with the bucket's size before the quadratic
+    scoring, cap mode drops the bucket. Per-bucket memory is bounded
+    by the ceiling and the blockwise matmul tile.
 
     Output: (leftId, rightId, hammingDist), deduplicated across
-    blocks.
+    blocks. Rows sharing an id never pair (as before); duplicate-id
+    inputs are deduplicated within a bucket, and ids are assumed
+    unique across rows (exact dedup precedes in the documented
+    pipeline) — an id carrying two DIFFERENT signatures may emit a
+    duplicate triple from two buckets, where the old global distinct
+    collapsed it.
     """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
     if bits % bands != 0:
         raise ValueError(f"simhash_pairs: bits {bits} not divisible by bands {bands}")
     validate_on_hot(on_hot_bucket, "simhash_near_dup_pairs")
     w = bits // bands
     mask = (1 << w) - 1
-    base = df.select(
-        F.col(id_col).alias("docId"),
-        simhash(F.col(text_col), bits).alias("sig"),
-    )
+    base = simhash_table(df, text_col, id_col, bits)
     blocks = base.select(
-        F.struct("docId", "sig").alias("_doc"),
+        "docId",
+        "sig",
         F.posexplode(
             F.array(
                 *[
@@ -582,31 +675,90 @@ def simhash_near_dup_pairs(
             )
         ).alias("bandIdx", "blockVal"),
     )
-    grouped = blocks.groupBy("bandIdx", "blockVal").agg(
-        F.sort_array(F.collect_list("_doc")).alias("_ids"),
-        F.count(F.lit(1)).alias("_cnt"),
-    )
-    ok = hot_count_filter(
-        grouped, "_cnt", hot_bucket_ceiling, on_hot_bucket, "simhash_near_dup_pairs"
-    )
-    lefts = ok.select("_ids", F.posexplode("_ids").alias("_i", "_l"))
-    pairs = lefts.select(
-        "_l",
-        F.explode(
-            F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
-        ).alias("_r"),
-    )
-    return (
-        pairs.filter(F.col("_l.docId") != F.col("_r.docId"))
-        .select(
-            F.col("_l.docId").alias("leftId"),
-            F.col("_r.docId").alias("rightId"),
-            F.bit_count(
-                F.col("_l.sig").bitwiseXOR(F.col("_r.sig"))
-            ).cast("int").alias("hammingDist"),
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"leftId {id_type}, rightId {id_type}, hammingDist int"
+    # 16-bit popcount lookup, built once on the driver and shipped in
+    # the closure (64 KB); two lookups cover the <=32-bit signatures.
+    popcnt = np.array([bin(i).count("1") for i in range(65536)], dtype=np.uint8)
+    ceiling = hot_bucket_ceiling
+    capped = on_hot_bucket == "cap"
+
+    def _bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"leftId": [], "rightId": [], "hammingDist": []}
         )
-        .filter(F.col("hammingDist") <= max_hamming)
-        .distinct()
+        m = len(pdf)
+        if ceiling is not None and m > ceiling:
+            if capped:
+                return empty
+            raise ValueError(
+                f"simhash_near_dup_pairs hot-bucket guard: a bucket holds "
+                f"{m} occurrences (> ceiling {ceiling}); the pair scoring "
+                "is quadratic per bucket. Pass on_hot_bucket='cap' to "
+                "exclude degenerate buckets, or raise hot_bucket_ceiling."
+            )
+        sig_na = pdf["sig"].isna().to_numpy()
+        if sig_na.any():
+            pdf = pdf[~sig_na]
+            m = len(pdf)
+        if m < 2:
+            return empty
+        band = int(pdf["bandIdx"].iloc[0])
+        idvals = pdf["docId"].to_numpy()
+        key = idvals
+        if key.dtype == object:
+            # bytes compare == Spark UTF8String binary order
+            key = np.array([k.encode("utf-8") for k in idvals], dtype=object)
+        order = np.argsort(key, kind="stable")
+        ids = idvals[order]
+        sigs = pdf["sig"].to_numpy()[order].astype(np.int64).view(np.uint64)
+        has_dup_ids = bool(pd.Series(ids).duplicated().any())
+        col = np.arange(m)
+        bs = max(1, min(4096, 8_000_000 // m))
+        out_l, out_r, out_d = [], [], []
+        for i0 in range(0, m, bs):
+            i1 = min(i0 + bs, m)
+            x = sigs[i0:i1, None] ^ sigs[None, :]
+            d = popcnt[x & 0xFFFF] + popcnt[x >> 16]
+            keep = (
+                (d <= max_hamming)
+                & (col[None, :] > col[i0:i1, None])
+                & (ids[None, :] != ids[i0:i1, None])
+            )
+            ri, ci = np.nonzero(keep)
+            if band and len(ri):
+                # min-band emission: skip pairs already matched by an
+                # earlier band (their block XOR is zero there)
+                xv = x[ri, ci]
+                surv = np.ones(len(ri), dtype=bool)
+                for b in range(band):
+                    surv &= ((xv >> (w * b)) & mask).astype(bool)
+                ri, ci = ri[surv], ci[surv]
+            if not len(ri):
+                continue
+            out_l.append(ids[i0:i1][ri])
+            out_r.append(ids[ci])
+            out_d.append(d[ri, ci])
+        if not out_l:
+            return empty
+        out = pd.DataFrame(
+            {
+                "leftId": np.concatenate(out_l),
+                "rightId": np.concatenate(out_r),
+                "hammingDist": np.concatenate(out_d).astype(np.int32),
+            }
+        )
+        if has_dup_ids:
+            out = out.drop_duplicates()
+        return out
+
+    _bucket.__annotations__ = {"pdf": pd.DataFrame, "return": pd.DataFrame}
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        blocks.repartition(n, "bandIdx", "blockVal")
+        .groupBy("bandIdx", "blockVal")
+        .applyInPandas(_bucket, out_schema)
     )
 
 

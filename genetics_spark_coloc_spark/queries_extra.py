@@ -14,7 +14,6 @@ from pyspark.sql.window import Window
 
 from genetics_spark_coloc_spark.functions.pvalue import zscore_from_pvalue
 from genetics_spark_coloc_spark.operators import finemapping, l2g
-from genetics_spark_coloc_spark.operators.dedup import simhash
 from genetics_spark_coloc_spark.operators.multimodal import frame_sample_plan
 from genetics_spark_coloc_spark.queries import SUMSTATS_SQL, TAGS_SQL, _sumstats, _tags
 from genetics_spark_coloc_spark.sources.tables import load_table
@@ -436,10 +435,14 @@ FROM s7
 
 # ------------------------------------------------------------------ simhash
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document (near-dup fingerprint)."""
+    """32-bit SimHash per document (near-dup fingerprint) — the
+    codegen'd explode+sum table form (r14; bit-exact twin of the
+    column fold, see dedup.simhash_table)."""
+    from genetics_spark_coloc_spark.operators.dedup import simhash_table
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        F.col("doc_id").alias("docId"), simhash(F.col("text")).alias("simhash")
+    return simhash_table(docs, "text", "doc_id").select(
+        F.col("docId"), F.col("sig").alias("simhash")
     )
 
 
