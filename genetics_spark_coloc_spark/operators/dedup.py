@@ -457,13 +457,19 @@ def edit_distance_verify(
     """
     trunc = F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, max_len)
     texts = df.select(F.col(id_col).alias("docId"), trunc.alias("t"))
-    # spread the NARROW pair rows before the text joins: the pair
-    # table is a few bytes per row, so AQE's byte-based coalescing
-    # collapses it to one partition and the O(len·k) kernel below ran
-    # as a single task (measured 13 s on one core for 11.7k pairs
-    # while 31 cores idled); repartitioning the ids costs one tiny
-    # exchange and the broadcast text joins preserve the spread
-    pairs = spread_for_compute(pairs, "leftId", "rightId")
+    # spread the pair rows AFTER the text joins, immediately before
+    # the kernel projection: the O(len·k) kernel's parallelism must
+    # not depend on which join strategy the planner picks. The old
+    # pre-join spread assumed the texts side would be the broadcast
+    # build; when stats drift makes the (tiny, guarded) PAIR side the
+    # broadcast build instead — the scale-correct plan — the kernel
+    # inherits the probe scan's partitioning (ONE split for a local
+    # parquet file) and the spread sits uselessly inside the
+    # BroadcastExchange (measured: 2.1 → 10.5 s when an Arrow node
+    # upstream shrank the pair-side estimate). Spreading the joined
+    # rows costs one exchange of the kernel's own input — bounded by
+    # the guarded pair count and amortized by the super-linear kernel
+    # it parallelizes — and is invariant to the join shape.
     joined = pairs.join(
         texts.select(F.col("docId").alias("leftId"), F.col("t").alias("lt")),
         on="leftId",
@@ -471,6 +477,7 @@ def edit_distance_verify(
         texts.select(F.col("docId").alias("rightId"), F.col("t").alias("rt")),
         on="rightId",
     )
+    joined = spread_for_compute(joined, "leftId", "rightId")
     max_side = F.greatest(F.length("lt"), F.length("rt"))
     if threshold is None:
         dist = F.levenshtein("lt", "rt")
