@@ -268,6 +268,7 @@ def lsh_candidate_pairs(
     band_size: int = 2,
     hot_bucket_ceiling: "int | None" = 10_000,
     on_hot_bucket: str = "raise",
+    star: bool = False,
 ) -> DataFrame:
     """Band the signature and self-join buckets -> candidate pairs.
 
@@ -302,6 +303,7 @@ def lsh_candidate_pairs(
         hot_bucket_ceiling=hot_bucket_ceiling,
         on_hot_bucket=on_hot_bucket,
         context="lsh_candidate_pairs",
+        star=star,
     )
 
 
@@ -310,6 +312,7 @@ def band_self_pairs(
     hot_bucket_ceiling: "int | None" = 10_000,
     on_hot_bucket: str = "raise",
     context: str = "band_self_pairs",
+    star: bool = False,
 ) -> DataFrame:
     """Guarded bucket pairing of a band table (docId, bandIdx,
     bandHash) → distinct (leftId < rightId) candidate pairs — the
@@ -332,6 +335,19 @@ def band_self_pairs(
     the guard's two broadcast exchanges. Per-bucket memory is bounded
     by the guard ceiling (the exploded slice rows are streamed, only
     the id list itself — 8 bytes × ≤ceiling — is held per row).
+
+    ``star=True`` emits, per bucket, only the SPANNING STAR (bucket
+    min id → every other member) instead of the full C(m, 2) clique —
+    m−1 edges instead of m(m−1)/2. The union-over-buckets graph then
+    has exactly the same CONNECTED COMPONENTS as the clique form
+    (each bucket stays one connected set), so consumers that feed the
+    pairs ONLY to :func:`operators.graph.connected_components` (the
+    dedup-cluster family) get identical clusters from a graph whose
+    edge count is linear, not quadratic, in bucket occupancy — at any
+    scale the CC loop's per-round join shrinks by ~mean(m)/2 and min
+    labels propagate through the bucket hub in one hop. NOT for
+    consumers that verify pairs (Jaccard/edit-distance): the star is
+    a connectivity certificate, not the candidate-pair set.
     """
     validate_on_hot(on_hot_bucket, context)
     grouped = bands.groupBy("bandIdx", "bandHash").agg(
@@ -343,16 +359,29 @@ def band_self_pairs(
     ok = hot_count_filter(
         grouped, "_bucket_cnt", hot_bucket_ceiling, on_hot_bucket, context
     )
-    lefts = ok.select(
-        "_ids", F.posexplode("_ids").alias("_i", "leftId")
-    )
-    return (
-        lefts.select(
+    if star:
+        pairs = ok.select(
+            F.element_at("_ids", 1).alias("leftId"),
+            F.explode(
+                F.slice(
+                    F.col("_ids"),
+                    2,
+                    F.greatest(F.size("_ids") - 1, F.lit(0)),
+                )
+            ).alias("rightId"),
+        )
+    else:
+        lefts = ok.select(
+            "_ids", F.posexplode("_ids").alias("_i", "leftId")
+        )
+        pairs = lefts.select(
             "leftId",
             F.explode(
                 F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
             ).alias("rightId"),
         )
+    return (
+        pairs
         # exact join parity when a bucket holds DUPLICATE doc ids (a
         # re-appended doc in a persisted band index): the old strict
         # `<` predicate never paired a doc with itself; the sorted
@@ -370,14 +399,21 @@ def minhash_dedup_pairs(
     band_size: int = 2,
     hot_bucket_ceiling: "int | None" = 10_000,
     on_hot_bucket: str = "raise",
+    star: bool = False,
 ) -> DataFrame:
-    """Full MinHash-LSH near-duplicate candidate pipeline."""
+    """Full MinHash-LSH near-duplicate candidate pipeline.
+
+    ``star`` forwards to :func:`band_self_pairs` — per-bucket spanning
+    star instead of the full clique; same connected components, for
+    CC-only consumers.
+    """
     return lsh_candidate_pairs(
         minhash_signatures(df, text_col, id_col, num_perm),
         num_perm,
         band_size,
         hot_bucket_ceiling=hot_bucket_ceiling,
         on_hot_bucket=on_hot_bucket,
+        star=star,
     )
 
 
@@ -999,6 +1035,7 @@ def incremental_lsh_candidates(
     on_hot_bucket: str = "raise",
     index_bands: DataFrame | None = None,
     index_guard: bool = True,
+    delta_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates of a NEW batch against an EXISTING corpus:
     band the delta, join it against the INDEX's band table — never
@@ -1055,10 +1092,18 @@ def incremental_lsh_candidates(
         )
     # checkpoint the delta band table: the guard (counts + semi
     # probe) and the join each re-derive it otherwise — three corpus
-    # scans + shingle hashes (see lsh_candidate_pairs)
+    # scans + shingle hashes (see lsh_candidate_pairs). A caller that
+    # ALSO needs the delta's bands (e.g. for intra-delta self pairs)
+    # passes its own (docId, bandIdx, bandHash) table via
+    # ``delta_bands`` so the shingle→minhash chain runs once, not
+    # twice (r14); it must be built with the same num_perm/band_size.
     dbands = guard_hot_buckets(
-        _band_hashes(delta, text_col, id_col, num_perm, band_size).localCheckpoint(
-            eager=False
+        (
+            delta_bands
+            if delta_bands is not None
+            else _band_hashes(
+                delta, text_col, id_col, num_perm, band_size
+            ).localCheckpoint(eager=False)
         ),
         ["bandIdx", "bandHash"],
         hot_bucket_ceiling,

@@ -19,7 +19,7 @@ and even pathological chains need O(log n).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -388,17 +388,16 @@ def duplicate_clusters(
         # the symmetric union cannot contain duplicates
         dedup_edges=False,
     )
-    sizes = comp.groupBy("component").agg(
-        F.count(F.lit(1)).alias("clusterSize")
-    )
-    return (
-        comp.join(sizes, on="component")
-        .select(
-            F.col("id").alias("docId"),
-            F.col("component").alias("clusterId"),
-            F.col("clusterSize").cast("long").alias("clusterSize"),
-            (F.col("id") == F.col("component")).alias("isKeeper"),
-        )
+    # cluster size rides ONE window over the component exchange: the
+    # old groupBy + join-back consumed `comp` twice (its final
+    # subtree — the isolated-vertex anti-join + union — re-executed
+    # per consumer) and paid two exchanges where this pays one (r14)
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("id").alias("docId"),
+        F.col("component").alias("clusterId"),
+        F.count(F.lit(1)).over(w).cast("long").alias("clusterSize"),
+        (F.col("id") == F.col("component")).alias("isKeeper"),
     )
 
 

@@ -93,7 +93,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from genetics_spark_coloc_spark.operators.graph import duplicate_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_dedup_pairs(docs, "text", "doc_id", num_perm=8, band_size=2)
+    # NOT star=True here (r14): this corpus's buckets are small
+    # (11.7k clique pairs over 50k docs), so the spanning-star edge
+    # reduction saves little join volume while its longer intra-bucket
+    # paths cost one extra convergence round — isolated 2×2 A/B
+    # measured clique 5.0-5.1 s vs star 6.1 s. The star form pays off
+    # on clique-heavy graphs (see q_delta_dedup_clusters' history
+    # pairs: 154k → ~2k edges, measured faster).
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "text", "doc_id", num_perm=8, band_size=2
+    )
     return duplicate_clusters(docs, pairs)
 
 
@@ -4290,6 +4299,8 @@ def q_delta_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the FULL-corpus recursive-CTE components over the
     planted union graph: the certificate that incremental maintenance
     equals the full recompute."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
     from genetics_spark_coloc_spark.operators import dedup
     from genetics_spark_coloc_spark.operators.graph import (
         connected_components,
@@ -4304,7 +4315,9 @@ def q_delta_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands_hist = dedup.lsh_band_index(
         hist, text_col="content", num_perm=8, band_size=2
     ).localCheckpoint(eager=False)
-    hist_pairs = dedup.band_self_pairs(bands_hist)
+    # star=True: these pairs feed ONLY the CC solve — per-bucket
+    # spanning star, identical components, ~m/2× fewer edges (r14)
+    hist_pairs = dedup.band_self_pairs(bands_hist, star=True)
     # converge-checked CC at the r14-measured sweet spot (unroll=2,
     # check_every=1 with the one-aggregation sum witness — see
     # connected_components' docstring); deeper unrolls and fixed-round
@@ -4320,34 +4333,48 @@ def q_delta_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unroll": 2,
         "dedup_edges": False,
     }
+    # band the delta ONCE (r14): the cross join and the intra-delta
+    # star pairs share one shingle→minhash chain via delta_bands
+    bands_delta = dedup._band_hashes(
+        delta, "content", "doc_id", 8, 2
+    ).localCheckpoint(eager=False)
+    # (r14 dead end, kept so it is not re-tried: materializing
+    # bands_delta on a SIDE THREAD overlapped with the history CC
+    # loop — guide §2.6 — drilled 11.8 → 14.3 s solo: the concurrent
+    # job stretches every loop-action wave on this workload.)
+    # the incremental solve consumes the history labeling four times
+    # (two canonicalization joins, the history remap, the new-vertex
+    # anti-join); the lazy checkpoint stops the CC tail (isolated-
+    # vertex anti-join + union) re-executing per consumer (r14)
     labels_hist = connected_components(
         hist.select(F.col("doc_id").alias("id")), hist_pairs, **cc_kw
-    )
+    ).localCheckpoint(eager=False)
     delta_cross = dedup.incremental_lsh_candidates(
         delta,
         index_bands=bands_hist,
         text_col="content",
         num_perm=8,
         band_size=2,
+        delta_bands=bands_delta,
     ).select(
         F.col("deltaId").alias("leftId"), F.col("indexId").alias("rightId")
     )
-    delta_self = dedup.minhash_dedup_pairs(
-        delta, "content", "doc_id", num_perm=8, band_size=2
-    ).select("leftId", "rightId")
+    delta_self = dedup.band_self_pairs(bands_delta, star=True).select(
+        "leftId", "rightId"
+    )
     comp = incremental_connected_components(
         labels_hist,
         delta_cross.unionByName(delta_self),
         delta_vertices=delta.select(F.col("doc_id").alias("id")),
         **cc_kw,
     )
-    sizes = comp.groupBy("component").agg(
-        F.count(F.lit(1)).alias("clusterSize")
-    )
-    return comp.join(sizes, on="component").select(
+    # cluster size via ONE window on the component exchange — the old
+    # groupBy + join-back executed comp's final subtree twice (r14)
+    w = Window.partitionBy("component")
+    return comp.select(
         F.col("id").alias("docId"),
         F.col("component").alias("clusterId"),
-        F.col("clusterSize").cast("long").alias("clusterSize"),
+        F.count(F.lit(1)).over(w).cast("long").alias("clusterSize"),
         (F.col("id") == F.col("component")).alias("isKeeper"),
     )
 

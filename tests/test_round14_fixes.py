@@ -319,3 +319,51 @@ class TestCcKernelR14:
                 ).collect()
             }
             assert got == {0: 0, 1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 6, 7: 7}
+
+
+class TestStarPairs:
+    """band_self_pairs(star=True): per-bucket spanning star — same
+    connected components as the clique form, m-1 edges per bucket."""
+
+    def _bands(self, spark):
+        # two buckets sharing doc 5 (chained component) + a singleton
+        rows = [
+            (1, 0, "A"), (5, 0, "A"), (9, 0, "A"),
+            (5, 1, "B"), (20, 1, "B"), (30, 1, "B"),
+            (40, 0, "C"),
+        ]
+        return spark.createDataFrame(
+            rows, "docId long, bandIdx int, bandHash string"
+        )
+
+    def test_star_edge_set(self, spark):
+        from genetics_spark_coloc_spark.operators.dedup import band_self_pairs
+
+        got = {
+            (r["leftId"], r["rightId"])
+            for r in band_self_pairs(self._bands(spark), star=True).collect()
+        }
+        # bucket min -> every other member; singleton bucket emits none
+        assert got == {(1, 5), (1, 9), (5, 20), (5, 30)}
+
+    def test_star_components_equal_clique(self, spark):
+        from pyspark.sql import functions as F
+
+        from genetics_spark_coloc_spark.operators.dedup import band_self_pairs
+        from genetics_spark_coloc_spark.operators.graph import (
+            connected_components,
+        )
+
+        bands = self._bands(spark)
+        verts = bands.select(F.col("docId").alias("id")).distinct()
+        out = {}
+        for star in (False, True):
+            pairs = band_self_pairs(bands, star=star)
+            out[star] = {
+                r["id"]: r["component"]
+                for r in connected_components(
+                    verts, pairs, until_converged=True, dedup_edges=False
+                ).collect()
+            }
+        assert out[True] == out[False]
+        assert out[True] == {1: 1, 5: 1, 9: 1, 20: 1, 30: 1, 40: 40}
