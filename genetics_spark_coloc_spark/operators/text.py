@@ -3168,6 +3168,7 @@ def lm_stupid_backoff_score(
     lm: "DataFrame | None" = None,
     order: int = 3,
     alpha: float = 0.4,
+    lm_aggregated: bool = False,
 ) -> "DataFrame":
     """Per-document Stupid-Backoff n-gram LM score — the production
     form of the CCNet perplexity filter (Wenzek et al. 2020 train a
@@ -3216,25 +3217,53 @@ def lm_stupid_backoff_score(
             f"lm_stupid_backoff_score: order must be 2 or 3, got {order}"
         )
     a = float(alpha)
-    if lm is None:
+    col = F.col(text_col)
+    self_trained = lm is None
+    if self_trained:
         lm = ngram_lm_table(df, text_col, order=int(order))
-    # re-aggregate per gram FIRST (the additive shard contract: a
-    # multi-shard table carries duplicate gram rows) — computing V as
-    # a row count before this would overcount sharded vocabularies.
+        # ngram_lm_table emits exactly one row per gram
+        lm_aggregated = True
+    # ``lm_aggregated=True`` declares the table already carries ONE
+    # row per gram (true for a fresh ngram_lm_table or a compacted
+    # at-rest table) — the per-gram re-aggregation below is then an
+    # identity and its full gram-keyed exchange is skipped (r14).
+    # Passing it for a MULTI-SHARD table with duplicate gram rows
+    # would double-count nothing but mis-join (duplicate lookup rows
+    # fan out the pivot) — callers own that declaration.
     # (r14 note: a lazy localCheckpoint on `counts` was drilled and
     # REJECTED — the ExistingRDD barrier hides the build-side size
     # estimate, degrading the lookup broadcast join, and the model
     # lineage only has two executions here; measured 3.8 -> 5.3 s
     # WORSE at sf0.1. Deliberately left as-is.)
-    counts = lm.groupBy("gram").agg(F.sum("cnt").alias("_c"))
-    uni = lm.filter(F.col("n") == 1).groupBy("gram").agg(
-        F.sum("cnt").alias("_cu")
-    )
-    totals = uni.agg(
-        F.sum("_cu").alias("_N"), F.count(F.lit(1)).alias("_V")
-    )
-
-    col = F.col(text_col)
+    if lm_aggregated:
+        counts = lm.select("gram", F.col("cnt").cast("long").alias("_c"))
+    else:
+        # re-aggregate per gram FIRST (the additive shard contract: a
+        # multi-shard table carries duplicate gram rows) — computing V
+        # as a row count before this would overcount sharded
+        # vocabularies.
+        counts = lm.groupBy("gram").agg(F.sum("cnt").alias("_c"))
+    if self_trained:
+        # the model's unigram margin IS the corpus' token bag (same
+        # tokenizer, same rows), so (N, V) come from one unigram-only
+        # scan of ``df`` instead of re-executing the full 1..order-gram
+        # explode + count lineage a second time (r14; bit-identical:
+        # N = total token occurrences, V = distinct tokens)
+        totals = df.select(
+            F.explode(tokens(F.lower(col))).alias("_t")
+        ).agg(
+            F.count(F.lit(1)).alias("_N"),
+            F.count_distinct(F.col("_t")).alias("_V"),
+        )
+    else:
+        uni = lm.filter(F.col("n") == 1)
+        if not lm_aggregated:
+            uni = uni.groupBy("gram").agg(F.sum("cnt").alias("_cu"))
+        else:
+            uni = uni.select("gram", F.col("cnt").alias("_cu"))
+        totals = uni.agg(
+            F.sum("_cu").alias("_N"), F.count(F.lit(1)).alias("_V")
+        )
     t1 = tokens(F.lower(col))
     if int(order) == 2:
         keys = F.concat(F.slice(t1, 1, 1), word_ngrams(col, 2))

@@ -4464,8 +4464,15 @@ def q_delta_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     model = ngram_lm_table(docs.filter(F.col("doc_id") % 10 != 0))
+    # lm_aggregated: the model comes straight from ngram_lm_table
+    # (one row per gram), so the operator's shard re-aggregation is an
+    # identity — declaring it skips a full gram-keyed exchange (r14)
     return lm_stupid_backoff_score(
-        docs.filter(F.col("doc_id") % 10 == 0), "text", "doc_id", lm=model
+        docs.filter(F.col("doc_id") % 10 == 0),
+        "text",
+        "doc_id",
+        lm=model,
+        lm_aggregated=True,
     )
 
 
