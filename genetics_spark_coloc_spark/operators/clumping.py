@@ -87,7 +87,15 @@ def window_based_clumping(
     significant = sumstats.filter(
         pvalue_pair_lte(F.col("pValueMantissa"), F.col("pValueExponent"), gwas_significance)
     )
-    clustered = cluster_peaks(significant, distance)
+    # two consumers below (the cluster-lead aggregate and the ranked
+    # join-back) — without a barrier the whole upstream pipeline
+    # (source parse + significance filter + the two cluster_peaks
+    # windows) executes twice per query (r14: measured in the
+    # gwas_catalog_top_hits plan as a full duplicated subtree on both
+    # SortMergeJoin sides)
+    clustered = cluster_peaks(significant, distance).localCheckpoint(
+        eager=False
+    )
 
     step = _greedy_lead_positions(None)
     # One positions-array per CLUSTER via groupBy (map-side combine,
