@@ -62,47 +62,43 @@ def connected_components(
       checked round instead of two or three. Reliable-checkpoint mode
       (``checkpoint_dir`` set) keeps eager rounds: the
       superseded-checkpoint disk sweep needs materialization order.
-    - **The convergence witness is ``sum(label)``, not a self-join.**
-      Labels are monotone non-increasing (propagate takes a min;
-      shortcut takes a ``least``) over a FIXED vertex set, so the sum
-      strictly decreases until the fixed point and is EQUAL between two
-      checked rounds iff no label changed — one tiny aggregation
-      replaces the labels-vs-previous join. Sums are exact
-      ``decimal(38,0)``; an empty loop set (no edges) witnesses
-      convergence immediately. First check only baselines the sum, so
-      a budget that ends exactly at convergence falls through to the
-      bridging-edge check below, which verifies convergence exactly —
-      no spurious raise. The sum witness applies only to INTEGRAL id
-      types (byte/short/int/long); any other id type (string ids are
-      legal) keeps the exact labels-vs-previous join check, since a
-      failed cast would sum to NULL and falsely witness convergence.
+    - **The convergence witness is the bridging-edge check** (r14,
+      replacing the r13 sum witness): converged iff no edge joins two
+      different labels — exact for EVERY id type (strings included),
+      and decisive on the very action that converges (the sum witness
+      needed one extra no-change segment as its baseline). Proof in
+      the inline comment at ``_bridging``.
+    - **Self-loop propagate + growing segments** (r14): the symmetric
+      edge table carries a self-loop per incident vertex, so each
+      propagation is ONE join + ONE aggregation referencing the
+      labels table once — the old union-with-self referenced it
+      twice and the per-propagation shortcut twice more, growing the
+      lazily-built segment plan 4× per propagation, which is what
+      made unrolls deeper than 2 slower (Catalyst choked on 4^k
+      subtree copies, measured r14). With linear plan growth the
+      schedule runs ``unroll`` propagations in the first checked
+      segment and 2×``unroll`` in later ones, and the
+      pointer-doubling shortcut every 2nd propagation: deep chains
+      amortize per-action latency over twice the work while small
+      graphs still stop after one cheap segment. Measured on the
+      sf0.1 LSH graphs: 7 → 4 actions / 5.2 → 3.0 s (clique-heavy
+      history graph), 5 → 3 actions / 3.1 → 2.4 s (corpus graph),
+      labelings bit-equal. Total propagations stay bounded by
+      ``num_rounds × unroll`` — the same budget as before.
 
     ``dedup_edges=False`` skips the symmetric edge table's
     ``distinct()``: duplicate edges cannot change any min, only inflate
     the per-round join, so callers whose pair generator already emits
     distinct oriented pairs (the LSH/banded family) save the exchange.
 
-    ``num_rounds`` bounds the propagate+shortcut iterations; set
-    ``until_converged`` to stop early when a round changes nothing
-    (costs one count() action per check — leave it off inside larger
-    pipelines and size num_rounds instead). ``check_every`` spaces
-    the convergence checks: near-dup graphs converge in a handful of
-    rounds, and checking every 2nd round halves the check actions at
-    the cost of at most one redundant (cheap, already-converged)
-    round. Extra pointer jumps per round do NOT reduce the round
-    count here — propagation along chained LSH cliques is bounded by
-    the edge joins, not pointer depth (measured) — so the loop keeps
-    one jump per round.
-
-    ``unroll`` stacks that many propagate+shortcut steps into ONE
-    lazily-built plan before each checkpoint/convergence check: the
-    total join work is unchanged, but materializations (each paying
-    plan compile + scheduling + an eager checkpoint under
-    ``until_converged``) drop by the unroll factor. Measured on the
-    sf0.1 LSH graph (one 2.2k-vertex chained component, 10
-    propagation rounds to converge): unroll=2 + check_every=2 cuts
-    wall 8.3 → 5.9 s. ``num_rounds`` still bounds OUTER rounds, so
-    the propagation budget is num_rounds × unroll.
+    ``num_rounds × unroll`` bounds the total propagations; set
+    ``until_converged`` to stop early (costs one bridging count()
+    action per check — leave it off inside larger pipelines and size
+    num_rounds instead). ``check_every`` spaces the convergence
+    checks across segments (default 1 — the growing schedule already
+    spaces the work). ``unroll`` sizes the FIRST checked segment;
+    later segments run 2×``unroll`` propagations (see the schedule
+    bullet above).
 
     When ``until_converged`` is off, a single cheap final check
     verifies no edge still connects two different labels and raises
@@ -111,8 +107,9 @@ def connected_components(
     ``raise_on_unconverged=False`` only when a caller checks (or
     tolerates) convergence itself.
 
-    Pass a dict as ``stats_out`` to receive ``{"rounds": executed,
-    "converged": bool}`` — the scale probes record the round count
+    Pass a dict as ``stats_out`` to receive ``{"rounds": <checked
+    segments executed>, "propagations": <total propagations run>,
+    "converged": bool}`` — the scale probes record the loop effort
     this way without re-implementing the loop.
 
     ``checkpoint_dir`` swaps the per-round localCheckpoint (blocks
@@ -204,117 +201,122 @@ def connected_components(
         sym = sym.distinct()
     # every round joins against the edge table; without this the
     # upstream pair-generation pipeline (e.g. MinHash-LSH) would
-    # re-execute once per round. In eager reliable-checkpoint mode
-    # sym is materialized NOW so its rdd dirs can be pinned out of
-    # the per-round superseded-checkpoint cleanup.
+    # re-execute once per round. The table carries a SELF-LOOP per
+    # incident vertex (r14): propagate then includes the vertex's own
+    # label through the join itself, so each propagation references
+    # the labels table ONCE — the old union-with-self referenced it
+    # twice, doubling the lazily-built plan per propagation and
+    # making unrolls deeper than 2 unplannable (4^k subtree copies).
+    # Self-loops are invisible to the bridging convergence check
+    # below (their two label lookups are equal by construction).
+    # In eager reliable-checkpoint mode sym is materialized NOW so
+    # its rdd dirs can be pinned out of the per-round
+    # superseded-checkpoint cleanup.
     cleanup = ckpt_root is not None and until_converged
+    incident = sym.select("src").distinct()
+    sym = sym.unionByName(
+        incident.select("src", F.col("src").alias("dst"))
+    )
     sym = _ckpt(sym, eager=cleanup)
     pinned_ids = set(_rdd_dirs()) if cleanup else set()
     # only vertices an edge can reach ride the loop; the isolated rest
     # are singleton components appended after (sym is symmetric, so
-    # its src side covers every endpoint). No checkpoint of its own:
-    # the loop init consumes it once (off checkpointed sym), and the
-    # final anti-join reads the FINAL labels table instead — same id
-    # set, and already the one checkpoint the return must outlive.
+    # its src side covers every endpoint — self-loops don't widen it).
+    # No checkpoint of its own: the loop init consumes it once (off
+    # checkpointed sym), and the final anti-join reads the FINAL
+    # labels table instead — same id set, and already the one
+    # checkpoint the return must outlive.
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
     )
-    # labels are monotone non-increasing over the fixed active set, so
-    # sum(label) is an exact convergence witness (see docstring) — but
-    # ONLY for integral ids: any other type (strings, decimals with
-    # scale) would cast to NULL/rounded and the sum could falsely
-    # witness convergence. Non-integral ids keep the exact join check.
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
-    integral_ids = isinstance(
-        sym.schema["src"].dataType,
-        (ByteType, ShortType, IntegerType, LongType),
-    )
-    prev_sum = None
-    executed = 0
-    for _ in range(num_rounds):
-        executed += 1
-        prev = labels
-        for _step in range(max(1, unroll)):
-            # propagate: min label over self + neighbours
-            nbr = (
-                sym.join(labels.withColumnRenamed("id", "src"), on="src")
-                .select(F.col("dst").alias("id"), "label")
+    def _bridging(lbl: DataFrame) -> int:
+        # EXACT convergence witness, any id type (r14): converged iff
+        # no edge joins two labels. (⇐) no bridging edge ⇒ labels are
+        # constant per component, and each component contains its own
+        # minimum m with label(m) = m (labels only ever hold reachable
+        # ids ≥ the component minimum and start at the vertex itself),
+        # so every label IS the component minimum. (⇒) trivial. Unlike
+        # the r13 sum witness this needs NO second no-change segment —
+        # the loop stops on the exact converging action — and it is
+        # type-agnostic, so the old string-id join fallback is gone.
+        return (
+            sym.join(
+                lbl.select(
+                    F.col("id").alias("src"), F.col("label").alias("_l1")
+                ),
+                on="src",
             )
-            labels = (
-                labels.unionByName(nbr)
-                .groupBy("id")
-                .agg(F.min("label").alias("label"))
+            .join(
+                lbl.select(
+                    F.col("id").alias("dst"), F.col("label").alias("_l2")
+                ),
+                on="dst",
             )
-            # shortcut: jump to the label's own label (pointer doubling)
-            lab2 = labels.select(
-                F.col("id").alias("lid"), F.col("label").alias("llabel")
-            )
-            labels = (
-                labels.join(lab2, labels.label == lab2.lid, "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("label"),
-                        F.coalesce(F.col("llabel"), F.col("label")),
-                    ).alias("label"),
-                )
-            )
-        labels = _ckpt(labels, eager=cleanup)
-        if until_converged and _ % max(1, check_every) == max(1, check_every) - 1:
-            if integral_ids:
-                # one aggregation: materializes the (lazy) checkpoint
-                # and reads back a single scalar — not a data collect.
-                # Exact: sum of long ids cannot overflow decimal(38,0)
-                # below ~1e19 rows.
-                s = labels.agg(
-                    F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-                ).collect()[0]["s"]
-                if s is None or (prev_sum is not None and s == prev_sum):
-                    converged = True
-                    if cleanup:
-                        _drop_superseded(pinned_ids)
-                    break
-                prev_sum = s
-            else:
-                changed = (
-                    labels.alias("n")
-                    .join(prev.alias("p"), on="id")
-                    .filter(F.col("n.label") != F.col("p.label"))
-                    .limit(1)
-                    .count()
-                )
-                if changed == 0:
-                    converged = True
-                    if cleanup:
-                        _drop_superseded(pinned_ids)
-                    break
-        # the superseded-round sweep runs AFTER the convergence check:
-        # `prev` (last round's checkpoint) can feed that join and only
-        # becomes garbage once the check has consumed it
-        if cleanup:
-            _drop_superseded(pinned_ids)
-    else:
-        converged = False
-    if not converged and raise_on_unconverged:
-        # round budget exhausted: converged iff no edge still bridges
-        # two labels (one join + limit(1) — cheap relative to a round)
-        src_lab = labels.select(
-            F.col("id").alias("src"), F.col("label").alias("_srcLabel")
-        )
-        dst_lab = labels.select(
-            F.col("id").alias("dst"), F.col("label").alias("_dstLabel")
-        )
-        bridging = (
-            sym.join(src_lab, on="src")
-            .join(dst_lab, on="dst")
-            .filter(F.col("_srcLabel") != F.col("_dstLabel"))
+            .filter(F.col("_l1") != F.col("_l2"))
             .limit(1)
             .count()
         )
-        if bridging > 0:
+
+    # propagation schedule (r14): the first checked segment runs
+    # `unroll` propagations, later segments 2×`unroll` — small graphs
+    # stop after one cheap segment, deep chains amortize the
+    # per-action latency (driver round-trip + AQE stage waves) over
+    # more propagations. The pointer-doubling shortcut runs every 2nd
+    # propagation: its join references labels twice, so per-prop
+    # shortcutting is what made deep unrolls blow up the plan; every
+    # 2nd measured round-equivalent on chained LSH graphs at half the
+    # plan growth. Total propagations stay bounded by
+    # num_rounds × unroll — the SAME budget the r13 loop had.
+    budget = num_rounds * max(1, unroll)
+    step_unroll = max(1, unroll)
+    spent = 0
+    executed = 0
+    converged = False
+    while spent < budget:
+        executed += 1
+        seg = min(step_unroll if executed == 1 else 2 * step_unroll,
+                  budget - spent)
+        spent += seg
+        for _step in range(seg):
+            # propagate: min label over self (self-loop) + neighbours
+            labels = (
+                sym.join(labels.withColumnRenamed("id", "src"), on="src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("label").alias("label"))
+            )
+            if (_step + 1) % 2 == 0:
+                # shortcut: jump to the label's own label
+                lab2 = labels.select(
+                    F.col("id").alias("lid"), F.col("label").alias("llabel")
+                )
+                labels = (
+                    labels.join(lab2, labels.label == lab2.lid, "left")
+                    .select(
+                        "id",
+                        F.least(
+                            F.col("label"),
+                            F.coalesce(F.col("llabel"), F.col("label")),
+                        ).alias("label"),
+                    )
+                )
+        labels = _ckpt(labels, eager=cleanup)
+        if until_converged and executed % max(1, check_every) == 0:
+            # the count materializes the (lazy) checkpoint and reads
+            # back a single scalar — not a data collect
+            if _bridging(labels) == 0:
+                converged = True
+                if cleanup:
+                    _drop_superseded(pinned_ids)
+                break
+        # the superseded-round sweep runs AFTER the convergence check
+        if cleanup:
+            _drop_superseded(pinned_ids)
+    if not converged and raise_on_unconverged:
+        # budget exhausted (or checks disabled): one final exact check
+        if _bridging(labels) > 0:
             raise RuntimeError(
                 f"connected_components did not converge in {num_rounds} "
                 "rounds (an edge still bridges two labels); raise "
@@ -329,7 +331,7 @@ def connected_components(
         _drop_superseded(set())
     if stats_out is not None:
         stats_out["rounds"] = executed
-        stats_out["propagations"] = executed * max(1, unroll)
+        stats_out["propagations"] = spent
         stats_out["converged"] = converged
     # isolated vertices (never touched by an edge) are their own
     # singleton component; they skipped the loop entirely. The

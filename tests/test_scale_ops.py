@@ -2777,7 +2777,10 @@ def test_connected_components_unroll_parity(spark):
         ).collect()
     }
     assert base == unrolled
-    assert stats["converged"] and stats["propagations"] == stats["rounds"] * 2
+    # r14 growing schedule: first segment = unroll props, later
+    # segments 2x unroll — propagations lie within that envelope
+    assert stats["converged"]
+    assert 2 <= stats["propagations"] <= 2 + (stats["rounds"] - 1) * 4
     want = {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 6, 7: 6, 8: 6, 9: 9, 10: 9, 11: 11}
     assert base == want
 
