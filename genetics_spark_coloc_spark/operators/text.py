@@ -2529,6 +2529,12 @@ def bpe_train_merges(
             .orderBy(F.desc("pairCount"), F.asc("pair"))
             .limit(1)
         )
+        if materialize_rounds and r + 1 < n_merges:
+            # the ONE-ROW winner has two consumers (the emitted merge
+            # table and the next round's rewrite broadcast) — without
+            # a barrier the full corpus pair count runs twice per
+            # round (r14)
+            win = win.localCheckpoint(eager=False)
         winners.append(
             win.select(
                 F.lit(r + 1).cast("int").alias("mergeRank"),
