@@ -266,11 +266,19 @@ def connected_components(
     # per-action latency (driver round-trip + AQE stage waves) over
     # more propagations. The pointer-doubling shortcut runs every 2nd
     # propagation: its join references labels twice, so per-prop
-    # shortcutting is what made deep unrolls blow up the plan; every
-    # 2nd measured round-equivalent on chained LSH graphs at half the
-    # plan growth. Total propagations stay bounded by
-    # num_rounds × unroll — the SAME budget the r13 loop had.
-    budget = num_rounds * max(1, unroll)
+    # shortcutting is what made deep unrolls blow up the plan (and it
+    # measured ~40% slower wall for the same action count — the extra
+    # jump joins are not free). Because a jump now rides only every
+    # 2nd propagation, converged mode doubles the propagation CEILING:
+    # a (2 props + 1 jump) double-round dominates an old (1 prop +
+    # 1 jump) round, so 2 × num_rounds × unroll propagations are at
+    # least as strong as the r13 budget — and the loop stops at
+    # convergence, so graphs that converged inside the old budget pay
+    # nothing for the wider ceiling. Fixed-budget mode (no checks)
+    # keeps exactly num_rounds × unroll propagations — its cost is
+    # the whole plan, and the final bridging check still raises
+    # loudly if that is too small.
+    budget = num_rounds * max(1, unroll) * (2 if until_converged else 1)
     step_unroll = max(1, unroll)
     spent = 0
     executed = 0
