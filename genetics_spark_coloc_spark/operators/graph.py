@@ -386,11 +386,8 @@ def duplicate_clusters(
         dst_col,
         num_rounds,
         until_converged=until_converged,
-        # the sum-witness check is one tiny aggregation, so checking
-        # every (2-propagation) round beats spacing the checks: the
-        # r14 sweep measured unroll=2/check_every=1 at 2.8-3.4 s vs
-        # 4.0-4.8 s for the old unroll=2/check_every=2 join-check on
-        # the sf0.1 LSH graph
+        # check after every segment: the kernel's growing schedule
+        # already spaces the bridging-check actions (r14)
         check_every=1,
         unroll=2,
         checkpoint_dir=checkpoint_dir,

@@ -4318,14 +4318,13 @@ def q_delta_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # star=True: these pairs feed ONLY the CC solve — per-bucket
     # spanning star, identical components, ~m/2× fewer edges (r14)
     hist_pairs = dedup.band_self_pairs(bands_hist, star=True)
-    # converge-checked CC at the r14-measured sweet spot (unroll=2,
-    # check_every=1 with the one-aggregation sum witness — see
-    # connected_components' docstring); deeper unrolls and fixed-round
-    # mode both measured SLOWER here (extra propagations past
-    # convergence cost more than the saved actions, and the sf0.1 LSH
-    # graph's ~10-propagation chains make a fixed budget unsafe across
-    # scales). hist_pairs/canon pairs are distinct oriented, so the
-    # kernel's symmetric-union dedup is skipped.
+    # converge-checked CC (unroll=2 first segment, then the kernel's
+    # growing schedule + bridging-edge witness — see
+    # connected_components' docstring); fixed-round mode measured
+    # SLOWER here and the sf0.1 LSH graph's ~10-propagation chains
+    # make a fixed budget unsafe across scales. hist_pairs/canon
+    # pairs are distinct oriented, so the kernel's symmetric-union
+    # dedup is skipped.
     cc_kw = {
         "num_rounds": 16,
         "until_converged": True,
