@@ -83,22 +83,33 @@ def connected_components(
       graphs still stop after one cheap segment. Measured on the
       sf0.1 LSH graphs: 7 → 4 actions / 5.2 → 3.0 s (clique-heavy
       history graph), 5 → 3 actions / 3.1 → 2.4 s (corpus graph),
-      labelings bit-equal. Total propagations stay bounded by
-      ``num_rounds × unroll`` — the same budget as before.
+      labelings bit-equal. Total propagations are bounded by
+      ``2 × num_rounds × unroll`` in converged mode (the jump rides
+      only every 2nd propagation, so the doubled ceiling is at least
+      as strong as the r13 1-prop+1-jump round budget; the loop still
+      stops at convergence) and by exactly ``num_rounds × unroll`` in
+      fixed-budget mode.
 
     ``dedup_edges=False`` skips the symmetric edge table's
     ``distinct()``: duplicate edges cannot change any min, only inflate
     the per-round join, so callers whose pair generator already emits
     distinct oriented pairs (the LSH/banded family) save the exchange.
 
-    ``num_rounds × unroll`` bounds the total propagations; set
+    ``num_rounds × unroll`` bounds the total propagations in
+    fixed-budget mode; converged mode widens the ceiling to
+    ``2 × num_rounds × unroll`` (see the schedule bullet above). Set
     ``until_converged`` to stop early (costs one bridging count()
     action per check — leave it off inside larger pipelines and size
     num_rounds instead). ``check_every`` spaces the convergence
     checks across segments (default 1 — the growing schedule already
     spaces the work). ``unroll`` sizes the FIRST checked segment;
     later segments run 2×``unroll`` propagations (see the schedule
-    bullet above).
+    bullet above). **r14 semantic change** for external probes:
+    ``check_every`` now spaces SEGMENTS (each ``unroll`` or
+    2×``unroll`` propagations), not single rounds, and
+    ``stats_out["rounds"]`` counts checked segments — read
+    ``stats_out["propagations"]`` for the propagation count the old
+    "rounds" value tracked.
 
     When ``until_converged`` is off, a single cheap final check
     verifies no edge still connects two different labels and raises
@@ -199,7 +210,7 @@ def connected_components(
     )
     if dedup_edges:
         sym = sym.distinct()
-    # every round joins against the edge table; without this the
+    # every round joins against the edge table; without a barrier the
     # upstream pair-generation pipeline (e.g. MinHash-LSH) would
     # re-execute once per round. The table carries a SELF-LOOP per
     # incident vertex (r14): propagate then includes the vertex's own
@@ -209,27 +220,37 @@ def connected_components(
     # making unrolls deeper than 2 unplannable (4^k subtree copies).
     # Self-loops are invisible to the bridging convergence check
     # below (their two label lookups are equal by construction).
-    # In eager reliable-checkpoint mode sym is materialized NOW so
-    # its rdd dirs can be pinned out of the per-round
+    #
+    # r15 (ADVICE finding): the symmetric edge table is checkpointed
+    # BEFORE the incident-vertex derivation, and the loop table is the
+    # lazy union of the two checkpointed branches — the old shape
+    # checkpointed only the final union, so its single materialization
+    # contained the upstream pipeline once under each union branch AND
+    # once more under the incident distinct (callers without a
+    # pre-checkpointed pair table, e.g. q_dedup_clusters' full minhash
+    # chain, executed that upstream 2×). The union itself needs no
+    # barrier: both branches are cached, and every consumer (the
+    # per-propagation join, the bridging check) shuffles it anyway.
+    # In eager reliable-checkpoint mode both branches materialize NOW
+    # so their rdd dirs can be pinned out of the per-round
     # superseded-checkpoint cleanup.
     cleanup = ckpt_root is not None and until_converged
-    incident = sym.select("src").distinct()
-    sym = sym.unionByName(
-        incident.select("src", F.col("src").alias("dst"))
-    )
     sym = _ckpt(sym, eager=cleanup)
-    pinned_ids = set(_rdd_dirs()) if cleanup else set()
     # only vertices an edge can reach ride the loop; the isolated rest
     # are singleton components appended after (sym is symmetric, so
-    # its src side covers every endpoint — self-loops don't widen it).
-    # No checkpoint of its own: the loop init consumes it once (off
-    # checkpointed sym), and the final anti-join reads the FINAL
-    # labels table instead — same id set, and already the one
-    # checkpoint the return must outlive.
-    labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("label"))
+    # its src side covers every endpoint). Derived twice (self-loop
+    # union + loop init), both times off the CHECKPOINTED symmetric
+    # table, so each is one cheap distinct over the cache. The final
+    # anti-join reads the FINAL labels table instead — same id set,
+    # and already the one checkpoint the return must outlive.
+    incident = sym.select("src").distinct()
+    sym = _ckpt(
+        sym.unionByName(incident.select("src", F.col("src").alias("dst"))),
+        eager=cleanup,
+    )
+    pinned_ids = set(_rdd_dirs()) if cleanup else set()
+    labels = incident.select(
+        F.col("src").alias("id"), F.col("src").alias("label")
     )
 
     def _bridging(lbl: DataFrame) -> int:
@@ -326,8 +347,9 @@ def connected_components(
         # budget exhausted (or checks disabled): one final exact check
         if _bridging(labels) > 0:
             raise RuntimeError(
-                f"connected_components did not converge in {num_rounds} "
-                "rounds (an edge still bridges two labels); raise "
+                f"connected_components did not converge in {spent} "
+                f"propagations across {executed} segments (budget "
+                f"{budget}; an edge still bridges two labels); raise "
                 "num_rounds or set until_converged=True"
             )
         converged = True

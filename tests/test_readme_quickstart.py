@@ -50,7 +50,23 @@ def test_readme_production_loop_runs(tmp_path):
         **os.environ,
         "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
     }
-    outputs = set()
+    # Each command still runs as its own `python -m` subprocess (the
+    # exact copy-paste surface), but INDEPENDENT command chains run
+    # concurrently (guide §2.6 applied to the harness): ~12 s of each
+    # command's ~14 s wall is interpreter+JVM+session fixed cost, so
+    # the strictly sequential loop spent ~7 minutes mostly booting
+    # JVMs. Dependencies are derived from the commands' own artifact
+    # tokens — every /tmp/quickstart_* path and every bare catalog
+    # `--out` name (crawl_band_index) — and a command waits for every
+    # earlier command that WROTE anything it touches (or touched
+    # anything it writes, so an in-place append/compact can never
+    # overtake a reader of the previous version). Within a family
+    # (build → append → compact → read) the original README order is
+    # therefore preserved exactly; only unrelated families overlap.
+    # Catalog (derby) access stays serialized for free: the only
+    # catalog-using commands are the lsh_band_index/lsh_pairs chain,
+    # already ordered by the crawl_band_index token.
+    resolved = []
     for cmd in cmds:
         cmd = cmd.replace("$D", SF).replace(
             "/tmp/quickstart_", f"{tmp_path}/quickstart_"
@@ -61,13 +77,69 @@ def test_readme_production_loop_runs(tmp_path):
         # keep the subprocess sessions small: the quickstart documents
         # the surface, not a perf claim
         argv += ["--master", "local[4]", "--shuffle-partitions", "4"]
-        r = subprocess.run(
-            argv, capture_output=True, text=True, cwd=str(tmp_path), env=env,
-            timeout=600,
-        )
-        assert r.returncode == 0, f"{cmd}\n--- stderr ---\n{r.stderr[-3000:]}"
+        resolved.append((cmd, argv))
+
+    tmp_prefix = str(tmp_path)
+    outs = [argv[argv.index("--out") + 1] for _, argv in resolved]
+    bare_outs = {o for o in outs if "/" not in o}
+
+    def _touched(argv: list, out: str) -> tuple:
+        written = {out}
+        read = set()
         for a in argv:
-            if a.startswith(str(tmp_path)):
+            for part in a.split("="):
+                if (
+                    part.startswith(tmp_prefix) or part in bare_outs
+                ) and part not in written:
+                    read.add(part)
+        return written, read
+
+    art = [_touched(argv, out) for (_, argv), out in zip(resolved, outs)]
+    deps: list = []
+    for i in range(len(resolved)):
+        w_i, r_i = art[i]
+        d = set()
+        for j in range(i):
+            w_j, r_j = art[j]
+            if (w_i & (w_j | r_j)) or (r_i & w_j):
+                d.add(j)
+        deps.append(d)
+
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    done = [threading.Event() for _ in resolved]
+    failures: list = []
+
+    def _run(i: int) -> None:
+        try:
+            for j in sorted(deps[i]):
+                assert done[j].wait(timeout=900), f"dep {j} of {i} hung"
+            if not failures:
+                cmd, argv = resolved[i]
+                r = subprocess.run(
+                    argv, capture_output=True, text=True,
+                    cwd=str(tmp_path), env=env, timeout=600,
+                )
+                if r.returncode != 0:
+                    failures.append(
+                        f"{cmd}\n--- stderr ---\n{r.stderr[-3000:]}"
+                    )
+        finally:
+            done[i].set()
+
+    # workers pull tasks in list order, so every dependency of a
+    # running task has already started (deps always point backwards):
+    # a blocked worker can only ever wait on a finished or running
+    # task — no deadlock.
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(_run, range(len(resolved))))
+    assert not failures, failures[0]
+
+    outputs = set()
+    for _, argv in resolved:
+        for a in argv:
+            if a.startswith(tmp_prefix):
                 outputs.add(a)
     # every documented output materialized
     for out in outputs:

@@ -75,11 +75,19 @@ BNLJ_WHITELIST = {
 def plans(spark):
     import __spark_entry__ as entrymod
 
-    out = {}
-    for name, fn in entrymod.queries().items():
+    # plan compilation is driver-JVM work that releases the GIL at
+    # the py4j boundary, so building the 191 registry plans in a small
+    # thread pool overlaps Catalyst analysis across queries (r15:
+    # fixture setup 66 s -> ~17 s; results are per-query independent)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(item):
+        name, fn = item
         df = fn(spark, SF_DIR)
-        out[name] = df._jdf.queryExecution().executedPlan().toString()
-    return out
+        return name, df._jdf.queryExecution().executedPlan().toString()
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        return dict(pool.map(_one, entrymod.queries().items()))
 
 
 def test_no_cartesian_product_anywhere(plans):
