@@ -422,14 +422,22 @@ def q_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``vec_id % 50 == 0`` query sample grows proportionally with the
     corpus, so the exact side is O(n^2/50) — fine on the driver
     testdata, wrong in a pipeline. At scale use
-    ``steps._sample_queries`` (fixed ``certify_queries`` sample) +
-    the BLAS kernel (``pq.exact_l2_topk_blas``), as
-    ``steps._certify_ann_recall`` does."""
-    from genetics_spark_coloc_spark.operators.pq import exact_l2_topk
+    ``steps._sample_queries`` (fixed ``certify_queries`` sample), as
+    ``steps._certify_ann_recall`` does.
+
+    r15: runs :func:`pq.exact_l2_topk_blas` — tuple-identical to the
+    interpreted column form by its r13 contract (6dp half-away
+    rounding before ranking, smaller-id tie-break, junk-vector
+    drops; pinned two-sided by
+    ``test_blas_topk_twins_match_column_forms``) and the SAME kernel
+    the production ``ivfpq_index mode=certify`` gate runs, so the
+    oracle now certifies the production shape. The column form stays
+    exercised by that twin-parity unit test."""
+    from genetics_spark_coloc_spark.operators.pq import exact_l2_topk_blas
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return exact_l2_topk(emb, queries, k=5)
+    return exact_l2_topk_blas(emb, queries, k=5)
 
 
 SQL_L2_TOPK = """

@@ -38,7 +38,10 @@ BNLJ_WHITELIST = {
     # cosine_topk_blas kernel (no pair join at all)
     "bigram_lm",
     "delta_lm_score",  # 1-row broadcast (N, V) model totals
-    "l2_topk",  # same tiny certification query sample, != condition
+    # l2_topk / cosine_topk: REMOVED r15 — both registry queries now
+    # run the BLAS certify kernels (queries ride the task closure, no
+    # pair join at all); the interpreted column forms and their BNLJ
+    # shape stay exercised by test_blas_topk_twins_match_column_forms
     "lm_stupid_backoff",  # 1-row broadcast (N, V) model totals
     "bm25_index_search",  # 1-row broadcast (_nDocs, _sumDl) corpus stats
     "bm25_retrieval",
@@ -48,7 +51,6 @@ BNLJ_WHITELIST = {
     # plans as a plain broadcast join, no BNLJ left
     # (two-sided pin: re-add only with a tiny-broadcast argument)
     "corpus_drift_psi",
-    "cosine_topk",
     "dsir_weights",
     "finemap_simulation",
     "grid_quantiles",
