@@ -23,6 +23,51 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _union_find_labels(spark, sym: DataFrame, id_field) -> DataFrame:
+    """Exact driver-side labeling of a SMALL symmetric edge table
+    (the ``small_graph_edges`` fast path of
+    :func:`connected_components`): union-find with min-id roots
+    computes precisely the fixed point the distributed loop converges
+    to — every vertex labeled with the minimum id reachable from it.
+    Keeping the smaller root as the representative on every union
+    makes the root of each tree its component's minimum directly;
+    path compression keeps the walk near-linear. Arrow-backed
+    toPandas/createDataFrame keep both transfers columnar. Duplicate
+    edges and self-loops are no-ops."""
+    import pandas as pd
+
+    pdf = sym.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        path = []
+        while True:
+            p = parent.get(x, x)
+            if p == x:
+                break
+            path.append(x)
+            x = p
+        for y in path:
+            parent[y] = x
+        return x
+
+    src = pdf["src"].tolist()
+    dst = pdf["dst"].tolist()
+    for a, b in zip(src, dst):
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+    ids = sorted(set(src) | set(dst))
+    t = id_field.dataType.simpleString()
+    if not ids:
+        return spark.createDataFrame([], schema=f"id {t}, label {t}")
+    out = pd.DataFrame({"id": ids, "label": [find(x) for x in ids]})
+    return spark.createDataFrame(out, schema=f"id {t}, label {t}")
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
@@ -37,8 +82,25 @@ def connected_components(
     unroll: int = 1,
     checkpoint_dir: "str | None" = None,
     dedup_edges: bool = True,
+    small_graph_edges: "int | None" = 1_000_000,
 ) -> DataFrame:
     """Label every vertex with the MINIMUM vertex id reachable from it.
+
+    ``small_graph_edges`` (r15): the graph analogue of a broadcast
+    join. When the SYMMETRIC edge table holds at most this many rows
+    (one count() on the table the loop had to materialize anyway),
+    the component labeling is computed exactly with a driver-side
+    union-find over the collected edges instead of 3–6 distributed
+    loop actions — identical output (union-find with min-id roots IS
+    the fixed point the loop converges to), bounded driver memory
+    (1M edge rows ≈ tens of MB, the same order a broadcast relation
+    is allowed), no loop, no convergence checks. At corpus scale the
+    full-graph solve never fits the bound and takes the distributed
+    loop unchanged; the bound exists for the O(delta) graphs the
+    incremental path contracts to (``incremental_connected_components``
+    reduces a day's fold to delta-bound edges BY DESIGN) and for the
+    reduced/history graphs of registry-scale runs. ``None`` or 0
+    disables (tests that pin loop behavior pass 0).
 
     vertices: one row per vertex (``id_col``); edges: undirected
     pairs (``src_col``, ``dst_col``) whose endpoints appear in
@@ -236,22 +298,38 @@ def connected_components(
     # superseded-checkpoint cleanup.
     cleanup = ckpt_root is not None and until_converged
     sym = _ckpt(sym, eager=cleanup)
-    # only vertices an edge can reach ride the loop; the isolated rest
-    # are singleton components appended after (sym is symmetric, so
-    # its src side covers every endpoint). Derived twice (self-loop
-    # union + loop init), both times off the CHECKPOINTED symmetric
-    # table, so each is one cheap distinct over the cache. The final
-    # anti-join reads the FINAL labels table instead — same id set,
-    # and already the one checkpoint the return must outlive.
-    incident = sym.select("src").distinct()
-    sym = _ckpt(
-        sym.unionByName(incident.select("src", F.col("src").alias("dst"))),
-        eager=cleanup,
-    )
-    pinned_ids = set(_rdd_dirs()) if cleanup else set()
-    labels = incident.select(
-        F.col("src").alias("id"), F.col("src").alias("label")
-    )
+    fast_n = None
+    if small_graph_edges:
+        # the count materializes the checkpoint the loop needed
+        # materialized anyway — in fast-path runs it is the only
+        # distributed action the solve performs
+        n_sym = sym.count()
+        if n_sym <= small_graph_edges:
+            fast_n = n_sym
+    if fast_n is not None:
+        labels = _union_find_labels(spark, sym, vertices.schema[id_col])
+        converged, spent, executed = True, 0, 0
+        pinned_ids: set = set()
+    else:
+        # only vertices an edge can reach ride the loop; the isolated
+        # rest are singleton components appended after (sym is
+        # symmetric, so its src side covers every endpoint). Derived
+        # twice (self-loop union + loop init), both times off the
+        # CHECKPOINTED symmetric table, so each is one cheap distinct
+        # over the cache. The final anti-join reads the FINAL labels
+        # table instead — same id set, and already the one checkpoint
+        # the return must outlive.
+        incident = sym.select("src").distinct()
+        sym = _ckpt(
+            sym.unionByName(
+                incident.select("src", F.col("src").alias("dst"))
+            ),
+            eager=cleanup,
+        )
+        pinned_ids = set(_rdd_dirs()) if cleanup else set()
+        labels = incident.select(
+            F.col("src").alias("id"), F.col("src").alias("label")
+        )
 
     def _bridging(lbl: DataFrame) -> int:
         # EXACT convergence witness, any id type (r14): converged iff
@@ -299,11 +377,16 @@ def connected_components(
     # keeps exactly num_rounds × unroll propagations — its cost is
     # the whole plan, and the final bridging check still raises
     # loudly if that is too small.
-    budget = num_rounds * max(1, unroll) * (2 if until_converged else 1)
+    budget = (
+        0
+        if fast_n is not None
+        else num_rounds * max(1, unroll) * (2 if until_converged else 1)
+    )
     step_unroll = max(1, unroll)
-    spent = 0
-    executed = 0
-    converged = False
+    if fast_n is None:
+        spent = 0
+        executed = 0
+        converged = False
     while spent < budget:
         executed += 1
         seg = min(step_unroll if executed == 1 else 2 * step_unroll,
@@ -363,6 +446,8 @@ def connected_components(
         stats_out["rounds"] = executed
         stats_out["propagations"] = spent
         stats_out["converged"] = converged
+        if fast_n is not None:
+            stats_out["small_graph_fast_path_edges"] = fast_n
     # isolated vertices (never touched by an edge) are their own
     # singleton component; they skipped the loop entirely. The
     # anti-join reads the final labels checkpoint (its id set == the

@@ -330,11 +330,16 @@ def test_connected_components_unconverged_raises(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "leftId: long, rightId: long"
     )
+    # small_graph_edges=0 forces the distributed loop: this test pins
+    # LOOP behavior (the budget raise); the fast path always converges
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(verts, edges, "doc_id", num_rounds=1).collect()
+        connected_components(
+            verts, edges, "doc_id", num_rounds=1, small_graph_edges=0
+        ).collect()
     # explicit opt-out returns the (unconverged) labels silently
     out = connected_components(
-        verts, edges, "doc_id", num_rounds=1, raise_on_unconverged=False
+        verts, edges, "doc_id", num_rounds=1, raise_on_unconverged=False,
+        small_graph_edges=0,
     ).collect()
     assert len(out) == n
 
@@ -783,7 +788,8 @@ def test_connected_components_random_graphs_match_union_find(spark):
         got = {
             r["id"]: r["component"]
             for r in connected_components(
-                verts, edf, "doc_id", num_rounds=20, until_converged=True
+                verts, edf, "doc_id", num_rounds=20, until_converged=True,
+                small_graph_edges=0,
             ).collect()
         }
         assert got == expected, f"seed {seed}"
@@ -2760,7 +2766,8 @@ def test_connected_components_unroll_parity(spark):
     base = {
         r["id"]: r["component"]
         for r in connected_components(
-            verts, edges, num_rounds=8, until_converged=True
+            verts, edges, num_rounds=8, until_converged=True,
+            small_graph_edges=0,
         ).collect()
     }
     stats: dict = {}
@@ -2774,6 +2781,7 @@ def test_connected_components_unroll_parity(spark):
             check_every=2,
             unroll=2,
             stats_out=stats,
+            small_graph_edges=0,
         ).collect()
     }
     assert base == unrolled
@@ -3366,7 +3374,8 @@ def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
     plain = {
         r["id"]: r["component"]
         for r in connected_components(
-            verts, edges, "doc_id", until_converged=True, num_rounds=10
+            verts, edges, "doc_id", until_converged=True, num_rounds=10,
+            small_graph_edges=0,
         ).collect()
     }
     disk = {
@@ -3379,6 +3388,7 @@ def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
             num_rounds=10,
             checkpoint_dir=ckpt,
             stats_out=stats,
+            small_graph_edges=0,
         ).collect()
     }
     assert disk == plain
@@ -3648,6 +3658,7 @@ def test_connected_components_checkpoint_lifecycle(spark, tmp_path):
         num_rounds=12,
         checkpoint_dir=ckpt,
         stats_out=stats,
+        small_graph_edges=0,
     )
     # result consumable AFTER the per-round sweeps (files it needs
     # survived), and correct: the chain is one component labelled 0
@@ -3667,7 +3678,7 @@ def test_connected_components_checkpoint_lifecycle(spark, tmp_path):
     # a second run lands in its OWN subdirectory (no interleaving)
     connected_components(
         verts, edges, "doc_id", until_converged=True, num_rounds=12,
-        checkpoint_dir=ckpt,
+        checkpoint_dir=ckpt, small_graph_edges=0,
     ).collect()
     assert len([d for d in os.listdir(ckpt) if d.startswith("cc_")]) == 2
 
