@@ -23,6 +23,98 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _closure_local(
+    spark,
+    paths: DataFrame,
+    keys: "list[str]",
+    max_pairs: "int | None",
+    driver_pair_bound: int,
+) -> "DataFrame | None":
+    """Driver-side exact closure of a SMALL edge table (the
+    ``small_graph_edges`` fast path of :func:`transitive_closure` —
+    the same bounded-local device as ``connected_components``'
+    union-find, and the shape the reference itself uses for
+    ontologies: its BFS runs on a collected dict). Memoized DFS over
+    the adjacency computes reach(node) = ∪_parents ({p} ∪ reach(p))
+    in O(closure-size) set work. Returns None to decline — on a
+    detected cycle (the memoization would not terminate; the
+    distributed distinct-fixpoint loop handles cycles) or when the
+    closure outgrows ``driver_pair_bound`` (legal size, just too big
+    to hold locally). Raises the max_pairs RuntimeError exactly like
+    the distributed guard when the TRUE closure exceeds it."""
+    import pandas as pd
+
+    pdf = paths.toPandas()
+    adj: dict = {}
+    for row in pdf.itertuples(index=False):
+        row = tuple(row)
+        kt, node, dest = row[:-2], row[-2], row[-1]
+        adj.setdefault(kt, {}).setdefault(node, []).append(dest)
+    hard = max_pairs if max_pairs is not None else float("inf")
+    soft = min(hard, driver_pair_bound)
+    out_keys: list = []
+    out_nodes: list = []
+    out_dests: list = []
+    total = 0
+    for kt, g in adj.items():
+        reach: dict = {}
+        state: dict = {}  # 1 = in progress (gray), 2 = done
+        for start in g:
+            if state.get(start) == 2:
+                continue
+            stack = [(start, iter(g.get(start, ())))]
+            state[start] = 1
+            while stack:
+                node, it = stack[-1]
+                advanced = False
+                for p in it:
+                    if state.get(p) == 1:
+                        return None  # cycle — distributed loop handles it
+                    if state.get(p) != 2 and p in g:
+                        stack.append((p, iter(g[p])))
+                        state[p] = 1
+                        advanced = True
+                        break
+                if advanced:
+                    continue
+                stack.pop()
+                acc: set = set()
+                for p in g.get(node, ()):
+                    acc.add(p)
+                    acc |= reach.get(p, frozenset())
+                reach[node] = acc
+                state[node] = 2
+                total += len(acc)
+                if total > soft:
+                    if total > hard:
+                        raise RuntimeError(
+                            f"transitive_closure output bound: over "
+                            f"{total} reachability pairs exceed "
+                            f"max_pairs={max_pairs}. The closure is "
+                            "O(V*depth) pairs (O(V^2) worst case) — for "
+                            "connectivity on large dense graphs use "
+                            "connected_components (operators/graph.py), "
+                            "or raise max_pairs explicitly."
+                        )
+                    return None  # legal but too big to hold locally
+        for node, acc in reach.items():
+            for dest in sorted(acc):
+                out_keys.append(kt)
+                out_nodes.append(node)
+                out_dests.append(dest)
+    cols = {}
+    for i, k in enumerate(keys):
+        cols[k] = [kt[i] for kt in out_keys]
+    cols["node"] = out_nodes
+    cols["dest"] = out_dests
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in paths.schema.fields
+    )
+    if not out_nodes:
+        return spark.createDataFrame([], schema=schema)
+    return spark.createDataFrame(pd.DataFrame(cols), schema=schema)
+
+
 def transitive_closure(
     edges: DataFrame,
     node_col: str = "subject",
@@ -30,6 +122,8 @@ def transitive_closure(
     max_iterations: int = 20,
     group_cols: "tuple[str, ...]" = (),
     max_pairs: "int | None" = 100_000_000,
+    small_graph_edges: "int | None" = 50_000,
+    driver_pair_bound: int = 2_000_000,
 ) -> DataFrame:
     """All (node, ancestor) pairs reachable through ``edges``.
 
@@ -79,6 +173,21 @@ def transitive_closure(
         .localCheckpoint(eager=False)
     )
     count = paths.count()
+    # r15 bounded-local fast path (the connected_components
+    # small_graph_edges device; see _closure_local): ontologies are
+    # SMALL by nature — the reference computes this closure on a
+    # collected driver dict. When the distinct edge table fits
+    # ``small_graph_edges``, the exact closure is computed driver-side
+    # in one pass instead of log(depth) join+distinct+count rounds;
+    # it declines (returns None) on cycles or when the closure
+    # outgrows ``driver_pair_bound``, falling through to the
+    # distributed loop unchanged. max_pairs is enforced either way.
+    if small_graph_edges and count <= small_graph_edges:
+        local = _closure_local(
+            edges.sparkSession, paths, keys, max_pairs, driver_pair_bound
+        )
+        if local is not None:
+            return local
     for _ in range(max_iterations):
         cond = F.col("a.dest") == F.col("b.node")
         for k in keys:
