@@ -129,11 +129,21 @@ def test_stateless_text_filters_are_shuffle_free(spark):
         assert shuffle_count(df) == 0, f"{name}: {shuffle_count(df)} exchanges"
 
 
-def test_broadcast_used_for_small_dim(spark):
+def test_cosine_topk_is_a_kernel_scan(spark):
+    """r15: cosine_topk runs the BLAS certify kernel — the query
+    sample rides the task closure, so the plan is ONE MapInPandas
+    corpus scan feeding the closing exact rank window, with no pair
+    join of any strategy left (the pre-r15 pin asserted the broadcast
+    pair join the interpreted column form planned; that form is now
+    exercised by test_blas_topk_twins_match_column_forms)."""
     from genetics_spark_coloc_spark.plans.inspect import physical_plan
 
-    df = QUERIES["cosine_topk"](spark, SF_DIR)
-    assert "BroadcastExchange" in physical_plan(df) or "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
+    plan = physical_plan(QUERIES["cosine_topk"](spark, SF_DIR))
+    assert "MapInPandas" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join not in plan, plan
 
 
 def test_winnow_and_sq8_are_shuffle_free(spark):
